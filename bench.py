@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "rows": {name: n}}
+
+Execution is measured with the noop sink (full plan runs, no driver
+collect) except top-k/aggregate queries whose output is tiny.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from cryo_spark import get_spark
+
+HEADLINE = [
+    # reference-surface datasets (chain fixtures, fixed size)
+    "dataset_transactions",
+    "dataset_logs",
+    "dataset_erc20_transfers",
+    "dataset_native_transfers",
+    "dataset_contracts",
+    "dataset_address_appearances",
+    "dataset_four_byte_counts",
+    # generic relational surface (scales with sf)
+    "pricing_summary",
+    "top_orders",
+    "nation_revenue",
+    "first_order_per_customer",
+    "events_hourly",
+    # LLM-pipeline operators (scale with sf)
+    "llm_word_stats",
+    "llm_lang_id",
+    "llm_exact_dedup",
+    "llm_minhash_near_dups",
+    "llm_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="cryo_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    # one tiny action to warm the JVM/codegen paths outside timings
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # noop sink: full plan executes (a bare count() would let
+        # Catalyst collapse projections into a parquet metadata count)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+        rows[name] = df.count()  # untimed sanity count
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "cryo_spark headline suite wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "rows": rows,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -512,6 +512,12 @@ class FixtureBuilder:
             if rng.random() < 0.7:
                 addr = self.eoas[int(rng.integers(0, 200))]
                 kind = kinds[int(rng.integers(0, 4))]
+                if kind == "nonce":
+                    rv = _u256_bytes(int(rng.integers(0, 1 << 40)))
+                elif kind == "balance":
+                    rv = _u256_bytes(int(np.exp(rng.normal(38, 4))))
+                else:
+                    rv = _rand_bytes(rng, 1, 32)[0]
                 r_rows["block_number"].append(b)
                 r_rows["transaction_index"].append(txi)
                 r_rows["transaction_hash"].append(txh)
@@ -520,7 +526,7 @@ class FixtureBuilder:
                 r_rows["slot"].append(
                     _rand_bytes(rng, 1, 32)[0] if kind == "storage" else None
                 )
-                r_rows["value"].append(_rand_bytes(rng, 1, 32)[0])
+                r_rows["value"].append(rv)
                 r_rows["chain_id"].append(CHAIN_ID)
         common = {
             "block_number": pa.int32(),

@@ -1,0 +1,277 @@
+"""Deduplication operators over a documents table.
+
+Scale design (the 100 TB story):
+- exact: hash-groupBy — one shuffle on a 16-byte key, map-side
+  partial agg.
+- minhash/LSH: shingle → k minhashes → b bands; candidate pairs come
+  from an equality join on (band_id, band_hash) — never an all-pairs
+  product. Verification joins only within buckets.
+- simhash: 64-bit signature; near-dup = same signature bucket (or
+  small hamming distance within buckets).
+- ngram-jaccard: exact verify step for LSH candidates.
+
+Everything except simhash stays JVM-side; simhash uses one Arrow
+pandas UDF (vectorized numpy bit ops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _norm_text(text_col: str = "text") -> Column:
+    return F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups on normalized text. Returns
+    (doc_id, keeper_id, is_duplicate): keeper = min doc_id per group.
+    One shuffle on md5 key; dupe flag via window over the same
+    partitioning (no extra shuffle — same key)."""
+    h = F.md5(_norm_text(text_col))
+    w = Window.partitionBy("content_key")
+    return (
+        df.select("doc_id", h.alias("content_key"))
+        .withColumn("keeper_id", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "keeper_id",
+            (F.col("doc_id") != F.col("keeper_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def exact_dedup_sql(table: str, text_col: str = "text") -> str:
+    norm = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
+    return f"""
+SELECT doc_id,
+  min(doc_id) OVER (PARTITION BY md5({norm})) AS keeper_id,
+  doc_id != min(doc_id) OVER (PARTITION BY md5({norm})) AS is_duplicate
+FROM {table}
+"""
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Word n-gram shingles, exploded to one (id, shingle) row each.
+
+    This is the scalable formulation: the tokenize+gram expression is
+    evaluated exactly once per document and everything downstream is
+    row-at-a-time JVM work. (Keeping shingles as a per-row
+    array<string> column instead gets the whole expression re-inlined
+    into every consumer by projection collapse — k minhash seeds then
+    re-tokenize k times — and array_distinct is quadratic; measured
+    >10x slower at sf0.1.) Duplicate shingles are kept: the min
+    aggregation downstream is multiset-insensitive; apply .distinct()
+    only where set semantics matter.
+    """
+    tokens = F.split(_norm_text(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j + 1) for j in range(n)])
+    )
+    grams = F.when(F.size(tokens) >= n, grams).otherwise(F.array(_norm_text(text_col)))
+    return df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, mh0..mh{k-1}): min over shingles of xxhash64(shingle||seed).
+
+    explode -> groupBy(min x k): partial aggregation combines
+    map-side, so the shuffle carries k longs per document regardless
+    of text size — the 100 TB-safe shape."""
+    rows = shingle_rows(df, text_col, n, id_col)
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit("#%02d" % i)))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return rows.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded minhash LSH.
+
+    k minhashes split into ``bands`` bands of k/bands rows; docs
+    sharing any band hash are candidates. Pair generation is an
+    equality self-join on (band_id, band_hash) — bucket-local, never
+    all-pairs. Returns distinct (id_a, id_b), id_a < id_b."""
+    r = k // bands
+    sigs = minhash_signatures(df, text_col, k, id_col=id_col)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.col(f"mh{b * r + j}") for j in range(r)])
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (the verify stage
+    after LSH), in exploded form: |A^B| = count of shingle matches
+    routed through the pair list; |AvB| = |A|+|B|-|A^B|. All joins
+    are key-equality shuffles bounded by candidate bucket sizes."""
+    sh = shingle_rows(df, text_col, n, id_col).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        # second join keys on (id_b, shingle) jointly — a pure hash
+        # join; keying on id_b alone would stream |A|x|B| shingle
+        # combinations per pair before filtering
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+@F.pandas_udf(T.LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit simhash over whitespace tokens (vectorized numpy).
+    Deterministic: token hash = xxhash-free stable blake2b low-64."""
+    import hashlib
+
+    def one(t):
+        if t is None:
+            return None
+        tokens = t.lower().split()
+        if not tokens:
+            return 0
+        hs = np.array(
+            [
+                int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+                for tok in tokens
+            ],
+            dtype=np.uint64,
+        )
+        bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        votes = np.where(bits == 1, 1, -1).sum(axis=0)
+        sig = 0
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= 1 << b
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    return texts.map(one)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash) signatures; near-dups share signatures or
+    differ in few bits (bucket by signature prefix for hamming join)."""
+    return df.select(F.col(id_col), _simhash64(F.col(text_col)).alias("simhash"))
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH
+    bucketing + in-bucket exact cosine. Deterministic planes from
+    ``seed``. Returns (id_a, id_b, cosine >= threshold)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, 64))
+    sig = None
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in planes[p]]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
+        sig = bit if sig is None else sig + bit
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    keyed = emb.select(
+        F.col(id_col), F.col(vec_col), sig.alias("bucket"), norm.alias("nrm")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    dot_ab = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (dot_ab / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

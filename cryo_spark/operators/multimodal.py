@@ -1,0 +1,114 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side machinery (schemas, batch iteration, partition-aware
+mapInPandas, output schema contracts) is real and tested; the actual
+media decode is STUBBED — the decode libraries (PIL/ffmpeg/librosa)
+are not in this container. ``decoder`` defaults to a deterministic
+fake so the pipeline shape is exercised end-to-end; swap in a real
+decoder at deployment.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("content_sha256", T.StringType(), True),
+    ]
+)
+
+
+def fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
+    """Deterministic stand-in for a media feature extractor: derive a
+    unit vector from the payload hash. Replace with a real decoder
+    (NotImplementedError guards the real path)."""
+    if payload is None:
+        return None
+    h = hashlib.sha256(payload).digest()
+    v = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    v = v.astype(np.float64)
+    v = v / np.linalg.norm(v)
+    return v.astype(np.float32)
+
+
+def real_decode(payload: bytes, dim: int = 16) -> np.ndarray:  # pragma: no cover
+    raise NotImplementedError(
+        "media decode requires PIL/ffmpeg — not available in this container; "
+        "use fake_decode for pipeline testing"
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: Callable[[bytes], np.ndarray] = fake_decode,
+    batch_hint: int = 1024,
+) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, feature rows
+    out. Partitioning is preserved (narrow op) — repartition upstream
+    by size if payload skew matters."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                None if p is None else decoder(bytes(p)).tolist()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": feats,
+                    "n_bytes": [None if p is None else len(p) for p in pdf["payload"]],
+                    "content_sha256": [
+                        None if p is None else hashlib.sha256(bytes(p)).hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table for pipeline tests."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.integers(0, 256, size=int(rng.integers(64, 4096)), dtype=np.uint8).tobytes()
+        rows.append(
+            (
+                i,
+                kind,
+                bytearray(payload),
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                int(rng.integers(16, 4096)) if kind != "audio" else None,
+                int(rng.integers(16, 4096)) if kind != "audio" else None,
+                int(rng.integers(1000, 600000)) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,147 @@
+"""Text analysis operators over a documents table
+(doc_id, text, lang, source, n_chars).
+
+All JVM-side column expressions — no Python in the hot path. Each
+operator is a DataFrame → DataFrame function; equivalent DuckDB SQL
+lives beside it for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small public stopword sets for the n-gram language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "auf", "von"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "que", "pour", "une"],
+    "es": ["el", "la", "los", "de", "que", "en", "es", "por", "con", "para"],
+}
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("long")
+
+
+def token_count_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN trim({expr}) = '' THEN 0 ELSE "
+        f"len(regexp_split_to_array(trim({expr}), '\\s+')) END::BIGINT"
+    )
+
+
+def word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: length, tokens, mean token
+    length, punctuation / digit / uppercase / whitespace ratios,
+    stopword hit count. Pure narrow projection — no shuffle."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    lower = F.lower(c)
+    non_alnum = F.length(F.regexp_replace(lower, r"[a-z0-9\s]", ""))
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    uppers = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    spaces = F.length(F.regexp_replace(c, r"[^\s]", ""))
+    stop_hits = None
+    for w in STOPWORDS["en"]:
+        hit = F.size(F.split(F.concat(F.lit(" "), lower, F.lit(" ")), f" {w} ")) - 1
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    return df.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.when(n_tokens > 0, ((n_chars - spaces) / n_tokens)).alias("mean_token_len"),
+        F.round(non_alnum / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(digits / F.greatest(n_chars, F.lit(1)), 6).alias("digit_ratio"),
+        F.round(uppers / F.greatest(n_chars, F.lit(1)), 6).alias("upper_ratio"),
+        stop_hits.cast("long").alias("en_stopword_hits"),
+    )
+
+
+def word_stats_sql(table: str, text_col: str = "text") -> str:
+    c = text_col
+    n_tokens = token_count_sql(c)
+    non_alnum = f"length(regexp_replace(lower({c}), '[a-z0-9\\s]', '', 'g'))"
+    digits = f"length(regexp_replace({c}, '[^0-9]', '', 'g'))"
+    uppers = f"length(regexp_replace({c}, '[^A-Z]', '', 'g'))"
+    spaces = f"length(regexp_replace({c}, '[^\\s]', '', 'g'))"
+    stop_hits = " + ".join(
+        f"(len(string_split(concat(' ', lower({c}), ' '), ' {w} ')) - 1)"
+        for w in STOPWORDS["en"]
+    )
+    return f"""
+SELECT doc_id,
+  length({c})::BIGINT AS n_chars,
+  {n_tokens} AS n_tokens,
+  CASE WHEN {n_tokens} > 0 THEN (length({c}) - {spaces}) / {n_tokens} END AS mean_token_len,
+  round({non_alnum} / greatest(length({c}), 1), 6) AS punct_ratio,
+  round({digits} / greatest(length({c}), 1), 6) AS digit_ratio,
+  round({uppers} / greatest(length({c}), 1), 6) AS upper_ratio,
+  ({stop_hits})::BIGINT AS en_stopword_hits
+FROM {table}
+"""
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language guess (deterministic heuristic,
+    SURVEY-extension operator). Returns doc_id, lang_guess, lang_score
+    (hits of the winning language)."""
+    lower = F.lower(F.col(text_col))
+    padded = F.concat(F.lit(" "), lower, F.lit(" "))
+    scores = []
+    for lang, words in STOPWORDS.items():
+        s = None
+        for w in words:
+            hit = F.size(F.split(padded, f" {w} ")) - 1
+            s = hit if s is None else s + hit
+        scores.append(F.struct(s.cast("long").alias("score"), F.lit(lang).alias("lang")))
+    # deterministic argmax: highest score, ties broken by lang asc
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        "doc_id",
+        best["lang"].alias("lang_guess"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def lang_id_sql(table: str, text_col: str = "text") -> str:
+    pieces = []
+    for lang, words in STOPWORDS.items():
+        hits = " + ".join(
+            f"(len(string_split(concat(' ', lower({text_col}), ' '), ' {w} ')) - 1)"
+            for w in words
+        )
+        pieces.append(f"SELECT doc_id, '{lang}' AS lang, ({hits})::BIGINT AS score FROM {table}")
+    union = " UNION ALL ".join(pieces)
+    # replicate Spark array_max on struct(score, lang): ties pick the
+    # LARGEST lang string. DuckDB max_by lacks composite keys — encode
+    # (score, lang) as a zero-padded sortable string.
+    return f"""
+SELECT doc_id,
+  max_by(lang, lpad(score::VARCHAR, 12, '0') || lang) AS lang_guess,
+  max(score)::BIGINT AS lang_score
+FROM ({union}) GROUP BY doc_id
+"""
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: xxhash64 of the whitespace-normalized,
+    lowercased text (rolling-hash analog, JVM-side)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        "doc_id",
+        F.xxhash64(norm).alias("fingerprint"),
+        F.md5(norm).alias("content_md5"),
+    )
+
+
+def fingerprint_sql(table: str, text_col: str = "text") -> str:
+    # DuckDB has no xxhash64 — oracle covers the md5 fingerprint only
+    norm = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
+    return f"SELECT doc_id, md5({norm}) AS content_md5 FROM {table}"

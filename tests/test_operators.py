@@ -1,0 +1,127 @@
+"""LLM-pipeline operator tests: oracle parity where SQL-expressible,
+ground-truth/property checks otherwise."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cryo_spark.operators import dedup, multimodal, similarity, text
+from cryo_spark.testing import compare
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB)
+
+
+def _docs_rel() -> str:
+    return f"read_parquet('{DOCS}')"
+
+
+def test_word_stats_oracle(spark, docs):
+    r = compare(text.word_stats(docs), text.word_stats_sql(_docs_rel()), "word_stats")
+    assert r["match"], r["detail"]
+
+
+def test_lang_id_oracle(spark, docs):
+    r = compare(text.lang_id(docs), text.lang_id_sql(_docs_rel()), "lang_id")
+    assert r["match"], r["detail"]
+
+
+def test_fingerprint_md5_oracle(spark, docs):
+    df = text.fingerprint(docs).drop("fingerprint")  # xxhash64 not in DuckDB
+    r = compare(df, text.fingerprint_sql(_docs_rel()), "fingerprint")
+    assert r["match"], r["detail"]
+
+
+def test_exact_dedup_oracle(spark, docs):
+    r = compare(dedup.exact_dedup(docs), dedup.exact_dedup_sql(_docs_rel()), "exact_dedup")
+    assert r["match"], r["detail"]
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    rows = [(1, "Hello  World"), (2, "hello world"), (3, "other text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["keeper_id"], r["is_duplicate"]) for r in dedup.exact_dedup(df).collect()}
+    assert got == {1: (1, False), 2: (1, True), 3: (3, False)}
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again until done " * 4
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark shuffles and parquet row groups " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = dedup.minhash_lsh_candidates(df, k=16, bands=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+    jac = dedup.ngram_jaccard(df, pairs)
+    jrows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jac.collect()}
+    assert jrows[(1, 2)] > 0.5
+
+
+def test_simhash_near_for_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("dog", "cat")
+    df = spark.createDataFrame([(1, base), (2, near)], "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    ham = bin((sigs[1] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 16, f"hamming {ham} too large for near-dups"
+
+
+def test_cosine_topk_oracle(spark, emb):
+    query = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    r = compare(
+        similarity.cosine_topk(emb, query, k=10),
+        similarity.cosine_topk_sql(f"read_parquet('{EMB}')", query, k=10),
+        "cosine_topk",
+    )
+    assert r["match"], r["detail"]
+
+
+def test_bucketed_ann_recall(spark, emb):
+    query = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, query, k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.bucketed_ann(emb, query, k=10).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"recall {recall}"
+    assert exact[0] in approx  # the query vector itself must be found
+
+
+def test_embedding_near_dups_lsh(spark):
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=64)
+    v2 = v + rng.normal(scale=0.01, size=64)  # near-dup
+    v3 = rng.normal(size=64)  # unrelated
+    rows = [(1, [float(x) for x in v]), (2, [float(x) for x in v2]), (3, [float(x) for x in v3])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]) for r in dedup.embedding_near_dups(df, threshold=0.95).collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_multimodal_pipeline(spark):
+    media = multimodal.synthetic_media(spark, n=32)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert len(r["feature"]) == 16
+        assert abs(sum(x * x for x in r["feature"]) - 1.0) < 1e-3
+        assert r["n_bytes"] > 0 and len(r["content_sha256"]) == 64
+    # determinism across runs
+    again = {r["media_id"]: r["content_sha256"] for r in multimodal.extract_features(media).collect()}
+    assert again == {r["media_id"]: r["content_sha256"] for r in rows}
