@@ -321,8 +321,12 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver records a rows-only check; correctness is covered by
     planted-pair unit tests."""
     docs = _read(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_candidates(docs, k=16, bands=4)
-    return dedup.ngram_jaccard(docs, pairs).filter(F.col("jaccard") >= 0.5)
+    # shingles feed both the LSH and the verify stage — persist once
+    shingles = dedup.shingle_rows(docs).persist()
+    pairs = dedup.minhash_lsh_candidates(docs, k=16, bands=4, shingles=shingles)
+    return dedup.ngram_jaccard(docs, pairs, shingles=shingles).filter(
+        F.col("jaccard") >= 0.5
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

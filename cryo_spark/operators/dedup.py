@@ -55,6 +55,19 @@ FROM {table}
 """
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure per-row CPU work is spread across all cores.
+
+    A small parquet input lands in fewer splits than cores (locally:
+    one file -> one task evaluating every shingle expression
+    single-threaded). At real scale inputs have >= parallelism splits
+    and this is a no-op; the check costs nothing (plan-only)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_rows(
     df: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -70,13 +83,16 @@ def shingle_rows(
     aggregation downstream is multiset-insensitive; apply .distinct()
     only where set semantics matter.
     """
-    tokens = F.split(_norm_text(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j + 1) for j in range(n)])
-    )
-    grams = F.when(F.size(tokens) >= n, grams).otherwise(F.array(_norm_text(text_col)))
-    return df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    df = _spread(df)
+    # bind tokens to a concrete column first: expressions inside the
+    # higher-order lambda otherwise re-inline (and re-evaluate) the
+    # whole regexp+split per element access — measured 25x slower
+    toks = df.select(F.col(id_col), F.split(_norm_text(text_col), " ").alias("toks"))
+    t = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, n), " "))
+    grams = F.when(F.size(t) >= n, grams).otherwise(F.array(F.array_join(t, " ")))
+    return toks.select(F.col(id_col), F.explode(grams).alias("shingle"))
 
 
 def minhash_signatures(
@@ -85,13 +101,14 @@ def minhash_signatures(
     k: int = 16,
     n: int = 3,
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, mh0..mh{k-1}): min over shingles of xxhash64(shingle||seed).
 
     explode -> groupBy(min x k): partial aggregation combines
     map-side, so the shuffle carries k longs per document regardless
     of text size — the 100 TB-safe shape."""
-    rows = shingle_rows(df, text_col, n, id_col)
+    rows = shingles if shingles is not None else shingle_rows(df, text_col, n, id_col)
     aggs = [
         F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit("#%02d" % i)))).alias(f"mh{i}")
         for i in range(k)
@@ -105,6 +122,7 @@ def minhash_lsh_candidates(
     k: int = 16,
     bands: int = 4,
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded minhash LSH.
 
@@ -113,7 +131,7 @@ def minhash_lsh_candidates(
     equality self-join on (band_id, band_hash) — bucket-local, never
     all-pairs. Returns distinct (id_a, id_b), id_a < id_b."""
     r = k // bands
-    sigs = minhash_signatures(df, text_col, k, id_col=id_col)
+    sigs = minhash_signatures(df, text_col, k, id_col=id_col, shingles=shingles)
     banded = sigs.select(
         id_col,
         F.explode(
@@ -153,12 +171,14 @@ def ngram_jaccard(
     text_col: str = "text",
     n: int = 3,
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the verify stage
     after LSH), in exploded form: |A^B| = count of shingle matches
     routed through the pair list; |AvB| = |A|+|B|-|A^B|. All joins
     are key-equality shuffles bounded by candidate bucket sizes."""
-    sh = shingle_rows(df, text_col, n, id_col).distinct()
+    sh = shingles if shingles is not None else shingle_rows(df, text_col, n, id_col)
+    sh = sh.distinct()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     inter = (
         pairs.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
