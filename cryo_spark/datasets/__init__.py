@@ -10,11 +10,11 @@ SQL string.
 
 from __future__ import annotations
 
-from cryo_spark.datasets import accounts, blocks, logs, state, traces, transactions
+from cryo_spark.datasets import accounts, blocks, geth, logs, state, traces, transactions
 
 TRANSFORMS = {}
 ORACLES = {}
-for _m in (blocks, transactions, logs, traces, state, accounts):
+for _m in (blocks, transactions, logs, traces, state, accounts, geth):
     TRANSFORMS.update(_m.TRANSFORMS)
     ORACLES.update(_m.ORACLES)
 

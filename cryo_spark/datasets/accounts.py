@@ -209,6 +209,42 @@ def oracle_erc20_balances(fixtures_dir: str) -> str:
     )
 
 
+def transform_erc721_metadata(spark: SparkSession, fixtures_dir: str | None = None) -> DataFrame:
+    """name()/symbol() answers pivoted per (block, erc721)
+    (erc721_metadata.rs:9-16; same call surface as erc20_metadata
+    minus decimals)."""
+    names = _calls_for(spark, fixtures_dir, SELECTORS["name"]).select(
+        "block_number", F.col("contract").alias("erc721"),
+        _abi_string("output").alias("name"), "chain_id",
+    )
+    symbols = _calls_for(spark, fixtures_dir, SELECTORS["symbol"]).select(
+        "block_number", F.col("contract").alias("erc721"),
+        _abi_string("output").alias("symbol"),
+    )
+    return (
+        names.join(symbols, ["block_number", "erc721"], "left")
+        .select("block_number", "erc721", "name", "symbol", "chain_id")
+    )
+
+
+def oracle_erc721_metadata(fixtures_dir: str) -> str:
+    fx = fixture_rel(fixtures_dir, "fixture_calls")
+
+    def side(sel: str, alias: str) -> str:
+        return (
+            f"SELECT block_number, contract AS erc721, "
+            f"{_abi_string_sql('output')} AS {alias}, chain_id "
+            f"FROM {fx} WHERE hex({blob_slice_sql('call_data', 1, 4)}) = upper('{SELECTORS[sel]}')"
+        )
+
+    return (
+        "SELECT n.block_number, n.erc721, n.name, s.symbol, n.chain_id FROM "
+        f"({side('name', 'name')}) n "
+        f"LEFT JOIN ({side('symbol', 'symbol')}) s "
+        "ON n.block_number = s.block_number AND n.erc721 = s.erc721"
+    )
+
+
 TRANSFORMS = {
     "balances": transform_balances,
     "nonces": transform_nonces,
@@ -218,6 +254,7 @@ TRANSFORMS = {
     "erc20_metadata": transform_erc20_metadata,
     "erc20_supplies": transform_erc20_supplies,
     "erc20_balances": transform_erc20_balances,
+    "erc721_metadata": transform_erc721_metadata,
 }
 ORACLES = {
     "balances": oracle_balances,
@@ -228,4 +265,5 @@ ORACLES = {
     "erc20_metadata": oracle_erc20_metadata,
     "erc20_supplies": oracle_erc20_supplies,
     "erc20_balances": oracle_erc20_balances,
+    "erc721_metadata": oracle_erc721_metadata,
 }

@@ -650,6 +650,222 @@ class FixtureBuilder:
             }
         )
 
+    # ---------------- opcode steps (geth structLog + parity vmTrace) ----
+    def build_opcodes(self) -> None:
+        """One raw step table serving both geth_opcodes (structLog
+        tracer) and vm_traces (parity vmTrace): the same execution
+        steps observed by two tracers. Restricted to the first 30
+        blocks — per-opcode data is enormous in reality, and the
+        reference's own e2e test uses 1 block for vm_traces
+        (python_tests/test_datatypes.py)."""
+        rng = self.rng
+        ops = ["PUSH1", "PUSH32", "ADD", "MUL", "MSTORE", "MLOAD", "SSTORE",
+               "SLOAD", "CALL", "JUMP", "JUMPI", "DUP1", "SWAP1", "RETURN", "STOP"]
+        rows: dict[str, list] = {k: [] for k in (
+            "block_number transaction_index transaction_hash trace_address depth "
+            "step pc op gas gas_cost used refund_counter error memory stack "
+            "storage return_data push mem_off mem_data storage_key storage_val "
+            "chain_id"
+        ).split()}
+        for b, txi, txh, succ in self.tx_meta:
+            if b >= 30:
+                continue
+            n_steps = int(rng.integers(5, 41))
+            gas = int(rng.integers(50_000, 500_000))
+            pc = 0
+            depth = 1
+            for s in range(n_steps):
+                op = ops[int(rng.integers(0, len(ops)))]
+                cost = int(rng.integers(2, 101))
+                gas -= cost
+                is_push = op.startswith("PUSH")
+                is_store = op == "SSTORE"
+                is_mem = op in ("MSTORE", "MLOAD")
+                err = "out of gas" if (not succ and s == n_steps - 1) else None
+                rows["block_number"].append(b)
+                rows["transaction_index"].append(txi)
+                rows["transaction_hash"].append(txh)
+                rows["trace_address"].append("" if depth == 1 else "0")
+                rows["depth"].append(depth)
+                rows["step"].append(s)
+                rows["pc"].append(pc)
+                rows["op"].append(op)
+                rows["gas"].append(gas + cost)
+                rows["gas_cost"].append(cost)
+                rows["used"].append(gas)
+                rows["refund_counter"].append(
+                    int(rng.integers(0, 4800)) if is_store and rng.random() < 0.3 else None
+                )
+                rows["error"].append(err)
+                rows["memory"].append(
+                    "0x" + _rand_bytes(rng, 1, 32)[0].hex() if is_mem and rng.random() < 0.5 else None
+                )
+                rows["stack"].append(
+                    ",".join("0x%x" % v for v in rng.integers(0, 1 << 32, int(rng.integers(1, 4))))
+                    if rng.random() < 0.5 else None
+                )
+                rows["storage"].append(
+                    "0x" + _rand_bytes(rng, 1, 32)[0].hex() if is_store else None
+                )
+                rows["return_data"].append(
+                    _rand_bytes(rng, 1, 32)[0] if op == "RETURN" else None
+                )
+                rows["push"].append(
+                    _rand_bytes(rng, 1, 32 if op == "PUSH32" else 1)[0] if is_push else None
+                )
+                rows["mem_off"].append(int(rng.integers(0, 1024)) if is_mem else None)
+                rows["mem_data"].append(_rand_bytes(rng, 1, 32)[0] if is_mem else None)
+                rows["storage_key"].append(_rand_bytes(rng, 1, 32)[0] if is_store else None)
+                rows["storage_val"].append(_rand_bytes(rng, 1, 32)[0] if is_store else None)
+                rows["chain_id"].append(CHAIN_ID)
+                pc += 33 if op == "PUSH32" else 2 if is_push else 1
+                if op == "CALL" and depth == 1:
+                    depth = 2
+                elif op in ("RETURN", "STOP") and depth == 2:
+                    depth = 1
+        self.tables["fixture_opcodes"] = pa.table(
+            {
+                "block_number": pa.array(rows["block_number"], pa.int32()),
+                "transaction_index": pa.array(rows["transaction_index"], pa.int32()),
+                "transaction_hash": pa.array(rows["transaction_hash"], pa.binary()),
+                "trace_address": pa.array(rows["trace_address"], pa.string()),
+                "depth": pa.array(rows["depth"], pa.int64()),
+                "step": pa.array(rows["step"], pa.int32()),
+                "pc": pa.array(rows["pc"], pa.int64()),
+                "op": pa.array(rows["op"], pa.string()),
+                "gas": pa.array(rows["gas"], pa.int64()),
+                "gas_cost": pa.array(rows["gas_cost"], pa.int64()),
+                "used": pa.array(rows["used"], pa.int64()),
+                "refund_counter": pa.array(rows["refund_counter"], pa.int64()),
+                "error": pa.array(rows["error"], pa.string()),
+                "memory": pa.array(rows["memory"], pa.string()),
+                "stack": pa.array(rows["stack"], pa.string()),
+                "storage": pa.array(rows["storage"], pa.string()),
+                "return_data": pa.array(rows["return_data"], pa.binary()),
+                "push": pa.array(rows["push"], pa.binary()),
+                "mem_off": pa.array(rows["mem_off"], pa.int32()),
+                "mem_data": pa.array(rows["mem_data"], pa.binary()),
+                "storage_key": pa.array(rows["storage_key"], pa.binary()),
+                "storage_val": pa.array(rows["storage_val"], pa.binary()),
+                "chain_id": pa.array(rows["chain_id"], pa.int64()),
+            }
+        )
+
+    # ---------------- javascript traces ----------------
+    def build_js_traces(self) -> None:
+        """Opaque per-tx JSON payloads, as returned verbatim by a
+        node-side JS tracer (javascript_traces.rs:26-46)."""
+        rng = self.rng
+        rows: dict[str, list] = {k: [] for k in (
+            "block_number transaction_index transaction_hash output chain_id".split()
+        )}
+        for b, txi, txh, succ in self.tx_meta:
+            if rng.random() >= 0.3:
+                continue
+            ret = _rand_bytes(rng, 1, int(rng.integers(0, 33)))[0]
+            out = (
+                '{"gas":%d,"failed":%s,"returnValue":"0x%s"}'
+                % (int(rng.integers(21_000, 500_000)), "false" if succ else "true", ret.hex())
+            )
+            rows["block_number"].append(b)
+            rows["transaction_index"].append(txi)
+            rows["transaction_hash"].append(txh)
+            rows["output"].append(out)
+            rows["chain_id"].append(CHAIN_ID)
+        self.tables["fixture_js_traces"] = pa.table(
+            {
+                "block_number": pa.array(rows["block_number"], pa.int32()),
+                "transaction_index": pa.array(rows["transaction_index"], pa.int32()),
+                "transaction_hash": pa.array(rows["transaction_hash"], pa.binary()),
+                "output": pa.array(rows["output"], pa.string()),
+                "chain_id": pa.array(rows["chain_id"], pa.int64()),
+            }
+        )
+
+    # ---------------- trace_calls (simulated call traces) ----------------
+    def build_trace_calls(self) -> None:
+        """trace_call simulation results for (contract, calldata) x
+        sample-block combinations (trace_calls.rs:48-60): a small
+        trace tree per simulated call, tagged with the request's
+        to-address + calldata."""
+        rng = self.rng
+        rows: dict[str, list] = {k: [] for k in (
+            "block_number transaction_index action_from action_to action_value "
+            "action_gas action_input action_call_type action_init "
+            "action_reward_type action_type result_gas_used result_output "
+            "result_code result_address trace_address subtraces error "
+            "tx_to_address tx_call_data chain_id"
+        ).split()}
+        calldatas = [
+            self.selectors[i] + _rand_bytes(rng, 1, 32)[0] for i in range(2)
+        ]
+        for blk in SAMPLE_BLOCKS:
+            for contract in self.contracts[:10]:
+                for cd in calldatas:
+                    n_sub = int(rng.integers(0, 3))
+                    err = "Reverted" if rng.random() < 0.1 else None
+                    frames = [("", "call", n_sub)] + [
+                        (str(j), "call", 0) for j in range(n_sub)
+                    ]
+                    for addr_str, _atype, subs in frames:
+                        is_root = addr_str == ""
+                        rows["block_number"].append(blk)
+                        rows["transaction_index"].append(0)
+                        rows["action_from"].append(
+                            self.eoas[0] if is_root else contract
+                        )
+                        rows["action_to"].append(
+                            contract if is_root
+                            else self.contracts[int(rng.integers(0, 20))]
+                        )
+                        rows["action_value"].append(0)
+                        rows["action_gas"].append(int(rng.integers(21_000, 1_000_000)))
+                        rows["action_input"].append(
+                            cd if is_root else _rand_bytes(rng, 1, int(rng.integers(4, 36)))[0]
+                        )
+                        rows["action_call_type"].append(
+                            "call" if is_root
+                            else str(rng.choice(["call", "staticcall", "delegatecall"]))
+                        )
+                        rows["action_init"].append(None)
+                        rows["action_reward_type"].append(None)
+                        rows["action_type"].append("call")
+                        rows["result_gas_used"].append(int(rng.integers(0, 500_000)))
+                        rows["result_output"].append(_rand_bytes(rng, 1, int(rng.integers(0, 33)))[0])
+                        rows["result_code"].append(None)
+                        rows["result_address"].append(None)
+                        rows["trace_address"].append(addr_str)
+                        rows["subtraces"].append(subs)
+                        rows["error"].append(err if is_root else None)
+                        rows["tx_to_address"].append(contract)
+                        rows["tx_call_data"].append(cd)
+                        rows["chain_id"].append(CHAIN_ID)
+        self.tables["fixture_trace_calls"] = pa.table(
+            {
+                "block_number": pa.array(rows["block_number"], pa.int32()),
+                "transaction_index": pa.array(rows["transaction_index"], pa.int32()),
+                "action_from": pa.array(rows["action_from"], pa.binary()),
+                "action_to": pa.array(rows["action_to"], pa.binary()),
+                "action_value": _dec38(rows["action_value"]),
+                "action_gas": pa.array(rows["action_gas"], pa.int32()),
+                "action_input": pa.array(rows["action_input"], pa.binary()),
+                "action_call_type": pa.array(rows["action_call_type"], pa.string()),
+                "action_init": pa.array(rows["action_init"], pa.binary()),
+                "action_reward_type": pa.array(rows["action_reward_type"], pa.string()),
+                "action_type": pa.array(rows["action_type"], pa.string()),
+                "result_gas_used": pa.array(rows["result_gas_used"], pa.int32()),
+                "result_output": pa.array(rows["result_output"], pa.binary()),
+                "result_code": pa.array(rows["result_code"], pa.binary()),
+                "result_address": pa.array(rows["result_address"], pa.binary()),
+                "trace_address": pa.array(rows["trace_address"], pa.string()),
+                "subtraces": pa.array(rows["subtraces"], pa.int32()),
+                "error": pa.array(rows["error"], pa.string()),
+                "tx_to_address": pa.array(rows["tx_to_address"], pa.binary()),
+                "tx_call_data": pa.array(rows["tx_call_data"], pa.binary()),
+                "chain_id": pa.array(rows["chain_id"], pa.int64()),
+            }
+        )
+
     def build_all(self) -> dict[str, pa.Table]:
         self.build_blocks()
         self.build_transactions()
@@ -657,6 +873,11 @@ class FixtureBuilder:
         self.build_traces()
         self.build_state()
         self.build_accounts()
+        # appended builders (rng consumed after the originals, so the
+        # tables above stay identical across versions)
+        self.build_opcodes()
+        self.build_js_traces()
+        self.build_trace_calls()
         return self.tables
 
 
@@ -670,7 +891,9 @@ def default_fixtures_dir() -> str:
 def generate(outdir: str | None = None, overwrite: bool = False) -> str:
     outdir = outdir or default_fixtures_dir()
     os.makedirs(outdir, exist_ok=True)
-    marker = os.path.join(outdir, "fixture_blocks.parquet")
+    # marker = newest table: forces a one-time regeneration whenever a
+    # builder is added (all earlier tables reproduce byte-identically)
+    marker = os.path.join(outdir, "fixture_trace_calls.parquet")
     if os.path.exists(marker) and not overwrite:
         return outdir
     tables = FixtureBuilder().build_all()

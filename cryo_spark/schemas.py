@@ -390,6 +390,116 @@ register(DatasetSpec(
 ))
 
 register(DatasetSpec(
+    name="erc721_metadata",
+    columns=_cols(
+        ("block_number", UINT32), ("erc721", BINARY), ("name", STRING),
+        ("symbol", STRING), ("chain_id", UINT64),
+    ),
+    sort=("symbol", "block_number"),
+    required_dims=("address",),
+    arg_aliases={"contract": "address"},
+))
+
+register(DatasetSpec(
+    name="trace_calls",
+    columns=_cols(
+        # reference struct order: datasets/trace_calls.rs:9-32
+        ("block_number", UINT32), ("transaction_index", UINT32),
+        ("action_from", BINARY), ("action_to", BINARY),
+        ("action_value", STRING), ("action_gas", UINT32),
+        ("action_input", BINARY), ("action_call_type", STRING),
+        ("action_init", BINARY), ("action_reward_type", STRING),
+        ("action_type", STRING, False), ("result_gas_used", UINT32),
+        ("result_output", BINARY), ("result_code", BINARY),
+        ("result_address", BINARY), ("trace_address", STRING),
+        ("subtraces", UINT32), ("error", STRING),
+        ("tx_to_address", BINARY, False), ("tx_call_data", BINARY, False),
+        ("chain_id", UINT64),
+    ),
+    sort=("block_number", "tx_to_address"),
+    required_dims=("contract", "call_data"),
+    arg_aliases={"address": "contract", "to_address": "contract"},
+))
+
+register(DatasetSpec(
+    name="geth_calls",
+    columns=_cols(
+        # datasets/geth_calls.rs:8-24
+        ("typ", STRING, False), ("from_address", BINARY, False),
+        ("to_address", BINARY), ("value", U256), ("gas", UINT64),
+        ("gas_used", UINT64), ("input", BINARY, False),
+        ("output", BINARY), ("error", STRING),
+        ("block_number", UINT32), ("transaction_hash", BINARY),
+        ("transaction_index", UINT32), ("trace_address", STRING),
+        ("chain_id", UINT64),
+    ),
+    sort=("block_number", "transaction_index"),
+))
+
+for _kind, _vt in [("balance", U256), ("code", BINARY), ("nonce", UINT64),
+                   ("storage", BINARY)]:
+    _slot = (("slot", BINARY, False),) if _kind == "storage" else ()
+    register(DatasetSpec(
+        # datasets/geth_{balance,code,nonce,storage}_diffs.rs: same
+        # per-account diff rows as the parity family, via the geth
+        # prestate+diff tracer; transaction_index is u64 there
+        name=f"geth_{_kind}_diffs",
+        columns=_cols(
+            ("block_number", UINT32), ("transaction_index", UINT64),
+            ("transaction_hash", BINARY), ("address", BINARY, False), *_slot,
+            ("from_value", _vt), ("to_value", _vt), ("chain_id", UINT64),
+        ),
+        sort=("block_number", "transaction_index"),
+    ))
+
+register(DatasetSpec(
+    name="geth_opcodes",
+    columns=_cols(
+        # datasets/geth_opcodes.rs:10-28
+        ("block_number", UINT32), ("transaction_hash", BINARY),
+        ("transaction_index", UINT32), ("trace_address", STRING, False),
+        ("depth", UINT64), ("error", STRING), ("gas", UINT64),
+        ("gas_cost", UINT64), ("op", STRING, False), ("pc", UINT64),
+        ("refund_counter", UINT64), ("memory", STRING), ("stack", STRING),
+        ("storage", STRING), ("return_data", BINARY), ("chain_id", UINT64),
+    ),
+    # default excludes memory/stack/storage (geth_opcodes.rs:33-36)
+    defaults=("block_number", "transaction_hash", "transaction_index",
+              "trace_address", "depth", "error", "gas", "gas_cost", "op",
+              "pc", "refund_counter", "return_data", "chain_id"),
+    sort=("block_number", "transaction_index"),
+))
+
+register(DatasetSpec(
+    name="javascript_traces",
+    aliases=("js_traces",),
+    columns=_cols(
+        # datasets/javascript_traces.rs:8-14
+        ("block_number", UINT32), ("transaction_index", UINT32),
+        ("transaction_hash", BINARY), ("output", STRING, False),
+        ("chain_id", UINT64),
+    ),
+    sort=("block_number", "transaction_index"),
+))
+
+register(DatasetSpec(
+    name="vm_traces",
+    aliases=("opcode_traces",),
+    columns=_cols(
+        # datasets/vm_traces.rs:8-23
+        ("block_number", UINT32), ("transaction_hash", BINARY),
+        ("transaction_index", UINT32), ("pc", UINT64), ("cost", UINT64),
+        ("used", UINT64), ("push", BINARY), ("mem_off", UINT32),
+        ("mem_data", BINARY), ("storage_key", BINARY),
+        ("storage_val", BINARY), ("op", STRING), ("chain_id", UINT64),
+    ),
+    # vm_traces.rs:32-34
+    defaults=("block_number", "transaction_index", "pc", "cost", "used",
+              "op", "chain_id"),
+    sort=("block_number", "transaction_index", "used"),
+))
+
+register(DatasetSpec(
     name="erc20_balances",
     columns=_cols(
         ("block_number", UINT32), ("erc20", BINARY), ("address", BINARY),
