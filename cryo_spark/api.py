@@ -1,0 +1,243 @@
+"""Entry points: collect() / freeze() / CLI.
+
+Mirrors the reference Python API surface
+(/root/reference/crates/python/rust/collect_adapter.rs:8-70,
+python/cryo/_collect.py:53-82, _freeze.py) and the CLI lifecycle
+(crates/cli/src/run.rs, freeze.rs:26-77): parse → validate → plan
+work-list → transform → sort → (return | partitioned write + report).
+
+The fetch stage is the replay source (landed raw tables); the rest is
+pure DataFrame composition, so Catalyst pushes the block-range filter
+and the column selection into the raw parquet scan.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cryo_spark import io as cio
+from cryo_spark import plan as cplan
+from cryo_spark.datasets import TRANSFORMS
+from cryo_spark.schema_select import apply_encoding, compute_used_columns
+from cryo_spark.schemas import get_spec, resolve_name
+
+
+def _base_frame(
+    spark: SparkSession,
+    datatype: str,
+    chunks: list[cplan.BlockChunk],
+    *,
+    columns=None,
+    include_columns=None,
+    exclude_columns=None,
+    hex=False,
+    u256_types=None,
+    exclude_failed=False,
+    fixtures_dir=None,
+) -> DataFrame:
+    name = resolve_name(datatype)
+    spec = get_spec(name)
+    df = TRANSFORMS[name](spark, fixtures_dir)
+    if chunks:
+        df = df.filter(cio.block_filter(chunks))
+    if exclude_failed:
+        if "success" in df.columns:
+            df = df.filter(df["success"])
+        elif "error" in df.columns:
+            df = df.filter(df["error"].isNull())
+    used = compute_used_columns(spec, include_columns, exclude_columns, columns)
+    return apply_encoding(df, spec, used, hex_encode=hex, u256_reps=u256_types)
+
+
+def collect(
+    spark: SparkSession,
+    datatype: str,
+    *,
+    blocks: str | int | list | None = None,
+    start_block: int | None = None,
+    end_block: int | None = None,
+    columns: list[str] | None = None,
+    include_columns: list[str] | None = None,
+    exclude_columns: list[str] | None = None,
+    hex: bool = False,
+    u256_types: list[str] | None = None,
+    exclude_failed: bool = False,
+    sort: bool = True,
+    latest: int | None = None,
+    fixtures_dir: str | None = None,
+    **dims,
+) -> DataFrame:
+    """Collect one dataset as a DataFrame (reference `cryo.collect`;
+    single partition semantics — _collect.py:66-67 forces one chunk)."""
+    if blocks is None and start_block is not None:
+        blocks = f"{start_block}:{end_block if end_block is not None else ''}"
+    chunks = cplan.parse_block_inputs(blocks, latest) if blocks is not None else []
+    q = cplan.Query(
+        datatypes=[resolve_name(datatype)],
+        chunks=chunks,
+        dims={k: v for k, v in dims.items() if v is not None},
+    )
+    q.validate()
+    df = _base_frame(
+        spark, datatype, chunks,
+        columns=columns, include_columns=include_columns,
+        exclude_columns=exclude_columns, hex=hex, u256_types=u256_types,
+        exclude_failed=exclude_failed, fixtures_dir=fixtures_dir,
+    )
+    if sort:
+        spec = get_spec(datatype)
+        keys = [c for c in spec.sort if c in df.columns]
+        if keys:
+            df = df.orderBy(*keys)
+    return df
+
+
+def freeze(
+    spark: SparkSession,
+    datatypes: str | list[str],
+    *,
+    output_dir: str,
+    blocks: str | int | list | None = None,
+    chunk_size: int = cplan.DEFAULT_CHUNK_SIZE,
+    n_chunks: int | None = None,
+    align: bool = False,
+    network: str = "ethereum",
+    file_format: str = "parquet",
+    file_suffix: str | None = None,
+    subdirs: list[str] | None = None,
+    overwrite: bool = False,
+    hex: bool = False,
+    columns: list[str] | None = None,
+    include_columns: list[str] | None = None,
+    exclude_columns: list[str] | None = None,
+    u256_types: list[str] | None = None,
+    exclude_failed: bool = False,
+    reorg_buffer: int = 0,
+    latest: int | None = None,
+    fixtures_dir: str | None = None,
+    report: bool = True,
+    **dims,
+) -> dict:
+    """Freeze datasets to chunked files (reference `cryo.freeze` /
+    CLI): one file per chunk named
+    `{network}__{datatype}__{stub}.{ext}`, skip-existing unless
+    overwrite, JSON run report. Returns the summary dict
+    (FreezeSummary — reports.rs:18-23)."""
+    if isinstance(datatypes, str):
+        datatypes = [datatypes]
+    # CSV/JSON force hex rendering of binary (cli/parse/schemas.rs:37-40)
+    hex = hex or file_format in ("csv", "json")
+    chunks = (
+        cplan.parse_block_inputs(blocks, latest)
+        if blocks is not None
+        else [cplan.BlockChunk(start=0, end=(latest if latest is not None else 999))]
+    )
+    if reorg_buffer and latest is not None:
+        chunks = cplan.apply_reorg_buffer(chunks, latest, reorg_buffer)
+    if align:
+        chunks = [a for c in chunks if (a := cplan.align_chunk(c, chunk_size))]
+    if n_chunks:
+        chunks = cplan.subchunk_by_count(chunks, n_chunks)
+    else:
+        chunks = cplan.subchunk_by_size(chunks, chunk_size)
+
+    q = cplan.Query(
+        datatypes=[resolve_name(d) for d in datatypes],
+        chunks=chunks,
+        dims={k: v for k, v in dims.items() if v is not None},
+    )
+    q.validate()
+
+    sink = cio.FileOutput(
+        output_dir=output_dir, prefix=network, suffix=file_suffix,
+        format=file_format, overwrite=overwrite, subdirs=subdirs or [],
+    )
+    summary: dict = {"completed_paths": [], "skipped_paths": [], "errored_paths": []}
+    for datatype in q.datatypes:
+        df = _base_frame(
+            spark, datatype, chunks,
+            columns=columns, include_columns=include_columns,
+            exclude_columns=exclude_columns, hex=hex, u256_types=u256_types,
+            exclude_failed=exclude_failed, fixtures_dir=fixtures_dir,
+        )
+        res = cio.write_chunked(df, datatype, chunks, sink)
+        summary["completed_paths"] += res["completed_paths"]
+        summary["skipped_paths"] += res["skipped_paths"]
+    summary["n_completed"] = len(summary["completed_paths"])
+    summary["n_skipped"] = len(summary["skipped_paths"])
+    if report:
+        summary["report_path"] = cio.write_report(output_dir, summary)
+    return summary
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI: `python -m cryo_spark <datatypes...> [-b BLOCKS] ...`."""
+    p = argparse.ArgumentParser(
+        prog="cryo_spark",
+        description="PySpark-native chain-data extraction (cryo-equivalent surface)",
+    )
+    p.add_argument("datatypes", nargs="+")
+    p.add_argument("-b", "--blocks", default=None)
+    p.add_argument("-o", "--output-dir", default=".")
+    p.add_argument("--chunk-size", type=int, default=cplan.DEFAULT_CHUNK_SIZE)
+    p.add_argument("--n-chunks", type=int, default=None)
+    p.add_argument("--align", action="store_true")
+    p.add_argument("--network", default="ethereum")
+    p.add_argument("--csv", action="store_true")
+    p.add_argument("--json", action="store_true")
+    p.add_argument("--hex", action="store_true")
+    p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--columns", nargs="+", default=None)
+    p.add_argument("-i", "--include-columns", nargs="+", default=None)
+    p.add_argument("-e", "--exclude-columns", nargs="+", default=None)
+    p.add_argument("--u256-types", nargs="+", default=None)
+    p.add_argument("--exclude-failed", action="store_true")
+    p.add_argument("--reorg-buffer", type=int, default=0)
+    p.add_argument("--file-suffix", default=None)
+    p.add_argument("--subdirs", nargs="+", default=None)
+    p.add_argument("--contract", default=None)
+    p.add_argument("--address", default=None)
+    p.add_argument("--call-data", dest="call_data", default=None)
+    p.add_argument("--slot", default=None)
+    p.add_argument("--dry", action="store_true")
+    args = p.parse_args(argv)
+
+    fmt = "csv" if args.csv else "json" if args.json else "parquet"
+    from cryo_spark.session import get_spark
+
+    spark = get_spark()
+    dims = {
+        k: [v] for k, v in
+        dict(contract=args.contract, address=args.address,
+             call_data=args.call_data, slot=args.slot).items()
+        if v is not None
+    }
+    if args.dry:
+        chunks = cplan.parse_block_inputs(args.blocks or "0:1000")
+        chunks = cplan.subchunk_by_size(chunks, args.chunk_size)
+        for d in args.datatypes:
+            sink = cio.FileOutput(args.output_dir, prefix=args.network, format=fmt)
+            for c in chunks:
+                print(sink.path_for(resolve_name(d), c.stub()))
+        return 0
+    summary = freeze(
+        spark, args.datatypes, output_dir=args.output_dir, blocks=args.blocks,
+        chunk_size=args.chunk_size, n_chunks=args.n_chunks, align=args.align,
+        network=args.network, file_format=fmt, file_suffix=args.file_suffix,
+        subdirs=args.subdirs, overwrite=args.overwrite, hex=args.hex,
+        columns=args.columns, include_columns=args.include_columns,
+        exclude_columns=args.exclude_columns, u256_types=args.u256_types,
+        exclude_failed=args.exclude_failed, reorg_buffer=args.reorg_buffer,
+        **dims,
+    )
+    print(f"completed: {summary['n_completed']}, skipped: {summary['n_skipped']}")
+    for path in summary["completed_paths"]:
+        print(" ", path)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

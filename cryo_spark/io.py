@@ -1,0 +1,194 @@
+"""Sinks: output layout, idempotent freeze writes, run reports.
+
+Mirrors reference semantics:
+- path layout `{prefix}__{datatype}__{suffix?}__{stub}.{ext}` +
+  optional subdirs — /root/reference/crates/freeze/src/types/
+  files.rs:63-105, chunk stub chunk_ops.rs:25-54,
+- skip-existing / overwrite + collision detection —
+  freeze.rs:93-125,
+- atomic writes — export.rs:8-42 (tmp + rename; Spark's file
+  committer gives the same guarantee, we rename committed part files
+  to cryo names),
+- run report — types/reports.rs:51-80.
+
+Scale design: freeze() runs ONE Spark job for all chunks of a
+dataset — repartition by chunk id, sort within partitions by the
+schema sort columns, write with partitionBy — then renames each
+committed part-file to its cryo filename driver-side. No per-chunk
+job launch, no collect of data.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cryo_spark.plan import BlockChunk
+from cryo_spark.schemas import get_spec
+
+CHUNK_COL = "__chunk__"
+
+
+@dataclass
+class FileOutput:
+    output_dir: str
+    prefix: str = "ethereum"  # network name
+    suffix: str | None = None
+    format: str = "parquet"
+    overwrite: bool = False
+    subdirs: list[str] = field(default_factory=list)  # 'datatype'|'network'|custom
+
+    def path_for(self, datatype: str, stub: str) -> str:
+        pieces = [self.prefix, datatype]
+        if self.suffix:
+            pieces.append(self.suffix)
+        pieces.append(stub)
+        filename = "__".join(pieces) + "." + self.format
+        d = self.output_dir
+        for sub in self.subdirs:
+            if sub == "network":
+                d = os.path.join(d, self.prefix)
+            elif sub == "datatype":
+                d = os.path.join(
+                    d, f"{datatype}__{self.suffix}" if self.suffix else datatype
+                )
+            else:
+                d = os.path.join(d, sub)
+        return os.path.join(d, filename)
+
+
+def plan_chunk_paths(
+    sink: FileOutput, datatype: str, chunks: list[BlockChunk]
+) -> tuple[list[tuple[BlockChunk, str]], list[str]]:
+    """(todo, skipped): skip-existing unless overwrite (freeze.rs:93-109).
+    Raises on path collisions (freeze.rs:101-109)."""
+    paths = [(c, sink.path_for(datatype, c.stub())) for c in chunks]
+    seen: dict[str, BlockChunk] = {}
+    for c, p in paths:
+        if p in seen:
+            raise ValueError(f"output path collision: {p}")
+        seen[p] = c
+    if sink.overwrite:
+        return paths, []
+    todo = [(c, p) for c, p in paths if not os.path.exists(p)]
+    skipped = [p for c, p in paths if os.path.exists(p)]
+    return todo, skipped
+
+
+def _chunk_id_expr(chunks: list[BlockChunk]):
+    """Map block_number to the index of its chunk. Ranges become
+    closed-form arithmetic when uniform; otherwise a CASE chain
+    (work-lists are small)."""
+    expr = F.lit(-1)
+    for i, c in enumerate(chunks):
+        if c.numbers is not None:
+            cond = F.col("block_number").isin([int(n) for n in c.numbers])
+        else:
+            cond = (F.col("block_number") >= c.start) & (F.col("block_number") <= c.end)
+        expr = F.when(cond, F.lit(i)).otherwise(expr)
+    return expr
+
+
+def block_filter(chunks: list[BlockChunk]):
+    cond = F.lit(False)
+    for c in chunks:
+        if c.numbers is not None:
+            cond = cond | F.col("block_number").isin([int(n) for n in c.numbers])
+        else:
+            cond = cond | (
+                (F.col("block_number") >= c.start) & (F.col("block_number") <= c.end)
+            )
+    return cond
+
+
+def write_chunked(
+    df: DataFrame,
+    datatype: str,
+    chunks: list[BlockChunk],
+    sink: FileOutput,
+    sort: bool = True,
+) -> dict:
+    """One job: filter to chunks, tag rows with chunk id, repartition
+    by it, sort within partitions, partitioned write, rename part
+    files to cryo names. Returns summary dict."""
+    todo, skipped = plan_chunk_paths(sink, datatype, chunks)
+    if not todo:
+        return {"completed_paths": [], "skipped_paths": skipped, "n_rows": 0}
+    todo_chunks = [c for c, _ in todo]
+
+    spec = get_spec(datatype)
+    staging = os.path.join(
+        sink.output_dir, f".cryo_spark_staging_{datatype}_{int(time.time() * 1000)}"
+    )
+    out = (
+        df.filter(block_filter(todo_chunks))
+        .withColumn(CHUNK_COL, _chunk_id_expr(todo_chunks))
+        .repartition(max(len(todo_chunks), 1), F.col(CHUNK_COL))
+    )
+    if sort and all(c in df.columns for c in spec.sort):
+        out = out.sortWithinPartitions(CHUNK_COL, *spec.sort)
+    writer = out.write.mode("overwrite").partitionBy(CHUNK_COL)
+    if sink.format == "parquet":
+        writer.parquet(staging)
+    elif sink.format == "csv":
+        writer.option("header", True).csv(staging)
+    elif sink.format == "json":
+        writer.json(staging)
+    else:
+        raise ValueError(f"unknown format {sink.format}")
+
+    ext = {"parquet": "parquet", "csv": "csv", "json": "json"}[sink.format]
+    completed: list[str] = []
+    n_rows = 0
+    for i, (chunk, final_path) in enumerate(todo):
+        os.makedirs(os.path.dirname(final_path), exist_ok=True)
+        parts = sorted(
+            glob.glob(os.path.join(staging, f"{CHUNK_COL}={i}", f"part-*.{ext}*"))
+        )
+        if not parts:
+            # chunk had zero rows: write an empty single-part file so
+            # skip-existing stays idempotent
+            empty = df.limit(0)
+            tmp = final_path + ".tmp"
+            if sink.format == "parquet":
+                empty.coalesce(1).write.mode("overwrite").parquet(tmp)
+            elif sink.format == "csv":
+                empty.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+            else:
+                empty.coalesce(1).write.mode("overwrite").json(tmp)
+            part = sorted(glob.glob(os.path.join(tmp, f"part-*.{ext}*")))[0]
+            os.replace(part, final_path)
+            _rmtree(tmp)
+        elif len(parts) == 1:
+            os.replace(parts[0], final_path)
+        else:
+            # repartition produced one partition per chunk id, so >1
+            # part files per chunk should not happen; fail loudly
+            raise RuntimeError(f"multiple part files for chunk {i}: {parts}")
+        completed.append(final_path)
+    _rmtree(staging)
+    return {"completed_paths": completed, "skipped_paths": skipped, "n_rows": n_rows}
+
+
+def _rmtree(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def write_report(output_dir: str, summary: dict, args: dict | None = None) -> str:
+    """JSON run report under {output_dir}/.cryo_spark/reports
+    (reports.rs:51-80)."""
+    d = os.path.join(output_dir, ".cryo_spark", "reports")
+    os.makedirs(d, exist_ok=True)
+    ts = time.strftime("%Y-%m-%d_%H-%M-%S")
+    path = os.path.join(d, f"{ts}.json")
+    with open(path, "w") as f:
+        json.dump({"args": args or {}, **summary}, f, indent=2, default=str)
+    return path

@@ -1,0 +1,261 @@
+"""Work-list planning: block syntax, chunking, query validation.
+
+Mirrors the reference's partition planner:
+- block syntax parsing — /root/reference/crates/cli/src/parse/
+  blocks.rs:149-358 (`12M:13M`, `:1000`, `500:`, `-100:latest`,
+  `18M:+50`, `a:b/n` evenly-spaced subset, `a:b:skip`, K/M/B
+  suffixes, `_` separators, space-separated multi-token),
+- subchunking — crates/freeze/src/types/chunks/subchunks.rs:12-43,
+  range_to_chunks number_chunk.rs:94-106,
+- boundary alignment — number_chunk.rs:77-91,
+- reorg buffer — cli/parse/blocks.rs:360-384,
+- validation of required dims — types/queries.rs:46-70,
+- arg aliasing — cli/parse/query.rs:31-108.
+
+Chunks are plain python values (the work-list is tiny — thousands of
+entries for a full chain); the *data* they describe lives in Spark.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from cryo_spark.schemas import get_spec
+
+DEFAULT_CHUNK_SIZE = 1000
+
+
+@dataclass(frozen=True)
+class BlockChunk:
+    """Range(start, end) inclusive, or explicit Numbers list."""
+
+    start: int | None = None
+    end: int | None = None
+    numbers: tuple[int, ...] | None = None
+
+    @property
+    def is_range(self) -> bool:
+        return self.numbers is None
+
+    def values(self) -> list[int]:
+        if self.numbers is not None:
+            return list(self.numbers)
+        return list(range(self.start, self.end + 1))
+
+    def min_value(self) -> int:
+        return self.start if self.numbers is None else min(self.numbers)
+
+    def max_value(self) -> int:
+        return self.end if self.numbers is None else max(self.numbers)
+
+    def size(self) -> int:
+        if self.numbers is not None:
+            return len(self.numbers)
+        return self.end - self.start + 1
+
+    def stub(self) -> str:
+        """`00016000000_to_00016999999` (chunk_ops.rs:25-32,
+        format_item number_chunk.rs:18-20: zero-pad to >=8)."""
+        return f"{self.min_value():0>8}_to_{self.max_value():0>8}"
+
+
+def parse_block_number(ref: str, position: str, latest: int | None = None) -> int:
+    """One block reference: int/float, K/M/B suffix, `latest`, empty
+    (0 at range start, latest at range end) — blocks.rs:320-358."""
+    if ref == "latest" or (ref == "" and position == "last"):
+        if latest is None:
+            raise ValueError("`latest` requires a known chain tip")
+        return latest
+    if ref == "":
+        if position == "first":
+            return 0
+        raise ValueError("empty block reference")
+    mult = 1
+    if ref[-1] in "bB":
+        mult = 1_000_000_000
+    elif ref[-1] in "mM":
+        mult = 1_000_000
+    elif ref[-1] in "kK":
+        mult = 1_000
+    if mult > 1:
+        return round(float(ref[:-1]) * mult)
+    return int(float(ref))
+
+
+def _parse_block_range(first: str, second: str, latest: int | None) -> tuple[int, int]:
+    """blocks.rs:275-317: `a:b` is end-exclusive unless b is `latest`
+    or empty; `-n:b` means the n blocks ending at b; `a:+n` means the
+    n+1 blocks starting at a."""
+    if first.startswith("-"):
+        end = parse_block_number(second, "last", latest)
+        start = end - int(first[1:])
+        return start + 1, end
+    if second.startswith("+"):
+        start = parse_block_number(first, "first", latest)
+        return start, start + int(second[1:])
+    start = parse_block_number(first, "first", latest)
+    end = parse_block_number(second, "last", latest)
+    if second != "latest" and second != "":
+        end -= 1
+    return start, end
+
+
+def evenly_spaced_subset(items: list, n: int) -> list:
+    """blocks.rs:250-272."""
+    if n == 0 or not items:
+        return []
+    if n >= len(items):
+        return list(items)
+    interval = (len(items) - 1) / (n - 1)
+    acc = 0.0
+    out = []
+    for _ in range(n):
+        out.append(items[int(acc)])
+        acc += interval
+    return out
+
+
+def parse_block_token(s: str, as_range: bool, latest: int | None = None) -> BlockChunk:
+    """blocks.rs:178-216."""
+    s = s.replace("_", "")
+    parts = s.split(":")
+    if len(parts) == 1:
+        return BlockChunk(numbers=(parse_block_number(parts[0], "none", latest),))
+    if len(parts) == 2:
+        first, second = parts
+        n_keep = None
+        if "/" in second:
+            second, n_str = second.split("/", 1)
+            n_keep = int(n_str)
+        start, end = _parse_block_range(first, second, latest)
+        if end < start:
+            raise ValueError("end_block should not be less than start_block")
+        if n_keep is not None:
+            return BlockChunk(
+                numbers=tuple(evenly_spaced_subset(list(range(start, end + 1)), n_keep))
+            )
+        if as_range:
+            return BlockChunk(start=start, end=end)
+        return BlockChunk(numbers=tuple(range(start, end + 1)))
+    if len(parts) == 3:
+        start, end = _parse_block_range(parts[0], parts[1], latest)
+        skip = int(parts[2])
+        return BlockChunk(numbers=tuple(range(start, end + 1, skip)))
+    raise ValueError("blocks must be block_number or start:end[/n|:skip]")
+
+
+def parse_block_inputs(inputs: str | int | list, latest: int | None = None) -> list[BlockChunk]:
+    """Space-separated tokens; a single token parses as a Range
+    (one chunk), multiple as Numbers (blocks.rs:149-169)."""
+    if isinstance(inputs, int):
+        inputs = str(inputs)
+    if isinstance(inputs, (list, tuple)):
+        tokens: list[str] = []
+        for x in inputs:
+            tokens.extend(str(x).split(" "))
+    else:
+        tokens = str(inputs).split(" ")
+    if len(tokens) == 1:
+        return [parse_block_token(tokens[0], True, latest)]
+    return [parse_block_token(t, False, latest) for t in tokens]
+
+
+# --------------------------------------------------------------------------
+# subchunking (subchunks.rs:12-43)
+# --------------------------------------------------------------------------
+
+def range_to_chunks(start: int, end: int, chunk_size: int) -> list[tuple[int, int]]:
+    out = []
+    cs = start
+    while True:
+        ce = min(cs + chunk_size - 1, end)
+        out.append((cs, ce))
+        if ce == end:
+            return out
+        cs += chunk_size
+
+
+def subchunk_by_size(chunks: list[BlockChunk], chunk_size: int) -> list[BlockChunk]:
+    out: list[BlockChunk] = []
+    for c in chunks:
+        if c.numbers is not None:
+            out.extend(
+                BlockChunk(numbers=tuple(c.numbers[i : i + chunk_size]))
+                for i in range(0, len(c.numbers), chunk_size)
+            )
+        else:
+            out.extend(
+                BlockChunk(start=s, end=e)
+                for s, e in range_to_chunks(c.start, c.end, chunk_size)
+            )
+    return out
+
+
+def subchunk_by_count(chunks: list[BlockChunk], n_chunks: int) -> list[BlockChunk]:
+    total = sum(c.size() for c in chunks)
+    return subchunk_by_size(chunks, -(-total // n_chunks))
+
+
+def align_chunk(c: BlockChunk, chunk_size: int) -> BlockChunk | None:
+    """Snap range boundaries to chunk_size multiples
+    (number_chunk.rs:77-91); Numbers chunks pass through."""
+    if c.numbers is not None:
+        return c
+    start = -(-c.start // chunk_size) * chunk_size
+    end = (c.end // chunk_size) * chunk_size
+    if end > start:
+        return BlockChunk(start=start, end=end)
+    return None
+
+
+def apply_reorg_buffer(
+    chunks: list[BlockChunk], latest: int, reorg_buffer: int
+) -> list[BlockChunk]:
+    """Drop blocks within `reorg_buffer` of the tip
+    (cli/parse/blocks.rs:360-384)."""
+    if reorg_buffer == 0:
+        return chunks
+    cutoff = latest - reorg_buffer
+    out = []
+    for c in chunks:
+        if c.numbers is not None:
+            kept = tuple(n for n in c.numbers if n <= cutoff)
+            if kept:
+                out.append(BlockChunk(numbers=kept))
+        elif c.start <= cutoff:
+            out.append(BlockChunk(start=c.start, end=min(c.end, cutoff)))
+    return out
+
+
+# --------------------------------------------------------------------------
+# query spec + validation
+# --------------------------------------------------------------------------
+
+@dataclass
+class Query:
+    datatypes: list[str]
+    chunks: list[BlockChunk] = field(default_factory=list)
+    columns: list[str] | None = None
+    include_columns: list[str] | None = None
+    exclude_columns: list[str] | None = None
+    hex: bool = False
+    u256_types: list[str] | None = None
+    exclude_failed: bool = False
+    # partition dims beyond blocks (address/contract/slot/topic/calldata)
+    dims: dict[str, list] = field(default_factory=dict)
+
+    def validate(self) -> None:
+        """Required-dim validation (queries.rs:46-70) after arg
+        aliasing (cli/parse/query.rs:31-108)."""
+        for name in self.datatypes:
+            spec = get_spec(name)
+            dims = dict(self.dims)
+            for alias, target in spec.arg_aliases.items():
+                if alias in dims and target not in dims:
+                    dims[target] = dims.pop(alias)
+            missing = [d for d in spec.required_dims if d not in dims]
+            if missing:
+                raise ValueError(
+                    f"dataset {spec.name} requires parameters {missing} "
+                    f"(have: {sorted(dims)})"
+                )

@@ -14,10 +14,20 @@ representation expansion (schemas.rs:63-106, creation.rs:27-90).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cryo_spark.schemas import U256, U256_DEFAULT_REPS, U256_SUFFIXES, DatasetSpec
+
+
+@F.pandas_udf(T.BinaryType())
+def _u256_be_bytes(vals: pd.Series) -> pd.Series:
+    """Exact decimal → 32-byte big-endian (u256s.rs:27-33 to_vec_u8).
+    Arrow-batched; only runs when the _binary representation is
+    requested."""
+    return vals.map(lambda v: None if v is None else int(v).to_bytes(32, "big"))
 
 
 def compute_used_columns(
@@ -75,10 +85,7 @@ def u256_view_cols(name: str, reps: list[str]) -> list[Column]:
             raise ValueError(f"unknown u256 representation {rep}")
         target = f"{name}{rep}"
         if rep == "_binary":
-            # 32-byte big-endian; decimal carrier covers fixture scale
-            out.append(
-                F.unhex(F.lpad(F.hex(base.cast("decimal(38,0)")), 64, "0")).alias(target)
-            )
+            out.append(_u256_be_bytes(base.cast("decimal(38,0)")).alias(target))
         elif rep == "_string":
             out.append(base.cast("string").alias(target))
         elif rep == "_f32":
@@ -86,9 +93,23 @@ def u256_view_cols(name: str, reps: list[str]) -> list[Column]:
         elif rep == "_f64":
             out.append(base.cast("double").alias(target))
         elif rep == "_u32":
-            out.append(base.cast("long").cast("int").alias(target))
+            # wrapping_to::<u32> (u256s.rs:49-51): low 32 bits,
+            # reinterpreted as Spark's signed int
+            w = base.cast("decimal(38,0)") % F.lit(1 << 32).cast("decimal(38,0)")
+            signed = F.when(
+                w >= F.lit(1 << 31).cast("decimal(38,0)"),
+                w - F.lit(1 << 32).cast("decimal(38,0)"),
+            ).otherwise(w)
+            out.append(signed.cast("long").cast("int").alias(target))
         elif rep == "_u64":
-            out.append(base.cast("long").alias(target))
+            # wrapping_to::<u64> (u256s.rs:52-54): low 64 bits as
+            # two's-complement long
+            w = base.cast("decimal(38,0)") % F.lit(str(1 << 64)).cast("decimal(38,0)")
+            signed = F.when(
+                w >= F.lit(str(1 << 63)).cast("decimal(38,0)"),
+                w - F.lit(str(1 << 64)).cast("decimal(38,0)"),
+            ).otherwise(w)
+            out.append(signed.cast("long").alias(target))
         elif rep == "_d128":
             out.append(base.cast("decimal(38,0)").alias(target))
     return out

@@ -1,0 +1,178 @@
+"""Entry-point tests: block syntax, chunking, collect(), freeze().
+
+Mirrors the reference test strategy: block/timestamp syntax unit
+tests (crates/cli/src/parse/blocks.rs:394-717) and the cryo_test
+freeze-vs-collect equivalence check
+(python_tests/test_output_formats.py:25-41).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cryo_spark import api, plan
+from cryo_spark.io import FileOutput
+
+
+# ---------------------------------------------------------------------------
+# block syntax (blocks.rs:394-717 test cases)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "token,start,end",
+    [
+        ("0:1000", 0, 999),          # end-exclusive
+        ("5K:15K", 5000, 14999),
+        ("1M:2M", 1_000_000, 1_999_999),
+        ("0.5M:1B", 500_000, 999_999_999),
+        ("10_000:10_500", 10_000, 10_499),
+        ("100:+50", 100, 150),       # +n keeps end inclusive
+        (":1000", 0, 999),
+    ],
+)
+def test_block_range_syntax(token, start, end):
+    (c,) = plan.parse_block_inputs(token)
+    assert c.is_range and (c.start, c.end) == (start, end)
+
+
+def test_block_latest_and_relative():
+    (c,) = plan.parse_block_inputs("100:latest", latest=500)
+    assert (c.start, c.end) == (100, 500)
+    (c,) = plan.parse_block_inputs("-100:latest", latest=500)
+    assert (c.start, c.end) == (401, 500)
+    (c,) = plan.parse_block_inputs("500:", latest=900)
+    assert (c.start, c.end) == (500, 900)
+
+
+def test_block_single_and_multi_token():
+    (c,) = plan.parse_block_inputs("42")
+    assert c.numbers == (42,)
+    a, b = plan.parse_block_inputs("42 0:10")
+    assert a.numbers == (42,)
+    assert b.numbers == tuple(range(0, 10))  # multi-token -> Numbers
+
+
+def test_block_subset_and_skip():
+    (c,) = plan.parse_block_inputs("0:100/5")
+    assert len(c.numbers) == 5 and c.numbers[0] == 0 and c.numbers[-1] == 99
+    (c,) = plan.parse_block_inputs("0:100:10")
+    assert c.numbers == tuple(range(0, 100, 10))
+
+
+def test_subchunk_and_align():
+    chunks = plan.subchunk_by_size([plan.BlockChunk(start=0, end=2499)], 1000)
+    assert [(c.start, c.end) for c in chunks] == [(0, 999), (1000, 1999), (2000, 2499)]
+    assert chunks[0].stub() == "00000000_to_00000999"
+    aligned = plan.align_chunk(plan.BlockChunk(start=150, end=2350), 1000)
+    assert (aligned.start, aligned.end) == (1000, 2000)
+    assert plan.align_chunk(plan.BlockChunk(start=150, end=350), 1000) is None
+
+
+def test_reorg_buffer():
+    out = plan.apply_reorg_buffer([plan.BlockChunk(start=0, end=1000)], 1000, 100)
+    assert [(c.start, c.end) for c in out] == [(0, 900)]
+
+
+def test_required_dims_validation():
+    q = plan.Query(datatypes=["balances"])
+    with pytest.raises(ValueError, match="requires parameters"):
+        q.validate()
+    plan.Query(datatypes=["balances"], dims={"address": ["0xabc"]}).validate()
+    # arg alias: slots accepts contract for address
+    plan.Query(
+        datatypes=["slots"], dims={"contract": ["0xabc"], "slot": ["0x1"]}
+    ).validate()
+
+
+# ---------------------------------------------------------------------------
+# collect()
+# ---------------------------------------------------------------------------
+
+def test_collect_blocks_range(spark):
+    df = api.collect(spark, "blocks", blocks="0:100")
+    rows = df.collect()
+    assert len(rows) == 100
+    assert [r.block_number for r in rows] == sorted(r.block_number for r in rows)
+    # default column subset, u256 expanded? blocks defaults have no u256
+    assert "block_number" in df.columns
+
+
+def test_collect_column_selection(spark):
+    df = api.collect(spark, "blocks", blocks="0:10", columns=["block_number", "gas_used"])
+    assert df.columns == ["block_number", "gas_used"]
+    df = api.collect(
+        spark, "transactions", blocks="0:10",
+        include_columns=["timestamp"], exclude_columns=["input"],
+    )
+    assert "timestamp" in df.columns and "input" not in df.columns
+
+
+def test_collect_u256_expansion_and_hex(spark):
+    df = api.collect(
+        spark, "transactions", blocks="0:10",
+        columns=["block_number", "transaction_hash", "value"], hex=True,
+    )
+    assert "value_binary" in df.columns and "value_string" in df.columns \
+        and "value_f64" in df.columns
+    row = df.filter(df.value_string != "0").first()
+    if row is not None:
+        assert row.transaction_hash.startswith("0x")  # hex-encoded binary
+        assert row.value_binary.startswith("0x")
+        assert int(row.value_string) > 0
+
+
+def test_collect_alias_and_exclude_failed(spark):
+    df = api.collect(spark, "txs", blocks="0:50", exclude_failed=True)
+    assert df.filter(~df.success).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# freeze()
+# ---------------------------------------------------------------------------
+
+def test_freeze_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "files")
+    summary = api.freeze(
+        spark, "blocks", output_dir=out, blocks="0:1000", chunk_size=250,
+    )
+    assert summary["n_completed"] == 4
+    names = sorted(os.path.basename(p) for p in summary["completed_paths"])
+    assert names[0] == "ethereum__blocks__00000000_to_00000249.parquet"
+    # files are single parquet files readable by spark, sorted by block
+    df = spark.read.parquet(summary["completed_paths"][0])
+    rows = df.collect()
+    assert len(rows) == 250
+    assert [r.block_number for r in rows] == sorted(r.block_number for r in rows)
+    # freeze ≡ collect (test_output_formats.py:25-41)
+    collected = api.collect(spark, "blocks", blocks="0:250").collect()
+    assert rows == collected
+
+    # idempotence: second run skips everything (freeze.rs:93-99)
+    again = api.freeze(
+        spark, "blocks", output_dir=out, blocks="0:1000", chunk_size=250,
+    )
+    assert again["n_completed"] == 0 and again["n_skipped"] == 4
+    assert os.path.exists(summary["report_path"])
+
+
+def test_freeze_csv_forces_hex(spark, tmp_path):
+    out = str(tmp_path / "csv")
+    summary = api.freeze(
+        spark, "blocks", output_dir=out, blocks="0:100", chunk_size=100,
+        file_format="csv", columns=["block_number", "block_hash"],
+    )
+    (path,) = summary["completed_paths"]
+    assert path.endswith("ethereum__blocks__00000000_to_00000099.csv")
+    df = spark.read.option("header", True).csv(path)
+    assert df.first().block_hash.startswith("0x")
+
+
+def test_freeze_subdirs_and_suffix(spark, tmp_path):
+    sink = FileOutput(
+        output_dir=str(tmp_path), prefix="ethereum", suffix="v2",
+        format="parquet", subdirs=["datatype"],
+    )
+    p = sink.path_for("blocks", "00000000_to_00000999")
+    assert p.endswith("blocks__v2/ethereum__blocks__v2__00000000_to_00000999.parquet")
