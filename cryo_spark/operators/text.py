@@ -130,6 +130,87 @@ FROM ({union}) GROUP BY doc_id
 """
 
 
+# GPT-2-style pretokenizer shape (public BPE regex family), without
+# lookaheads so Spark (java.util.regex) and DuckDB (RE2) agree:
+# contractions | space?letters | space?digits | space?punct-run | spaces
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token count: number of pretokenizer pieces (the
+    dominant cost driver for LLM training budgets). JVM-side
+    regexp_extract_all — no Python."""
+    c = F.col(text_col)
+    pieces = F.expr(f"regexp_extract_all({text_col}, \"{BPE_PATTERN}\", 0)")
+    return df.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_bpe_tokens"),
+        token_count(c).alias("n_ws_tokens"),
+        F.length(c).cast("long").alias("n_chars"),
+    )
+
+
+def bpe_token_count_sql(table: str, text_col: str = "text") -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+  len(regexp_extract_all({text_col}, '{pat}'))::BIGINT AS n_bpe_tokens,
+  {token_count_sql(text_col)} AS n_ws_tokens,
+  length({text_col})::BIGINT AS n_chars
+FROM {table}
+"""
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite document-quality score in [0,1] from length,
+    stopword density and symbol noise (the usual pretraining-filter
+    heuristics: C4/Gopher-style rules, expressed as one projection).
+
+    score = 0.4*length_ok + 0.3*stopword_ok + 0.3*(1 - punct_noise)
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    lower = F.lower(c)
+    non_alnum = F.length(F.regexp_replace(lower, r"[a-z0-9\s]", ""))
+    stop_hits = None
+    for w in STOPWORDS["en"]:
+        hit = F.size(F.split(F.concat(F.lit(" "), lower, F.lit(" ")), f" {w} ")) - 1
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    length_ok = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    stopword_ok = F.least(
+        stop_hits / F.greatest(n_tokens.cast("double") * 0.06, F.lit(1.0)), F.lit(1.0)
+    )
+    punct_noise = F.least(
+        non_alnum / F.greatest(n_chars.cast("double") * 0.25, F.lit(1.0)), F.lit(1.0)
+    )
+    score = 0.4 * length_ok + 0.3 * stopword_ok + 0.3 * (1 - punct_noise)
+    return df.select(
+        "doc_id",
+        F.round(score, 6).alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+def quality_score_sql(table: str, text_col: str = "text") -> str:
+    c = text_col
+    n_tokens = token_count_sql(c)
+    non_alnum = f"length(regexp_replace(lower({c}), '[a-z0-9\\s]', '', 'g'))"
+    stop_hits = " + ".join(
+        f"(len(string_split(concat(' ', lower({c}), ' '), ' {w} ')) - 1)"
+        for w in STOPWORDS["en"]
+    )
+    score = (
+        f"0.4 * least(length({c}) / 500.0, 1.0) "
+        f"+ 0.3 * least(({stop_hits}) / greatest({n_tokens} * 0.06, 1.0), 1.0) "
+        f"+ 0.3 * (1 - least({non_alnum} / greatest(length({c}) * 0.25, 1.0), 1.0))"
+    )
+    return f"""
+SELECT doc_id, round({score}, 6) AS quality_score, ({score}) >= 0.5 AS keep
+FROM {table}
+"""
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: xxhash64 of the whitespace-normalized,
     lowercased text (rolling-hash analog, JVM-side)."""

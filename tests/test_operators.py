@@ -113,6 +113,67 @@ def test_embedding_near_dups_lsh(spark):
     assert (1, 3) not in got
 
 
+def test_bpe_token_count_oracle(spark, docs):
+    r = compare(
+        text.bpe_token_count(docs), text.bpe_token_count_sql(_docs_rel()), "bpe"
+    )
+    assert r["match"], r["detail"]
+
+
+def test_bpe_token_count_shape(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello world, it's 42 degrees!"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in text.bpe_token_count(df).collect()}
+    # Hello| world|,| it|'s| 42| degrees|!
+    assert got[1] == 8
+    assert got[2] == 0
+
+
+def test_quality_score_oracle(spark, docs):
+    r = compare(
+        text.quality_score(docs), text.quality_score_sql(_docs_rel()), "quality"
+    )
+    assert r["match"], r["detail"]
+
+
+def test_quality_score_orders_garbage_below_prose(spark):
+    prose = (
+        "the cat sat on the mat and the dog lay by the fire for a while "
+        "and everything in the house was quiet that evening " * 5
+    )
+    garbage = "@@@@ #### $$$$ %%%% 1234 ^^^^ &&&& " * 10
+    df = spark.createDataFrame([(1, prose), (2, garbage)], "doc_id long, text string")
+    got = {r["doc_id"]: r["quality_score"] for r in text.quality_score(df).collect()}
+    assert got[1] > got[2]
+
+
+def test_ngram_jaccard_all_pairs_finds_planted(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("delta", "borrowed")
+    far = "one two three four five six seven eight nine ten " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_all_pairs(df, min_jaccard=0.3).collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.3
+    assert (1, 3) not in got
+
+
+def test_embedding_near_dups_exact_matches_lsh_ground_truth(spark):
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=64)
+    rows = [(1, [float(x) for x in v]),
+            (2, [float(x) for x in v + rng.normal(scale=0.02, size=64)]),
+            (3, [float(x) for x in rng.normal(size=64)])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.embedding_near_dups_exact(df, threshold=0.95).collect()}
+    assert got == {(1, 2)}
+
+
 def test_multimodal_pipeline(spark):
     media = multimodal.synthetic_media(spark, n=32)
     feats = multimodal.extract_features(media)
