@@ -1,0 +1,113 @@
+"""Structured Streaming tests: block tail, watermark rollup,
+chunk-aligned file sink — run with availableNow triggers so they
+terminate deterministically."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cryo_spark import api, streaming
+from cryo_spark.fixtures import default_fixtures_dir
+from cryo_spark.schemas import get_spec
+
+
+@pytest.fixture()
+def raw_dir(spark, tmp_path):
+    """Landed-raw dir seeded with blocks 0-499 as one file (the
+    ingester's first drop)."""
+    d = str(tmp_path / "raw")
+    os.makedirs(d)
+    blocks = spark.read.parquet(
+        os.path.join(default_fixtures_dir(), "fixture_blocks.parquet")
+    )
+    cols = get_spec("blocks").column_names()
+    blocks.filter(F.col("block_number") < 500).select(*cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    return d
+
+
+def _drop_more(spark, raw_dir, lo, hi):
+    blocks = spark.read.parquet(
+        os.path.join(default_fixtures_dir(), "fixture_blocks.parquet")
+    )
+    cols = get_spec("blocks").column_names()
+    blocks.filter(
+        (F.col("block_number") >= lo) & (F.col("block_number") < hi)
+    ).select(*cols).coalesce(1).write.mode("append").parquet(raw_dir)
+
+
+def test_windowed_rollup_memory_sink(spark, raw_dir, tmp_path):
+    stream = streaming.block_tail(spark, raw_dir)
+    rollup = streaming.windowed_rollup(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only watermark-closed windows; with 500 blocks
+    # x 12s = 100min of data, at least the first hour window closes
+    out = spark.sql("SELECT * FROM rollup_test ORDER BY window_start").collect()
+    assert len(out) >= 1
+    first = out[0]
+    # first window is partial (fixture epoch isn't hour-aligned):
+    # ~33.5 min of 12s blocks
+    assert 0 < first.n_blocks <= 301
+    assert first.min_block == 0
+    assert first.window_end - first.window_start == 3600
+
+    # batch equivalence: same aggregation over the same files
+    batch = (
+        spark.read.parquet(raw_dir)
+        .groupBy(F.window(F.col("timestamp").cast("timestamp"), "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_blocks"))
+        .select(F.unix_timestamp("window.start").alias("ws"), "n_blocks")
+    )
+    batch_first = {r.ws: r.n_blocks for r in batch.collect()}
+    assert batch_first[first.window_start] == first.n_blocks
+
+
+def test_tail_to_chunk_files_incremental(spark, raw_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    # drain the first drop: blocks 0-499 -> chunks 0-249 complete,
+    # 250-499 complete (chunk_size 250)
+    q = streaming.tail_to_files(
+        spark, raw_dir, out, chunk_size=250, checkpoint_dir=ckpt
+    )
+    q.awaitTermination(120)
+    files = sorted(os.listdir(out))
+    assert "ethereum__blocks__00000000_to_00000249.parquet" in files
+    assert "ethereum__blocks__00000250_to_00000499.parquet" in files
+
+    # tail grows: drop blocks 500-999, restart from the checkpoint —
+    # only the new files are processed, existing outputs untouched
+    _drop_more(spark, raw_dir, 500, 1000)
+    mtime_before = os.path.getmtime(
+        os.path.join(out, "ethereum__blocks__00000000_to_00000249.parquet")
+    )
+    q2 = streaming.tail_to_files(
+        spark, raw_dir, out, chunk_size=250, checkpoint_dir=ckpt
+    )
+    q2.awaitTermination(120)
+    files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert len([f for f in files if f.startswith("ethereum__blocks")]) == 4
+    assert os.path.getmtime(
+        os.path.join(out, "ethereum__blocks__00000000_to_00000249.parquet")
+    ) == mtime_before
+
+    # streamed output == batch collect output, row for row (compare on
+    # non-u256 columns: collect() expands u256 into view columns)
+    cols = ["block_number", "block_hash", "timestamp", "gas_used", "author"]
+    streamed = spark.read.parquet(
+        os.path.join(out, "ethereum__blocks__00000250_to_00000499.parquet")
+    ).select(*cols)
+    batch = api.collect(spark, "blocks", blocks="250:500", columns=cols)
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
