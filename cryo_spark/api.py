@@ -36,6 +36,7 @@ def _base_frame(
     hex=False,
     u256_types=None,
     exclude_failed=False,
+    event_signature=None,
     fixtures_dir=None,
 ) -> DataFrame:
     name = resolve_name(datatype)
@@ -49,7 +50,20 @@ def _base_frame(
         elif "error" in df.columns:
             df = df.filter(df["error"].isNull())
     used = compute_used_columns(spec, include_columns, exclude_columns, columns)
-    return apply_encoding(df, spec, used, hex_encode=hex, u256_reps=u256_types)
+    extra: list[str] = []
+    if event_signature is not None:
+        if name != "logs":
+            raise ValueError("event_signature only applies to the logs dataset")
+        from cryo_spark.functions.abi import decode_logs
+
+        df = decode_logs(df, event_signature)
+        # raw topic1-3/data are dropped when decoding
+        # (to_df/src/lib.rs:165-166)
+        used = [c for c in used if c not in ("topic1", "topic2", "topic3", "data")]
+        extra = [c for c in df.columns if c.startswith("event__")]
+    return apply_encoding(
+        df, spec, used, hex_encode=hex, u256_reps=u256_types, extra=extra
+    )
 
 
 def collect(
@@ -65,6 +79,7 @@ def collect(
     hex: bool = False,
     u256_types: list[str] | None = None,
     exclude_failed: bool = False,
+    event_signature: str | None = None,
     sort: bool = True,
     latest: int | None = None,
     fixtures_dir: str | None = None,
@@ -85,7 +100,8 @@ def collect(
         spark, datatype, chunks,
         columns=columns, include_columns=include_columns,
         exclude_columns=exclude_columns, hex=hex, u256_types=u256_types,
-        exclude_failed=exclude_failed, fixtures_dir=fixtures_dir,
+        exclude_failed=exclude_failed, event_signature=event_signature,
+        fixtures_dir=fixtures_dir,
     )
     if sort:
         spec = get_spec(datatype)

@@ -146,14 +146,47 @@ def oracle_erc721_transfers(fixtures_dir: str) -> str:
     )
 
 
+TRANSFER_EVENT_SIG = (
+    "Transfer(address indexed from, address indexed to, uint256 value)"
+)
+
+
+def transform_logs_decoded(spark: SparkSession, fixtures_dir: str | None = None) -> DataFrame:
+    """logs + --event-signature ABI decoding (reference F8,
+    log_decoder.rs:13-190): typed event__* columns appended, raw
+    topic1-3/data dropped. Pure JVM decode — static ABI types are
+    32-byte slots."""
+    from cryo_spark.functions.abi import decode_logs
+
+    return decode_logs(transform_logs(spark, fixtures_dir), TRANSFER_EVENT_SIG)
+
+
+def oracle_logs_decoded(fixtures_dir: str) -> str:
+    keep = [c for c in LOG_COLS if c not in ("topic1", "topic2", "topic3", "data")]
+    exprs = {"n_data_bytes": "octet_length(data)::INTEGER AS n_data_bytes"}
+    select = ", ".join(exprs.get(c, c) for c in keep)
+    return f"""
+SELECT {select},
+  {blob_slice_sql('topic1', 13, 20)} AS event__from,
+  {blob_slice_sql('topic2', 13, 20)} AS event__to,
+  {blob_slice_sql('data', 1, 32)} AS event__value_binary,
+  CAST({be_uint_sql('data')} AS VARCHAR) AS event__value_string,
+  CAST({be_uint_sql('data')} AS DOUBLE) AS event__value_f64
+FROM {fixture_rel(fixtures_dir, 'fixture_logs')}
+WHERE hex(topic0) = upper('{TRANSFER_SIG_HEX}')
+"""
+
+
 TRANSFORMS = {
     "logs": transform_logs,
+    "logs_decoded": transform_logs_decoded,
     "erc20_transfers": transform_erc20_transfers,
     "erc20_approvals": transform_erc20_approvals,
     "erc721_transfers": transform_erc721_transfers,
 }
 ORACLES = {
     "logs": oracle_logs,
+    "logs_decoded": oracle_logs_decoded,
     "erc20_transfers": oracle_erc20_transfers,
     "erc20_approvals": oracle_erc20_approvals,
     "erc721_transfers": oracle_erc721_transfers,

@@ -121,9 +121,12 @@ def apply_encoding(
     used: list[str],
     hex_encode: bool = False,
     u256_reps: list[str] | None = None,
+    extra: list[str] | None = None,
 ) -> DataFrame:
     """Project ``used`` columns, expanding u256 columns into their
-    representation set and optionally hex-encoding binary columns."""
+    representation set and optionally hex-encoding binary columns.
+    ``extra`` columns (e.g. decoded ``event__*``) pass through after
+    the schema columns."""
     reps = u256_reps if u256_reps is not None else list(U256_DEFAULT_REPS)
     by_name = {c.name: c for c in spec.columns}
     cols: list[Column] = []
@@ -133,6 +136,8 @@ def apply_encoding(
             cols.extend(u256_view_cols(name, reps))
         else:
             cols.append(F.col(name))
+    for name in extra or []:
+        cols.append(F.col(name))
     out = df.select(*cols)
     if hex_encode:
         binary_cols = [
