@@ -80,6 +80,7 @@ def collect(
     u256_types: list[str] | None = None,
     exclude_failed: bool = False,
     event_signature: str | None = None,
+    timestamps: str | int | None = None,
     sort: bool = True,
     latest: int | None = None,
     fixtures_dir: str | None = None,
@@ -89,7 +90,13 @@ def collect(
     single partition semantics — _collect.py:66-67 forces one chunk)."""
     if blocks is None and start_block is not None:
         blocks = f"{start_block}:{end_block if end_block is not None else ''}"
-    chunks = cplan.parse_block_inputs(blocks, latest) if blocks is not None else []
+    if timestamps is not None:
+        from cryo_spark import timestamps as cts
+
+        blocks_table = TRANSFORMS["blocks"](spark, fixtures_dir)
+        chunks = cts.parse_timestamp_inputs(timestamps, blocks_table)
+    else:
+        chunks = cplan.parse_block_inputs(blocks, latest) if blocks is not None else []
     q = cplan.Query(
         datatypes=[resolve_name(datatype)],
         chunks=chunks,

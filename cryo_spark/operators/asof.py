@@ -1,0 +1,83 @@
+"""As-of join: for each left row, the closest right row at-or-before
+(or at-or-after) its key.
+
+The reference needs this once — timestamp → block-number resolution
+is a binary search against the live chain
+(/root/reference/crates/cli/src/parse/timestamps.rs:274-310). Offline
+and at scale it generalizes to a first-class operator (time-series
+enrichment, slowly-changing dims), which Spark lacks natively.
+
+Implementation is the union-window shape, not a range join:
+tag both sides, union on the key, one shuffle-sort per partition key,
+then `last(right_struct, ignorenulls)` over rows-unbounded-preceding.
+Shuffle volume = |L| + |R| (a range join materializes every candidate
+pair before picking one). Equal keys resolve right-before-left, so
+"backward" is at-or-before.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side__"
+_PAYLOAD = "__asof_right__"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str | None = None,
+    by: list[str] | None = None,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join. ``by`` adds equality partition keys
+    (shuffle/partitioning key; within each group the window sort does
+    the matching). Right columns that collide with left names get
+    ``suffix``."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be backward|forward")
+    right_on = right_on or left_on
+    by = by or []
+
+    rename = {
+        c: (c + suffix if c in left.columns else c)
+        for c in right.columns
+        if c not in by and c != right_on
+    }
+    rcols = [F.col(c).alias(n) for c, n in rename.items()]
+    r = right.select(
+        *by,
+        F.col(right_on).cast("double").alias("__asof_key__"),
+        F.struct(*rcols).alias(_PAYLOAD),
+        F.lit(0).alias(_SIDE),
+    )
+    l = left.select(
+        "*",
+        F.col(left_on).cast("double").alias("__asof_key__"),
+        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+        F.lit(1).alias(_SIDE),
+    )
+    lcols = [c for c in left.columns]
+    both = l.select(
+        *lcols, "__asof_key__", _PAYLOAD, _SIDE
+    ).unionByName(
+        r.select(
+            *[F.lit(None).cast(dict(zip(left.columns, [f.dataType for f in left.schema]))[c]).alias(c)
+              if c not in by else F.col(c)
+              for c in lcols],
+            "__asof_key__", _PAYLOAD, _SIDE,
+        )
+    )
+    if direction == "backward":
+        w = Window.partitionBy(*by).orderBy(F.col("__asof_key__").asc(), F.col(_SIDE).asc())
+    else:
+        w = Window.partitionBy(*by).orderBy(F.col("__asof_key__").desc(), F.col(_SIDE).asc())
+    w = w.rowsBetween(Window.unboundedPreceding, 0)
+    matched = both.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
+    out = matched.filter(F.col(_SIDE) == 1).drop(_SIDE, "__asof_key__")
+    for c, n in rename.items():
+        out = out.withColumn(n, F.col(f"{_PAYLOAD}.{n}"))
+    return out.drop(_PAYLOAD)
