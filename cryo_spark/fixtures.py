@@ -898,7 +898,12 @@ def generate(outdir: str | None = None, overwrite: bool = False) -> str:
         return outdir
     tables = FixtureBuilder().build_all()
     for name, table in tables.items():
-        pq.write_table(table, os.path.join(outdir, f"{name}.parquet"))
+        # small row groups so Spark's scan splits parallelize even on
+        # these small files (one row group = one task otherwise); real
+        # deployments use the default ~128MB groups over many files
+        pq.write_table(
+            table, os.path.join(outdir, f"{name}.parquet"), row_group_size=2048
+        )
     return outdir
 
 

@@ -36,6 +36,7 @@ def get_spark(
         return active
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    n_cpus = str(os.cpu_count() or 8) if cpus == "*" else cpus
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
@@ -46,6 +47,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # split small test files across cores (scans of row-grouped
+        # files parallelize; no-op for many-file production layouts)
+        .config("spark.sql.files.minPartitionNum", n_cpus)
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", "65536"),
+        )
         # Arrow for pandas UDF / toPandas boundaries (the only Python
         # hot paths we allow: keccak, u256 decimal strings, ABI decode).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
