@@ -66,6 +66,76 @@ def _base_frame(
     )
 
 
+# MultiDatatype groups (reference multi.rs:25-50): members share one
+# fetch; offline that is one raw-table scan, shared via Spark's cache
+# (CacheManager substitutes any matching sub-plan, so persisting the
+# raw scan once serves every member transform).
+MULTI_DATATYPES = {
+    "blocks_and_transactions": ["blocks", "transactions"],
+    "call_trace_derivatives": ["contracts", "native_transfers", "traces"],
+    "state_diffs": [
+        "balance_diffs", "code_diffs", "nonce_diffs", "storage_diffs"
+    ],
+    "state_reads": [
+        "balance_reads", "code_reads", "nonce_reads", "storage_reads"
+    ],
+    "geth_state_diffs": [
+        "geth_balance_diffs", "geth_code_diffs",
+        "geth_nonce_diffs", "geth_storage_diffs",
+    ],
+}
+
+# raw table feeding each dataset's transform (the shared-fetch key —
+# meta.rs cluster_datatypes groups scalars whose multi shares a scan)
+_RAW_OF = {
+    "blocks": "blocks", "transactions": "transactions",
+    "contracts": "traces", "native_transfers": "traces", "traces": "traces",
+    "geth_calls": "traces",
+    **{f"{k}_diffs": "state_diffs" for k in ("balance", "code", "nonce", "storage")},
+    **{f"geth_{k}_diffs": "state_diffs" for k in ("balance", "code", "nonce", "storage")},
+    **{f"{k}_reads": "state_reads" for k in ("balance", "code", "nonce", "storage")},
+}
+
+
+def expand_datatypes(datatypes: list[str]) -> list[str]:
+    """Expand multi-datatype names into their members (multi.rs:25-50)."""
+    out: list[str] = []
+    for d in datatypes:
+        if d in MULTI_DATATYPES:
+            out.extend(MULTI_DATATYPES[d])
+        else:
+            out.append(resolve_name(d))
+    return out
+
+
+def collect_multi(
+    spark: SparkSession,
+    datatypes: list[str],
+    *,
+    fixtures_dir: str | None = None,
+    **kwargs,
+) -> dict[str, DataFrame]:
+    """Collect several datasets, sharing raw scans across members of
+    the same fetch group (reference MetaDatatype clustering,
+    meta.rs:23-39): when >=2 requested datasets read the same raw
+    table, that scan is persisted once and every transform reuses it
+    through the plan cache."""
+    from collections import Counter
+
+    from cryo_spark.sources import raw as raw_read
+
+    names = expand_datatypes(datatypes)
+    shared = [
+        t for t, n in Counter(_RAW_OF.get(n) for n in names).items()
+        if t is not None and n >= 2
+    ]
+    for t in shared:
+        raw_read(spark, t, fixtures_dir).persist()
+    return {
+        n: collect(spark, n, fixtures_dir=fixtures_dir, **kwargs) for n in names
+    }
+
+
 def collect(
     spark: SparkSession,
     datatype: str,
@@ -168,7 +238,7 @@ def freeze(
         chunks = cplan.subchunk_by_size(chunks, chunk_size)
 
     q = cplan.Query(
-        datatypes=[resolve_name(d) for d in datatypes],
+        datatypes=expand_datatypes(datatypes),
         chunks=chunks,
         dims={k: v for k, v in dims.items() if v is not None},
     )

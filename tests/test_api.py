@@ -169,6 +169,23 @@ def test_freeze_csv_forces_hex(spark, tmp_path):
     assert df.first().block_hash.startswith("0x")
 
 
+def test_collect_multi_shares_raw_scan(spark):
+    """MultiDatatype scan sharing (meta.rs:23-39): members of a fetch
+    group read the persisted raw scan through the plan cache."""
+    out = api.collect_multi(spark, ["state_diffs"], sort=False)
+    assert set(out) == {
+        "balance_diffs", "code_diffs", "nonce_diffs", "storage_diffs"
+    }
+    plan = out["nonce_diffs"]._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan  # cached shared scan, not a re-read
+    assert out["nonce_diffs"].count() > 0
+    # multi names also expand in freeze/validation paths
+    assert api.expand_datatypes(["blocks_and_transactions"]) == [
+        "blocks", "transactions"
+    ]
+    spark.catalog.clearCache()
+
+
 def test_freeze_subdirs_and_suffix(spark, tmp_path):
     sink = FileOutput(
         output_dir=str(tmp_path), prefix="ethereum", suffix="v2",

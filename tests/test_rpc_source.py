@@ -1,0 +1,67 @@
+"""Online fetch-stage tests with a deterministic fake transport (no
+network in this environment; the reference tests the same layer with
+a mock IPC server — cli/parse/blocks.rs:394-440)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cryo_spark import plan
+from cryo_spark.sources.rpc import (
+    FlakyTransportFactory,
+    RpcConfig,
+    _Pacer,
+    fake_transport_factory,
+    fetch_blocks,
+    work_list_df,
+)
+
+
+def test_fetch_blocks_roundtrip(spark):
+    chunks = plan.parse_block_inputs("50:150")
+    wl = work_list_df(spark, chunks, n_partitions=4)
+    out = fetch_blocks(
+        spark, wl, transport_factory=fake_transport_factory
+    ).orderBy("block_number")
+    rows = out.collect()
+    assert len(rows) == 100
+    assert rows[0].block_number == 50
+    assert rows[0].timestamp == 1_600_000_000 + 12 * 50
+    assert rows[0].base_fee_per_gas is None  # pre-1559
+    assert rows[-1].base_fee_per_gas == 10**9
+    assert rows[-1].gas_used == 21_000 * 149
+    assert rows[0].author == bytes([50 % 16]) * 20
+
+
+def test_fetch_blocks_retries_transient_failures(spark):
+    wl = work_list_df(spark, plan.parse_block_inputs("0:10"), n_partitions=1)
+    cfg = RpcConfig(max_retries=3, initial_backoff_s=0.01)
+    out = fetch_blocks(
+        spark, wl, config=cfg, transport_factory=FlakyTransportFactory(2)
+    )
+    assert out.count() == 10
+
+
+def test_pacer_gives_up_after_max_retries():
+    cfg = RpcConfig(max_retries=2, initial_backoff_s=0.001)
+    pacer = _Pacer(cfg)
+    calls = {"n": 0}
+
+    def always_fail(method, params):
+        calls["n"] += 1
+        raise ConnectionError("down")
+
+    with pytest.raises(ConnectionError):
+        pacer.call(always_fail, "eth_getBlockByNumber", ["0x1", False])
+    assert calls["n"] == 3  # initial + 2 retries
+
+
+def test_pacer_rate_limit_spacing():
+    import time
+
+    cfg = RpcConfig(requests_per_second=100)
+    pacer = _Pacer(cfg)
+    t0 = time.monotonic()
+    for _ in range(5):
+        pacer.call(lambda m, p: {}, "eth_getBlockByNumber", [])
+    assert time.monotonic() - t0 >= 0.04  # 5 calls at 100 rps >= 40ms
