@@ -91,8 +91,10 @@ def test_u256_rep_unknown_suffix_raises(spark):
 def test_u256_wrapping_semantics(spark):
     # wrapping_to::<u64>/<u32> (u256s.rs:49-54): low bits, two's
     # complement into Spark's signed carriers
+    from decimal import Decimal
+
     big = (1 << 70) + 12345  # exceeds u64
-    df = spark.createDataFrame([(big,)], "value decimal(38,0)")
+    df = spark.createDataFrame([(Decimal(big),)], "value decimal(38,0)")
     row = df.select(
         *u256_view_cols("value", ["_string", "_u64", "_u32", "_f64", "_binary"])
     ).first()
