@@ -25,6 +25,45 @@ from cryo_spark.schema_select import apply_encoding, compute_used_columns
 from cryo_spark.schemas import get_spec, resolve_name
 
 
+# dim name -> candidate column names, tried in order (partitions.rs:8-33
+# dims against each dataset's actual columns)
+_DIM_COLUMNS = {
+    "address": ["address", "contract_address", "erc20", "erc721"],
+    "contract": ["contract_address", "erc20", "erc721", "address"],
+    "from_address": ["from_address", "action_from"],
+    "to_address": ["to_address", "action_to"],
+    "topic0": ["topic0"], "topic1": ["topic1"], "topic2": ["topic2"],
+    "topic3": ["topic3"], "slot": ["slot"],
+    "transaction_hash": ["transaction_hash"],
+    "call_data": ["call_data", "tx_call_data"],
+}
+
+
+def _dim_bytes(v) -> bytes:
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    s = str(v)
+    return bytes.fromhex(s[2:] if s.startswith("0x") else s)
+
+
+def _apply_dim_filters(df: DataFrame, spec, dims: dict) -> DataFrame:
+    """Client-side dim predicates (reference P4-P6: pushed into the
+    RPC filter online, plain column filters over the landed tables —
+    Catalyst pushes them into the parquet scan)."""
+    from pyspark.sql import functions as F
+
+    for dim, values in dims.items():
+        target = spec.arg_aliases.get(dim, dim)
+        col = next(
+            (c for c in _DIM_COLUMNS.get(target, [target]) if c in df.columns), None
+        )
+        if col is None:
+            continue
+        vals = values if isinstance(values, (list, tuple)) else [values]
+        df = df.filter(F.col(col).isin([_dim_bytes(v) for v in vals]))
+    return df
+
+
 def _base_frame(
     spark: SparkSession,
     datatype: str,
@@ -38,12 +77,15 @@ def _base_frame(
     exclude_failed=False,
     event_signature=None,
     fixtures_dir=None,
+    dims=None,
 ) -> DataFrame:
     name = resolve_name(datatype)
     spec = get_spec(name)
     df = TRANSFORMS[name](spark, fixtures_dir)
     if chunks:
         df = df.filter(cio.block_filter(chunks))
+    if dims:
+        df = _apply_dim_filters(df, spec, dims)
     if exclude_failed:
         if "success" in df.columns:
             df = df.filter(df["success"])
@@ -178,7 +220,7 @@ def collect(
         columns=columns, include_columns=include_columns,
         exclude_columns=exclude_columns, hex=hex, u256_types=u256_types,
         exclude_failed=exclude_failed, event_signature=event_signature,
-        fixtures_dir=fixtures_dir,
+        fixtures_dir=fixtures_dir, dims=q.dims,
     )
     if sort:
         spec = get_spec(datatype)
@@ -255,6 +297,7 @@ def freeze(
             columns=columns, include_columns=include_columns,
             exclude_columns=exclude_columns, hex=hex, u256_types=u256_types,
             exclude_failed=exclude_failed, fixtures_dir=fixtures_dir,
+            dims=q.dims,
         )
         res = cio.write_chunked(df, datatype, chunks, sink)
         summary["completed_paths"] += res["completed_paths"]

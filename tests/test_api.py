@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from cryo_spark import api, plan
 from cryo_spark.io import FileOutput
@@ -167,6 +168,28 @@ def test_freeze_csv_forces_hex(spark, tmp_path):
     assert path.endswith("ethereum__blocks__00000000_to_00000099.csv")
     df = spark.read.option("header", True).csv(path)
     assert df.first().block_hash.startswith("0x")
+
+
+def test_collect_dim_filters(spark):
+    """P4-P6: address/topic dims filter the landed tables (pushed
+    into the parquet scan by Catalyst)."""
+    # pick a real fixture address from balances
+    addr = api.collect(spark, "balances", sort=False).first().address
+    df = api.collect(spark, "balances", address=["0x" + addr.hex()], sort=False)
+    rows = df.collect()
+    assert len(rows) > 0 and all(r.address == addr for r in rows)
+
+    sig = "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+    logs = api.collect(spark, "logs", topic0=[sig], sort=False)
+    assert logs.count() > 0
+    assert logs.filter(F.hex(logs.topic0) != sig[2:].upper()).count() == 0
+
+    # contract alias maps onto the erc20 column
+    erc20 = api.collect(spark, "erc20_transfers", sort=False).first().erc20
+    filtered = api.collect(
+        spark, "erc20_transfers", contract=["0x" + erc20.hex()], sort=False
+    )
+    assert filtered.filter(filtered.erc20 != erc20).count() == 0
 
 
 def test_collect_multi_shares_raw_scan(spark):
