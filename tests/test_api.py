@@ -173,8 +173,12 @@ def test_freeze_csv_forces_hex(spark, tmp_path):
 def test_collect_dim_filters(spark):
     """P4-P6: address/topic dims filter the landed tables (pushed
     into the parquet scan by Catalyst)."""
-    # pick a real fixture address from balances
-    addr = api.collect(spark, "balances", sort=False).first().address
+    # pick a real fixture address from the raw accounts table
+    # (collect('balances') without an address dim correctly raises —
+    # required-parameter validation, covered above)
+    from cryo_spark.sources import raw
+
+    addr = raw(spark, "accounts").first().address
     df = api.collect(spark, "balances", address=["0x" + addr.hex()], sort=False)
     rows = df.collect()
     assert len(rows) > 0 and all(r.address == addr for r in rows)
