@@ -253,6 +253,38 @@ def oracle_region_nation_names() -> str:
     return "SELECT r_name AS name FROM region UNION SELECT n_name FROM nation"
 
 
+def q_orders_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (reference J4 analog generalized): for each order,
+    the most recent event-second at or before the order date.
+    Union-window implementation — shuffle volume |L|+|R|, no
+    range-join pair blowup. DuckDB oracle uses its native ASOF JOIN."""
+    from cryo_spark.operators.asof import asof_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", F.unix_timestamp("o_orderdate").alias("order_epoch")
+    )
+    events = (
+        _read(spark, sf_dir, "events")
+        .groupBy((F.col("ts").cast("long") / F.lit(1_000_000_000)).cast("long").alias("event_epoch"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return asof_join(orders, events, left_on="order_epoch", right_on="event_epoch").select(
+        "o_orderkey", "order_epoch", "n_events"
+    )
+
+
+def oracle_orders_asof_events() -> str:
+    return """
+SELECT o.o_orderkey, epoch(o.o_orderdate)::BIGINT AS order_epoch, e.n_events
+FROM orders o
+ASOF LEFT JOIN (
+  SELECT (epoch(ts))::BIGINT AS event_epoch, count(*) AS n_events
+  FROM events GROUP BY 1
+) e ON e.event_epoch <= epoch(o.o_orderdate)::BIGINT
+"""
+
+
 def q_part_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup (multi-level aggregate; grouping-set surface Spark
     provides beyond the reference)."""
@@ -395,6 +427,7 @@ GENERIC = {
     ),
     "region_nation_names": (q_region_nation_names, oracle_region_nation_names),
     "part_type_rollup": (q_part_type_rollup, oracle_part_type_rollup),
+    "orders_asof_events": (q_orders_asof_events, oracle_orders_asof_events),
     "llm_word_stats": (q_word_stats, lambda: text.word_stats_sql("documents")),
     "llm_lang_id": (q_lang_id, lambda: text.lang_id_sql("documents")),
     "llm_fingerprint": (q_fingerprint, lambda: text.fingerprint_sql("documents")),

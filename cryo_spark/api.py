@@ -251,6 +251,7 @@ def freeze(
     u256_types: list[str] | None = None,
     exclude_failed: bool = False,
     reorg_buffer: int = 0,
+    chunk_order: str = "normal",
     latest: int | None = None,
     fixtures_dir: str | None = None,
     report: bool = True,
@@ -278,6 +279,7 @@ def freeze(
         chunks = cplan.subchunk_by_count(chunks, n_chunks)
     else:
         chunks = cplan.subchunk_by_size(chunks, chunk_size)
+    chunks = cplan.order_chunks(chunks, chunk_order)
 
     q = cplan.Query(
         datatypes=expand_datatypes(datatypes),

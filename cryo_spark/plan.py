@@ -208,6 +208,25 @@ def align_chunk(c: BlockChunk, chunk_size: int) -> BlockChunk | None:
     return None
 
 
+def order_chunks(
+    chunks: list[BlockChunk], order: str = "normal", seed: int = 42
+) -> list[BlockChunk]:
+    """Chunk processing order: normal/reverse/random
+    (cli/parse/partitions.rs:110-123). Random is seeded —
+    deterministic across runs."""
+    if order == "normal":
+        return list(chunks)
+    if order == "reverse":
+        return list(reversed(chunks))
+    if order == "random":
+        import random
+
+        out = list(chunks)
+        random.Random(seed).shuffle(out)
+        return out
+    raise ValueError("chunk order must be normal|reverse|random")
+
+
 def apply_reorg_buffer(
     chunks: list[BlockChunk], latest: int, reorg_buffer: int
 ) -> list[BlockChunk]:

@@ -23,6 +23,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cryo_spark import io as cio
 from cryo_spark import plan as cplan
@@ -70,6 +71,50 @@ def windowed_rollup(
             F.unix_timestamp(F.col("window.start")).alias("window_start"),
             F.unix_timestamp(F.col("window.end")).alias("window_end"),
             "n_blocks", "sum_gas_used", "min_block", "max_block",
+        )
+    )
+
+
+def running_account_totals(stream: DataFrame):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-sender running transaction count + total gas, maintained
+    across micro-batches (the streaming analog of a cumulative
+    groupBy — state lives in the state store, one row per address).
+
+    Emits the updated running totals for every address seen in each
+    micro-batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("from_address", T.BinaryType()),
+            T.StructField("n_txs", T.LongType()),
+            T.StructField("total_gas_used", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_txs", T.LongType()),
+            T.StructField("total_gas_used", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, gas = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            gas += int(pdf["gas_used"].fillna(0).sum())
+        state.update((n, gas))
+        yield pd.DataFrame(
+            {"from_address": [key[0]], "n_txs": [n], "total_gas_used": [gas]}
+        )
+
+    return (
+        stream.select("from_address", "gas_used")
+        .groupBy("from_address")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
 

@@ -74,6 +74,55 @@ def test_windowed_rollup_memory_sink(spark, raw_dir, tmp_path):
     assert batch_first[first.window_start] == first.n_blocks
 
 
+def test_running_account_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState keeps per-address running totals across
+    micro-batches; after draining, totals equal the batch groupBy."""
+    d = str(tmp_path / "txraw")
+    os.makedirs(d)
+    txs = spark.read.parquet(
+        os.path.join(default_fixtures_dir(), "fixture_transactions.parquet")
+    )
+    cols = get_spec("transactions").column_names()
+    raw_cols = [c for c in cols if c in txs.columns]
+    # two drops -> at least two micro-batches with maxFilesPerTrigger=1
+    txs.filter(F.col("block_number") < 300).select(*raw_cols).coalesce(1) \
+        .write.mode("append").parquet(d)
+    txs.filter(
+        (F.col("block_number") >= 300) & (F.col("block_number") < 600)
+    ).select(*raw_cols).coalesce(1).write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(d).schema
+    ).option("maxFilesPerTrigger", 1).parquet(d)
+    q = (
+        streaming.running_account_totals(stream)
+        .writeStream.format("memory").queryName("acct_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per address = final running total
+    got = {
+        r.addr: (r.n_txs, r.total_gas_used)
+        for r in spark.sql(
+            """SELECT from_address AS addr, max(n_txs) AS n_txs,
+                      max(total_gas_used) AS total_gas_used
+               FROM acct_totals
+               GROUP BY from_address"""
+        ).collect()
+    }
+    expect = {
+        r.addr: (r.n, r.gas)
+        for r in spark.read.parquet(d)
+        .groupBy(F.col("from_address").alias("addr"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("gas_used").alias("gas"))
+        .collect()
+    }
+    assert got == expect
+
+
 def test_tail_to_chunk_files_incremental(spark, raw_dir, tmp_path):
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ck")
