@@ -304,8 +304,17 @@ def freeze(
         res = cio.write_chunked(df, datatype, chunks, sink)
         summary["completed_paths"] += res["completed_paths"]
         summary["skipped_paths"] += res["skipped_paths"]
+        summary["n_rows"] = summary.get("n_rows", 0) + res.get("n_rows", 0)
     summary["n_completed"] = len(summary["completed_paths"])
     summary["n_skipped"] = len(summary["skipped_paths"])
+    # chunk stats fold for the run summary (A2, chunk_ops.rs:83-103)
+    if chunks:
+        summary["chunk_stats"] = {
+            "n_chunks": len(chunks),
+            "min_block": min(c.min_value() for c in chunks),
+            "max_block": max(c.max_value() for c in chunks),
+            "total_blocks": sum(c.size() for c in chunks),
+        }
     if report:
         summary["report_path"] = cio.write_report(output_dir, summary)
     return summary

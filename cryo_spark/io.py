@@ -173,6 +173,11 @@ def write_chunked(
             raise RuntimeError(f"multiple part files for chunk {i}: {parts}")
         completed.append(final_path)
     _rmtree(staging)
+    if sink.format == "parquet":
+        # n_rows accounting (freeze.rs:152-158) from footers — no job
+        import pyarrow.parquet as pq
+
+        n_rows = sum(pq.read_metadata(p).num_rows for p in completed)
     return {"completed_paths": completed, "skipped_paths": skipped, "n_rows": n_rows}
 
 

@@ -144,9 +144,30 @@ def parse_block_token(s: str, as_range: bool, latest: int | None = None) -> Bloc
     raise ValueError("blocks must be block_number or start:end[/n|:skip]")
 
 
+def _file_token_chunk(token: str) -> BlockChunk | None:
+    """`path.parquet[:column]` token → distinct block numbers from the
+    file (S4 — cli/parse/blocks.rs:70-105, read.rs:5-31). Column
+    defaults to block_number."""
+    import os
+
+    path, col = token, "block_number"
+    if ":" in token:
+        maybe_path, maybe_col = token.rsplit(":", 1)
+        if os.path.exists(maybe_path):
+            path, col = maybe_path, maybe_col
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    values = pq.read_table(path, columns=[col])[col].to_pylist()
+    return BlockChunk(numbers=tuple(sorted({int(v) for v in values})))
+
+
 def parse_block_inputs(inputs: str | int | list, latest: int | None = None) -> list[BlockChunk]:
     """Space-separated tokens; a single token parses as a Range
-    (one chunk), multiple as Numbers (blocks.rs:149-169)."""
+    (one chunk), multiple as Numbers (blocks.rs:149-169). A token
+    that is a parquet path reads its (distinct, sorted) block_number
+    column — `path[:column]` overrides the column."""
     if isinstance(inputs, int):
         inputs = str(inputs)
     if isinstance(inputs, (list, tuple)):
@@ -155,9 +176,14 @@ def parse_block_inputs(inputs: str | int | list, latest: int | None = None) -> l
             tokens.extend(str(x).split(" "))
     else:
         tokens = str(inputs).split(" ")
-    if len(tokens) == 1:
-        return [parse_block_token(tokens[0], True, latest)]
-    return [parse_block_token(t, False, latest) for t in tokens]
+    chunks: list[BlockChunk] = []
+    for t in tokens:
+        from_file = _file_token_chunk(t)
+        if from_file is not None:
+            chunks.append(from_file)
+        else:
+            chunks.append(parse_block_token(t, len(tokens) == 1, latest))
+    return chunks
 
 
 # --------------------------------------------------------------------------

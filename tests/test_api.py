@@ -170,6 +170,36 @@ def test_freeze_csv_forces_hex(spark, tmp_path):
     assert df.first().block_hash.startswith("0x")
 
 
+def test_block_inputs_from_parquet_file(spark, tmp_path):
+    """S4: a parquet path as the blocks argument reads its distinct
+    block_number column (cli/parse/blocks.rs:70-105)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "blks.parquet")
+    pq.write_table(
+        pa.table({"block_number": [7, 3, 7, 11], "other": [1, 2, 3, 4]}), p
+    )
+    (c,) = plan.parse_block_inputs(p)
+    assert c.numbers == (3, 7, 11)
+    # column override syntax path:col
+    p2 = str(tmp_path / "custom.parquet")
+    pq.write_table(pa.table({"my_col": [5, 5, 9]}), p2)
+    (c2,) = plan.parse_block_inputs(f"{p2}:my_col")
+    assert c2.numbers == (5, 9)
+
+
+def test_freeze_summary_counts_rows_and_chunk_stats(spark, tmp_path):
+    summary = api.freeze(
+        spark, "blocks", output_dir=str(tmp_path / "s"), blocks="0:500",
+        chunk_size=250,
+    )
+    assert summary["n_rows"] == 500  # A3 accounting from parquet footers
+    assert summary["chunk_stats"] == {
+        "n_chunks": 2, "min_block": 0, "max_block": 499, "total_blocks": 500,
+    }
+
+
 def test_collect_dim_filters(spark):
     """P4-P6: address/topic dims filter the landed tables (pushed
     into the parquet scan by Catalyst)."""
