@@ -80,6 +80,31 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
         rows[name] = df.count()  # untimed sanity count
         spark.catalog.clearCache()
+    # write path: freeze two datasets to chunked parquet files (the
+    # reference's primary workload — extract -> sorted chunk files)
+    import shutil
+    import tempfile
+
+    from cryo_spark import api
+
+    freeze_dir = tempfile.mkdtemp(prefix="cryo_spark_bench_")
+    try:
+        api.freeze(  # warm-up compiles the write-path codegen
+            spark, ["blocks", "transactions", "logs"],
+            output_dir=freeze_dir, blocks="0:50", chunk_size=50,
+            overwrite=True, report=False,
+        )
+        t0 = time.time()
+        summary = api.freeze(
+            spark, ["blocks", "transactions", "logs"],
+            output_dir=freeze_dir, blocks="0:1000", chunk_size=250,
+            overwrite=True, report=False,
+        )
+        times["freeze_3_datasets"] = round(time.time() - t0, 3)
+        rows["freeze_3_datasets"] = summary["n_rows"]
+    finally:
+        shutil.rmtree(freeze_dir, ignore_errors=True)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
