@@ -311,40 +311,42 @@ WHERE round(n_inter / (za.sz + zb.sz - n_inter), 6) >= {min_jaccard}
 """
 
 
-@F.pandas_udf(T.LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit simhash over whitespace tokens (vectorized numpy).
-    Deterministic: token hash = xxhash-free stable blake2b low-64."""
-    import hashlib
-
-    def one(t):
-        if t is None:
-            return None
-        tokens = t.lower().split()
-        if not tokens:
-            return 0
-        hs = np.array(
-            [
-                int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-                for tok in tokens
-            ],
-            dtype=np.uint64,
-        )
-        bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-        votes = np.where(bits == 1, 1, -1).sum(axis=0)
-        sig = 0
-        for b in range(64):
-            if votes[b] > 0:
-                sig |= 1 << b
-        return sig - (1 << 64) if sig >= (1 << 63) else sig
-
-    return texts.map(one)
-
-
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash) signatures; near-dups share signatures or
-    differ in few bits (bucket by signature prefix for hamming join)."""
-    return df.select(F.col(id_col), _simhash64(F.col(text_col)).alias("simhash"))
+    """(doc_id, simhash) 64-bit signatures; near-dups share signatures
+    or differ in few bits (bucket by signature prefix for a hamming
+    join).
+
+    Pure JVM: explode tokens, xxhash64 each, aggregate 64 per-bit
+    vote sums (map-side partial agg — the shuffle carries 64 ints per
+    doc), then reassemble the sign bits. Empty/whitespace-only text
+    gets signature 0."""
+    df = _spread(df)
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    )
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(
+            F.when(F.col("tok").isNull() | (F.col("tok") == ""), F.lit(0)).otherwise(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+            )
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(64):
+        # bit 63 is the long sign bit: adding -(2^63) sets it in
+        # two's complement
+        term = F.when(
+            F.col(f"v{b}") > 0,
+            F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
 def embedding_near_dups_exact(
