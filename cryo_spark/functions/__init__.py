@@ -41,12 +41,17 @@ def be_uint(col: Column | str, max_bytes: int = 16) -> Column:
         limb_hex = F.substring(h, start, 16)
         limb_val = F.conv(limb_hex, 16, 10).cast(T.DecimalType(38, 0))
         shift = n_limbs - 1 - limb
+        # try_* arithmetic: values beyond decimal(38,0) (> ~1e38, i.e.
+        # 16-byte inputs above 10^38-1) become NULL instead of failing
+        # the whole job under ANSI mode
         term = (
-            limb_val * F.lit(str(TWO_64**shift)).cast(T.DecimalType(38, 0))
+            F.try_multiply(
+                limb_val, F.lit(str(TWO_64**shift)).cast(T.DecimalType(38, 0))
+            )
             if shift
             else limb_val
         )
-        total = term if total is None else total + term
+        total = term if total is None else F.try_add(total, term)
     return total.cast(T.DecimalType(38, 0))
 
 

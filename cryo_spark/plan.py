@@ -106,6 +106,10 @@ def evenly_spaced_subset(items: list, n: int) -> list:
         return []
     if n >= len(items):
         return list(items)
+    if n == 1:
+        # the reference's f64 math gives interval=inf here and keeps
+        # only items[0] (blocks.rs:261-271)
+        return [items[0]]
     interval = (len(items) - 1) / (n - 1)
     acc = 0.0
     out = []
