@@ -30,12 +30,15 @@ HEADLINE = [
     "dataset_contracts",
     "dataset_address_appearances",
     "dataset_four_byte_counts",
+    "dataset_logs_decoded",
+    "dataset_geth_calls",
     # generic relational surface (scales with sf)
     "pricing_summary",
     "top_orders",
     "nation_revenue",
     "first_order_per_customer",
     "events_hourly",
+    "orders_asof_events",
     # LLM-pipeline operators (scale with sf)
     "llm_word_stats",
     "llm_lang_id",

@@ -207,6 +207,16 @@ def collect(
 
         blocks_table = TRANSFORMS["blocks"](spark, fixtures_dir)
         chunks = cts.parse_timestamp_inputs(timestamps, blocks_table)
+    elif blocks is None and get_spec(datatype).default_blocks == "latest":
+        # point-lookup datasets default to the chain tip
+        # (balances.rs:26-28); offline tip = max landed block
+        from pyspark.sql import functions as F
+
+        name = resolve_name(datatype)
+        tip = TRANSFORMS[name](spark, fixtures_dir).agg(
+            F.max("block_number")
+        ).first()[0]
+        chunks = [cplan.BlockChunk(numbers=(int(tip),))] if tip is not None else []
     else:
         chunks = cplan.parse_block_inputs(blocks, latest) if blocks is not None else []
     q = cplan.Query(

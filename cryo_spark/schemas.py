@@ -73,6 +73,9 @@ class DatasetSpec:
     required_dims: tuple[str, ...] = ()
     optional_dims: tuple[str, ...] = ()
     arg_aliases: dict[str, str] = field(default_factory=dict)
+    # point-lookup datasets default to the chain tip when no blocks
+    # are given (e.g. balances.rs:26-28); None -> full range
+    default_blocks: str | None = None
 
     def column_names(self) -> list[str]:
         return [c.name for c in self.columns]
@@ -296,6 +299,7 @@ for _kind, _vt in [("balance", U256), ("nonce", UINT64), ("code", BINARY),
 
 register(DatasetSpec(
     name="balances",
+    default_blocks="latest",
     columns=_cols(
         ("block_number", UINT32), ("address", BINARY),
         ("balance", U256), ("chain_id", UINT64),
@@ -306,6 +310,7 @@ register(DatasetSpec(
 
 register(DatasetSpec(
     name="nonces",
+    default_blocks="latest",
     columns=_cols(
         ("block_number", UINT32), ("address", BINARY),
         ("nonce", UINT64), ("chain_id", UINT64),
@@ -316,6 +321,7 @@ register(DatasetSpec(
 
 register(DatasetSpec(
     name="codes",
+    default_blocks="latest",
     columns=_cols(
         ("block_number", UINT32), ("address", BINARY),
         ("code", BINARY), ("n_code_bytes", UINT32), ("chain_id", UINT64),
@@ -326,6 +332,7 @@ register(DatasetSpec(
 
 register(DatasetSpec(
     name="slots",
+    default_blocks="latest",
     aliases=("storages",),
     columns=_cols(
         ("block_number", UINT32), ("address", BINARY), ("slot", BINARY),
@@ -338,6 +345,7 @@ register(DatasetSpec(
 
 register(DatasetSpec(
     name="eth_calls",
+    default_blocks="latest",
     columns=_cols(
         ("block_number", UINT32), ("contract_address", BINARY),
         ("call_data", BINARY), ("call_data_hash", BINARY),
@@ -371,6 +379,7 @@ register(DatasetSpec(
 
 register(DatasetSpec(
     name="erc20_metadata",
+    default_blocks="latest",
     columns=_cols(
         ("block_number", UINT32), ("erc20", BINARY), ("name", STRING),
         ("symbol", STRING), ("decimals", UINT32), ("chain_id", UINT64),
@@ -381,6 +390,7 @@ register(DatasetSpec(
 
 register(DatasetSpec(
     name="erc20_supplies",
+    default_blocks="latest",
     columns=_cols(
         ("block_number", UINT32), ("erc20", BINARY),
         ("total_supply", U256), ("chain_id", UINT64),
@@ -391,6 +401,7 @@ register(DatasetSpec(
 
 register(DatasetSpec(
     name="erc721_metadata",
+    default_blocks="latest",
     columns=_cols(
         ("block_number", UINT32), ("erc721", BINARY), ("name", STRING),
         ("symbol", STRING), ("chain_id", UINT64),
@@ -402,6 +413,7 @@ register(DatasetSpec(
 
 register(DatasetSpec(
     name="trace_calls",
+    default_blocks="latest",
     columns=_cols(
         # reference struct order: datasets/trace_calls.rs:9-32
         ("block_number", UINT32), ("transaction_index", UINT32),
@@ -501,6 +513,7 @@ register(DatasetSpec(
 
 register(DatasetSpec(
     name="erc20_balances",
+    default_blocks="latest",
     columns=_cols(
         ("block_number", UINT32), ("erc20", BINARY), ("address", BINARY),
         ("balance", U256), ("chain_id", UINT64),

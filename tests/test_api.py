@@ -226,6 +226,20 @@ def test_collect_dim_filters(spark):
     assert filtered.filter(filtered.erc20 != erc20).count() == 0
 
 
+def test_point_lookup_defaults_to_latest_block(spark):
+    """balances.rs:26-28: no blocks argument -> chain tip only."""
+    from cryo_spark.sources import raw
+
+    addr = raw(spark, "accounts").first().address
+    df = api.collect(spark, "balances", address=["0x" + addr.hex()])
+    rows = df.collect()
+    tip = raw(spark, "accounts").agg(F.max("block_number")).first()[0]
+    assert [r.block_number for r in rows] == [tip]
+    # explicit blocks still override
+    df2 = api.collect(spark, "balances", address=["0x" + addr.hex()], blocks="0:1000")
+    assert df2.count() > 1
+
+
 def test_collect_multi_shares_raw_scan(spark):
     """MultiDatatype scan sharing (meta.rs:23-39): members of a fetch
     group read the persisted raw scan through the plan cache."""
