@@ -6,12 +6,15 @@ Scale design (the 100 TB story):
 - minhash/LSH: shingle → k minhashes → b bands; candidate pairs come
   from an equality join on (band_id, band_hash) — never an all-pairs
   product. Verification joins only within buckets.
-- simhash: 64-bit signature; near-dup = same signature bucket (or
-  small hamming distance within buckets).
-- ngram-jaccard: exact verify step for LSH candidates.
+- simhash: 64-bit signature via per-bit vote aggregation; near-dup =
+  same signature bucket (or small hamming distance within buckets).
+- ngram-jaccard: exact verify step for LSH candidates, plus an
+  LSH-free all-pairs variant with candidate pruning.
+- embedding: blocked exact all-pairs (numpy GEMM per block pair) and
+  hyperplane-LSH buckets for the N^2-infeasible regime.
 
-Everything except simhash stays JVM-side; simhash uses one Arrow
-pandas UDF (vectorized numpy bit ops).
+Everything is JVM column expressions except the GEMM block kernel
+(Arrow applyInPandas).
 """
 
 from __future__ import annotations
@@ -20,7 +23,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def _norm_text(text_col: str = "text") -> Column:
