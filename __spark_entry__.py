@@ -396,6 +396,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_read(spark, sf_dir, "documents"))
 
 
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via 4-band pigeonhole + hamming verify
+    (rows-only check; engine-specific hashing)."""
+    return dedup.simhash_near_dups(_read(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # the contract
 # --------------------------------------------------------------------------
@@ -452,6 +458,7 @@ GENERIC = {
 NO_ORACLE = {
     "llm_minhash_near_dups": q_minhash_near_dups,
     "llm_simhash": q_simhash,
+    "llm_simhash_near_dups": q_simhash_near_dups,
     "llm_multimodal_features": q_multimodal_features,
 }
 

@@ -351,6 +351,62 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by simhash hamming distance.
+
+    Pigeonhole banding: the 64-bit signature splits into 8 8-bit
+    bands; any pair within hamming distance <= 7 agrees on at least
+    one whole band, so candidates come from an equality self-join on
+    (band_id, band_value) — bucket-local, never all-pairs — and the
+    exact hamming check (bit_count of xor) filters within buckets.
+    All JVM."""
+    if max_hamming > 7:
+        raise ValueError("8-band pigeonhole supports max_hamming <= 7")
+    del shingles  # simhash tokenizes directly; kept for API symmetry
+    sigs = simhash(df, text_col, id_col)
+    banded = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned("simhash", 8 * b)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def embedding_near_dups_exact(
     emb: DataFrame,
     threshold: float = 0.95,

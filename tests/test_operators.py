@@ -82,6 +82,21 @@ def test_simhash_near_for_near_dups(spark):
     assert ham <= 16, f"hamming {ham} too large for near-dups"
 
 
+def test_simhash_near_dups_pairs(spark):
+    # long docs, tiny edit: simhash hamming stays small only when the
+    # changed fraction of tokens is small
+    base = " ".join(f"tok{i}" for i in range(600))
+    near = base.replace("tok300", "changed")
+    far = " ".join(f"other{i}" for i in range(600))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dedup.simhash_near_dups(df, max_hamming=7).collect()}
+    assert (1, 2) in got and got[(1, 2)] <= 7
+    assert (1, 3) not in got and (2, 3) not in got
+
+
 def test_cosine_topk_oracle(spark, emb):
     query = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
     r = compare(
