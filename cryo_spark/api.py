@@ -363,9 +363,6 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     fmt = "csv" if args.csv else "json" if args.json else "parquet"
-    from cryo_spark.session import get_spark
-
-    spark = get_spark()
     dims = {
         k: [v] for k, v in
         dict(contract=args.contract, address=args.address,
@@ -373,13 +370,17 @@ def main(argv: list[str] | None = None) -> int:
         if v is not None
     }
     if args.dry:
+        # dry runs never start Spark: pure planner + path layout
         chunks = cplan.parse_block_inputs(args.blocks or "0:1000")
         chunks = cplan.subchunk_by_size(chunks, args.chunk_size)
-        for d in args.datatypes:
+        for d in expand_datatypes(args.datatypes):
             sink = cio.FileOutput(args.output_dir, prefix=args.network, format=fmt)
             for c in chunks:
-                print(sink.path_for(resolve_name(d), c.stub()))
+                print(sink.path_for(d, c.stub()))
         return 0
+    from cryo_spark.session import get_spark
+
+    spark = get_spark()
     summary = freeze(
         spark, args.datatypes, output_dir=args.output_dir, blocks=args.blocks,
         chunk_size=args.chunk_size, n_chunks=args.n_chunks, align=args.align,

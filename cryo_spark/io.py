@@ -81,10 +81,36 @@ def plan_chunk_paths(
     return todo, skipped
 
 
+def _uniform_ranges(chunks: list[BlockChunk]) -> tuple[int, int] | None:
+    """(start, size) when chunks are contiguous uniform ranges (the
+    normal output of subchunk_by_size) — last chunk may be short."""
+    if not chunks or any(c.numbers is not None for c in chunks):
+        return None
+    size = chunks[0].end - chunks[0].start + 1
+    pos = chunks[0].start
+    for i, c in enumerate(chunks):
+        if c.start != pos:
+            return None
+        if c.end - c.start + 1 != size and i != len(chunks) - 1:
+            return None
+        if c.end - c.start + 1 > size:
+            return None
+        pos = c.end + 1
+    return chunks[0].start, size
+
+
 def _chunk_id_expr(chunks: list[BlockChunk]):
-    """Map block_number to the index of its chunk. Ranges become
-    closed-form arithmetic when uniform; otherwise a CASE chain
-    (work-lists are small)."""
+    """Map block_number to the index of its chunk.
+
+    Contiguous uniform ranges (the common case) use closed-form
+    arithmetic — O(1) expression regardless of chunk count. The CASE
+    chain fallback is only for irregular work-lists and would be a
+    Catalyst-analysis hazard at 10^5 chunks, so the fast path matters
+    at scale."""
+    uniform = _uniform_ranges(chunks)
+    if uniform is not None:
+        start, size = uniform
+        return F.floor((F.col("block_number") - F.lit(start)) / F.lit(size)).cast("int")
     expr = F.lit(-1)
     for i, c in enumerate(chunks):
         if c.numbers is not None:
@@ -96,14 +122,30 @@ def _chunk_id_expr(chunks: list[BlockChunk]):
 
 
 def block_filter(chunks: list[BlockChunk]):
-    cond = F.lit(False)
+    """Predicate for membership in any chunk. Adjacent/overlapping
+    ranges are merged first so 10^5 contiguous chunks become ONE
+    between-predicate (pushable to the parquet scan), not an OR
+    chain."""
+    ranges: list[tuple[int, int]] = []
+    numbers: list[int] = []
     for c in chunks:
         if c.numbers is not None:
-            cond = cond | F.col("block_number").isin([int(n) for n in c.numbers])
+            numbers.extend(int(n) for n in c.numbers)
         else:
-            cond = cond | (
-                (F.col("block_number") >= c.start) & (F.col("block_number") <= c.end)
-            )
+            ranges.append((c.start, c.end))
+    merged: list[tuple[int, int]] = []
+    for lo, hi in sorted(ranges):
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    cond = F.lit(False)
+    for lo, hi in merged:
+        cond = cond | (
+            (F.col("block_number") >= lo) & (F.col("block_number") <= hi)
+        )
+    if numbers:
+        cond = cond | F.col("block_number").isin(sorted(set(numbers)))
     return cond
 
 

@@ -257,6 +257,42 @@ def test_collect_multi_shares_raw_scan(spark):
     spark.catalog.clearCache()
 
 
+def test_chunk_id_closed_form_matches_case_chain(spark):
+    """Uniform contiguous chunks use O(1) arithmetic instead of an
+    N-branch CASE (a Catalyst hazard at 10^5 chunks); both must
+    agree, including the short last chunk."""
+    from cryo_spark.io import _chunk_id_expr, _uniform_ranges
+
+    chunks = plan.subchunk_by_size([plan.BlockChunk(start=100, end=1234)], 250)
+    assert _uniform_ranges(chunks) == (100, 250)
+    df = spark.range(100, 1235).select(F.col("id").cast("int").alias("block_number"))
+    fast = df.select("block_number", _chunk_id_expr(chunks).alias("c")).collect()
+    # force the fallback by making chunks irregular (sizes differ)
+    irregular = [plan.BlockChunk(start=100, end=349),
+                 plan.BlockChunk(start=350, end=1234)]
+    assert _uniform_ranges(irregular) is None
+    for r in fast:
+        i = (r.block_number - 100) // 250
+        assert r.c == i
+    # merged block_filter: contiguous chunks collapse to one range
+    from cryo_spark.io import block_filter
+
+    kept = df.filter(block_filter(chunks)).count()
+    assert kept == 1135
+
+
+def test_cli_dry_run_prints_paths(capsys):
+    """--dry never starts Spark; prints planned paths."""
+    from cryo_spark.api import main
+
+    rc = main(["blocks", "txs", "-b", "0:500", "--chunk-size", "250",
+               "-o", "/tmp/x", "--dry"])
+    out = capsys.readouterr().out.strip().split("\n")
+    assert rc == 0 and len(out) == 4
+    assert "/tmp/x/ethereum__blocks__00000000_to_00000249.parquet" in out
+    assert "/tmp/x/ethereum__transactions__00000250_to_00000499.parquet" in out
+
+
 def test_freeze_subdirs_and_suffix(spark, tmp_path):
     sink = FileOutput(
         output_dir=str(tmp_path), prefix="ethereum", suffix="v2",
