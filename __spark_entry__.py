@@ -377,6 +377,16 @@ LIMIT 10
 """
 
 
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH bucket prefilter + exact
+    cosine within probe buckets (the scale path when brute force is
+    too wide). Rows-only check (bucketing is engine-specific);
+    recall vs exact top-k is unit-tested."""
+    emb = _read(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.bucketed_ann(emb, query, k=10)
+
+
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs verified by exact 3-gram Jaccard.
     No DuckDB oracle (xxhash64 banding is engine-specific) — the
@@ -456,6 +466,7 @@ GENERIC = {
 }
 
 NO_ORACLE = {
+    "llm_ann_topk": q_ann_topk,
     "llm_minhash_near_dups": q_minhash_near_dups,
     "llm_simhash": q_simhash,
     "llm_simhash_near_dups": q_simhash_near_dups,
