@@ -229,6 +229,60 @@ def _rmtree(path: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+BUCKET_COL = "block_bucket"
+
+
+def write_lake(
+    df: DataFrame,
+    root: str,
+    datatype: str,
+    bucket_size: int = 1_000_000,
+    max_records_per_file: int = 5_000_000,
+    mode: str = "append",
+) -> str:
+    """100 TB lake layout: one dataset directory partitioned by
+    (chain_id, block_bucket) — SURVEY §7.1 step 9.
+
+    Directory-level partition pruning then serves the dominant
+    predicates (chain + block range) before any file is opened;
+    maxRecordsPerFile bounds file sizes without a repartition.
+    Returns the dataset root path."""
+    path = os.path.join(root, datatype)
+    (
+        df.withColumn(
+            BUCKET_COL,
+            (F.col("block_number") / F.lit(bucket_size)).cast("long") * bucket_size,
+        )
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("chain_id", BUCKET_COL)
+        .parquet(path)
+    )
+    return path
+
+
+def read_lake(spark, root: str, datatype: str) -> DataFrame:
+    """Read a lake dataset; block_number/chain_id predicates prune
+    partitions (PartitionFilters) when phrased on the bucket column
+    via :func:`lake_block_predicate` or directly on block_number
+    (row-group stats)."""
+    return spark.read.parquet(os.path.join(root, datatype))
+
+
+def lake_block_predicate(start: int, end: int, bucket_size: int = 1_000_000):
+    """Predicate for [start, end] that includes the bucket column, so
+    pruning happens at the DIRECTORY level (PartitionFilters), not
+    just parquet row-group stats."""
+    lo = (start // bucket_size) * bucket_size
+    hi = (end // bucket_size) * bucket_size
+    return (
+        (F.col(BUCKET_COL) >= lo)
+        & (F.col(BUCKET_COL) <= hi)
+        & (F.col("block_number") >= start)
+        & (F.col("block_number") <= end)
+    )
+
+
 def write_report(output_dir: str, summary: dict, args: dict | None = None) -> str:
     """JSON run report under {output_dir}/.cryo_spark/reports
     (reports.rs:51-80)."""

@@ -42,6 +42,28 @@ def test_fetch_blocks_retries_transient_failures(spark):
     assert out.count() == 10
 
 
+def test_online_pipeline_fetch_to_chunked_files(spark, tmp_path):
+    """Full online path: planner work-list -> mapInPandas fetch (fake
+    node) -> chunk-aligned cryo-named files — the lifecycle the
+    reference runs per freeze (SURVEY §3.1), as two Spark stages."""
+    import os
+
+    from cryo_spark import io as cio
+
+    chunks = plan.subchunk_by_size(plan.parse_block_inputs("0:400"), 100)
+    wl = work_list_df(spark, chunks, n_partitions=4)
+    fetched = fetch_blocks(spark, wl, transport_factory=fake_transport_factory)
+    sink = cio.FileOutput(output_dir=str(tmp_path / "out"), prefix="fakenet")
+    res = cio.write_chunked(fetched, "blocks", chunks, sink)
+    names = sorted(os.path.basename(p) for p in res["completed_paths"])
+    assert names[0] == "fakenet__blocks__00000000_to_00000099.parquet"
+    assert len(names) == 4 and res["n_rows"] == 400
+    back = spark.read.parquet(res["completed_paths"][2])
+    rows = back.orderBy("block_number").collect()
+    assert [r.block_number for r in rows] == list(range(200, 300))
+    assert rows[0].timestamp == 1_600_000_000 + 12 * 200
+
+
 def test_pacer_gives_up_after_max_retries():
     cfg = RpcConfig(max_retries=2, initial_backoff_s=0.001)
     pacer = _Pacer(cfg)
