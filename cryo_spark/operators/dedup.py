@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cryo_spark.operators.util import spread as _spread
+
 
 def _norm_text(text_col: str = "text") -> Column:
     return F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
@@ -55,19 +57,6 @@ SELECT doc_id,
   doc_id != min(doc_id) OVER (PARTITION BY md5({norm})) AS is_duplicate
 FROM {table}
 """
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure per-row CPU work is spread across all cores.
-
-    A small parquet input lands in fewer splits than cores (locally:
-    one file -> one task evaluating every shingle expression
-    single-threaded). At real scale inputs have >= parallelism splits
-    and this is a no-op; the check costs nothing (plan-only)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def shingle_rows(

@@ -15,6 +15,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cryo_spark.operators.util import spread
+
 
 def _dot_with_literal(vec_col: Column, query: list[float]) -> Column:
     return F.aggregate(
@@ -47,6 +49,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine similarity to ``query``. Deterministic
     tie-break on id."""
+    emb = spread(emb)
     qnorm = float(np.sqrt(np.dot(query, query)))
     cos = _dot_with_literal(F.col(vec_col), query) / (_norm(F.col(vec_col)) * F.lit(qnorm))
     return (
@@ -97,6 +100,7 @@ def bucketed_ann(
         for p in range(n_planes)
         for q in range(p + 1, n_planes)
     ]
+    emb = spread(emb)
     sig: Column | None = None
     for p in range(n_planes):
         dot = _dot_with_literal(F.col(vec_col), [float(x) for x in planes[p]])

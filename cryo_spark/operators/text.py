@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cryo_spark.operators.util import spread
+
 # small public stopword sets for the n-gram language heuristic
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
@@ -40,6 +42,7 @@ def word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality metrics: length, tokens, mean token
     length, punctuation / digit / uppercase / whitespace ratios,
     stopword hit count. Pure narrow projection — no shuffle."""
+    df = spread(df)
     c = F.col(text_col)
     n_chars = F.length(c)
     n_tokens = token_count(c)
@@ -92,6 +95,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-vote language guess (deterministic heuristic,
     SURVEY-extension operator). Returns doc_id, lang_guess, lang_score
     (hits of the winning language)."""
+    df = spread(df)
     lower = F.lower(F.col(text_col))
     padded = F.concat(F.lit(" "), lower, F.lit(" "))
     scores = []
@@ -140,6 +144,7 @@ def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """BPE-ish token count: number of pretokenizer pieces (the
     dominant cost driver for LLM training budgets). JVM-side
     regexp_extract_all — no Python."""
+    df = spread(df)
     c = F.col(text_col)
     pieces = F.expr(f"regexp_extract_all({text_col}, \"{BPE_PATTERN}\", 0)")
     return df.select(
@@ -168,6 +173,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     score = 0.4*length_ok + 0.3*stopword_ok + 0.3*(1 - punct_noise)
     """
+    df = spread(df)
     c = F.col(text_col)
     n_chars = F.length(c)
     n_tokens = token_count(c)
@@ -214,6 +220,7 @@ FROM {table}
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: xxhash64 of the whitespace-normalized,
     lowercased text (rolling-hash analog, JVM-side)."""
+    df = spread(df)
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return df.select(
         "doc_id",
