@@ -387,6 +387,16 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.bucketed_ann(emb, query, k=10)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: spherical k-means lists trained on a
+    deterministic sample, query probes the 4 nearest lists. Rows-only
+    check (centroid training is engine-specific); recall vs exact
+    top-k is unit-tested."""
+    emb = _read(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ivf_topk(emb, query, k=10, n_centroids=16, n_probe=4)
+
+
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs verified by exact 3-gram Jaccard.
     No DuckDB oracle (xxhash64 banding is engine-specific) — the
@@ -467,6 +477,7 @@ GENERIC = {
 
 NO_ORACLE = {
     "llm_ann_topk": q_ann_topk,
+    "llm_ivf_topk": q_ivf_topk,
     "llm_minhash_near_dups": q_minhash_near_dups,
     "llm_simhash": q_simhash,
     "llm_simhash_near_dups": q_simhash_near_dups,

@@ -3,15 +3,20 @@
 - brute-force cosine top-k: one narrow pass (JVM zip_with dot
   product), orderBy-limit — Spark's TakeOrdered keeps only k rows per
   partition, so the shuffle carries k×partitions rows, not the table.
-- IVF-style bucketed variant: deterministic random-hyperplane
+- hyperplane-LSH bucketed variant: deterministic random-hyperplane
   signatures narrow the scan to matching buckets first (probe with
-  hamming-adjacent buckets for recall); the 100 TB path where the
-  brute-force scan is too wide.
+  hamming-adjacent buckets for recall).
+- IVF (inverted-file) variant: spherical k-means centroids trained on
+  a deterministic sample; vectors assigned to their nearest-centroid
+  list once (a persisted index at scale); queries probe only the
+  nearest few lists — the 10⁸+-vector path where even the LSH scan's
+  signature pass over every row is too wide.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -111,6 +116,112 @@ def bucketed_ann(
     return (
         emb.withColumn("_bucket", sig)
         .filter(F.col("_bucket").isin(probes))
+        .select(F.col(id_col), F.round(cos, 8).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means centroids (unit-norm, cosine objective)
+    trained driver-side on a deterministic pseudo-random sample.
+
+    The sample is the ``sample`` smallest rows by xxhash64(id) —
+    orderBy+limit compiles to TakeOrdered, so at cluster scale this
+    ships k rows per partition to the driver, never the table.
+    Lloyd's iterations on <=``sample`` vectors are microseconds; the
+    expensive part (assignment of the full table) stays distributed
+    in :func:`ivf_assign`."""
+    rows = (
+        emb.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample)
+        .collect()
+    )
+    x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(x))
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members) == 0:
+                # reseed empty cluster at the globally worst-served point
+                cent[c] = x[np.argmin(np.max(sims, axis=1))]
+            else:
+                m = members.sum(axis=0)
+                cent[c] = m / np.linalg.norm(m)
+    return cent
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid's inverted list.
+
+    One narrow pass: an Arrow-batched pandas UDF does a single GEMM
+    per batch against the (tiny, closure-captured) centroid matrix.
+    At scale this output is the persisted IVF index — written once,
+    e.g. ``write_lake(..., partition by list_id)``, so queries prune
+    to the probed lists at the directory level."""
+    cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf("int")
+    def nearest_list(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(np.argmax(m @ cent.T, axis=1).astype(np.int32))
+
+    return emb.withColumn("list_id", nearest_list(F.col(vec_col)))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample: int = 4096,
+    seed: int = 42,
+    assigned: DataFrame | None = None,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine within the ``n_probe``
+    inverted lists nearest to the query. Deterministic given ``seed``.
+
+    Pass ``assigned``+``centroids`` (from :func:`train_centroids` /
+    :func:`ivf_assign`, persisted) to amortize the index across
+    queries — the production shape; otherwise both are built inline."""
+    if centroids is None:
+        centroids = train_centroids(
+            emb, n_centroids, id_col=id_col, vec_col=vec_col,
+            sample=sample, seed=seed,
+        )
+    if assigned is None:
+        assigned = ivf_assign(spread(emb), centroids, vec_col=vec_col)
+    q = np.asarray(query, dtype=np.float64)
+    q /= np.linalg.norm(q)
+    cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    probes = [int(i) for i in np.argsort(-(cent @ q))[:n_probe]]
+    qnorm = float(np.sqrt(np.dot(query, query)))
+    cos = _dot_with_literal(F.col(vec_col), query) / (_norm(F.col(vec_col)) * F.lit(qnorm))
+    return (
+        assigned.filter(F.col("list_id").isin(probes))
         .select(F.col(id_col), F.round(cos, 8).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)

@@ -116,6 +116,31 @@ def test_bucketed_ann_recall(spark, emb):
     assert exact[0] in approx  # the query vector itself must be found
 
 
+def test_ivf_topk_recall(spark, emb):
+    query = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, query, k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.ivf_topk(emb, query, k=10, n_centroids=8, n_probe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"recall {recall}"
+    assert exact[0] in approx  # the query vector itself must be found
+
+
+def test_ivf_index_reuse_deterministic(spark, emb):
+    query = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    cent = similarity.train_centroids(emb, n_centroids=8)
+    assigned = similarity.ivf_assign(emb, cent).persist()
+    try:
+        a = similarity.ivf_topk(emb, query, k=5, assigned=assigned, centroids=cent).collect()
+        b = similarity.ivf_topk(emb, query, k=5, assigned=assigned, centroids=cent).collect()
+        assert a == b
+        # every vector landed in exactly one list, lists cover the table
+        assert assigned.count() == emb.count()
+        n_lists = assigned.select("list_id").distinct().count()
+        assert 1 <= n_lists <= 8
+    finally:
+        assigned.unpersist()
+
+
 def test_embedding_near_dups_lsh(spark):
     rng = np.random.default_rng(7)
     v = rng.normal(size=64)
