@@ -1,0 +1,72 @@
+"""Physical-plan regression tests: the properties that decide whether
+a query survives a 100x scale-up — parquet filter pushdown, column
+pruning, broadcast vs shuffle joins, map-side partial aggregation,
+top-k without a global sort — asserted on the headline queries so a
+refactor can't silently lose them."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark):
+    df = entrymod.q_pricing_summary(spark, SF_DIR)
+    plan = _plan(df)
+    pushed = [ln for ln in plan.split("\n") if "PushedFilters" in ln]
+    assert pushed and "l_shipdate" in pushed[0], "shipdate filter must reach the parquet scan"
+    # map-side combine: one partial + one final HashAggregate
+    assert plan.count("HashAggregate") >= 2, "aggregation must have a partial (map-side) phase"
+
+
+def test_pricing_summary_column_pruning(spark):
+    df = entrymod.q_pricing_summary(spark, SF_DIR)
+    plan = _plan(df)
+    read = [ln for ln in plan.split("\n") if "ReadSchema" in ln][0]
+    # 16-column lineitem table; the query needs exactly 6
+    assert "l_quantity" in read and "l_shipdate" in read
+    assert "l_comment" not in read and "l_partkey" not in read, (
+        "unused columns must be pruned from the scan: " + read
+    )
+
+
+def test_nation_revenue_broadcasts_dims(spark):
+    plan = _plan(entrymod.q_nation_revenue(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 2, (
+        "both dim joins must broadcast (never shuffle the fact table)"
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_orders_is_take_ordered(spark):
+    plan = _plan(entrymod.q_top_orders(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, (
+        "orderBy+limit must compile to per-partition top-k, not a global sort"
+    )
+    read = [ln for ln in plan.split("\n") if "ReadSchema" in ln][0]
+    assert "o_comment" not in read, "projection must prune the scan"
+
+
+def test_dataset_logs_topic_filter_pushdown(spark, fixtures_dir):
+    """The erc20_transfers extraction filters logs on topic0; that
+    predicate must reach the raw-table scan, not run post-scan only."""
+    from cryo_spark.datasets import TRANSFORMS
+
+    df = TRANSFORMS["erc20_transfers"](spark, fixtures_dir)
+    plan = _plan(df)
+    pushed = [ln for ln in plan.split("\n") if "PushedFilters" in ln]
+    assert pushed and any("topic0" in ln for ln in pushed), (
+        "topic0 equality must be pushed into the logs scan"
+    )
+
+
+def test_first_order_single_shuffle(spark):
+    """Window rank partitioned by o_custkey needs exactly one
+    hash-partitioning exchange; a second one would double the shuffle
+    volume at scale."""
+    plan = _plan(entrymod.q_first_order_per_customer(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
