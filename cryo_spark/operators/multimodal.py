@@ -92,6 +92,90 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: payload-hash-seeded
+    bytes sized to the target (capped so tests stay small). Swap for a
+    real PIL resize at deployment."""
+    if payload is None:
+        return None
+    size = min(width * height * 3, 4096)
+    h = hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
+    return (h * (size // len(h) + 1))[:size]
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """Resize every image row to (width, height); non-image rows pass
+    through untouched. Narrow mapInPandas — partitioning preserved, no
+    shuffle; at scale repartition upstream by payload size if a few
+    giant images skew task times."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["kind"] == "image"
+            pdf = pdf.copy()
+            pdf.loc[is_img, "payload"] = [
+                None if p is None else resizer(bytes(p), width, height)
+                for p in pdf.loc[is_img, "payload"]
+            ]
+            pdf.loc[is_img, "width"] = width
+            pdf.loc[is_img, "height"] = height
+            yield pdf
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def fake_frame(payload: bytes, index: int) -> bytes:
+    """Deterministic stand-in for a video frame grab."""
+    if payload is None:
+        return None
+    return hashlib.sha256(payload + index.to_bytes(4, "big")).digest()
+
+
+def sample_frames(
+    media: DataFrame,
+    interval_ms: int = 1000,
+    max_frames: int = 32,
+    sampler: Callable[[bytes, int], bytes] = fake_frame,
+) -> DataFrame:
+    """Sample frames from video rows every ``interval_ms``, capped at
+    ``max_frames`` per video: one input row fans out to N frame rows
+    (mapInPandas — the row-multiplying shape a real ffmpeg sampler
+    needs). Non-video rows contribute nothing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_index": [], "ts_ms": [], "frame": []}
+            for _, row in pdf[pdf["kind"] == "video"].iterrows():
+                dur = row["duration_ms"]
+                if dur is None or pd.isna(dur):
+                    continue
+                n = min(int(dur) // interval_ms + 1, max_frames)
+                payload = None if row["payload"] is None else bytes(row["payload"])
+                for i in range(n):
+                    out["media_id"].append(row["media_id"])
+                    out["frame_index"].append(i)
+                    out["ts_ms"].append(i * interval_ms)
+                    out["frame"].append(sampler(payload, i))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table for pipeline tests."""
     rng = np.random.default_rng(seed)

@@ -226,3 +226,35 @@ def test_multimodal_pipeline(spark):
     # determinism across runs
     again = {r["media_id"]: r["content_sha256"] for r in multimodal.extract_features(media).collect()}
     assert again == {r["media_id"]: r["content_sha256"] for r in rows}
+
+
+def test_multimodal_resize(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    resized = multimodal.resize_images(media, width=64, height=64).collect()
+    assert len(resized) == 30  # row count preserved, non-images pass through
+    originals = {r["media_id"]: r for r in media.collect()}
+    for r in resized:
+        if r["kind"] == "image":
+            assert r["width"] == 64 and r["height"] == 64
+            assert bytes(r["payload"]) != bytes(originals[r["media_id"]]["payload"])
+        else:
+            assert bytes(r["payload"]) == bytes(originals[r["media_id"]]["payload"])
+
+
+def test_multimodal_frame_sampling(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    frames = multimodal.sample_frames(media, interval_ms=1000, max_frames=8)
+    rows = frames.collect()
+    videos = {r["media_id"]: r for r in media.collect() if r["kind"] == "video"}
+    by_media: dict[int, list] = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(videos)  # only video rows fan out
+    for mid, fr in by_media.items():
+        expect = min(videos[mid]["duration_ms"] // 1000 + 1, 8)
+        assert len(fr) == expect
+        idx = sorted(f["frame_index"] for f in fr)
+        assert idx == list(range(expect))
+        assert all(f["ts_ms"] == f["frame_index"] * 1000 for f in fr)
+        # frames are distinct and deterministic per (payload, index)
+        assert len({bytes(f["frame"]) for f in fr}) == expect
