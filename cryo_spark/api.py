@@ -46,6 +46,41 @@ def _dim_bytes(v) -> bytes:
     return bytes.fromhex(s[2:] if s.startswith("0x") else s)
 
 
+def _dim_stub(v) -> str:
+    """First 8 chars of the 0x-hex value — the reference's file-label
+    format for binary dims (binary_chunk.rs format_item)."""
+    return ("0x" + _dim_bytes(v).hex())[:8]
+
+
+def _partition_labels(df: DataFrame, spec, dims: dict, partition_by: list[str]):
+    """label expression + expected label list for `--partition-by`
+    dims (reference C3, partitions.rs:290-337): one output file per
+    dim-value combination per chunk."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    exprs, value_lists = [], []
+    for dim in partition_by:
+        target = spec.arg_aliases.get(dim, dim)
+        vals = dims.get(dim, dims.get(target))
+        if vals is None:
+            raise ValueError(f"partition_by dim {dim!r} has no values in the query")
+        vals = vals if isinstance(vals, (list, tuple)) else [vals]
+        col = next(
+            (c for c in _DIM_COLUMNS.get(target, [target]) if c in df.columns), None
+        )
+        if col is None:
+            raise ValueError(f"dataset has no column for partition_by dim {dim!r}")
+        exprs.append(
+            F.substring(F.concat(F.lit("0x"), F.lower(F.hex(F.col(col)))), 1, 8)
+        )
+        value_lists.append([_dim_stub(v) for v in vals])
+    labels = ["__".join(combo) for combo in itertools.product(*value_lists)]
+    expr = F.concat_ws("__", *exprs) if len(exprs) > 1 else exprs[0]
+    return expr, labels
+
+
 def _apply_dim_filters(df: DataFrame, spec, dims: dict) -> DataFrame:
     """Client-side dim predicates (reference P4-P6: pushed into the
     RPC filter online, plain column filters over the landed tables —
@@ -265,6 +300,7 @@ def freeze(
     latest: int | None = None,
     fixtures_dir: str | None = None,
     report: bool = True,
+    partition_by: list[str] | None = None,
     **dims,
 ) -> dict:
     """Freeze datasets to chunked files (reference `cryo.freeze` /
@@ -311,7 +347,15 @@ def freeze(
             exclude_failed=exclude_failed, fixtures_dir=fixtures_dir,
             dims=q.dims,
         )
-        res = cio.write_chunked(df, datatype, chunks, sink)
+        if partition_by:
+            label_expr, labels = _partition_labels(
+                df, get_spec(datatype), q.dims, partition_by
+            )
+            res = cio.write_chunked(
+                df, datatype, chunks, sink, label_expr=label_expr, labels=labels
+            )
+        else:
+            res = cio.write_chunked(df, datatype, chunks, sink)
         summary["completed_paths"] += res["completed_paths"]
         summary["skipped_paths"] += res["skipped_paths"]
         summary["n_rows"] = summary.get("n_rows", 0) + res.get("n_rows", 0)
@@ -355,16 +399,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--reorg-buffer", type=int, default=0)
     p.add_argument("--file-suffix", default=None)
     p.add_argument("--subdirs", nargs="+", default=None)
-    p.add_argument("--contract", default=None)
-    p.add_argument("--address", default=None)
-    p.add_argument("--call-data", dest="call_data", default=None)
-    p.add_argument("--slot", default=None)
+    p.add_argument("--contract", nargs="+", default=None)
+    p.add_argument("--address", nargs="+", default=None)
+    p.add_argument("--call-data", dest="call_data", nargs="+", default=None)
+    p.add_argument("--slot", nargs="+", default=None)
+    p.add_argument("--partition-by", nargs="+", default=None)
     p.add_argument("--dry", action="store_true")
     args = p.parse_args(argv)
 
     fmt = "csv" if args.csv else "json" if args.json else "parquet"
     dims = {
-        k: [v] for k, v in
+        k: v for k, v in
         dict(contract=args.contract, address=args.address,
              call_data=args.call_data, slot=args.slot).items()
         if v is not None
@@ -389,6 +434,7 @@ def main(argv: list[str] | None = None) -> int:
         columns=args.columns, include_columns=args.include_columns,
         exclude_columns=args.exclude_columns, u256_types=args.u256_types,
         exclude_failed=args.exclude_failed, reorg_buffer=args.reorg_buffer,
+        partition_by=args.partition_by,
         **dims,
     )
     print(f"completed: {summary['n_completed']}, skipped: {summary['n_skipped']}")

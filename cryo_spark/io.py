@@ -26,13 +26,14 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cryo_spark.plan import BlockChunk
 from cryo_spark.schemas import get_spec
 
 CHUNK_COL = "__chunk__"
+LABEL_COL = "__label__"
 
 
 @dataclass
@@ -64,20 +65,29 @@ class FileOutput:
 
 
 def plan_chunk_paths(
-    sink: FileOutput, datatype: str, chunks: list[BlockChunk]
-) -> tuple[list[tuple[BlockChunk, str]], list[str]]:
+    sink: FileOutput,
+    datatype: str,
+    chunks: list[BlockChunk],
+    labels: list[str] | None = None,
+) -> tuple[list[tuple[str | None, BlockChunk, str]], list[str]]:
     """(todo, skipped): skip-existing unless overwrite (freeze.rs:93-109).
-    Raises on path collisions (freeze.rs:101-109)."""
-    paths = [(c, sink.path_for(datatype, c.stub())) for c in chunks]
-    seen: dict[str, BlockChunk] = {}
-    for c, p in paths:
+    Raises on path collisions (freeze.rs:101-109). With ``labels``
+    (partition-by dim stubs, C3) the plan is the (label × chunk)
+    product, label prepended to the chunk stub in the filename."""
+    paths = [
+        (lbl, c, sink.path_for(datatype, c.stub() if lbl is None else f"{lbl}__{c.stub()}"))
+        for lbl in (labels if labels is not None else [None])
+        for c in chunks
+    ]
+    seen: set[str] = set()
+    for _, _, p in paths:
         if p in seen:
             raise ValueError(f"output path collision: {p}")
-        seen[p] = c
+        seen.add(p)
     if sink.overwrite:
         return paths, []
-    todo = [(c, p) for c, p in paths if not os.path.exists(p)]
-    skipped = [p for c, p in paths if os.path.exists(p)]
+    todo = [(lbl, c, p) for lbl, c, p in paths if not os.path.exists(p)]
+    skipped = [p for _, _, p in paths if os.path.exists(p)]
     return todo, skipped
 
 
@@ -155,14 +165,30 @@ def write_chunked(
     chunks: list[BlockChunk],
     sink: FileOutput,
     sort: bool = True,
+    label_expr: Column | None = None,
+    labels: list[str] | None = None,
 ) -> dict:
     """One job: filter to chunks, tag rows with chunk id, repartition
     by it, sort within partitions, partitioned write, rename part
-    files to cryo names. Returns summary dict."""
-    todo, skipped = plan_chunk_paths(sink, datatype, chunks)
+    files to cryo names. Returns summary dict.
+
+    ``label_expr``/``labels`` implement partition-by dims (reference
+    C3, partitions.rs:290-337): ``label_expr`` computes each row's dim
+    stub (e.g. first-8-hex-chars of the address), ``labels`` lists
+    every expected stub; output is one file per (label, chunk), still
+    a single job via a two-level partitioned write."""
+    if (label_expr is None) != (labels is None):
+        raise ValueError("label_expr and labels must be passed together")
+    todo, skipped = plan_chunk_paths(sink, datatype, chunks, labels)
     if not todo:
         return {"completed_paths": [], "skipped_paths": skipped, "n_rows": 0}
-    todo_chunks = [c for c, _ in todo]
+    # a chunk is recomputed if ANY of its labels is missing; rows for
+    # already-written (label, chunk) files land in staging and are
+    # simply not renamed (skip-existing never overwrites)
+    todo_chunks = sorted(
+        {id(c): c for _, c, _ in todo}.values(), key=lambda c: c.min_value()
+    )
+    chunk_index = {id(c): i for i, c in enumerate(todo_chunks)}
 
     spec = get_spec(datatype)
     staging = os.path.join(
@@ -171,11 +197,17 @@ def write_chunked(
     out = (
         df.filter(block_filter(todo_chunks))
         .withColumn(CHUNK_COL, _chunk_id_expr(todo_chunks))
-        .repartition(max(len(todo_chunks), 1), F.col(CHUNK_COL))
+    )
+    part_cols = [CHUNK_COL]
+    if label_expr is not None:
+        out = out.withColumn(LABEL_COL, label_expr)
+        part_cols = [LABEL_COL, CHUNK_COL]
+    out = out.repartition(
+        max(len(todo), 1), *[F.col(c) for c in part_cols]
     )
     if sort and all(c in df.columns for c in spec.sort):
-        out = out.sortWithinPartitions(CHUNK_COL, *spec.sort)
-    writer = out.write.mode("overwrite").partitionBy(CHUNK_COL)
+        out = out.sortWithinPartitions(*part_cols, *spec.sort)
+    writer = out.write.mode("overwrite").partitionBy(*part_cols)
     if sink.format == "parquet":
         writer.parquet(staging)
     elif sink.format == "csv":
@@ -188,11 +220,15 @@ def write_chunked(
     ext = {"parquet": "parquet", "csv": "csv", "json": "json"}[sink.format]
     completed: list[str] = []
     n_rows = 0
-    for i, (chunk, final_path) in enumerate(todo):
+    for label, chunk, final_path in todo:
+        i = chunk_index[id(chunk)]
         os.makedirs(os.path.dirname(final_path), exist_ok=True)
-        parts = sorted(
-            glob.glob(os.path.join(staging, f"{CHUNK_COL}={i}", f"part-*.{ext}*"))
+        part_dir = (
+            os.path.join(staging, f"{CHUNK_COL}={i}")
+            if label is None
+            else os.path.join(staging, f"{LABEL_COL}={label}", f"{CHUNK_COL}={i}")
         )
+        parts = sorted(glob.glob(os.path.join(part_dir, f"part-*.{ext}*")))
         if not parts:
             # chunk had zero rows: write an empty single-part file so
             # skip-existing stays idempotent

@@ -300,3 +300,38 @@ def test_freeze_subdirs_and_suffix(spark, tmp_path):
     )
     p = sink.path_for("blocks", "00000000_to_00000999")
     assert p.endswith("blocks__v2/ethereum__blocks__v2__00000000_to_00000999.parquet")
+
+
+def test_freeze_partition_by_address(spark, tmp_path, fixtures_dir):
+    """C3 partition-by dims (partitions.rs:290-337): one output file
+    per dim value per chunk, labeled with the first-8-hex-char stub,
+    written in a single two-level partitioned job."""
+    logs = spark.read.parquet(os.path.join(fixtures_dir, "fixture_logs.parquet"))
+    addrs = [
+        bytes(r["address"])
+        for r in logs.select("address").distinct().orderBy("address").limit(2).collect()
+    ]
+    out = str(tmp_path / "pb")
+    summary = api.freeze(
+        spark, "logs", output_dir=out, blocks="0:1000", chunk_size=500,
+        address=addrs, partition_by=["address"],
+    )
+    assert summary["n_completed"] == 4  # 2 addresses x 2 chunks
+    for a in addrs:
+        stub = ("0x" + a.hex())[:8]
+        paths = [p for p in summary["completed_paths"] if f"__{stub}__" in p]
+        assert len(paths) == 2, summary["completed_paths"]
+        for p in paths:
+            got = spark.read.parquet(p)
+            vals = {bytes(r["address"]) for r in got.select("address").collect()}
+            assert vals <= {a}  # only this address (empty chunk allowed)
+    # total rows = plain dim-filtered freeze row count
+    expect = api.collect(spark, "logs", blocks="0:1000", address=addrs).count()
+    assert summary["n_rows"] == expect
+
+    # skip-existing applies per (label, chunk) file
+    again = api.freeze(
+        spark, "logs", output_dir=out, blocks="0:1000", chunk_size=500,
+        address=addrs, partition_by=["address"],
+    )
+    assert again["n_completed"] == 0 and again["n_skipped"] == 4
