@@ -335,3 +335,19 @@ def test_freeze_partition_by_address(spark, tmp_path, fixtures_dir):
         address=addrs, partition_by=["address"],
     )
     assert again["n_completed"] == 0 and again["n_skipped"] == 4
+
+
+def test_chunk_ordering():
+    """O2: normal / reverse / seeded-random chunk processing order
+    (cli/parse/partitions.rs:110-123)."""
+    chunks = plan.subchunk_by_size([plan.BlockChunk(start=0, end=999)], 100)
+    starts = [c.start for c in chunks]
+    assert [c.start for c in plan.order_chunks(chunks, "normal")] == starts
+    assert [c.start for c in plan.order_chunks(chunks, "reverse")] == starts[::-1]
+    r1 = [c.start for c in plan.order_chunks(chunks, "random")]
+    r2 = [c.start for c in plan.order_chunks(chunks, "random")]
+    assert r1 == r2 and sorted(r1) == starts and r1 != starts
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        plan.order_chunks(chunks, "zigzag")
