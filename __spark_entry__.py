@@ -285,6 +285,42 @@ ASOF LEFT JOIN (
 """
 
 
+def q_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (skew tool for power-law keys):
+    identical results to a plain groupBy — verified against the plain
+    DuckDB aggregate."""
+    from cryo_spark.operators.skew import salted_agg
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_d", F.col("value").cast("decimal(18,6)")
+    )
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("event_type", "count"),
+            "sum_value": ("value_d", "sum"),
+            "max_value": ("value_d", "max"),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("decimal(38,6)").alias("sum_value"),
+        F.col("max_value").cast("decimal(18,6)").alias("max_value"),
+    )
+
+
+def oracle_salted_event_totals() -> str:
+    return """
+SELECT event_type, count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value,
+  CAST(max(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_part_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup (multi-level aggregate; grouping-set surface Spark
     provides beyond the reference)."""
@@ -354,6 +390,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = multimodal.synthetic_media(spark, n=64)
     return multimodal.extract_features(media).drop("feature")
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one row fans out to N frame rows via
+    mapInPandas (rows-only check; frame bytes are engine-specific)."""
+    from cryo_spark.operators import multimodal
+
+    media = multimodal.synthetic_media(spark, n=64)
+    return multimodal.sample_frames(media, interval_ms=60_000, max_frames=8).drop("frame")
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,6 +498,7 @@ GENERIC = {
     ),
     "region_nation_names": (q_region_nation_names, oracle_region_nation_names),
     "part_type_rollup": (q_part_type_rollup, oracle_part_type_rollup),
+    "salted_event_totals": (q_salted_event_totals, oracle_salted_event_totals),
     "orders_asof_events": (q_orders_asof_events, oracle_orders_asof_events),
     "llm_word_stats": (q_word_stats, lambda: text.word_stats_sql("documents")),
     "llm_lang_id": (q_lang_id, lambda: text.lang_id_sql("documents")),
@@ -482,6 +528,7 @@ NO_ORACLE = {
     "llm_simhash": q_simhash,
     "llm_simhash_near_dups": q_simhash_near_dups,
     "llm_multimodal_features": q_multimodal_features,
+    "llm_multimodal_frames": q_multimodal_frames,
 }
 
 
