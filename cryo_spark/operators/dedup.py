@@ -169,7 +169,15 @@ def ngram_jaccard(
     routed through the pair list; |AvB| = |A|+|B|-|A^B|. All joins
     are key-equality shuffles bounded by candidate bucket sizes."""
     sh = shingles if shingles is not None else shingle_rows(df, text_col, n, id_col)
-    sh = sh.distinct()
+    # only docs that appear in a candidate pair matter: semi-join
+    # prune before the distinct/size shuffles (candidates are a tiny
+    # fraction of the corpus after LSH — AQE broadcasts the id list)
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = sh.join(ids, id_col, "left_semi").distinct()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     inter = (
         pairs.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
