@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from cryo_spark.datasets import ORACLES, TRANSFORMS
 from cryo_spark.fixtures import default_fixtures_dir, generate
-from cryo_spark.operators import dedup, similarity, text
+from cryo_spark.operators import corpus, dedup, similarity, text
 
 FIXTURES_DIR = default_fixtures_dir()
 
@@ -346,6 +346,12 @@ FROM part GROUP BY ROLLUP (p_brand)
 # LLM-pipeline operators over documents / embeddings
 # --------------------------------------------------------------------------
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pretraining clean: quality + language + exact-dedup +
+    token accounting in one plan (one projection + one shuffle)."""
+    return corpus.clean_corpus(_read(spark, sf_dir, "documents"))
+
+
 def q_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.word_stats(_read(spark, sf_dir, "documents"))
 
@@ -504,6 +510,9 @@ GENERIC = {
     "part_type_rollup": (q_part_type_rollup, oracle_part_type_rollup),
     "salted_event_totals": (q_salted_event_totals, oracle_salted_event_totals),
     "orders_asof_events": (q_orders_asof_events, oracle_orders_asof_events),
+    "llm_clean_corpus": (
+        q_clean_corpus, lambda: corpus.clean_corpus_sql("documents")
+    ),
     "llm_word_stats": (q_word_stats, lambda: text.word_stats_sql("documents")),
     "llm_lang_id": (q_lang_id, lambda: text.lang_id_sql("documents")),
     "llm_fingerprint": (q_fingerprint, lambda: text.fingerprint_sql("documents")),

@@ -40,6 +40,7 @@ HEADLINE = [
     "events_hourly",
     "orders_asof_events",
     # LLM-pipeline operators (scale with sf)
+    "llm_clean_corpus",
     "llm_word_stats",
     "llm_lang_id",
     "llm_exact_dedup",

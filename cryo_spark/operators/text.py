@@ -91,11 +91,10 @@ FROM {table}
 """
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-vote language guess (deterministic heuristic,
-    SURVEY-extension operator). Returns doc_id, lang_guess, lang_score
-    (hits of the winning language)."""
-    df = spread(df)
+def lang_best_expr(text_col: str = "text") -> Column:
+    """struct(score, lang) of the winning stopword-vote language —
+    deterministic argmax: highest score, ties broken by lang desc
+    (array_max on the struct ordering)."""
     lower = F.lower(F.col(text_col))
     padded = F.concat(F.lit(" "), lower, F.lit(" "))
     scores = []
@@ -105,8 +104,15 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             hit = F.size(F.split(padded, f" {w} ")) - 1
             s = hit if s is None else s + hit
         scores.append(F.struct(s.cast("long").alias("score"), F.lit(lang).alias("lang")))
-    # deterministic argmax: highest score, ties broken by lang asc
-    best = F.array_max(F.array(*scores))
+    return F.array_max(F.array(*scores))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language guess (deterministic heuristic,
+    SURVEY-extension operator). Returns doc_id, lang_guess, lang_score
+    (hits of the winning language)."""
+    df = spread(df)
+    best = lang_best_expr(text_col)
     return df.select(
         "doc_id",
         best["lang"].alias("lang_guess"),
@@ -140,13 +146,18 @@ FROM ({union}) GROUP BY doc_id
 BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 
 
+def bpe_pieces_expr(text_col: str = "text") -> Column:
+    """array<string> of BPE pretokenizer pieces (JVM regex)."""
+    return F.expr(f"regexp_extract_all({text_col}, \"{BPE_PATTERN}\", 0)")
+
+
 def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """BPE-ish token count: number of pretokenizer pieces (the
     dominant cost driver for LLM training budgets). JVM-side
     regexp_extract_all — no Python."""
     df = spread(df)
     c = F.col(text_col)
-    pieces = F.expr(f"regexp_extract_all({text_col}, \"{BPE_PATTERN}\", 0)")
+    pieces = bpe_pieces_expr(text_col)
     return df.select(
         "doc_id",
         F.size(pieces).cast("long").alias("n_bpe_tokens"),
@@ -166,14 +177,9 @@ FROM {table}
 """
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Composite document-quality score in [0,1] from length,
-    stopword density and symbol noise (the usual pretraining-filter
-    heuristics: C4/Gopher-style rules, expressed as one projection).
-
-    score = 0.4*length_ok + 0.3*stopword_ok + 0.3*(1 - punct_noise)
-    """
-    df = spread(df)
+def quality_score_expr(text_col: str = "text") -> Column:
+    """The composite quality score expression in [0,1]:
+    0.4*length_ok + 0.3*stopword_ok + 0.3*(1 - punct_noise)."""
     c = F.col(text_col)
     n_chars = F.length(c)
     n_tokens = token_count(c)
@@ -190,7 +196,18 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct_noise = F.least(
         non_alnum / F.greatest(n_chars.cast("double") * 0.25, F.lit(1.0)), F.lit(1.0)
     )
-    score = 0.4 * length_ok + 0.3 * stopword_ok + 0.3 * (1 - punct_noise)
+    return 0.4 * length_ok + 0.3 * stopword_ok + 0.3 * (1 - punct_noise)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite document-quality score in [0,1] from length,
+    stopword density and symbol noise (the usual pretraining-filter
+    heuristics: C4/Gopher-style rules, expressed as one projection).
+
+    score = 0.4*length_ok + 0.3*stopword_ok + 0.3*(1 - punct_noise)
+    """
+    df = spread(df)
+    score = quality_score_expr(text_col)
     return df.select(
         "doc_id",
         F.round(score, 6).alias("quality_score"),

@@ -258,3 +258,21 @@ def test_multimodal_frame_sampling(spark):
         assert all(f["ts_ms"] == f["frame_index"] * 1000 for f in fr)
         # frames are distinct and deterministic per (payload, index)
         assert len({bytes(f["frame"]) for f in fr}) == expect
+
+
+def test_clean_corpus_oracle_and_plan(spark, docs):
+    from cryo_spark.operators import corpus
+
+    out = corpus.clean_corpus(docs)
+    r = compare(out, corpus.clean_corpus_sql(_docs_rel()), "clean_corpus")
+    assert r["match"], r["detail"]
+    # the composed pipeline must stay one projection + one shuffle:
+    # feature extraction fuses into the scan, dedup is the only
+    # exchange (count only the AQE final plan, not the initial echo)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+    # kept docs are unique, above threshold, and tagged with features
+    rows = out.collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})
+    assert all(r["quality_score"] >= 0.5 and r["n_bpe_tokens"] > 0 for r in rows)
