@@ -231,10 +231,15 @@ def collect(
     sort: bool = True,
     latest: int | None = None,
     fixtures_dir: str | None = None,
+    output_format: str = "spark",
     **dims,
 ) -> DataFrame:
     """Collect one dataset as a DataFrame (reference `cryo.collect`;
-    single partition semantics — _collect.py:66-67 forces one chunk)."""
+    single partition semantics — _collect.py:66-67 forces one chunk).
+
+    ``output_format`` mirrors _collect.py:72-82: 'spark' (the native
+    frame, reference 'polars' analog), 'pandas', 'list' (row dicts),
+    'dict' (column lists)."""
     if blocks is None and start_block is not None:
         blocks = f"{start_block}:{end_block if end_block is not None else ''}"
     if timestamps is not None:
@@ -272,7 +277,16 @@ def collect(
         keys = [c for c in spec.sort if c in df.columns]
         if keys:
             df = df.orderBy(*keys)
-    return df
+    if output_format == "spark":
+        return df
+    pdf = df.toPandas()  # Arrow path (session enables arrow.pyspark)
+    if output_format == "pandas":
+        return pdf
+    if output_format == "list":
+        return pdf.to_dict(orient="records")
+    if output_format == "dict":
+        return pdf.to_dict(orient="list")
+    raise ValueError("output_format must be spark|pandas|list|dict")
 
 
 def freeze(
@@ -301,6 +315,7 @@ def freeze(
     fixtures_dir: str | None = None,
     report: bool = True,
     partition_by: list[str] | None = None,
+    timestamps: str | int | None = None,
     **dims,
 ) -> dict:
     """Freeze datasets to chunked files (reference `cryo.freeze` /
@@ -312,11 +327,15 @@ def freeze(
         datatypes = [datatypes]
     # CSV/JSON force hex rendering of binary (cli/parse/schemas.rs:37-40)
     hex = hex or file_format in ("csv", "json")
-    chunks = (
-        cplan.parse_block_inputs(blocks, latest)
-        if blocks is not None
-        else [cplan.BlockChunk(start=0, end=(latest if latest is not None else 999))]
-    )
+    if timestamps is not None:
+        from cryo_spark import timestamps as cts
+
+        blocks_table = TRANSFORMS["blocks"](spark, fixtures_dir)
+        chunks = cts.parse_timestamp_inputs(timestamps, blocks_table)
+    elif blocks is not None:
+        chunks = cplan.parse_block_inputs(blocks, latest)
+    else:
+        chunks = [cplan.BlockChunk(start=0, end=(latest if latest is not None else 999))]
     if reorg_buffer and latest is not None:
         chunks = cplan.apply_reorg_buffer(chunks, latest, reorg_buffer)
     if align:
@@ -404,6 +423,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--call-data", dest="call_data", nargs="+", default=None)
     p.add_argument("--slot", nargs="+", default=None)
     p.add_argument("--partition-by", nargs="+", default=None)
+    p.add_argument("--timestamps", default=None)
     p.add_argument("--dry", action="store_true")
     args = p.parse_args(argv)
 
@@ -434,7 +454,7 @@ def main(argv: list[str] | None = None) -> int:
         columns=args.columns, include_columns=args.include_columns,
         exclude_columns=args.exclude_columns, u256_types=args.u256_types,
         exclude_failed=args.exclude_failed, reorg_buffer=args.reorg_buffer,
-        partition_by=args.partition_by,
+        partition_by=args.partition_by, timestamps=args.timestamps,
         **dims,
     )
     print(f"completed: {summary['n_completed']}, skipped: {summary['n_skipped']}")

@@ -351,3 +351,43 @@ def test_chunk_ordering():
 
     with _pytest.raises(ValueError):
         plan.order_chunks(chunks, "zigzag")
+
+
+def test_collect_output_formats(spark):
+    """output_format parity with the reference (_collect.py:72-82):
+    pandas / list-of-row-dicts / dict-of-column-lists."""
+    import pandas as pd
+
+    pdf = api.collect(
+        spark, "blocks", blocks="0:10",
+        columns=["block_number", "gas_used"], output_format="pandas",
+    )
+    assert isinstance(pdf, pd.DataFrame) and list(pdf.columns) == ["block_number", "gas_used"]
+    rows = api.collect(
+        spark, "blocks", blocks="0:10",
+        columns=["block_number"], output_format="list",
+    )
+    assert rows[0] == {"block_number": 0} and len(rows) == 10
+    cols = api.collect(
+        spark, "blocks", blocks="0:3",
+        columns=["block_number"], output_format="dict",
+    )
+    assert cols == {"block_number": [0, 1, 2]}
+    with pytest.raises(ValueError):
+        api.collect(spark, "blocks", blocks="0:1", output_format="polars")
+
+
+def test_freeze_timestamps(spark, tmp_path):
+    """freeze accepts timestamp ranges resolved against the landed
+    blocks table (C6), same as collect."""
+    blocks = api.collect(spark, "blocks", blocks="0:1000", columns=["block_number", "timestamp"])
+    t0 = blocks.orderBy("block_number").collect()[100]["timestamp"]
+    t1 = blocks.orderBy("block_number").collect()[300]["timestamp"]
+    summary = api.freeze(
+        spark, "blocks", output_dir=str(tmp_path / "ts"),
+        timestamps=f"{t0}:{t1}", chunk_size=1000, report=False,
+    )
+    expected = blocks.filter(
+        (F.col("timestamp") >= t0) & (F.col("timestamp") < t1)
+    ).count()
+    assert summary["n_rows"] == expected
