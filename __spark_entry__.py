@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cryo_spark import contract
 from cryo_spark.datasets import ORACLES, TRANSFORMS
 from cryo_spark.fixtures import default_fixtures_dir, generate
 from cryo_spark.operators import corpus, dedup, similarity, text
@@ -480,6 +481,16 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # the contract
 # --------------------------------------------------------------------------
+#
+# Every driver-facing query passes through contract.canon_df /
+# contract.canon_sql: binary columns render as 0x-hex strings (the
+# reference's own hex output rendering, crates/cli/src/parse/
+# schemas.rs:37-40) and decimal columns as exact decimal strings, so
+# the driver's pandas canonicalizer sees hashable, engine-identical
+# values on both sides. Related datasets share one merged entry
+# (contract.MERGED), mirroring the reference's MultiDatatype groups
+# (crates/freeze/src/types/datatypes/multi.rs), keeping the contract
+# at <= 50 entries — the driver's scoring window.
 
 def _chain_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,9 +498,76 @@ def _chain_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
         df = TRANSFORMS[name](spark, FIXTURES_DIR)
         for c in DROP_FOR_ORACLE.get(name, []):
             df = df.drop(c)
-        return df
+        return contract.canon_df(df)
 
     return run
+
+
+def _merged_query(group: str) -> Callable[[SparkSession, str], DataFrame]:
+    spec = contract.MERGED[group]
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        generate(FIXTURES_DIR)
+        out = None
+        for part, mapping in spec["parts"].items():
+            df = contract.merged_part_df(
+                TRANSFORMS[part](spark, FIXTURES_DIR), part, mapping, spec["cols"]
+            )
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    return run
+
+
+#: datasets that keep an individual contract entry
+SOLO_DATASETS = [n for n in sorted(TRANSFORMS) if n not in contract.MERGED_MEMBERS]
+
+
+def _dataset_oracles() -> dict[str, str]:
+    """Canonicalized DuckDB SQL for every dataset entry. Output types
+    are introspected via DESCRIBE so the canon wrapper never drifts
+    from the oracle's actual schema."""
+    import duckdb
+
+    generate(FIXTURES_DIR)
+    con = duckdb.connect()
+    out: dict[str, str] = {}
+    for name in SOLO_DATASETS:
+        sql = ORACLES[name](FIXTURES_DIR)
+        out[f"dataset_{name}"] = contract.canon_sql(
+            sql, contract.duck_output_types(con, sql)
+        )
+    for group, spec in contract.MERGED.items():
+        parts = []
+        for part, mapping in spec["parts"].items():
+            sql = ORACLES[part](FIXTURES_DIR)
+            parts.append(contract.merged_part_sql(
+                sql, part, mapping, spec["cols"],
+                contract.duck_output_types(con, sql),
+            ))
+        out[f"dataset_{group}"] = "\nUNION ALL\n".join(parts)
+    con.close()
+    return out
+
+
+def _generic_oracles() -> dict[str, str]:
+    """Canonicalized SQL for the generic/LLM entries. DESCRIBE runs
+    against sf0.01 views (types are sf-independent)."""
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.01"
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    out: dict[str, str] = {}
+    for name, (_, sql_fn) in GENERIC.items():
+        sql = sql_fn()
+        out[name] = contract.canon_sql(sql, contract.duck_output_types(con, sql))
+    con.close()
+    return out
 
 
 GENERIC = {
@@ -545,20 +623,27 @@ NO_ORACLE = {
 }
 
 
+def _canon_generic(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return contract.canon_df(fn(spark, sf_dir))
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in sorted(TRANSFORMS):
-        out[f"dataset_{name}"] = _chain_query(name)
     for name, (fn, _) in GENERIC.items():
-        out[name] = fn
-    out.update(NO_ORACLE)
+        out[name] = _canon_generic(fn)
+    for name, fn in NO_ORACLE.items():
+        out[name] = _canon_generic(fn)
+    for name in SOLO_DATASETS:
+        out[f"dataset_{name}"] = _chain_query(name)
+    for group in contract.MERGED:
+        out[f"dataset_{group}"] = _merged_query(group)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for name in sorted(TRANSFORMS):
-        out[f"dataset_{name}"] = ORACLES[name](FIXTURES_DIR)
-    for name, (_, sql) in GENERIC.items():
-        out[name] = sql()
+    out = _generic_oracles()
+    out.update(_dataset_oracles())
     return out

@@ -25,8 +25,9 @@ HEADLINE = [
     # reference-surface datasets (chain fixtures, fixed size)
     "dataset_transactions",
     "dataset_logs",
-    "dataset_erc20_transfers",
+    "dataset_token_transfers",
     "dataset_native_transfers",
+    "dataset_state_diffs",
     "dataset_contracts",
     "dataset_address_appearances",
     "dataset_four_byte_counts",
