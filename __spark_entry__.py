@@ -523,6 +523,30 @@ def _merged_query(group: str) -> Callable[[SparkSession, str], DataFrame]:
 SOLO_DATASETS = [n for n in sorted(TRANSFORMS) if n not in contract.MERGED_MEMBERS]
 
 
+def q_transactions_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full collect() API path (reference cryo.collect parity):
+    block-range chunks, all columns, u256 expansion into the default
+    representation set (value_binary/_string/_f64), dataset sort."""
+    from cryo_spark import api
+
+    generate(FIXTURES_DIR)
+    return api.collect(
+        spark, "transactions", blocks="0:1000", columns=["all"],
+        fixtures_dir=FIXTURES_DIR,
+    )
+
+
+def oracle_transactions_collect() -> str:
+    from cryo_spark.schemas import get_spec
+
+    spec = get_spec("transactions")
+    return contract.expand_u256_sql(
+        ORACLES["transactions"](FIXTURES_DIR),
+        spec.column_names(),
+        [c.name for c in spec.columns if c.ctype == "u256"],
+    )
+
+
 def _dataset_oracles() -> dict[str, str]:
     """Canonicalized DuckDB SQL for every dataset entry. Output types
     are introspected via DESCRIBE so the canon wrapper never drifts
@@ -532,6 +556,10 @@ def _dataset_oracles() -> dict[str, str]:
     generate(FIXTURES_DIR)
     con = duckdb.connect()
     out: dict[str, str] = {}
+    sql = oracle_transactions_collect()
+    out["dataset_transactions_collect"] = contract.canon_sql(
+        sql, contract.duck_output_types(con, sql)
+    )
     for name in SOLO_DATASETS:
         sql = ORACLES[name](FIXTURES_DIR)
         out[f"dataset_{name}"] = contract.canon_sql(
@@ -636,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _canon_generic(fn)
     for name, fn in NO_ORACLE.items():
         out[name] = _canon_generic(fn)
+    out["dataset_transactions_collect"] = _canon_generic(q_transactions_collect)
     for name in SOLO_DATASETS:
         out[f"dataset_{name}"] = _chain_query(name)
     for group in contract.MERGED:

@@ -336,14 +336,24 @@ def freeze(
         chunks = cplan.parse_block_inputs(blocks, latest)
     else:
         chunks = [cplan.BlockChunk(start=0, end=(latest if latest is not None else 999))]
-    if reorg_buffer and latest is not None:
-        chunks = cplan.apply_reorg_buffer(chunks, latest, reorg_buffer)
+    # align -> subchunk -> reorg buffer, the reference's postprocess
+    # order (blocks.rs:107-127): the buffer drops whole tip CHUNKS
     if align:
         chunks = [a for c in chunks if (a := cplan.align_chunk(c, chunk_size))]
     if n_chunks:
         chunks = cplan.subchunk_by_count(chunks, n_chunks)
     else:
         chunks = cplan.subchunk_by_size(chunks, chunk_size)
+    if reorg_buffer:
+        # the reference always resolves the chain tip for the buffer
+        # (blocks.rs:368-374); offline the tip is the max landed block
+        if latest is None:
+            from pyspark.sql import functions as F
+
+            latest = TRANSFORMS["blocks"](spark, fixtures_dir).agg(
+                F.max("block_number")
+            ).first()[0]
+        chunks = cplan.apply_reorg_buffer(chunks, latest, reorg_buffer)
     chunks = cplan.order_chunks(chunks, chunk_order)
 
     q = cplan.Query(

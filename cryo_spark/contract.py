@@ -182,6 +182,21 @@ MERGED: dict[str, dict[str, object]] = {
             "erc20_supplies": {"value": "total_supply"},
         },
     },
+    "geth_tracers": {
+        "cols": [
+            ("block_number", "long"), ("transaction_index", "long"),
+            ("transaction_hash", "str"), ("trace_address", "str"),
+            ("depth", "long"), ("error", "str"), ("gas", "long"),
+            ("gas_cost", "long"), ("op", "str"), ("pc", "long"),
+            ("refund_counter", "long"), ("memory", "str"), ("stack", "str"),
+            ("storage", "str"), ("return_data", "str"), ("output", "str"),
+            ("chain_id", "long"),
+        ],
+        "parts": {
+            "geth_opcodes": {},
+            "javascript_traces": {},
+        },
+    },
     "token_transfers": {
         "cols": [
             ("block_number", "long"), ("block_hash", "str"),
@@ -202,6 +217,27 @@ MERGED: dict[str, dict[str, object]] = {
 MERGED_MEMBERS = {
     m for g in MERGED.values() for m in g["parts"]  # type: ignore[union-attr]
 }
+
+
+def expand_u256_sql(inner_sql: str, cols: list[str], u256_cols: list[str]) -> str:
+    """DuckDB mirror of schema_select.u256_view_cols for the default
+    representation set (_binary/_string/_f64): wraps a logical-form
+    oracle whose u256 columns are 32-byte blobs. _f64 casts through
+    VARCHAR so rounding matches Spark's string->double. Exact for
+    fixture-scale values (< 1e38 — DuckDB decimal cap; wider values
+    are covered by Spark-side known-answer unit tests)."""
+    from cryo_spark.oracle import be_uint_sql
+
+    exprs: list[str] = []
+    for c in cols:
+        if c in u256_cols:
+            dec = be_uint_sql(f'"{c}"')
+            exprs.append(f'"{c}" AS "{c}_binary"')
+            exprs.append(f'CAST({dec} AS VARCHAR) AS "{c}_string"')
+            exprs.append(f'CAST(CAST({dec} AS VARCHAR) AS DOUBLE) AS "{c}_f64"')
+        else:
+            exprs.append(f'"{c}"')
+    return f"SELECT {', '.join(exprs)} FROM ({inner_sql}) __u256"
 
 
 def _str_col(col: Column, dtype: T.DataType) -> Column:

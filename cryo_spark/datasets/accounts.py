@@ -178,14 +178,15 @@ def oracle_erc20_metadata(fixtures_dir: str) -> str:
 def transform_erc20_supplies(spark: SparkSession, fixtures_dir: str | None = None) -> DataFrame:
     return _calls_for(spark, fixtures_dir, SELECTORS["total_supply"]).select(
         "block_number", F.col("contract").alias("erc20"),
-        be_uint("output").alias("total_supply"), "chain_id",
+        # the 32-byte return word is the exact u256 carrier
+        F.col("output").alias("total_supply"), "chain_id",
     )
 
 
 def oracle_erc20_supplies(fixtures_dir: str) -> str:
     return (
         "SELECT block_number, contract AS erc20, "
-        f"{be_uint_sql('output')} AS total_supply, chain_id "
+        "output AS total_supply, chain_id "
         f"FROM {fixture_rel(fixtures_dir, 'fixture_calls')} "
         f"WHERE hex({blob_slice_sql('call_data', 1, 4)}) = upper('{SELECTORS['total_supply']}')"
     )
@@ -195,7 +196,7 @@ def transform_erc20_balances(spark: SparkSession, fixtures_dir: str | None = Non
     return _calls_for(spark, fixtures_dir, SELECTORS["balance_of"]).select(
         "block_number", F.col("contract").alias("erc20"),
         F.substring("call_data", 17, 20).alias("address"),
-        be_uint("output").alias("balance"), "chain_id",
+        F.col("output").alias("balance"), "chain_id",
     )
 
 
@@ -203,7 +204,7 @@ def oracle_erc20_balances(fixtures_dir: str) -> str:
     return (
         "SELECT block_number, contract AS erc20, "
         f"{blob_slice_sql('call_data', 17, 20)} AS address, "
-        f"{be_uint_sql('output')} AS balance, chain_id "
+        "output AS balance, chain_id "
         f"FROM {fixture_rel(fixtures_dir, 'fixture_calls')} "
         f"WHERE hex({blob_slice_sql('call_data', 1, 4)}) = upper('{SELECTORS['balance_of']}')"
     )

@@ -88,21 +88,19 @@ WHERE action_type != 'reward'
 # geth_*_diffs — prestate+diff tracer explode (geth_state_diffs.rs:104+)
 # --------------------------------------------------------------------------
 
+# balance keeps the 32-byte u256 word (exact carrier); only u64
+# values (nonces) decode to integers here
 _VALUE_KINDS = {"balance": "u256", "nonce": "u64", "code": "bin", "storage": "bin"}
 
 
 def _convert(colname: str, how: str):
     c = F.col(colname)
-    if how == "u256":
-        return be_uint(c)
     if how == "u64":
         return be_uint(c).cast("long")
     return c
 
 
 def _convert_sql(expr: str, how: str) -> str:
-    if how == "u256":
-        return be_uint_sql(expr)
     if how == "u64":
         return f"CAST({be_uint_sql(expr)} AS BIGINT)"
     return expr
@@ -189,15 +187,18 @@ def oracle_javascript_traces(fixtures_dir: str) -> str:
 # --------------------------------------------------------------------------
 
 def transform_trace_calls(spark: SparkSession, fixtures_dir: str | None = None) -> DataFrame:
+    from cryo_spark.functions import u256_string_udf
+
     df = raw(spark, "trace_calls", fixtures_dir).withColumn(
-        "action_value", F.col("action_value").cast("string")
+        "action_value", u256_string_udf(F.col("action_value"))
     )
     return _ordered(df, "trace_calls")
 
 
 def oracle_trace_calls(fixtures_dir: str) -> str:
     cols = ", ".join(
-        "CAST(action_value AS VARCHAR) AS action_value" if c == "action_value" else c
+        f"CAST({be_uint_sql('action_value')} AS VARCHAR) AS action_value"
+        if c == "action_value" else c
         for c in get_spec("trace_calls").column_names()
     )
     return f"SELECT {cols} FROM {fixture_rel(fixtures_dir, 'fixture_trace_calls')}"

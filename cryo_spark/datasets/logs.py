@@ -12,8 +12,9 @@ Spark-first notes:
   data. NOTE the reference's tx-mode erc20 filter checks the
   *Approval* hash (erc20_transfers.rs:101-105) — a known reference
   bug we deliberately do not replicate.
-- topic → address is binary substring (F4), value decode is JVM-side
-  limb arithmetic (functions.be_uint), no UDFs.
+- topic → address is binary substring (F4); u256 values keep their
+  exact 32-byte word (representation columns derive at output via
+  schema_select.u256_view_cols).
 """
 
 from __future__ import annotations
@@ -74,7 +75,10 @@ def _erc20_select(df: DataFrame, contract_col: str) -> DataFrame:
         contract_col: F.col("address").alias(contract_col),
         "from_address": topic_to_address("topic1").alias("from_address"),
         "to_address": topic_to_address("topic2").alias("to_address"),
-        "value": be_uint("data").alias("value"),
+        # the full 32-byte word IS the value (u256 carrier): exact for
+        # max-uint approvals and any amount >= 2^128 (reference stores
+        # exact U256 — erc20_transfers.rs:22,126)
+        "value": F.col("data").alias("value"),
     }
     names = [c if c != "erc20" else contract_col for c in cols]
     return df.select(*[exprs.get(c, F.col(c)) for c in names])
@@ -101,7 +105,9 @@ def transform_erc721_transfers(spark: SparkSession, fixtures_dir: str | None = N
         "erc721": F.col("address").alias("erc721"),
         "from_address": topic_to_address("topic1").alias("from_address"),
         "to_address": topic_to_address("topic2").alias("to_address"),
-        "token_id": be_uint("topic3").alias("token_id"),
+        # hash-derived token ids routinely exceed 2^128: keep the
+        # exact 32-byte word (erc721_transfers.rs:22)
+        "token_id": F.col("topic3").alias("token_id"),
     }
     return df.select(*[exprs.get(c, F.col(c)) for c in cols])
 
@@ -112,7 +118,7 @@ def _erc20_oracle(fixtures_dir: str, sig_hex: str) -> str:
         "erc20": "address AS erc20",
         "from_address": f"{blob_slice_sql('topic1', 13, 20)} AS from_address",
         "to_address": f"{blob_slice_sql('topic2', 13, 20)} AS to_address",
-        "value": f"{be_uint_sql('data')} AS value",
+        "value": "data AS value",
     }
     select = ", ".join(exprs.get(c, c) for c in cols)
     return (
@@ -136,7 +142,7 @@ def oracle_erc721_transfers(fixtures_dir: str) -> str:
         "erc721": "address AS erc721",
         "from_address": f"{blob_slice_sql('topic1', 13, 20)} AS from_address",
         "to_address": f"{blob_slice_sql('topic2', 13, 20)} AS to_address",
-        "token_id": f"{be_uint_sql('topic3')} AS token_id",
+        "token_id": "topic3 AS token_id",
     }
     select = ", ".join(exprs.get(c, c) for c in cols)
     return (
@@ -171,7 +177,7 @@ SELECT {select},
   {blob_slice_sql('topic2', 13, 20)} AS event__to,
   {blob_slice_sql('data', 1, 32)} AS event__value_binary,
   CAST({be_uint_sql('data')} AS VARCHAR) AS event__value_string,
-  CAST({be_uint_sql('data')} AS DOUBLE) AS event__value_f64
+  CAST(CAST({be_uint_sql('data')} AS VARCHAR) AS DOUBLE) AS event__value_f64
 FROM {fixture_rel(fixtures_dir, 'fixture_logs')}
 WHERE hex(topic0) = upper('{TRANSFER_SIG_HEX}')
 """

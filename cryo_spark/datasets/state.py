@@ -18,21 +18,21 @@ from cryo_spark.oracle import be_uint_sql, fixture_rel
 from cryo_spark.schemas import get_spec
 from cryo_spark.sources import raw
 
+# balance values KEEP the canonical 32-byte word (u256 carrier —
+# exact for any on-chain magnitude; representation columns derive at
+# output via schema_select.u256_view_cols). Only u64-typed values
+# (nonces) decode to integers here.
 _VALUE_KINDS = {"balance": "u256", "nonce": "u64", "code": "bin", "storage": "bin"}
 
 
 def _convert(colname: str, how: str):
     c = F.col(colname)
-    if how == "u256":
-        return be_uint(c)
     if how == "u64":
         return be_uint(c).cast("long")
     return c
 
 
 def _convert_sql(expr: str, how: str) -> str:
-    if how == "u256":
-        return be_uint_sql(expr)
     if how == "u64":
         return f"CAST({be_uint_sql(expr)} AS BIGINT)"
     return expr

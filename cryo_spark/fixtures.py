@@ -61,6 +61,15 @@ def _dec38(values: list[int]) -> pa.Array:
     return pa.array(values, type=pa.decimal128(38, 0))
 
 
+def _u256blob(values: list) -> pa.Array:
+    """u256 quantities land as canonical 32-byte big-endian words (the
+    carrier the engine keeps end-to-end; value magnitudes stay below
+    1e38 so the DuckDB oracle's DECIMAL(38,0) decode remains exact)."""
+    return pa.array(
+        [None if v is None else _u256_bytes(v) for v in values], pa.binary()
+    )
+
+
 class FixtureBuilder:
     def __init__(self) -> None:
         self.rng = np.random.default_rng(SEED)
@@ -118,7 +127,7 @@ class FixtureBuilder:
                 "gas_used": pa.array(gas_used),
                 "gas_limit": pa.array(np.full(n, 30_000_000, dtype=np.int64)),
                 "difficulty": pa.array(np.zeros(n, dtype=np.int64)),
-                "total_difficulty": _dec38(total_diff),
+                "total_difficulty": _u256blob(total_diff),
                 "size": pa.array(
                     [int(x) for x in rng.integers(1_000, 100_000, n)],
                     pa.int64(),
@@ -222,7 +231,7 @@ class FixtureBuilder:
                 "nonce": pa.array(rows["nonce"], pa.int64()),
                 "from_address": pa.array(rows["from_address"], pa.binary()),
                 "to_address": pa.array(rows["to_address"], pa.binary()),
-                "value": _dec38(rows["value"]),
+                "value": _u256blob(rows["value"]),
                 "input": pa.array(rows["input"], pa.binary()),
                 "gas_limit": pa.array(rows["gas_limit"], pa.int64()),
                 "gas_used": pa.array(rows["gas_used"], pa.int64()),
@@ -458,7 +467,7 @@ class FixtureBuilder:
                 "action_type": pa.array(rows["action_type"], pa.string()),
                 "action_from": pa.array(rows["action_from"], pa.binary()),
                 "action_to": pa.array(rows["action_to"], pa.binary()),
-                "action_value": _dec38(rows["action_value"]),
+                "action_value": _u256blob(rows["action_value"]),
                 "action_gas": pa.array(rows["action_gas"], pa.int64()),
                 "result_gas_used": pa.array(rows["result_gas_used"], pa.int64()),
                 "action_input": pa.array(rows["action_input"], pa.binary()),
@@ -581,7 +590,7 @@ class FixtureBuilder:
             {
                 "block_number": pa.array(rows["block_number"], pa.int32()),
                 "address": pa.array(rows["address"], pa.binary()),
-                "balance": _dec38(rows["balance"]),
+                "balance": _u256blob(rows["balance"]),
                 "nonce": pa.array(rows["nonce"], pa.int64()),
                 "code": pa.array(rows["code"], pa.binary()),
                 "chain_id": pa.array(rows["chain_id"], pa.int64()),
@@ -846,7 +855,7 @@ class FixtureBuilder:
                 "transaction_index": pa.array(rows["transaction_index"], pa.int32()),
                 "action_from": pa.array(rows["action_from"], pa.binary()),
                 "action_to": pa.array(rows["action_to"], pa.binary()),
-                "action_value": _dec38(rows["action_value"]),
+                "action_value": _u256blob(rows["action_value"]),
                 "action_gas": pa.array(rows["action_gas"], pa.int32()),
                 "action_input": pa.array(rows["action_input"], pa.binary()),
                 "action_call_type": pa.array(rows["action_call_type"], pa.string()),

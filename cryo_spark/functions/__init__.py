@@ -55,6 +55,49 @@ def be_uint(col: Column | str, max_bytes: int = 16) -> Column:
     return total.cast(T.DecimalType(38, 0))
 
 
+@F.pandas_udf(T.StringType())
+def u256_string_udf(s):  # type: ignore[no-untyped-def]
+    """Exact decimal string of a big-endian binary word of any width
+    (reference U256 string representation, u256s.rs to_string). The
+    one place 256-bit exactness genuinely exceeds JVM arithmetic:
+    Arrow-batched, applied only when the _string/_f64 representation
+    is requested. Values >= 2^128 stay exact here (be_uint's
+    decimal(38,0) carrier cannot hold them)."""
+    import pandas as pd
+
+    return pd.Series(
+        [None if b is None else str(int.from_bytes(bytes(b), "big")) for b in s]
+    )
+
+
+def wrap_u64(col: Column | str) -> Column:
+    """Low 8 bytes of a binary word as Spark's signed long — the
+    two's-complement reinterpretation of the reference's
+    wrapping_to::<u64> (u256s.rs:52-54). Pure JVM: conv() of the last
+    16 hex chars, wrapped via decimal(20,0) so values >= 2^63 don't
+    overflow the ANSI long cast."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.right(F.concat(F.lit("0" * 16), F.hex(c)), F.lit(16))
+    w = F.conv(h, 16, 10).cast(T.DecimalType(20, 0))
+    signed = F.when(
+        w >= F.lit(str(1 << 63)).cast(T.DecimalType(20, 0)),
+        w - F.lit(str(1 << 64)).cast(T.DecimalType(21, 0)),
+    ).otherwise(w)
+    return signed.cast("long")
+
+
+def wrap_u32(col: Column | str) -> Column:
+    """Low 4 bytes of a binary word as Spark's signed int
+    (wrapping_to::<u32>, u256s.rs:49-51)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.right(F.concat(F.lit("0" * 8), F.hex(c)), F.lit(8))
+    w = F.conv(h, 16, 10).cast("long")
+    signed = F.when(
+        w >= F.lit(1 << 31), w - F.lit(1 << 32)
+    ).otherwise(w)
+    return signed.cast("int")
+
+
 def count_zero_bytes(col: Column | str) -> Column:
     """Number of 0x00 bytes in a binary column (reference A6,
     datasets/transactions.rs:246-255). Stays JVM-side: aggregate over

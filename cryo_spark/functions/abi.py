@@ -109,7 +109,12 @@ def _decode_static(word: Column, t: str, colname: str) -> list[Column]:
         raise ValueError(f"not a static type: {t}")
     unsigned, bits = m.group(1) == "u", int(m.group(2))
     if unsigned and bits <= 64:
-        return [be_uint(word).cast("long").alias(colname)]
+        # wrapping u64 (log_decoder.rs DynSolValue::Uint
+        # wrapping_to::<u64>): uint64 values >= 2^63 reinterpret as
+        # negative longs instead of overflowing the ANSI cast
+        from cryo_spark.functions import wrap_u64
+
+        return [wrap_u64(word).alias(colname)]
     if not unsigned and bits <= 64:
         v = be_uint(word, max_bytes=bits // 8)
         signed = F.when(
@@ -118,12 +123,17 @@ def _decode_static(word: Column, t: str, colname: str) -> list[Column]:
         ).otherwise(v)
         return [signed.cast("long").alias(colname)]
     # wide uint/int -> u256 representation family (reference default
-    # set binary/string/f64)
-    dec = be_uint(word)
+    # set binary/string/f64); the 32-byte word carries the exact
+    # value, the string derives exactly via the Arrow UDF, f64 casts
+    # from the string so rounding is the engine-standard
+    # correctly-rounded string->double
+    from cryo_spark.functions import u256_string_udf
+
+    s = u256_string_udf(word)
     return [
         word.alias(f"{colname}_binary"),
-        dec.cast("string").alias(f"{colname}_string"),
-        dec.cast("double").alias(f"{colname}_f64"),
+        s.alias(f"{colname}_string"),
+        s.cast("double").alias(f"{colname}_f64"),
     ]
 
 

@@ -42,6 +42,23 @@ def asof_join(
     right_on = right_on or left_on
     by = by or []
 
+    # union key type: identical types stay native (no precision loss
+    # for long keys > 2^53 — nanosecond epochs, u64 ids); mixed
+    # integer widths widen to long; only genuinely mixed numeric
+    # types fall back to double (documented lossy above 2^53)
+    lt = left.schema[left_on].dataType
+    rt = right.schema[right_on].dataType
+    integral = ("byte", "short", "integer", "long")
+    if lt == rt:
+        key_type = None
+    elif lt.typeName() in integral and rt.typeName() in integral:
+        key_type = "long"
+    else:
+        key_type = "double"
+
+    def _key(c):
+        return c if key_type is None else c.cast(key_type)
+
     rename = {
         c: (c + suffix if c in left.columns else c)
         for c in right.columns
@@ -50,13 +67,13 @@ def asof_join(
     rcols = [F.col(c).alias(n) for c, n in rename.items()]
     r = right.select(
         *by,
-        F.col(right_on).cast("double").alias("__asof_key__"),
+        _key(F.col(right_on)).alias("__asof_key__"),
         F.struct(*rcols).alias(_PAYLOAD),
         F.lit(0).alias(_SIDE),
     )
     l = left.select(
         "*",
-        F.col(left_on).cast("double").alias("__asof_key__"),
+        _key(F.col(left_on)).alias("__asof_key__"),
         F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
         F.lit(1).alias(_SIDE),
     )

@@ -85,14 +85,16 @@ def parse_block_number(ref: str, position: str, latest: int | None = None) -> in
 def _parse_block_range(first: str, second: str, latest: int | None) -> tuple[int, int]:
     """blocks.rs:275-317: `a:b` is end-exclusive unless b is `latest`
     or empty; `-n:b` means the n blocks ending at b; `a:+n` means the
-    n+1 blocks starting at a."""
+    n blocks starting at a (the end-exclusive adjustment applies to
+    the `+` branch too — blocks.rs:308-312, test `10:+100` ->
+    Range(10, 109))."""
     if first.startswith("-"):
         end = parse_block_number(second, "last", latest)
         start = end - int(first[1:])
         return start + 1, end
     if second.startswith("+"):
         start = parse_block_number(first, "first", latest)
-        return start, start + int(second[1:])
+        return start, start + int(second[1:]) - 1
     start = parse_block_number(first, "first", latest)
     end = parse_block_number(second, "last", latest)
     if second != "latest" and second != "":
@@ -260,20 +262,15 @@ def order_chunks(
 def apply_reorg_buffer(
     chunks: list[BlockChunk], latest: int, reorg_buffer: int
 ) -> list[BlockChunk]:
-    """Drop blocks within `reorg_buffer` of the tip
-    (cli/parse/blocks.rs:360-384)."""
+    """Drop every chunk whose max block is within `reorg_buffer` of
+    the tip (cli/parse/blocks.rs:360-384). Whole-chunk semantics, not
+    truncation: a chunk straddling the cutoff is dropped entirely, so
+    file boundaries/stubs near the tip stay identical to the
+    reference's and skip-existing re-runs are idempotent."""
     if reorg_buffer == 0:
         return chunks
     cutoff = latest - reorg_buffer
-    out = []
-    for c in chunks:
-        if c.numbers is not None:
-            kept = tuple(n for n in c.numbers if n <= cutoff)
-            if kept:
-                out.append(BlockChunk(numbers=kept))
-        elif c.start <= cutoff:
-            out.append(BlockChunk(start=c.start, end=min(c.end, cutoff)))
-    return out
+    return [c for c in chunks if c.max_value() <= cutoff]
 
 
 # --------------------------------------------------------------------------

@@ -22,12 +22,11 @@ from pyspark.sql import types as T
 from cryo_spark.schemas import U256, U256_DEFAULT_REPS, U256_SUFFIXES, DatasetSpec
 
 
-@F.pandas_udf(T.BinaryType())
-def _u256_be_bytes(vals: pd.Series) -> pd.Series:
-    """Exact decimal → 32-byte big-endian (u256s.rs:27-33 to_vec_u8).
-    Arrow-batched; only runs when the _binary representation is
-    requested."""
-    return vals.map(lambda v: None if v is None else int(v).to_bytes(32, "big"))
+def _pad32(c: Column) -> Column:
+    """Left-pad a binary word to the canonical 32 bytes
+    (u256s.rs:27-33 to_vec_u8). Pure JVM: lpad over hex (u256 words
+    are never wider than 32 bytes, so lpad cannot truncate)."""
+    return F.unhex(F.lpad(F.hex(c), 64, "0"))
 
 
 def compute_used_columns(
@@ -76,42 +75,41 @@ def hex_col(c: str) -> Column:
 
 
 def u256_view_cols(name: str, reps: list[str]) -> list[Column]:
-    """Expand a canonical u256 column (decimal(38,0) carrier) into the
-    requested representation columns (suffix scheme schemas.rs:63-106)."""
+    """Expand a canonical u256 column (32-byte big-endian binary
+    carrier) into the requested representation columns (suffix scheme
+    schemas.rs:63-106).
+
+    The binary word is the exact carrier end-to-end; every view
+    derives from it without precision loss except where the target
+    type itself is lossy: _f64/_f32 are floating approximations
+    (derived by casting the exact decimal string, so rounding matches
+    any engine's correctly-rounded string->double), _u64/_u32 are the
+    reference's wrapping truncations, and _d128 is the decimal(38,0)
+    view (NULL above 38 digits — the same cap DuckDB/Polars Decimal128
+    carries)."""
+    from cryo_spark.functions import be_uint, u256_string_udf, wrap_u32, wrap_u64
+
     out: list[Column] = []
     base = F.col(name)
+    exact_str = u256_string_udf(base)
     for rep in reps:
         if rep not in U256_SUFFIXES:
             raise ValueError(f"unknown u256 representation {rep}")
         target = f"{name}{rep}"
         if rep == "_binary":
-            out.append(_u256_be_bytes(base.cast("decimal(38,0)")).alias(target))
+            out.append(_pad32(base).alias(target))
         elif rep == "_string":
-            out.append(base.cast("string").alias(target))
+            out.append(exact_str.alias(target))
         elif rep == "_f32":
-            out.append(base.cast("float").alias(target))
+            out.append(exact_str.cast("float").alias(target))
         elif rep == "_f64":
-            out.append(base.cast("double").alias(target))
+            out.append(exact_str.cast("double").alias(target))
         elif rep == "_u32":
-            # wrapping_to::<u32> (u256s.rs:49-51): low 32 bits,
-            # reinterpreted as Spark's signed int
-            w = base.cast("decimal(38,0)") % F.lit(1 << 32).cast("decimal(38,0)")
-            signed = F.when(
-                w >= F.lit(1 << 31).cast("decimal(38,0)"),
-                w - F.lit(1 << 32).cast("decimal(38,0)"),
-            ).otherwise(w)
-            out.append(signed.cast("long").cast("int").alias(target))
+            out.append(wrap_u32(base).alias(target))
         elif rep == "_u64":
-            # wrapping_to::<u64> (u256s.rs:52-54): low 64 bits as
-            # two's-complement long
-            w = base.cast("decimal(38,0)") % F.lit(str(1 << 64)).cast("decimal(38,0)")
-            signed = F.when(
-                w >= F.lit(str(1 << 63)).cast("decimal(38,0)"),
-                w - F.lit(str(1 << 64)).cast("decimal(38,0)"),
-            ).otherwise(w)
-            out.append(signed.cast("long").alias(target))
+            out.append(wrap_u64(base).alias(target))
         elif rep == "_d128":
-            out.append(base.cast("decimal(38,0)").alias(target))
+            out.append(be_uint(base).alias(target))
     return out
 
 

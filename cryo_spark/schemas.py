@@ -8,9 +8,10 @@ types, default column subset, sort columns, aliases and required
 dims. Spark mapping of the reference ColumnType enum:
 
   Boolean→boolean, UInt32→int (convention: non-negative), UInt64→long,
-  UInt256→canonical 32-byte binary + derived representation columns
-  (suffixes _binary/_string/_f64/... — schemas.rs:63-106),
-  String→string, Binary→binary, Hex→string.
+  UInt256→canonical 32-byte big-endian binary word, expanded on
+  output into derived representation columns (suffixes
+  _binary/_string/_f64/... — schemas.rs:63-106, schema_select
+  u256_view_cols), String→string, Binary→binary, Hex→string.
 
 All output tables are flat (the reference rejects nested event params
 — crates/to_df/src/lib.rs:137-141); every table carries chain_id
@@ -40,7 +41,7 @@ SPARK_TYPES: dict[str, T.DataType] = {
     BOOL: T.BooleanType(),
     UINT32: T.IntegerType(),
     UINT64: T.LongType(),
-    U256: T.DecimalType(38, 0),  # canonical carrier for fixture-scale values
+    U256: T.BinaryType(),  # canonical carrier: 32-byte big-endian word
     INT32: T.IntegerType(),
     INT64: T.LongType(),
     FLOAT32: T.FloatType(),

@@ -53,8 +53,10 @@ def parse_timestamp_range(
         start = end - parse_timestamp_number(first[1:], "none", latest_ts)
         return start, end
     if second.startswith("+"):
+        # end-exclusive like the block parser's `+` branch
+        # (blocks.rs:308-312): `t:+n` covers n seconds starting at t
         start = parse_timestamp_number(first, "first", latest_ts)
-        return start, start + parse_timestamp_number(second[1:], "none", latest_ts)
+        return start, start + parse_timestamp_number(second[1:], "none", latest_ts) - 1
     start = parse_timestamp_number(first, "first", latest_ts)
     end = parse_timestamp_number(second, "last", latest_ts)
     if second != "latest" and second != "":

@@ -107,3 +107,30 @@ def test_collect_with_event_signature(spark):
     sig_hex = "ddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
     expected = raw.filter(F.hex(F.col("topic0")) == sig_hex.upper()).count()
     assert n == expected
+
+
+def test_decode_uint64_wrapping(spark):
+    # wrapping_to::<u64> (log_decoder.rs DynSolValue::Uint): uint64
+    # values >= 2^63 reinterpret as negative longs instead of killing
+    # the job with an ANSI CAST_OVERFLOW
+    sig = "Big(uint64 n)"
+    topic0 = keccak256(b"Big(uint64)")
+    big = (1 << 64) - 2
+    df = _mklog(spark, topic0, [], big.to_bytes(32, "big"))
+    out = decode_logs(df, sig).first()
+    assert out["event__n"] == -2  # two's-complement view of 2^64-2
+
+
+def test_decode_uint256_beyond_128_bits_exact(spark):
+    # hash-derived token ids / max-uint approvals: exact string, no
+    # truncation (the old decimal(38,0) carrier silently nulled or
+    # truncated these)
+    topic0 = keccak256(b"Transfer(address,address,uint256)")
+    t1 = b"\x00" * 12 + b"\x22" * 20
+    t2 = b"\x00" * 12 + b"\x33" * 20
+    value = (1 << 256) - 1
+    df = _mklog(spark, topic0, [t1, t2], value.to_bytes(32, "big"))
+    out = decode_logs(df, TRANSFER).first()
+    assert out["event__value_binary"] == value.to_bytes(32, "big")
+    assert out["event__value_string"] == str(value)
+    assert out["event__value_f64"] == pytest.approx(float(value))

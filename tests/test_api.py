@@ -29,7 +29,7 @@ from cryo_spark.io import FileOutput
         ("1M:2M", 1_000_000, 1_999_999),
         ("0.5M:1B", 500_000, 999_999_999),
         ("10_000:10_500", 10_000, 10_499),
-        ("100:+50", 100, 150),       # +n keeps end inclusive
+        ("100:+50", 100, 149),       # +n is end-exclusive (blocks.rs test: 10:+100 -> Range(10,109))
         (":1000", 0, 999),
     ],
 )
@@ -72,8 +72,17 @@ def test_subchunk_and_align():
 
 
 def test_reorg_buffer():
-    out = plan.apply_reorg_buffer([plan.BlockChunk(start=0, end=1000)], 1000, 100)
-    assert [(c.start, c.end) for c in out] == [(0, 900)]
+    # whole-chunk drop (blocks.rs:375-381 filter_map on max_value):
+    # chunks straddling the cutoff disappear entirely, never truncate
+    chunks = [
+        plan.BlockChunk(start=0, end=799),
+        plan.BlockChunk(start=800, end=1000),
+    ]
+    out = plan.apply_reorg_buffer(chunks, 1000, 100)
+    assert [(c.start, c.end) for c in out] == [(0, 799)]
+    # fully-safe chunks survive untouched
+    out = plan.apply_reorg_buffer(chunks, 2000, 100)
+    assert [(c.start, c.end) for c in out] == [(0, 799), (800, 1000)]
 
 
 def test_required_dims_validation():

@@ -111,10 +111,12 @@ def test_u256_views_consistent_for_random_values(spark):
     from cryo_spark.schema_select import u256_view_cols
 
     rng = np.random.default_rng(7)
-    vals = [int(rng.integers(0, 1 << 62)) << int(rng.integers(0, 64)) for _ in range(100)]
-    vals = [v % (10**38) for v in vals]
-    df = spark.createDataFrame([(i, Decimal(v)) for i, v in enumerate(vals)],
-                               "i long, value decimal(38,0)")
+    # full 256-bit domain: random 62-bit mantissas shifted anywhere in
+    # the word, including values far beyond 2^128
+    vals = [int(rng.integers(0, 1 << 62)) << int(rng.integers(0, 194)) for _ in range(100)]
+    vals = [v % (1 << 256) for v in vals]
+    df = spark.createDataFrame([(i, v.to_bytes(32, "big")) for i, v in enumerate(vals)],
+                               "i long, value binary")
     out = df.select(
         "i", *u256_view_cols("value", ["_binary", "_string", "_u64", "_u32"])
     ).collect()

@@ -90,16 +90,26 @@ def test_u256_rep_unknown_suffix_raises(spark):
 
 def test_u256_wrapping_semantics(spark):
     # wrapping_to::<u64>/<u32> (u256s.rs:49-54): low bits, two's
-    # complement into Spark's signed carriers
-    from decimal import Decimal
-
-    big = (1 << 70) + 12345  # exceeds u64
-    df = spark.createDataFrame([(Decimal(big),)], "value decimal(38,0)")
-    row = df.select(
+    # complement into Spark's signed carriers. Values beyond 2^128
+    # (hash-derived token ids, max-uint approvals) must stay EXACT in
+    # the string view — the binary word is the carrier.
+    cases = [
+        (1 << 70) + 12345,
+        (1 << 200) + 7,          # far beyond the old decimal(38,0) cap
+        (1 << 256) - 1,          # max uint256 (infinite-approval sentinel)
+        0,
+    ]
+    df = spark.createDataFrame(
+        [(v.to_bytes(32, "big"),) for v in cases], "value binary"
+    )
+    rows = df.select(
         *u256_view_cols("value", ["_string", "_u64", "_u32", "_f64", "_binary"])
-    ).first()
-    assert row["value_string"] == str(big)
-    assert row["value_u64"] == ((big % (1 << 64)) + (1 << 63)) % (1 << 64) - (1 << 63)
-    assert row["value_u32"] == 12345
-    assert row["value_f64"] == pytest.approx(float(big))
-    assert row["value_binary"] == big.to_bytes(32, "big")
+    ).collect()
+    by_string = {int(r["value_string"]): r for r in rows}
+    for big in cases:
+        row = by_string[big]
+        assert row["value_string"] == str(big)
+        assert row["value_u64"] == ((big % (1 << 64)) + (1 << 63)) % (1 << 64) - (1 << 63)
+        assert row["value_u32"] == ((big % (1 << 32)) + (1 << 31)) % (1 << 32) - (1 << 31)
+        assert row["value_f64"] == pytest.approx(float(big))
+        assert row["value_binary"] == big.to_bytes(32, "big")

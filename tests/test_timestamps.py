@@ -29,7 +29,7 @@ def test_parse_timestamp_units():
 
 def test_parse_timestamp_range_relative():
     assert cts.parse_timestamp_range("100", "200") == (100, 199)
-    assert cts.parse_timestamp_range("100", "+50") == (100, 150)
+    assert cts.parse_timestamp_range("100", "+50") == (100, 149)  # end-exclusive, blocks.rs:308-312
     assert cts.parse_timestamp_range("-50", "200", latest_ts=None) == (150, 200)
     assert cts.parse_timestamp_range("", "latest", latest_ts=999) == (0, 999)
 
