@@ -99,6 +99,36 @@ def _apply_dim_filters(df: DataFrame, spec, dims: dict) -> DataFrame:
     return df
 
 
+def _resolve_sort(spec, sort, n_datatypes: int) -> list[str] | None:
+    """Sort-spec semantics (cli/parse/schemas.rs:167-194): default ->
+    the dataset's declared sort; ['none'] -> unsorted; [] -> error;
+    custom columns only apply to a single datatype."""
+    if sort is True:
+        return list(spec.sort)
+    if sort is False or sort is None:
+        return None
+    cols = list(sort)
+    if cols == ["none"]:
+        return None
+    if not cols:
+        raise ValueError(
+            "must specify columns to sort by, use `none` to disable sorting"
+        )
+    if n_datatypes > 1:
+        raise ValueError("custom sort not supported for multiple datasets")
+    return cols
+
+
+def _tx_dimension_check(datatype: str, df: DataFrame) -> None:
+    """Datasets without a transaction_hash column cannot be collected
+    by transaction (CollectByTransaction::can_collect_by_transaction,
+    collect_by_transaction.rs:63-66)."""
+    if "transaction_hash" not in df.columns:
+        raise ValueError(
+            f"dataset {datatype} cannot be collected by transaction"
+        )
+
+
 def _base_frame(
     spark: SparkSession,
     datatype: str,
@@ -228,7 +258,8 @@ def collect(
     exclude_failed: bool = False,
     event_signature: str | None = None,
     timestamps: str | int | None = None,
-    sort: bool = True,
+    txs: list | str | None = None,
+    sort: bool | list[str] | None = True,
     latest: int | None = None,
     fixtures_dir: str | None = None,
     output_format: str = "spark",
@@ -237,12 +268,25 @@ def collect(
     """Collect one dataset as a DataFrame (reference `cryo.collect`;
     single partition semantics — _collect.py:66-67 forces one chunk).
 
+    ``txs`` switches the time dimension to transactions
+    (queries.rs:75-80): rows are keyed by the given transaction
+    hashes instead of a block range. ``sort`` is True (dataset
+    default), False/None/['none'] (unsorted), or a column list.
+
     ``output_format`` mirrors _collect.py:72-82: 'spark' (the native
     frame, reference 'polars' analog), 'pandas', 'list' (row dicts),
     'dict' (column lists)."""
     if blocks is None and start_block is not None:
         blocks = f"{start_block}:{end_block if end_block is not None else ''}"
-    if timestamps is not None:
+    if txs is not None:
+        tx_chunk = cplan.parse_tx_inputs(txs)
+        chunks = []
+        dims = dict(dims)
+        dims["transaction_hash"] = tx_chunk.values()
+        _tx_dimension_check(
+            datatype, TRANSFORMS[resolve_name(datatype)](spark, fixtures_dir)
+        )
+    elif timestamps is not None:
         from cryo_spark import timestamps as cts
 
         blocks_table = TRANSFORMS["blocks"](spark, fixtures_dir)
@@ -272,9 +316,12 @@ def collect(
         exclude_failed=exclude_failed, event_signature=event_signature,
         fixtures_dir=fixtures_dir, dims=q.dims,
     )
-    if sort:
-        spec = get_spec(datatype)
-        keys = [c for c in spec.sort if c in df.columns]
+    sort_cols = _resolve_sort(get_spec(datatype), sort, 1)
+    if sort_cols:
+        keys = [c for c in sort_cols if c in df.columns]
+        unknown = [c for c in sort_cols if c not in df.columns and sort is not True]
+        if unknown:
+            raise ValueError(f"unknown sort columns: {unknown}")
         if keys:
             df = df.orderBy(*keys)
     if output_format == "spark":
@@ -309,6 +356,7 @@ def freeze(
     exclude_columns: list[str] | None = None,
     u256_types: list[str] | None = None,
     exclude_failed: bool = False,
+    event_signature: str | None = None,
     reorg_buffer: int = 0,
     chunk_order: str = "normal",
     latest: int | None = None,
@@ -316,6 +364,8 @@ def freeze(
     report: bool = True,
     partition_by: list[str] | None = None,
     timestamps: str | int | None = None,
+    txs: list | str | None = None,
+    sort: bool | list[str] | None = True,
     **dims,
 ) -> dict:
     """Freeze datasets to chunked files (reference `cryo.freeze` /
@@ -327,6 +377,13 @@ def freeze(
         datatypes = [datatypes]
     # CSV/JSON force hex rendering of binary (cli/parse/schemas.rs:37-40)
     hex = hex or file_format in ("csv", "json")
+    tx_chunk = None
+    if txs is not None:
+        # transactions time dimension (queries.rs:75-80): one file per
+        # hash chunk, stub = 0x-prefix range (binary_chunk.rs:16-24)
+        tx_chunk = cplan.parse_tx_inputs(txs)
+        dims = dict(dims)
+        dims["transaction_hash"] = tx_chunk.values()
     if timestamps is not None:
         from cryo_spark import timestamps as cts
 
@@ -356,6 +413,8 @@ def freeze(
         chunks = cplan.apply_reorg_buffer(chunks, latest, reorg_buffer)
     chunks = cplan.order_chunks(chunks, chunk_order)
 
+    if tx_chunk is not None:
+        chunks = []
     q = cplan.Query(
         datatypes=expand_datatypes(datatypes),
         chunks=chunks,
@@ -373,18 +432,30 @@ def freeze(
             spark, datatype, chunks,
             columns=columns, include_columns=include_columns,
             exclude_columns=exclude_columns, hex=hex, u256_types=u256_types,
-            exclude_failed=exclude_failed, fixtures_dir=fixtures_dir,
-            dims=q.dims,
+            exclude_failed=exclude_failed, event_signature=event_signature,
+            fixtures_dir=fixtures_dir, dims=q.dims,
         )
+        if tx_chunk is not None:
+            # check the raw transform (the filter runs pre-projection,
+            # so a column subset without transaction_hash is fine)
+            _tx_dimension_check(
+                datatype, TRANSFORMS[resolve_name(datatype)](spark, fixtures_dir)
+            )
+        sort_cols = _resolve_sort(get_spec(datatype), sort, len(q.datatypes))
+        write_chunks = [tx_chunk] if tx_chunk is not None else chunks
         if partition_by:
             label_expr, labels = _partition_labels(
                 df, get_spec(datatype), q.dims, partition_by
             )
             res = cio.write_chunked(
-                df, datatype, chunks, sink, label_expr=label_expr, labels=labels
+                df, datatype, write_chunks, sink, sort=sort_cols is not None,
+                sort_cols=sort_cols, label_expr=label_expr, labels=labels,
             )
         else:
-            res = cio.write_chunked(df, datatype, chunks, sink)
+            res = cio.write_chunked(
+                df, datatype, write_chunks, sink, sort=sort_cols is not None,
+                sort_cols=sort_cols,
+            )
         summary["completed_paths"] += res["completed_paths"]
         summary["skipped_paths"] += res["skipped_paths"]
         summary["n_rows"] = summary.get("n_rows", 0) + res.get("n_rows", 0)
@@ -425,6 +496,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-e", "--exclude-columns", nargs="+", default=None)
     p.add_argument("--u256-types", nargs="+", default=None)
     p.add_argument("--exclude-failed", action="store_true")
+    p.add_argument("--event-signature", dest="event_signature", default=None)
+    p.add_argument("--txs", nargs="+", default=None)
+    p.add_argument("--sort", nargs="+", default=None,
+                   help="sort columns, or `none` to disable (default: dataset sort)")
     p.add_argument("--reorg-buffer", type=int, default=0)
     p.add_argument("--file-suffix", default=None)
     p.add_argument("--subdirs", nargs="+", default=None)
@@ -464,6 +539,8 @@ def main(argv: list[str] | None = None) -> int:
         columns=args.columns, include_columns=args.include_columns,
         exclude_columns=args.exclude_columns, u256_types=args.u256_types,
         exclude_failed=args.exclude_failed, reorg_buffer=args.reorg_buffer,
+        event_signature=args.event_signature, txs=args.txs,
+        sort=True if args.sort is None else args.sort,
         partition_by=args.partition_by, timestamps=args.timestamps,
         **dims,
     )

@@ -29,7 +29,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cryo_spark.plan import BlockChunk
+from cryo_spark.plan import BlockChunk, TxChunk
 from cryo_spark.schemas import get_spec
 
 CHUNK_COL = "__chunk__"
@@ -159,12 +159,32 @@ def block_filter(chunks: list[BlockChunk]):
     return cond
 
 
+def tx_filter(chunks: list[TxChunk]):
+    """Membership predicate for transaction chunks (pushable IN-list
+    on transaction_hash)."""
+    all_hashes = sorted({h for c in chunks for h in c.hashes})
+    return F.col("transaction_hash").isin(all_hashes)
+
+
+def _tx_chunk_id_expr(chunks: list[TxChunk]):
+    """transaction_hash -> chunk index. Tx work-lists are explicit
+    hash lists (bounded — one chunk per --txs invocation), so a CASE
+    chain over IN-lists is fine here, unlike block ranges."""
+    expr = F.lit(-1)
+    for i, c in enumerate(chunks):
+        expr = F.when(
+            F.col("transaction_hash").isin(list(c.hashes)), F.lit(i)
+        ).otherwise(expr)
+    return expr
+
+
 def write_chunked(
     df: DataFrame,
     datatype: str,
-    chunks: list[BlockChunk],
+    chunks: list,
     sink: FileOutput,
     sort: bool = True,
+    sort_cols: list[str] | None = None,
     label_expr: Column | None = None,
     labels: list[str] | None = None,
 ) -> dict:
@@ -194,10 +214,10 @@ def write_chunked(
     staging = os.path.join(
         sink.output_dir, f".cryo_spark_staging_{datatype}_{int(time.time() * 1000)}"
     )
-    out = (
-        df.filter(block_filter(todo_chunks))
-        .withColumn(CHUNK_COL, _chunk_id_expr(todo_chunks))
-    )
+    is_tx = bool(todo_chunks) and isinstance(todo_chunks[0], TxChunk)
+    filt = tx_filter(todo_chunks) if is_tx else block_filter(todo_chunks)
+    id_expr = _tx_chunk_id_expr(todo_chunks) if is_tx else _chunk_id_expr(todo_chunks)
+    out = df.filter(filt).withColumn(CHUNK_COL, id_expr)
     part_cols = [CHUNK_COL]
     if label_expr is not None:
         out = out.withColumn(LABEL_COL, label_expr)
@@ -205,8 +225,9 @@ def write_chunked(
     out = out.repartition(
         max(len(todo), 1), *[F.col(c) for c in part_cols]
     )
-    if sort and all(c in df.columns for c in spec.sort):
-        out = out.sortWithinPartitions(*part_cols, *spec.sort)
+    keys = sort_cols if sort_cols is not None else list(spec.sort)
+    if sort and keys and all(c in df.columns for c in keys):
+        out = out.sortWithinPartitions(*part_cols, *keys)
     writer = out.write.mode("overwrite").partitionBy(*part_cols)
     if sink.format == "parquet":
         writer.parquet(staging)

@@ -59,6 +59,69 @@ class BlockChunk:
         return f"{self.min_value():0>8}_to_{self.max_value():0>8}"
 
 
+@dataclass(frozen=True)
+class TxChunk:
+    """Transaction-hash chunk — the reference's transactions time
+    dimension (types/queries.rs:75-80 TimeDimension::Transactions,
+    TransactionChunk = BinaryChunk::Values, chunks/chunk.rs:7-22)."""
+
+    hashes: tuple[bytes, ...]
+
+    def values(self) -> list[bytes]:
+        return list(self.hashes)
+
+    def min_value(self) -> bytes:
+        return min(self.hashes)
+
+    def max_value(self) -> bytes:
+        return max(self.hashes)
+
+    def size(self) -> int:
+        return len(self.hashes)
+
+    def stub(self) -> str:
+        """`0x123456_to_0xabcdef` — format_item binary_chunk.rs:16-24
+        keeps the first 8 chars of the 0x-hex string (0x + 6 nibbles),
+        stub chunk_ops.rs:25-32 joins byte-order min and max."""
+
+        def fmt(h: bytes) -> str:
+            return ("0x" + h.hex())[:8]
+
+        return f"{fmt(self.min_value())}_to_{fmt(self.max_value())}"
+
+
+def _tx_bytes(v) -> bytes:
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    s = str(v)
+    return bytes.fromhex(s[2:] if s.startswith("0x") else s)
+
+
+def parse_tx_inputs(txs) -> TxChunk:
+    """`--txs` values -> one TransactionChunk (cli/parse/
+    partitions.rs:176-187: CLI-passed hashes form a single
+    Values chunk). Accepts 0x-hex strings, bytes, or a parquet path
+    (optionally `path:column`, default column transaction_hash)
+    whose distinct values are the hash list."""
+    if isinstance(txs, (str, bytes)):
+        txs = [txs]
+    hashes: list[bytes] = []
+    for t in txs:
+        if isinstance(t, str) and ".parquet" in t:
+            import pyarrow.parquet as pq
+
+            path, col = t, "transaction_hash"
+            if ":" in t and not t.endswith(".parquet"):
+                path, col = t.rsplit(":", 1)
+            vals = pq.read_table(path, columns=[col]).column(col).to_pylist()
+            hashes.extend(sorted({_tx_bytes(v) for v in vals if v is not None}))
+        else:
+            hashes.append(_tx_bytes(t))
+    if not hashes:
+        raise ValueError("txs requires at least one transaction hash")
+    return TxChunk(hashes=tuple(hashes))
+
+
 def parse_block_number(ref: str, position: str, latest: int | None = None) -> int:
     """One block reference: int/float, K/M/B suffix, `latest`, empty
     (0 at range start, latest at range end) — blocks.rs:320-358."""

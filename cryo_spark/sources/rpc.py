@@ -31,9 +31,26 @@ from pyspark.sql import types as T
 Transport = Callable[[str, list], dict]
 
 
+def resolve_rpc_url(url: str | None = None) -> str:
+    """RPC URL resolution (cli/parse/source.rs:72-108): explicit arg,
+    else the ETH_RPC_URL env var, else an error (MESC config files are
+    out of scope — the env var covers the same deployment story).
+    Bare host[:port] values get an http:// prefix."""
+    import os
+
+    if url is None:
+        url = os.environ.get("ETH_RPC_URL")
+    if not url:
+        raise ValueError("must provide an rpc url or set ETH_RPC_URL")
+    if not url.startswith(("http", "ws")) and not url.endswith(".ipc"):
+        url = "http://" + url
+    return url
+
+
 @dataclass(frozen=True)
 class RpcConfig:
-    """sources.rs:105-117 defaults."""
+    """sources.rs:105-117 defaults; url via :func:`resolve_rpc_url`
+    when constructed through :meth:`from_env`."""
 
     url: str = "http://localhost:8545"
     max_concurrent_requests: int = 100
@@ -41,6 +58,10 @@ class RpcConfig:
     max_retries: int = 5
     initial_backoff_s: float = 0.5
     timeout_s: float = 30.0
+
+    @classmethod
+    def from_env(cls, url: str | None = None, **kwargs) -> "RpcConfig":
+        return cls(url=resolve_rpc_url(url), **kwargs)
 
 
 def http_transport(config: RpcConfig) -> Transport:  # pragma: no cover - needs network

@@ -400,3 +400,91 @@ def test_freeze_timestamps(spark, tmp_path):
         (F.col("timestamp") >= t0) & (F.col("timestamp") < t1)
     ).count()
     assert summary["n_rows"] == expected
+
+
+# ---------------------------------------------------------------------------
+# transactions time dimension (queries.rs:75-80, collect_by_transaction.rs)
+# ---------------------------------------------------------------------------
+
+def test_collect_by_transaction(spark):
+    hashes = [
+        r.transaction_hash
+        for r in api.collect(spark, "transactions", blocks="0:5", sort=False)
+        .select("transaction_hash").collect()
+    ][:3]
+    assert hashes, "fixture needs transactions in 0:5"
+    df = api.collect(spark, "transactions", txs=[bytes(h) for h in hashes])
+    rows = df.collect()
+    assert len(rows) == len(hashes)
+    assert {bytes(r.transaction_hash_binary if hasattr(r, "transaction_hash_binary") else r.transaction_hash) for r in rows} \
+        == {bytes(h) for h in hashes}
+    # logs can also collect by transaction; blocks cannot
+    api.collect(spark, "logs", txs=["0x" + bytes(hashes[0]).hex()])
+    with pytest.raises(ValueError, match="cannot be collected by transaction"):
+        api.collect(spark, "blocks", txs=["0x" + bytes(hashes[0]).hex()])
+
+
+def test_freeze_by_transaction_stub(spark, tmp_path):
+    hashes = sorted(
+        bytes(r.transaction_hash)
+        for r in api.collect(spark, "transactions", blocks="0:5", sort=False)
+        .select("transaction_hash").collect()
+    )[:3]
+    out = str(tmp_path / "bytx")
+    summary = api.freeze(
+        spark, "transactions", output_dir=out, txs=[h.hex() for h in hashes],
+    )
+    (path,) = summary["completed_paths"]
+    # stub = first-8-chars of min/max 0x-hash (binary_chunk.rs:16-24)
+    lo, hi = ("0x" + hashes[0].hex())[:8], ("0x" + hashes[-1].hex())[:8]
+    assert os.path.basename(path) == f"ethereum__transactions__{lo}_to_{hi}.parquet"
+    assert spark.read.parquet(path).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# custom sort spec (cli/parse/schemas.rs:167-194)
+# ---------------------------------------------------------------------------
+
+def test_custom_sort_spec(spark, tmp_path):
+    df = api.collect(spark, "blocks", blocks="0:50", sort=["gas_used"])
+    vals = [r.gas_used for r in df.select("gas_used").collect()]
+    assert vals == sorted(vals)
+    # ['none'] disables sorting; [] errors; multi-datatype custom errors
+    api.collect(spark, "blocks", blocks="0:10", sort=["none"])
+    with pytest.raises(ValueError, match="must specify columns"):
+        api.collect(spark, "blocks", blocks="0:10", sort=[])
+    with pytest.raises(ValueError, match="unknown sort columns"):
+        api.collect(spark, "blocks", blocks="0:10", sort=["not_a_column"])
+    with pytest.raises(ValueError, match="multiple datasets"):
+        api.freeze(
+            spark, ["blocks", "transactions"], output_dir=str(tmp_path / "m"),
+            blocks="0:10", sort=["gas_used"],
+        )
+    # freeze writes files ordered by the custom sort
+    summary = api.freeze(
+        spark, "blocks", output_dir=str(tmp_path / "s"), blocks="0:100",
+        chunk_size=100, sort=["gas_used"],
+    )
+    got = [
+        r.gas_used
+        for r in spark.read.parquet(summary["completed_paths"][0])
+        .select("gas_used").collect()
+    ]
+    assert got == sorted(got)
+
+
+# ---------------------------------------------------------------------------
+# event_signature through freeze (reference CLI --event-signature)
+# ---------------------------------------------------------------------------
+
+def test_freeze_event_signature(spark, tmp_path):
+    sig = "Transfer(address indexed from, address indexed to, uint256 value)"
+    out = str(tmp_path / "dec")
+    summary = api.freeze(
+        spark, "logs", output_dir=out, blocks="0:1000", chunk_size=1000,
+        event_signature=sig,
+    )
+    df = spark.read.parquet(summary["completed_paths"][0])
+    assert "event__from" in df.columns and "event__value_string" in df.columns
+    assert "topic1" not in df.columns  # raw topics dropped when decoding
+    assert df.count() > 0

@@ -87,3 +87,18 @@ def test_pacer_rate_limit_spacing():
     for _ in range(5):
         pacer.call(lambda m, p: {}, "eth_getBlockByNumber", [])
     assert time.monotonic() - t0 >= 0.04  # 5 calls at 100 rps >= 40ms
+
+
+def test_rpc_url_resolution(monkeypatch):
+    # cli/parse/source.rs:72-108: arg > ETH_RPC_URL > error; bare
+    # hosts get an http:// prefix
+    from cryo_spark.sources.rpc import RpcConfig, resolve_rpc_url
+
+    monkeypatch.delenv("ETH_RPC_URL", raising=False)
+    assert resolve_rpc_url("https://node.example") == "https://node.example"
+    assert resolve_rpc_url("node.example:8545") == "http://node.example:8545"
+    with pytest.raises(ValueError, match="ETH_RPC_URL"):
+        resolve_rpc_url(None)
+    monkeypatch.setenv("ETH_RPC_URL", "envnode:1234")
+    assert resolve_rpc_url(None) == "http://envnode:1234"
+    assert RpcConfig.from_env().url == "http://envnode:1234"
