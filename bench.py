@@ -71,20 +71,28 @@ def main() -> None:
         fn = queries[name]
         # steady-state measurement: one tiny-scale run first compiles
         # the query's codegen/UDF paths (per-JVM one-time cost that a
-        # long-lived cluster amortizes away), then time at sf_dir
+        # long-lived cluster amortizes away), then the timed result is
+        # the min of two cache-cleared runs at sf_dir — a single
+        # measurement in a 28-query JVM picks up several seconds of
+        # cross-query noise (GC, python-worker churn)
         if os.path.isdir(warm_dir):
             try:
                 fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
                 spark.catalog.clearCache()
             except Exception:
                 pass
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # noop sink: full plan executes (a bare count() would let
-        # Catalyst collapse projections into a parquet metadata count)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
-        rows[name] = df.count()  # untimed sanity count
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            # noop sink: full plan executes (a bare count() would let
+            # Catalyst collapse projections into a parquet metadata count)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        times[name] = round(best, 3)
+        rows[name] = fn(spark, sf_dir).count()  # untimed sanity count
         spark.catalog.clearCache()
     # write path: freeze two datasets to chunked parquet files (the
     # reference's primary workload — extract -> sorted chunk files)
