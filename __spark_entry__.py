@@ -227,9 +227,15 @@ FROM customer GROUP BY c_mktsegment
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join (set-difference surface)."""
+    """Anti-join (set-difference surface). Restricted to recent
+    orders so the check is non-vacuous: every customer has SOME order
+    in the testdata, but many have none in the final year."""
     cust = _read(spark, sf_dir, "customer")
-    orders = _read(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -239,7 +245,8 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_customers_without_orders() -> str:
     return (
         "SELECT c_custkey, c_name FROM customer "
-        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+        "WHERE NOT EXISTS (SELECT 1 FROM orders "
+        "WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-01-01')"
     )
 
 
@@ -507,7 +514,13 @@ def _merged_query(group: str) -> Callable[[SparkSession, str], DataFrame]:
     spec = contract.MERGED[group]
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from cryo_spark import api
+
         generate(FIXTURES_DIR)
+        # members of a group read the same raw table: persist it so
+        # the union runs ONE scan (plan-cache substitution, the same
+        # mechanism collect_multi uses)
+        api.persist_shared_raws(spark, list(spec["parts"]), FIXTURES_DIR)
         out = None
         for part, mapping in spec["parts"].items():
             df = contract.merged_part_df(

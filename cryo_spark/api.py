@@ -193,15 +193,41 @@ MULTI_DATATYPES = {
 }
 
 # raw table feeding each dataset's transform (the shared-fetch key —
-# meta.rs cluster_datatypes groups scalars whose multi shares a scan)
+# meta.rs cluster_datatypes groups scalars whose multi shares a scan).
+# Multi-raw datasets (address_appearances) are deliberately absent.
 _RAW_OF = {
     "blocks": "blocks", "transactions": "transactions",
     "contracts": "traces", "native_transfers": "traces", "traces": "traces",
-    "geth_calls": "traces",
+    "geth_calls": "traces", "four_byte_counts": "traces",
+    "logs": "logs", "logs_decoded": "logs", "erc20_transfers": "logs",
+    "erc20_approvals": "logs", "erc721_transfers": "logs",
+    "balances": "accounts", "nonces": "accounts", "codes": "accounts",
+    "slots": "storage",
+    "eth_calls": "calls", "erc20_metadata": "calls",
+    "erc20_supplies": "calls", "erc20_balances": "calls",
+    "erc721_metadata": "calls",
+    "geth_opcodes": "opcodes", "vm_traces": "opcodes",
+    "javascript_traces": "js_traces", "trace_calls": "trace_calls",
     **{f"{k}_diffs": "state_diffs" for k in ("balance", "code", "nonce", "storage")},
     **{f"geth_{k}_diffs": "state_diffs" for k in ("balance", "code", "nonce", "storage")},
     **{f"{k}_reads": "state_reads" for k in ("balance", "code", "nonce", "storage")},
 }
+
+
+def persist_shared_raws(spark, names: list[str], fixtures_dir=None) -> list:
+    """Persist each raw table consumed by >= 2 of ``names`` so their
+    transforms share ONE scan via Spark's plan-cache substitution
+    (reference MetaDatatype clustering, meta.rs:23-39). Returns the
+    persisted frames (callers may unpersist)."""
+    from collections import Counter
+
+    from cryo_spark.sources import raw as raw_read
+
+    shared = [
+        t for t, n in Counter(_RAW_OF.get(n) for n in names).items()
+        if t is not None and n >= 2
+    ]
+    return [raw_read(spark, t, fixtures_dir).persist() for t in shared]
 
 
 def expand_datatypes(datatypes: list[str]) -> list[str]:
@@ -227,17 +253,8 @@ def collect_multi(
     meta.rs:23-39): when >=2 requested datasets read the same raw
     table, that scan is persisted once and every transform reuses it
     through the plan cache."""
-    from collections import Counter
-
-    from cryo_spark.sources import raw as raw_read
-
     names = expand_datatypes(datatypes)
-    shared = [
-        t for t, n in Counter(_RAW_OF.get(n) for n in names).items()
-        if t is not None and n >= 2
-    ]
-    for t in shared:
-        raw_read(spark, t, fixtures_dir).persist()
+    persist_shared_raws(spark, names, fixtures_dir)
     return {
         n: collect(spark, n, fixtures_dir=fixtures_dir, **kwargs) for n in names
     }
