@@ -497,7 +497,7 @@ def main(argv: list[str] | None = None) -> int:
         prog="cryo_spark",
         description="PySpark-native chain-data extraction (cryo-equivalent surface)",
     )
-    p.add_argument("datatypes", nargs="+")
+    p.add_argument("datatypes", nargs="*")
     p.add_argument("-b", "--blocks", default=None)
     p.add_argument("-o", "--output-dir", default=".")
     p.add_argument("--chunk-size", type=int, default=cplan.DEFAULT_CHUNK_SIZE)
@@ -526,8 +526,36 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--slot", nargs="+", default=None)
     p.add_argument("--partition-by", nargs="+", default=None)
     p.add_argument("--timestamps", default=None)
+    p.add_argument("--remember", action="store_true",
+                   help="save this command as the directory's default "
+                        "(replayed when run without datatypes)")
     p.add_argument("--dry", action="store_true")
+    argv = list(sys.argv[1:] if argv is None else argv)
     args = p.parse_args(argv)
+
+    # --remember / replay (reference crates/cli/src/remember.rs +
+    # run.rs:14-26): one default command per output directory, loaded
+    # only when datatypes are omitted; current args take precedence
+    # over remembered ones
+    from cryo_spark import remember as cremember
+
+    if not args.datatypes:
+        remembered = cremember.load_remembered_command(args.output_dir)
+        base = p.parse_args(remembered["command"])
+        defaults = vars(p.parse_args([]))
+        merged = vars(base)
+        for k, v in vars(args).items():
+            if v != defaults[k]:
+                merged[k] = v
+        merged["remember"] = False
+        args = argparse.Namespace(**merged)
+        print("remembering previous command: cryo_spark "
+              + " ".join(remembered["command"]))
+    if args.remember:
+        cremember.save_remembered_command(
+            args.output_dir, [a for a in argv if a != "--remember"]
+        )
+        print("remembering this command for future use")
 
     fmt = "csv" if args.csv else "json" if args.json else "parquet"
     dims = {

@@ -488,3 +488,31 @@ def test_freeze_event_signature(spark, tmp_path):
     assert "event__from" in df.columns and "event__value_string" in df.columns
     assert "topic1" not in df.columns  # raw topics dropped when decoding
     assert df.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# --remember arg persistence (crates/cli/src/remember.rs, run.rs:14-26)
+# ---------------------------------------------------------------------------
+
+def test_remember_and_replay(tmp_path, capsys):
+    out = str(tmp_path / "rem")
+    # --dry never starts Spark; --remember saves the command first
+    api.main(["blocks", "-b", "0:500", "--chunk-size", "250", "-o", out,
+              "--remember", "--dry"])
+    first = capsys.readouterr().out
+    assert "remembering this command" in first
+    from cryo_spark.remember import remembered_command_path
+    assert os.path.exists(remembered_command_path(out))
+    # no datatypes -> replay the remembered command
+    api.main(["-o", out, "--dry"])
+    second = capsys.readouterr().out
+    assert "remembering previous command" in second
+    paths = [l for l in first.splitlines() if "__blocks__" in l]
+    assert paths and paths == [l for l in second.splitlines() if "__blocks__" in l]
+    # newly-passed args take precedence over remembered ones
+    api.main(["-o", out, "--chunk-size", "500", "--dry"])
+    third = capsys.readouterr().out
+    assert len([l for l in third.splitlines() if "__blocks__" in l]) == 1
+    # without a remembered command, omitting datatypes errors
+    with pytest.raises(SystemExit, match="specify datasets"):
+        api.main(["-o", str(tmp_path / "empty"), "--dry"])
