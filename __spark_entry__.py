@@ -401,6 +401,41 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS collapsed into clusters (large-star/small-star
+    connected components) with a canonical keeper per cluster — the
+    step that turns pairwise similarity into a dedup decision.
+    Oracle-checked end to end: the pairs come from the
+    SQL-expressible n-gram Jaccard path and DuckDB computes the same
+    components with a recursive closure."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_all_pairs(docs)
+    return dedup.dedup_by_components(docs, pairs)
+
+
+def oracle_near_dup_clusters() -> str:
+    pairs_sql = dedup.ngram_jaccard_all_pairs_sql("documents")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (
+  SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+  coalesce(c.component, d.doc_id) AS keeper_id,
+  d.doc_id != coalesce(c.component, d.doc_id) AS is_duplicate
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns -> mapInPandas feature extraction (decode
     stubbed deterministically — the Spark plumbing is the product).
@@ -666,13 +701,16 @@ GENERIC = {
         q_embedding_near_dups,
         lambda: dedup.embedding_near_dups_exact_sql("embeddings", threshold=0.45),
     ),
+    "llm_near_dup_clusters": (q_near_dup_clusters, oracle_near_dup_clusters),
 }
 
+# llm_simhash (raw signature dump) gave up its contract slot to the
+# oracle-backed llm_near_dup_clusters; simhash stays covered by
+# llm_simhash_near_dups + unit tests
 NO_ORACLE = {
     "llm_ann_topk": q_ann_topk,
     "llm_ivf_topk": q_ivf_topk,
     "llm_minhash_near_dups": q_minhash_near_dups,
-    "llm_simhash": q_simhash,
     "llm_simhash_near_dups": q_simhash_near_dups,
     "llm_multimodal_features": q_multimodal_features,
     "llm_multimodal_frames": q_multimodal_frames,

@@ -553,3 +553,114 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: pairs -> connected components -> canonical keeper
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, component) for the graph given as undirected edge pairs,
+    component = min node id reachable. The missing piece between
+    near-dup PAIRS and a dedup decision: duplicate chains (A~B, B~C
+    but not A~C) must collapse into one cluster before picking a
+    canonical keeper.
+
+    Alternating large-star / small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm): each round is ONE groupBy-min plus ONE join keyed the
+    same way, no adjacency lists are ever collected, so a hot node
+    with 10^6 neighbors is just a big group, not a big row.
+    Converges in O(log^2 n) rounds regardless of component diameter
+    (plain min-label propagation needs diameter rounds — a 10^6-doc
+    duplicate CHAIN would need 10^6 passes). Lineage is broken per
+    round with localCheckpoint, the standard iterative-algorithm
+    hygiene that keeps round N's plan O(1) deep.
+    """
+    edges = (
+        pairs.select(F.col(left).alias("u"), F.col(right).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    all_nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _round(e: DataFrame, large: bool) -> DataFrame:
+        # symmetrize so every node sees its full neighborhood
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        nbr = sym.join(mins, "u")
+        if large:
+            # connect strictly-larger neighbors to the min
+            out = nbr.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            # connect smaller-or-equal neighbors (and u itself) to the min
+            out = nbr.filter(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            ).union(mins.select(F.col("u"), F.col("m").alias("v")))
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    def _checksum(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: a long sum of 64-bit hashes overflows ANSI
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    edges = edges.localCheckpoint()
+    prev = None
+    for _ in range(max_iterations):
+        edges = _round(edges, large=True)
+        edges = _round(edges, large=False).localCheckpoint()
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # after convergence every edge points node -> component min; the
+    # min node of each component has no outgoing edge, so default
+    # unmapped nodes to themselves
+    comp = edges.groupBy("u").agg(F.min("v").alias("mn"))
+    return all_nodes.join(comp, all_nodes["id"] == comp["u"], "left").select(
+        "id", F.least("id", F.coalesce("mn", F.col("id"))).alias("component")
+    )
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    left: str = "id_a",
+    right: str = "id_b",
+) -> DataFrame:
+    """Full near-dup dedup decision: collapse candidate PAIRS into
+    clusters and keep the min-id document of each. Returns
+    (doc_id, keeper_id, is_duplicate) — the same contract as
+    exact_dedup, so downstream filters compose. Docs in no pair keep
+    themselves (broadcast-friendly left join: the component map is
+    |nodes-in-pairs|, tiny next to the corpus)."""
+    comp = connected_components(pairs, left=left, right=right)
+    return (
+        df.select(id_col)
+        .join(comp, df[id_col] == comp["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("keeper_id"),
+        )
+        .withColumn("is_duplicate", F.col(id_col) != F.col("keeper_id"))
+    )

@@ -297,3 +297,65 @@ def test_asof_join_long_keys_beyond_double_precision(spark):
     # adjacent ns keys collapse under a double cast; exact longs keep
     # each row matched to its own event
     assert out == {1: "a", 2: "b", 3: "c"}
+
+
+def test_connected_components_chains_and_stars(spark):
+    from cryo_spark.operators.dedup import connected_components
+
+    # a 5-chain (worst case for min-propagation), a triangle sharing
+    # no nodes, and an isolated pair
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert all(comp[n] == 1 for n in (1, 2, 3, 4, 5))
+    assert all(comp[n] == 10 for n in (10, 11, 12))
+    assert all(comp[n] == 20 for n in (20, 21))
+
+
+def test_connected_components_random_vs_union_find(spark):
+    import numpy as np
+
+    from cryo_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(11)
+    n, m = 200, 150
+    edges = [(int(rng.integers(0, n)), int(rng.integers(0, n))) for _ in range(m)]
+    edges = [(a, b) for a, b in edges if a != b]
+    # reference: plain union-find
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expected = {}
+    for a, b in edges:
+        for x in (a, b):
+            expected[x] = min(
+                expected.get(x, x), min(y for y in range(n) if find(y) == find(x))
+            )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == expected
+
+
+def test_dedup_by_components_contract(spark):
+    from cryo_spark.operators.dedup import dedup_by_components
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    rows = {r.doc_id: r for r in dedup_by_components(docs, pairs).collect()}
+    assert rows[1].keeper_id == 1 and not rows[1].is_duplicate
+    assert rows[2].keeper_id == 1 and rows[2].is_duplicate
+    assert rows[3].keeper_id == 1 and rows[3].is_duplicate
+    assert rows[5].keeper_id == 5 and rows[6].keeper_id == 5
+    # untouched docs keep themselves
+    assert rows[0].keeper_id == 0 and not rows[0].is_duplicate
+    assert rows[7].keeper_id == 7
