@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from cryo_spark import contract
 from cryo_spark.datasets import ORACLES, TRANSFORMS
 from cryo_spark.fixtures import default_fixtures_dir, generate
-from cryo_spark.operators import corpus, dedup, similarity, text
+from cryo_spark.operators import corpus, decontam, dedup, similarity, text
 
 FIXTURES_DIR = default_fixtures_dir()
 
@@ -210,25 +210,23 @@ GROUP BY 1, 2
 """
 
 
-def q_mktsegment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct-aggregate + grouping."""
-    return (
-        _read(spark, sf_dir, "customer")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.countDistinct("c_nationkey").alias("n_nations"),
-            F.count(F.lit(1)).alias("n_customers"),
-            F.sum(_dec("c_acctbal")).cast("decimal(38,4)").alias("sum_acctbal"),
-        )
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs where doc_id % 29 == 0 play the
+    held-out eval set; every other doc is flagged when it shares a
+    4-word shingle with that set. Broadcast eval-shingle join — the
+    corpus side never shuffles (see operators/decontam.py for the
+    100 TB rationale). Distinct-aggregate (countDistinct per doc)
+    exercised here."""
+    docs = _read(spark, sf_dir, "documents")
+    eval_docs = docs.filter((F.col("doc_id") % 29) == 0)
+    train = docs.filter((F.col("doc_id") % 29) != 0)
+    return decontam.ngram_decontaminate(train, eval_docs, n=4)
+
+
+def oracle_decontaminate() -> str:
+    return decontam.ngram_decontaminate_sql(
+        "documents", "doc_id % 29 = 0", "doc_id % 29 != 0", n=4
     )
-
-
-def oracle_mktsegment_stats() -> str:
-    return """
-SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n_customers,
-  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_acctbal
-FROM customer GROUP BY c_mktsegment
-"""
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,7 +668,7 @@ GENERIC = {
         oracle_first_order_per_customer,
     ),
     "events_hourly": (q_events_hourly, oracle_events_hourly),
-    "mktsegment_stats": (q_mktsegment_stats, oracle_mktsegment_stats),
+    "llm_decontaminate": (q_decontaminate, oracle_decontaminate),
     "customers_without_orders": (
         q_customers_without_orders,
         oracle_customers_without_orders,

@@ -359,3 +359,31 @@ def test_dedup_by_components_contract(spark):
     # untouched docs keep themselves
     assert rows[0].keeper_id == 0 and not rows[0].is_duplicate
     assert rows[7].keeper_id == 7
+
+
+def test_ngram_decontaminate_planted(spark):
+    from cryo_spark.operators.decontam import ngram_decontaminate
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"), (101, "tiny doc")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "totally unrelated words here nothing shared at all"),
+            # shares "the quick brown fox" and "quick brown fox jumps"
+            (2, "xx the quick brown fox jumps yy"),
+            # longest overlap is only 3 words — clean at n=4
+            (3, "quick brown fox elsewhere entirely different text"),
+            # short doc == short eval doc (whole-text shingle path)
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r for r in ngram_decontaminate(train, eval_docs, n=4).collect()
+    }
+    assert not rows[1].contaminated and rows[1].n_contaminated_ngrams == 0
+    assert rows[2].contaminated and rows[2].n_contaminated_ngrams == 2
+    assert not rows[3].contaminated
+    assert rows[4].contaminated
