@@ -384,7 +384,11 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.quality_score(_read(spark, sf_dir, "documents"))
+    """Composite quality score + Gopher-style repetition metrics
+    (duplicate/top 2-gram fractions) in one narrow projection — the
+    repetition pass is shuffle-free (sorted gram array + one
+    aggregate expression per row, no token explode)."""
+    return text.quality_with_repetition(_read(spark, sf_dir, "documents"))
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,7 +693,7 @@ GENERIC = {
         q_bpe_token_count, lambda: text.bpe_token_count_sql("documents")
     ),
     "llm_quality_score": (
-        q_quality_score, lambda: text.quality_score_sql("documents")
+        q_quality_score, lambda: text.quality_with_repetition_sql("documents")
     ),
     "llm_ngram_jaccard_pairs": (
         q_ngram_jaccard_pairs,

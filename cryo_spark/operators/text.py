@@ -234,6 +234,122 @@ FROM {table}
 """
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition metrics (public filter family: Rae et
+    al. 2021 §A1.1 duplicate/top n-gram fractions), per document:
+
+    - n_2grams: word-bigram occurrences
+    - dup_2gram_frac: fraction of bigram occurrences that are repeats
+      (1 - distinct/total)
+    - top_2gram_frac: occurrences of the most frequent bigram / total
+
+    Shuffle-free by construction: token explode + groupBy would
+    shuffle |tokens| rows across the cluster; instead each doc's
+    bigram array is sorted in place and ONE aggregate pass counts
+    distinct values and the longest equal-run simultaneously —
+    O(L log L) per row, whole-stage-codegen JVM expressions, so the
+    operator composes into any scan without an exchange."""
+    df = spread(df)
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    toks = df.select("doc_id", F.split(norm, " ").alias("t"))
+    t = F.col("t")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(1)))
+    grams = F.when(F.size(t) >= 2, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1))
+    )).otherwise(F.array().cast("array<string>"))
+    binds = toks.select("doc_id", F.array_sort(grams).alias("grams"))
+    return binds.select("doc_id", *_rep_cols(F.col("grams")))
+
+
+def _rep_cols(grams: Column) -> list[Column]:
+    """The three repetition output columns from a SORTED gram array:
+    one aggregate pass tracks previous element, current run, best run,
+    and distinct count together."""
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("uniq"),
+    )
+
+    def _merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            (acc["uniq"] + F.when(x == acc["prev"], 0).otherwise(1)).alias("uniq"),
+        )
+
+    stats = F.aggregate(grams, acc0, _merge)
+    n = F.size(grams)
+    return [
+        n.cast("long").alias("n_2grams"),
+        F.when(n > 0, F.round(1 - stats["uniq"] / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_frac"),
+        F.when(n > 0, F.round(stats["best"] / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_2gram_frac"),
+    ]
+
+
+def quality_with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """quality_score + repetition metrics in ONE narrow projection
+    chain (bind the sorted-gram array beside the raw text, then
+    compute every output) — no join, no shuffle: the shape a 100 TB
+    quality-filter pass wants, all metrics from one scan."""
+    df = spread(df)
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+    grams = F.when(F.size(toks) >= 2, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+    )).otherwise(F.array().cast("array<string>"))
+    binds = df.select("doc_id", text_col, F.array_sort(grams).alias("grams"))
+    score = quality_score_expr(text_col)
+    return binds.select(
+        "doc_id",
+        F.round(score, 6).alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+        *_rep_cols(F.col("grams")),
+    )
+
+
+def quality_with_repetition_sql(table: str, text_col: str = "text") -> str:
+    return f"""
+SELECT q.doc_id, q.quality_score, q.keep,
+  r.n_2grams, r.dup_2gram_frac, r.top_2gram_frac
+FROM ({quality_score_sql(table, text_col)}) q
+JOIN ({repetition_stats_sql(table, text_col)}) r ON r.doc_id = q.doc_id
+"""
+
+
+def repetition_stats_sql(table: str, text_col: str = "text") -> str:
+    """DuckDB oracle: same metrics via unnest + group-by (the oracle
+    need not be shuffle-free)."""
+    norm = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM {table}
+), grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+), counts AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+), per_doc AS (
+  SELECT doc_id, sum(c) AS total, count(*) AS uniq, max(c) AS top
+  FROM counts GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(p.total, 0)::BIGINT AS n_2grams,
+  coalesce(round(1 - p.uniq / p.total, 6), 0.0) AS dup_2gram_frac,
+  coalesce(round(p.top / p.total, 6), 0.0) AS top_2gram_frac
+FROM {table} d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: xxhash64 of the whitespace-normalized,
     lowercased text (rolling-hash analog, JVM-side)."""

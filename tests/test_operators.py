@@ -387,3 +387,24 @@ def test_ngram_decontaminate_planted(spark):
     assert rows[2].contaminated and rows[2].n_contaminated_ngrams == 2
     assert not rows[3].contaminated
     assert rows[4].contaminated
+
+
+def test_repetition_stats_planted(spark):
+    from cryo_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # grams: ab ba ab ba ab -> top "a b" 3/5
+            (2, "w x y z"),            # all distinct -> dup 0, top 1/3
+            (3, "only"),               # < 2 tokens -> zeros
+            (4, "r r r r"),            # "r r" x3 -> dup 2/3, top 1.0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert rows[1].n_2grams == 5 and abs(rows[1].top_2gram_frac - 0.6) < 1e-9
+    assert abs(rows[1].dup_2gram_frac - 0.6) < 1e-9  # 2 distinct of 5
+    assert rows[2].n_2grams == 3 and rows[2].dup_2gram_frac == 0.0
+    assert rows[3].n_2grams == 0 and rows[3].dup_2gram_frac == 0.0
+    assert rows[4].n_2grams == 3 and rows[4].top_2gram_frac == 1.0
+    assert abs(rows[4].dup_2gram_frac - (1 - 1 / 3)) < 1e-6
