@@ -1,0 +1,181 @@
+"""Deterministic sampling, split assignment, and data mixing.
+
+A training-data pipeline needs reproducible subsetting: the same doc
+must land in the same split/sample on every run, on any cluster, with
+no RNG state. Everything here keys off ``md5(seed || id)`` — a pure
+column expression both Spark and DuckDB evaluate identically, so every
+operator is exactly oracle-checkable.
+
+Scale design (the 100 TB story):
+- ``split_assign`` and ``hash_sample`` are pure narrow projections /
+  filters — no shuffle, no window, no driver state. A 100 TB corpus is
+  split or sampled in the same scan that reads it, and the sampled
+  fraction is exact-in-expectation with variance 1/sqrt(n) (at n in
+  the billions the realized rate is the requested rate to 4+ digits).
+- ``stratified_sample_exact`` gives exact per-stratum counts via a
+  window (one shuffle on the stratum key; each stratum must fit a
+  task's sort budget) — the small-strata tool, e.g. "exactly 1000 docs
+  per language". For web-scale strata use ``hash_sample``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 8
+_SPACE = 16**_HEX_DIGITS
+
+
+def _bucket(id_col: str, seed: str) -> Column:
+    """First 8 hex chars of md5(seed:id) — a uniform draw in [0, 16^8)
+    that string-compares identically in Spark and DuckDB."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, _HEX_DIGITS
+    )
+
+
+def _bucket_sql(id_expr: str, seed: str) -> str:
+    return f"substr(md5(concat('{seed}:', CAST({id_expr} AS VARCHAR))), 1, {_HEX_DIGITS})"
+
+
+def _threshold(frac: float) -> str:
+    """Zero-padded hex threshold t such that P(bucket < t) = frac.
+    Clamped to 'ffffffff' — callers special-case frac >= 1.0 with a
+    TRUE predicate on both engines, so the clamp never biases."""
+    return format(max(0, min(int(round(frac * _SPACE)), _SPACE - 1)), "08x")
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "split0",
+) -> DataFrame:
+    """Append a ``split`` column ('train'/'val'/... per ``weights``,
+    which must sum to 1). Deterministic in (seed, id) only — stable
+    under repartitioning, re-runs, and cluster size."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    b = _bucket(id_col, seed)
+    expr = None
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w
+        cond = b < F.lit(_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def split_assign_sql(
+    table: str,
+    weights: dict[str, float] | None = None,
+    id_expr: str = "doc_id",
+    seed: str = "split0",
+) -> str:
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    b = _bucket_sql(id_expr, seed)
+    items = list(weights.items())
+    cases, cum = [], 0.0
+    for name, w in items[:-1]:
+        cum += w
+        cases.append(f"WHEN {b} < '{_threshold(cum)}' THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{items[-1][0]}' END"
+    return f"SELECT *, {case} AS split FROM {table}"
+
+
+def hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "sample0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling by hash threshold — the
+    data-mixing primitive (e.g. downsample web text to 30%, keep
+    code at 100%). Unlisted strata are dropped. Pure filter: no
+    shuffle, exact-in-expectation rates."""
+    b = _bucket(id_col, seed)
+    cond = None
+    for value, frac in fractions.items():
+        this = (F.col(strata_col) == value) & (
+            F.lit(True) if frac >= 1.0 else (b < F.lit(_threshold(frac)))
+        )
+        cond = this if cond is None else cond | this
+    return df.filter(cond if cond is not None else F.lit(False))
+
+
+def hash_sample_sql(
+    table: str,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    id_expr: str = "doc_id",
+    seed: str = "sample0",
+) -> str:
+    b = _bucket_sql(id_expr, seed)
+    parts = []
+    for value, frac in fractions.items():
+        guard = "TRUE" if frac >= 1.0 else f"{b} < '{_threshold(frac)}'"
+        parts.append(f"({strata_col} = '{value}' AND {guard})")
+    pred = " OR ".join(parts) if parts else "FALSE"
+    return f"SELECT * FROM {table} WHERE {pred}"
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "sample0",
+) -> DataFrame:
+    """EXACT per-stratum counts: keep floor(frac*count + 0.5) rows per
+    stratum, chosen by hash order (deterministic, unbiased). One
+    shuffle on the stratum key; count and row_number share the same
+    window partitioning so Catalyst plans a single exchange. Each
+    stratum sorts within one task — use for strata up to task-sort
+    size, hash_sample beyond that."""
+    w = Window.partitionBy(strata_col)
+    wo = w.orderBy(_bucket(id_col, seed), F.col(id_col))
+    frac_expr = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col) == value
+        frac_expr = (
+            F.when(cond, F.lit(frac))
+            if frac_expr is None
+            else frac_expr.when(cond, F.lit(frac))
+        )
+    frac_expr = frac_expr.otherwise(F.lit(0.0)) if frac_expr is not None else F.lit(0.0)
+    out = (
+        df.withColumn("_rn", F.row_number().over(wo))
+        .withColumn("_cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("_rn") <= F.floor(frac_expr * F.col("_cnt") + 0.5))
+        .drop("_rn", "_cnt")
+    )
+    return out
+
+
+def stratified_sample_exact_sql(
+    table: str,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    id_expr: str = "doc_id",
+    seed: str = "sample0",
+) -> str:
+    b = _bucket_sql(id_expr, seed)
+    frac_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {strata_col} = '{v}' THEN {f}" for v, f in fractions.items()
+        )
+        + " ELSE 0.0 END"
+    )
+    return f"""
+SELECT * EXCLUDE (_rn, _cnt) FROM (
+  SELECT *,
+    row_number() OVER (PARTITION BY {strata_col} ORDER BY {b}, {id_expr}) AS _rn,
+    count(*) OVER (PARTITION BY {strata_col}) AS _cnt
+  FROM {table}
+) WHERE _rn <= floor({frac_case} * _cnt + 0.5)
+"""

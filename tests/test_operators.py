@@ -408,3 +408,58 @@ def test_repetition_stats_planted(spark):
     assert rows[3].n_2grams == 0 and rows[3].dup_2gram_frac == 0.0
     assert rows[4].n_2grams == 3 and rows[4].top_2gram_frac == 1.0
     assert abs(rows[4].dup_2gram_frac - (1 - 1 / 3)) < 1e-6
+
+
+def test_split_assign_deterministic_and_total(spark):
+    from cryo_spark.operators.sampling import split_assign
+
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = split_assign(docs).groupBy("split").count().collect()
+    rates = {r["split"]: r["count"] / 2000 for r in out}
+    assert abs(rates["train"] - 0.9) < 0.05
+    assert set(rates) == {"train", "val", "test"}
+    # stable under repartitioning: same assignment for every row
+    a = {r.doc_id: r.split for r in split_assign(docs).collect()}
+    b = {r.doc_id: r.split for r in split_assign(docs.repartition(7)).collect()}
+    assert a == b
+
+
+def test_hash_sample_subset_and_rates(spark):
+    from cryo_spark.operators.sampling import hash_sample
+
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    out = hash_sample(docs, {"s0": 0.3, "s1": 1.0}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert set(by_src) == {"s0", "s1"}          # s2 dropped
+    assert len(by_src["s1"]) == 1000            # frac 1.0 keeps all
+    assert 200 < len(by_src["s0"]) < 400        # ~30% of 1000
+    # deterministic: second run identical
+    again = {r.doc_id for r in hash_sample(docs, {"s0": 0.3, "s1": 1.0}).collect()}
+    assert again == by_src["s0"] | by_src["s1"]
+
+
+def test_stratified_sample_exact_counts_and_oracle(spark):
+    import duckdb
+
+    from cryo_spark.operators.sampling import (
+        stratified_sample_exact,
+        stratified_sample_exact_sql,
+    )
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+    fr = {"s0": 0.2, "s1": 0.5, "s3": 1.0}
+    out = stratified_sample_exact(docs, fr).toPandas()
+    counts = out.source.value_counts().to_dict()
+    assert counts == {"s0": 25, "s1": 63, "s3": 125}  # floor(f*125 + 0.5)
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    odf = con.execute(stratified_sample_exact_sql("docs", fr)).df()
+    assert sorted(out.doc_id) == sorted(odf.doc_id)
