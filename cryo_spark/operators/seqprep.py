@@ -1,0 +1,141 @@
+"""Sequence preparation: token windowing and bin packing.
+
+The last mile of a pretraining pipeline: cut documents into
+fixed-size token windows (with overlap for context continuity), then
+pack variable-length pieces into fixed-budget training sequences.
+
+Scale design (the 100 TB story):
+- ``token_windows`` is scan -> explode: the window index array is
+  built per row from JVM expressions and exploded; output size is
+  input size x (1/stride overlap factor), no shuffle, no Python.
+  Exactly oracle-checkable (Spark ``sequence`` and DuckDB
+  ``generate_series`` share inclusive-aligned step semantics).
+- ``pack_sequences`` is greedy first-fit-decreasing per PARTITION
+  (Arrow applyInPandas): packing is embarrassingly parallel when each
+  task packs its own slice — a global optimal packing would serialize
+  the world for a ~1% fill-factor gain. Bin ids are made globally
+  unique by offsetting with the partition id. One shuffle (the
+  repartition that balances docs across packers); fill quality is
+  asserted by tests, not assumed.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cryo_spark.operators.util import spread
+
+
+def token_windows(
+    df: DataFrame,
+    window: int = 128,
+    stride: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode each document into whitespace-token windows of
+    ``window`` tokens every ``stride`` tokens, plus a final tail
+    window ending at the last token (so every token is covered).
+    Output: (id, start_tok, n_win_tokens, window_text)."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    df = spread(df)
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    toks = df.select(F.col(id_col), F.split(norm, " ").alias("t"))
+    t = F.col("t")
+    last = F.greatest(F.size(t) - window, F.lit(0))
+    starts = F.array_distinct(
+        F.concat(F.sequence(F.lit(0), last, F.lit(stride)), F.array(last))
+    )
+    exploded = toks.select(F.col(id_col), t, F.explode(starts).alias("start_tok"))
+    piece = F.slice(t, F.col("start_tok") + 1, window)
+    return exploded.select(
+        F.col(id_col),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_win_tokens"),
+        F.array_join(piece, " ").alias("window_text"),
+    )
+
+
+def token_windows_sql(
+    table: str,
+    window: int = 128,
+    stride: int = 64,
+    text_col: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    norm = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
+    return f"""
+WITH toks AS (
+  SELECT {id_expr} AS doc_id, string_split({norm}, ' ') AS t FROM {table}
+), starts AS (
+  SELECT doc_id, t,
+    unnest(list_distinct(list_append(
+      generate_series(0, greatest(len(t) - {window}, 0), {stride}),
+      greatest(len(t) - {window}, 0)))) AS start_tok
+  FROM toks
+)
+SELECT doc_id,
+  start_tok::BIGINT AS start_tok,
+  len(t[start_tok + 1 : start_tok + {window}])::BIGINT AS n_win_tokens,
+  array_to_string(t[start_tok + 1 : start_tok + {window}], ' ') AS window_text
+FROM starts
+"""
+
+
+_PACK_SCHEMA = "doc_id long, n_tokens long, bin_id long, bin_fill long"
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Greedy first-fit-decreasing bin packing of documents into
+    training sequences of at most ``budget`` tokens. Returns
+    (doc_id, n_tokens, bin_id, bin_fill) — bin_fill is the packed
+    token total of the doc's bin. Docs longer than the budget get a
+    singleton bin (truncation is the caller's policy). Packing runs
+    independently per partition; bin ids are globally unique via a
+    partition-id offset."""
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {"doc_id": [], "n_tokens": [], "bin_id": [], "bin_fill": []}
+            )
+        part = int(pdf["_part"].iloc[0])
+        pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        bins: list[int] = []  # remaining capacity per bin
+        assign: list[int] = []
+        for n in pdf["n_tokens"].to_numpy():
+            placed = None
+            for i, cap in enumerate(bins):
+                if cap >= n:
+                    placed = i
+                    bins[i] = cap - n
+                    break
+            if placed is None:
+                bins.append(max(budget - n, 0))
+                placed = len(bins) - 1
+            assign.append(placed)
+        pdf = pdf.assign(bin_id=[part * 10_000_000 + a for a in assign])
+        fills = pdf.groupby("bin_id")["n_tokens"].transform("sum")
+        return pdf.assign(bin_fill=fills)[["doc_id", "n_tokens", "bin_id", "bin_fill"]]
+
+    prepped = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(count_col).cast("long").alias("n_tokens"),
+        )
+        .repartition(n_parts, F.col("doc_id"))
+        .withColumn("_part", F.spark_partition_id())
+    )
+    return prepped.groupBy("_part").applyInPandas(pack, _PACK_SCHEMA)

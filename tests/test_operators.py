@@ -463,3 +463,52 @@ def test_stratified_sample_exact_counts_and_oracle(spark):
     con.register("docs", docs.toPandas())
     odf = con.execute(stratified_sample_exact_sql("docs", fr)).df()
     assert sorted(out.doc_id) == sorted(odf.doc_id)
+
+
+def test_token_windows_coverage_and_oracle(spark):
+    import duckdb
+
+    from cryo_spark.operators.seqprep import token_windows, token_windows_sql
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = token_windows(docs, window=4, stride=3).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("start_tok")
+    # starts 0,3,6 — 6 is both the last aligned start and the tail
+    assert list(d1.start_tok) == [0, 3, 6]
+    assert d1.iloc[0].window_text == "w0 w1 w2 w3"
+    assert d1.iloc[-1].window_text == "w6 w7 w8 w9"
+    # every token covered: union of [start, start+4) spans 0..9
+    covered = set()
+    for r in d1.itertuples():
+        covered.update(range(r.start_tok, r.start_tok + r.n_win_tokens))
+    assert covered == set(range(10))
+    # short docs -> single whole-doc window
+    assert list(out[out.doc_id == 3].window_text) == ["solo"]
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    odf = con.execute(token_windows_sql("docs", window=4, stride=3)).df()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(
+        map(tuple, odf.values.tolist())
+    )
+
+
+def test_pack_sequences_invariants(spark):
+    from cryo_spark.operators.seqprep import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 10 + (i * 37) % 90) for i in range(200)] + [(999, 500)],
+        "doc_id long, n_tokens long",
+    )
+    packed = pack_sequences(docs, budget=128).toPandas()
+    assert len(packed) == 201  # every doc assigned exactly once
+    per_bin = packed.groupby("bin_id")["n_tokens"].agg(["sum", "count"])
+    # no multi-doc bin exceeds the budget; oversized docs get a
+    # singleton bin
+    multi = per_bin[per_bin["count"] > 1]
+    assert (multi["sum"] <= 128).all()
+    big = packed[packed.doc_id == 999]
+    assert big.bin_fill.iloc[0] == 500
+    assert (packed.groupby("bin_id")["n_tokens"].sum().mean()) > 64
