@@ -366,3 +366,55 @@ def fingerprint_sql(table: str, text_col: str = "text") -> str:
     # DuckDB has no xxhash64 — oracle covers the md5 fingerprint only
     norm = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
     return f"SELECT doc_id, md5({norm}) AS content_md5 FROM {table}"
+
+
+# PII patterns chosen to parse identically under java.util.regex
+# (Spark) and RE2 (DuckDB): no lookarounds, no backrefs. Public
+# redaction-pass shapes (email / long digit runs / IPv4).
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    "ipv4": (
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "<IP>",
+    ),
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / phone-shaped digit runs / IPv4s with typed
+    placeholder tokens and count replacements per category. One
+    narrow projection, JVM regex only — the redaction pass a corpus
+    makes right before tokenization. Returns
+    (doc_id, redacted_text, n_email, n_phone, n_ipv4)."""
+    df = spread(df)
+    c = F.col(text_col)
+    counts = {}
+    out = c
+    for name, (pat, token) in PII_PATTERNS.items():
+        # count = length delta / match length is wrong for var-length
+        # matches; count occurrences by splitting on the pattern
+        counts[name] = F.size(F.split(out, pat, -1)) - 1
+        out = F.regexp_replace(out, pat, token)
+    return df.select(
+        "doc_id",
+        out.alias("redacted_text"),
+        *[counts[n].cast("long").alias(f"n_{n}") for n in PII_PATTERNS],
+    )
+
+
+def redact_pii_sql(table: str, text_col: str = "text") -> str:
+    # nested projections so each count/replace sees the previous
+    # replacement output, mirroring the Spark fold order
+    step = f"SELECT doc_id, {text_col} AS _t0 FROM {table}"
+    for i, (name, (pat, token)) in enumerate(PII_PATTERNS.items()):
+        p = pat.replace("'", "''")
+        step = (
+            f"SELECT *, "
+            f"(len(regexp_split_to_array(_t{i}, '{p}')) - 1)::BIGINT AS n_{name}, "
+            f"regexp_replace(_t{i}, '{p}', '{token}', 'g') AS _t{i + 1} "
+            f"FROM ({step})"
+        )
+    last = f"_t{len(PII_PATTERNS)}"
+    names = ", ".join(f"n_{n}" for n in PII_PATTERNS)
+    return f"SELECT doc_id, {last} AS redacted_text, {names} FROM ({step})"

@@ -512,3 +512,32 @@ def test_pack_sequences_invariants(spark):
     big = packed[packed.doc_id == 999]
     assert big.bin_fill.iloc[0] == 500
     assert (packed.groupby("bin_id")["n_tokens"].sum().mean()) > 64
+
+
+def test_redact_pii_planted_and_oracle(spark):
+    import duckdb
+    import pandas as pd
+
+    from cryo_spark.operators.text import redact_pii, redact_pii_sql
+
+    rows = [
+        (1, "contact me at jane.doe+x@example.co.uk or call +1 (555) 123-4567 now"),
+        (2, "server at 192.168.1.254 and 10.0.0.1 responded"),
+        (3, "no pii here at all just words"),
+        (4, "a@b.io b@c.org and 555-123-9999 twice 555-123-8888"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = redact_pii(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "redacted_text"] == "contact me at <EMAIL> or call <PHONE> now"
+    assert out.loc[1, "n_ipv4"] == 2 and "<IP>" in out.loc[1, "redacted_text"]
+    assert out.loc[2, "redacted_text"] == rows[2][1]
+    assert out.loc[3, "n_email"] == 2 and out.loc[3, "n_phone"] == 2
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    odf = (
+        con.execute(redact_pii_sql("docs"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[out.columns]
+    )
+    assert out.equals(odf.astype(out.dtypes.to_dict()))
