@@ -300,13 +300,18 @@ def quality_with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     compute every output) — no join, no shuffle: the shape a 100 TB
     quality-filter pass wants, all metrics from one scan."""
     df = spread(df)
+    # bind the token array to a concrete column BEFORE the gram
+    # lambda: expressions inside transform() re-inline per element
+    # access, so an unbound split would re-run regexp+split for every
+    # gram (the hazard documented in dedup.shingle_rows)
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    toks = F.split(norm, " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
-    grams = F.when(F.size(toks) >= 2, F.transform(
-        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+    bound = df.select("doc_id", text_col, F.split(norm, " ").alias("t"))
+    t = F.col("t")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(1)))
+    grams = F.when(F.size(t) >= 2, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1))
     )).otherwise(F.array().cast("array<string>"))
-    binds = df.select("doc_id", text_col, F.array_sort(grams).alias("grams"))
+    binds = bound.select("doc_id", text_col, F.array_sort(grams).alias("grams"))
     score = quality_score_expr(text_col)
     return binds.select(
         "doc_id",
