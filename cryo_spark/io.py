@@ -192,6 +192,14 @@ def write_chunked(
     by it, sort within partitions, partitioned write, rename part
     files to cryo names. Returns summary dict.
 
+    Object-store note: the final rename is a metadata move on a local
+    or HDFS filesystem but a COPY on S3-style stores. Flat cryo-style
+    filenames inherently need that rename (Spark task outputs cannot
+    be named per-chunk atomically); on object stores prefer
+    :func:`write_lake`, which writes partition directories through the
+    committer with no post-hoc renames and serves the same predicates
+    via partition pruning.
+
     ``label_expr``/``labels`` implement partition-by dims (reference
     C3, partitions.rs:290-337): ``label_expr`` computes each row's dim
     stub (e.g. first-8-hex-chars of the address), ``labels`` lists
@@ -241,6 +249,7 @@ def write_chunked(
     ext = {"parquet": "parquet", "csv": "csv", "json": "json"}[sink.format]
     completed: list[str] = []
     n_rows = 0
+    empty_template: str | None = None
     for label, chunk, final_path in todo:
         i = chunk_index[id(chunk)]
         os.makedirs(os.path.dirname(final_path), exist_ok=True)
@@ -251,19 +260,30 @@ def write_chunked(
         )
         parts = sorted(glob.glob(os.path.join(part_dir, f"part-*.{ext}*")))
         if not parts:
-            # chunk had zero rows: write an empty single-part file so
-            # skip-existing stays idempotent
-            empty = df.limit(0)
-            tmp = final_path + ".tmp"
-            if sink.format == "parquet":
-                empty.coalesce(1).write.mode("overwrite").parquet(tmp)
-            elif sink.format == "csv":
-                empty.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
-            else:
-                empty.coalesce(1).write.mode("overwrite").json(tmp)
-            part = sorted(glob.glob(os.path.join(tmp, f"part-*.{ext}*")))[0]
-            os.replace(part, final_path)
-            _rmtree(tmp)
+            # chunk had zero rows: emit an empty single-part file so
+            # skip-existing stays idempotent. The empty file is
+            # schema-only and identical for every empty chunk, so ONE
+            # Spark job writes a template and the rest are driver-side
+            # copies — a tip-of-chain freeze with thousands of sparse
+            # chunks must not pay a job per empty chunk.
+            if empty_template is None:
+                empty = df.limit(0)
+                tmp = final_path + ".tmp"
+                if sink.format == "parquet":
+                    empty.coalesce(1).write.mode("overwrite").parquet(tmp)
+                elif sink.format == "csv":
+                    empty.coalesce(1).write.mode("overwrite").option(
+                        "header", True
+                    ).csv(tmp)
+                else:
+                    empty.coalesce(1).write.mode("overwrite").json(tmp)
+                part = sorted(glob.glob(os.path.join(tmp, f"part-*.{ext}*")))[0]
+                empty_template = os.path.join(staging, f"_empty.{ext}")
+                os.replace(part, empty_template)
+                _rmtree(tmp)
+            import shutil
+
+            shutil.copyfile(empty_template, final_path)
         elif len(parts) == 1:
             os.replace(parts[0], final_path)
         else:

@@ -516,3 +516,22 @@ def test_remember_and_replay(tmp_path, capsys):
     # without a remembered command, omitting datatypes errors
     with pytest.raises(SystemExit, match="specify datasets"):
         api.main(["-o", str(tmp_path / "empty"), "--dry"])
+
+
+def test_freeze_empty_chunks_single_template_job(spark, tmp_path):
+    """Chunks past the data tail produce empty (schema-only) files via
+    one template write + driver-side copies, and stay idempotent."""
+    out = str(tmp_path / "sparse")
+    # logs exist only for fixture blocks; 2000:4000 is beyond the tail
+    summary = api.freeze(
+        spark, "logs", output_dir=out, blocks="2000:4000", chunk_size=500,
+    )
+    assert summary["n_completed"] == 4
+    for p in summary["completed_paths"]:
+        df = spark.read.parquet(p)
+        assert df.count() == 0
+        assert "block_number" in df.columns  # schema preserved
+    again = api.freeze(
+        spark, "logs", output_dir=out, blocks="2000:4000", chunk_size=500,
+    )
+    assert again["n_completed"] == 0 and again["n_skipped"] == 4
