@@ -444,7 +444,8 @@ def freeze(
         format=file_format, overwrite=overwrite, subdirs=subdirs or [],
     )
     summary: dict = {"completed_paths": [], "skipped_paths": [], "errored_paths": []}
-    for datatype in q.datatypes:
+
+    def _freeze_one(datatype: str) -> dict:
         df = _base_frame(
             spark, datatype, chunks,
             columns=columns, include_columns=include_columns,
@@ -464,15 +465,29 @@ def freeze(
             label_expr, labels = _partition_labels(
                 df, get_spec(datatype), q.dims, partition_by
             )
-            res = cio.write_chunked(
+            return cio.write_chunked(
                 df, datatype, write_chunks, sink, sort=sort_cols is not None,
                 sort_cols=sort_cols, label_expr=label_expr, labels=labels,
             )
-        else:
-            res = cio.write_chunked(
-                df, datatype, write_chunks, sink, sort=sort_cols is not None,
-                sort_cols=sort_cols,
-            )
+        return cio.write_chunked(
+            df, datatype, write_chunks, sink, sort=sort_cols is not None,
+            sort_cols=sort_cols,
+        )
+
+    # datatypes freeze CONCURRENTLY (reference: chunks run under a
+    # max_concurrent_chunks=4 semaphore, sources.rs:113): Spark job
+    # submission is thread-safe and concurrent jobs share the
+    # executors, overlapping one dataset's write/commit latency with
+    # another's compute. Results merge in declaration order so
+    # summaries stay deterministic.
+    if len(q.datatypes) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(q.datatypes), 4)) as ex:
+            results = list(ex.map(_freeze_one, q.datatypes))
+    else:
+        results = [_freeze_one(dt) for dt in q.datatypes]
+    for res in results:
         summary["completed_paths"] += res["completed_paths"]
         summary["skipped_paths"] += res["skipped_paths"]
         summary["n_rows"] = summary.get("n_rows", 0) + res.get("n_rows", 0)
