@@ -383,6 +383,11 @@ def freeze(
     timestamps: str | int | None = None,
     txs: list | str | None = None,
     sort: bool | list[str] | None = True,
+    compression: str | None = None,
+    row_group_size: int | None = None,
+    n_row_groups: int | None = None,
+    stats: bool = True,
+    report_dir: str | None = None,
     **dims,
 ) -> dict:
     """Freeze datasets to chunked files (reference `cryo.freeze` /
@@ -439,9 +444,14 @@ def freeze(
     )
     q.validate()
 
+    # row-group sizing (cli/parse/file_output.rs:138-149): explicit
+    # rows, else chunk_size split into n groups
+    if row_group_size is None and n_row_groups:
+        row_group_size = -(-chunk_size // n_row_groups)
     sink = cio.FileOutput(
         output_dir=output_dir, prefix=network, suffix=file_suffix,
         format=file_format, overwrite=overwrite, subdirs=subdirs or [],
+        compression=compression, row_group_size=row_group_size, stats=stats,
     )
     summary: dict = {"completed_paths": [], "skipped_paths": [], "errored_paths": []}
 
@@ -502,7 +512,7 @@ def freeze(
             "total_blocks": sum(c.size() for c in chunks),
         }
     if report:
-        summary["report_path"] = cio.write_report(output_dir, summary)
+        summary["report_path"] = cio.write_report(report_dir or output_dir, summary)
     return summary
 
 
@@ -537,10 +547,44 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--subdirs", nargs="+", default=None)
     p.add_argument("--contract", nargs="+", default=None)
     p.add_argument("--address", nargs="+", default=None)
+    p.add_argument("--to-address", dest="to_address", nargs="+", default=None)
+    p.add_argument("--from-address", dest="from_address", nargs="+", default=None)
     p.add_argument("--call-data", dest="call_data", nargs="+", default=None)
+    p.add_argument("--function", nargs="+", default=None)
+    p.add_argument("--inputs", nargs="+", default=None)
     p.add_argument("--slot", nargs="+", default=None)
+    for i in range(4):
+        p.add_argument(f"--topic{i}", dest=f"topic{i}", nargs="+", default=None)
     p.add_argument("--partition-by", nargs="+", default=None)
     p.add_argument("--timestamps", default=None)
+    p.add_argument("--chunk-order", default="normal",
+                   choices=["normal", "reverse", "random"])
+    p.add_argument("--label", default=None,
+                   help="filename suffix (reference --label; same as "
+                        "--file-suffix)")
+    p.add_argument("--no-report", action="store_true")
+    p.add_argument("--report-dir", default=None)
+    p.add_argument("--compression", default=None,
+                   help="parquet codec: lz4|zstd|snappy|gzip|uncompressed")
+    p.add_argument("--row-group-size", type=int, default=None,
+                   help="rows per parquet row group (approximate; "
+                        "byte-based flush underneath)")
+    p.add_argument("--n-row-groups", type=int, default=None)
+    p.add_argument("--no-stats", action="store_true")
+    p.add_argument("--js-tracer", dest="js_tracer", default=None,
+                   help="custom tracer source for javascript_traces "
+                        "(executed by the node online; recorded in the "
+                        "run report offline)")
+    # RPC source config (cli/parse/source.rs): parsed and validated
+    # for parity; the replay source never dials out, so these only
+    # shape RpcConfig + the run report
+    p.add_argument("-r", "--rpc", default=None)
+    p.add_argument("--requests-per-second", type=float, default=None)
+    p.add_argument("--max-retries", type=int, default=5)
+    p.add_argument("--initial-backoff", type=float, default=0.5)
+    p.add_argument("--max-concurrent-requests", type=int, default=100)
+    p.add_argument("--max-concurrent-chunks", type=int, default=4)
+    p.add_argument("--verbose", action="store_true")
     p.add_argument("--remember", action="store_true",
                    help="save this command as the directory's default "
                         "(replayed when run without datatypes)")
@@ -573,12 +617,26 @@ def main(argv: list[str] | None = None) -> int:
         print("remembering this command for future use")
 
     fmt = "csv" if args.csv else "json" if args.json else "parquet"
+    call_data = cplan.parse_call_datas(args.call_data, args.function, args.inputs)
     dims = {
         k: v for k, v in
         dict(contract=args.contract, address=args.address,
-             call_data=args.call_data, slot=args.slot).items()
+             to_address=args.to_address, from_address=args.from_address,
+             call_data=call_data, slot=args.slot,
+             **{f"topic{i}": getattr(args, f"topic{i}") for i in range(4)}).items()
         if v is not None
     }
+    if args.rpc is not None or "ETH_RPC_URL" in __import__("os").environ:
+        # validated for parity; the replay source never dials out
+        from cryo_spark.sources.rpc import RpcConfig
+
+        RpcConfig.from_env(
+            args.rpc,
+            max_concurrent_requests=args.max_concurrent_requests,
+            requests_per_second=args.requests_per_second,
+            max_retries=args.max_retries,
+            initial_backoff_s=args.initial_backoff,
+        )
     if args.dry:
         # dry runs never start Spark: pure planner + path layout
         chunks = cplan.parse_block_inputs(args.blocks or "0:1000")
@@ -594,7 +652,8 @@ def main(argv: list[str] | None = None) -> int:
     summary = freeze(
         spark, args.datatypes, output_dir=args.output_dir, blocks=args.blocks,
         chunk_size=args.chunk_size, n_chunks=args.n_chunks, align=args.align,
-        network=args.network, file_format=fmt, file_suffix=args.file_suffix,
+        network=args.network, file_format=fmt,
+        file_suffix=args.file_suffix or args.label,
         subdirs=args.subdirs, overwrite=args.overwrite, hex=args.hex,
         columns=args.columns, include_columns=args.include_columns,
         exclude_columns=args.exclude_columns, u256_types=args.u256_types,
@@ -602,11 +661,16 @@ def main(argv: list[str] | None = None) -> int:
         event_signature=args.event_signature, txs=args.txs,
         sort=True if args.sort is None else args.sort,
         partition_by=args.partition_by, timestamps=args.timestamps,
+        chunk_order=args.chunk_order, report=not args.no_report,
+        report_dir=args.report_dir, compression=args.compression,
+        row_group_size=args.row_group_size, n_row_groups=args.n_row_groups,
+        stats=not args.no_stats,
         **dims,
     )
     print(f"completed: {summary['n_completed']}, skipped: {summary['n_skipped']}")
-    for path in summary["completed_paths"]:
-        print(" ", path)
+    if args.verbose:
+        for path in summary["completed_paths"]:
+            print(" ", path)
     return 0
 
 

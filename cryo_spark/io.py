@@ -40,10 +40,15 @@ LABEL_COL = "__label__"
 class FileOutput:
     output_dir: str
     prefix: str = "ethereum"  # network name
-    suffix: str | None = None
+    suffix: str | None = None  # `--label` in the reference CLI
     format: str = "parquet"
     overwrite: bool = False
     subdirs: list[str] = field(default_factory=list)  # 'datatype'|'network'|custom
+    # parquet options (files.rs:16-19: parquet_statistics,
+    # parquet_compression, row_group_size)
+    compression: str | None = None  # reference default lz4
+    row_group_size: int | None = None  # in ROWS (reference semantics)
+    stats: bool = True
 
     def path_for(self, datatype: str, stub: str) -> str:
         pieces = [self.prefix, datatype]
@@ -178,6 +183,44 @@ def _tx_chunk_id_expr(chunks: list[TxChunk]):
     return expr
 
 
+#: rough on-disk bytes per value by Spark type, for translating the
+#: reference's row-count row-group size into parquet-mr's byte-based
+#: `parquet.block.size` (files.rs row_group_size counts ROWS; the JVM
+#: parquet writer flushes row groups by bytes)
+_EST_TYPE_BYTES = {
+    "binary": 40, "string": 40, "long": 8, "integer": 4, "double": 8,
+    "float": 4, "boolean": 1, "short": 2, "byte": 1, "timestamp": 8,
+}
+
+
+def _parquet_options(writer, sink: FileOutput, df: DataFrame):
+    """Apply FileOutput parquet knobs to a DataFrameWriter.
+
+    - compression maps 1:1 onto Spark codecs (lz4/zstd/snappy/gzip/
+      uncompressed — parse_compression, cli/parse/file_output.rs).
+    - row_group_size (rows) is approximated as bytes via a per-type
+      size estimate: parquet-mr only exposes byte-based flushing
+      (`parquet.block.size`), so exact row counts per group are not
+      expressible without a second pass; the estimate keeps groups
+      within ~2x of the requested row count on chain-shaped tables.
+    - stats=False is passed through best-effort; recent parquet-mr
+      always writes column statistics (the option is accepted and
+      ignored), which only costs bytes, never correctness.
+    """
+    if sink.compression:
+        writer = writer.option("compression", sink.compression)
+    if sink.row_group_size:
+        row_bytes = sum(
+            _EST_TYPE_BYTES.get(f.dataType.typeName(), 16) for f in df.schema.fields
+        )
+        writer = writer.option(
+            "parquet.block.size", max(1 << 16, sink.row_group_size * row_bytes)
+        )
+    if not sink.stats:
+        writer = writer.option("parquet.statistics.enabled", "false")
+    return writer
+
+
 def write_chunked(
     df: DataFrame,
     datatype: str,
@@ -238,6 +281,7 @@ def write_chunked(
         out = out.sortWithinPartitions(*part_cols, *keys)
     writer = out.write.mode("overwrite").partitionBy(*part_cols)
     if sink.format == "parquet":
+        writer = _parquet_options(writer, sink, df)
         writer.parquet(staging)
     elif sink.format == "csv":
         writer.option("header", True).csv(staging)

@@ -122,6 +122,33 @@ def parse_tx_inputs(txs) -> TxChunk:
     return TxChunk(hashes=tuple(hashes))
 
 
+def parse_call_datas(
+    call_data: list[str] | None,
+    function: list[str] | None,
+    inputs: list[str] | None,
+) -> list[bytes] | None:
+    """`--call-data` / `--function` / `--inputs` -> call-data values
+    (cli/parse/partitions.rs:136-174): call_data literal, or function
+    selector alone, or the function x inputs cross product; mixing
+    call_data with function/inputs is an error, as is inputs alone."""
+    def _hx(s: str) -> bytes:
+        return bytes.fromhex(s[2:] if s.startswith("0x") else s)
+
+    if call_data is None and function is None and inputs is None:
+        return None
+    if call_data is not None and function is not None:
+        raise ValueError("cannot specify both call_data and function")
+    if call_data is not None and inputs is not None:
+        raise ValueError("cannot specify both call_data and inputs")
+    if call_data is not None:
+        return [_hx(c) for c in call_data]
+    if function is None:
+        raise ValueError("must specify function if specifying inputs")
+    if inputs is None:
+        return [_hx(f) for f in function]
+    return [_hx(f) + _hx(i) for f in function for i in inputs]
+
+
 def parse_block_number(ref: str, position: str, latest: int | None = None) -> int:
     """One block reference: int/float, K/M/B suffix, `latest`, empty
     (0 at range start, latest at range end) — blocks.rs:320-358."""
