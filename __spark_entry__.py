@@ -438,23 +438,23 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media columns -> mapInPandas feature extraction (decode
-    stubbed deterministically — the Spark plumbing is the product).
-    Rows-only check: feature derivation is engine-specific."""
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline, one contract entry (the reference's
+    MultiDatatype pattern applied to our extension ops): binary media
+    columns -> mapInPandas feature extraction, plus video rows fanned
+    out to frame rows. Decode is stubbed deterministically — the
+    Spark plumbing (schema, batching, row-multiplying UDF shape) is
+    the product. Rows-only check: decode output is engine-specific."""
     from cryo_spark.operators import multimodal
 
     media = multimodal.synthetic_media(spark, n=64)
-    return multimodal.extract_features(media).drop("feature")
-
-
-def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling: one row fans out to N frame rows via
-    mapInPandas (rows-only check; frame bytes are engine-specific)."""
-    from cryo_spark.operators import multimodal
-
-    media = multimodal.synthetic_media(spark, n=64)
-    return multimodal.sample_frames(media, interval_ms=60_000, max_frames=8).drop("frame")
+    feats = multimodal.extract_features(media).drop("feature").withColumn(
+        "op", F.lit("features")
+    )
+    frames = multimodal.sample_frames(
+        media, interval_ms=60_000, max_frames=8
+    ).drop("frame").withColumn("op", F.lit("frames"))
+    return feats.unionByName(frames, allowMissingColumns=True)
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,23 +479,48 @@ LIMIT 10
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: hyperplane-LSH bucket prefilter + exact
-    cosine within probe buckets (the scale path when brute force is
-    too wide). Rows-only check (bucketing is engine-specific);
-    recall vs exact top-k is unit-tested."""
+    """Approximate top-k, both scale paths in one entry: hyperplane-
+    LSH bucket prefilter and IVF (spherical k-means lists trained on
+    a deterministic sample, query probes the 4 nearest lists).
+    Rows-only check (bucketing/centroids are engine-specific); recall
+    vs exact top-k is unit-tested for both."""
     emb = _read(spark, sf_dir, "embeddings")
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return similarity.bucketed_ann(emb, query, k=10)
+    lsh = similarity.bucketed_ann(emb, query, k=10).withColumn(
+        "method", F.lit("lsh")
+    )
+    ivf = similarity.ivf_topk(
+        emb, query, k=10, n_centroids=16, n_probe=4
+    ).withColumn("method", F.lit("ivf"))
+    return lsh.unionByName(ivf)
 
 
-def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: spherical k-means lists trained on a
-    deterministic sample, query probes the 4 nearest lists. Rows-only
-    check (centroid training is engine-specific); recall vs exact
-    top-k is unit-tested."""
-    emb = _read(spark, sf_dir, "embeddings")
-    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return similarity.ivf_topk(emb, query, k=10, n_centroids=16, n_probe=4)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-count stratified sampling (data mixing):
+    keep an exact per-source fraction chosen by md5 hash order — the
+    same doc survives on every run, any cluster. One shuffle on the
+    stratum key (count + row_number share the partitioning)."""
+    from cryo_spark.operators import sampling
+
+    docs = _read(spark, sf_dir, "documents")
+    out = sampling.stratified_sample_exact(docs, _STRATA_FRACS)
+    return out.select("doc_id", "lang", "source")
+
+
+_STRATA_FRACS = {"src0": 0.5, "src1": 0.25, "src2": 1.0}
+
+
+def oracle_stratified_sample() -> str:
+    from cryo_spark.operators import sampling
+
+    inner = sampling.stratified_sample_exact_sql("documents", _STRATA_FRACS)
+    return f"SELECT doc_id, lang, source FROM ({inner}) __s"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (email/phone/IPv4 -> typed placeholders) with
+    per-category counts — one narrow JVM-regex projection."""
+    return text.redact_pii(_read(spark, sf_dir, "documents"))
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,18 +729,18 @@ GENERIC = {
         lambda: dedup.embedding_near_dups_exact_sql("embeddings", threshold=0.45),
     ),
     "llm_near_dup_clusters": (q_near_dup_clusters, oracle_near_dup_clusters),
+    "llm_pii_redact": (q_pii_redact, lambda: text.redact_pii_sql("documents")),
+    "llm_stratified_sample": (q_stratified_sample, oracle_stratified_sample),
 }
 
 # llm_simhash (raw signature dump) gave up its contract slot to the
 # oracle-backed llm_near_dup_clusters; simhash stays covered by
 # llm_simhash_near_dups + unit tests
 NO_ORACLE = {
-    "llm_ann_topk": q_ann_topk,
-    "llm_ivf_topk": q_ivf_topk,
+    "llm_ann_topk": q_ann_topk,  # LSH + IVF merged (method column)
     "llm_minhash_near_dups": q_minhash_near_dups,
     "llm_simhash_near_dups": q_simhash_near_dups,
-    "llm_multimodal_features": q_multimodal_features,
-    "llm_multimodal_frames": q_multimodal_frames,
+    "llm_multimodal": q_multimodal,  # features + frames merged (op column)
 }
 
 

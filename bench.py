@@ -47,7 +47,7 @@ HEADLINE = [
     "llm_exact_dedup",
     "llm_minhash_near_dups",
     "llm_cosine_topk",
-    "llm_ivf_topk",
+    "llm_ann_topk",
     "llm_bpe_token_count",
     "llm_quality_score",
     "llm_ngram_jaccard_pairs",
