@@ -598,3 +598,18 @@ def test_cli_label_and_parquet_knobs(spark, tmp_path, capsys):
     # bytes translation is approximate; >1 proves the knob reached
     # the writer)
     assert meta.num_row_groups > 1
+
+
+def test_freeze_reorg_buffer_resolves_tip_offline(spark, tmp_path):
+    """reorg_buffer without an explicit `latest` resolves the tip from
+    the landed blocks table instead of silently skipping the buffer
+    (reference always resolves the chain tip — blocks.rs:368-374)."""
+    out = str(tmp_path / "reorg")
+    summary = api.freeze(
+        spark, "blocks", output_dir=out, blocks="0:1000", chunk_size=250,
+        reorg_buffer=300,
+    )
+    # fixtures land blocks 0..999 => tip 999, cutoff 699: chunks
+    # 750:1000 (max 999) and 500:750 (max 749) are dropped whole
+    assert summary["n_completed"] == 2
+    assert summary["chunk_stats"]["max_block"] == 499
