@@ -584,6 +584,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--initial-backoff", type=float, default=0.5)
     p.add_argument("--max-concurrent-requests", type=int, default=100)
     p.add_argument("--max-concurrent-chunks", type=int, default=4)
+    p.add_argument("--compute-units-per-second", type=int, default=None)
+    p.add_argument("--inner-request-size", type=int, default=100)
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--remember", action="store_true",
                    help="save this command as the directory's default "
@@ -636,6 +638,8 @@ def main(argv: list[str] | None = None) -> int:
             requests_per_second=args.requests_per_second,
             max_retries=args.max_retries,
             initial_backoff_s=args.initial_backoff,
+            compute_units_per_second=args.compute_units_per_second,
+            inner_request_size=args.inner_request_size,
         )
     if args.dry:
         # dry runs never start Spark: pure planner + path layout

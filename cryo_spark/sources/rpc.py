@@ -58,6 +58,13 @@ class RpcConfig:
     max_retries: int = 5
     initial_backoff_s: float = 0.5
     timeout_s: float = 30.0
+    # CU-based retry throttle (RetryBackoffLayer's third arg,
+    # cli/parse/source.rs:17-21): on failure, back off at least long
+    # enough to re-earn one request's compute units
+    compute_units_per_second: int | None = None
+    compute_units_per_request: int = 100
+    # blocks per ranged request (eth_getLogs), sources.rs:110
+    inner_request_size: int = 100
 
     @classmethod
     def from_env(cls, url: str | None = None, **kwargs) -> "RpcConfig":
@@ -99,6 +106,12 @@ class _Pacer:
                 time.sleep(self._next_ok - now)
             self._next_ok = max(now, self._next_ok) + 1.0 / cfg.requests_per_second
         backoff = cfg.initial_backoff_s
+        if cfg.compute_units_per_second:
+            # RetryBackoffLayer semantics: a failed call waits at
+            # least one request's worth of compute units
+            backoff = max(
+                backoff, cfg.compute_units_per_request / cfg.compute_units_per_second
+            )
         for attempt in range(cfg.max_retries + 1):
             try:
                 return transport(method, params)
@@ -187,6 +200,95 @@ def fetch_blocks(
     return work_list.select("block_number").mapInPandas(run, BLOCK_RAW_SCHEMA)
 
 
+LOG_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("block_number", T.IntegerType()),
+        T.StructField("transaction_index", T.IntegerType()),
+        T.StructField("log_index", T.IntegerType()),
+        T.StructField("transaction_hash", T.BinaryType()),
+        T.StructField("address", T.BinaryType()),
+        T.StructField("topic0", T.BinaryType()),
+        T.StructField("topic1", T.BinaryType()),
+        T.StructField("topic2", T.BinaryType()),
+        T.StructField("topic3", T.BinaryType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("chain_id", T.LongType()),
+    ]
+)
+
+
+def flatten_log(raw: dict, chain_id: int) -> dict:
+    """eth_getLogs entry → one raw-table row (logs.rs process_logs)."""
+    topics = raw.get("topics") or []
+    t = [_hex_to_bytes(x) for x in topics] + [None] * (4 - len(topics))
+    return {
+        "block_number": _hex_to_int(raw.get("blockNumber")),
+        "transaction_index": _hex_to_int(raw.get("transactionIndex")),
+        "log_index": _hex_to_int(raw.get("logIndex")),
+        "transaction_hash": _hex_to_bytes(raw.get("transactionHash")),
+        "address": _hex_to_bytes(raw.get("address")),
+        "topic0": t[0], "topic1": t[1], "topic2": t[2], "topic3": t[3],
+        "data": _hex_to_bytes(raw.get("data")),
+        "chain_id": chain_id,
+    }
+
+
+def fetch_logs(
+    spark: SparkSession,
+    work_list: DataFrame,
+    config: RpcConfig | None = None,
+    transport_factory: Callable[[RpcConfig], Transport] | None = None,
+    chain_id: int = 1,
+    address: bytes | None = None,
+    topic0: bytes | None = None,
+) -> DataFrame:
+    """Ranged eth_getLogs fetch (C4/P4 online): each task folds its
+    contiguous block slice into ceil(n / inner_request_size)-many
+    ranged requests — the reference's `--inner-request-size` request
+    re-splitting (number_chunk.rs:52-74) — and the address/topic0
+    predicates are pushed into the RPC filter object
+    (rpc_params.rs:99-131), so filtering happens node-side exactly as
+    the landed-table path pushes them into the parquet scan."""
+    cfg = config or RpcConfig()
+    factory = transport_factory or http_transport
+    flt_base: dict = {}
+    if address is not None:
+        flt_base["address"] = "0x" + address.hex()
+    if topic0 is not None:
+        flt_base["topics"] = ["0x" + topic0.hex()]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = factory(cfg)
+        pacer = _Pacer(cfg)
+        cols = [f.name for f in LOG_RAW_SCHEMA.fields]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nums = sorted(int(b) for b in pdf["block_number"])
+            rows: list[dict] = []
+            i = 0
+            while i < len(nums):
+                # longest contiguous run within inner_request_size
+                j = i
+                while (
+                    j + 1 < len(nums)
+                    and nums[j + 1] == nums[j] + 1
+                    and (j + 1 - i) < cfg.inner_request_size
+                ):
+                    j += 1
+                flt = {
+                    **flt_base,
+                    "fromBlock": hex(nums[i]),
+                    "toBlock": hex(nums[j]),
+                }
+                for raw in pacer.call(transport, "eth_getLogs", [flt]):
+                    rows.append(flatten_log(raw, chain_id))
+                i = j + 1
+            yield pd.DataFrame(rows, columns=cols)
+
+    return work_list.select("block_number").mapInPandas(run, LOG_RAW_SCHEMA)
+
+
 def fake_transport_factory(config: RpcConfig) -> Transport:
     """Deterministic fake node for offline tests (the reference tests
     its source layer against a mock IPC server the same way —
@@ -194,6 +296,30 @@ def fake_transport_factory(config: RpcConfig) -> Transport:
     1600000000+12n, gasUsed 21000*n, miner derived from n."""
 
     def call(method: str, params: list) -> dict:
+        if method == "eth_getLogs":
+            flt = params[0]
+            lo, hi = int(flt["fromBlock"], 16), int(flt["toBlock"], 16)
+            want_addr = flt.get("address")
+            want_t0 = (flt.get("topics") or [None])[0]
+            out = []
+            for n in range(lo, hi + 1):
+                for k in range(n % 3):  # block n emits n%3 logs
+                    addr = "0x" + ((n + k) % 7).to_bytes(1, "big").hex() * 20
+                    t0 = "0x" + bytes([k]).hex() * 32
+                    if want_addr is not None and addr != want_addr:
+                        continue
+                    if want_t0 is not None and t0 != want_t0:
+                        continue
+                    out.append({
+                        "blockNumber": hex(n),
+                        "transactionIndex": hex(k),
+                        "logIndex": hex(k),
+                        "transactionHash": "0x" + (n.to_bytes(4, "big") * 8).hex(),
+                        "address": addr,
+                        "topics": [t0],
+                        "data": "0x" + bytes([n % 256]).hex() * 32,
+                    })
+            return out
         if method != "eth_getBlockByNumber":
             raise ValueError(f"fake node does not serve {method}")
         n = int(params[0], 16)
@@ -210,6 +336,28 @@ def fake_transport_factory(config: RpcConfig) -> Transport:
         }
 
     return call
+
+
+class RangeCappedFakeFactory:
+    """fake_transport_factory wrapper enforcing eth_getLogs range
+    discipline: every request's span must be <= cap blocks (tests the
+    inner_request_size re-splitting executor-side)."""
+
+    def __init__(self, cap: int):
+        self.cap = cap
+
+    def __call__(self, config: RpcConfig) -> Transport:
+        inner = fake_transport_factory(config)
+
+        def call(method: str, params: list):
+            if method == "eth_getLogs":
+                flt = params[0]
+                span = int(flt["toBlock"], 16) - int(flt["fromBlock"], 16) + 1
+                if span > self.cap:
+                    raise AssertionError(f"range {span} exceeds cap {self.cap}")
+            return inner(method, params)
+
+        return call
 
 
 class FlakyTransportFactory:

@@ -102,3 +102,55 @@ def test_rpc_url_resolution(monkeypatch):
     monkeypatch.setenv("ETH_RPC_URL", "envnode:1234")
     assert resolve_rpc_url(None) == "http://envnode:1234"
     assert RpcConfig.from_env().url == "http://envnode:1234"
+
+
+
+def test_fetch_logs_ranged_with_pushdown(spark):
+    """C4 online: eth_getLogs ranged requests capped at
+    inner_request_size; address/topic0 predicates pushed into the
+    RPC filter (rpc_params.rs:99-131)."""
+    from cryo_spark.sources.rpc import (
+        RangeCappedFakeFactory, RpcConfig, fetch_logs, work_list_df,
+    )
+    from cryo_spark.plan import BlockChunk
+
+    cfg = RpcConfig(inner_request_size=10)
+    wl = work_list_df(spark, [BlockChunk(start=0, end=99)])
+    out = fetch_logs(
+        spark, wl, cfg, transport_factory=RangeCappedFakeFactory(10)
+    )
+    rows = out.collect()
+    # block n emits n % 3 logs
+    assert len(rows) == sum(n % 3 for n in range(100))
+    assert {r["chain_id"] for r in rows} == {1}
+    # topic0 pushdown: only k=1 logs (topic0 = 0x01*32) survive, and
+    # the node (fake) did the filtering, not Spark
+    t0 = bytes([1]) * 32
+    filtered = fetch_logs(
+        spark, wl, cfg, transport_factory=RangeCappedFakeFactory(10), topic0=t0
+    ).collect()
+    assert len(filtered) == sum(1 for n in range(100) if n % 3 == 2)
+    assert all(bytes(r["topic0"]) == t0 for r in filtered)
+
+
+def test_pacer_compute_units_backoff_floor(monkeypatch):
+    """CU-based retry throttle (RetryBackoffLayer, source.rs:17-21):
+    a failed call backs off >= one request's compute units."""
+    import cryo_spark.sources.rpc as rpcmod
+
+    sleeps = []
+    monkeypatch.setattr(rpcmod.time, "sleep", lambda s: sleeps.append(s))
+    cfg = RpcConfig(
+        initial_backoff_s=0.001, compute_units_per_second=200,
+        compute_units_per_request=100, max_retries=2,
+    )
+    state = {"n": 0}
+
+    def flaky(method, params):
+        state["n"] += 1
+        if state["n"] == 1:
+            raise ConnectionError("boom")
+        return {}
+
+    rpcmod._Pacer(cfg).call(flaky, "eth_getBlockByNumber", [])
+    assert sleeps and sleeps[0] >= 0.5  # 100 CU / 200 CU/s
