@@ -70,3 +70,23 @@ def test_first_order_single_shuffle(spark):
     volume at scale."""
     plan = _plan(entrymod.q_first_order_per_customer(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_stratified_sample_single_exchange(spark):
+    """count() and row_number() share one hash exchange on the
+    stratum key, and column pruning reaches the scan (text is never
+    read)."""
+    df = entrymod.queries()["llm_stratified_sample"](spark, SF_DIR)
+    p = _plan(df)
+    assert p.count("Exchange") == 1
+    assert "text" not in p.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_pii_redact_narrow_jvm_projection(spark):
+    """PII scrub is one JVM regexp projection — no Python workers, no
+    shuffle beyond the deliberate small-file repartition."""
+    df = entrymod.queries()["llm_pii_redact"](spark, SF_DIR)
+    p = _plan(df)
+    assert "Python" not in p  # no UDF in the hot path
+    assert p.count("Exchange hashpartitioning") == 0
+    assert "regexp_replace" in p
