@@ -541,3 +541,40 @@ def test_redact_pii_planted_and_oracle(spark):
         .reset_index(drop=True)[out.columns]
     )
     assert out.equals(odf.astype(out.dtypes.to_dict()))
+
+
+def test_near_dup_dedup_clone_clusters_match_direct_path(spark):
+    """The clone-safe composed pipeline (exact collapse -> LSH+verify
+    over representatives -> components mapped back through groups)
+    assigns the SAME keeper as running LSH+verify over the full
+    corpus and clustering all pairs — on a corpus where every doc has
+    3 exact clones (the pathological case the composition exists
+    for)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    big = docs
+    for i in range(1, 4):
+        big = big.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        )
+    sh = dedup.shingle_rows(big)
+    pairs = (
+        dedup.ngram_jaccard(
+            big, dedup.minhash_lsh_candidates(big, shingles=sh), shingles=sh
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    direct = {
+        r["doc_id"]: r["keeper_id"]
+        for r in dedup.dedup_by_components(big, pairs).collect()
+    }
+    composed = {
+        r["doc_id"]: r["keeper_id"] for r in dedup.near_dup_dedup(big).collect()
+    }
+    assert composed == direct
+    # every clone maps to the original-id keeper (clusters collapse
+    # across the clone offset)
+    n_dups = sum(1 for d, k in composed.items() if d != k)
+    assert n_dups >= 3 * docs.count()  # at least the planted clones
