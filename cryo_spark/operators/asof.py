@@ -13,6 +13,15 @@ then `last(right_struct, ignorenulls)` over rows-unbounded-preceding.
 Shuffle volume = |L| + |R| (a range join materializes every candidate
 pair before picking one). Equal keys resolve right-before-left, so
 "backward" is at-or-before.
+
+Without ``by`` keys the window is global — one task sorts everything,
+which is fine to ~10M rows and fatal at 100 TB. ``num_buckets``
+activates the scale path: keys are range-bucketed on approximate left
+quantiles, each bucket matches independently in parallel, and
+cross-bucket matches are preserved by replicating each bucket's
+best-so-far right row into every later bucket (B^2/2 tiny carry rows
+for B buckets — the standard parallel prefix trick). Results are
+identical to the global window.
 """
 
 from __future__ import annotations
@@ -22,6 +31,7 @@ from pyspark.sql import functions as F
 
 _SIDE = "__asof_side__"
 _PAYLOAD = "__asof_right__"
+_BKT = "__asof_bucket__"
 
 
 def asof_join(
@@ -32,15 +42,20 @@ def asof_join(
     by: list[str] | None = None,
     direction: str = "backward",
     suffix: str = "_right",
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Left as-of join. ``by`` adds equality partition keys
     (shuffle/partitioning key; within each group the window sort does
     the matching). Right columns that collide with left names get
-    ``suffix``."""
+    ``suffix``. ``num_buckets`` (no ``by`` only) range-partitions the
+    key space so no single task sorts the whole frame — same results,
+    B-way parallel."""
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be backward|forward")
     right_on = right_on or left_on
     by = by or []
+    if num_buckets and by:
+        raise ValueError("num_buckets applies only without by keys")
 
     # union key type: identical types stay native (no precision loss
     # for long keys > 2^53 — nanosecond epochs, u64 ids); mixed
@@ -88,13 +103,66 @@ def asof_join(
             "__asof_key__", _PAYLOAD, _SIDE,
         )
     )
+    part_keys = list(by)
+    if num_buckets and num_buckets > 1:
+        num_buckets = num_buckets if left.take(1) else None
+    if num_buckets and num_buckets > 1:
+        # range buckets on approximate left-key quantiles. Boundary
+        # precision is irrelevant to correctness — any split works,
+        # the carry rows below repair cross-bucket matches — so the
+        # double cast inside approxQuantile never loses matches even
+        # for long keys beyond 2^53.
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        bnds = sorted(set(
+            left.select(F.col(left_on).cast("double").alias("k"))
+            .approxQuantile("k", probs, 0.001)
+        ))
+        arr = F.array(*[F.lit(float(x)) for x in bnds])
+        def _bucket(keycol):
+            k = keycol.cast("double")
+            return F.aggregate(
+                arr, F.lit(0),
+                lambda acc, b: acc + F.when(k >= b, 1).otherwise(0),
+            )
+        both = both.withColumn(_BKT, _bucket(F.col("__asof_key__")))
+        # carry: each bucket's best-so-far right row, replicated into
+        # every bucket it can still match (earlier buckets for
+        # backward, later for forward). <= B^2/2 rows, B ~ hundreds.
+        rb = both.filter(F.col(_SIDE) == 0)
+        if direction == "backward":
+            pick = Window.partitionBy(_BKT).orderBy(
+                F.col("__asof_key__").desc(), F.col(_SIDE).asc()
+            )
+            cond = F.col("__carry_to__") > F.col(_BKT)
+        else:
+            pick = Window.partitionBy(_BKT).orderBy(
+                F.col("__asof_key__").asc(), F.col(_SIDE).asc()
+            )
+            cond = F.col("__carry_to__") < F.col(_BKT)
+        lasts = (
+            rb.withColumn("__rn__", F.row_number().over(pick))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+        targets = left.sparkSession.range(num_buckets).select(
+            F.col("id").cast("int").alias("__carry_to__")
+        )
+        carry = (
+            lasts.join(F.broadcast(targets), cond)
+            .withColumn(_BKT, F.col("__carry_to__"))
+            .drop("__carry_to__")
+        )
+        both = both.unionByName(carry)
+        part_keys = [_BKT]
     if direction == "backward":
-        w = Window.partitionBy(*by).orderBy(F.col("__asof_key__").asc(), F.col(_SIDE).asc())
+        w = Window.partitionBy(*part_keys).orderBy(F.col("__asof_key__").asc(), F.col(_SIDE).asc())
     else:
-        w = Window.partitionBy(*by).orderBy(F.col("__asof_key__").desc(), F.col(_SIDE).asc())
+        w = Window.partitionBy(*part_keys).orderBy(F.col("__asof_key__").desc(), F.col(_SIDE).asc())
     w = w.rowsBetween(Window.unboundedPreceding, 0)
     matched = both.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
     out = matched.filter(F.col(_SIDE) == 1).drop(_SIDE, "__asof_key__")
+    if num_buckets and num_buckets > 1:
+        out = out.drop(_BKT)
     for c, n in rename.items():
         out = out.withColumn(n, F.col(f"{_PAYLOAD}.{n}"))
     return out.drop(_PAYLOAD)

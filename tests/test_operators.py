@@ -578,3 +578,37 @@ def test_near_dup_dedup_clone_clusters_match_direct_path(spark):
     # across the clone offset)
     n_dups = sum(1 for d, k in composed.items() if d != k)
     assert n_dups >= 3 * docs.count()  # at least the planted clones
+
+
+def test_asof_join_bucketed_matches_global(spark):
+    """num_buckets range-partitions the as-of key space (no single
+    task sorts the whole frame); results identical to the global
+    window, both directions, including cross-bucket matches."""
+    from pyspark.sql import functions as F
+
+    from cryo_spark.operators.asof import asof_join
+
+    left = spark.range(5000).select(
+        (F.xxhash64("id") % 1_000_000).alias("k"), F.col("id").alias("lid")
+    )
+    right = spark.range(400).select(
+        (F.xxhash64("id", F.lit(7)) % 1_000_000).alias("rk"),
+        F.col("id").alias("rid"),
+    )
+    for direction in ("backward", "forward"):
+        base = {
+            r["lid"]: r["rid"]
+            for r in asof_join(left, right, "k", "rk", direction=direction).collect()
+        }
+        bkt = {
+            r["lid"]: r["rid"]
+            for r in asof_join(
+                left, right, "k", "rk", direction=direction, num_buckets=16
+            ).collect()
+        }
+        assert bkt == base
+    # the parallel path must shuffle on the bucket key, not sort in
+    # one global window partition
+    plan = asof_join(left, right, "k", "rk", num_buckets=16)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "__asof_bucket__" in plan
