@@ -280,9 +280,12 @@ def q_orders_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("ts").cast("long") / F.lit(1_000_000_000)).cast("long").alias("event_epoch"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    return asof_join(orders, events, left_on="order_epoch", right_on="event_epoch").select(
-        "o_orderkey", "order_epoch", "n_events"
-    )
+    # num_buckets exercises the parallel range-bucketed path; the
+    # DuckDB ASOF oracle proves it equivalent to the global window
+    return asof_join(
+        orders, events, left_on="order_epoch", right_on="event_epoch",
+        num_buckets=8,
+    ).select("o_orderkey", "order_epoch", "n_events")
 
 
 def oracle_orders_asof_events() -> str:
