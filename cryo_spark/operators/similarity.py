@@ -188,6 +188,45 @@ def ivf_assign(
     return emb.withColumn("list_id", nearest_list(F.col(vec_col)))
 
 
+def save_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    seed: int = 42,
+) -> np.ndarray:
+    """Build and persist an IVF index: centroids (one small parquet)
+    plus the assigned table written ``partitionBy(list_id)`` — each
+    inverted list is a directory, so a query probing ``n_probe``
+    lists scans only those directories (PartitionFilters, no data
+    read for unprobed lists). Train once, serve any number of
+    queries; re-assignment is the only full-table pass."""
+    cent = train_centroids(
+        emb, n_centroids, id_col=id_col, vec_col=vec_col,
+        sample=sample, seed=seed,
+    )
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
+        "list_id int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ivf_assign(spread(emb), cent, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(f"{path}/lists")
+    return cent
+
+
+def load_ivf_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
+    """(centroids, assigned) from :func:`save_ivf_index` — feed both
+    into :func:`ivf_topk` to amortize the index across queries."""
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    cent = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+    return cent, spark.read.parquet(f"{path}/lists")
+
+
 def ivf_topk(
     emb: DataFrame,
     query: list[float],

@@ -612,3 +612,25 @@ def test_asof_join_bucketed_matches_global(spark):
     plan = asof_join(left, right, "k", "rk", num_buckets=16)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "__asof_bucket__" in plan
+
+
+def test_ivf_index_persistence_and_pruning(spark, tmp_path):
+    """save_ivf_index/load_ivf_index round-trip: the persisted index
+    serves the same top-k as the inline path, and probing reads only
+    the probed list directories (PartitionFilters on list_id)."""
+    from cryo_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    inline = similarity.ivf_topk(emb, query, k=5, n_centroids=8, n_probe=3)
+    idx = str(tmp_path / "ivf")
+    similarity.save_ivf_index(emb, idx, n_centroids=8)
+    cent, assigned = similarity.load_ivf_index(spark, idx)
+    served = similarity.ivf_topk(
+        emb, query, k=5, n_probe=3, assigned=assigned, centroids=cent
+    )
+    assert [tuple(r) for r in served.collect()] == [tuple(r) for r in inline.collect()]
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [list_id" in plan or "list_id#" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
