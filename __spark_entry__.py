@@ -55,6 +55,26 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(_p(sf_dir, table))
 
 
+def _epoch_seconds(df: DataFrame, col: str = "ts"):
+    """Floor epoch-seconds expression adaptive to the fixture's ts
+    encoding. The driver testdata has shipped ``events.ts`` both as
+    int64 nanoseconds (readable via nanosAsLong) and as timestamp[us]
+    (TIMESTAMP_NTZ; naive values are UTC — the session timezone, so
+    the cast chain below is exact). Both paths use integer floor
+    division — no double rounding at any epoch magnitude."""
+    dtype = dict(df.dtypes)[col]
+    if dtype == "bigint":  # int64 nanoseconds
+        return F.expr(f"{col} div 1000000000")
+    return F.col(col).cast("timestamp").cast("long")
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table under either ts encoding: nanosAsLong makes an
+    int64-nanos parquet readable (no-op for timestamp[us] files)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _read(spark, sf_dir, "events")
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -182,13 +202,12 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the events stream table (the
     batch shape of the Structured Streaming rollup).
 
-    events.parquet stores nanosecond timestamps, which Spark's vector
-    reader rejects; ``nanosAsLong`` reads them as int64 nanos and the
-    hour bucket is integer arithmetic (identical semantics to
-    date_trunc on the timestamp)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _read(spark, sf_dir, "events")
-    hour = (F.col("ts").cast("long") / F.lit(3_600_000_000_000)).cast("long") * 3600
+    Type-adaptive on ``ts`` (timestamp[us] or int64 nanos — the
+    fixture has shipped both): floor to epoch seconds, then integer
+    hour bucketing (identical semantics to date_trunc('hour'))."""
+    ev = _read_events(spark, sf_dir)
+    epoch = _epoch_seconds(ev)
+    hour = epoch - (epoch % 3600)
     return (
         ev.groupBy(hour.alias("hour_epoch"), "event_type")
         .agg(
@@ -271,13 +290,12 @@ def q_orders_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-join pair blowup. DuckDB oracle uses its native ASOF JOIN."""
     from cryo_spark.operators.asof import asof_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     orders = _read(spark, sf_dir, "orders").select(
         "o_orderkey", F.unix_timestamp("o_orderdate").alias("order_epoch")
     )
+    ev = _read_events(spark, sf_dir)
     events = (
-        _read(spark, sf_dir, "events")
-        .groupBy((F.col("ts").cast("long") / F.lit(1_000_000_000)).cast("long").alias("event_epoch"))
+        ev.groupBy(_epoch_seconds(ev).alias("event_epoch"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     # num_buckets exercises the parallel range-bucketed path; the
@@ -293,7 +311,10 @@ def oracle_orders_asof_events() -> str:
 SELECT o.o_orderkey, epoch(o.o_orderdate)::BIGINT AS order_epoch, e.n_events
 FROM orders o
 ASOF LEFT JOIN (
-  SELECT (epoch(ts))::BIGINT AS event_epoch, count(*) AS n_events
+  -- date_trunc to second BEFORE epoch: epoch() returns DOUBLE and a
+  -- ::BIGINT cast on a fractional value ROUNDS, while Spark's
+  -- timestamp->long cast FLOORS; truncating first makes both exact
+  SELECT epoch(date_trunc('second', ts))::BIGINT AS event_epoch, count(*) AS n_events
   FROM events GROUP BY 1
 ) e ON e.event_epoch <= epoch(o.o_orderdate)::BIGINT
 """
@@ -305,8 +326,7 @@ def q_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB aggregate."""
     from cryo_spark.operators.skew import salted_agg
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _read(spark, sf_dir, "events").withColumn(
+    ev = _read_events(spark, sf_dir).withColumn(
         "value_d", F.col("value").cast("decimal(18,6)")
     )
     out = salted_agg(

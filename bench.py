@@ -66,6 +66,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
+    errs: dict[str, str] = {}
     warm_dir = "/root/testdata/sf0.001"
     for name in HEADLINE:
         fn = queries[name]
@@ -81,18 +82,24 @@ def main() -> None:
                 spark.catalog.clearCache()
             except Exception:
                 pass
-        best = None
-        for _ in range(3):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            # noop sink: full plan executes (a bare count() would let
-            # Catalyst collapse projections into a parquet metadata count)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-            spark.catalog.clearCache()
-        times[name] = round(best, 3)
-        rows[name] = fn(spark, sf_dir).count()  # untimed sanity count
+        # per-query isolation: one broken query must not zero the
+        # round's perf data — record its error and keep benching
+        try:
+            best = None
+            for _ in range(3):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                # noop sink: full plan executes (a bare count() would
+                # let Catalyst collapse projections into a parquet
+                # metadata count)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+            times[name] = round(best, 3)
+            rows[name] = fn(spark, sf_dir).count()  # untimed sanity count
+        except Exception as exc:  # noqa: BLE001
+            errs[name] = f"{type(exc).__name__}: {exc}"[:500]
         spark.catalog.clearCache()
         # 28 queries x 4 executions accumulate broadcast/python-worker
         # garbage in one JVM; an explicit collection between queries
@@ -127,22 +134,23 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         times["freeze_3_datasets"] = round(best, 3)
         rows["freeze_3_datasets"] = summary["n_rows"]
+    except Exception as exc:  # noqa: BLE001
+        errs["freeze_3_datasets"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:
         shutil.rmtree(freeze_dir, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "cryo_spark headline suite wall-clock",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "rows": rows,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "cryo_spark headline suite wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "rows": rows,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errs:
+        out["errors"] = errs
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -64,11 +64,36 @@ def write_bucketed(
 ) -> None:
     """Persist as a bucketed (+optionally sorted) managed table:
     subsequent equi-joins/aggregations on the bucket keys read
-    co-located data and skip the shuffle entirely."""
+    co-located data and skip the shuffle entirely.
+
+    Overwrite is made idempotent against a stale warehouse: the table
+    is dropped from the catalog AND any orphaned warehouse directory
+    (left by a prior session whose metastore is gone) is removed, so
+    ``LOCATION_ALREADY_EXISTS`` can never fire."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        _clean_orphan_location(spark, table)
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_keys)
     if sort_keys:
         writer = writer.sortBy(*sort_keys)
     writer.saveAsTable(table)
+
+
+def _clean_orphan_location(spark, table: str) -> None:
+    """Remove a leftover warehouse directory for ``table`` that no
+    catalog entry points at (stale ./spark-warehouse from a previous
+    JVM). Only the default-database layout is handled — qualified
+    names resolve to <warehouse>/<db>.db/<name>."""
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    if wh.scheme not in ("", "file"):
+        return  # object-store warehouse: nothing local to clean
+    parts = table.lower().split(".")
+    sub = parts[-1] if len(parts) == 1 else f"{parts[-2]}.db/{parts[-1]}"
+    shutil.rmtree(f"{wh.path or wh.netloc}/{sub}", ignore_errors=True)
 
 
 def join_is_shuffle_free(joined: DataFrame) -> bool:

@@ -7,8 +7,14 @@ from cryo_spark.fixtures import default_fixtures_dir, generate
 
 
 @pytest.fixture(scope="session")
-def spark():
-    return get_spark(shuffle_partitions=8)
+def spark(tmp_path_factory):
+    # hermetic metastore/warehouse: saveAsTable tests must never
+    # collide with a stale ./spark-warehouse left by a prior session
+    wh = tmp_path_factory.mktemp("spark-warehouse")
+    return get_spark(
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
 
 
 @pytest.fixture(scope="session")
