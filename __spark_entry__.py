@@ -298,11 +298,27 @@ def q_orders_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(_epoch_seconds(ev).alias("event_epoch"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    # num_buckets exercises the parallel range-bucketed path; the
-    # DuckDB ASOF oracle proves it equivalent to the global window
+    # dedup_left: o_orderdate is day-granularity, so the as-of match
+    # runs per DISTINCT date (~2.5k keys at any sf) and broadcast-joins
+    # back — the orders frame never shuffles. Remaining scale knob:
+    # the range-bucketed parallel path pays a quantile scan + carry
+    # machinery that only wins once a single task cannot sort the
+    # events side; below ~256 MB of events input the global window is
+    # faster (measured at sf0.1). Bucketed equivalence stays pinned by
+    # unit tests (tests/test_operators.py).
+    try:
+        p = _p(sf_dir, "events")
+        size = (
+            sum(os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(p) for f in fs)
+            if os.path.isdir(p) else os.path.getsize(p)
+        )
+        big = size > 256 * 1024 * 1024
+    except OSError:
+        big = True  # unknown size (remote store): assume scale
     return asof_join(
         orders, events, left_on="order_epoch", right_on="event_epoch",
-        num_buckets=8,
+        num_buckets=64 if big else None, dedup_left=True,
     ).select("o_orderkey", "order_epoch", "n_events")
 
 
@@ -548,9 +564,12 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs verified by exact 3-gram Jaccard.
-    No DuckDB oracle (xxhash64 banding is engine-specific) — the
-    driver records a rows-only check; correctness is covered by
-    planted-pair unit tests."""
+
+    Oracle: the exhaustive `ngram_jaccard_all_pairs` DuckDB SQL at the
+    same threshold — LSH is only candidate GENERATION, so after the
+    exact-Jaccard verify the result must equal the all-pairs answer.
+    A hash match therefore also PROVES LSH recall on this corpus
+    (a missed true pair would show up as a missing row)."""
     docs = _read(spark, sf_dir, "documents")
     # deliberately NOT persisted: the exploded shingle frame is larger
     # than its source, so materializing it costs more than recomputing
@@ -559,8 +578,10 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale where the cache write would also spill
     shingles = dedup.shingle_rows(docs)
     pairs = dedup.minhash_lsh_candidates(docs, k=16, bands=4, shingles=shingles)
-    return dedup.ngram_jaccard(docs, pairs, shingles=shingles).filter(
-        F.col("jaccard") >= 0.5
+    return (
+        dedup.ngram_jaccard(docs, pairs, shingles=shingles)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
     )
 
 
@@ -752,6 +773,11 @@ GENERIC = {
         lambda: dedup.embedding_near_dups_exact_sql("embeddings", threshold=0.45),
     ),
     "llm_near_dup_clusters": (q_near_dup_clusters, oracle_near_dup_clusters),
+    "llm_minhash_near_dups": (
+        q_minhash_near_dups,
+        # exhaustive all-pairs SQL: equality proves LSH recall
+        lambda: dedup.ngram_jaccard_all_pairs_sql("documents"),
+    ),
     "llm_pii_redact": (q_pii_redact, lambda: text.redact_pii_sql("documents")),
     "llm_stratified_sample": (q_stratified_sample, oracle_stratified_sample),
 }
@@ -761,7 +787,6 @@ GENERIC = {
 # llm_simhash_near_dups + unit tests
 NO_ORACLE = {
     "llm_ann_topk": q_ann_topk,  # LSH + IVF merged (method column)
-    "llm_minhash_near_dups": q_minhash_near_dups,
     "llm_simhash_near_dups": q_simhash_near_dups,
     "llm_multimodal": q_multimodal,  # features + frames merged (op column)
 }

@@ -43,19 +43,38 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_right",
     num_buckets: int | None = None,
+    dedup_left: bool = False,
 ) -> DataFrame:
     """Left as-of join. ``by`` adds equality partition keys
     (shuffle/partitioning key; within each group the window sort does
     the matching). Right columns that collide with left names get
     ``suffix``. ``num_buckets`` (no ``by`` only) range-partitions the
     key space so no single task sorts the whole frame — same results,
-    B-way parallel."""
+    B-way parallel.
+
+    ``dedup_left``: opt in when the left key is low-cardinality
+    relative to the row count (day-granularity dates, bucketed
+    epochs). The as-of match runs once per DISTINCT key and the
+    result broadcast-joins back onto the left rows — the left frame
+    itself never enters the union window and never shuffles. The
+    caller asserts the distinct-key set fits a broadcast (thousands
+    of dates from billions of rows — the common enrichment shape)."""
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be backward|forward")
     right_on = right_on or left_on
     by = by or []
     if num_buckets and by:
         raise ValueError("num_buckets applies only without by keys")
+    if dedup_left:
+        keys = left.select(*by, left_on).distinct()
+        matched = asof_join(
+            keys, right, left_on, right_on, by=by, direction=direction,
+            suffix=suffix, num_buckets=num_buckets,
+        )
+        # rename collisions were resolved against the KEY frame; any
+        # remaining overlap with other left columns is the caller's
+        # suffix contract, identical to the direct path
+        return left.join(F.broadcast(matched), [*by, left_on])
 
     # union key type: identical types stay native (no precision loss
     # for long keys > 2^53 — nanosecond epochs, u64 ids); mixed
@@ -105,18 +124,21 @@ def asof_join(
     )
     part_keys = list(by)
     if num_buckets and num_buckets > 1:
-        num_buckets = num_buckets if left.take(1) else None
-    if num_buckets and num_buckets > 1:
         # range buckets on approximate left-key quantiles. Boundary
         # precision is irrelevant to correctness — any split works,
         # the carry rows below repair cross-bucket matches — so the
         # double cast inside approxQuantile never loses matches even
-        # for long keys beyond 2^53.
+        # for long keys beyond 2^53. An empty/constant left side
+        # yields no boundaries: fall back to the global window (also
+        # the empty-frame guard — no separate take(1) probe job).
         probs = [i / num_buckets for i in range(1, num_buckets)]
         bnds = sorted(set(
             left.select(F.col(left_on).cast("double").alias("k"))
             .approxQuantile("k", probs, 0.001)
         ))
+        if not bnds:
+            num_buckets = None
+    if num_buckets and num_buckets > 1:
         arr = F.array(*[F.lit(float(x)) for x in bnds])
         def _bucket(keycol):
             k = keycol.cast("double")

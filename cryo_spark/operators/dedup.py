@@ -161,6 +161,37 @@ def minhash_lsh_candidates(
     )
 
 
+def _docsets(
+    sh: DataFrame, id_col: str = "doc_id", out: str = "shs"
+) -> DataFrame:
+    """(id, set-of-shingles array) — one shuffle on the id, map-side
+    partial collect_set, size bounded by the largest single document
+    (never by corpus size)."""
+    return sh.groupBy(id_col).agg(F.collect_set("shingle").alias(out))
+
+
+def _jaccard_from_sets(
+    pairs: DataFrame, docsets: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_a, id_b, jaccard) via array_intersect over per-doc shingle
+    sets. ``pairs`` is the post-pruning candidate list — a tiny
+    fraction of the corpus — so both enrichment joins broadcast it;
+    the docsets frame NEVER shuffles here. Intersection is a
+    hash-set sweep, O(|A|+|B|) per pair."""
+    a = pairs.join(
+        docsets.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a")),
+        "id_a",
+    )
+    enriched = docsets.select(
+        F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b")
+    ).join(F.broadcast(a), "id_b")
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    sz_a, sz_b = F.size("shs_a"), F.size("shs_b")
+    return enriched.select(
+        "id_a", "id_b", (inter / (sz_a + sz_b - inter)).alias("jaccard")
+    )
+
+
 def ngram_jaccard(
     df: DataFrame,
     pairs: DataFrame,
@@ -170,42 +201,20 @@ def ngram_jaccard(
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the verify stage
-    after LSH), in exploded form: |A^B| = count of shingle matches
-    routed through the pair list; |AvB| = |A|+|B|-|A^B|. All joins
-    are key-equality shuffles bounded by candidate bucket sizes."""
+    after LSH): semi-join prune the shingle stream to docs that
+    appear in a pair, build per-doc shingle SETS (one shuffle), then
+    a broadcast enrichment join + array_intersect per pair. Shuffle
+    volume = shingles of candidate docs only; the former formulation
+    (pair x shingle routing joins + size joins) shuffled the same
+    data four times under three different keys."""
     sh = shingles if shingles is not None else shingle_rows(df, text_col, n, id_col)
-    # only docs that appear in a candidate pair matter: semi-join
-    # prune before the distinct/size shuffles (candidates are a tiny
-    # fraction of the corpus after LSH — AQE broadcasts the id list)
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = sh.join(ids, id_col, "left_semi").distinct()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    inter = (
-        pairs.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
-        # second join keys on (id_b, shingle) jointly — a pure hash
-        # join; keying on id_b alone would stream |A|x|B| shingle
-        # combinations per pair before filtering
-        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    return (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .na.fill({"n_inter": 0})
-        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
-    )
+    sets = _docsets(sh.join(ids, id_col, "left_semi"), id_col)
+    return _jaccard_from_sets(pairs, sets, id_col)
 
 def ngram_jaccard_all_pairs(
     df: DataFrame,
@@ -224,52 +233,57 @@ def ngram_jaccard_all_pairs(
     Both candidate knobs are what make this scale: the df cap stops
     one stop-phrase bucket from contributing d^2 join rows, and the
     shared-count floor stops coincidental single-shingle overlaps
-    from flooding the exact-verify stage (at sf0.1 it cuts candidates
-    from 1.1M to the handful of real near-dups — measured 15s -> <1s
-    on the verify join). Near-dup pairs at jaccard >= 0.5 share
-    dozens of rare shingles, so neither knob costs recall in practice
-    (standard candidate pruning from the MinHash literature).
-    Fully SQL-expressible -> DuckDB oracle, unlike the banded-LSH
-    path."""
+    from flooding the exact-verify stage. Near-dup pairs at
+    jaccard >= 0.5 share dozens of rare shingles, so neither knob
+    costs recall in practice (standard candidate pruning from the
+    MinHash literature). Fully SQL-expressible -> DuckDB oracle,
+    unlike the banded-LSH path.
+
+    Plan shape (3 corpus-sized shuffles, down from 6 differently-
+    keyed ones): (1) per-shingle doc-frequency counts — pure count
+    agg, skew-immune even for stop-phrase shingles; (2) the rare
+    join's SMJ leaves the stream hash-partitioned by shingle, so the
+    posting-list collect_set on the SAME key adds NO exchange, and
+    pair generation explodes each <=max_df posting list map-side
+    (bounded memory, no self-join); (3) per-doc shingle sets for the
+    exact verify, consumed via broadcast enrichment joins
+    (_jaccard_from_sets) — the docsets frame never re-shuffles."""
     sh = shingles if shingles is not None else shingle_rows(df, text_col, n, id_col)
-    # the distinct shingle set feeds four consumers under DIFFERENT
-    # join-key partitionings (shingle, id_a, (id_b,shingle)), so
-    # ReusedExchange cannot share them — persist() is the right call
-    # here (bench-verified ~25% faster), unlike the banded-LSH path
-    # where consumers pipeline and no-persist wins
-    sh = sh.distinct().persist()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    rare = sh.join(
-        sh.groupBy("shingle").agg(F.count("*").alias("df_")).filter(F.col("df_") <= max_df),
-        "shingle",
+    dfreq = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct(id_col).alias("df_"))
+        .filter((F.col("df_") <= max_df) & (F.col("df_") >= 2))
+        .select("shingle")
     )
-    a = rare.select(F.col(id_col).alias("id_a"), "shingle")
-    b = rare.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+    rare = sh.join(dfreq, "shingle")
+    posts = (
+        rare.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .select("ids")
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids) - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        posts.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_rare_inter"))
         .filter(F.col("n_rare_inter") >= min_shared)
+        .select("id_a", "id_b")
     )
     # exact intersection over ALL shingles for the candidate pairs
-    exact_inter = (
-        inter.select("id_a", "id_b")
-        .join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    sets = _docsets(sh, id_col)
     return (
-        exact_inter
-        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .select(
-            "id_a", "id_b",
-            F.round(
-                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
-            ).alias("jaccard"),
-        )
+        _jaccard_from_sets(cand, sets, id_col)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
 
