@@ -31,17 +31,73 @@ from pyspark.sql import types as T
 Transport = Callable[[str, list], dict]
 
 
-def resolve_rpc_url(url: str | None = None) -> str:
-    """RPC URL resolution (cli/parse/source.rs:72-108): explicit arg,
-    else the ETH_RPC_URL env var, else an error (MESC config files are
-    out of scope — the env var covers the same deployment story).
-    Bare host[:port] values get an http:// prefix."""
+def _mesc_config() -> dict | None:
+    """Load MESC config if enabled (the public MESC standard the
+    reference resolves first — cli/parse/source.rs:74-88). Enabled
+    when MESC_MODE/MESC_PATH/MESC_ENV is set and mode != DISABLED;
+    MESC_ENV holds inline JSON, MESC_PATH (or mode PATH) a JSON file.
+    Errors are non-fatal — resolution falls through to ETH_RPC_URL,
+    matching the reference's eprintln-and-continue behavior."""
     import os
 
-    if url is None:
+    mode = os.environ.get("MESC_MODE", "").upper()
+    if mode == "DISABLED":
+        return None
+    try:
+        if mode == "ENV" or (not mode and os.environ.get("MESC_ENV")):
+            return json.loads(os.environ["MESC_ENV"])
+        path = os.environ.get("MESC_PATH")
+        if mode == "PATH" and not path:
+            return None
+        if path:
+            with open(path) as f:
+                return json.load(f)
+    except Exception:
+        return None
+    return None
+
+
+def _mesc_endpoint_url(config: dict, query: str | None) -> str | None:
+    """Minimal get_endpoint_by_query / get_default_endpoint: an
+    explicit query matches an endpoint NAME, then a chain id via
+    network_defaults; no query resolves the profile default for
+    "cryo" then the global default_endpoint."""
+    endpoints = config.get("endpoints") or {}
+
+    def url_of(name):
+        ep = endpoints.get(name)
+        return ep.get("url") if ep else None
+
+    if query:
+        if query in endpoints:
+            return url_of(query)
+        by_chain = (config.get("network_defaults") or {}).get(query)
+        if by_chain:
+            return url_of(by_chain)
+        return None
+    profile = (config.get("profiles") or {}).get("cryo") or {}
+    return url_of(profile.get("default_endpoint")
+                  or config.get("default_endpoint"))
+
+
+def resolve_rpc_url(url: str | None = None) -> str:
+    """RPC URL resolution (cli/parse/source.rs:72-108): MESC first
+    (explicit arg as an endpoint/network query, else the default
+    endpoint), then the explicit arg as a literal URL, then the
+    ETH_RPC_URL env var, else an error. Bare host[:port] values get
+    an http:// prefix."""
+    import os
+
+    mesc = _mesc_config()
+    resolved = _mesc_endpoint_url(mesc, url) if mesc else None
+    if resolved:
+        url = resolved
+    elif url is None:
         url = os.environ.get("ETH_RPC_URL")
     if not url:
-        raise ValueError("must provide an rpc url or set ETH_RPC_URL")
+        raise ValueError(
+            "must provide an rpc url, set up MESC, or set ETH_RPC_URL"
+        )
     if not url.startswith(("http", "ws")) and not url.endswith(".ipc"):
         url = "http://" + url
     return url

@@ -1,0 +1,200 @@
+"""Online fetch stages for the trace/state/call/point-lookup families
+against the deterministic fake node (no network in this environment;
+the reference tests its source layer with a mock server the same way
+— crates/cli/src/parse/blocks.rs:394-440).
+
+The contract under test: every fetcher lands rows whose schema equals
+the replay raw table read by the dataset transforms, so online and
+offline paths are interchangeable per family
+(sources.rs:229-983 surface)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cryo_spark import plan
+from cryo_spark.sources import rpc_families as fam
+from cryo_spark.sources.replay import raw
+from cryo_spark.sources.rpc import RpcConfig, FlakyTransportFactory, work_list_df
+
+FAKE = fam.full_fake_transport_factory
+
+
+def _wl(spark, spec="10:20", parts=2):
+    return work_list_df(spark, plan.parse_block_inputs(spec), n_partitions=parts)
+
+
+def _point_wl(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+# --------------------------------------------------------------------------
+# schema parity with the replay raw tables (drop-in online/offline)
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("fetcher,raw_name", [
+    (fam.fetch_transactions, "transactions"),
+    (fam.fetch_traces, "traces"),
+    (fam.fetch_state_diffs, "state_diffs"),
+    (fam.fetch_state_reads, "state_reads"),
+    (fam.fetch_opcodes, "opcodes"),
+    (fam.fetch_js_traces, "js_traces"),
+])
+def test_fetched_schema_matches_replay_raw(spark, fixtures_dir, fetcher, raw_name):
+    kwargs = {"tracer_js": "{fake: true}"} if fetcher is fam.fetch_js_traces else {}
+    out = fetcher(spark, _wl(spark), transport_factory=FAKE, **kwargs)
+    want = raw(spark, raw_name, fixtures_dir).schema
+    assert [(f.name, f.dataType) for f in out.schema.fields] == \
+        [(f.name, f.dataType) for f in want.fields]
+
+
+@pytest.mark.parametrize("fetcher,raw_name,rows,schema", [
+    (fam.fetch_accounts, "accounts",
+     [(5, b"\x01" * 20)], "block_number int, address binary"),
+    (fam.fetch_storage, "storage",
+     [(5, b"\x01" * 20, b"\x02" * 32)],
+     "block_number int, address binary, slot binary"),
+    (fam.fetch_calls, "calls",
+     [(5, b"\x01" * 20, b"\xaa\xbb\xcc\xdd")],
+     "block_number int, contract binary, call_data binary"),
+])
+def test_point_lookup_schema_matches_replay_raw(
+    spark, fixtures_dir, fetcher, raw_name, rows, schema
+):
+    out = fetcher(spark, _point_wl(spark, rows, schema), transport_factory=FAKE)
+    want = raw(spark, raw_name, fixtures_dir).schema
+    assert [(f.name, f.dataType) for f in out.schema.fields] == \
+        [(f.name, f.dataType) for f in want.fields]
+
+
+# --------------------------------------------------------------------------
+# per-family value semantics
+# --------------------------------------------------------------------------
+
+def test_fetch_transactions_receipt_join_and_elision(spark):
+    wl = _wl(spark, "10:14", parts=1)
+    out = fam.fetch_transactions(spark, wl, transport_factory=FAKE) \
+        .orderBy("block_number", "transaction_index").collect()
+    # blocks 10..13 have n%4 txs each: 2+3+0+1
+    assert len(out) == 6
+    first = out[0]
+    assert first.block_number == 10 and first.transaction_index == 0
+    assert first.gas_used == 21000  # receipt-joined
+    assert first.success is True
+    assert first.value == ((10 * 31 + 0) * 10**15).to_bytes(32, "big")
+    # schema-driven elision: no receipt columns fetched
+    lean = fam.fetch_transactions(
+        spark, wl, transport_factory=FAKE, include_receipts=False
+    ).collect()
+    assert all(r.gas_used is None and r.success is None for r in lean)
+    # tx gasPrice survives elision (only effectiveGasPrice is receipt-borne)
+    assert all(r.gas_price is not None for r in lean)
+
+
+def test_fetch_traces_trace_address_and_create(spark):
+    out = fam.fetch_traces(spark, _wl(spark, "9:10", parts=1),
+                           transport_factory=FAKE).collect()
+    # block 9 has 1 tx -> root call + nested create
+    assert len(out) == 2
+    root = next(r for r in out if r.trace_address == "")
+    sub = next(r for r in out if r.trace_address == "0")
+    assert root.action_type == "call" and root.subtraces == 1
+    assert sub.action_type == "create"
+    assert sub.result_address is not None and sub.action_init == b"\x60\x01"
+    assert root.action_value == (9 * 7).to_bytes(32, "big")
+
+
+def test_fetch_state_diffs_forms(spark):
+    out = fam.fetch_state_diffs(spark, _wl(spark, "9:10", parts=1),
+                                transport_factory=FAKE).collect()
+    kinds = {r.kind for r in out}
+    assert kinds == {"balance", "nonce", "storage"}  # "=" code change skipped
+    bal = [r for r in out if r.kind == "balance"]
+    # "*" modified form carries both sides; "+" created has null from
+    assert any(r.from_value is not None and r.to_value is not None for r in bal)
+    created = [r for r in bal if r.from_value is None]
+    assert created and created[0].to_value == (5).to_bytes(32, "big")
+    st = next(r for r in out if r.kind == "storage")
+    assert st.slot is not None and len(st.to_value) == 32
+
+
+def test_fetch_state_reads_prestate(spark):
+    out = fam.fetch_state_reads(spark, _wl(spark, "9:10", parts=1),
+                                transport_factory=FAKE).collect()
+    kinds = {r.kind for r in out}
+    assert kinds == {"balance", "nonce", "code", "storage"}
+    code = next(r for r in out if r.kind == "code")
+    assert code.value == b"\x60\x03" and code.slot is None
+
+
+def test_fetch_geth_calls_flattens_frame_tree(spark):
+    out = fam.fetch_geth_calls(spark, _wl(spark, "9:10", parts=1),
+                               transport_factory=FAKE).collect()
+    assert len(out) == 2  # root CALL + nested STATICCALL
+    root = next(r for r in out if r.trace_address == "")
+    child = next(r for r in out if r.trace_address == "0")
+    assert root.subtraces == 1 and root.action_type == "call"
+    assert child.action_call_type == "staticcall"
+
+
+def test_fetch_opcodes_steps(spark):
+    out = fam.fetch_opcodes(spark, _wl(spark, "10:11", parts=1),
+                            transport_factory=FAKE).collect()
+    # block 10: 2 txs x (10%3+1)=2 steps
+    assert len(out) == 4
+    assert {r.op for r in out} == {"PUSH1"}
+    assert sorted({r.step for r in out}) == [0, 1]
+
+
+def test_fetch_js_traces_passthrough(spark):
+    out = fam.fetch_js_traces(spark, _wl(spark, "10:11", parts=1),
+                              tracer_js="{custom: 1}",
+                              transport_factory=FAKE).collect()
+    assert len(out) == 2
+    assert '"js": true' in out[0].output
+
+
+def test_point_lookups_values(spark):
+    acct = fam.fetch_accounts(
+        spark,
+        _point_wl(spark, [(5, b"\x01" * 20)], "block_number int, address binary"),
+        transport_factory=FAKE,
+    ).collect()[0]
+    assert acct.nonce == 5 % 50 and len(acct.balance) == 32
+    sto = fam.fetch_storage(
+        spark,
+        _point_wl(spark, [(5, b"\x01" * 20, b"\x00" * 31 + b"\x07")],
+                  "block_number int, address binary, slot binary"),
+        transport_factory=FAKE,
+    ).collect()[0]
+    assert len(sto.value) == 32
+    call = fam.fetch_calls(
+        spark,
+        _point_wl(spark, [(5, b"\x01" * 20, b"\xaa\xbb\xcc\xdd")],
+                  "block_number int, contract binary, call_data binary"),
+        transport_factory=FAKE,
+    ).collect()[0]
+    assert call.output == bytes.fromhex("00" * 2 + "aabb")
+
+
+def test_family_fetch_retries(spark):
+    """Retry/backoff path applies to the family fetchers unchanged."""
+    class FlakyFull(FlakyTransportFactory):
+        def __call__(self, config):
+            inner = FAKE(config)
+            state = {"n": 0}
+
+            def call(method, params):
+                state["n"] += 1
+                if state["n"] <= self.fail_first:
+                    raise ConnectionError("flaky")
+                return inner(method, params)
+
+            return call
+
+    out = fam.fetch_traces(
+        spark, _wl(spark, "9:12", parts=1),
+        config=RpcConfig(max_retries=3, initial_backoff_s=0.01),
+        transport_factory=FlakyFull(2),
+    )
+    assert out.count() > 0

@@ -154,3 +154,51 @@ def test_pacer_compute_units_backoff_floor(monkeypatch):
 
     rpcmod._Pacer(cfg).call(flaky, "eth_getBlockByNumber", [])
     assert sleeps and sleeps[0] >= 0.5  # 100 CU / 200 CU/s
+
+
+def test_mesc_resolution(monkeypatch, tmp_path):
+    """MESC-first resolution (cli/parse/source.rs:74-108): endpoint
+    name and chain-id queries, profile/global defaults, file and env
+    configs, DISABLED mode, and the ETH_RPC_URL fallthrough."""
+    import json
+
+    from cryo_spark.sources.rpc import resolve_rpc_url
+
+    cfg = {
+        "mesc_version": "0.2.0",
+        "default_endpoint": "local_eth",
+        "endpoints": {
+            "local_eth": {"name": "local_eth", "url": "localhost:8545",
+                          "chain_id": "1"},
+            "llama_op": {"name": "llama_op", "url": "https://op.llamarpc.com",
+                         "chain_id": "10"},
+        },
+        "network_defaults": {"10": "llama_op"},
+        "profiles": {"cryo": {"default_endpoint": "llama_op"}},
+    }
+    p = tmp_path / "mesc.json"
+    p.write_text(json.dumps(cfg))
+    monkeypatch.delenv("ETH_RPC_URL", raising=False)
+    monkeypatch.setenv("MESC_MODE", "PATH")
+    monkeypatch.setenv("MESC_PATH", str(p))
+    # endpoint-name query; bare host gets the http:// prefix
+    assert resolve_rpc_url("local_eth") == "http://localhost:8545"
+    # chain-id query via network_defaults
+    assert resolve_rpc_url("10") == "https://op.llamarpc.com"
+    # no query -> "cryo" profile default wins over global default
+    assert resolve_rpc_url() == "https://op.llamarpc.com"
+    # unmatched query falls through to the literal URL
+    assert resolve_rpc_url("http://other:1234") == "http://other:1234"
+    # env-JSON config mode
+    monkeypatch.setenv("MESC_MODE", "ENV")
+    monkeypatch.delenv("MESC_PATH")
+    monkeypatch.setenv("MESC_ENV", json.dumps({**cfg, "profiles": {}}))
+    assert resolve_rpc_url() == "http://localhost:8545"  # global default
+    # DISABLED: back to env-var resolution
+    monkeypatch.setenv("MESC_MODE", "DISABLED")
+    monkeypatch.setenv("ETH_RPC_URL", "http://fallback:8545")
+    assert resolve_rpc_url() == "http://fallback:8545"
+    # broken config is non-fatal (reference eprintln-and-continue)
+    monkeypatch.setenv("MESC_MODE", "PATH")
+    monkeypatch.setenv("MESC_PATH", str(tmp_path / "missing.json"))
+    assert resolve_rpc_url() == "http://fallback:8545"
