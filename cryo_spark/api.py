@@ -214,6 +214,18 @@ _RAW_OF = {
 }
 
 
+def _adopt_chunks_into_active_source(chunks) -> None:
+    """Give an active OnlineSource the planned block chunks (its fetch
+    work-list) when the caller didn't pre-seed them — so
+    ``collect(..., blocks=..., source=OnlineSource(...))`` needs the
+    block spec in only one place."""
+    from cryo_spark import sources as _sources
+
+    src = _sources._ACTIVE
+    if src is not None and getattr(src, "chunks", None) is None and chunks:
+        src.chunks = chunks
+
+
 def persist_shared_raws(spark, names: list[str], fixtures_dir=None) -> list:
     """Persist each raw table consumed by >= 2 of ``names`` so their
     transforms share ONE scan via Spark's plan-cache substitution
@@ -261,6 +273,24 @@ def collect_multi(
 
 
 def collect(
+    spark: SparkSession,
+    datatype: str,
+    *,
+    source=None,
+    **kwargs,
+) -> DataFrame:
+    """Collect one dataset (see :func:`_collect_impl` for the full
+    parameter surface). ``source`` swaps the replay lake for an
+    :class:`cryo_spark.sources.online.OnlineSource` — the transforms
+    are source-agnostic, so the same plan runs over live RPC fetch
+    stages (reference: Source passed into every dataset collector)."""
+    from cryo_spark.sources import use_source
+
+    with use_source(source):
+        return _collect_impl(spark, datatype, **kwargs)
+
+
+def _collect_impl(
     spark: SparkSession,
     datatype: str,
     *,
@@ -326,6 +356,7 @@ def collect(
         dims={k: v for k, v in dims.items() if v is not None},
     )
     q.validate()
+    _adopt_chunks_into_active_source(chunks)
     df = _base_frame(
         spark, datatype, chunks,
         columns=columns, include_columns=include_columns,
@@ -354,6 +385,24 @@ def collect(
 
 
 def freeze(
+    spark: SparkSession,
+    datatypes: str | list[str],
+    *,
+    output_dir: str,
+    source=None,
+    **kwargs,
+) -> dict:
+    """Freeze datasets to chunked files (see :func:`_freeze_impl`).
+    ``source`` swaps the replay lake for a live OnlineSource, making
+    this the reference's primary workflow — online extraction to
+    sorted chunk files — as two Spark stages per dataset."""
+    from cryo_spark.sources import use_source
+
+    with use_source(source):
+        return _freeze_impl(spark, datatypes, output_dir=output_dir, **kwargs)
+
+
+def _freeze_impl(
     spark: SparkSession,
     datatypes: str | list[str],
     *,
@@ -443,6 +492,7 @@ def freeze(
         dims={k: v for k, v in dims.items() if v is not None},
     )
     q.validate()
+    _adopt_chunks_into_active_source(chunks)
 
     # row-group sizing (cli/parse/file_output.rs:138-149): explicit
     # rows, else chunk_size split into n groups

@@ -198,29 +198,56 @@ BLOCK_RAW_SCHEMA = T.StructType(
         T.StructField("block_hash", T.BinaryType()),
         T.StructField("parent_hash", T.BinaryType()),
         T.StructField("author", T.BinaryType()),
+        T.StructField("state_root", T.BinaryType()),
+        T.StructField("transactions_root", T.BinaryType()),
+        T.StructField("receipts_root", T.BinaryType()),
+        T.StructField("uncles_hash", T.BinaryType()),
+        T.StructField("mix_hash", T.BinaryType()),
+        T.StructField("logs_bloom", T.BinaryType()),
+        T.StructField("extra_data", T.BinaryType()),
+        T.StructField("nonce", T.BinaryType()),
         T.StructField("timestamp", T.IntegerType()),
         T.StructField("gas_used", T.LongType()),
         T.StructField("gas_limit", T.LongType()),
+        T.StructField("difficulty", T.LongType()),
+        T.StructField("total_difficulty", T.BinaryType()),
+        T.StructField("size", T.LongType()),
         T.StructField("base_fee_per_gas", T.LongType()),
-        T.StructField("extra_data", T.BinaryType()),
+        T.StructField("withdrawals_root", T.BinaryType()),
         T.StructField("chain_id", T.LongType()),
     ]
 )
 
 
+def _u256_word(h: str | None) -> bytes | None:
+    return None if h is None else int(h, 16).to_bytes(32, "big")
+
+
 def flatten_block(raw: dict, chain_id: int) -> dict:
-    """eth_getBlockByNumber result → one raw-table row
-    (datasets/blocks.rs process_block flatten)."""
+    """eth_getBlockByNumber result → one raw-table row, full header
+    surface (datasets/blocks.rs process_block flatten) — the landed
+    row matches the replay fixture_blocks schema column for column."""
     return {
         "block_number": _hex_to_int(raw.get("number")),
         "block_hash": _hex_to_bytes(raw.get("hash")),
         "parent_hash": _hex_to_bytes(raw.get("parentHash")),
         "author": _hex_to_bytes(raw.get("miner")),
+        "state_root": _hex_to_bytes(raw.get("stateRoot")),
+        "transactions_root": _hex_to_bytes(raw.get("transactionsRoot")),
+        "receipts_root": _hex_to_bytes(raw.get("receiptsRoot")),
+        "uncles_hash": _hex_to_bytes(raw.get("sha3Uncles")),
+        "mix_hash": _hex_to_bytes(raw.get("mixHash")),
+        "logs_bloom": _hex_to_bytes(raw.get("logsBloom")),
+        "extra_data": _hex_to_bytes(raw.get("extraData")),
+        "nonce": _hex_to_bytes(raw.get("nonce")),
         "timestamp": _hex_to_int(raw.get("timestamp")),
         "gas_used": _hex_to_int(raw.get("gasUsed")),
         "gas_limit": _hex_to_int(raw.get("gasLimit")),
+        "difficulty": _hex_to_int(raw.get("difficulty")),
+        "total_difficulty": _u256_word(raw.get("totalDifficulty")),
+        "size": _hex_to_int(raw.get("size")),
         "base_fee_per_gas": _hex_to_int(raw.get("baseFeePerGas")),
-        "extra_data": _hex_to_bytes(raw.get("extraData")),
+        "withdrawals_root": _hex_to_bytes(raw.get("withdrawalsRoot")),
         "chain_id": chain_id,
     }
 
@@ -262,6 +289,7 @@ LOG_RAW_SCHEMA = T.StructType(
         T.StructField("transaction_index", T.IntegerType()),
         T.StructField("log_index", T.IntegerType()),
         T.StructField("transaction_hash", T.BinaryType()),
+        T.StructField("block_hash", T.BinaryType()),
         T.StructField("address", T.BinaryType()),
         T.StructField("topic0", T.BinaryType()),
         T.StructField("topic1", T.BinaryType()),
@@ -282,6 +310,7 @@ def flatten_log(raw: dict, chain_id: int) -> dict:
         "transaction_index": _hex_to_int(raw.get("transactionIndex")),
         "log_index": _hex_to_int(raw.get("logIndex")),
         "transaction_hash": _hex_to_bytes(raw.get("transactionHash")),
+        "block_hash": _hex_to_bytes(raw.get("blockHash")),
         "address": _hex_to_bytes(raw.get("address")),
         "topic0": t[0], "topic1": t[1], "topic2": t[2], "topic3": t[3],
         "data": _hex_to_bytes(raw.get("data")),
@@ -371,6 +400,7 @@ def fake_transport_factory(config: RpcConfig) -> Transport:
                         "transactionIndex": hex(k),
                         "logIndex": hex(k),
                         "transactionHash": "0x" + (n.to_bytes(4, "big") * 8).hex(),
+                        "blockHash": "0x" + (n.to_bytes(4, "big") * 8).hex(),
                         "address": addr,
                         "topics": [t0],
                         "data": "0x" + bytes([n % 256]).hex() * 32,
@@ -384,6 +414,18 @@ def fake_transport_factory(config: RpcConfig) -> Transport:
             "hash": "0x" + (n.to_bytes(4, "big") * 8).hex(),
             "parentHash": "0x" + ((n - 1).to_bytes(4, "big", signed=True) * 8).hex(),
             "miner": "0x" + (n % 16).to_bytes(1, "big").hex() * 20,
+            "stateRoot": "0x" + (n % 7).to_bytes(1, "big").hex() * 32,
+            "transactionsRoot": "0x" + (n % 11).to_bytes(1, "big").hex() * 32,
+            "receiptsRoot": "0x" + (n % 13).to_bytes(1, "big").hex() * 32,
+            "sha3Uncles": "0x" + "1d" * 32,
+            "mixHash": "0x" + (n % 5).to_bytes(1, "big").hex() * 32,
+            "logsBloom": "0x" + "00" * 256,
+            "nonce": "0x" + (n % 9).to_bytes(1, "big").hex() * 8,
+            "difficulty": hex(0 if n >= 100 else 10**12 + n),
+            "totalDifficulty": hex(10**15 + n),
+            "size": hex(500 + 13 * (n % 97)),
+            "withdrawalsRoot": ("0x" + (n % 3).to_bytes(1, "big").hex() * 32)
+            if n >= 100 else None,
             "timestamp": hex(1_600_000_000 + 12 * n),
             "gasUsed": hex(21_000 * n),
             "gasLimit": hex(30_000_000),

@@ -112,6 +112,15 @@ CALL_RAW_SCHEMA = _schema(
     "block_number:int contract:bin call_data:bin output:bin chain_id:long"
 )
 
+TRACE_CALL_RAW_SCHEMA = _schema(
+    "block_number:int transaction_index:int action_from:bin action_to:bin "
+    "action_value:bin action_gas:int action_input:bin action_call_type:str "
+    "action_init:bin action_reward_type:str action_type:str "
+    "result_gas_used:int result_output:bin result_code:bin "
+    "result_address:bin trace_address:str subtraces:int error:str "
+    "tx_to_address:bin tx_call_data:bin chain_id:long"
+)
+
 JS_TRACE_RAW_SCHEMA = _schema(
     "block_number:int transaction_index:int transaction_hash:bin output:str "
     "chain_id:long"
@@ -580,6 +589,49 @@ def fetch_calls(
     )
 
 
+def fetch_trace_calls(
+    spark, work_list: DataFrame,
+    config: RpcConfig | None = None, transport_factory=None, chain_id: int = 1,
+) -> DataFrame:
+    """trace_call per (block_number, tx_to_address, tx_call_data)
+    (sources.rs:405) — simulate a call at each block and land its
+    trace tree, the trace_calls dataset's online path."""
+    cols = [f.name for f in TRACE_CALL_RAW_SCHEMA.fields]
+
+    def row_fn(pacer, transport, bn, to_addr, call_data):
+        res = pacer.call(transport, "trace_call", [
+            {"to": "0x" + bytes(to_addr).hex(),
+             "data": "0x" + bytes(call_data).hex()},
+            ["trace"], hex(int(bn)),
+        ])
+        rows = []
+        for t in res.get("trace") or []:
+            flat = flatten_trace({**t, "blockNumber": int(bn)}, chain_id)
+            flat.pop("block_hash", None)
+            flat.pop("transaction_hash", None)
+            flat["transaction_index"] = None
+            flat["tx_to_address"] = bytes(to_addr)
+            flat["tx_call_data"] = bytes(call_data)
+            rows.append(flat)
+        return rows
+
+    cfg = config or RpcConfig()
+    factory = transport_factory or http_transport
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = factory(cfg)
+        pacer = _Pacer(cfg)
+        for pdf in batches:
+            rows: list[dict] = []
+            for tup in pdf[["block_number", "tx_to_address", "tx_call_data"]].itertuples(index=False):
+                rows.extend(row_fn(pacer, transport, *tup))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return work_list.select(
+        "block_number", "tx_to_address", "tx_call_data"
+    ).mapInPandas(run, TRACE_CALL_RAW_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # deterministic fake node covering the full method surface
 # ---------------------------------------------------------------------------
@@ -708,6 +760,16 @@ def full_fake_transport_factory(config: RpcConfig) -> Transport:
                      "depth": 1, "stack": ["0x1"]} for s in range(n % 3 + 1)
                 ]},
             } for k in range(txs_in_block(n))]
+        if method == "trace_call":
+            req, _tracers, tag = params
+            n = int(tag, 16)
+            return {"output": "0x01", "trace": [{
+                "traceAddress": [], "subtraces": 0, "type": "call",
+                "action": {"from": addr(n), "to": req["to"],
+                           "value": "0x0", "gas": hex(80000),
+                           "input": req["data"], "callType": "call"},
+                "result": {"gasUsed": hex(25000), "output": "0x02"},
+            }]}
         if method == "eth_getBalance":
             return hex(int(params[1], 16) * 1000 + int(params[0][2:4], 16))
         if method == "eth_getTransactionCount":

@@ -1,0 +1,100 @@
+"""End-to-end online extraction: collect()/freeze() with an
+OnlineSource routing every raw-table read to live (fake-node) fetch
+stages — the reference's primary workflow (online extraction to
+DataFrames / sorted chunk files) with the transforms unchanged."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cryo_spark import api
+from cryo_spark.sources.online import OnlineSource
+from cryo_spark.sources.rpc_families import full_fake_transport_factory as FAKE
+
+
+def _src(**kw):
+    return OnlineSource(transport_factory=FAKE, **kw)
+
+
+def test_online_collect_blocks(spark):
+    out = api.collect(
+        spark, "blocks", blocks="100:110", columns=["all"], source=_src(),
+    )
+    rows = out.orderBy("block_number").collect()
+    assert len(rows) == 10
+    assert rows[0].block_number == 100
+    assert rows[0].timestamp == 1_600_000_000 + 12 * 100
+    assert rows[0].base_fee_per_gas == 10**9
+
+
+def test_online_collect_transactions_joins_block_basefee(spark):
+    """The transactions transform broadcast-joins the blocks raw for
+    EIP-1559 gas price — online BOTH tables come from the fake node."""
+    out = api.collect(
+        spark, "transactions", blocks="101:104", source=_src(),
+    ).collect()
+    assert len(out) == sum(n % 4 for n in range(101, 104))
+    typed = [r for r in out if r.transaction_type == 2]
+    assert typed, "fake emits type-2 txs on odd blocks"
+    # effective gas price = base_fee + min(priority, max_fee - base_fee)
+    for r in typed:
+        assert r.gas_price == 10**9 + 10**8
+
+
+def test_online_collect_trace_family_shares_one_fetch(spark):
+    """contracts + native_transfers + traces all consume the traces
+    raw: the OnlineSource memoizes the fetched frame, so the family
+    hits the network once (MultiDatatype shared-fetch, meta.rs:23-39)."""
+    src = _src()
+    from cryo_spark.sources import use_source
+
+    with use_source(src):
+        traces = api._collect_impl(spark, "traces", blocks="9:13")
+        transfers = api._collect_impl(spark, "native_transfers", blocks="9:13")
+    assert traces.count() > 0 and transfers.count() > 0
+    assert set(src._cache) == {"traces"}  # one fetched table serves both
+
+
+def test_online_collect_state_diffs(spark):
+    out = api.collect(
+        spark, "storage_diffs", blocks="9:12", source=_src(),
+    ).collect()
+    assert out and all(r.slot is not None for r in out)
+
+
+def test_online_collect_balances_point_family(spark):
+    addr = bytes.fromhex("11" * 20)
+    out = api.collect(
+        spark, "balances", blocks="5:7", address=[addr], source=_src(addresses=[addr]),
+    ).collect()
+    assert len(out) == 2  # 2 blocks x 1 address
+    assert all(r.address == addr for r in out)
+
+
+def test_online_freeze_to_chunked_files(spark, tmp_path):
+    summary = api.freeze(
+        spark, ["blocks", "logs"], blocks="0:100", chunk_size=50,
+        output_dir=str(tmp_path), overwrite=True, report=False,
+        source=_src(),
+    )
+    names = sorted(os.path.basename(p) for p in summary["completed_paths"])
+    assert names == [
+        "ethereum__blocks__00000000_to_00000049.parquet",
+        "ethereum__blocks__00000050_to_00000099.parquet",
+        "ethereum__logs__00000000_to_00000049.parquet",
+        "ethereum__logs__00000050_to_00000099.parquet",
+    ]
+    assert summary["n_rows"] > 0
+
+
+def test_online_source_requires_dims_for_point_families(spark):
+    with pytest.raises(ValueError, match="address"):
+        api.collect(spark, "balances", blocks="5:6", source=_src()).collect()
+
+
+def test_replay_still_default(spark, fixtures_dir):
+    """No source argument -> replay lake, unchanged behavior."""
+    out = api.collect(spark, "blocks", blocks="0:5", fixtures_dir=fixtures_dir)
+    assert out.count() == 5
