@@ -625,10 +625,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="custom tracer source for javascript_traces "
                         "(executed by the node online; recorded in the "
                         "run report offline)")
-    # RPC source config (cli/parse/source.rs): parsed and validated
-    # for parity; the replay source never dials out, so these only
-    # shape RpcConfig + the run report
+    # RPC source config (cli/parse/source.rs). --rpc (or --online with
+    # ETH_RPC_URL/MESC) switches extraction to the live fetch stages;
+    # the default stays the replay lake (--offline forces it)
     p.add_argument("-r", "--rpc", default=None)
+    p.add_argument("--online", action="store_true",
+                   help="fetch over JSON-RPC (resolved via --rpc, MESC, "
+                        "or ETH_RPC_URL) instead of the replay lake")
+    p.add_argument("--offline", action="store_true",
+                   help="force the replay lake even when --rpc is given")
     p.add_argument("--requests-per-second", type=float, default=None)
     p.add_argument("--max-retries", type=int, default=5)
     p.add_argument("--initial-backoff", type=float, default=0.5)
@@ -678,11 +683,12 @@ def main(argv: list[str] | None = None) -> int:
              **{f"topic{i}": getattr(args, f"topic{i}") for i in range(4)}).items()
         if v is not None
     }
-    if args.rpc is not None or "ETH_RPC_URL" in __import__("os").environ:
-        # validated for parity; the replay source never dials out
+    source = None
+    go_online = (args.online or args.rpc is not None) and not args.offline
+    if go_online or "ETH_RPC_URL" in __import__("os").environ:
         from cryo_spark.sources.rpc import RpcConfig
 
-        RpcConfig.from_env(
+        rpc_cfg = RpcConfig.from_env(
             args.rpc,
             max_concurrent_requests=args.max_concurrent_requests,
             requests_per_second=args.requests_per_second,
@@ -691,6 +697,17 @@ def main(argv: list[str] | None = None) -> int:
             compute_units_per_second=args.compute_units_per_second,
             inner_request_size=args.inner_request_size,
         )
+        if go_online:
+            from cryo_spark.sources.online import OnlineSource
+
+            source = OnlineSource(
+                config=rpc_cfg,
+                addresses=[_dim_bytes(a) for a in (args.address or [])] or None,
+                slots=[_dim_bytes(s) for s in (args.slot or [])] or None,
+                contracts=[_dim_bytes(c) for c in (args.contract or [])] or None,
+                call_datas=[_dim_bytes(c) for c in (call_data or [])] or None,
+                js_tracer=args.js_tracer,
+            )
     if args.dry:
         # dry runs never start Spark: pure planner + path layout
         chunks = cplan.parse_block_inputs(args.blocks or "0:1000")
@@ -718,7 +735,7 @@ def main(argv: list[str] | None = None) -> int:
         chunk_order=args.chunk_order, report=not args.no_report,
         report_dir=args.report_dir, compression=args.compression,
         row_group_size=args.row_group_size, n_row_groups=args.n_row_groups,
-        stats=not args.no_stats,
+        stats=not args.no_stats, source=source,
         **dims,
     )
     print(f"completed: {summary['n_completed']}, skipped: {summary['n_skipped']}")

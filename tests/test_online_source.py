@@ -98,3 +98,37 @@ def test_replay_still_default(spark, fixtures_dir):
     """No source argument -> replay lake, unchanged behavior."""
     out = api.collect(spark, "blocks", blocks="0:5", fixtures_dir=fixtures_dir)
     assert out.count() == 5
+
+
+def test_cli_online_flag(spark, tmp_path, monkeypatch):
+    """`--rpc` switches the CLI to live extraction (reference
+    online-first behavior); the http transport is swapped for the
+    fake node at the module seam the fetchers resolve at call time."""
+    from cryo_spark.sources import rpc, rpc_families
+
+    monkeypatch.setattr(rpc, "http_transport", FAKE)
+    monkeypatch.setattr(rpc_families, "http_transport", FAKE)
+    rc = api.main([
+        "blocks", "-b", "100:120", "-o", str(tmp_path),
+        "--chunk-size", "10", "--rpc", "http://fake-node:8545",
+        "--no-report", "--overwrite",
+    ])
+    assert rc == 0
+    files = sorted(p.name for p in tmp_path.glob("*.parquet"))
+    assert files == [
+        "ethereum__blocks__00000100_to_00000109.parquet",
+        "ethereum__blocks__00000110_to_00000119.parquet",
+    ]
+    got = spark.read.parquet(str(tmp_path / files[0])).orderBy("block_number")
+    assert got.first().timestamp == 1_600_000_000 + 12 * 100
+
+
+def test_cli_offline_forces_replay(tmp_path, monkeypatch, fixtures_dir):
+    """--offline keeps the replay lake even when ETH_RPC_URL is set."""
+    monkeypatch.setenv("ETH_RPC_URL", "http://unreachable:1")
+    rc = api.main([
+        "blocks", "-b", "0:20", "-o", str(tmp_path), "--chunk-size", "20",
+        "--online", "--offline", "--no-report", "--overwrite",
+    ])
+    assert rc == 0
+    assert list(tmp_path.glob("*blocks*.parquet"))
