@@ -299,7 +299,9 @@ def test_asof_join_long_keys_beyond_double_precision(spark):
     assert out == {1: "a", 2: "b", 3: "c"}
 
 
-def test_connected_components_chains_and_stars(spark):
+@pytest.mark.parametrize("driver_threshold", [100_000, 0],
+                         ids=["driver-unionfind", "distributed-star-rounds"])
+def test_connected_components_chains_and_stars(spark, driver_threshold):
     from cryo_spark.operators.dedup import connected_components
 
     # a 5-chain (worst case for min-propagation), a triangle sharing
@@ -308,14 +310,18 @@ def test_connected_components_chains_and_stars(spark):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     comp = {
         r["id"]: r["component"]
-        for r in connected_components(pairs).collect()
+        for r in connected_components(
+            pairs, driver_threshold=driver_threshold
+        ).collect()
     }
     assert all(comp[n] == 1 for n in (1, 2, 3, 4, 5))
     assert all(comp[n] == 10 for n in (10, 11, 12))
     assert all(comp[n] == 20 for n in (20, 21))
 
 
-def test_connected_components_random_vs_union_find(spark):
+@pytest.mark.parametrize("driver_threshold", [100_000, 0],
+                         ids=["driver-unionfind", "distributed-star-rounds"])
+def test_connected_components_random_vs_union_find(spark, driver_threshold):
     import numpy as np
 
     from cryo_spark.operators.dedup import connected_components
@@ -342,7 +348,12 @@ def test_connected_components_random_vs_union_find(spark):
                 expected.get(x, x), min(y for y in range(n) if find(y) == find(x))
             )
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            pairs, driver_threshold=driver_threshold
+        ).collect()
+    }
     assert got == expected
 
 
