@@ -171,21 +171,36 @@ def _docsets(
     return sh.groupBy(id_col).agg(F.collect_set("shingle").alias(out))
 
 
-def _jaccard_from_sets(
-    pairs: DataFrame, docsets: DataFrame, id_col: str = "doc_id"
+def _verify_pairs(
+    sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id_a, id_b, jaccard) via array_intersect over per-doc shingle
-    sets. ``pairs`` is the post-pruning candidate list — a tiny
-    fraction of the corpus — so both enrichment joins broadcast it;
-    the docsets frame NEVER shuffles here. Intersection is a
-    hash-set sweep, O(|A|+|B|) per pair."""
+    """Exact-Jaccard verify for a candidate pair list over the
+    shingle stream ``sh``: (id_a, id_b, jaccard) via array_intersect
+    on per-doc shingle sets.
+
+    Scale shape: the candidate list is persisted (it is consumed
+    twice and its generation subtree — LSH banding or posting-list
+    explosion — must run once); the shingle stream is semi-join
+    pruned to candidate docs BEFORE the collect_set, so the docset
+    aggregation shuffles candidate docs only, never the corpus. Both
+    enrichment joins are then candidate-bounded on BOTH sides — AQE
+    broadcasts them when small and falls back to a (bounded) shuffle
+    join when a huge candidate set would break a forced broadcast.
+    Intersection is a hash-set sweep, O(|A|+|B|) per pair."""
+    pairs = pairs.persist()
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = _docsets(sh.join(ids, id_col, "left_semi"), id_col)
     a = pairs.join(
-        docsets.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a")),
+        sets.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a")),
         "id_a",
     )
-    enriched = docsets.select(
+    enriched = sets.select(
         F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b")
-    ).join(F.broadcast(a), "id_b")
+    ).join(a, "id_b")
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
     sz_a, sz_b = F.size("shs_a"), F.size("shs_b")
     return enriched.select(
@@ -202,25 +217,12 @@ def ngram_jaccard(
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the verify stage
-    after LSH): semi-join prune the shingle stream to docs that
-    appear in a pair, build per-doc shingle SETS (one shuffle), then
-    a broadcast enrichment join + array_intersect per pair. Shuffle
-    volume = shingles of candidate docs only; the former formulation
-    (pair x shingle routing joins + size joins) shuffled the same
-    data four times under three different keys."""
+    after LSH) — see :func:`_verify_pairs` for the plan shape. The
+    former formulation (pair x shingle routing joins + size joins)
+    shuffled the same exploded data four times under three different
+    keys."""
     sh = shingles if shingles is not None else shingle_rows(df, text_col, n, id_col)
-    # the candidate list is consumed twice (id prune + enrichment
-    # join) and is tiny by construction (post-LSH survivors): persist
-    # so its generation subtree — the full LSH banding pipeline —
-    # runs once instead of three times (bench: 2.4s -> ~1.7s at sf0.1)
-    pairs = pairs.persist()
-    ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    sets = _docsets(sh.join(ids, id_col, "left_semi"), id_col)
-    return _jaccard_from_sets(pairs, sets, id_col)
+    return _verify_pairs(sh, pairs, id_col)
 
 def ngram_jaccard_all_pairs(
     df: DataFrame,
@@ -252,8 +254,10 @@ def ngram_jaccard_all_pairs(
     posting-list collect_set on the SAME key adds NO exchange, and
     pair generation explodes each <=max_df posting list map-side
     (bounded memory, no self-join); (3) per-doc shingle sets for the
-    exact verify, consumed via broadcast enrichment joins
-    (_jaccard_from_sets) — the docsets frame never re-shuffles."""
+    exact verify, built over candidate docs ONLY (semi-join prune
+    before the collect_set) and consumed via candidate-bounded
+    enrichment joins (_verify_pairs) — the corpus-sized stream never
+    re-shuffles and no unbounded frame is ever broadcast."""
     sh = shingles if shingles is not None else shingle_rows(df, text_col, n, id_col)
     dfreq = (
         sh.groupBy("shingle")
@@ -285,10 +289,9 @@ def ngram_jaccard_all_pairs(
         .filter(F.col("n_rare_inter") >= min_shared)
         .select("id_a", "id_b")
     )
-    # exact intersection over ALL shingles for the candidate pairs
-    sets = _docsets(sh, id_col)
+    # exact intersection over ALL shingles of the candidate docs
     return (
-        _jaccard_from_sets(cand, sets, id_col)
+        _verify_pairs(sh, cand, id_col)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
