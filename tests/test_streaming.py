@@ -160,3 +160,55 @@ def test_tail_to_chunk_files_incremental(spark, raw_dir, tmp_path):
     ).select(*cols)
     batch = api.collect(spark, "blocks", blocks="250:500", columns=cols)
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_events_hourly_stream_matches_scored_batch_entry(spark, tmp_path):
+    """The scored `events_hourly` contract entry is the batch shape of
+    a Structured Streaming rollup: the SAME hourly aggregation run as
+    a stream over the driver events testdata (watermark + tumbling
+    window, complete mode) must produce identical (hour, type, count,
+    sum) rows. Pins batch/stream semantic equivalence on the real
+    fixture, both ts encodings via the batch entry's adaptive reader."""
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = {
+        (r.hour_epoch, r.event_type): (r.n_events, str(r.sum_value))
+        for r in entrymod.q_events_hourly(spark, sf_dir).collect()
+    }
+
+    # file-source streams need a directory
+    import shutil
+
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "events.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(str(stream_dir))
+    rolled = (
+        stream.withColumn("_t", F.col("ts").cast("timestamp"))
+        .withWatermark("_t", "1 hour")
+        .groupBy(F.window("_t", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("window.start").alias("hour_epoch"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    q = (
+        rolled.writeStream.format("memory").queryName("events_hourly_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ev"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.hour_epoch, r.event_type): (r.n_events, str(r.sum_value))
+        for r in spark.sql("SELECT * FROM events_hourly_stream").collect()
+    }
+    assert got == batch
