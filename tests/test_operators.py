@@ -645,3 +645,22 @@ def test_ivf_index_persistence_and_pruning(spark, tmp_path):
     assert "PartitionFilters: [list_id" in plan or "list_id#" in plan.split(
         "PartitionFilters"
     )[1].split("]")[0]
+
+
+def test_jaccard_pipeline_on_hashed_shingles(spark, sf_dir):
+    """The documented shuffle-volume knob: the whole all-pairs
+    pipeline on xxhash64-hashed shingles (8-byte longs) produces
+    bit-identical pairs to the string path."""
+    from cryo_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashed = dedup.shingle_rows(docs).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
+    a = dedup.ngram_jaccard_all_pairs(docs).orderBy("id_a", "id_b").collect()
+    b = (
+        dedup.ngram_jaccard_all_pairs(docs, shingles=hashed)
+        .orderBy("id_a", "id_b").collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a, "vacuous: no near-dup pairs in fixture"
