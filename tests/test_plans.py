@@ -90,3 +90,43 @@ def test_pii_redact_narrow_jvm_projection(spark):
     assert "Python" not in p  # no UDF in the hot path
     assert p.count("Exchange hashpartitioning") == 0
     assert "regexp_replace" in p
+
+
+def test_ngram_all_pairs_no_cartesian_no_forced_broadcast(spark):
+    """Round-4 plan shape: candidate pairs come from map-side posting
+    list explosion (no shingle self-join, no cartesian product), and
+    nothing unbounded carries a broadcast HINT — AQE picks join
+    strategies from runtime sizes."""
+    from cryo_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = dedup.ngram_jaccard_all_pairs(docs)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan, "posting-list pair explosion missing"
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt, (
+        "verify joins must not force broadcast — candidate sets can be huge"
+    )
+
+
+def test_asof_dedup_left_keeps_left_unshuffled(spark):
+    """Round-4 as-of shape: with dedup_left the full left frame joins
+    the (broadcast) per-key match map — no Exchange may sit between
+    the left scan and the final join."""
+    plan = _plan(entrymod.q_orders_asof_events(spark, SF_DIR))
+    join_lines = [ln for ln in plan.split("\n") if "BroadcastHashJoin" in ln]
+    assert join_lines, "dedup_left must broadcast the matched-key map"
+    # the orders scan feeds the join directly: no shuffle of the left
+    seg = plan.split("BroadcastHashJoin")[1]
+    assert "orders" in seg and "Exchange" not in seg.split("orders")[0].split("BroadcastExchange")[0], plan
+
+
+def test_minhash_signatures_partial_aggregation(spark):
+    """The k-min signature aggregation must combine map-side: the
+    shuffle carries k longs per doc, never raw shingle rows."""
+    from cryo_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(dedup.minhash_signatures(docs, k=16))
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan, plan
