@@ -55,6 +55,44 @@ HEADLINE = [
 ]
 
 
+def bench_one(spark, fn, sf_dir: str, warm_dir: str = "/root/testdata/sf0.001",
+              reps: int = 3):
+    """Measure one query: (best_seconds|None, rows|None, err|None).
+
+    Steady-state measurement: one tiny-scale run first compiles the
+    query's codegen/UDF paths (per-JVM one-time cost a long-lived
+    cluster amortizes away), then the result is the min of
+    ``reps`` cache-cleared runs at sf_dir — a single measurement in a
+    28-query JVM picks up seconds of cross-query noise (GC,
+    python-worker churn). Per-query isolation: a broken query returns
+    its error instead of raising, so one failure can never zero a
+    round's perf data (the round-3 failure mode)."""
+    if os.path.isdir(warm_dir):
+        try:
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+    try:
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            # noop sink: full plan executes (a bare count() would let
+            # Catalyst collapse projections into a parquet metadata
+            # count)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        n = fn(spark, sf_dir).count()  # untimed sanity count
+        return round(best, 3), n, None
+    except Exception as exc:  # noqa: BLE001
+        return None, None, f"{type(exc).__name__}: {exc}"[:500]
+    finally:
+        spark.catalog.clearCache()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -67,40 +105,12 @@ def main() -> None:
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     errs: dict[str, str] = {}
-    warm_dir = "/root/testdata/sf0.001"
     for name in HEADLINE:
-        fn = queries[name]
-        # steady-state measurement: one tiny-scale run first compiles
-        # the query's codegen/UDF paths (per-JVM one-time cost that a
-        # long-lived cluster amortizes away), then the timed result is
-        # the min of two cache-cleared runs at sf_dir — a single
-        # measurement in a 28-query JVM picks up several seconds of
-        # cross-query noise (GC, python-worker churn)
-        if os.path.isdir(warm_dir):
-            try:
-                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-                spark.catalog.clearCache()
-            except Exception:
-                pass
-        # per-query isolation: one broken query must not zero the
-        # round's perf data — record its error and keep benching
-        try:
-            best = None
-            for _ in range(3):
-                t0 = time.time()
-                df = fn(spark, sf_dir)
-                # noop sink: full plan executes (a bare count() would
-                # let Catalyst collapse projections into a parquet
-                # metadata count)
-                df.write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-                spark.catalog.clearCache()
-            times[name] = round(best, 3)
-            rows[name] = fn(spark, sf_dir).count()  # untimed sanity count
-        except Exception as exc:  # noqa: BLE001
-            errs[name] = f"{type(exc).__name__}: {exc}"[:500]
-        spark.catalog.clearCache()
+        t, n, err = bench_one(spark, queries[name], sf_dir)
+        if err is None:
+            times[name], rows[name] = t, n
+        else:
+            errs[name] = err
         # 28 queries x 4 executions accumulate broadcast/python-worker
         # garbage in one JVM; an explicit collection between queries
         # keeps each measurement steady-state instead of paying the
