@@ -395,11 +395,17 @@ def freeze(
     """Freeze datasets to chunked files (see :func:`_freeze_impl`).
     ``source`` swaps the replay lake for a live OnlineSource, making
     this the reference's primary workflow — online extraction to
-    sorted chunk files — as two Spark stages per dataset."""
+    sorted chunk files — as two Spark stages per dataset. Freeze is a
+    terminal action, so the source's persisted fetch frames are
+    released afterwards (collect() keeps them — its result is lazy)."""
     from cryo_spark.sources import use_source
 
-    with use_source(source):
-        return _freeze_impl(spark, datatypes, output_dir=output_dir, **kwargs)
+    try:
+        with use_source(source):
+            return _freeze_impl(spark, datatypes, output_dir=output_dir, **kwargs)
+    finally:
+        if source is not None:
+            source.unpersist()
 
 
 def _freeze_impl(
