@@ -66,14 +66,22 @@ def asof_join(
     if num_buckets and by:
         raise ValueError("num_buckets applies only without by keys")
     if dedup_left:
+        # resolve right-column collisions against the FULL left frame
+        # first (the recursion only sees the key columns), so suffix
+        # behavior is identical to the direct path
+        pre = {
+            c: c + suffix
+            for c in right.columns
+            if c in left.columns and c not in by and c != right_on
+        }
+        r2 = right
+        for c, n in pre.items():
+            r2 = r2.withColumnRenamed(c, n)
         keys = left.select(*by, left_on).distinct()
         matched = asof_join(
-            keys, right, left_on, right_on, by=by, direction=direction,
+            keys, r2, left_on, right_on, by=by, direction=direction,
             suffix=suffix, num_buckets=num_buckets,
         )
-        # rename collisions were resolved against the KEY frame; any
-        # remaining overlap with other left columns is the caller's
-        # suffix contract, identical to the direct path
         return left.join(F.broadcast(matched), [*by, left_on])
 
     # union key type: identical types stay native (no precision loss

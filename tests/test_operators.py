@@ -664,3 +664,28 @@ def test_jaccard_pipeline_on_hashed_shingles(spark, sf_dir):
     )
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert a, "vacuous: no near-dup pairs in fixture"
+
+
+def test_asof_dedup_left_matches_direct_and_suffixes(spark):
+    """dedup_left must (a) equal the direct path row for row and
+    (b) apply the same suffix to right columns colliding with ANY
+    left column — not just the key columns."""
+    from cryo_spark.operators.asof import asof_join
+
+    left = spark.range(2000).select(
+        (F.col("id") % 40).alias("k"),          # low-cardinality key
+        F.col("id").alias("lid"),
+        F.lit("L").alias("payload"),             # collides with right
+    )
+    right = spark.range(100).select(
+        (F.col("id") * 3).alias("rk"),
+        F.lit("R").alias("payload"),
+        F.col("id").alias("rid"),
+    )
+    direct = asof_join(left, right, "k", "rk")
+    dedup = asof_join(left, right, "k", "rk", dedup_left=True)
+    assert sorted(direct.columns) == sorted(dedup.columns)
+    assert "payload_right" in dedup.columns and "payload" in dedup.columns
+    d = {r.lid: (r.rid, r.payload, r.payload_right) for r in direct.collect()}
+    g = {r.lid: (r.rid, r.payload, r.payload_right) for r in dedup.collect()}
+    assert g == d and len(g) == 2000
