@@ -264,12 +264,22 @@ def collect_multi(
     the same fetch group (reference MetaDatatype clustering,
     meta.rs:23-39): when >=2 requested datasets read the same raw
     table, that scan is persisted once and every transform reuses it
-    through the plan cache."""
-    names = expand_datatypes(datatypes)
-    persist_shared_raws(spark, names, fixtures_dir)
-    return {
-        n: collect(spark, n, fixtures_dir=fixtures_dir, **kwargs) for n in names
-    }
+    through the plan cache. With ``source=OnlineSource(...)`` the
+    shared table is FETCHED once (the source memoizes per raw name)."""
+    from cryo_spark.sources import use_source
+
+    source = kwargs.pop("source", None)
+    with use_source(source):
+        names = expand_datatypes(datatypes)
+        if source is None:
+            # online, the source's per-raw memoization already
+            # guarantees one fetch per shared table (and it has no
+            # chunks yet at this point — they are adopted per collect)
+            persist_shared_raws(spark, names, fixtures_dir)
+        return {
+            n: _collect_impl(spark, n, fixtures_dir=fixtures_dir, **kwargs)
+            for n in names
+        }
 
 
 def collect(

@@ -132,3 +132,16 @@ def test_cli_offline_forces_replay(tmp_path, monkeypatch, fixtures_dir):
     ])
     assert rc == 0
     assert list(tmp_path.glob("*blocks*.parquet"))
+
+
+def test_online_collect_multi_shares_fetch(spark):
+    """collect_multi with a source: every member of a shared-fetch
+    group comes from ONE fetched raw table (memoized by the source),
+    and the offline persist_shared_raws path is bypassed."""
+    src = _src()
+    out = api.collect_multi(
+        spark, ["call_trace_derivatives"], blocks="9:13", source=src,
+    )
+    assert set(out) == {"contracts", "native_transfers", "traces"}
+    assert all(df.count() > 0 for name, df in out.items() if name == "traces")
+    assert set(src._cache) == {"traces"}
