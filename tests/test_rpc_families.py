@@ -198,3 +198,19 @@ def test_family_fetch_retries(spark):
         transport_factory=FlakyFull(2),
     )
     assert out.count() > 0
+
+
+def test_trace_calls_schema_and_values(spark, fixtures_dir):
+    wl = _point_wl(
+        spark, [(7, b"\x02" * 20, b"\xab\xcd")],
+        "block_number int, tx_to_address binary, tx_call_data binary",
+    )
+    out = fam.fetch_trace_calls(spark, wl, transport_factory=FAKE)
+    want = raw(spark, "trace_calls", fixtures_dir).schema
+    assert [(f.name, f.dataType) for f in out.schema.fields] == \
+        [(f.name, f.dataType) for f in want.fields]
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.tx_to_address == b"\x02" * 20 and r.tx_call_data == b"\xab\xcd"
+    assert r.action_type == "call" and r.result_gas_used == 25000
