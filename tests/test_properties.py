@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from cryo_spark import plan
 
@@ -128,3 +129,56 @@ def test_u256_views_consistent_for_random_values(spark):
         assert r.value_u64 == lo64 - (1 << 64) * (lo64 >= (1 << 63))
         lo32 = v % (1 << 32)
         assert r.value_u32 == lo32 - (1 << 32) * (lo32 >= (1 << 31))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    lkeys=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=0, max_size=40),
+    rkeys=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=0, max_size=40),
+    direction=st.sampled_from(["backward", "forward"]),
+    num_buckets=st.sampled_from([None, 4]),
+    dedup_left=st.booleans(),
+)
+def test_asof_join_matches_pandas_merge_asof(
+    spark, lkeys, rkeys, direction, num_buckets, dedup_left
+):
+    """Differential oracle: every asof_join configuration must agree
+    with pandas.merge_asof (an independent implementation) on random
+    key sets — including duplicate keys, empty sides, and equal-key
+    ties (at-or-before/at-or-after semantics both engines share)."""
+    import pandas as pd
+
+    from cryo_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(lkeys)] or [(None, None)],
+        "k long, lid long",
+    ).filter(F.col("k").isNotNull())
+    right_rows = sorted({k for k in rkeys})
+    right = spark.createDataFrame(
+        [(k, k * 7) for k in right_rows] or [(None, None)],
+        "rk long, payload long",
+    ).filter(F.col("rk").isNotNull())
+
+    got = {
+        (r.lid): (r.k, r.payload)
+        for r in asof_join(
+            left, right, "k", "rk", direction=direction,
+            num_buckets=num_buckets, dedup_left=dedup_left,
+        ).collect()
+    }
+
+    lp = pd.DataFrame({"k": lkeys, "lid": range(len(lkeys))}).sort_values("k")
+    rp = pd.DataFrame({"rk": right_rows, "payload": [k * 7 for k in right_rows]})
+    if len(lp) and len(rp):
+        m = pd.merge_asof(
+            lp.astype({"k": "int64"}), rp.astype({"rk": "int64"}),
+            left_on="k", right_on="rk", direction=direction,
+        )
+        want = {
+            int(r.lid): (int(r.k), None if pd.isna(r.payload) else int(r.payload))
+            for r in m.itertuples()
+        }
+    else:
+        want = {int(i): (int(k), None) for i, k in enumerate(lkeys)}
+    assert got == want
