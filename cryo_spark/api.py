@@ -218,12 +218,13 @@ def _adopt_chunks_into_active_source(chunks) -> None:
     """Give an active OnlineSource the planned block chunks (its fetch
     work-list) when the caller didn't pre-seed them — so
     ``collect(..., blocks=..., source=OnlineSource(...))`` needs the
-    block spec in only one place."""
+    block spec in only one place. A reused source adopting a NEW range
+    drops its memoized fetches (see OnlineSource.adopt_chunks)."""
     from cryo_spark import sources as _sources
 
     src = _sources._ACTIVE
-    if src is not None and getattr(src, "chunks", None) is None and chunks:
-        src.chunks = chunks
+    if src is not None and chunks and hasattr(src, "adopt_chunks"):
+        src.adopt_chunks(chunks)
 
 
 def persist_shared_raws(spark, names: list[str], fixtures_dir=None) -> list:

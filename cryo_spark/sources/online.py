@@ -69,6 +69,7 @@ class OnlineSource:
         self.include_receipts = include_receipts
         self.n_partitions = n_partitions
         self._cache: dict[str, DataFrame] = {}
+        self._adopted = False
 
     _PER_BLOCK = {
         "blocks", "transactions", "logs", "traces", "state_diffs",
@@ -159,6 +160,20 @@ class OnlineSource:
         df = df.persist()
         self._cache[name] = df
         return df
+
+    def adopt_chunks(self, chunks) -> None:
+        """Called by the planner (api._adopt_chunks_into_active_source)
+        with the block chunks of the CURRENT collect/freeze. First call
+        seeds the fetch work-list; a later call with a DIFFERENT range
+        invalidates the memoized fetches so a reused source never
+        serves a stale block range. Caller-seeded chunks (set in the
+        constructor) are the caller's contract and never overridden."""
+        if self.chunks is None:
+            self.chunks = chunks
+            self._adopted = True
+        elif self._adopted and list(chunks) != list(self.chunks):
+            self.unpersist()
+            self.chunks = chunks
 
     def unpersist(self) -> None:
         for df in self._cache.values():

@@ -145,3 +145,22 @@ def test_online_collect_multi_shares_fetch(spark):
     assert set(out) == {"contracts", "native_transfers", "traces"}
     assert all(df.count() > 0 for name, df in out.items() if name == "traces")
     assert set(src._cache) == {"traces"}
+
+
+def test_reused_source_refetches_on_new_block_range(spark):
+    """A source reused across collect calls with a DIFFERENT block
+    range must drop its memoized fetches and serve the new range —
+    never the stale one."""
+    src = _src()
+    a = api.collect(spark, "blocks", blocks="100:105", source=src)
+    assert {r.block_number for r in a.collect()} == set(range(100, 105))
+    b = api.collect(spark, "blocks", blocks="200:203", source=src)
+    assert {r.block_number for r in b.collect()} == set(range(200, 203))
+    # caller-seeded chunks are never overridden
+    from cryo_spark import plan
+
+    pinned = OnlineSource(
+        plan.parse_block_inputs("300:302"), transport_factory=FAKE,
+    )
+    c = api.collect(spark, "blocks", blocks="400:410", source=pinned)
+    assert {r.block_number for r in c.collect()} == set()  # 300:302 fetched, 400:410 filtered
