@@ -658,6 +658,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-concurrent-chunks", type=int, default=4)
     p.add_argument("--compute-units-per-second", type=int, default=None)
     p.add_argument("--inner-request-size", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="requests per JSON-RPC batch POST (1 disables; "
+                        "typical nodes accept 100-1000)")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--remember", action="store_true",
                    help="save this command as the directory's default "
@@ -713,6 +716,7 @@ def main(argv: list[str] | None = None) -> int:
             initial_backoff_s=args.initial_backoff,
             compute_units_per_second=args.compute_units_per_second,
             inner_request_size=args.inner_request_size,
+            batch_size=args.batch_size,
         )
         if go_online:
             from cryo_spark.sources.online import OnlineSource

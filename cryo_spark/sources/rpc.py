@@ -121,6 +121,10 @@ class RpcConfig:
     compute_units_per_request: int = 100
     # blocks per ranged request (eth_getLogs), sources.rs:110
     inner_request_size: int = 100
+    # requests per JSON-RPC batch POST (eth JSON-RPC batching): 1
+    # disables batching; typical nodes accept 100-1000. Batching cuts
+    # round-trips ~batch_size x for point-lookup-heavy extractions.
+    batch_size: int = 1
 
     @classmethod
     def from_env(cls, url: str | None = None, **kwargs) -> "RpcConfig":
@@ -130,19 +134,35 @@ class RpcConfig:
 def http_transport(config: RpcConfig) -> Transport:  # pragma: no cover - needs network
     import urllib.request
 
-    def call(method: str, params: list) -> dict:
-        body = json.dumps(
-            {"jsonrpc": "2.0", "id": 1, "method": method, "params": params}
-        ).encode()
+    def _post(payload) -> dict | list:
         req = urllib.request.Request(
-            config.url, data=body, headers={"Content-Type": "application/json"}
+            config.url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
         )
         with urllib.request.urlopen(req, timeout=config.timeout_s) as resp:
-            out = json.loads(resp.read())
+            return json.loads(resp.read())
+
+    def call(method: str, params: list) -> dict:
+        out = _post({"jsonrpc": "2.0", "id": 1, "method": method, "params": params})
         if "error" in out:
             raise RuntimeError(f"rpc error: {out['error']}")
         return out["result"]
 
+    def batch(reqs: list[tuple[str, list]]) -> list:
+        """One POST carrying a JSON-RPC batch array; responses are
+        matched by id (the spec allows servers to reorder)."""
+        payload = [
+            {"jsonrpc": "2.0", "id": i, "method": m, "params": p}
+            for i, (m, p) in enumerate(reqs)
+        ]
+        by_id = {}
+        for out in _post(payload):
+            if "error" in out:
+                raise RuntimeError(f"rpc error: {out['error']}")
+            by_id[out["id"]] = out["result"]
+        return [by_id[i] for i in range(len(reqs))]
+
+    call.batch = batch  # type: ignore[attr-defined]
     return call
 
 
@@ -177,6 +197,23 @@ class _Pacer:
                 time.sleep(backoff)
                 backoff *= 2
         raise AssertionError("unreachable")
+
+    def call_many(self, transport: Transport, reqs: list[tuple[str, list]]) -> list:
+        """Dispatch a request list with JSON-RPC batching when both
+        the transport (``.batch``) and the config (``batch_size>1``)
+        support it; otherwise a paced per-request loop. A batch POST
+        counts as one paced call (the node meters the HTTP request),
+        and a failed batch retries whole — nodes treat them
+        atomically."""
+        cfg = self.config
+        batch = getattr(transport, "batch", None)
+        if batch is None or cfg.batch_size <= 1:
+            return [self.call(transport, m, p) for m, p in reqs]
+        out: list = []
+        for i in range(0, len(reqs), cfg.batch_size):
+            chunk = reqs[i:i + cfg.batch_size]
+            out.extend(self.call(lambda _m, _p, c=chunk: batch(c), "batch", []))
+        return out
 
 
 def _hex_to_bytes(h: str | None) -> bytes | None:
@@ -274,10 +311,14 @@ def fetch_blocks(
         transport = factory(cfg)
         pacer = _Pacer(cfg)
         for pdf in batches:
-            rows = []
-            for bn in pdf["block_number"]:
-                raw = pacer.call(transport, "eth_getBlockByNumber", [hex(int(bn)), False])
-                rows.append(flatten_block(raw, chain_id))
+            reqs = [
+                ("eth_getBlockByNumber", [hex(int(bn)), False])
+                for bn in pdf["block_number"]
+            ]
+            rows = [
+                flatten_block(raw, chain_id)
+                for raw in pacer.call_many(transport, reqs)
+            ]
             yield pd.DataFrame(rows, columns=[f.name for f in BLOCK_RAW_SCHEMA.fields])
 
     return work_list.select("block_number").mapInPandas(run, BLOCK_RAW_SCHEMA)

@@ -505,7 +505,16 @@ def fetch_js_traces(
     return _per_block_fetcher(work_list, JS_TRACE_RAW_SCHEMA, handler, config, transport_factory)
 
 
-def _point_fetcher(work_list, in_cols, schema, row_fn, config, transport_factory):
+def _point_fetcher(
+    work_list, in_cols, schema, reqs_fn, assemble_fn, config, transport_factory
+):
+    """Point-lookup scaffold with JSON-RPC batching: ``reqs_fn(row)``
+    yields that row's (method, params) requests, all rows' requests
+    dispatch through ``_Pacer.call_many`` (one batch POST per
+    ``batch_size`` when the transport supports it — the big
+    round-trip win for N-row point extractions), and
+    ``assemble_fn(row, results)`` builds the raw-table row from its
+    result slice."""
     cfg = config or RpcConfig()
     factory = transport_factory or http_transport
     cols = [f.name for f in schema.fields]
@@ -514,8 +523,14 @@ def _point_fetcher(work_list, in_cols, schema, row_fn, config, transport_factory
         transport = factory(cfg)
         pacer = _Pacer(cfg)
         for pdf in batches:
-            rows = [row_fn(pacer, transport, *tup)
-                    for tup in pdf[in_cols].itertuples(index=False)]
+            tuples = list(pdf[in_cols].itertuples(index=False))
+            per_row = [reqs_fn(*t) for t in tuples]
+            flat = [r for reqs in per_row for r in reqs]
+            results = pacer.call_many(transport, flat)
+            rows, i = [], 0
+            for t, reqs in zip(tuples, per_row):
+                rows.append(assemble_fn(*t, results=results[i:i + len(reqs)]))
+                i += len(reqs)
             yield pd.DataFrame(rows, columns=cols)
 
     return work_list.select(*in_cols).mapInPandas(run, schema)
@@ -527,20 +542,27 @@ def fetch_accounts(
 ) -> DataFrame:
     """Point lookups per (block_number, address): balance + nonce +
     code (sources.rs:421-443). The work-list is the param-set product
-    the planner builds for address-dimension queries (C4)."""
-    def row(pacer, transport, bn, address):
+    the planner builds for address-dimension queries (C4); the three
+    calls per row batch into the task's JSON-RPC batch stream."""
+    def reqs(bn, address):
         tag, addr_hex = hex(int(bn)), "0x" + bytes(address).hex()
+        return [
+            ("eth_getBalance", [addr_hex, tag]),
+            ("eth_getTransactionCount", [addr_hex, tag]),
+            ("eth_getCode", [addr_hex, tag]),
+        ]
+
+    def assemble(bn, address, results):
+        bal, nonce, code = results
         return {
             "block_number": int(bn), "address": bytes(address),
-            "balance": _u256_bytes(pacer.call(transport, "eth_getBalance", [addr_hex, tag])),
-            "nonce": _hex_to_int(pacer.call(transport, "eth_getTransactionCount", [addr_hex, tag])),
-            "code": _hex_to_bytes(pacer.call(transport, "eth_getCode", [addr_hex, tag])),
-            "chain_id": chain_id,
+            "balance": _u256_bytes(bal), "nonce": _hex_to_int(nonce),
+            "code": _hex_to_bytes(code), "chain_id": chain_id,
         }
 
     return _point_fetcher(
-        work_list, ["block_number", "address"], ACCOUNT_RAW_SCHEMA, row,
-        config, transport_factory,
+        work_list, ["block_number", "address"], ACCOUNT_RAW_SCHEMA,
+        reqs, assemble, config, transport_factory,
     )
 
 
@@ -550,18 +572,21 @@ def fetch_storage(
 ) -> DataFrame:
     """eth_getStorageAt per (block_number, address, slot)
     (sources.rs:445)."""
-    def row(pacer, transport, bn, address, slot):
-        val = pacer.call(transport, "eth_getStorageAt", [
+    def reqs(bn, address, slot):
+        return [("eth_getStorageAt", [
             "0x" + bytes(address).hex(), "0x" + bytes(slot).hex(), hex(int(bn)),
-        ])
+        ])]
+
+    def assemble(bn, address, slot, results):
         return {
             "block_number": int(bn), "address": bytes(address),
-            "slot": bytes(slot), "value": _u256_bytes(val), "chain_id": chain_id,
+            "slot": bytes(slot), "value": _u256_bytes(results[0]),
+            "chain_id": chain_id,
         }
 
     return _point_fetcher(
-        work_list, ["block_number", "address", "slot"], STORAGE_RAW_SCHEMA, row,
-        config, transport_factory,
+        work_list, ["block_number", "address", "slot"], STORAGE_RAW_SCHEMA,
+        reqs, assemble, config, transport_factory,
     )
 
 
@@ -572,20 +597,23 @@ def fetch_calls(
     """eth_call per (block_number, contract, call_data)
     (sources.rs:395) — historical contract reads, the eth_calls
     dataset's online path."""
-    def row(pacer, transport, bn, contract, call_data):
-        out = pacer.call(transport, "eth_call", [
-            {"to": "0x" + bytes(contract).hex(), "data": "0x" + bytes(call_data).hex()},
+    def reqs(bn, contract, call_data):
+        return [("eth_call", [
+            {"to": "0x" + bytes(contract).hex(),
+             "data": "0x" + bytes(call_data).hex()},
             hex(int(bn)),
-        ])
+        ])]
+
+    def assemble(bn, contract, call_data, results):
         return {
             "block_number": int(bn), "contract": bytes(contract),
-            "call_data": bytes(call_data), "output": _hex_to_bytes(out),
+            "call_data": bytes(call_data), "output": _hex_to_bytes(results[0]),
             "chain_id": chain_id,
         }
 
     return _point_fetcher(
         work_list, ["block_number", "contract", "call_data"], CALL_RAW_SCHEMA,
-        row, config, transport_factory,
+        reqs, assemble, config, transport_factory,
     )
 
 
@@ -635,6 +663,46 @@ def fetch_trace_calls(
 # ---------------------------------------------------------------------------
 # deterministic fake node covering the full method surface
 # ---------------------------------------------------------------------------
+
+
+class BatchCountingFakeFactory:
+    """full fake + JSON-RPC batch support, recording every dispatch
+    (kind + request count) to a log file — python workers are separate
+    PROCESSES, so in-memory counters never reach the driver; tests
+    read the log via :meth:`counts`."""
+
+    def __init__(self, log_path: str):
+        self.log_path = log_path
+
+    def counts(self) -> dict:
+        out = {"batch": 0, "single": 0}
+        try:
+            with open(self.log_path) as f:
+                for line in f:
+                    kind, _n = line.split()
+                    out[kind] += 1
+        except FileNotFoundError:
+            pass
+        return out
+
+    def __call__(self, config: RpcConfig) -> Transport:
+        inner = full_fake_transport_factory(config)
+        path = self.log_path
+
+        def log(kind: str, n: int) -> None:
+            with open(path, "a") as f:
+                f.write(f"{kind} {n}\n")
+
+        def call(method: str, params: list):
+            log("single", 1)
+            return inner(method, params)
+
+        def batch(reqs: list) -> list:
+            log("batch", len(reqs))
+            return [inner(m, p) for m, p in reqs]
+
+        call.batch = batch  # type: ignore[attr-defined]
+        return call
 
 
 def full_fake_transport_factory(config: RpcConfig) -> Transport:

@@ -214,3 +214,38 @@ def test_trace_calls_schema_and_values(spark, fixtures_dir):
     r = rows[0]
     assert r.tx_to_address == b"\x02" * 20 and r.tx_call_data == b"\xab\xcd"
     assert r.action_type == "call" and r.result_gas_used == 25000
+
+
+def test_point_lookup_batching_cuts_round_trips(spark, tmp_path):
+    from cryo_spark.sources.rpc import RpcConfig
+
+    rows = [(b, bytes([b]) * 20) for b in range(5, 15)]
+    wl = _point_wl(spark, rows, "block_number int, address binary").coalesce(1)
+    factory = fam.BatchCountingFakeFactory(str(tmp_path / "log1"))
+    out = fam.fetch_accounts(
+        spark, wl, config=RpcConfig(batch_size=100), transport_factory=factory,
+    ).collect()
+    assert len(out) == 10
+    # 10 rows x 3 requests = 30 requests -> ONE batch POST
+    assert factory.counts() == {"batch": 1, "single": 0}
+    # batching off: 30 individual calls
+    factory2 = fam.BatchCountingFakeFactory(str(tmp_path / "log2"))
+    fam.fetch_accounts(
+        spark, wl, config=RpcConfig(batch_size=1), transport_factory=factory2,
+    ).collect()
+    assert factory2.counts() == {"batch": 0, "single": 30}
+
+
+def test_batched_results_match_unbatched(spark, tmp_path):
+    from cryo_spark.sources.rpc import RpcConfig, fetch_blocks
+
+    wl = _wl(spark, "100:120", parts=1)
+    factory = fam.BatchCountingFakeFactory(str(tmp_path / "log3"))
+    batched = fetch_blocks(
+        spark, wl, config=RpcConfig(batch_size=7), transport_factory=factory,
+    ).orderBy("block_number").collect()
+    plain = fetch_blocks(
+        spark, wl, transport_factory=FAKE,
+    ).orderBy("block_number").collect()
+    assert batched == plain and len(batched) == 20
+    assert factory.counts()["batch"] == 3  # ceil(20/7)
