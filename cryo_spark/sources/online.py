@@ -40,6 +40,13 @@ class OnlineSource:
     js_tracer: user tracer source for the js_traces family.
     include_receipts: pass False to elide receipt requests when no
         receipt-borne column is selected (transactions.rs:124-135).
+
+    Current limits: the transactions time dimension (``txs=...``,
+    per-hash lookups) and timestamp chunk resolution need a block
+    work-list, so they run offline only; an online ``collect`` of a
+    "latest"-default dataset must pass explicit blocks (the offline
+    tip probe reads the landed lake). Both raise clear errors rather
+    than fetching the wrong thing.
     """
 
     def __init__(
