@@ -388,11 +388,21 @@ def _collect_impl(
     pdf = df.toPandas()  # Arrow path (session enables arrow.pyspark)
     if output_format == "pandas":
         return pdf
+    if output_format == "polars":
+        # the reference's native return type (_collect.py:72-74);
+        # gated — polars is not part of this engine's pinned deps
+        try:
+            import polars as pl
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "output_format='polars' needs the polars package"
+            ) from exc
+        return pl.from_pandas(pdf)
     if output_format == "list":
         return pdf.to_dict(orient="records")
     if output_format == "dict":
         return pdf.to_dict(orient="list")
-    raise ValueError("output_format must be spark|pandas|list|dict")
+    raise ValueError("output_format must be spark|polars|pandas|list|dict")
 
 
 def freeze(

@@ -383,7 +383,7 @@ def test_collect_output_formats(spark):
     )
     assert cols == {"block_number": [0, 1, 2]}
     with pytest.raises(ValueError):
-        api.collect(spark, "blocks", blocks="0:1", output_format="polars")
+        api.collect(spark, "blocks", blocks="0:1", output_format="arrow")
 
 
 def test_freeze_timestamps(spark, tmp_path):
@@ -613,3 +613,25 @@ def test_freeze_reorg_buffer_resolves_tip_offline(spark, tmp_path):
     # 750:1000 (max 999) and 500:750 (max 749) are dropped whole
     assert summary["n_completed"] == 2
     assert summary["chunk_stats"]["max_block"] == 499
+
+
+def test_collect_polars_output_format_gated(spark, fixtures_dir):
+    """output_format='polars' (the reference's native return) either
+    returns a polars frame or raises the documented gate error."""
+    import pytest as _pytest
+
+    from cryo_spark import api
+
+    try:
+        import polars  # noqa: F401
+        out = api.collect(
+            spark, "blocks", blocks="0:5", fixtures_dir=fixtures_dir,
+            output_format="polars",
+        )
+        assert out.shape[0] == 5
+    except ImportError:
+        with _pytest.raises(ImportError, match="polars"):
+            api.collect(
+                spark, "blocks", blocks="0:5", fixtures_dir=fixtures_dir,
+                output_format="polars",
+            )
