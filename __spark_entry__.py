@@ -569,7 +569,13 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     same threshold — LSH is only candidate GENERATION, so after the
     exact-Jaccard verify the result must equal the all-pairs answer.
     A hash match therefore also PROVES LSH recall on this corpus
-    (a missed true pair would show up as a missing row)."""
+    (a missed true pair would show up as a missing row).
+
+    Recall dependency (deliberate pin): at k=16/bands=4 LSH recall is
+    probabilistic — a regenerated fixture corpus containing a
+    borderline ~0.5-Jaccard pair could fail this gate without any
+    code change. If a round fails ONLY here, widen bands (e.g.
+    bands=8) before debugging the verify stage."""
     docs = _read(spark, sf_dir, "documents")
     # deliberately NOT persisted: the exploded shingle frame is larger
     # than its source, so materializing it costs more than recomputing

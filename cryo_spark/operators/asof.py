@@ -82,7 +82,11 @@ def asof_join(
             keys, r2, left_on, right_on, by=by, direction=direction,
             suffix=suffix, num_buckets=num_buckets,
         )
-        return left.join(F.broadcast(matched), [*by, left_on])
+        # LEFT join: the matched frame covers every non-null distinct
+        # key, so results equal the inner join there — but left rows
+        # whose join key (or a `by` key) is NULL must survive with
+        # null right columns, exactly as the direct path keeps them.
+        return left.join(F.broadcast(matched), [*by, left_on], "left")
 
     # union key type: identical types stay native (no precision loss
     # for long keys > 2^53 — nanosecond epochs, u64 ids); mixed

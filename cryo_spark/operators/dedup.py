@@ -181,6 +181,23 @@ def _docsets(
     return sh.groupBy(id_col).agg(F.collect_set("shingle").alias(out))
 
 
+_VERIFY_CACHE: list[DataFrame] = []
+
+
+def release_verify_cache() -> None:
+    """Unpersist candidate-pair frames cached by :func:`_verify_pairs`.
+
+    Called automatically at the next verify (so a long-lived session
+    running many dedup queries holds at most ONE cached candidate
+    list), and callable explicitly when the result has been
+    materialized and the blocks should go now."""
+    while _VERIFY_CACHE:
+        try:
+            _VERIFY_CACHE.pop().unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
 def _verify_pairs(
     sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -197,7 +214,9 @@ def _verify_pairs(
     broadcasts them when small and falls back to a (bounded) shuffle
     join when a huge candidate set would break a forced broadcast.
     Intersection is a hash-set sweep, O(|A|+|B|) per pair."""
+    release_verify_cache()
     pairs = pairs.persist()
+    _VERIFY_CACHE.append(pairs)
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))

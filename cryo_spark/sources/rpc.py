@@ -174,13 +174,14 @@ class _Pacer:
         self.config = config
         self._next_ok = 0.0
 
-    def call(self, transport: Transport, method: str, params: list) -> dict:
+    def call(self, transport: Transport, method: str, params: list,
+             weight: int = 1) -> dict:
         cfg = self.config
         if cfg.requests_per_second:
             now = time.monotonic()
             if now < self._next_ok:
                 time.sleep(self._next_ok - now)
-            self._next_ok = max(now, self._next_ok) + 1.0 / cfg.requests_per_second
+            self._next_ok = max(now, self._next_ok) + weight / cfg.requests_per_second
         backoff = cfg.initial_backoff_s
         if cfg.compute_units_per_second:
             # RetryBackoffLayer semantics: a failed call waits at
@@ -202,9 +203,11 @@ class _Pacer:
         """Dispatch a request list with JSON-RPC batching when both
         the transport (``.batch``) and the config (``batch_size>1``)
         support it; otherwise a paced per-request loop. A batch POST
-        counts as one paced call (the node meters the HTTP request),
-        and a failed batch retries whole — nodes treat them
-        atomically."""
+        charges the token bucket for EVERY inner request it carries —
+        CU-metered providers (most) meter per inner request, not per
+        HTTP round-trip, so weighting by 1 would overrun the quota by
+        up to batch_size x. A failed batch retries whole — nodes
+        treat them atomically."""
         cfg = self.config
         batch = getattr(transport, "batch", None)
         if batch is None or cfg.batch_size <= 1:
@@ -212,7 +215,10 @@ class _Pacer:
         out: list = []
         for i in range(0, len(reqs), cfg.batch_size):
             chunk = reqs[i:i + cfg.batch_size]
-            out.extend(self.call(lambda _m, _p, c=chunk: batch(c), "batch", []))
+            out.extend(self.call(
+                lambda _m, _p, c=chunk: batch(c), "batch", [],
+                weight=len(chunk),
+            ))
         return out
 
 

@@ -31,7 +31,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def value_hash(df: pd.DataFrame) -> str:
-    return hashlib.md5(df.astype(str).to_csv(index=False).encode()).hexdigest()
+    # dtype KINDS are hashed alongside the stringized values: the
+    # astype(str) csv alone would mask e.g. int-vs-float or
+    # bytes-vs-str drift that the driver's value hash catches.
+    kinds = ",".join(df[c].dtype.kind for c in df.columns)
+    body = df.astype(str).to_csv(index=False)
+    return hashlib.md5((kinds + "\n" + body).encode()).hexdigest()
 
 
 def main() -> int:
@@ -41,6 +46,11 @@ def main() -> int:
 
     spark = get_spark(app_name="oracle_check")
     spark.sparkContext.setLogLevel("ERROR")
+    # The driver collects WITHOUT Arrow, where BinaryType lands as
+    # bytearray and DecimalType as object — replicate that here so a
+    # dtype-sensitive mismatch surfaces in this check, not only in
+    # the round gate.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     con = duckdb.connect()

@@ -689,3 +689,24 @@ def test_asof_dedup_left_matches_direct_and_suffixes(spark):
     d = {r.lid: (r.rid, r.payload, r.payload_right) for r in direct.collect()}
     g = {r.lid: (r.rid, r.payload, r.payload_right) for r in dedup.collect()}
     assert g == d and len(g) == 2000
+
+
+def test_asof_dedup_left_retains_null_keys(spark):
+    """Left rows with a NULL join key must survive dedup_left with
+    null right columns — same row count as the direct path (the
+    broadcast-back join is LEFT, not inner)."""
+    from pyspark.sql import types as T
+
+    from cryo_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 25), (4, None)],
+        T.StructType([
+            T.StructField("lid", T.LongType()),
+            T.StructField("k", T.LongType()),
+        ]),
+    )
+    right = spark.createDataFrame([(5, "a"), (20, "b")], "rk long, v string")
+    out = asof_join(left, right, "k", "rk", dedup_left=True)
+    got = {r.lid: r.v for r in out.collect()}
+    assert got == {1: "a", 2: None, 3: "b", 4: None}

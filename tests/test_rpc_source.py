@@ -89,6 +89,29 @@ def test_pacer_rate_limit_spacing():
     assert time.monotonic() - t0 >= 0.04  # 5 calls at 100 rps >= 40ms
 
 
+def test_pacer_batch_charges_per_inner_request(monkeypatch):
+    """A batch POST charges the token bucket for every inner request
+    it carries (CU-metered providers meter per inner request): 10
+    requests at rps=100 must advance the bucket by 0.1s whether sent
+    as 10 singles or 2 batches of 5."""
+    import cryo_spark.sources.rpc as rpcmod
+
+    monkeypatch.setattr(rpcmod.time, "sleep", lambda s: None)
+    monkeypatch.setattr(rpcmod.time, "monotonic", lambda: 0.0)
+
+    def transport(method, params):
+        return {}
+
+    transport.batch = lambda reqs: [{} for _ in reqs]
+    reqs = [("eth_getBlockByNumber", [hex(i), False]) for i in range(10)]
+    pacer = rpcmod._Pacer(RpcConfig(requests_per_second=100, batch_size=5))
+    pacer.call_many(transport, reqs)
+    assert pacer._next_ok == pytest.approx(0.1)
+    single = rpcmod._Pacer(RpcConfig(requests_per_second=100, batch_size=1))
+    single.call_many(transport, reqs)
+    assert single._next_ok == pytest.approx(0.1)
+
+
 def test_rpc_url_resolution(monkeypatch):
     # cli/parse/source.rs:72-108: arg > ETH_RPC_URL > error; bare
     # hosts get an http:// prefix
