@@ -227,6 +227,40 @@ def _adopt_chunks_into_active_source(chunks) -> None:
         src.adopt_chunks(chunks)
 
 
+def _active_online_source():
+    """The active source, when it can probe the live chain (an
+    OnlineSource); None offline."""
+    from cryo_spark import sources as _sources
+
+    src = _sources._ACTIVE
+    return src if hasattr(src, "latest_block_number") else None
+
+
+def _parse_blocks_resolving_latest(blocks, latest):
+    """parse_block_inputs, resolving a `latest` reference against the
+    live chain when an OnlineSource is active and no explicit tip was
+    given (the reference always resolves `latest` via the node,
+    blocks.rs:131-146). Offline specs without `latest` never probe."""
+    try:
+        return cplan.parse_block_inputs(blocks, latest)
+    except ValueError:
+        src = _active_online_source()
+        if latest is None and src is not None:
+            return cplan.parse_block_inputs(blocks, src.latest_block_number())
+        raise
+
+
+def _adopt_tx_hashes_into_active_source(hashes) -> None:
+    """Give an active OnlineSource the ``txs=`` hash list so its
+    transactions raw table fetches by hash (CollectByTransaction)
+    instead of needing a block work-list."""
+    from cryo_spark import sources as _sources
+
+    src = _sources._ACTIVE
+    if src is not None and hashes and hasattr(src, "adopt_tx_hashes"):
+        src.adopt_tx_hashes(hashes)
+
+
 def persist_shared_raws(spark, names: list[str], fixtures_dir=None) -> list:
     """Persist each raw table consumed by >= 2 of ``names`` so their
     transforms share ONE scan via Spark's plan-cache substitution
@@ -341,26 +375,43 @@ def _collect_impl(
         chunks = []
         dims = dict(dims)
         dims["transaction_hash"] = tx_chunk.values()
+        # before the transform is built: an active OnlineSource routes
+        # the transactions raw through per-hash lookups
+        _adopt_tx_hashes_into_active_source(tx_chunk.values())
         _tx_dimension_check(
             datatype, TRANSFORMS[resolve_name(datatype)](spark, fixtures_dir)
         )
     elif timestamps is not None:
         from cryo_spark import timestamps as cts
 
-        blocks_table = TRANSFORMS["blocks"](spark, fixtures_dir)
-        chunks = cts.parse_timestamp_inputs(timestamps, blocks_table)
+        src = _active_online_source()
+        if src is not None:
+            # live-chain bisection (timestamps.rs:274-310); the
+            # landed lake may not even exist online
+            chunks = cts.parse_timestamp_inputs_online(timestamps, src)
+        else:
+            blocks_table = TRANSFORMS["blocks"](spark, fixtures_dir)
+            chunks = cts.parse_timestamp_inputs(timestamps, blocks_table)
     elif blocks is None and get_spec(datatype).default_blocks == "latest":
         # point-lookup datasets default to the chain tip
-        # (balances.rs:26-28); offline tip = max landed block
-        from pyspark.sql import functions as F
+        # (balances.rs:26-28); online tip = eth_blockNumber
+        # (blocks.rs:131-146), offline tip = max landed block
+        src = _active_online_source()
+        if src is not None:
+            chunks = [cplan.BlockChunk(numbers=(src.latest_block_number(),))]
+        else:
+            from pyspark.sql import functions as F
 
-        name = resolve_name(datatype)
-        tip = TRANSFORMS[name](spark, fixtures_dir).agg(
-            F.max("block_number")
-        ).first()[0]
-        chunks = [cplan.BlockChunk(numbers=(int(tip),))] if tip is not None else []
+            name = resolve_name(datatype)
+            tip = TRANSFORMS[name](spark, fixtures_dir).agg(
+                F.max("block_number")
+            ).first()[0]
+            chunks = [cplan.BlockChunk(numbers=(int(tip),))] if tip is not None else []
     else:
-        chunks = cplan.parse_block_inputs(blocks, latest) if blocks is not None else []
+        chunks = (
+            _parse_blocks_resolving_latest(blocks, latest)
+            if blocks is not None else []
+        )
     q = cplan.Query(
         datatypes=[resolve_name(datatype)],
         chunks=chunks,
@@ -485,11 +536,21 @@ def _freeze_impl(
     if timestamps is not None:
         from cryo_spark import timestamps as cts
 
-        blocks_table = TRANSFORMS["blocks"](spark, fixtures_dir)
-        chunks = cts.parse_timestamp_inputs(timestamps, blocks_table)
+        src = _active_online_source()
+        if src is not None:
+            chunks = cts.parse_timestamp_inputs_online(timestamps, src)
+        else:
+            blocks_table = TRANSFORMS["blocks"](spark, fixtures_dir)
+            chunks = cts.parse_timestamp_inputs(timestamps, blocks_table)
     elif blocks is not None:
-        chunks = cplan.parse_block_inputs(blocks, latest)
+        chunks = _parse_blocks_resolving_latest(blocks, latest)
     else:
+        # no block spec: 0:latest (get_default_block_chunks,
+        # blocks.rs:131-146) — online the tip comes from the node
+        if latest is None:
+            src = _active_online_source()
+            if src is not None:
+                latest = src.latest_block_number()
         chunks = [cplan.BlockChunk(start=0, end=(latest if latest is not None else 999))]
     # align -> subchunk -> reorg buffer, the reference's postprocess
     # order (blocks.rs:107-127): the buffer drops whole tip CHUNKS
@@ -501,13 +562,18 @@ def _freeze_impl(
         chunks = cplan.subchunk_by_size(chunks, chunk_size)
     if reorg_buffer:
         # the reference always resolves the chain tip for the buffer
-        # (blocks.rs:368-374); offline the tip is the max landed block
+        # (blocks.rs:368-374); online tip = eth_blockNumber, offline
+        # tip = max landed block
         if latest is None:
-            from pyspark.sql import functions as F
+            src = _active_online_source()
+            if src is not None:
+                latest = src.latest_block_number()
+            else:
+                from pyspark.sql import functions as F
 
-            latest = TRANSFORMS["blocks"](spark, fixtures_dir).agg(
-                F.max("block_number")
-            ).first()[0]
+                latest = TRANSFORMS["blocks"](spark, fixtures_dir).agg(
+                    F.max("block_number")
+                ).first()[0]
         chunks = cplan.apply_reorg_buffer(chunks, latest, reorg_buffer)
     chunks = cplan.order_chunks(chunks, chunk_order)
 
@@ -520,6 +586,8 @@ def _freeze_impl(
     )
     q.validate()
     _adopt_chunks_into_active_source(chunks)
+    if tx_chunk is not None:
+        _adopt_tx_hashes_into_active_source(tx_chunk.values())
 
     # row-group sizing (cli/parse/file_output.rs:138-149): explicit
     # rows, else chunk_size split into n groups

@@ -40,13 +40,12 @@ class OnlineSource:
     js_tracer: user tracer source for the js_traces family.
     include_receipts: pass False to elide receipt requests when no
         receipt-borne column is selected (transactions.rs:124-135).
-
-    Current limits: the transactions time dimension (``txs=...``,
-    per-hash lookups) and timestamp chunk resolution need a block
-    work-list, so they run offline only; an online ``collect`` of a
-    "latest"-default dataset must pass explicit blocks (the offline
-    tip probe reads the landed lake). Both raise clear errors rather
-    than fetching the wrong thing.
+    tx_hashes: transaction hashes for the transactions time
+        dimension (``txs=...``) — routes the transactions raw table
+        through per-hash lookups (the reference's
+        CollectByTransaction, collect_by_transaction.rs:11-67)
+        instead of a block work-list. Normally adopted from the
+        ``collect``/``freeze`` call's ``txs=`` argument.
     """
 
     def __init__(
@@ -63,6 +62,7 @@ class OnlineSource:
         js_tracer: str | None = None,
         include_receipts: bool = True,
         n_partitions: int | None = None,
+        tx_hashes: list[bytes] | None = None,
     ):
         self.chunks = chunks
         self.config = config
@@ -75,8 +75,10 @@ class OnlineSource:
         self.js_tracer = js_tracer
         self.include_receipts = include_receipts
         self.n_partitions = n_partitions
+        self.tx_hashes = tx_hashes
         self._cache: dict[str, DataFrame] = {}
         self._adopted = False
+        self._tx_adopted = False
 
     _PER_BLOCK = {
         "blocks", "transactions", "logs", "traces", "state_diffs",
@@ -94,6 +96,18 @@ class OnlineSource:
             raise ValueError("OnlineSource needs block chunks for this family")
         n = self.n_partitions or max(len(self.chunks), 1)
         return rpc.work_list_df(spark, self.chunks, n_partitions=n)
+
+    def _tx_wl(self, spark: SparkSession) -> DataFrame:
+        """Per-hash work-list (CollectByTransaction): one row per
+        transaction hash; at cluster scale the partition count is the
+        fetch parallelism, so hashes spread round-robin rather than
+        living in however few partitions createDataFrame picks."""
+        df = spark.createDataFrame(
+            [(bytes(h),) for h in self.tx_hashes], "transaction_hash binary"
+        )
+        if self.n_partitions:
+            df = df.repartition(self.n_partitions)
+        return df
 
     def _product_wl(self, spark: SparkSession, dims: dict[str, list[bytes]]) -> DataFrame:
         """block x dim-values product (reference C4 param-set
@@ -119,14 +133,34 @@ class OnlineSource:
             chain_id=self.chain_id,
         )
         if name == "blocks":
-            df = rpc.fetch_blocks(spark, self._block_wl(spark), **kw)
+            if self.tx_hashes and not self.chunks:
+                # transactions time dimension: the blocks of interest
+                # are wherever the hashes landed (the reference
+                # fetches each tx's block for gas-price context,
+                # transactions.rs:181-184) — work-list = the fetched
+                # txs' distinct block numbers, a downstream stage of
+                # the (memoized) per-hash fetch
+                wl = self.raw(spark, "transactions").select(
+                    "block_number"
+                ).distinct()
+                df = rpc.fetch_blocks(spark, wl, **kw)
+            else:
+                df = rpc.fetch_blocks(spark, self._block_wl(spark), **kw)
         elif name == "logs":
             df = rpc.fetch_logs(spark, self._block_wl(spark), **kw)
         elif name == "transactions":
-            df = fam.fetch_transactions(
-                spark, self._block_wl(spark),
-                include_receipts=self.include_receipts, **kw,
-            )
+            if self.tx_hashes:
+                # transactions time dimension: per-hash lookups
+                # (collect_by_transaction.rs), not a block sweep
+                df = fam.fetch_transactions_by_hash(
+                    spark, self._tx_wl(spark),
+                    include_receipts=self.include_receipts, **kw,
+                )
+            else:
+                df = fam.fetch_transactions(
+                    spark, self._block_wl(spark),
+                    include_receipts=self.include_receipts, **kw,
+                )
         elif name == "traces":
             df = fam.fetch_traces(spark, self._block_wl(spark), **kw)
         elif name == "state_diffs":
@@ -181,6 +215,62 @@ class OnlineSource:
         elif self._adopted and list(chunks) != list(self.chunks):
             self.unpersist()
             self.chunks = chunks
+
+    # -- driver-side chain probes ------------------------------------
+    #
+    # tip + timestamp resolution happen BEFORE a work-list exists, so
+    # they are driver-side paced point calls, exactly like the
+    # reference's get_latest_block_number / timestamp bisection
+    # (cli/parse/blocks.rs:131-146, cli/parse/timestamps.rs:274-310).
+    # O(log chain_height) requests per timestamp boundary — never a
+    # Spark job.
+
+    def _probe(self, method: str, params: list):
+        if not hasattr(self, "_probe_transport"):
+            cfg = self.config or rpc.RpcConfig()
+            factory = self.transport_factory or rpc.http_transport
+            self._probe_transport = factory(cfg)
+            self._probe_pacer = rpc._Pacer(cfg)
+        return self._probe_pacer.call(self._probe_transport, method, params)
+
+    def latest_block_number(self) -> int:
+        """Live chain tip via eth_blockNumber (the reference resolves
+        `latest` against the node, never the landed lake —
+        blocks.rs:131-146)."""
+        return int(self._probe("eth_blockNumber", []), 16)
+
+    def block_timestamp(self, n: int) -> int:
+        hdr = self._probe("eth_getBlockByNumber", [hex(n), False])
+        return int(hdr["timestamp"], 16)
+
+    def timestamp_to_block(self, ts: int, latest: int | None = None) -> int:
+        """Closest block with timestamp <= ts by binary search against
+        the live chain (timestamps.rs:274-310 semantics)."""
+        lo, hi = 0, latest if latest is not None else self.latest_block_number()
+        mid, t = (lo + hi) // 2, None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            t = self.block_timestamp(mid)
+            if t == ts:
+                return mid
+            if t < ts:
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        return mid - 1 if (mid > 0 and t is not None and t > ts) else mid
+
+    def adopt_tx_hashes(self, hashes: list[bytes]) -> None:
+        """Same contract as :meth:`adopt_chunks` for the transactions
+        time dimension: the ``txs=`` argument of the current
+        collect/freeze seeds the per-hash work-list; a reused source
+        adopting a DIFFERENT hash list drops its memoized fetch."""
+        hashes = [bytes(h) for h in hashes]
+        if self.tx_hashes is None:
+            self.tx_hashes = hashes
+            self._tx_adopted = True
+        elif self._tx_adopted and hashes != list(self.tx_hashes):
+            self.unpersist()
+            self.tx_hashes = hashes
 
     def unpersist(self) -> None:
         for df in self._cache.values():

@@ -391,6 +391,69 @@ def fetch_transactions(
     return _per_block_fetcher(work_list, TX_RAW_SCHEMA, handler, config, transport_factory)
 
 
+def fetch_transactions_by_hash(
+    spark, work_list: DataFrame,
+    config: RpcConfig | None = None, transport_factory=None,
+    chain_id: int = 1, include_receipts: bool = True,
+) -> DataFrame:
+    """Per-hash transaction fetch — the reference's
+    CollectByTransaction path (collect_by_transaction.rs:11-67;
+    datasets/transactions.rs:161-189): eth_getTransactionByHash, an
+    elidable eth_getTransactionReceipt (only when a receipt-borne
+    column is selected, transactions.rs:171-175), and the landed
+    block header for the timestamp context.
+
+    Work-list = one row per ``transaction_hash`` (binary). Requests
+    dispatch through ``_Pacer.call_many`` so they batch into JSON-RPC
+    batch POSTs — the round-trip win matters here because a by-hash
+    extraction is all point lookups. The reference fetches the block
+    once per TX; here each task fetches each distinct block ONCE for
+    its whole hash slice (same results, fewer requests). Rows land in
+    TX_RAW_SCHEMA via the same flattener as the per-block path, so
+    schema and gas-price semantics (receipt effectiveGasPrice first)
+    are identical by construction."""
+    cfg = config or RpcConfig()
+    factory = transport_factory or http_transport
+    cols = [f.name for f in TX_RAW_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = factory(cfg)
+        pacer = _Pacer(cfg)
+        for pdf in batches:
+            hashes = ["0x" + bytes(h).hex() for h in pdf["transaction_hash"]]
+            if not hashes:
+                yield pd.DataFrame([], columns=cols)
+                continue
+            txs = pacer.call_many(
+                transport, [("eth_getTransactionByHash", [h]) for h in hashes]
+            )
+            for h, tx in zip(hashes, txs):
+                if tx is None:  # transactions.rs:170 "transaction not found"
+                    raise ValueError(f"transaction not found: {h}")
+            receipts = (
+                pacer.call_many(
+                    transport,
+                    [("eth_getTransactionReceipt", [h]) for h in hashes],
+                )
+                if include_receipts else None
+            )
+            bns = sorted({_hex_to_int(t["blockNumber"]) for t in txs})
+            headers = pacer.call_many(
+                transport,
+                [("eth_getBlockByNumber", [hex(n), False]) for n in bns],
+            )
+            by_bn = dict(zip(bns, headers))
+            rows: list[dict] = []
+            for i, tx in enumerate(txs):
+                blk = dict(by_bn[_hex_to_int(tx["blockNumber"])])
+                blk["transactions"] = [tx]
+                rc = [receipts[i]] if receipts is not None else None
+                rows.extend(flatten_transactions(blk, rc, chain_id))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return work_list.select("transaction_hash").mapInPandas(run, TX_RAW_SCHEMA)
+
+
 def fetch_traces(
     spark, work_list: DataFrame,
     config: RpcConfig | None = None, transport_factory=None, chain_id: int = 1,
@@ -665,6 +728,26 @@ def fetch_trace_calls(
 # ---------------------------------------------------------------------------
 
 
+class ProbeLogFakeFactory:
+    """full fake + an in-memory method log. Counts the DRIVER's probe
+    calls (tip resolution, timestamp bisection); executor tasks
+    unpickle a COPY of the factory, so fetch-stage calls never reach
+    ``calls`` — exactly the accounting the tip-resolution tests
+    need."""
+
+    def __init__(self):
+        self.calls: list[str] = []
+
+    def __call__(self, config: RpcConfig) -> Transport:
+        inner = full_fake_transport_factory(config)
+
+        def call(method: str, params: list):
+            self.calls.append(method)
+            return inner(method, params)
+
+        return call
+
+
 class BatchCountingFakeFactory:
     """full fake + JSON-RPC batch support, recording every dispatch
     (kind + request count) to a log file — python workers are separate
@@ -838,6 +921,20 @@ def full_fake_transport_factory(config: RpcConfig) -> Transport:
                            "input": req["data"], "callType": "call"},
                 "result": {"gasUsed": hex(25000), "output": "0x02"},
             }]}
+        if method == "eth_getTransactionByHash":
+            # fake hashes encode (block, index): (n*1000+k) repeated
+            v = int(params[0][2:18], 16)
+            n, k = divmod(v, 1000)
+            if k >= txs_in_block(n):
+                return None  # unknown hash: nodes return null
+            blk = call("eth_getBlockByNumber", [hex(n), True])
+            return blk["transactions"][k]
+        if method == "eth_getTransactionReceipt":
+            v = int(params[0][2:18], 16)
+            n, k = divmod(v, 1000)
+            if k >= txs_in_block(n):
+                return None
+            return call("eth_getBlockReceipts", [hex(n)])[k]
         if method == "eth_getBalance":
             return hex(int(params[1], 16) * 1000 + int(params[0][2:4], 16))
         if method == "eth_getTransactionCount":

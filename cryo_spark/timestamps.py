@@ -81,22 +81,31 @@ def timestamps_to_blocks(blocks: DataFrame, ts_df: DataFrame, ts_col: str = "ts"
     return asof_join(ts_df, right, left_on=ts_col, right_on="timestamp")
 
 
-def parse_timestamp_chunk(
-    token: str, blocks: DataFrame, latest_ts: int | None = None
+def parse_timestamp_chunk_resolved(
+    token: str, resolve, latest_ts: int
 ) -> BlockChunk:
-    """One timestamp token -> a block chunk."""
+    """One timestamp token -> a block chunk, via an injected
+    ``resolve(ts) -> block_number`` — the landed-lake aggregate
+    offline, the live-chain bisection online."""
     parts = token.replace("_", "").split(":")
-    if latest_ts is None:
-        latest_ts = int(blocks.agg(F.max("timestamp")).first()[0])
     if len(parts) == 1:
-        b = timestamp_to_block(blocks, parse_timestamp_number(parts[0], "none", latest_ts))
+        b = resolve(parse_timestamp_number(parts[0], "none", latest_ts))
         return BlockChunk(numbers=(b,))
     if len(parts) == 2:
         t0, t1 = parse_timestamp_range(parts[0], parts[1], latest_ts)
-        return BlockChunk(
-            start=timestamp_to_block(blocks, t0), end=timestamp_to_block(blocks, t1)
-        )
+        return BlockChunk(start=resolve(t0), end=resolve(t1))
     raise ValueError("timestamps must be ts or start:end")
+
+
+def parse_timestamp_chunk(
+    token: str, blocks: DataFrame, latest_ts: int | None = None
+) -> BlockChunk:
+    """One timestamp token -> a block chunk (landed blocks table)."""
+    if latest_ts is None:
+        latest_ts = int(blocks.agg(F.max("timestamp")).first()[0])
+    return parse_timestamp_chunk_resolved(
+        token, lambda ts: timestamp_to_block(blocks, ts), latest_ts
+    )
 
 
 def parse_timestamp_inputs(
@@ -104,3 +113,19 @@ def parse_timestamp_inputs(
 ) -> list[BlockChunk]:
     tokens = str(inputs).split(" ")
     return [parse_timestamp_chunk(t, blocks, latest_ts) for t in tokens]
+
+
+def parse_timestamp_inputs_online(inputs: str | int, source) -> list[BlockChunk]:
+    """Timestamp chunks resolved against the LIVE chain through an
+    OnlineSource's driver-side probes: one eth_blockNumber for the
+    tip, one header read for the tip timestamp, then an O(log n)
+    bisection per boundary (timestamps.rs:274-310;
+    blocks.rs:131-146). Never touches the landed lake."""
+    tip = source.latest_block_number()
+    latest_ts = source.block_timestamp(tip)
+    return [
+        parse_timestamp_chunk_resolved(
+            t, lambda ts: source.timestamp_to_block(ts, tip), latest_ts
+        )
+        for t in str(inputs).split(" ")
+    ]

@@ -89,6 +89,92 @@ def test_online_freeze_to_chunked_files(spark, tmp_path):
     assert summary["n_rows"] > 0
 
 
+def _fake_hash(n: int, k: int) -> str:
+    return "0x" + ((n * 1000 + k).to_bytes(8, "big") * 4).hex()
+
+
+def test_online_collect_by_transaction(spark):
+    """txs= through an OnlineSource: per-hash lookups, with the
+    blocks raw (EIP-1559 base-fee context) derived from the fetched
+    txs' block numbers — no block spec anywhere, matching the
+    reference's collect-by-transaction workflow
+    (collect_by_transaction.rs:11-67)."""
+    hashes = [_fake_hash(101, 0), _fake_hash(102, 1), _fake_hash(103, 2)]
+    out = api.collect(spark, "transactions", txs=hashes, source=_src())
+    rows = {("0x" + bytes(r.transaction_hash).hex()): r for r in out.collect()}
+    assert set(rows) == set(hashes)
+    # identical to the per-block online path for the same hashes
+    # (post-transform: gas_price derived from the block base fee)
+    ref = api.collect(spark, "transactions", blocks="101:104", source=_src())
+    want = {
+        "0x" + bytes(r.transaction_hash).hex(): tuple(r) for r in ref.collect()
+    }
+    for h, r in rows.items():
+        assert tuple(r) == want[h]
+
+
+def test_online_freeze_by_transaction(spark, tmp_path):
+    summary = api.freeze(
+        spark, "transactions", txs=[_fake_hash(102, 0), _fake_hash(103, 1)],
+        output_dir=str(tmp_path), overwrite=True, report=False,
+        source=_src(),
+    )
+    assert summary["n_rows"] == 2
+    assert len(summary["completed_paths"]) == 1
+    back = spark.read.parquet(summary["completed_paths"][0])
+    assert back.count() == 2
+
+
+def test_online_timestamp_bisection_unit():
+    """timestamp -> block against the live chain: closest block with
+    timestamp <= ts (timestamps.rs:274-310); fake ts(n)=1.6e9+12n."""
+    src = _src()
+    assert src.latest_block_number() == 9999
+    for ts, want in [
+        (1_600_000_000, 0), (1_599_000_000, 0),
+        (1_600_001_200, 100), (1_600_001_205, 100),
+        (1_600_001_211, 100), (1_600_001_212, 101),
+        (1_600_119_988, 9999), (2_000_000_000, 9999),
+    ]:
+        assert src.timestamp_to_block(ts) == want, ts
+
+
+def test_online_collect_latest_block_spec(spark):
+    """`latest` in a block spec resolves via eth_blockNumber when an
+    OnlineSource is active (blocks.rs:131-146) — no explicit tip, no
+    landed lake."""
+    out = api.collect(spark, "blocks", blocks="9990:latest", source=_src())
+    assert {r.block_number for r in out.collect()} == set(range(9990, 10000))
+
+
+def test_online_collect_latest_default_dataset(spark):
+    """A latest-default dataset (balances) with NO block spec probes
+    the node for the tip instead of erroring."""
+    addr = bytes.fromhex("22" * 20)
+    out = api.collect(
+        spark, "balances", address=[addr], source=_src(addresses=[addr]),
+    ).collect()
+    assert len(out) == 1 and out[0].block_number == 9999
+
+
+def test_online_timestamp_chunks_use_olog_n_probes(spark):
+    """timestamps= online: chunk boundaries resolve by live-chain
+    bisection — O(log tip) driver probes per boundary, never a Spark
+    job or a lake read."""
+    from cryo_spark.sources.rpc_families import ProbeLogFakeFactory
+
+    factory = ProbeLogFakeFactory()
+    src = OnlineSource(transport_factory=factory)
+    out = api.collect(
+        spark, "blocks", timestamps="1600001200:1600002400", source=src,
+    )
+    assert {r.block_number for r in out.collect()} == set(range(100, 200))
+    assert factory.calls.count("eth_blockNumber") == 1
+    # 1 tip header + 2 boundaries x ceil(log2(10000)) headers max
+    headers = factory.calls.count("eth_getBlockByNumber")
+    assert headers <= 1 + 2 * 15
+
+
 def test_online_source_requires_dims_for_point_families(spark):
     with pytest.raises(ValueError, match="address"):
         api.collect(spark, "balances", blocks="5:6", source=_src()).collect()

@@ -216,6 +216,74 @@ def test_trace_calls_schema_and_values(spark, fixtures_dir):
     assert r.action_type == "call" and r.result_gas_used == 25000
 
 
+def _fake_hash(n: int, k: int) -> bytes:
+    """The fake node's deterministic tx hash for (block n, index k)."""
+    return (n * 1000 + k).to_bytes(8, "big") * 4
+
+
+def test_fetch_transactions_by_hash_matches_per_block(spark):
+    """CollectByTransaction parity (collect_by_transaction.rs:11-67):
+    per-hash rows must equal the per-block fetch's rows for the same
+    hashes — same schema, same values, including receipt-borne
+    columns and the block-derived timestamp."""
+    hashes = [_fake_hash(101, 0), _fake_hash(102, 1), _fake_hash(103, 2)]
+    wl = _point_wl(
+        spark, [(h,) for h in hashes], "transaction_hash binary"
+    )
+    got = fam.fetch_transactions_by_hash(spark, wl, transport_factory=FAKE)
+    per_block = fam.fetch_transactions(
+        spark, _wl(spark, "101:104"), transport_factory=FAKE
+    )
+    assert got.schema == per_block.schema
+    want = {
+        bytes(r.transaction_hash): tuple(r)
+        for r in per_block.collect()
+        if bytes(r.transaction_hash) in set(hashes)
+    }
+    rows = {bytes(r.transaction_hash): tuple(r) for r in got.collect()}
+    assert rows == want and len(rows) == 3
+
+
+def test_fetch_transactions_by_hash_elides_receipts(spark):
+    """include_receipts=False skips the receipt lookups; receipt-borne
+    columns land NULL (transactions.rs:171-175 schema-driven cost
+    elision)."""
+    wl = _point_wl(
+        spark, [(_fake_hash(102, 0),)], "transaction_hash binary"
+    )
+    r = fam.fetch_transactions_by_hash(
+        spark, wl, transport_factory=FAKE, include_receipts=False
+    ).first()
+    assert r.gas_used is None and r.success is None
+    assert r.timestamp == 1_600_000_000 + 12 * 102
+
+
+def test_fetch_transactions_by_hash_unknown_hash_errors(spark):
+    """An unknown hash fails loudly (transactions.rs:170 'transaction
+    not found'), never lands a partial row."""
+    wl = _point_wl(
+        spark, [(_fake_hash(101, 3),)], "transaction_hash binary"
+    )  # block 101 has only 1 tx
+    with pytest.raises(Exception, match="transaction not found"):
+        fam.fetch_transactions_by_hash(spark, wl, transport_factory=FAKE).collect()
+
+
+def test_fetch_transactions_by_hash_batches(spark, tmp_path):
+    """By-hash fetch is all point lookups — its requests must ride
+    the JSON-RPC batch stream: per task one batch POST each for txs,
+    receipts, and (deduped) block headers."""
+    hashes = [_fake_hash(n, 0) for n in (101, 102, 103)] + [_fake_hash(102, 1)]
+    wl = _point_wl(
+        spark, [(h,) for h in hashes], "transaction_hash binary"
+    ).coalesce(1)
+    factory = fam.BatchCountingFakeFactory(str(tmp_path / "logh"))
+    out = fam.fetch_transactions_by_hash(
+        spark, wl, config=RpcConfig(batch_size=100), transport_factory=factory,
+    ).collect()
+    assert len(out) == 4
+    assert factory.counts() == {"batch": 3, "single": 0}
+
+
 def test_point_lookup_batching_cuts_round_trips(spark, tmp_path):
     from cryo_spark.sources.rpc import RpcConfig
 
