@@ -521,8 +521,17 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k, both scale paths in one entry: hyperplane-
     LSH bucket prefilter and IVF (spherical k-means lists trained on
     a deterministic sample, query probes the 4 nearest lists).
-    Rows-only check (bucketing/centroids are engine-specific); recall
-    vs exact top-k is unit-tested for both."""
+
+    In-contract recall gate: each method's hits are joined against
+    the exact (ORACLE-PROVEN) `cosine_topk` answer and the per-method
+    recall@10 lands as a checked column; rows with recall < 0.5 are
+    filtered OUT, so an ANN recall collapse shows up in the driver's
+    row count (20 -> 10 or 0), not just in unit tests. The floor is a
+    coarse broken-bucketing detector, deliberately below the measured
+    0.6-0.8 recall (16 hyperplanes / 16 centroids on a few thousand
+    vectors) so fixture regeneration noise cannot trip it. The entry
+    stays rows-only (buckets/centroids are engine-specific) but its
+    recall is now driver-visible."""
     emb = _read(spark, sf_dir, "embeddings")
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     lsh = similarity.bucketed_ann(emb, query, k=10).withColumn(
@@ -531,7 +540,21 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = similarity.ivf_topk(
         emb, query, k=10, n_centroids=16, n_probe=4
     ).withColumn("method", F.lit("ivf"))
-    return lsh.unionByName(ivf)
+    out = lsh.unionByName(ivf)
+    exact = similarity.cosine_topk(emb, query, k=10).select(
+        F.col("vec_id").alias("__exact_id")
+    )
+    w = Window.partitionBy("method")
+    return (
+        out.join(
+            F.broadcast(exact), out["vec_id"] == F.col("__exact_id"), "left"
+        )
+        .withColumn(
+            "recall_at_k", F.round(F.count("__exact_id").over(w) / 10.0, 2)
+        )
+        .filter(F.col("recall_at_k") >= 0.5)
+        .drop("__exact_id")
+    )
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,9 +620,39 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via 4-band pigeonhole + hamming verify
-    (rows-only check; engine-specific hashing)."""
-    return dedup.simhash_near_dups(_read(spark, sf_dir, "documents"))
+    """SimHash near-dup pairs via 8-band pigeonhole + hamming verify
+    (rows-only check; the 64-bit signature itself is engine-specific,
+    so no SQL oracle is possible).
+
+    In-contract recall pin (same spirit as the minhash oracle pin):
+    the result must cover >= 80% of the exact-3-gram-Jaccard >= 0.7
+    pairs from the already-oracled all-pairs path — a recall collapse
+    raises here, turning the unit-level claim into a driver-visible
+    one. NOT a superset gate: simhash hamming tracks the cosine of
+    term-frequency vectors, so even >= 0.9-Jaccard pairs can flip > 7
+    of 64 bits (measured coverage 94% at sf0.1, 100% at sf0.01 — the
+    0.8 floor leaves fixture-regeneration margin). If a round fails
+    ONLY here, it is the corpus, not simhash — lower the floor before
+    debugging the operator."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dups(docs)
+    exact = dedup.ngram_jaccard_all_pairs(docs, min_jaccard=0.7).select(
+        "id_a", "id_b"
+    )
+    stats = (
+        exact.join(
+            pairs.select("id_a", "id_b", F.lit(1).alias("__hit")),
+            ["id_a", "id_b"], "left",
+        )
+        .agg(F.count("*").alias("n"), F.count("__hit").alias("hits"))
+        .first()
+    )
+    if stats.n and stats.hits / stats.n < 0.8:
+        raise AssertionError(
+            f"simhash banding covers only {stats.hits}/{stats.n} "
+            "exact-Jaccard>=0.7 pairs (floor 0.8)"
+        )
+    return pairs
 
 
 # --------------------------------------------------------------------------

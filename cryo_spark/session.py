@@ -46,6 +46,18 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescer merges shuffle partitions below this size.
+        # The 1 MB default assumes cost ~ bytes; several operators
+        # here (posting-list pair explode, count_distinct partials,
+        # set-intersection verifies) are CPU-dense on byte-light rows,
+        # and at the default the whole stage folds to ONE task
+        # (measured: ngram_jaccard 5.1s -> 2.9s at sf0.1 with 64 KB).
+        # At cluster scale real partitions dwarf either threshold, so
+        # this only affects the small-intermediate regime it targets.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION", "65536"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # split small test files across cores (scans of row-grouped
         # files parallelize; no-op for many-file production layouts)

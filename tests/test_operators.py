@@ -691,6 +691,23 @@ def test_asof_dedup_left_matches_direct_and_suffixes(spark):
     assert g == d and len(g) == 2000
 
 
+def test_contract_ann_recall_gate_and_simhash_pin(spark):
+    """The driver-visible recall gates added in round 5: llm_ann_topk
+    keeps both methods (20 rows) only while recall@10 >= 0.5 vs the
+    exact answer; llm_simhash_near_dups raises unless it covers 80%
+    of the exact-Jaccard>=0.7 pairs. Run at sf0.01 — the correctness
+    SF the driver uses (at sf0.001 LSH recall legitimately dips)."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    rows = qs["llm_ann_topk"](spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 20
+    assert all(r.recall_at_k >= 0.5 for r in rows)
+    assert {r.method for r in rows} == {"lsh", "ivf"}
+    pairs = qs["llm_simhash_near_dups"](spark, "/root/testdata/sf0.01").collect()
+    assert pairs  # coverage gate passed (raises otherwise)
+
+
 def test_asof_dedup_left_retains_null_keys(spark):
     """Left rows with a NULL join key must survive dedup_left with
     null right columns — same row count as the direct path (the
