@@ -55,6 +55,26 @@ HEADLINE = [
 ]
 
 
+def plan_fingerprint(df) -> tuple[str, str]:
+    """(md5-12, normalized text) of the query's initial physical plan.
+
+    Hashes let rounds diff PLANS, not just times (the r1->r4 ngram
+    drift debate would have been a one-line diff). Normalization
+    strips the unstable parts — expression ids, plan ids, file paths,
+    Arrow eval ids — so the hash only moves when the plan shape moves.
+    Taken before execution (AQE isFinalPlan=false), so it is
+    deterministic for a given query + session confs."""
+    import hashlib
+    import re
+
+    s = df._jdf.queryExecution().executedPlan().toString()
+    s = re.sub(r"#\d+", "#", s)
+    s = re.sub(r"(plan_id|id)=\d+", r"\1=", s)
+    s = re.sub(r"\[file:[^\]]*\]", "[file:...]", s)
+    s = re.sub(r"InMemoryFileIndex\([^)]*\)", "InMemoryFileIndex(...)", s)
+    return hashlib.md5(s.encode()).hexdigest()[:12], s
+
+
 def bench_one(spark, fn, sf_dir: str, warm_dir: str = "/root/testdata/sf0.001",
               reps: int = 3):
     """Measure one query: (best_seconds|None, rows|None, err|None).
@@ -105,7 +125,18 @@ def main() -> None:
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     errs: dict[str, str] = {}
+    plans: dict[str, str] = {}
+    plan_dump = os.environ.get("SPARK_GRAFT_PLAN_DUMP")
     for name in HEADLINE:
+        try:
+            h, text = plan_fingerprint(queries[name](spark, sf_dir))
+            plans[name] = h
+            if plan_dump:
+                os.makedirs(plan_dump, exist_ok=True)
+                with open(os.path.join(plan_dump, f"{name}.txt"), "w") as f:
+                    f.write(text)
+        except Exception:  # noqa: BLE001 - fingerprinting never fails a bench
+            pass
         t, n, err = bench_one(spark, queries[name], sf_dir)
         if err is None:
             times[name], rows[name] = t, n
@@ -156,6 +187,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "rows": rows,
+        "plans": plans,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errs:

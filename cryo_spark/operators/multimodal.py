@@ -55,11 +55,34 @@ def fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
     return v.astype(np.float32)
 
 
-def real_decode(payload: bytes, dim: int = 16) -> np.ndarray:  # pragma: no cover
-    raise NotImplementedError(
-        "media decode requires PIL/ffmpeg — not available in this container; "
-        "use fake_decode for pipeline testing"
-    )
+def real_decode(payload: bytes, dim: int = 16) -> np.ndarray:
+    """Real image feature extraction when PIL is importable: decode,
+    grayscale, downsample to a sqrt(dim) grid, L2-normalized mean
+    luminance — a deterministic classical feature proving the decode
+    path end-to-end (swap in a learned encoder at deployment). Where
+    PIL is absent (this container) it raises NotImplementedError and
+    the pipeline runs on :func:`fake_decode`; the skipif-guarded test
+    covers the real path wherever the dependency exists."""
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "media decode requires PIL — not available in this container; "
+            "use fake_decode for pipeline testing"
+        ) from exc
+    import io
+
+    if payload is None:
+        return None
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    side = max(int(dim ** 0.5), 1)
+    v = np.asarray(
+        img.resize((side, side)), dtype=np.float64
+    ).reshape(-1)[:dim]
+    if v.size < dim:
+        v = np.pad(v, (0, dim - v.size))
+    n = np.linalg.norm(v)
+    return (v / n if n else v).astype(np.float32)
 
 
 def extract_features(
@@ -111,6 +134,26 @@ def fake_resize(payload: bytes, width: int, height: int) -> bytes:
     size = min(width * height * 3, 4096)
     h = hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
     return (h * (size // len(h) + 1))[:size]
+
+
+def real_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real PIL resize -> PNG bytes when the dependency exists;
+    NotImplementedError otherwise (see :func:`real_decode`)."""
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "image resize requires PIL — not available in this container; "
+            "use fake_resize for pipeline testing"
+        ) from exc
+    import io
+
+    if payload is None:
+        return None
+    img = Image.open(io.BytesIO(payload)).resize((width, height))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
 
 
 def resize_images(

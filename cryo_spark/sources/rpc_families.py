@@ -728,6 +728,67 @@ def fetch_trace_calls(
 # ---------------------------------------------------------------------------
 
 
+class StressFakeFactory:
+    """full fake + injected latency and periodic 429s, with a
+    file-backed dispatch log (executors are separate processes).
+
+    Models a CU-metered provider under contention: every POST costs
+    ``latency_s`` wall-clock and every ``fail_every``-th dispatch
+    raises a retryable 429 — exercising pacing, JSON-RPC batch
+    dispatch, retry/backoff, and eth_getLogs re-splitting at
+    work-list scale (tools/stress_online.py; results in SCALE.md)."""
+
+    def __init__(self, log_path: str, latency_s: float = 0.001,
+                 fail_every: int = 0):
+        self.log_path = log_path
+        self.latency_s = latency_s
+        self.fail_every = fail_every
+
+    def stats(self) -> dict:
+        import collections
+        out: dict = collections.Counter()
+        try:
+            with open(self.log_path) as f:
+                for line in f:
+                    kind, n = line.split()
+                    out[kind] += int(n)
+        except FileNotFoundError:
+            pass
+        return dict(out)
+
+    def __call__(self, config: RpcConfig) -> Transport:
+        import time
+
+        inner = full_fake_transport_factory(config)
+        state = {"n": 0}
+        path, latency, fail_every = self.log_path, self.latency_s, self.fail_every
+
+        def log(kind: str, n: int) -> None:
+            with open(path, "a") as f:
+                f.write(f"{kind} {n}\n")
+
+        def gate(n_inner: int) -> None:
+            state["n"] += 1
+            if latency:
+                time.sleep(latency)
+            if fail_every and state["n"] % fail_every == 0:
+                log("429", 1)
+                raise ConnectionError("429 too many requests")
+            log("post", 1)
+            log("inner", n_inner)
+
+        def call(method: str, params: list):
+            gate(1)
+            return inner(method, params)
+
+        def batch(reqs: list) -> list:
+            gate(len(reqs))
+            return [inner(m, p) for m, p in reqs]
+
+        call.batch = batch  # type: ignore[attr-defined]
+        return call
+
+
 class ProbeLogFakeFactory:
     """full fake + an in-memory method log. Counts the DRIVER's probe
     calls (tip resolution, timestamp bisection); executor tasks

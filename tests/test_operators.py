@@ -241,6 +241,48 @@ def test_multimodal_resize(spark):
             assert bytes(r["payload"]) == bytes(originals[r["media_id"]]["payload"])
 
 
+def test_multimodal_real_decode_without_pil():
+    """Where PIL is absent the real path must fail loudly with the
+    documented NotImplementedError, never silently fall back."""
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present — covered by test_multimodal_real_decode_with_pil")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.real_decode(b"\x89PNG...")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.real_resize(b"\x89PNG...", 8, 8)
+
+
+def test_multimodal_real_decode_with_pil(spark):
+    """Real-decode path, exercised wherever PIL exists: a PIL-made
+    PNG round-trips through extract_features(decoder=real_decode) and
+    resize_images(resizer=real_resize) with unit-norm features and
+    correctly-sized output."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    img = Image.new("RGB", (32, 20), (120, 30, 200))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    png = buf.getvalue()
+    v = multimodal.real_decode(png)
+    assert len(v) == 16 and abs(float((v * v).sum()) - 1.0) < 1e-3
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(png), "image/png", 32, 20, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = multimodal.extract_features(
+        media, decoder=multimodal.real_decode
+    ).collect()
+    assert len(feats) == 1 and len(feats[0]["feature"]) == 16
+    out = multimodal.resize_images(
+        media, width=8, height=8, resizer=multimodal.real_resize
+    ).collect()
+    assert Image.open(io.BytesIO(bytes(out[0]["payload"]))).size == (8, 8)
+
+
 def test_multimodal_frame_sampling(spark):
     media = multimodal.synthetic_media(spark, n=30)
     frames = multimodal.sample_frames(media, interval_ms=1000, max_frames=8)

@@ -284,6 +284,27 @@ def test_fetch_transactions_by_hash_batches(spark, tmp_path):
     assert factory.counts() == {"batch": 3, "single": 0}
 
 
+def test_stress_factory_429_retries_land_exact_rows(spark, tmp_path):
+    """Contention-path accounting (small-scale twin of
+    tools/stress_online.py): with every 5th POST per task 429ing,
+    batches retry whole and the landed rows are still exact."""
+    from cryo_spark.sources.rpc import fetch_blocks
+
+    factory = fam.StressFakeFactory(
+        str(tmp_path / "slog"), latency_s=0.0, fail_every=5
+    )
+    wl = _wl(spark, "0:1000", parts=4)
+    out = fetch_blocks(
+        spark, wl,
+        config=RpcConfig(batch_size=50, initial_backoff_s=0.001),
+        transport_factory=factory,
+    )
+    assert out.count() == 1000
+    s = factory.stats()
+    assert s["429"] > 0
+    assert s["inner"] >= 1000  # failed batches re-dispatch whole
+
+
 def test_point_lookup_batching_cuts_round_trips(spark, tmp_path):
     from cryo_spark.sources.rpc import RpcConfig
 
