@@ -41,11 +41,14 @@ class OnlineSource:
     include_receipts: pass False to elide receipt requests when no
         receipt-borne column is selected (transactions.rs:124-135).
     tx_hashes: transaction hashes for the transactions time
-        dimension (``txs=...``) — routes the transactions raw table
+        dimension (``txs=...``) — routes EVERY per-block raw table
+        (transactions, logs, traces, state diffs/reads, opcodes, js
+        traces; blocks derive from the txs' landed block numbers)
         through per-hash lookups (the reference's
         CollectByTransaction, collect_by_transaction.rs:11-67)
         instead of a block work-list. Normally adopted from the
-        ``collect``/``freeze`` call's ``txs=`` argument.
+        ``collect``/``freeze`` call's ``txs=`` argument; explicit
+        ``chunks`` win when both are set.
     """
 
     def __init__(
@@ -132,8 +135,9 @@ class OnlineSource:
             config=self.config, transport_factory=self.transport_factory,
             chain_id=self.chain_id,
         )
+        by_hash = bool(self.tx_hashes) and not self.chunks
         if name == "blocks":
-            if self.tx_hashes and not self.chunks:
+            if by_hash:
                 # transactions time dimension: the blocks of interest
                 # are wherever the hashes landed (the reference
                 # fetches each tx's block for gas-price context,
@@ -147,7 +151,11 @@ class OnlineSource:
             else:
                 df = rpc.fetch_blocks(spark, self._block_wl(spark), **kw)
         elif name == "logs":
-            df = rpc.fetch_logs(spark, self._block_wl(spark), **kw)
+            df = (
+                fam.fetch_logs_by_hash(spark, self._tx_wl(spark), **kw)
+                if by_hash
+                else rpc.fetch_logs(spark, self._block_wl(spark), **kw)
+            )
         elif name == "transactions":
             if self.tx_hashes:
                 # transactions time dimension: per-hash lookups
@@ -162,18 +170,40 @@ class OnlineSource:
                     include_receipts=self.include_receipts, **kw,
                 )
         elif name == "traces":
-            df = fam.fetch_traces(spark, self._block_wl(spark), **kw)
+            df = (
+                fam.fetch_traces_by_hash(spark, self._tx_wl(spark), **kw)
+                if by_hash
+                else fam.fetch_traces(spark, self._block_wl(spark), **kw)
+            )
         elif name == "state_diffs":
-            df = fam.fetch_state_diffs(spark, self._block_wl(spark), **kw)
+            df = (
+                fam.fetch_state_diffs_by_hash(spark, self._tx_wl(spark), **kw)
+                if by_hash
+                else fam.fetch_state_diffs(spark, self._block_wl(spark), **kw)
+            )
         elif name == "state_reads":
-            df = fam.fetch_state_reads(spark, self._block_wl(spark), **kw)
+            df = (
+                fam.fetch_state_reads_by_hash(spark, self._tx_wl(spark), **kw)
+                if by_hash
+                else fam.fetch_state_reads(spark, self._block_wl(spark), **kw)
+            )
         elif name == "opcodes":
-            df = fam.fetch_opcodes(spark, self._block_wl(spark), **kw)
+            df = (
+                fam.fetch_opcodes_by_hash(spark, self._tx_wl(spark), **kw)
+                if by_hash
+                else fam.fetch_opcodes(spark, self._block_wl(spark), **kw)
+            )
         elif name == "js_traces":
             if not self.js_tracer:
                 raise ValueError("OnlineSource needs js_tracer for js_traces")
-            df = fam.fetch_js_traces(
-                spark, self._block_wl(spark), self.js_tracer, **kw
+            df = (
+                fam.fetch_js_traces_by_hash(
+                    spark, self._tx_wl(spark), self.js_tracer, **kw
+                )
+                if by_hash
+                else fam.fetch_js_traces(
+                    spark, self._block_wl(spark), self.js_tracer, **kw
+                )
             )
         elif name == "accounts":
             wl = self._product_wl(spark, {"address": self.addresses})

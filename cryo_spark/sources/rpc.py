@@ -446,7 +446,10 @@ def fake_transport_factory(config: RpcConfig) -> Transport:
                         "blockNumber": hex(n),
                         "transactionIndex": hex(k),
                         "logIndex": hex(k),
-                        "transactionHash": "0x" + (n.to_bytes(4, "big") * 8).hex(),
+                        # same (block, index) hash encoding as the full
+                        # fake's transactions, so receipt.logs / per-tx
+                        # fetches reference coherent tx hashes
+                        "transactionHash": "0x" + ((n * 1000 + k).to_bytes(8, "big") * 4).hex(),
                         "blockHash": "0x" + (n.to_bytes(4, "big") * 8).hex(),
                         "address": addr,
                         "topics": [t0],

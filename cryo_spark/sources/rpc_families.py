@@ -41,12 +41,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from cryo_spark.sources.rpc import (
+    LOG_RAW_SCHEMA,
     RpcConfig,
     Transport,
     _hex_to_bytes,
     _hex_to_int,
     _Pacer,
     fake_transport_factory,
+    flatten_log,
     http_transport,
 )
 
@@ -452,6 +454,198 @@ def fetch_transactions_by_hash(
             yield pd.DataFrame(rows, columns=cols)
 
     return work_list.select("transaction_hash").mapInPandas(run, TX_RAW_SCHEMA)
+
+
+def _by_hash_fetcher(
+    work_list: DataFrame,
+    schema: T.StructType,
+    reqs_fn,
+    assemble_fn,
+    config: RpcConfig | None,
+    transport_factory,
+    need_tx: bool = False,
+):
+    """Per-hash scaffold (CollectByTransaction,
+    collect_by_transaction.rs:11-67): the work-list is one row per
+    ``transaction_hash``; ``reqs_fn(hash_hex)`` yields the family's
+    requests and ``assemble_fn(hash_hex, tx, results)`` builds raw
+    rows from its slice. ``need_tx`` prefixes a (batched)
+    eth_getTransactionByHash phase for families whose raw rows need
+    the landed (block_number, transaction_index) context the per-tx
+    RPC response omits. All requests ride ``call_many`` — by-hash
+    extraction is point-lookup-heavy, so JSON-RPC batching is the
+    round-trip win."""
+    cfg = config or RpcConfig()
+    factory = transport_factory or http_transport
+    cols = [f.name for f in schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = factory(cfg)
+        pacer = _Pacer(cfg)
+        for pdf in batches:
+            hashes = ["0x" + bytes(h).hex() for h in pdf["transaction_hash"]]
+            if not hashes:
+                yield pd.DataFrame([], columns=cols)
+                continue
+            txs: list = [None] * len(hashes)
+            if need_tx:
+                txs = pacer.call_many(
+                    transport,
+                    [("eth_getTransactionByHash", [h]) for h in hashes],
+                )
+                for h, t in zip(hashes, txs):
+                    if t is None:
+                        raise ValueError(f"transaction not found: {h}")
+            per = [reqs_fn(h) for h in hashes]
+            flat = [r for rs in per for r in rs]
+            results = pacer.call_many(transport, flat)
+            rows: list[dict] = []
+            i = 0
+            for h, tx, rs in zip(hashes, txs, per):
+                rows.extend(assemble_fn(h, tx, results[i:i + len(rs)]))
+                i += len(rs)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return work_list.select("transaction_hash").mapInPandas(run, schema)
+
+
+def fetch_logs_by_hash(
+    spark, work_list: DataFrame,
+    config: RpcConfig | None = None, transport_factory=None, chain_id: int = 1,
+) -> DataFrame:
+    """Logs by transaction hash via the receipt's log list
+    (logs.rs:82-93 get_transaction_logs)."""
+    def reqs(h):
+        return [("eth_getTransactionReceipt", [h])]
+
+    def assemble(h, _tx, results):
+        rc = results[0]
+        if rc is None:
+            raise ValueError(f"transaction not found: {h}")
+        return [flatten_log(raw, chain_id) for raw in rc.get("logs") or []]
+
+    return _by_hash_fetcher(
+        work_list, LOG_RAW_SCHEMA, reqs, assemble, config, transport_factory
+    )
+
+
+def fetch_traces_by_hash(
+    spark, work_list: DataFrame,
+    config: RpcConfig | None = None, transport_factory=None, chain_id: int = 1,
+) -> DataFrame:
+    """trace_transaction per hash (traces.rs:62-75)."""
+    def reqs(h):
+        return [("trace_transaction", [h])]
+
+    def assemble(h, _tx, results):
+        if results[0] is None:
+            raise ValueError(f"transaction not found: {h}")
+        return [flatten_trace(t, chain_id) for t in results[0]]
+
+    return _by_hash_fetcher(
+        work_list, TRACE_RAW_SCHEMA, reqs, assemble, config, transport_factory
+    )
+
+
+def fetch_state_diffs_by_hash(
+    spark, work_list: DataFrame,
+    config: RpcConfig | None = None, transport_factory=None, chain_id: int = 1,
+) -> DataFrame:
+    """trace_replayTransaction(stateDiff) per hash
+    (sources.rs:295-311; balance_diffs.rs:47-58 shape). The
+    (block_number, transaction_index) context comes from the batched
+    tx-lookup phase — the replay response does not carry it."""
+    def reqs(h):
+        return [("trace_replayTransaction", [h, ["stateDiff"]])]
+
+    def assemble(h, tx, results):
+        replay = dict(results[0] or {})
+        replay.setdefault("transactionHash", h)
+        return flatten_state_diffs(
+            replay, _hex_to_int(tx["blockNumber"]),
+            _hex_to_int(tx["transactionIndex"]), chain_id,
+        )
+
+    return _by_hash_fetcher(
+        work_list, STATE_DIFF_RAW_SCHEMA, reqs, assemble, config,
+        transport_factory, need_tx=True,
+    )
+
+
+def _debug_by_hash(work_list, schema, tracer_opts, assemble_result,
+                   config, transport_factory):
+    """Shared debug_traceTransaction shape (sources.rs:806-899):
+    per-tx geth tracer + the batched tx-lookup phase for landed
+    context."""
+    def reqs(h):
+        return [("debug_traceTransaction", [h, tracer_opts])]
+
+    def assemble(h, tx, results):
+        return assemble_result(
+            results[0], _hex_to_int(tx["blockNumber"]),
+            _hex_to_int(tx["transactionIndex"]), _hex_to_bytes(h),
+        )
+
+    return _by_hash_fetcher(
+        work_list, schema, reqs, assemble, config, transport_factory,
+        need_tx=True,
+    )
+
+
+def fetch_state_reads_by_hash(
+    spark, work_list: DataFrame,
+    config: RpcConfig | None = None, transport_factory=None, chain_id: int = 1,
+) -> DataFrame:
+    """debug_traceTransaction(prestateTracer) per hash
+    (sources.rs:806-838 prestate shape)."""
+    return _debug_by_hash(
+        work_list, STATE_READ_RAW_SCHEMA, {"tracer": "prestateTracer"},
+        lambda res, bn, txi, txh: flatten_state_reads(res, bn, txi, txh, chain_id),
+        config, transport_factory,
+    )
+
+
+def fetch_geth_calls_by_hash(
+    spark, work_list: DataFrame,
+    config: RpcConfig | None = None, transport_factory=None, chain_id: int = 1,
+) -> DataFrame:
+    """debug_traceTransaction(callTracer) per hash."""
+    return _debug_by_hash(
+        work_list, TRACE_RAW_SCHEMA, {"tracer": "callTracer"},
+        lambda res, bn, txi, txh: flatten_call_frames(res or {}, bn, txi, txh, chain_id),
+        config, transport_factory,
+    )
+
+
+def fetch_opcodes_by_hash(
+    spark, work_list: DataFrame,
+    config: RpcConfig | None = None, transport_factory=None, chain_id: int = 1,
+) -> DataFrame:
+    """debug_traceTransaction(structLogs) per hash
+    (sources.rs:863-882)."""
+    return _debug_by_hash(
+        work_list, OPCODE_RAW_SCHEMA, {},
+        lambda res, bn, txi, txh: flatten_opcodes(res or {}, bn, txi, txh, chain_id),
+        config, transport_factory,
+    )
+
+
+def fetch_js_traces_by_hash(
+    spark, work_list: DataFrame, tracer_js: str,
+    config: RpcConfig | None = None, transport_factory=None, chain_id: int = 1,
+) -> DataFrame:
+    """debug_traceTransaction({tracer: <user js>}) per hash
+    (sources.rs:840-861)."""
+    return _debug_by_hash(
+        work_list, JS_TRACE_RAW_SCHEMA, {"tracer": tracer_js},
+        lambda res, bn, txi, txh: [{
+            "block_number": bn, "transaction_index": txi,
+            "transaction_hash": txh,
+            "output": json.dumps(res, sort_keys=True),
+            "chain_id": chain_id,
+        }],
+        config, transport_factory,
+    )
 
 
 def fetch_traces(
@@ -886,10 +1080,20 @@ def full_fake_transport_factory(config: RpcConfig) -> Transport:
             return blk
         if method == "eth_getBlockReceipts":
             n = int(params[0], 16)
+            # receipt logs mirror eth_getLogs for the block, sliced by
+            # transactionIndex — the per-tx logs fetch (receipt.logs)
+            # must agree with the per-block ranged fetch row for row
+            blk_logs = base("eth_getLogs", [
+                {"fromBlock": hex(n), "toBlock": hex(n)}
+            ])
             return [{
                 "transactionHash": tx_hash(n, k), "gasUsed": hex(21000 + 500 * k),
                 "status": hex(0 if (n + k) % 13 == 0 else 1),
                 "effectiveGasPrice": hex(10**9 + n // 2),
+                "logs": [
+                    lg for lg in blk_logs
+                    if int(lg["transactionIndex"], 16) == k
+                ],
             } for k in range(txs_in_block(n))]
         if method == "trace_block":
             n = int(params[0], 16)
@@ -982,20 +1186,43 @@ def full_fake_transport_factory(config: RpcConfig) -> Transport:
                            "input": req["data"], "callType": "call"},
                 "result": {"gasUsed": hex(25000), "output": "0x02"},
             }]}
-        if method == "eth_getTransactionByHash":
+        def tx_loc(h: str):
             # fake hashes encode (block, index): (n*1000+k) repeated
-            v = int(params[0][2:18], 16)
+            v = int(h[2:18], 16)
             n, k = divmod(v, 1000)
-            if k >= txs_in_block(n):
+            return (n, k) if k < txs_in_block(n) else None
+
+        if method == "eth_getTransactionByHash":
+            loc = tx_loc(params[0])
+            if loc is None:
                 return None  # unknown hash: nodes return null
-            blk = call("eth_getBlockByNumber", [hex(n), True])
-            return blk["transactions"][k]
+            n, k = loc
+            return call("eth_getBlockByNumber", [hex(n), True])["transactions"][k]
         if method == "eth_getTransactionReceipt":
-            v = int(params[0][2:18], 16)
-            n, k = divmod(v, 1000)
-            if k >= txs_in_block(n):
+            loc = tx_loc(params[0])
+            if loc is None:
                 return None
+            n, k = loc
             return call("eth_getBlockReceipts", [hex(n)])[k]
+        if method == "trace_transaction":
+            loc = tx_loc(params[0])
+            if loc is None:
+                return None
+            n, k = loc
+            return [t for t in call("trace_block", [hex(n)])
+                    if t["transactionPosition"] == k]
+        if method == "trace_replayTransaction":
+            loc = tx_loc(params[0])
+            if loc is None:
+                return None
+            n, k = loc
+            return call("trace_replayBlockTransactions", [hex(n), params[1]])[k]
+        if method == "debug_traceTransaction":
+            loc = tx_loc(params[0])
+            if loc is None:
+                return None
+            n, k = loc
+            return call("debug_traceBlockByNumber", [hex(n), params[1]])[k]["result"]
         if method == "eth_getBalance":
             return hex(int(params[1], 16) * 1000 + int(params[0][2:4], 16))
         if method == "eth_getTransactionCount":

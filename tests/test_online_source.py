@@ -113,6 +113,35 @@ def test_online_collect_by_transaction(spark):
         assert tuple(r) == want[h]
 
 
+def test_online_collect_by_transaction_other_families(spark):
+    """txs= routing beyond transactions: logs (receipt logs), traces
+    (trace_transaction), and storage_diffs (trace_replayTransaction)
+    all fetch per hash and land the same rows the per-block path
+    lands for those txs — full CollectByTransaction parity online."""
+    hashes = [_fake_hash(10, 0), _fake_hash(11, 1)]
+    keyset = {(10, 0), (11, 1)}
+    for datatype, key_cols in [
+        ("logs", ("block_number", "transaction_index")),
+        ("traces", ("block_number", "transaction_index")),
+        ("storage_diffs", ("block_number", "transaction_index")),
+    ]:
+        got = api.collect(
+            spark, datatype, txs=hashes, source=_src()
+        ).collect()
+        assert got, datatype
+        ref = api.collect(
+            spark, datatype, blocks="10:12", source=_src()
+        ).collect()
+        want = sorted(
+            (
+                tuple(r) for r in ref
+                if tuple(getattr(r, c) for c in key_cols) in keyset
+            ),
+            key=repr,  # None-safe ordering
+        )
+        assert sorted((tuple(r) for r in got), key=repr) == want, datatype
+
+
 def test_online_freeze_by_transaction(spark, tmp_path):
     summary = api.freeze(
         spark, "transactions", txs=[_fake_hash(102, 0), _fake_hash(103, 1)],
@@ -207,6 +236,35 @@ def test_cli_online_flag(spark, tmp_path, monkeypatch):
     ]
     got = spark.read.parquet(str(tmp_path / files[0])).orderBy("block_number")
     assert got.first().timestamp == 1_600_000_000 + 12 * 100
+
+
+def test_cli_online_txs_and_timestamps(spark, tmp_path, monkeypatch):
+    """CLI parity for the round-5 online paths: `--rpc --txs` freezes
+    by per-hash fetch; `--rpc --timestamps` resolves chunk boundaries
+    against the live chain (no landed lake anywhere)."""
+    from cryo_spark.sources import rpc, rpc_families
+
+    monkeypatch.setattr(rpc, "http_transport", FAKE)
+    monkeypatch.setattr(rpc_families, "http_transport", FAKE)
+    rc = api.main([
+        "transactions", "--txs", _fake_hash(102, 0), _fake_hash(103, 1),
+        "-o", str(tmp_path), "--rpc", "http://fake-node:8545",
+        "--no-report", "--overwrite",
+    ])
+    assert rc == 0
+    (txfile,) = tmp_path.glob("*transactions*.parquet")
+    assert spark.read.parquet(str(txfile)).count() == 2
+
+    rc = api.main([
+        "blocks", "--timestamps", "1600001200:1600001440",
+        "-o", str(tmp_path), "--rpc", "http://fake-node:8545",
+        "--no-report", "--overwrite",
+    ])
+    assert rc == 0
+    # ts range [1600001200, 1600001440) -> blocks 100..119 (12s/block)
+    (bfile,) = tmp_path.glob("*blocks*00000100_to_00000119*.parquet")
+    got = spark.read.parquet(str(bfile))
+    assert got.count() == 20
 
 
 def test_cli_offline_forces_replay(tmp_path, monkeypatch, fixtures_dir):

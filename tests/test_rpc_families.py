@@ -268,6 +268,52 @@ def test_fetch_transactions_by_hash_unknown_hash_errors(spark):
         fam.fetch_transactions_by_hash(spark, wl, transport_factory=FAKE).collect()
 
 
+def test_by_hash_families_match_per_block(spark):
+    """Every CollectByTransaction family (collect_by_transaction.rs;
+    logs.rs:82-93, traces.rs:62-75, sources.rs:295-311 + 806-899):
+    by-hash rows must equal the per-block fetch's rows for the same
+    (block, transaction_index) keys — identical schema and values, so
+    online txs= collection is a drop-in for block-range collection."""
+    from cryo_spark.sources.rpc import fetch_logs
+
+    keys = [(10, 0), (11, 0), (11, 1)]
+    hashes = [_fake_hash(n, k) for n, k in keys]
+    wl = _point_wl(spark, [(h,) for h in hashes], "transaction_hash binary")
+    block_wl = _wl(spark, "10:12")
+    keyset = set(keys)
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def per_block_subset(df):
+        return sorted(
+            tuple(r) for r in df.collect()
+            if (r.block_number, r.transaction_index) in keyset
+        )
+
+    cases = [
+        (fam.fetch_logs_by_hash(spark, wl, transport_factory=FAKE),
+         fetch_logs(spark, block_wl, transport_factory=FAKE)),
+        (fam.fetch_traces_by_hash(spark, wl, transport_factory=FAKE),
+         fam.fetch_traces(spark, block_wl, transport_factory=FAKE)),
+        (fam.fetch_state_diffs_by_hash(spark, wl, transport_factory=FAKE),
+         fam.fetch_state_diffs(spark, block_wl, transport_factory=FAKE)),
+        (fam.fetch_state_reads_by_hash(spark, wl, transport_factory=FAKE),
+         fam.fetch_state_reads(spark, block_wl, transport_factory=FAKE)),
+        (fam.fetch_opcodes_by_hash(spark, wl, transport_factory=FAKE),
+         fam.fetch_opcodes(spark, block_wl, transport_factory=FAKE)),
+        (fam.fetch_geth_calls_by_hash(spark, wl, transport_factory=FAKE),
+         fam.fetch_geth_calls(spark, block_wl, transport_factory=FAKE)),
+        (fam.fetch_js_traces_by_hash(spark, wl, "{js:1}", transport_factory=FAKE),
+         fam.fetch_js_traces(spark, block_wl, "{js:1}", transport_factory=FAKE)),
+    ]
+    for by_hash, per_block in cases:
+        assert by_hash.schema == per_block.schema
+        got = rows_of(by_hash)
+        assert got, "vacuous family case"
+        assert got == per_block_subset(per_block)
+
+
 def test_fetch_transactions_by_hash_batches(spark, tmp_path):
     """By-hash fetch is all point lookups — its requests must ride
     the JSON-RPC batch stream: per task one batch POST each for txs,
