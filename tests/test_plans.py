@@ -130,3 +130,16 @@ def test_minhash_signatures_partial_aggregation(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(dedup.minhash_signatures(docs, k=16))
     assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan, plan
+
+
+def test_ngram_posting_explode_parallelism_pinned(spark):
+    """Round-5 regression pin: the posting-list aggregation sits on an
+    explicit keyed repartition (REPARTITION_BY_NUM), which AQE never
+    coalesces — without it the byte-light, CPU-dense pair-gen explode
+    folds to ONE task at the coalescer's default minPartitionSize
+    (measured 2.8s -> 1.0s for the candidate stage at sf0.1)."""
+    from cryo_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(dedup.ngram_jaccard_all_pairs(docs))
+    assert "REPARTITION_BY_NUM" in plan, plan
