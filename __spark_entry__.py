@@ -481,12 +481,37 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline, one contract entry (the reference's
     MultiDatatype pattern applied to our extension ops): binary media
     columns -> mapInPandas feature extraction, plus video rows fanned
-    out to frame rows. Decode is stubbed deterministically — the
-    Spark plumbing (schema, batching, row-multiplying UDF shape) is
-    the product. Rows-only check: decode output is engine-specific."""
+    out to frame rows.
+
+    ORACLE-CHECKED since round 5: the media table derives
+    deterministically from `documents` (payload = UTF-8 text bytes,
+    kind = doc_id % 3, duration = (doc_id % 10 + 1) minutes), so
+    every checkable output of the UDF plumbing — per-row byte counts,
+    content sha256, and the frame fan-out arithmetic — verifies
+    against plain SQL. Only the decode vectors (feature/frame bytes,
+    engine-specific by nature; stubbed in this container) stay out of
+    the checked surface, exactly the columns already dropped."""
     from cryo_spark.operators import multimodal
 
-    media = multimodal.synthetic_media(spark, n=64)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.when(kind == F.lit("image"), F.lit("image/png"))
+        .when(kind == F.lit("audio"), F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4")).alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(
+            kind != F.lit("image"),
+            ((F.col("doc_id") % 10 + 1) * 60000).cast("long"),
+        ).alias("duration_ms"),
+    )
     feats = multimodal.extract_features(media).drop("feature").withColumn(
         "op", F.lit("features")
     )
@@ -494,6 +519,33 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         media, interval_ms=60_000, max_frames=8
     ).drop("frame").withColumn("op", F.lit("frames"))
     return feats.unionByName(frames, allowMissingColumns=True)
+
+
+def oracle_multimodal() -> str:
+    return """
+WITH media AS (
+  SELECT doc_id AS media_id, doc_id % 3 AS k, text,
+         (doc_id % 10 + 1) * 60000 AS dur
+  FROM documents
+),
+feats AS (
+  SELECT media_id, octet_length(encode(text))::BIGINT AS n_bytes,
+         sha256(text) AS content_sha256,
+         'features' AS op, NULL::INTEGER AS frame_index, NULL::BIGINT AS ts_ms
+  FROM media
+),
+frames AS (
+  SELECT media_id, NULL::BIGINT AS n_bytes, NULL::VARCHAR AS content_sha256,
+         'frames' AS op, f.frame_index::INTEGER AS frame_index,
+         (f.frame_index * 60000)::BIGINT AS ts_ms
+  FROM media
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(least(dur // 60000 + 1, 8))) AS frame_index
+  ) f
+  WHERE k = 2
+)
+SELECT * FROM feats UNION ALL SELECT * FROM frames
+"""
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,15 +891,18 @@ GENERIC = {
     ),
     "llm_pii_redact": (q_pii_redact, lambda: text.redact_pii_sql("documents")),
     "llm_stratified_sample": (q_stratified_sample, oracle_stratified_sample),
+    "llm_multimodal": (q_multimodal, oracle_multimodal),
 }
 
 # llm_simhash (raw signature dump) gave up its contract slot to the
 # oracle-backed llm_near_dup_clusters; simhash stays covered by
 # llm_simhash_near_dups + unit tests
 NO_ORACLE = {
+    # both rows-only entries carry in-entry recall gates against
+    # oracle-proven exact answers (round 5) — approximate/hash outputs
+    # themselves stay engine-specific, their recall does not
     "llm_ann_topk": q_ann_topk,  # LSH + IVF merged (method column)
     "llm_simhash_near_dups": q_simhash_near_dups,
-    "llm_multimodal": q_multimodal,  # features + frames merged (op column)
 }
 
 
