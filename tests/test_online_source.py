@@ -291,6 +291,20 @@ def test_online_collect_multi_shares_fetch(spark):
     assert set(src._cache) == {"traces"}
 
 
+def test_reused_source_refetches_on_new_tx_hashes(spark):
+    """adopt_tx_hashes mirrors adopt_chunks: a source reused with a
+    DIFFERENT txs= list drops its memoized per-hash fetch and serves
+    the new hashes, never the stale ones."""
+    src = _src()
+    a = api.collect(spark, "transactions", txs=[_fake_hash(101, 0)], source=src)
+    assert [r.block_number for r in a.collect()] == [101]
+    b = api.collect(
+        spark, "transactions",
+        txs=[_fake_hash(102, 0), _fake_hash(102, 1)], source=src,
+    )
+    assert sorted(r.transaction_index for r in b.collect()) == [0, 1]
+
+
 def test_reused_source_refetches_on_new_block_range(spark):
     """A source reused across collect calls with a DIFFERENT block
     range must drop its memoized fetches and serve the new range —
