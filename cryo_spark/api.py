@@ -533,7 +533,13 @@ def _freeze_impl(
         tx_chunk = cplan.parse_tx_inputs(txs)
         dims = dict(dims)
         dims["transaction_hash"] = tx_chunk.values()
-    if timestamps is not None:
+    if tx_chunk is not None:
+        # transactions time dimension: there are no block chunks to
+        # resolve — skip chunk resolution AND postprocess entirely
+        # (the default-blocks else branch would otherwise probe the
+        # chain tip just to throw the answer away)
+        chunks = []
+    elif timestamps is not None:
         from cryo_spark import timestamps as cts
 
         src = _active_online_source()
@@ -552,33 +558,32 @@ def _freeze_impl(
             if src is not None:
                 latest = src.latest_block_number()
         chunks = [cplan.BlockChunk(start=0, end=(latest if latest is not None else 999))]
-    # align -> subchunk -> reorg buffer, the reference's postprocess
-    # order (blocks.rs:107-127): the buffer drops whole tip CHUNKS
-    if align:
-        chunks = [a for c in chunks if (a := cplan.align_chunk(c, chunk_size))]
-    if n_chunks:
-        chunks = cplan.subchunk_by_count(chunks, n_chunks)
-    else:
-        chunks = cplan.subchunk_by_size(chunks, chunk_size)
-    if reorg_buffer:
-        # the reference always resolves the chain tip for the buffer
-        # (blocks.rs:368-374); online tip = eth_blockNumber, offline
-        # tip = max landed block
-        if latest is None:
-            src = _active_online_source()
-            if src is not None:
-                latest = src.latest_block_number()
-            else:
-                from pyspark.sql import functions as F
+    if tx_chunk is None:
+        # align -> subchunk -> reorg buffer, the reference's postprocess
+        # order (blocks.rs:107-127): the buffer drops whole tip CHUNKS
+        if align:
+            chunks = [a for c in chunks if (a := cplan.align_chunk(c, chunk_size))]
+        if n_chunks:
+            chunks = cplan.subchunk_by_count(chunks, n_chunks)
+        else:
+            chunks = cplan.subchunk_by_size(chunks, chunk_size)
+        if reorg_buffer:
+            # the reference always resolves the chain tip for the buffer
+            # (blocks.rs:368-374); online tip = eth_blockNumber, offline
+            # tip = max landed block
+            if latest is None:
+                src = _active_online_source()
+                if src is not None:
+                    latest = src.latest_block_number()
+                else:
+                    from pyspark.sql import functions as F
 
-                latest = TRANSFORMS["blocks"](spark, fixtures_dir).agg(
-                    F.max("block_number")
-                ).first()[0]
-        chunks = cplan.apply_reorg_buffer(chunks, latest, reorg_buffer)
-    chunks = cplan.order_chunks(chunks, chunk_order)
+                    latest = TRANSFORMS["blocks"](spark, fixtures_dir).agg(
+                        F.max("block_number")
+                    ).first()[0]
+            chunks = cplan.apply_reorg_buffer(chunks, latest, reorg_buffer)
+        chunks = cplan.order_chunks(chunks, chunk_order)
 
-    if tx_chunk is not None:
-        chunks = []
     q = cplan.Query(
         datatypes=expand_datatypes(datatypes),
         chunks=chunks,

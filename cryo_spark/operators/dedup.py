@@ -184,16 +184,19 @@ def _docsets(
 _VERIFY_CACHE: list[DataFrame] = []
 
 
-def release_verify_cache() -> None:
+def release_verify_cache(keep: int = 0) -> None:
     """Unpersist candidate-pair frames cached by :func:`_verify_pairs`.
 
-    Called automatically at the next verify (so a long-lived session
-    running many dedup queries holds at most ONE cached candidate
-    list), and callable explicitly when the result has been
+    Called automatically at each verify with ``keep=1`` — the
+    PREVIOUS query's frame stays cached because its (lazy) result may
+    not have executed yet (e.g. an entry that builds an exact-pairs
+    gate and then returns another dedup frame); only older frames are
+    released, so a long-lived session holds at most TWO cached
+    candidate lists. Call explicitly with ``keep=0`` when results are
     materialized and the blocks should go now."""
-    while _VERIFY_CACHE:
+    while len(_VERIFY_CACHE) > keep:
         try:
-            _VERIFY_CACHE.pop().unpersist()
+            _VERIFY_CACHE.pop(0).unpersist()
         except Exception:  # session already stopped — nothing to free
             pass
 
@@ -214,7 +217,7 @@ def _verify_pairs(
     broadcasts them when small and falls back to a (bounded) shuffle
     join when a huge candidate set would break a forced broadcast.
     Intersection is a hash-set sweep, O(|A|+|B|) per pair."""
-    release_verify_cache()
+    release_verify_cache(keep=1)
     pairs = pairs.persist()
     _VERIFY_CACHE.append(pairs)
     ids = (

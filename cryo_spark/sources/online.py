@@ -157,7 +157,7 @@ class OnlineSource:
                 else rpc.fetch_logs(spark, self._block_wl(spark), **kw)
             )
         elif name == "transactions":
-            if self.tx_hashes:
+            if by_hash:
                 # transactions time dimension: per-hash lookups
                 # (collect_by_transaction.rs), not a block sweep
                 df = fam.fetch_transactions_by_hash(
@@ -239,6 +239,13 @@ class OnlineSource:
         invalidates the memoized fetches so a reused source never
         serves a stale block range. Caller-seeded chunks (set in the
         constructor) are the caller's contract and never overridden."""
+        if self._tx_adopted and self.tx_hashes:
+            # the new collect switched from the transactions dimension
+            # back to blocks: adopted tx state (and its memoized
+            # per-hash fetches) must not leak into the block sweep
+            self.unpersist()
+            self.tx_hashes = None
+            self._tx_adopted = False
         if self.chunks is None:
             self.chunks = chunks
             self._adopted = True
@@ -295,6 +302,13 @@ class OnlineSource:
         collect/freeze seeds the per-hash work-list; a reused source
         adopting a DIFFERENT hash list drops its memoized fetch."""
         hashes = [bytes(h) for h in hashes]
+        if self._adopted and self.chunks:
+            # switching from the block dimension to transactions:
+            # adopted chunks would defeat the by-hash routing gate and
+            # the memoized block-sweep fetches would serve wrong rows
+            self.unpersist()
+            self.chunks = None
+            self._adopted = False
         if self.tx_hashes is None:
             self.tx_hashes = hashes
             self._tx_adopted = True

@@ -435,21 +435,28 @@ def fake_transport_factory(config: RpcConfig) -> Transport:
             want_t0 = (flt.get("topics") or [None])[0]
             out = []
             for n in range(lo, hi + 1):
-                for k in range(n % 3):  # block n emits n%3 logs
+                # block n emits n%3 logs — but ONLY when it has
+                # transactions to emit them from (the full fake models
+                # n%4 txs per block, and a 0-tx block cannot log);
+                # log k attaches to tx (k mod ntx), so every log's
+                # transactionHash decodes to a transaction the per-tx
+                # methods actually serve
+                ntx = n % 4
+                for k in range(n % 3 if ntx else 0):
                     addr = "0x" + ((n + k) % 7).to_bytes(1, "big").hex() * 20
                     t0 = "0x" + bytes([k]).hex() * 32
                     if want_addr is not None and addr != want_addr:
                         continue
                     if want_t0 is not None and t0 != want_t0:
                         continue
+                    txi = k % ntx
                     out.append({
                         "blockNumber": hex(n),
-                        "transactionIndex": hex(k),
+                        "transactionIndex": hex(txi),
                         "logIndex": hex(k),
                         # same (block, index) hash encoding as the full
-                        # fake's transactions, so receipt.logs / per-tx
-                        # fetches reference coherent tx hashes
-                        "transactionHash": "0x" + ((n * 1000 + k).to_bytes(8, "big") * 4).hex(),
+                        # fake's transactions
+                        "transactionHash": "0x" + ((n * 1000 + txi).to_bytes(8, "big") * 4).hex(),
                         "blockHash": "0x" + (n.to_bytes(4, "big") * 8).hex(),
                         "address": addr,
                         "topics": [t0],

@@ -432,6 +432,11 @@ def fetch_transactions_by_hash(
             for h, tx in zip(hashes, txs):
                 if tx is None:  # transactions.rs:170 "transaction not found"
                     raise ValueError(f"transaction not found: {h}")
+                if tx.get("blockNumber") is None:
+                    # pending/mempool tx (transactions.rs:179
+                    # "no block number for tx") — never land a
+                    # context-less row
+                    raise ValueError(f"no block number for tx: {h}")
             receipts = (
                 pacer.call_many(
                     transport,
@@ -496,6 +501,8 @@ def _by_hash_fetcher(
                 for h, t in zip(hashes, txs):
                     if t is None:
                         raise ValueError(f"transaction not found: {h}")
+                    if t.get("blockNumber") is None:
+                        raise ValueError(f"no block number for tx: {h}")
             per = [reqs_fn(h) for h in hashes]
             flat = [r for rs in per for r in rs]
             results = pacer.call_many(transport, flat)
@@ -980,6 +987,23 @@ class StressFakeFactory:
             return [inner(m, p) for m, p in reqs]
 
         call.batch = batch  # type: ignore[attr-defined]
+        return call
+
+
+class PendingTxFakeFactory:
+    """full fake whose transactions all look PENDING (blockNumber
+    null, as mempool txs are served) — exercises the by-hash
+    fetchers' no-block-number guard."""
+
+    def __call__(self, config: RpcConfig) -> Transport:
+        inner = full_fake_transport_factory(config)
+
+        def call(method: str, params: list):
+            res = inner(method, params)
+            if method == "eth_getTransactionByHash" and res is not None:
+                res = {**res, "blockNumber": None}
+            return res
+
         return call
 
 

@@ -305,6 +305,42 @@ def test_reused_source_refetches_on_new_tx_hashes(spark):
     assert sorted(r.transaction_index for r in b.collect()) == [0, 1]
 
 
+def test_reused_source_switches_between_time_dimensions(spark):
+    """A reused source must serve correct rows when consecutive
+    collects switch dimension: txs= -> blocks= drops the adopted tx
+    state (else the per-hash cache + by-hash routing serve 1 stale
+    row), and blocks= -> txs= drops the adopted chunks (else by_hash
+    stays off and the hash filter over the old block sweep silently
+    returns 0 rows)."""
+    src = _src()
+    a = api.collect(spark, "transactions", txs=[_fake_hash(101, 0)], source=src)
+    assert a.count() == 1
+    b = api.collect(spark, "transactions", blocks="101:104", source=src)
+    assert b.count() == sum(n % 4 for n in range(101, 104))
+
+    src2 = _src()
+    c = api.collect(spark, "logs", blocks="10:12", source=src2)
+    assert c.count() > 0
+    d = api.collect(spark, "logs", txs=[_fake_hash(503, 1)], source=src2)
+    assert d.count() == 1  # fresh per-hash fetch, not the stale sweep
+
+
+def test_freeze_by_transaction_skips_tip_probe(spark, tmp_path):
+    """freeze(txs=...) has no block chunks to resolve: the
+    default-blocks branch must not probe eth_blockNumber just to
+    throw the answer away (and must not fail if the probe would)."""
+    from cryo_spark.sources.rpc_families import ProbeLogFakeFactory
+
+    factory = ProbeLogFakeFactory()
+    summary = api.freeze(
+        spark, "transactions", txs=[_fake_hash(102, 0)],
+        output_dir=str(tmp_path), overwrite=True, report=False,
+        source=OnlineSource(transport_factory=factory),
+    )
+    assert summary["n_rows"] == 1
+    assert "eth_blockNumber" not in factory.calls
+
+
 def test_reused_source_refetches_on_new_block_range(spark):
     """A source reused across collect calls with a DIFFERENT block
     range must drop its memoized fetches and serve the new range —

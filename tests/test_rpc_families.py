@@ -314,6 +314,21 @@ def test_by_hash_families_match_per_block(spark):
         assert got == per_block_subset(per_block)
 
 
+def test_by_hash_pending_tx_fails_loudly(spark):
+    """A pending (mempool) transaction — blockNumber null — must
+    raise the reference's 'no block number for tx' error
+    (transactions.rs:179), never crash obscurely or land a
+    context-less row."""
+    wl = _point_wl(
+        spark, [(_fake_hash(102, 0),)], "transaction_hash binary"
+    )
+    for fetch in (fam.fetch_transactions_by_hash, fam.fetch_state_diffs_by_hash):
+        with pytest.raises(Exception, match="no block number for tx"):
+            fetch(
+                spark, wl, transport_factory=fam.PendingTxFakeFactory()
+            ).collect()
+
+
 def test_fetch_transactions_by_hash_batches(spark, tmp_path):
     """By-hash fetch is all point lookups — its requests must ride
     the JSON-RPC batch stream: per task one batch POST each for txs,

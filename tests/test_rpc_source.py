@@ -143,8 +143,8 @@ def test_fetch_logs_ranged_with_pushdown(spark):
         spark, wl, cfg, transport_factory=RangeCappedFakeFactory(10)
     )
     rows = out.collect()
-    # block n emits n % 3 logs
-    assert len(rows) == sum(n % 3 for n in range(100))
+    # block n emits n % 3 logs, but only when it has txs (n % 4 > 0)
+    assert len(rows) == sum(n % 3 for n in range(100) if n % 4)
     assert {r["chain_id"] for r in rows} == {1}
     # topic0 pushdown: only k=1 logs (topic0 = 0x01*32) survive, and
     # the node (fake) did the filtering, not Spark
@@ -152,7 +152,7 @@ def test_fetch_logs_ranged_with_pushdown(spark):
     filtered = fetch_logs(
         spark, wl, cfg, transport_factory=RangeCappedFakeFactory(10), topic0=t0
     ).collect()
-    assert len(filtered) == sum(1 for n in range(100) if n % 3 == 2)
+    assert len(filtered) == sum(1 for n in range(100) if n % 3 == 2 and n % 4)
     assert all(bytes(r["topic0"]) == t0 for r in filtered)
 
 
