@@ -105,10 +105,18 @@ def bench_one(spark, fn, sf_dir: str, warm_dir: str = "/root/testdata/sf0.001",
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
             spark.catalog.clearCache()
-        n = fn(spark, sf_dir).count()  # untimed sanity count
-        return round(best, 3), n, None
+        final = fn(spark, sf_dir)
+        n = final.count()  # untimed sanity count
+        # fingerprint the frame the sanity count already built —
+        # constructing some queries runs eager driver-side gates, so
+        # a separate fingerprint build would re-pay that untimed
+        try:
+            fp = plan_fingerprint(final)
+        except Exception:  # noqa: BLE001 - never fails a bench
+            fp = (None, None)
+        return round(best, 3), n, None, fp
     except Exception as exc:  # noqa: BLE001
-        return None, None, f"{type(exc).__name__}: {exc}"[:500]
+        return None, None, f"{type(exc).__name__}: {exc}"[:500], (None, None)
     finally:
         spark.catalog.clearCache()
 
@@ -128,20 +136,17 @@ def main() -> None:
     plans: dict[str, str] = {}
     plan_dump = os.environ.get("SPARK_GRAFT_PLAN_DUMP")
     for name in HEADLINE:
-        try:
-            h, text = plan_fingerprint(queries[name](spark, sf_dir))
-            plans[name] = h
-            if plan_dump:
-                os.makedirs(plan_dump, exist_ok=True)
-                with open(os.path.join(plan_dump, f"{name}.txt"), "w") as f:
-                    f.write(text)
-        except Exception:  # noqa: BLE001 - fingerprinting never fails a bench
-            pass
-        t, n, err = bench_one(spark, queries[name], sf_dir)
+        t, n, err, (fp, fp_text) = bench_one(spark, queries[name], sf_dir)
         if err is None:
             times[name], rows[name] = t, n
         else:
             errs[name] = err
+        if fp is not None:
+            plans[name] = fp
+            if plan_dump:
+                os.makedirs(plan_dump, exist_ok=True)
+                with open(os.path.join(plan_dump, f"{name}.txt"), "w") as f:
+                    f.write(fp_text)
         # 28 queries x 4 executions accumulate broadcast/python-worker
         # garbage in one JVM; an explicit collection between queries
         # keeps each measurement steady-state instead of paying the

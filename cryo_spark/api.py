@@ -119,11 +119,14 @@ def _resolve_sort(spec, sort, n_datatypes: int) -> list[str] | None:
     return cols
 
 
-def _tx_dimension_check(datatype: str, df: DataFrame) -> None:
+def _tx_dimension_check(datatype: str) -> None:
     """Datasets without a transaction_hash column cannot be collected
     by transaction (CollectByTransaction::can_collect_by_transaction,
-    collect_by_transaction.rs:63-66)."""
-    if "transaction_hash" not in df.columns:
+    collect_by_transaction.rs:63-66). Schema-driven (the transforms
+    project exactly the spec columns), so it runs BEFORE any source
+    mutation or frame construction — a rejected call must not degrade
+    a reused OnlineSource's adopted state."""
+    if "transaction_hash" not in get_spec(datatype).column_names():
         raise ValueError(
             f"dataset {datatype} cannot be collected by transaction"
         )
@@ -243,9 +246,11 @@ def _parse_blocks_resolving_latest(blocks, latest):
     blocks.rs:131-146). Offline specs without `latest` never probe."""
     try:
         return cplan.parse_block_inputs(blocks, latest)
-    except ValueError:
+    except ValueError as exc:
         src = _active_online_source()
-        if latest is None and src is not None:
+        # retry ONLY the missing-tip error — a malformed spec must
+        # surface its own ValueError, not a spurious probe failure
+        if latest is None and src is not None and "chain tip" in str(exc):
             return cplan.parse_block_inputs(blocks, src.latest_block_number())
         raise
 
@@ -375,12 +380,10 @@ def _collect_impl(
         chunks = []
         dims = dict(dims)
         dims["transaction_hash"] = tx_chunk.values()
-        # before the transform is built: an active OnlineSource routes
-        # the transactions raw through per-hash lookups
+        # validate FIRST (schema-only, no frames built), then route an
+        # active OnlineSource through per-hash lookups
+        _tx_dimension_check(resolve_name(datatype))
         _adopt_tx_hashes_into_active_source(tx_chunk.values())
-        _tx_dimension_check(
-            datatype, TRANSFORMS[resolve_name(datatype)](spark, fixtures_dir)
-        )
     elif timestamps is not None:
         from cryo_spark import timestamps as cts
 
@@ -533,6 +536,10 @@ def _freeze_impl(
         tx_chunk = cplan.parse_tx_inputs(txs)
         dims = dict(dims)
         dims["transaction_hash"] = tx_chunk.values()
+        # validate every requested dataset BEFORE adopting anything
+        # into an active source (a rejected call must not degrade it)
+        for dt in expand_datatypes(datatypes):
+            _tx_dimension_check(dt)
     if tx_chunk is not None:
         # transactions time dimension: there are no block chunks to
         # resolve — skip chunk resolution AND postprocess entirely
@@ -613,12 +620,6 @@ def _freeze_impl(
             exclude_failed=exclude_failed, event_signature=event_signature,
             fixtures_dir=fixtures_dir, dims=q.dims,
         )
-        if tx_chunk is not None:
-            # check the raw transform (the filter runs pre-projection,
-            # so a column subset without transaction_hash is fine)
-            _tx_dimension_check(
-                datatype, TRANSFORMS[resolve_name(datatype)](spark, fixtures_dir)
-            )
         sort_cols = _resolve_sort(get_spec(datatype), sort, len(q.datatypes))
         write_chunks = [tx_chunk] if tx_chunk is not None else chunks
         if partition_by:

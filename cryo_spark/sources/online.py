@@ -102,11 +102,14 @@ class OnlineSource:
 
     def _tx_wl(self, spark: SparkSession) -> DataFrame:
         """Per-hash work-list (CollectByTransaction): one row per
-        transaction hash; at cluster scale the partition count is the
+        DISTINCT transaction hash (a duplicated txs= entry must not
+        double-land rows — the offline IN-filter path dedups
+        naturally); at cluster scale the partition count is the
         fetch parallelism, so hashes spread round-robin rather than
         living in however few partitions createDataFrame picks."""
         df = spark.createDataFrame(
-            [(bytes(h),) for h in self.tx_hashes], "transaction_hash binary"
+            [(h,) for h in dict.fromkeys(bytes(h) for h in self.tx_hashes)],
+            "transaction_hash binary",
         )
         if self.n_partitions:
             df = df.repartition(self.n_partitions)

@@ -444,6 +444,12 @@ def fetch_transactions_by_hash(
                 )
                 if include_receipts else None
             )
+            for h, rc in zip(hashes, receipts or []):
+                if rc is None:
+                    # the tx was served mined above, so a null receipt
+                    # is provider lag / pruning — fail clearly, never
+                    # an AttributeError in the flattener
+                    raise ValueError(f"receipt not found for mined tx: {h}")
             bns = sorted({_hex_to_int(t["blockNumber"]) for t in txs})
             headers = pacer.call_many(
                 transport,
@@ -528,7 +534,8 @@ def fetch_logs_by_hash(
     def assemble(h, _tx, results):
         rc = results[0]
         if rc is None:
-            raise ValueError(f"transaction not found: {h}")
+            # nodes return null for unknown AND pending hashes alike
+            raise ValueError(f"transaction not found or pending: {h}")
         return [flatten_log(raw, chain_id) for raw in rc.get("logs") or []]
 
     return _by_hash_fetcher(

@@ -13,8 +13,8 @@ def test_bench_one_failing_query_reports_err(spark):
     def broken(s, sf_dir):
         return s.range(3).select(F.col("id").cast("timestamp_ntz").cast("long"))
 
-    t, n, err = bench.bench_one(spark, broken, "/root/testdata/sf0.001", reps=1)
-    assert t is None and n is None
+    t, n, err, (fp, _) = bench.bench_one(spark, broken, "/root/testdata/sf0.001", reps=1)
+    assert t is None and n is None and fp is None
     assert "AnalysisException" in err or "CAST" in err
 
 
@@ -22,5 +22,6 @@ def test_bench_one_good_query_times(spark):
     def ok(s, sf_dir):
         return s.read.parquet(f"{sf_dir}/region.parquet")
 
-    t, n, err = bench.bench_one(spark, ok, "/root/testdata/sf0.001", reps=1)
+    t, n, err, (fp, fp_text) = bench.bench_one(spark, ok, "/root/testdata/sf0.001", reps=1)
     assert err is None and t is not None and n == 5
+    assert fp and "FileScan" in fp_text  # plan fingerprint rides along

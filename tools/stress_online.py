@@ -10,7 +10,8 @@ dispatch counts, and retry behavior for:
 2. ranged eth_getLogs with inner-request re-splitting (the range-
    bound regime),
 3. the same under failure injection (retry/backoff correctness at
-   volume — every 50th POST 429s, work must still complete exactly).
+   volume — every 10th POST per task 429s, work must still complete
+   exactly).
 
 Usage: python tools/stress_online.py [n_blocks] [latency_ms]
 Results are recorded in SCALE.md (online-layer stress section).
