@@ -179,3 +179,51 @@ SELECT * EXCLUDE (_rn, _cnt) FROM (
   FROM {table}
 ) WHERE _rn <= floor({frac_case} * _cnt + 0.5)
 """
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "wsample0",
+) -> DataFrame:
+    """Exactly-k weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis A-ES, the standard quality-weighted data-mixing
+    primitive): each row draws key = -ln(u)/w from its deterministic
+    hash-uniform u, and the k SMALLEST keys win — inclusion
+    probability tracks ``weight_col`` under WOR semantics, with the
+    same run-anywhere reproducibility as everything in this module
+    (no RNG state, stable under repartitioning and cluster size).
+
+    Scale shape: a narrow key projection + TakeOrdered top-k — the
+    corpus never sorts or shuffles, each task keeps a k-row heap and
+    the driver merges (safe for k up to ~millions). Rows with
+    weight <= 0 are never selected."""
+    u = (F.conv(_bucket(id_col, seed), 16, 10).cast("double") + 0.5) / _SPACE
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__wkey", key)
+        .orderBy("__wkey", id_col)
+        .limit(k)
+        .drop("__wkey")
+    )
+
+
+def weighted_sample_sql(
+    table: str,
+    k: int,
+    weight_col: str,
+    id_expr: str = "doc_id",
+    seed: str = "wsample0",
+) -> str:
+    b = _bucket_sql(id_expr, seed)
+    u = f"(CAST(concat('0x', {b}) AS BIGINT) + 0.5) / {float(_SPACE)}"
+    return f"""
+SELECT * EXCLUDE (__wkey) FROM (
+  SELECT *, -ln({u}) / CAST({weight_col} AS DOUBLE) AS __wkey
+  FROM {table} WHERE {weight_col} > 0
+  ORDER BY __wkey, {id_expr} LIMIT {k}
+)
+"""

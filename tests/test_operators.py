@@ -518,6 +518,38 @@ def test_stratified_sample_exact_counts_and_oracle(spark):
     assert sorted(out.doc_id) == sorted(odf.doc_id)
 
 
+def test_weighted_sample_oracle_and_bias(spark):
+    """A-ES weighted sampling: (a) hash-matches its DuckDB SQL twin,
+    (b) is deterministic across runs/partitionings, (c) actually
+    biases toward weight — the heavy stratum wins far more than its
+    row share — and (d) never selects weight<=0 rows."""
+    import duckdb
+
+    from cryo_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_sql,
+    )
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        # 10% of rows carry 50x weight; a few rows are zero/negative
+        F.when(F.col("id") % 10 == 0, 50.0)
+        .when(F.col("id") % 97 == 0, -1.0)
+        .otherwise(1.0)
+        .alias("quality"),
+    )
+    out = weighted_sample(docs, 200, "quality").toPandas()
+    assert len(out) == 200 and (out.quality > 0).all()
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    odf = con.execute(weighted_sample_sql("docs", 200, "quality")).df()
+    assert sorted(out.doc_id) == sorted(odf.doc_id)
+    heavy = (out.quality == 50.0).sum()
+    assert heavy > 120, f"weight-50 rows are 10% of corpus but {heavy}/200 sampled"
+    again = weighted_sample(docs.repartition(13), 200, "quality").toPandas()
+    assert sorted(again.doc_id) == sorted(out.doc_id)
+
+
 def test_token_windows_coverage_and_oracle(spark):
     import duckdb
 
