@@ -116,7 +116,14 @@ def bench_one(spark, fn, sf_dir: str, warm_dir: str = "/root/testdata/sf0.001",
             fp = (None, None)
         return round(best, 3), n, None, fp
     except Exception as exc:  # noqa: BLE001
-        return None, None, f"{type(exc).__name__}: {exc}"[:500], (None, None)
+        # a query that fails at EXECUTION is exactly the one whose
+        # plan the next round wants to diff — fingerprint a fresh
+        # construction (analysis may still succeed) before reporting
+        try:
+            fp = plan_fingerprint(fn(spark, sf_dir))
+        except Exception:  # noqa: BLE001
+            fp = (None, None)
+        return None, None, f"{type(exc).__name__}: {exc}"[:500], fp
     finally:
         spark.catalog.clearCache()
 

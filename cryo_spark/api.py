@@ -246,11 +246,11 @@ def _parse_blocks_resolving_latest(blocks, latest):
     blocks.rs:131-146). Offline specs without `latest` never probe."""
     try:
         return cplan.parse_block_inputs(blocks, latest)
-    except ValueError as exc:
+    except cplan.MissingChainTip:
+        # retry ONLY the typed missing-tip signal — a malformed spec
+        # surfaces its own ValueError, never a spurious probe failure
         src = _active_online_source()
-        # retry ONLY the missing-tip error — a malformed spec must
-        # surface its own ValueError, not a spurious probe failure
-        if latest is None and src is not None and "chain tip" in str(exc):
+        if latest is None and src is not None:
             return cplan.parse_block_inputs(blocks, src.latest_block_number())
         raise
 

@@ -40,6 +40,7 @@ def interval_join(
     how: str = "inner",
     bucket_width: float | None = None,
     suffix: str = "_right",
+    max_buckets_per_interval: int = 1_000_000,
 ) -> DataFrame:
     """Join ``left`` rows to every ``right`` interval with
     ``start <= left[on] < end`` (half-open, the standard window
@@ -74,13 +75,30 @@ def interval_join(
     w = float(bucket_width)
 
     lb = left.withColumn(_BKT, F.floor(F.col(on).cast("double") / w))
-    # a right interval covers buckets floor(s/w) .. floor((e-)/w);
-    # the half-open end means an interval ending exactly on a bucket
-    # boundary does NOT reach into that bucket
+    # a right interval covers buckets floor(s/w) .. floor(e/w). For an
+    # end exactly on a bucket boundary the last bucket is one more
+    # than the half-open range strictly needs — harmless (the exact
+    # predicate filters it), and an epsilon-subtraction "fix" would
+    # DROP true matches whenever the end sits within the epsilon
+    # above a boundary, so buckets deliberately over-cover.
     lo = F.floor(F.col(rs).cast("double") / w)
-    hi = F.floor(
-        (F.col(re_).cast("double") - F.lit(w) / F.lit(2 ** 40)) / w
-    )
+    hi = F.floor(F.col(re_).cast("double") / w)
+    # one outlier interval + a small width must fail loudly, not build
+    # a billions-element sequence: F.sequence hard-caps near 2^31 and
+    # executors OOM well before that
+    hi = F.when(
+        hi - lo > F.lit(int(max_buckets_per_interval)),
+        F.raise_error(F.concat(
+            F.lit(
+                "interval spans more than "
+                f"{max_buckets_per_interval} buckets — raise "
+                "bucket_width (interval ["
+            ),
+            F.col(rs).cast("string"), F.lit(", "),
+            F.col(re_).cast("string"), F.lit(") at width "),
+            F.lit(str(w)), F.lit(")"),
+        )),
+    ).otherwise(hi)
     rb = (
         r.filter(F.col(re_) > F.col(rs))
         .withColumn(_BKT, F.explode(F.sequence(lo, F.greatest(hi, lo))))

@@ -149,12 +149,18 @@ def parse_call_datas(
     return [_hx(f) + _hx(i) for f in function for i in inputs]
 
 
+class MissingChainTip(ValueError):
+    """A `latest` block reference needs a chain tip that was not
+    supplied — the typed signal api's online resolution retries on
+    (never retry arbitrary parse errors)."""
+
+
 def parse_block_number(ref: str, position: str, latest: int | None = None) -> int:
     """One block reference: int/float, K/M/B suffix, `latest`, empty
     (0 at range start, latest at range end) — blocks.rs:320-358."""
     if ref == "latest" or (ref == "" and position == "last"):
         if latest is None:
-            raise ValueError("`latest` requires a known chain tip")
+            raise MissingChainTip("`latest` requires a known chain tip")
         return latest
     if ref == "":
         if position == "first":

@@ -20,11 +20,6 @@ from cryo_spark.sources.rpc_families import full_fake_transport_factory
 CALL = full_fake_transport_factory(RpcConfig())
 
 
-def _tx_loc(h: str):
-    v = int(h[2:18], 16)
-    return divmod(v, 1000)
-
-
 @settings(max_examples=200, deadline=None)
 @given(st.integers(min_value=0, max_value=5000))
 def test_logs_reference_served_transactions(n):

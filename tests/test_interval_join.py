@@ -79,6 +79,35 @@ def test_interval_join_half_open_boundaries(spark):
     assert got == [(0, 0), (10, 10)]
 
 
+def test_interval_join_fractional_end_near_bucket_boundary(spark):
+    """An interval ending a hair above a bucket boundary must still
+    replicate into that bucket: an epsilon-subtracted hi would drop
+    the true match for left ts=1.0 vs [0.0, 1.0+4e-13)."""
+    left = spark.createDataFrame([(1.0,)], "ts double")
+    right = spark.createDataFrame(
+        [(0.0, 1.0 + 4e-13)], "start double, end double"
+    )
+    out = interval_join(left, right, "ts", bucket_width=1.0).collect()
+    assert len(out) == 1
+    # ...and an end EXACTLY on the boundary stays excluded (half-open)
+    right2 = spark.createDataFrame([(0.0, 1.0)], "start double, end double")
+    assert interval_join(left, right2, "ts", bucket_width=1.0).count() == 0
+
+
+def test_interval_join_outlier_span_fails_loudly(spark):
+    """One outlier-long interval at a small bucket width must raise a
+    clear sizing error, not build a billions-element sequence."""
+    left = spark.createDataFrame([(5.0,)], "ts double")
+    right = spark.createDataFrame(
+        [(0.0, 3.0e9)], "start double, end double"
+    )
+    with pytest.raises(Exception, match="raise bucket_width"):
+        interval_join(
+            left, right, "ts", bucket_width=1.0,
+            max_buckets_per_interval=10_000,
+        ).collect()
+
+
 def test_interval_join_plan_has_no_nested_loop(spark):
     """The scale contract: an equality shuffle join on the bucket id,
     never a cartesian/broadcast-nested-loop of the naive range

@@ -548,6 +548,10 @@ def test_weighted_sample_oracle_and_bias(spark):
     assert heavy > 120, f"weight-50 rows are 10% of corpus but {heavy}/200 sampled"
     again = weighted_sample(docs.repartition(13), 200, "quality").toPandas()
     assert sorted(again.doc_id) == sorted(out.doc_id)
+    # scale contract: top-k heap, never a global sort shuffle
+    plan = weighted_sample(docs, 200, "quality")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_token_windows_coverage_and_oracle(spark):
