@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 from cryo_spark import contract
 from cryo_spark.datasets import ORACLES, TRANSFORMS
 from cryo_spark.fixtures import default_fixtures_dir, generate
-from cryo_spark.operators import corpus, decontam, dedup, similarity, text
+from cryo_spark.operators import corpus, decontam, dedup, sampling, similarity, text
+from cryo_spark.operators import spans as spans_mod
 
 FIXTURES_DIR = default_fixtures_dir()
 
@@ -707,6 +708,89 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One wide per-document text-analysis profile: word stats +
+    language ID + content fingerprint + BPE token count + PII
+    redaction, joined on doc_id (each part keeps its own oracle-SQL
+    builder; the oracle is the same five-way join in DuckDB).
+
+    Merged from five formerly-separate contract entries (round 5) to
+    stay inside the driver's 50-entry scoring window while the freed
+    slots take the new span-dedup / n-gram / keyword / mixing
+    operators — every constituent operator is still exercised and
+    hash-checked here. The joins all key on doc_id, so sort-merge
+    reuses one exchange; at scale the five projections would fuse
+    into a single select over one scan (each part is narrow)."""
+    docs = _read(spark, sf_dir, "documents")
+    out = text.word_stats(docs)
+    for part in (
+        text.lang_id(docs),
+        text.fingerprint(docs).drop("fingerprint"),
+        # n_chars duplicates the word_stats column (same expression)
+        text.bpe_token_count(docs).drop("n_chars"),
+        text.redact_pii(docs),
+    ):
+        out = out.join(part, "doc_id")
+    return out
+
+
+def oracle_text_profile() -> str:
+    ws = text.word_stats_sql("documents")
+    li = text.lang_id_sql("documents")
+    fp = text.fingerprint_sql("documents")
+    bp = text.bpe_token_count_sql("documents")
+    pi = text.redact_pii_sql("documents")
+    return f"""
+SELECT a.*, b.* EXCLUDE (doc_id), c.* EXCLUDE (doc_id),
+  d.* EXCLUDE (doc_id, n_chars), e.* EXCLUDE (doc_id)
+FROM ({ws}) a
+JOIN ({li}) b USING (doc_id)
+JOIN ({fp}) c USING (doc_id)
+JOIN ({bp}) d USING (doc_id)
+JOIN ({pi}) e USING (doc_id)
+"""
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-span removal (fixed-grid exact-substring
+    dedup, Lee et al. 2022 shape): every later occurrence of a
+    10-word span is cut and documents are rebuilt from the survivors.
+    The keeper choice is a map-side-combining min-struct aggregate —
+    hot boilerplate spans never funnel into one task."""
+    from cryo_spark.operators import spans
+
+    return spans.dedup_spans(_read(spark, sf_dir, "documents"))
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-100 bigrams by occurrence: partial count agg +
+    TakeOrderedAndProject (per-task k-heaps; the count table never
+    fully sorts)."""
+    return text.top_ngrams(_read(spark, sf_dir, "documents"), n=2, k=100)
+
+
+def q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by linear-idf tf-idf
+    (bit-exact across engines — see keyword_extract docstring)."""
+    return text.keyword_extract(_read(spark, sf_dir, "documents"), k=5)
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (alpha = 0.5, ~200-row
+    budget at the check scale): deterministic hash-order draws with
+    per-source quotas proportional to count^alpha. Text column
+    dropped from the checked surface (selection is what's under
+    test; the rows are verbatim inputs)."""
+    return sampling.temperature_mix(
+        _read(spark, sf_dir, "documents"), budget=200, alpha=0.5
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def oracle_temperature_mix() -> str:
+    inner = sampling.temperature_mix_sql("documents", budget=200, alpha=0.5)
+    return f"SELECT doc_id, lang, source, n_chars FROM ({inner}) __m"
+
+
 # --------------------------------------------------------------------------
 # the contract
 # --------------------------------------------------------------------------
@@ -864,14 +948,23 @@ GENERIC = {
     "llm_clean_corpus": (
         q_clean_corpus, lambda: corpus.clean_corpus_sql("documents")
     ),
-    "llm_word_stats": (q_word_stats, lambda: text.word_stats_sql("documents")),
-    "llm_lang_id": (q_lang_id, lambda: text.lang_id_sql("documents")),
-    "llm_fingerprint": (q_fingerprint, lambda: text.fingerprint_sql("documents")),
+    # word_stats / lang_id / fingerprint / bpe_token_count /
+    # pii_redact merged into one five-way-join profile entry in
+    # round 5 (all five operators still hash-checked; the freed slots
+    # carry the four new round-5 operators below)
+    "llm_text_profile": (q_text_profile, oracle_text_profile),
+    "llm_span_dedup": (
+        q_span_dedup, lambda: spans_mod.dedup_spans_sql("documents")
+    ),
+    "llm_top_ngrams": (
+        q_top_ngrams, lambda: text.top_ngrams_sql("documents", n=2, k=100)
+    ),
+    "llm_keywords": (
+        q_keywords, lambda: text.keyword_extract_sql("documents", k=5)
+    ),
+    "llm_temperature_mix": (q_temperature_mix, oracle_temperature_mix),
     "llm_exact_dedup": (q_exact_dedup, lambda: dedup.exact_dedup_sql("documents")),
     "llm_cosine_topk": (q_cosine_topk, oracle_cosine_topk),
-    "llm_bpe_token_count": (
-        q_bpe_token_count, lambda: text.bpe_token_count_sql("documents")
-    ),
     "llm_quality_score": (
         q_quality_score, lambda: text.quality_with_repetition_sql("documents")
     ),
@@ -889,7 +982,6 @@ GENERIC = {
         # exhaustive all-pairs SQL: equality proves LSH recall
         lambda: dedup.ngram_jaccard_all_pairs_sql("documents"),
     ),
-    "llm_pii_redact": (q_pii_redact, lambda: text.redact_pii_sql("documents")),
     "llm_stratified_sample": (q_stratified_sample, oracle_stratified_sample),
     "llm_multimodal": (q_multimodal, oracle_multimodal),
 }

@@ -42,16 +42,22 @@ HEADLINE = [
     "orders_asof_events",
     # LLM-pipeline operators (scale with sf)
     "llm_clean_corpus",
-    "llm_word_stats",
-    "llm_lang_id",
+    # word_stats + lang_id + bpe_token_count (+ fingerprint + pii)
+    # merged into the five-way text profile in round 5 — the three
+    # former per-projection timings continue inside this one entry
+    "llm_text_profile",
     "llm_exact_dedup",
     "llm_minhash_near_dups",
     "llm_cosine_topk",
     "llm_ann_topk",
-    "llm_bpe_token_count",
     "llm_quality_score",
     "llm_ngram_jaccard_pairs",
     "llm_embedding_near_dups",
+    # round-5 operators
+    "llm_span_dedup",
+    "llm_top_ngrams",
+    "llm_keywords",
+    "llm_temperature_mix",
 ]
 
 

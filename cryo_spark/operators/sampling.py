@@ -227,3 +227,81 @@ SELECT * EXCLUDE (__wkey) FROM (
   ORDER BY __wkey, {id_expr} LIMIT {k}
 )
 """
+
+
+def temperature_mix(
+    df: DataFrame,
+    budget: int,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix0",
+) -> DataFrame:
+    """Temperature-weighted source mixing: draw ~``budget`` rows with
+    per-source quotas proportional to count^alpha (alpha = 1/T; 1.0 =
+    natural proportions, 0.0 = uniform across sources) — the standard
+    multilingual/multi-source rebalancing step (e.g. mT5's alpha=0.3
+    sampling), made deterministic.
+
+    Quota_s = min(count_s, round(budget * count_s^alpha / sum_t
+    count_t^alpha)); rounding makes the realized total approximate
+    (within #sources/2 of budget). Row selection within a source is
+    hash-order (same md5 key as everything in this module), so the
+    draw is reproducible on any cluster and is a SUPERSET-stable
+    sample: raising the budget only adds rows.
+
+    Scale shape: source counts are a partial agg over a
+    low-cardinality key; the quota table (#sources rows) broadcasts
+    back; the only corpus shuffle is the per-source hash-rank window.
+    Per-source rank sorts a whole stratum in one task — for web-scale
+    strata compute the quota rates here but apply them with
+    ``hash_sample`` (threshold filter, no shuffle) instead."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_c"))
+    denom = counts.agg(F.sum(F.pow("_c", F.lit(alpha))).alias("_z"))
+    quota = counts.crossJoin(F.broadcast(denom)).select(
+        strata_col,
+        F.least(
+            F.col("_c"),
+            F.round(
+                F.lit(budget) * F.pow("_c", F.lit(alpha)) / F.col("_z")
+            ).cast("long"),
+        ).alias("_take"),
+    )
+    wo = Window.partitionBy(strata_col).orderBy(_bucket(id_col, seed), F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(wo))
+        .join(F.broadcast(quota), strata_col)
+        .filter(F.col("_rn") <= F.col("_take"))
+        .drop("_rn", "_take")
+    )
+
+
+def temperature_mix_sql(
+    table: str,
+    budget: int,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    id_expr: str = "doc_id",
+    seed: str = "mix0",
+) -> str:
+    b = _bucket_sql(id_expr, seed)
+    return f"""
+WITH counts AS (
+  SELECT {strata_col}, count(*) AS _c FROM {table} GROUP BY {strata_col}
+), z AS (
+  SELECT sum(power(_c, {alpha})) AS _z FROM counts
+), quota AS (
+  SELECT {strata_col},
+    least(_c, CAST(round({budget} * power(_c, {alpha}) / _z) AS BIGINT)) AS _take
+  FROM counts, z
+), ranked AS (
+  SELECT t.*,
+    row_number() OVER (
+      PARTITION BY {strata_col} ORDER BY {b}, {id_expr}
+    ) AS _rn
+  FROM {table} t
+)
+SELECT * EXCLUDE (_rn, _take)
+FROM ranked JOIN quota USING ({strata_col})
+WHERE _rn <= _take
+"""

@@ -1,0 +1,161 @@
+"""Duplicate-span removal: corpus-wide exact-substring deduplication.
+
+The operation from "Deduplicating Training Data Makes Language Models
+Better" (Lee et al., 2022) that exact-doc and near-doc dedup both
+miss: the SAME paragraph/boilerplate appearing inside otherwise
+distinct documents. Documents are segmented into fixed-size word
+spans; every later occurrence of a span already seen anywhere in the
+corpus is removed and the surviving spans are stitched back together
+in document order. (The paper's suffix-array formulation finds
+arbitrary-offset repeats; the fixed-grid variant here is the
+shuffle-friendly approximation that distributed pipelines actually
+run — one pass, no suffix array, catches whole-paragraph clones.)
+
+Scale design (the 100 TB story):
+- span generation is a narrow tokenize + slice projection (the same
+  bind-tokens-first shape as ``dedup.shingle_rows`` — the split runs
+  once per document, not once per span).
+- the global "first occurrence" is a ``groupBy(span).agg(min(struct
+  (doc_id, span_idx)))`` — partial aggregation combines map-side, so
+  a boilerplate span repeated a billion times ships ONE candidate
+  keeper per map task, never a billion rows to one reducer (the skew
+  trap a row_number-window formulation would hit on hot spans).
+- the keep-filter joins occurrences back to keepers ON THE SAME KEY
+  the aggregation just partitioned by, so sort-merge reuses the
+  exchange: 2 corpus-sized shuffles total (span, then doc_id for
+  reassembly), both on well-distributed keys.
+- reassembly is collect_list bounded by the largest single document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cryo_spark.operators.util import spread as _spread
+
+
+def span_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    span_words: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, span_idx, span): consecutive ``span_words``-word windows
+    on a fixed grid (last span may be shorter). Whitespace-normalized
+    but case-preserving — span dedup must not merge case-variant
+    text, unlike the casefolding near-dup shingles."""
+    df = _spread(df)
+    toks = df.select(
+        F.col(id_col),
+        F.split(
+            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "
+        ).alias("toks"),
+    )
+    t = F.col("toks")
+    n_spans = F.ceil(F.size(t) / F.lit(span_words)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(t, i * span_words + 1, span_words), " "),
+    )
+    return toks.select(
+        F.col(id_col), F.posexplode(spans).alias("span_idx", "span")
+    )
+
+
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    span_words: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every duplicated span except its globally-first
+    occurrence (ordered by (doc_id, span_idx)) and rebuild each
+    document from its surviving spans.
+
+    Returns (id, text, n_spans, n_kept): the rewritten text ('' when
+    every span was a repeat — the row is retained so downstream
+    accounting sees the fully-boilerplate doc), the document's span
+    count, and how many survived.
+    """
+    sp = span_rows(df, text_col, span_words, id_col)
+    # global first occurrence per span: min over a (doc_id, span_idx)
+    # struct — lexicographic, deterministic, and crucially a partial
+    # aggregate (hot boilerplate spans combine map-side; a window
+    # row_number here would funnel every occurrence of a hot span
+    # through one task's sort)
+    keep = sp.groupBy("span").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("_k")
+    )
+    kept = (
+        sp.join(keep, "span")
+        .filter(
+            (F.col(id_col) == F.col(f"_k.{id_col}"))
+            & (F.col("span_idx") == F.col("_k.span_idx"))
+        )
+        .drop("_k")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("span_idx", "span"))
+                ),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.ceil(
+            F.size(
+                F.split(
+                    F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "
+                )
+            )
+            / F.lit(span_words)
+        )
+        .cast("long")
+        .alias("n_spans"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_text"), F.lit("")).alias("text"),
+        F.col("n_spans"),
+        F.coalesce(F.col("_n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+def dedup_spans_sql(
+    table: str, text_col: str = "text", span_words: int = 10
+) -> str:
+    """DuckDB equivalent of :func:`dedup_spans` (the oracle)."""
+    k = span_words
+    norm = f"regexp_replace(trim({text_col}), '\\s+', ' ', 'g')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM {table}
+), sp AS (
+  SELECT doc_id, g.i AS span_idx,
+    array_to_string(t[(g.i * {k} + 1):(g.i * {k} + {k})], ' ') AS span
+  FROM toks,
+    LATERAL unnest(range(0, CAST(ceil(len(t) / {k}.0) AS INT))) AS g(i)
+), kept AS (
+  SELECT doc_id, span_idx, span FROM (
+    SELECT sp.*,
+      row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS _rn
+    FROM sp
+  ) WHERE _rn = 1
+), reb AS (
+  SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS _text,
+    count(*) AS _n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+  coalesce(r._text, '') AS text,
+  CAST(ceil(len(t.t) / {k}.0) AS BIGINT) AS n_spans,
+  coalesce(r._n_kept, 0)::BIGINT AS n_kept
+FROM toks t LEFT JOIN reb r USING (doc_id)
+"""

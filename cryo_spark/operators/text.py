@@ -423,3 +423,136 @@ def redact_pii_sql(table: str, text_col: str = "text") -> str:
     last = f"_t{len(PII_PATTERNS)}"
     names = ", ".join(f"n_{n}" for n in PII_PATTERNS)
     return f"SELECT doc_id, {last} AS redacted_text, {names} FROM ({step})"
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide top-k most frequent word n-grams (occurrence
+    counts, not document frequency) — the vocabulary/boilerplate
+    inspection pass a pipeline runs before choosing dedup and filter
+    thresholds. Deterministic total order: count desc, ngram asc.
+
+    Scale shape: the n-gram explode is narrow (tokens bound once per
+    document, same shape as the shingle stream); the count is a
+    partial aggregate (hot n-grams combine map-side, one row per
+    map task crosses the wire) and the top-k is TakeOrderedAndProject
+    — per-task k-row heaps, driver merges k rows per task, the
+    corpus-sized count table never fully sorts."""
+    from cryo_spark.operators.dedup import shingle_rows
+
+    return (
+        shingle_rows(df, text_col, n, id_col)
+        .groupBy(F.col("shingle").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.desc("occurrences"), "ngram")
+        .limit(k)
+    )
+
+
+def top_ngrams_sql(
+    table: str, text_col: str = "text", n: int = 2, k: int = 100
+) -> str:
+    """DuckDB equivalent of :func:`top_ngrams` (mirrors the
+    shingle_rows gram grid: docs shorter than n words emit one
+    whole-doc gram)."""
+    norm = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
+    return f"""
+WITH toks AS (
+  SELECT string_split({norm}, ' ') AS t FROM {table}
+), grams AS (
+  SELECT CASE WHEN len(t) >= {n}
+       THEN array_to_string(t[g.i:g.i + {n - 1}], ' ')
+       ELSE array_to_string(t, ' ') END AS ngram
+  FROM toks,
+    LATERAL unnest(generate_series(1, greatest(len(t) - {n - 1}, 1))) AS g(i)
+)
+SELECT ngram, count(*)::BIGINT AS occurrences
+FROM grams GROUP BY ngram
+ORDER BY occurrences DESC, ngram LIMIT {k}
+"""
+
+
+def keyword_extract(
+    df: DataFrame, text_col: str = "text", k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf with LINEAR
+    idf (score = tf * n_docs / doc_freq). Linear idf is chosen over
+    ln(n_docs/doc_freq) deliberately: multiply and divide are
+    IEEE-correctly-rounded, so the score — and therefore the ranking
+    and the oracle hash — is bit-identical on any engine, while log
+    implementations legally differ in the last ulp (Java Math.log
+    guarantees 1 ulp, not correct rounding). The ranking differs from
+    log-idf only where tf differences fight idf differences; for the
+    "what is this document about" use both are heuristics.
+
+    Returns (doc_id, rank, term, tfidf). Scale shape: tf is a partial
+    count agg on (doc, term); doc_freq reuses tf's output (one count
+    agg on term — partial, skew-immune for stopwords); n_docs is a
+    1-row broadcast; the per-doc top-k window sorts only each doc's
+    distinct terms."""
+    from pyspark.sql import Window
+
+    df = spread(df)
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(
+                F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
+                " ",
+            )
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            ((F.col("tf") * F.col("n_docs")) / F.col("df_docs")).alias("_s"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_s"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.round("_s", 6).alias("tfidf"),
+        )
+    )
+
+
+def keyword_extract_sql(
+    table: str, text_col: str = "text", k: int = 5
+) -> str:
+    norm = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
+    return f"""
+WITH terms AS (
+  SELECT doc_id, u.term
+  FROM (SELECT doc_id, string_split({norm}, ' ') AS t FROM {table}),
+    LATERAL unnest(t) AS u(term)
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df_docs FROM tf GROUP BY term
+), nd AS (
+  SELECT count(*) AS n_docs FROM {table}
+)
+SELECT doc_id, rank, term, tfidf FROM (
+  SELECT tf.doc_id, tf.term,
+    row_number() OVER (
+      PARTITION BY tf.doc_id
+      ORDER BY (tf.tf * nd.n_docs) / dfreq.df_docs DESC, tf.term
+    )::BIGINT AS rank,
+    round((tf.tf * nd.n_docs) / dfreq.df_docs, 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), nd
+) WHERE rank <= {k}
+"""

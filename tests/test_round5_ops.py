@@ -1,0 +1,215 @@
+"""Round-5 operators: duplicate-span removal, corpus n-gram stats,
+tf-idf keyword extraction, temperature-weighted source mixing."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cryo_spark.operators import sampling, text
+from cryo_spark.operators.spans import dedup_spans, dedup_spans_sql, span_rows
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _oracle(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    out = con.sql(sql).df()
+    con.close()
+    return out
+
+
+def _canon(pdf):
+    cols = sorted(pdf.columns)
+    return (
+        pdf[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    )
+
+
+# ---------------------------------------------------------------- spans
+
+
+def test_span_rows_grid(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m"), (2, "x y"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = span_rows(df, span_words=5).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.span_idx, r.span))
+    assert sorted(by_doc[1]) == [
+        (0, "a b c d e"), (1, "f g h i j"), (2, "k l m")
+    ]
+    assert sorted(by_doc[2]) == [(0, "x y")]
+    # empty text still yields one (empty) span — the doc row survives
+    assert sorted(by_doc[3]) == [(0, "")]
+
+
+def test_dedup_spans_removes_planted_boilerplate(spark):
+    boiler = "the quick brown fox jumps over the lazy dog again ok"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " unique tail one two three four five six seven"),
+            (2, boiler + " different content eight nine ten eleven twelve"),
+            (3, boiler),  # fully boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    # 11-word boilerplate + span_words=11: doc grid aligns exactly
+    out = {r.doc_id: r for r in dedup_spans(df, span_words=11).collect()}
+    assert out[1].text.startswith(boiler)  # first occurrence keeps it
+    assert boiler not in out[2].text and out[2].n_kept < out[2].n_spans
+    assert out[3].text == "" and out[3].n_kept == 0  # row retained
+
+
+def test_dedup_spans_oracle_sf(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s = _canon(dedup_spans(docs).toPandas())
+    o = _canon(_oracle(SF_DIR, dedup_spans_sql("documents")))
+    assert s.equals(o)
+
+
+def test_dedup_spans_conserves_spans(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dedup_spans(docs)
+    agg = out.agg(
+        F.sum("n_kept").alias("kept"), F.sum("n_spans").alias("total")
+    ).first()
+    # kept spans = number of distinct spans in the corpus (each
+    # distinct span survives exactly once)
+    n_distinct = (
+        span_rows(docs).select("span").distinct().count()
+    )
+    assert agg.kept == n_distinct
+    assert agg.kept <= agg.total
+
+
+# ------------------------------------------------------------- n-grams
+
+
+def test_top_ngrams_counts_and_order(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "q")],
+        "doc_id long, text string",
+    )
+    rows = text.top_ngrams(df, n=2, k=3).collect()
+    assert [(r.ngram, r.occurrences) for r in rows] == [
+        ("a b", 3),  # twice in doc1, once in doc2
+        ("b a", 1),
+        ("b c", 1),
+    ]
+    # short doc emits its whole text as one gram
+    all_rows = text.top_ngrams(df, n=2, k=100).collect()
+    assert ("q", 1) in [(r.ngram, r.occurrences) for r in all_rows]
+
+
+def test_top_ngrams_oracle_sf(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s = _canon(text.top_ngrams(docs, n=3, k=50).toPandas())
+    o = _canon(_oracle(SF_DIR, text.top_ngrams_sql("documents", n=3, k=50)))
+    assert s.equals(o)
+
+
+# ------------------------------------------------------------- keywords
+
+
+def test_keyword_extract_ranks_rare_terms_first(spark):
+    # "zebra" appears once in doc1 only; "common" in every doc
+    df = spark.createDataFrame(
+        [
+            (1, "common zebra common"),
+            (2, "common common filler"),
+            (3, "common filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.keyword_extract(df, k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    # doc1: zebra tf=1 df=1 -> 3.0; common tf=2 df=3 -> 2.0
+    assert top[1] == "zebra"
+    assert all(r.rank == 1 for r in out)
+
+
+def test_keyword_extract_oracle_sf(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s = _canon(text.keyword_extract(docs, k=4).toPandas())
+    o = _canon(_oracle(SF_DIR, text.keyword_extract_sql("documents", k=4)))
+    assert s.equals(o)
+
+
+# ------------------------------------------------------- temperature mix
+
+
+def test_temperature_mix_alpha_one_is_proportional(spark):
+    rows = [(i, f"t{i}", "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sampling.temperature_mix(
+        df, budget=50, alpha=1.0, strata_col="source"
+    )
+    by_src = {
+        r.source: r.n for r in out.groupBy("source").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert by_src == {"big": 40, "small": 10}
+
+
+def test_temperature_mix_alpha_zero_is_uniform(spark):
+    rows = [(i, f"t{i}", "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sampling.temperature_mix(df, budget=20, alpha=0.0)
+    by_src = {
+        r.source: r.n for r in out.groupBy("source").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert by_src == {"big": 10, "small": 10}
+
+
+def test_temperature_mix_flattens_between(spark):
+    rows = [(i, f"t{i}", "big" if i < 96 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # counts 96/4, alpha=0.5 -> weights sqrt: 9.8/2 -> quota 25*{0.83,0.17}
+    out = sampling.temperature_mix(df, budget=24, alpha=0.5)
+    by_src = {
+        r.source: r.n for r in out.groupBy("source").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert by_src["small"] == 4  # capped at stratum size... or boosted
+    assert by_src["big"] == 20
+    # natural proportions would have given small ~1 of 24: flattened up
+
+
+def test_temperature_mix_deterministic_and_nested(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = sampling.temperature_mix(docs, budget=30, alpha=0.5)
+    b = sampling.temperature_mix(docs, budget=30, alpha=0.5)
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b
+    # raising the budget only ADDS rows (superset stability)
+    big = sorted(
+        r.doc_id
+        for r in sampling.temperature_mix(docs, budget=60, alpha=0.5)
+        .select("doc_id").collect()
+    )
+    assert set(ids_a) <= set(big)
+
+
+def test_temperature_mix_oracle_sf(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s = _canon(
+        sampling.temperature_mix(docs, budget=25, alpha=0.5).toPandas()
+    )
+    o = _canon(
+        _oracle(SF_DIR, sampling.temperature_mix_sql("documents", 25, 0.5))
+    )
+    assert s.equals(o)
