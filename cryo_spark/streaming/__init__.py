@@ -186,3 +186,44 @@ def tail_to_files(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup for a continuously-arriving document
+    stream (the ingest-side twin of ``operators.dedup.exact_dedup``):
+    only the first arrival of each normalized-content md5 key passes;
+    later copies are dropped inside the engine's dedup state store.
+
+    State management is the 100 TB-stream concern: with
+    ``event_time_col`` set, the key state is watermark-bounded via
+    ``dropDuplicatesWithinWatermark`` — a key older than ``horizon``
+    is evicted, so state size tracks the dedup horizon, not the
+    stream's lifetime (the same late-data contract as the reorg
+    buffer / windowed rollup). Without an event-time column the state
+    is unbounded (exact global dedup) — correct, but only for
+    bounded backfills; the docstring-level guidance mirrors
+    dropDuplicates' own.
+
+    Works identically on a batch DataFrame (Spark's unified
+    semantics), which is what the stream/batch equivalence test
+    pins: same distinct key set as the batch `exact_dedup` keeper
+    rows."""
+    key = F.md5(
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    )
+    out = stream.withColumn("content_key", key)
+    if event_time_col is not None:
+        out = out.withColumn(
+            "_event_time", F.col(event_time_col).cast("timestamp")
+        ).withWatermark("_event_time", horizon)
+        if out.isStreaming:
+            return out.dropDuplicatesWithinWatermark(["content_key"]).drop(
+                "_event_time"
+            )
+        return out.dropDuplicates(["content_key"]).drop("_event_time")
+    return out.dropDuplicates(["content_key"])

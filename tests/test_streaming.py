@@ -212,3 +212,75 @@ def test_events_hourly_stream_matches_scored_batch_entry(spark, tmp_path):
         for r in spark.sql("SELECT * FROM events_hourly_stream").collect()
     }
     assert got == batch
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Stream/batch equivalence for streaming_exact_dedup: the
+    streamed survivor key set equals the batch exact_dedup keeper
+    set, and each content key passes exactly once even when the
+    duplicate arrives in a LATER micro-batch (engine dedup state,
+    not per-batch dropDuplicates)."""
+    from datetime import datetime
+
+    from cryo_spark.operators.dedup import exact_dedup
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    schema = "doc_id long, text string, ts timestamp"
+    first = [(1, "alpha beta", "2024-01-01 00:00:00"),
+             (2, "gamma delta", "2024-01-01 00:01:00"),
+             (3, "alpha  BETA ", "2024-01-01 00:02:00")]  # dup of 1
+    later = [(4, "gamma delta", "2024-01-01 00:03:00"),   # dup of 2
+             (5, "epsilon", "2024-01-01 00:04:00")]
+    def _drop(rows):
+        spark.createDataFrame(
+            [
+                (i, t, datetime.fromisoformat(ts)) for i, t, ts in rows
+            ], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    _drop(first)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming.streaming_exact_dedup(
+        stream, event_time_col="ts", horizon="1 hour"
+    )
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = out.writeStream.format("parquet").option(
+            "path", sink
+        ).option("checkpointLocation", ckpt).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(120)
+
+    run()
+    _drop(later)
+    run()  # second incremental pass picks up the later file
+
+    got = spark.read.parquet(sink)
+    keys = sorted(r.content_key for r in got.select("content_key").collect())
+    assert len(keys) == len(set(keys)) == 3  # cross-batch dup dropped
+    batch_docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in first + later], "doc_id long, text string"
+    )
+    batch_keepers = {
+        r.doc_id for r in exact_dedup(batch_docs).filter(
+            ~F.col("is_duplicate")
+        ).collect()
+    }
+    assert {r.doc_id for r in got.collect()} == batch_keepers
+
+
+def test_streaming_exact_dedup_batch_frame(spark):
+    """Unified semantics: the same function on a batch frame dedups
+    globally."""
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x  Y"), (3, "z")], "doc_id long, text string"
+    )
+    out = streaming.streaming_exact_dedup(df)
+    assert out.count() == 2
+    assert sorted(r.content_key for r in out.collect())[0] is not None
