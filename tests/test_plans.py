@@ -85,7 +85,11 @@ def test_stratified_sample_single_exchange(spark):
 def test_pii_redact_narrow_jvm_projection(spark):
     """PII scrub is one JVM regexp projection — no Python workers, no
     shuffle beyond the deliberate small-file repartition."""
-    df = entrymod.queries()["llm_pii_redact"](spark, SF_DIR)
+    # pii_redact folded into the llm_text_profile contract entry in
+    # round 5 — pin the operator's own plan directly
+    from cryo_spark.operators import text as _text
+
+    df = _text.redact_pii(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
     p = _plan(df)
     assert "Python" not in p  # no UDF in the hot path
     assert p.count("Exchange hashpartitioning") == 0
@@ -143,3 +147,46 @@ def test_ngram_posting_explode_parallelism_pinned(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(dedup.ngram_jaccard_all_pairs(docs))
     assert "REPARTITION_BY_NUM" in plan, plan
+
+
+def test_top_ngrams_partial_count_and_take_ordered(spark):
+    from cryo_spark.operators import text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(text.top_ngrams(docs, n=2, k=100))
+    assert "TakeOrderedAndProject" in plan, "top-k must never sort the count table"
+    assert "partial_count" in plan, "the gram count must combine map-side"
+
+
+def test_span_dedup_keeper_is_partial_min_agg(spark):
+    """The global-first-occurrence keeper must be a map-side-combining
+    min aggregate, NOT a window (a hot boilerplate span would funnel
+    every occurrence through one task's window sort)."""
+    from cryo_spark.operators.spans import dedup_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(dedup_spans(docs))
+    assert "partial_min" in plan, "keeper selection must combine map-side"
+    # exactly the reassembly window/sort machinery, never a span window
+    assert "Window" not in plan
+
+
+def test_keywords_broadcast_doc_count(spark):
+    from cryo_spark.operators import text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(text.keyword_extract(docs, k=5))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        "the 1-row n_docs frame must broadcast, never shuffle the tf table"
+    )
+    assert "partial_count" in plan, "tf/df counts must combine map-side"
+
+
+def test_temperature_mix_quota_broadcast(spark):
+    from cryo_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(sampling.temperature_mix(docs, budget=100))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, (
+        "the quota table must broadcast back onto the corpus"
+    )

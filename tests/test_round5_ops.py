@@ -213,3 +213,70 @@ def test_temperature_mix_oracle_sf(spark):
         _oracle(SF_DIR, sampling.temperature_mix_sql("documents", 25, 0.5))
     )
     assert s.equals(o)
+
+
+# ---------------------------------------------------------- semantic dedup
+
+
+def _clustered_vectors():
+    """Two tight groups (near-identical members) + two far singletons."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base_a = np.array([1.0, 0.0, 0.0, 0.0])
+    base_b = np.array([0.0, 1.0, 0.0, 0.0])
+    rows = []
+    for i in range(4):  # ids 0-3: group A clones (tiny jitter)
+        rows.append((i, (base_a + rng.normal(0, 1e-3, 4)).tolist()))
+    for i in range(4, 7):  # ids 4-6: group B clones
+        rows.append((i, (base_b + rng.normal(0, 1e-3, 4)).tolist()))
+    rows.append((7, [0.0, 0.0, 1.0, 0.0]))
+    rows.append((8, [0.0, 0.0, 0.0, 1.0]))
+    return rows
+
+
+def test_semantic_dedup_drops_clones_keeps_min_id(spark):
+    from cryo_spark.operators.semdedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        _clustered_vectors(), "vec_id long, embedding array<float>"
+    )
+    out = {
+        r.vec_id: r for r in semantic_dedup(
+            df, threshold=0.99, n_centroids=3, sample=9
+        ).collect()
+    }
+    assert len(out) == 9  # verdict for every row
+    # min id of each clone group survives, the rest are duplicates
+    assert not out[0].is_duplicate and all(out[i].is_duplicate for i in (1, 2, 3))
+    assert not out[4].is_duplicate and all(out[i].is_duplicate for i in (5, 6))
+    assert not out[7].is_duplicate and not out[8].is_duplicate
+    # clone groups land in one cluster each
+    assert len({out[i].cluster_id for i in (0, 1, 2, 3)}) == 1
+    assert len({out[i].cluster_id for i in (4, 5, 6)}) == 1
+
+
+def test_semantic_dedup_single_cluster_matches_exact_pairs_rule(spark):
+    """With one cluster the verdict must equal the rule derived from
+    the oracle-proven exact all-pairs cosine: drop i iff some pair
+    (a < i) at >= threshold exists."""
+    from cryo_spark.operators.dedup import embedding_near_dups_exact
+    from cryo_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    thr = 0.45  # testdata embeddings are near-uniform; 0.45 yields pairs
+    sem = semantic_dedup(emb, threshold=thr, n_centroids=1, sample=64)
+    dropped = {r.vec_id for r in sem.filter("is_duplicate").collect()}
+    pairs = embedding_near_dups_exact(emb, threshold=thr).collect()
+    expect = {r.id_b for r in pairs}
+    assert dropped == expect
+    assert len(dropped) > 0  # non-vacuous
+
+
+def test_semantic_dedup_deterministic(spark):
+    from cryo_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, semantic_dedup(emb, n_centroids=4).collect()))
+    b = sorted(map(tuple, semantic_dedup(emb, n_centroids=4).collect()))
+    assert a == b
