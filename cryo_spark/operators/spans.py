@@ -159,3 +159,130 @@ SELECT t.doc_id,
   coalesce(r._n_kept, 0)::BIGINT AS n_kept
 FROM toks t LEFT JOIN reb r USING (doc_id)
 """
+
+
+def repeated_regions(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal repeated regions at ARBITRARY offsets: token intervals
+    covered by overlapping k-grams that occur >= ``min_count`` times
+    corpus-wide — the rolling-window complement to the fixed-grid
+    :func:`dedup_spans` (which misses a repeat shifted by one word).
+    This is the distributed approximation of the suffix-array repeat
+    scan in Lee et al. 2022: a region repeated verbatim elsewhere is
+    covered by duplicated k-grams at every offset, so the union of
+    their [pos, pos+k) windows recovers the repeat's extent.
+
+    Returns (id, region_start, region_end, n_tokens): half-open token
+    intervals, maximal (adjacent/overlapping windows merged).
+
+    Scale shape: gram occurrence counts are a partial aggregate (a
+    million-way boilerplate gram combines map-side); the
+    duplicated-gram filter is a semi-join on the SAME gram key (SMJ
+    reuses the exchange, each occurrence row passes at most once —
+    no fan-out); the gaps-and-islands merge windows per document
+    (one shuffle on id; per-task sort bounded by one document's
+    duplicated positions)."""
+    from pyspark.sql import Window
+
+    df = _spread(df)
+    toks = df.select(
+        F.col(id_col),
+        F.split(
+            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "
+        ).alias("toks"),
+    )
+    t = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0)))
+    grams = F.when(
+        F.size(t) >= k,
+        F.transform(
+            idx, lambda i: F.struct(
+                i.alias("pos"),
+                F.array_join(F.slice(t, i + 1, k), " ").alias("gram"),
+            )
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(F.lit(0).alias("pos"), F.array_join(t, " ").alias("gram"))
+        )
+    )
+    occ = toks.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    ).select(id_col, "g.pos", "g.gram")
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("gram")
+    )
+    hits = occ.join(dup, "gram", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # island break when this window starts past the previous cover end
+    brk = (
+        F.col("pos") > F.lag("pos").over(w) + F.lit(k)
+    ).cast("int")
+    islands = hits.withColumn(
+        "_isl", F.sum(F.coalesce(brk, F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("region_start"),
+            (F.max("pos") + k).alias("region_end"),
+        )
+        .select(
+            id_col,
+            F.col("region_start").cast("long").alias("region_start"),
+            F.col("region_end").cast("long").alias("region_end"),
+            (F.col("region_end") - F.col("region_start"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+def repeated_regions_sql(
+    table: str, text_col: str = "text", k: int = 8, min_count: int = 2
+) -> str:
+    """DuckDB equivalent of :func:`repeated_regions`."""
+    norm = f"regexp_replace(trim({text_col}), '\\s+', ' ', 'g')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM {table}
+), occ AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= {k} THEN g.i - 1 ELSE 0 END AS pos,
+    CASE WHEN len(t) >= {k}
+         THEN array_to_string(t[g.i:g.i + {k - 1}], ' ')
+         ELSE array_to_string(t, ' ') END AS gram
+  FROM toks,
+    LATERAL unnest(generate_series(1, greatest(len(t) - {k - 1}, 1))) AS g(i)
+), dup AS (
+  SELECT gram FROM occ GROUP BY gram HAVING count(*) >= {min_count}
+), hits AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (gram)
+), brk AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > lag(pos)
+      OVER (PARTITION BY doc_id ORDER BY pos) + {k}
+      THEN 1 ELSE 0 END AS _b
+  FROM hits
+), isl AS (
+  SELECT doc_id, pos,
+    sum(_b) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS _isl
+  FROM brk
+)
+SELECT doc_id,
+  min(pos)::BIGINT AS region_start,
+  (max(pos) + {k})::BIGINT AS region_end,
+  (max(pos) + {k} - min(pos))::BIGINT AS n_tokens
+FROM isl GROUP BY doc_id, _isl
+"""

@@ -280,3 +280,61 @@ def test_semantic_dedup_deterministic(spark):
     a = sorted(map(tuple, semantic_dedup(emb, n_centroids=4).collect()))
     b = sorted(map(tuple, semantic_dedup(emb, n_centroids=4).collect()))
     assert a == b
+
+
+# ------------------------------------------------------ repeated regions
+
+
+def test_repeated_regions_planted_offset_shifted(spark):
+    """A verbatim repeat at a DIFFERENT offset in another doc is
+    recovered as one maximal region in both docs — the case the
+    fixed-grid span dedup misses."""
+    from cryo_spark.operators.spans import repeated_regions
+
+    repeat = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [
+            (1, repeat + " tail a b c d e f g h"),
+            (2, "shift " + repeat + " other x y z w v u t"),
+            (3, "totally different words without any overlap here at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = repeated_regions(df, k=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.region_start, r.region_end)
+        )
+    # doc1: repeat occupies tokens [0, 10) -> one region covering it
+    assert by_doc[1] == [(0, 10)]
+    # doc2: repeat occupies tokens [1, 11)
+    assert by_doc[2] == [(1, 11)]
+    assert 3 not in by_doc
+
+
+def test_repeated_regions_oracle_sf(spark):
+    from cryo_spark.operators.spans import (
+        repeated_regions, repeated_regions_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s = _canon(repeated_regions(docs, k=6).toPandas())
+    o = _canon(_oracle(SF_DIR, repeated_regions_sql("documents", k=6)))
+    assert s.equals(o)
+    assert len(s) > 0  # non-vacuous at this corpus
+
+
+def test_repeated_regions_within_doc_repeat(spark):
+    """min_count counts OCCURRENCES, so a gram repeated twice inside
+    one doc is a repeat too (self-plagiarism / loops)."""
+    from cryo_spark.operators.spans import repeated_regions
+
+    phrase = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [(1, phrase + " filler words here " + phrase)],
+        "doc_id long, text string",
+    )
+    out = repeated_regions(df, k=4, min_count=2).collect()
+    regions = sorted((r.region_start, r.region_end) for r in out)
+    assert regions == [(0, 4), (7, 11)]
