@@ -143,6 +143,20 @@ def main() -> None:
     # one tiny action to warm the JVM/codegen paths outside timings
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    def calibrate() -> float:
+        """Fixed CPU-bound probe (~0.2 s on an idle local[32]): its
+        time is recorded alongside the suite so a noisy host window
+        (observed: an entire run 2.7x slow, all queries uniformly)
+        is distinguishable from a real regression when rounds are
+        compared."""
+        t0 = time.time()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id * 2654435761 % 1000003)"
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    calib_before = calibrate()
+
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     errs: dict[str, str] = {}
@@ -207,6 +221,10 @@ def main() -> None:
         "rows": rows,
         "plans": plans,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # host-noise guard: identical CPU-bound probe before/after the
+        # suite; compare across rounds before reading total drift as
+        # a code regression
+        "calibration_sec": {"before": calib_before, "after": calibrate()},
     }
     if errs:
         out["errors"] = errs
