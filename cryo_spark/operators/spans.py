@@ -286,3 +286,134 @@ SELECT doc_id,
   (max(pos) + {k} - min(pos))::BIGINT AS n_tokens
 FROM isl GROUP BY doc_id, _isl
 """
+
+
+def dedup_repeated_regions(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full Lee-et-al removal: cut every repeated region except
+    its globally-first occurrence and rebuild documents from the
+    surviving tokens.
+
+    Semantics: regions come from :func:`repeated_regions`; each
+    region occurrence is keyed by its token content, the occurrence
+    with the minimal (doc_id, region_start) per content key is the
+    keeper, and a token is removed iff it is covered by at least one
+    NON-keeper occurrence (overlapping repeats compose naturally).
+
+    Returns (id, text, n_tokens, n_removed). Scale shape: the
+    region frames are tiny relative to the corpus (only repeated
+    material); keeper choice is the same map-side min-struct
+    aggregate as :func:`dedup_spans`; the rebuild joins each doc's
+    cut list (collect_list bounded by that doc's repeats) back onto
+    the token array and filters positions with a JVM higher-order
+    ``F.filter`` — one shuffle on id beyond repeated_regions' own."""
+    df = _spread(df)
+    toks = df.select(
+        F.col(id_col),
+        F.split(
+            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "
+        ).alias("toks"),
+    )
+    regions = repeated_regions(df, text_col, k, min_count, id_col)
+    rtext = regions.join(toks, id_col).select(
+        F.col(id_col), "region_start", "region_end",
+        F.array_join(
+            F.slice(
+                "toks",
+                F.col("region_start").cast("int") + 1,
+                (F.col("region_end") - F.col("region_start")).cast("int"),
+            ),
+            " ",
+        ).alias("_rtext"),
+    )
+    keep = rtext.groupBy("_rtext").agg(
+        F.min(F.struct(F.col(id_col), F.col("region_start"))).alias("_k")
+    )
+    cuts = (
+        rtext.join(keep, "_rtext")
+        .filter(
+            (F.col(id_col) != F.col(f"_k.{id_col}"))
+            | (F.col("region_start") != F.col("_k.region_start"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct("region_start", "region_end")
+            ).alias("_cuts")
+        )
+    )
+    joined = toks.join(cuts, id_col, "left")
+    pos_tok = F.arrays_zip(
+        F.sequence(F.lit(0), F.size("toks") - 1), F.col("toks")
+    )
+    kept_toks = F.when(F.col("_cuts").isNull(), F.col("toks")).otherwise(
+        F.transform(
+            F.filter(
+                pos_tok,
+                lambda s: ~F.exists(
+                    F.col("_cuts"),
+                    lambda c: (s["0"] >= c["region_start"])
+                    & (s["0"] < c["region_end"]),
+                ),
+            ),
+            lambda s: s["toks"],
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept_toks, " ").alias("text"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept_toks)).cast("long").alias("n_removed"),
+    )
+
+
+def dedup_repeated_regions_sql(
+    table: str, text_col: str = "text", k: int = 8, min_count: int = 2
+) -> str:
+    """DuckDB equivalent of :func:`dedup_repeated_regions`."""
+    regions = repeated_regions_sql(table, text_col, k, min_count)
+    norm = f"regexp_replace(trim({text_col}), '\\s+', ' ', 'g')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM {table}
+), regions AS ({regions}),
+rtext AS (
+  SELECT r.doc_id, r.region_start, r.region_end,
+    array_to_string(
+      t[(r.region_start + 1):(r.region_end)], ' ') AS _rtext
+  FROM regions r JOIN toks USING (doc_id)
+), keep AS (
+  SELECT _rtext, doc_id, region_start FROM (
+    SELECT rtext.*, row_number() OVER (
+      PARTITION BY _rtext ORDER BY doc_id, region_start) AS _rn
+    FROM rtext
+  ) WHERE _rn = 1
+), cuts AS (
+  SELECT r.doc_id, r.region_start, r.region_end
+  FROM rtext r JOIN keep k2 USING (_rtext)
+  WHERE r.doc_id != k2.doc_id OR r.region_start != k2.region_start
+), toktab AS (
+  SELECT doc_id, t[g.i] AS tok, g.i - 1 AS p
+  FROM toks, LATERAL unnest(generate_series(1, len(t))) AS g(i)
+), survivors AS (
+  SELECT tt.doc_id, tt.tok, tt.p FROM toktab tt
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cuts c
+    WHERE c.doc_id = tt.doc_id
+      AND tt.p >= c.region_start AND tt.p < c.region_end)
+)
+SELECT t.doc_id,
+  coalesce(s.text, '') AS text,
+  len(t.t)::BIGINT AS n_tokens,
+  (len(t.t) - coalesce(s.n_kept, 0))::BIGINT AS n_removed
+FROM toks t LEFT JOIN (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+    count(*) AS n_kept
+  FROM survivors GROUP BY doc_id
+) s USING (doc_id)
+"""

@@ -338,3 +338,40 @@ def test_repeated_regions_within_doc_repeat(spark):
     out = repeated_regions(df, k=4, min_count=2).collect()
     regions = sorted((r.region_start, r.region_end) for r in out)
     assert regions == [(0, 4), (7, 11)]
+
+
+def test_dedup_repeated_regions_cuts_later_occurrence(spark):
+    from cryo_spark.operators.spans import dedup_repeated_regions
+
+    repeat = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [
+            (1, repeat + " tail a b c d e f g h"),
+            (2, "shift " + repeat + " other x y z w v u t"),
+            (3, "totally different words without any overlap here at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_repeated_regions(df, k=8).collect()}
+    assert out[1].text.startswith(repeat) and out[1].n_removed == 0
+    assert out[2].text == "shift other x y z w v u t"
+    assert out[2].n_removed == 10
+    assert out[3].n_removed == 0
+
+
+def test_dedup_repeated_regions_oracle_sf(spark):
+    from cryo_spark.operators.spans import (
+        dedup_repeated_regions, dedup_repeated_regions_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s_df = dedup_repeated_regions(docs, k=6)
+    s = _canon(s_df.toPandas())
+    o = _canon(_oracle(SF_DIR, dedup_repeated_regions_sql("documents", k=6)))
+    assert s.equals(o)
+    # non-vacuous + conservation: something was removed, and removal
+    # never exceeds the doc's tokens
+    agg = s_df.agg(
+        F.sum("n_removed").alias("rm"), F.sum("n_tokens").alias("nt")
+    ).first()
+    assert 0 < agg.rm < agg.nt
