@@ -7,4 +7,17 @@ map-side combine aggregations, LSH banding instead of all-pairs
 joins.
 """
 
-from cryo_spark.operators import dedup, multimodal, similarity, text  # noqa: F401
+from cryo_spark.operators import (  # noqa: F401
+    corpus,
+    decontam,
+    dedup,
+    interval,
+    multimodal,
+    sampling,
+    semdedup,
+    seqprep,
+    similarity,
+    skew,
+    spans,
+    text,
+)

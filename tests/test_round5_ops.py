@@ -375,3 +375,90 @@ def test_dedup_repeated_regions_oracle_sf(spark):
         F.sum("n_removed").alias("rm"), F.sum("n_tokens").alias("nt")
     ).first()
     assert 0 < agg.rm < agg.nt
+
+
+# --------------------------------------- randomized brute-force differentials
+
+
+def _norm_toks(text: str) -> list[str]:
+    import re
+
+    return re.sub(r"\s+", " ", text.strip()).split(" ")
+
+
+def _rand_corpus(seed: int, n_docs: int = 12):
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    return [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+        for i in range(n_docs)
+    ]
+
+
+def _brute_dedup_spans(docs, k):
+    seen, out = set(), {}
+    for doc_id, text in sorted(docs):
+        toks = _norm_toks(text)
+        spans = [
+            " ".join(toks[i: i + k]) for i in range(0, len(toks), k)
+        ]
+        kept = [sp for sp in spans if sp not in seen and not seen.add(sp)]
+        out[doc_id] = (" ".join(kept), len(spans), len(kept))
+    return out
+
+
+def _brute_regions(docs, k, min_count):
+    from collections import Counter
+
+    cnt, per_doc = Counter(), {}
+    for doc_id, text in docs:
+        toks = _norm_toks(text)
+        grams = (
+            [(" ".join(toks[i: i + k]), i) for i in range(len(toks) - k + 1)]
+            if len(toks) >= k
+            else [(" ".join(toks), 0)]
+        )
+        per_doc[doc_id] = grams
+        for g, _ in grams:
+            cnt[g] += 1
+    regions = []
+    for doc_id, grams in per_doc.items():
+        hits = sorted(p for g, p in grams if cnt[g] >= min_count)
+        start = prev = None
+        for p in hits:
+            if start is None:
+                start = prev = p
+            elif p > prev + k:
+                regions.append((doc_id, start, prev + k))
+                start = prev = p
+            else:
+                prev = p
+        if start is not None:
+            regions.append((doc_id, start, prev + k))
+    return sorted(regions)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_dedup_spans_matches_bruteforce_random(spark, seed):
+    docs = _rand_corpus(seed)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_spans, r.n_kept)
+        for r in dedup_spans(df, span_words=3).collect()
+    }
+    assert got == _brute_dedup_spans(docs, 3)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_repeated_regions_matches_bruteforce_random(spark, seed):
+    from cryo_spark.operators.spans import repeated_regions
+
+    docs = _rand_corpus(seed)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.region_start, r.region_end)
+        for r in repeated_regions(df, k=3).collect()
+    )
+    assert got == _brute_regions(docs, 3, 2)
