@@ -305,3 +305,30 @@ SELECT * EXCLUDE (_rn, _take)
 FROM ranked JOIN quota USING ({strata_col})
 WHERE _rn <= _take
 """
+
+
+def temperature_rates(
+    df: DataFrame,
+    budget: int,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+) -> dict[str, float]:
+    """The web-scale companion to :func:`temperature_mix`: compute
+    the per-source sampling RATES (quota_s / count_s, capped at 1.0)
+    and apply them with :func:`hash_sample` — a pure threshold
+    filter, zero shuffles, no per-stratum sort. Rates are exact in
+    expectation rather than exact in count (variance 1/sqrt(n); at
+    web-scale strata the realized rate is the requested rate to 4+
+    digits).
+
+    The only driver materialization is the strata-cardinality count
+    table (#sources rows)."""
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    z = sum(c ** alpha for c in counts.values())
+    return {
+        s: min(1.0, budget * (c ** alpha) / z / c)
+        for s, c in counts.items()
+    }

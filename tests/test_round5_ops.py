@@ -462,3 +462,72 @@ def test_repeated_regions_matches_bruteforce_random(spark, seed):
         for r in repeated_regions(df, k=3).collect()
     )
     assert got == _brute_regions(docs, 3, 2)
+
+
+def test_temperature_rates_hash_sample_tracks_quota(spark):
+    """The 0-shuffle scale path: temperature_rates + hash_sample
+    lands within sampling noise of temperature_mix's exact quotas."""
+    rows = [
+        (i, f"t{i}", "big" if i < 1600 else "small") for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    rates = sampling.temperature_rates(df, budget=500, alpha=0.5)
+    got = {
+        r.source: r.n
+        for r in sampling.hash_sample(df, rates)
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    exact = {
+        r.source: r.n
+        for r in sampling.temperature_mix(df, budget=500, alpha=0.5)
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for s in exact:
+        assert abs(got[s] - exact[s]) <= 4 * (exact[s] ** 0.5) + 2, (
+            s, got[s], exact[s]
+        )
+
+
+# --------------------------------------------------------- sessionization
+
+
+def test_sessionize_planted_gaps(spark):
+    from datetime import datetime
+
+    from cryo_spark.operators.sessions import sessionize
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, t(0), 1.0), (1, t(10), 2.0),   # session A: 0-10
+        (1, t(50), 3.0),                   # gap 40 min -> session B
+        (2, t(5), 4.0),                    # other user, own session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sorted(
+        (r.user_id, r.session_start % 86400 // 60, r.session_end % 86400 // 60,
+         r.n_events, r.total_value)
+        for r in sessionize(df, gap_seconds=1800).collect()
+    )
+    assert out == [
+        (1, 0, 10, 2, 3.0),
+        (1, 50, 50, 1, 3.0),
+        (2, 5, 5, 1, 4.0),
+    ]
+
+
+def test_sessionize_oracle_events(spark):
+    from cryo_spark.operators.sessions import sessionize, sessionize_sql
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    s = _canon(sessionize(ev, gap_seconds=900).toPandas())
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * "
+        f"FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    o = _canon(con.sql(sessionize_sql("events", gap_seconds=900)).df())
+    con.close()
+    assert list(s.columns) == list(o.columns)
+    assert len(s) == len(o)
+    assert s.equals(o)

@@ -284,3 +284,36 @@ def test_streaming_exact_dedup_batch_frame(spark):
     out = streaming.streaming_exact_dedup(df)
     assert out.count() == 2
     assert sorted(r.content_key for r in out.collect())[0] is not None
+
+
+def test_sessionize_streaming_subset_of_batch(spark, tmp_path):
+    """sessionize() runs unchanged on a watermarked stream
+    (session_window is a streaming-capable aggregation): every
+    session the stream emits in append mode (i.e. closed before the
+    final watermark) must match the batch answer exactly."""
+    from cryo_spark.operators.sessions import sessionize
+
+    src = str(tmp_path / "ev")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(src)
+        # events parquet carries TIMESTAMP_NTZ; watermarks need TIMESTAMP
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    out = sessionize(stream, gap_seconds=900)
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    sink = str(tmp_path / "out")
+    q = out.writeStream.format("parquet").option("path", sink).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    batch = {tuple(r) for r in sessionize(ev, gap_seconds=900).collect()}
+    assert got, "stream must emit the watermark-closed sessions"
+    assert got <= batch
+    # only sessions still open at the final watermark may be withheld
+    assert len(batch) - len(got) < 50
