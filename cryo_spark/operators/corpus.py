@@ -73,3 +73,121 @@ WHERE NOT d.is_duplicate
   AND q.quality_score >= {min_quality}
   AND l.lang_guess = '{lang}'
 """
+
+
+def prepare_training_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    lang: str = "en",
+    span_words: int = 10,
+    budget: int | None = None,
+    alpha: float = 0.5,
+    seed: str = "corpus0",
+) -> DataFrame:
+    """The WHOLE preparation pipeline, composed from the per-stage
+    operators: quality/language filter + exact dedup (stage 1, one
+    projection + one hash window) → corpus-wide duplicate-span
+    removal on the survivors (stage 2, drops fully-boilerplate docs)
+    → PII redaction of the rewritten text (stage 3, narrow) →
+    optional temperature-weighted source mixing (stage 4) →
+    deterministic split assignment (stage 5, narrow).
+
+    Returns (doc_id, text, source, n_spans, n_kept, split) — the
+    redacted, span-deduped text plus span accounting and the split
+    label. Every stage is the already-tested operator, so the
+    composition's oracle is the same CTE chain in DuckDB
+    (:func:`prepare_training_corpus_sql`); stage order is load-
+    bearing and documented there (spans dedup BEFORE redaction so
+    shared <EMAIL> placeholders cannot alias unrelated spans into
+    duplicates)."""
+    from cryo_spark.operators import sampling, spans
+
+    best = text.lang_best_expr(text_col)
+    feats = spread(df).select(
+        "doc_id",
+        F.col(text_col),
+        "source",
+        F.round(text.quality_score_expr(text_col), 6).alias("_q"),
+        best["lang"].alias("_lang"),
+        F.md5(dedup._norm_text(text_col)).alias("_ck"),
+    )
+    w = Window.partitionBy("_ck")
+    kept = (
+        feats.withColumn("_keeper", F.min("doc_id").over(w))
+        .filter(
+            (F.col("doc_id") == F.col("_keeper"))
+            & (F.col("_q") >= min_quality)
+            & (F.col("_lang") == lang)
+        )
+        .select("doc_id", text_col, "source")
+    )
+    sd = (
+        spans.dedup_spans(kept, text_col, span_words)
+        .filter(F.col("text") != "")
+        .join(kept.select("doc_id", "source"), "doc_id")
+    )
+    red = text.redact_pii(sd)
+    out = sd.drop("text").join(
+        red.select("doc_id", F.col("redacted_text").alias("text")), "doc_id"
+    ).select("doc_id", "text", "source", "n_spans", "n_kept")
+    if budget is not None:
+        out = sampling.temperature_mix(
+            out, budget, alpha, strata_col="source", seed=f"{seed}-mix"
+        )
+    return sampling.split_assign(out, seed=f"{seed}-split")
+
+
+def prepare_training_corpus_sql(
+    table: str,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    lang: str = "en",
+    span_words: int = 10,
+    budget: int | None = None,
+    alpha: float = 0.5,
+    seed: str = "corpus0",
+) -> str:
+    """DuckDB oracle: the identical stage chain as CTEs over the
+    per-stage oracle builders."""
+    from cryo_spark.operators import sampling, spans
+
+    q = text.quality_score_sql(table, text_col)
+    l_ = text.lang_id_sql(table, text_col)
+    d = dedup.exact_dedup_sql(table, text_col)
+    # table name must not collide with dedup_spans_sql's internal CTE
+    # names (toks/sp/kept/reb) — DuckDB binds same-list names first and
+    # reports a circular reference
+    sd0 = spans.dedup_spans_sql("filtered", text_col, span_words)
+    red = text.redact_pii_sql("sd", text_col)
+    mix_src = "merged"
+    mixed = (
+        sampling.temperature_mix_sql(
+            mix_src, budget, alpha, strata_col="source", seed=f"{seed}-mix"
+        )
+        if budget is not None
+        else f"SELECT * FROM {mix_src}"
+    )
+    split = sampling.split_assign_sql("mixed", seed=f"{seed}-split")
+    return f"""
+WITH pass1 AS (
+  SELECT q.doc_id FROM ({q}) q
+  JOIN ({l_}) l ON l.doc_id = q.doc_id
+  JOIN ({d}) d ON d.doc_id = q.doc_id
+  WHERE NOT d.is_duplicate
+    AND q.quality_score >= {min_quality} AND l.lang_guess = '{lang}'
+), filtered AS (
+  SELECT t.doc_id, t.{text_col}, t.source FROM {table} t
+  JOIN pass1 USING (doc_id)
+), sd0 AS ({sd0}),
+sd AS (
+  SELECT s.doc_id, s.text, s.n_spans, s.n_kept, k.source
+  FROM sd0 s JOIN filtered k USING (doc_id) WHERE s.text != ''
+), red AS ({red}),
+merged AS (
+  SELECT sd.doc_id, red.redacted_text AS text, sd.source,
+         sd.n_spans, sd.n_kept
+  FROM sd JOIN red USING (doc_id)
+), mixed AS ({mixed})
+{split}
+"""

@@ -531,3 +531,36 @@ def test_sessionize_oracle_events(spark):
     assert list(s.columns) == list(o.columns)
     assert len(s) == len(o)
     assert s.equals(o)
+
+
+# ----------------------------------------------------- composed pipeline
+
+
+def test_prepare_training_corpus_oracle_and_stages(spark):
+    """End-to-end pipeline (filter -> span dedup -> redact -> mix ->
+    split) equals the same CTE chain in DuckDB, and stage invariants
+    hold: row budget respected, split labels total the output."""
+    from cryo_spark.operators.corpus import (
+        prepare_training_corpus, prepare_training_corpus_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = prepare_training_corpus(docs, budget=30)
+    s = _canon(out.toPandas())
+    o = _canon(_oracle(SF_DIR, prepare_training_corpus_sql("documents", budget=30)))
+    assert s.equals(o)
+    rows = out.collect()
+    assert 0 < len(rows) <= 30 + 10  # quota rounding slack
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert all(r.n_kept <= r.n_spans for r in rows)
+
+
+def test_prepare_training_corpus_no_budget_keeps_all(spark):
+    from cryo_spark.operators.corpus import (
+        prepare_training_corpus, prepare_training_corpus_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s = _canon(prepare_training_corpus(docs).toPandas())
+    o = _canon(_oracle(SF_DIR, prepare_training_corpus_sql("documents")))
+    assert s.equals(o)
