@@ -16,6 +16,8 @@ from cryo_spark.operators import (  # noqa: F401
     sampling,
     semdedup,
     seqprep,
+    sessions,
+    shards,
     similarity,
     skew,
     spans,

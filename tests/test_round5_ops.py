@@ -564,3 +564,59 @@ def test_prepare_training_corpus_no_budget_keeps_all(spark):
     s = _canon(prepare_training_corpus(docs).toPandas())
     o = _canon(_oracle(SF_DIR, prepare_training_corpus_sql("documents")))
     assert s.equals(o)
+
+
+# -------------------------------------------------------------- shards
+
+
+def test_assign_shards_budget_and_determinism(spark):
+    from cryo_spark.operators.shards import assign_shards
+
+    rows = [(i, "train" if i % 5 else "val", 100 + (i % 7) * 50)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, split string, n_tokens long")
+    out = assign_shards(df, shard_tokens=1000).collect()
+    # per (split, shard): token sum stays under budget + one doc
+    from collections import defaultdict
+
+    tot = defaultdict(int)
+    for r in out:
+        tot[(r.split, r.shard)] += r.n_tokens
+    max_doc = max(r.n_tokens for r in out)
+    assert all(v <= 1000 + max_doc for v in tot.values())
+    # shards are contiguous 0..n-1 per split
+    by_split = defaultdict(set)
+    for r in out:
+        by_split[r.split].add(r.shard)
+    for shards in by_split.values():
+        assert shards == set(range(len(shards)))
+    # deterministic
+    again = assign_shards(df, shard_tokens=1000).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_write_read_training_shards_roundtrip(spark, tmp_path):
+    from cryo_spark.operators.corpus import prepare_training_corpus
+    from cryo_spark.operators.shards import (
+        read_training_shards, write_training_shards,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus_df = prepare_training_corpus(docs).withColumn(
+        "n_tokens", F.col("n_kept") * 10
+    )
+    path = str(tmp_path / "shards")
+    n_shards = write_training_shards(corpus_df, path, shard_tokens=2000)
+    assert set(n_shards) <= {"train", "val", "test"} and n_shards["train"] >= 1
+    back = read_training_shards(spark, path)
+    # token mass and doc ids survive the roundtrip
+    assert back.count() == corpus_df.count()
+    assert (
+        back.agg(F.sum("n_tokens")).first()[0]
+        == corpus_df.agg(F.sum("n_tokens")).first()[0]
+    )
+    # pruned read lists only the split's directories
+    tr = read_training_shards(spark, path, split="train")
+    assert tr.count() == corpus_df.filter("split = 'train'").count()
+    plan = tr._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan or "split#" in plan
