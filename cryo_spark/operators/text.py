@@ -556,3 +556,61 @@ SELECT doc_id, rank, term, tfidf FROM (
   FROM tf JOIN dfreq USING (term), nd
 ) WHERE rank <= {k}
 """
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-document bigram language-model score — the CCNet/Gopher
+    perplexity-filter shape, self-trained: the corpus's own bigram
+    statistics score each document, and documents whose word
+    transitions are atypical for the corpus (garbage, wrong-language,
+    shuffled text) score low. Returns (id, n_bigrams, avg_logp) where
+    avg_logp = mean over the doc's bigrams of
+    ln((count(w1,w2) + add_k) / (count(w1) + add_k * V)), V = corpus
+    vocabulary size. Higher = more typical.
+
+    No external model: train and score are the same two aggregations.
+    Scale shape: unigram/bigram count tables are partial aggregates
+    (stopword bigrams combine map-side); scoring joins the doc's
+    exploded bigrams against the count tables on their own keys (two
+    shuffles that each reuse the count exchange) and the per-doc mean
+    is a final partial agg. ln() keeps this out of the exact-hash
+    oracle contract (cross-engine last-ulp drift) — verified instead
+    by a tolerance differential against a numpy reference and planted
+    ordering tests."""
+    from cryo_spark.operators.dedup import shingle_rows
+
+    uni = shingle_rows(df, text_col, 1, id_col)
+    bi = shingle_rows(df, text_col, 2, id_col)
+    uni_counts = uni.groupBy(F.col("shingle").alias("w1")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    vocab = uni_counts.agg(F.count(F.lit(1)).alias("v"))
+    bi_counts = bi.groupBy(F.col("shingle").alias("bg")).agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    doc_bi = bi.select(
+        F.col(id_col),
+        F.col("shingle").alias("bg"),
+        F.split(F.col("shingle"), " ").getItem(0).alias("w1"),
+    )
+    scored = (
+        doc_bi.join(bi_counts, "bg")
+        .join(uni_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.col("c2") + F.lit(add_k))
+                / (F.col("c1") + F.lit(add_k) * F.col("v"))
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("_lp").alias("avg_logp"),
+    )

@@ -620,3 +620,70 @@ def test_write_read_training_shards_roundtrip(spark, tmp_path):
     assert tr.count() == corpus_df.filter("split = 'train'").count()
     plan = tr._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(split" in plan or "split#" in plan
+
+
+# ------------------------------------------------------------ LM scoring
+
+
+def _brute_lm_scores(docs, add_k=0.5):
+    """numpy/python reference mirroring shingle_rows semantics
+    (lowercase, ws-normalized; docs shorter than n emit one whole-doc
+    gram)."""
+    import math
+    import re
+    from collections import Counter
+
+    def toks(t):
+        return re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+
+    def grams(t, n):
+        w = toks(t)
+        if len(w) >= n:
+            return [" ".join(w[i: i + n]) for i in range(len(w) - n + 1)]
+        return [" ".join(w)]
+
+    uni, bi = Counter(), Counter()
+    for _, t in docs:
+        uni.update(grams(t, 1))
+        bi.update(grams(t, 2))
+    v = len(uni)
+    out = {}
+    for doc_id, t in docs:
+        lps = [
+            math.log((bi[g] + add_k) / (uni[g.split(" ")[0]] + add_k * v))
+            for g in grams(t, 2)
+        ]
+        out[doc_id] = (len(lps), sum(lps) / len(lps))
+    return out
+
+
+def test_ngram_lm_score_matches_reference(spark):
+    import numpy as np
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logp)
+        for r in text.ngram_lm_score(docs).collect()
+    }
+    ref = _brute_lm_scores(
+        [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    )
+    assert set(got) == set(ref)
+    for d in ref:
+        assert got[d][0] == ref[d][0]
+        assert np.isclose(got[d][1], ref[d][1], rtol=1e-9), (
+            d, got[d], ref[d]
+        )
+
+
+def test_ngram_lm_score_ranks_typical_above_shuffled(spark):
+    """A document whose bigrams are corpus-frequent must outscore one
+    built from never-repeated word pairs."""
+    base = "the cat sat on the mat " * 5
+    df = spark.createDataFrame(
+        [(i, base) for i in range(5)]
+        + [(99, "zq xv pk jw qn bd lf rg mz wc")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.avg_logp for r in text.ngram_lm_score(df).collect()}
+    assert got[0] > got[99]
