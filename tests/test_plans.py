@@ -190,3 +190,27 @@ def test_temperature_mix_quota_broadcast(spark):
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, (
         "the quota table must broadcast back onto the corpus"
     )
+
+
+def test_sessionize_partial_session_merge(spark):
+    """session_window must plan as an aggregation with map-side
+    partial session merging (never a per-user window sort)."""
+    from cryo_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = _plan(sessionize(ev, gap_seconds=900))
+    assert "MergingSessions" in plan or "partial" in plan.lower()
+    assert "Window" not in plan
+
+
+def test_span_dedup_keep_join_reuses_span_exchange(spark):
+    """The keep-join keys on the same span column the keeper
+    aggregation shuffled by — at most the agg's own exchanges plus
+    the reassembly exchange appear (no extra span re-shuffle)."""
+    from cryo_spark.operators.spans import dedup_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(dedup_spans(docs))
+    # exchanges: spread repartition, span hash (agg+join reuse), doc_id
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges <= 4, plan[:2000]
