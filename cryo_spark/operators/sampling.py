@@ -332,3 +332,34 @@ def temperature_rates(
         s: min(1.0, budget * (c ** alpha) / z / c)
         for s, c in counts.items()
     }
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "split0",
+) -> DataFrame:
+    """Split assignment that cannot leak near-duplicates across
+    splits: documents connected by ``pairs`` (any dedup path's
+    (id_a, id_b) candidates — minhash, simhash, embedding, exact)
+    share a connected component, and the split is drawn from the
+    COMPONENT's keeper id instead of the document's own — so a
+    training doc can never have a near-copy in validation (the
+    classic eval-contamination failure of per-document splitting).
+
+    Returns df + (group_key, split). Scale shape: the component map
+    is |docs-in-pairs| (tiny next to the corpus) and joins with a
+    broadcast-friendly left join; the split draw stays the same
+    zero-shuffle md5-threshold expression as :func:`split_assign`,
+    keyed on group_key."""
+    from cryo_spark.operators.dedup import dedup_by_components
+
+    comp = dedup_by_components(df, pairs, id_col=id_col).select(
+        id_col, F.col("keeper_id").alias("group_key")
+    )
+    joined = df.join(comp, id_col)
+    return split_assign(
+        joined, weights, id_col="group_key", seed=seed
+    )

@@ -687,3 +687,77 @@ def test_ngram_lm_score_ranks_typical_above_shuffled(spark):
     )
     got = {r.doc_id: r.avg_logp for r in text.ngram_lm_score(df).collect()}
     assert got[0] > got[99]
+
+
+# ------------------------------------------------------ leakage-safe split
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    from cryo_spark.operators import dedup as ddp
+    from cryo_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = ddp.ngram_jaccard_all_pairs(docs, min_jaccard=0.5).select(
+        "id_a", "id_b"
+    )
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.6, "val": 0.2, "test": 0.2}
+    )
+    assert pairs.count() > 0  # non-vacuous corpus
+    # every paired doc shares its split with its counterpart
+    sp = out.select("doc_id", "group_key", "split")
+    a = pairs.join(sp.withColumnRenamed("doc_id", "id_a"), "id_a").select(
+        "id_a", "id_b", F.col("split").alias("split_a")
+    )
+    both = a.join(
+        sp.withColumnRenamed("doc_id", "id_b").select(
+            "id_b", F.col("split").alias("split_b")
+        ),
+        "id_b",
+    )
+    assert both.filter("split_a != split_b").count() == 0
+    # all docs present, all splits drawn
+    assert out.count() == docs.count()
+    assert set(r.split for r in out.select("split").distinct().collect()) \
+        <= {"train", "val", "test"}
+
+
+def test_leakage_safe_split_oracle(spark):
+    """Differential vs DuckDB: recursive closure components + the
+    split_assign CASE on the component keeper."""
+    from cryo_spark.operators import dedup as ddp
+    from cryo_spark.operators.sampling import (
+        _bucket_sql, _threshold, leakage_safe_split,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = ddp.ngram_jaccard_all_pairs(docs, min_jaccard=0.5).select(
+        "id_a", "id_b"
+    )
+    got = leakage_safe_split(docs, pairs).select(
+        "doc_id", "group_key", "split"
+    )
+    pairs_sql = ddp.ngram_jaccard_all_pairs_sql("documents", min_jaccard=0.5)
+    b = _bucket_sql("group_key", "split0")
+    t_train, t_val = _threshold(0.9), _threshold(0.95)
+    sql = f"""
+WITH RECURSIVE pp AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pp UNION SELECT id_b, id_a FROM pp
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u
+), keyed AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+)
+SELECT doc_id, group_key,
+  CASE WHEN {b} < '{t_train}' THEN 'train'
+       WHEN {b} < '{t_val}' THEN 'val' ELSE 'test' END AS split
+FROM keyed
+"""
+    s = _canon(got.toPandas())
+    o = _canon(_oracle(SF_DIR, sql))
+    assert s.equals(o)
