@@ -84,14 +84,20 @@ def prepare_training_corpus(
     budget: int | None = None,
     alpha: float = 0.5,
     seed: str = "corpus0",
+    near_dup: bool = False,
+    min_jaccard: float = 0.5,
 ) -> DataFrame:
     """The WHOLE preparation pipeline, composed from the per-stage
     operators: quality/language filter + exact dedup (stage 1, one
     projection + one hash window) → corpus-wide duplicate-span
     removal on the survivors (stage 2, drops fully-boilerplate docs)
-    → PII redaction of the rewritten text (stage 3, narrow) →
-    optional temperature-weighted source mixing (stage 4) →
-    deterministic split assignment (stage 5, narrow).
+    → optional near-duplicate collapse on the rewritten text (stage
+    2b: exact n-gram Jaccard pairs → connected components → keep the
+    min-id of each cluster; the all-pairs path is used here precisely
+    because it is SQL-oracle-able end to end — swap in the LSH path
+    for web scale, same (id_a, id_b) contract) → PII redaction
+    (stage 3, narrow) → optional temperature-weighted source mixing
+    (stage 4) → deterministic split assignment (stage 5, narrow).
 
     Returns (doc_id, text, source, n_spans, n_kept, split) — the
     redacted, span-deduped text plus span accounting and the split
@@ -127,6 +133,14 @@ def prepare_training_corpus(
         .filter(F.col("text") != "")
         .join(kept.select("doc_id", "source"), "doc_id")
     )
+    if near_dup:
+        pairs = dedup.ngram_jaccard_all_pairs(
+            sd, min_jaccard=min_jaccard
+        ).select("id_a", "id_b")
+        verdict = dedup.dedup_by_components(sd, pairs)
+        sd = sd.join(
+            verdict.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
+        )
     red = text.redact_pii(sd)
     out = sd.drop("text").join(
         red.select("doc_id", F.col("redacted_text").alias("text")), "doc_id"
@@ -147,9 +161,12 @@ def prepare_training_corpus_sql(
     budget: int | None = None,
     alpha: float = 0.5,
     seed: str = "corpus0",
+    near_dup: bool = False,
+    min_jaccard: float = 0.5,
 ) -> str:
     """DuckDB oracle: the identical stage chain as CTEs over the
-    per-stage oracle builders."""
+    per-stage oracle builders (WITH RECURSIVE when the near-dup
+    stage needs the component closure)."""
     from cryo_spark.operators import sampling, spans
 
     q = text.quality_score_sql(table, text_col)
@@ -159,6 +176,25 @@ def prepare_training_corpus_sql(
     # names (toks/sp/kept/reb) — DuckDB binds same-list names first and
     # reports a circular reference
     sd0 = spans.dedup_spans_sql("filtered", text_col, span_words)
+    if near_dup:
+        with_kw, sd_inner = "WITH RECURSIVE", "sd_all"
+        pairs_sql = dedup.ngram_jaccard_all_pairs_sql(
+            "sd_all", text_col, min_jaccard=min_jaccard
+        )
+        nd_ctes = f""", pp AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pp UNION SELECT id_b, id_a FROM pp
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u
+), sd AS (
+  SELECT s.* FROM sd_all s LEFT JOIN comp c ON c.id = s.doc_id
+  WHERE coalesce(c.component, s.doc_id) = s.doc_id
+)"""
+    else:
+        with_kw, sd_inner, nd_ctes = "WITH", "sd", ""
     red = text.redact_pii_sql("sd", text_col)
     mix_src = "merged"
     mixed = (
@@ -170,7 +206,7 @@ def prepare_training_corpus_sql(
     )
     split = sampling.split_assign_sql("mixed", seed=f"{seed}-split")
     return f"""
-WITH pass1 AS (
+{with_kw} pass1 AS (
   SELECT q.doc_id FROM ({q}) q
   JOIN ({l_}) l ON l.doc_id = q.doc_id
   JOIN ({d}) d ON d.doc_id = q.doc_id
@@ -180,10 +216,10 @@ WITH pass1 AS (
   SELECT t.doc_id, t.{text_col}, t.source FROM {table} t
   JOIN pass1 USING (doc_id)
 ), sd0 AS ({sd0}),
-sd AS (
+{sd_inner} AS (
   SELECT s.doc_id, s.text, s.n_spans, s.n_kept, k.source
   FROM sd0 s JOIN filtered k USING (doc_id) WHERE s.text != ''
-), red AS ({red}),
+){nd_ctes}, red AS ({red}),
 merged AS (
   SELECT sd.doc_id, red.redacted_text AS text, sd.source,
          sd.n_spans, sd.n_kept

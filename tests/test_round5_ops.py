@@ -761,3 +761,22 @@ FROM keyed
     s = _canon(got.toPandas())
     o = _canon(_oracle(SF_DIR, sql))
     assert s.equals(o)
+
+
+def test_prepare_training_corpus_near_dup_stage(spark):
+    """near_dup=True collapses Jaccard clusters and still matches the
+    WITH RECURSIVE CTE oracle end to end."""
+    from cryo_spark.operators.corpus import (
+        prepare_training_corpus, prepare_training_corpus_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s_df = prepare_training_corpus(docs, near_dup=True)
+    s = _canon(s_df.toPandas())
+    o = _canon(
+        _oracle(SF_DIR, prepare_training_corpus_sql("documents", near_dup=True))
+    )
+    assert s.equals(o)
+    # the stage only ever REMOVES rows relative to near_dup=False
+    base = prepare_training_corpus(docs).count()
+    assert s_df.count() <= base
