@@ -32,18 +32,52 @@ def assign_shards(
     shard (never split here — sequence packing is ``seqprep``'s
     job). Exclusive-prefix cumsum: a doc lands in the shard its
     PRECEDING tokens fill, so every shard except a split's last
-    holds >= budget-minus-one-doc tokens."""
+    holds >= budget-minus-one-doc tokens.
+
+    TWO-PHASE prefix sum — the naive `Window.partitionBy(split)`
+    cumsum funnels an entire split through ONE task's sort (the
+    scale killer for a prefix computation). Instead: the first 3 hex
+    chars of the ordering hash bucket each split into 4096 ranges;
+    per-bucket token totals (a partial aggregate) come back to a
+    broadcast offset map (#splits x 4096 rows), and the in-bucket
+    window sorts only its bucket. Because the bucket is a PREFIX of
+    the ordering hash, (bucket, hash, id) order equals (hash, id)
+    order — bit-identical shard membership to the single-window
+    formulation (pinned by test), with per-task work 1/4096th of a
+    split."""
     order = F.md5(
         F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
     )
-    w = (
+    bucket = F.substring(order, 1, 3)
+    keyed = df.withColumn("_ord", order).withColumn("_bkt", bucket)
+    # phase 1: per-(split, bucket) token totals -> exclusive bucket
+    # offsets via a window over the TINY totals frame (#splits x 4096
+    # rows — driver/exchange cost is nil, and it stays declarative)
+    totals = keyed.groupBy(split_col, "_bkt").agg(
+        F.sum(token_col).alias("_btot")
+    )
+    woff = (
         Window.partitionBy(split_col)
-        .orderBy(order, F.col(id_col))
+        .orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    prefix = F.coalesce(F.sum(token_col).over(w), F.lit(0))
-    return df.withColumn(
-        "shard", F.floor(prefix / F.lit(shard_tokens)).cast("int")
+    offsets = totals.select(
+        split_col, "_bkt",
+        F.coalesce(F.sum("_btot").over(woff), F.lit(0)).alias("_boff"),
+    )
+    # phase 2: in-bucket exclusive cumsum + broadcast bucket offset
+    win = (
+        Window.partitionBy(split_col, "_bkt")
+        .orderBy("_ord", F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(token_col).over(win), F.lit(0)) + F.col("_boff")
+    return (
+        keyed.join(F.broadcast(offsets), [split_col, "_bkt"])
+        .withColumn(
+            "shard", F.floor(prefix / F.lit(shard_tokens)).cast("int")
+        )
+        .drop("_ord", "_bkt", "_boff")
     )
 
 

@@ -780,3 +780,33 @@ def test_prepare_training_corpus_near_dup_stage(spark):
     # the stage only ever REMOVES rows relative to near_dup=False
     base = prepare_training_corpus(docs).count()
     assert s_df.count() <= base
+
+
+def test_assign_shards_two_phase_equals_single_window(spark):
+    """The bucketed two-phase prefix sum must be bit-identical to the
+    naive single-window formulation (the bucket is a prefix of the
+    ordering hash, so the orders coincide)."""
+    from pyspark.sql import Window
+
+    from cryo_spark.operators.shards import assign_shards
+
+    rows = [(i, ["train", "val"][i % 2], 50 + (i % 13) * 20)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, split string, n_tokens long")
+    got = {r.doc_id: r.shard for r in assign_shards(df, 1500).collect()}
+    order = F.md5(F.concat(F.lit("shard0:"), F.col("doc_id").cast("string")))
+    w = (
+        Window.partitionBy("split")
+        .orderBy(order, F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = {
+        r.doc_id: r.shard
+        for r in df.withColumn(
+            "shard",
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(1500)
+            ).cast("int"),
+        ).collect()
+    }
+    assert got == naive
