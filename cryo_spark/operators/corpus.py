@@ -141,10 +141,14 @@ def prepare_training_corpus(
         sd = sd.join(
             verdict.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
         )
-    red = text.redact_pii(sd)
-    out = sd.drop("text").join(
-        red.select("doc_id", F.col("redacted_text").alias("text")), "doc_id"
-    ).select("doc_id", "text", "source", "n_spans", "n_kept")
+    # redaction applied IN the same projection (redact_text_expr), not
+    # as a joined redact_pii frame — a join would make Catalyst
+    # evaluate the whole span-dedup subtree twice
+    out = sd.select(
+        "doc_id",
+        text.redact_text_expr("text").alias("text"),
+        "source", "n_spans", "n_kept",
+    )
     if budget is not None:
         out = sampling.temperature_mix(
             out, budget, alpha, strata_col="source", seed=f"{seed}-mix"

@@ -386,6 +386,17 @@ PII_PATTERNS = {
 }
 
 
+def redact_text_expr(text_col: str = "text") -> Column:
+    """The bare redaction expression (fold of the PII regexes) — for
+    callers that replace a text column IN PLACE inside an existing
+    projection instead of joining :func:`redact_pii`'s frame back
+    (one subtree evaluation instead of two)."""
+    out = F.col(text_col)
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Scrub emails / phone-shaped digit runs / IPv4s with typed
     placeholder tokens and count replacements per category. One
