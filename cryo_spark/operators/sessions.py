@@ -82,3 +82,103 @@ SELECT {user_col},
   round(sum({value_col}), 6) AS total_value
 FROM isl GROUP BY {user_col}, _s
 """
+
+
+def resample_ffill(
+    events: DataFrame,
+    step_seconds: int = 60,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Regularize an event stream onto a fixed time grid with
+    forward fill: for each key, one row per ``step_seconds`` tick
+    from its first to its last event, carrying the latest value at
+    or before the tick — the gap-filling step before joining
+    irregular telemetry against anything grid-aligned.
+
+    Returns (user_id, tick, value): tick = epoch seconds on the
+    grid (floor-aligned), value = last observation <= tick.
+
+    Scale shape: the grid explodes from one (first, last) row per
+    key (a partial min/max aggregate — never sized by event count);
+    grid and events union-sort once per key (the as-of union-window
+    trick, |grid|+|events| rows); last(ignorenulls) forward-fills in
+    the same window pass. Per-task sort is bounded by one key's
+    ticks + events."""
+    from pyspark.sql import Window
+
+    e = F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp"))).cast("long")
+    obs = events.select(
+        F.col(user_col),
+        e.alias("_t"),
+        F.col(value_col).alias("_v"),
+    )
+    bounds = obs.groupBy(user_col).agg(
+        F.min("_t").alias("_lo"), F.max("_t").alias("_hi")
+    )
+    step = F.lit(step_seconds)
+    grid = bounds.select(
+        F.col(user_col),
+        F.explode(
+            F.sequence(
+                F.ceil(F.col("_lo") / step).cast("long") * step_seconds,
+                F.floor(F.col("_hi") / step).cast("long") * step_seconds,
+                step,
+            )
+        ).alias("_t"),
+    ).withColumn("_v", F.lit(None).cast("double"))
+    # union-window: events sort before a same-timestamp tick (grid
+    # rows carry _is_grid=1) so a tick takes the value AT its time
+    unioned = obs.withColumn("_is_grid", F.lit(0)).unionByName(
+        grid.withColumn("_is_grid", F.lit(1))
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("_t", "_is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.withColumn(
+        "value", F.last("_v", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("_is_grid") == 1).select(
+        user_col, F.col("_t").alias("tick"), "value"
+    )
+
+
+def resample_ffill_sql(
+    table: str,
+    step_seconds: int = 60,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    """DuckDB equivalent (grid via generate_series + as-of fill via
+    the same union-window)."""
+    k = step_seconds
+    return f"""
+WITH obs AS (
+  SELECT {user_col}, floor(epoch({ts_col}))::BIGINT AS _t,
+         {value_col} AS _v, 0 AS _is_grid
+  FROM {table}
+), bounds AS (
+  SELECT {user_col}, min(_t) AS _lo, max(_t) AS _hi
+  FROM obs GROUP BY {user_col}
+), grid AS (
+  SELECT {user_col}, g.t AS _t, NULL::DOUBLE AS _v, 1 AS _is_grid
+  FROM bounds,
+    LATERAL unnest(generate_series(
+      CAST(ceil(_lo / {k}.0) AS BIGINT) * {k},
+      CAST(floor(_hi / {k}.0) AS BIGINT) * {k}, {k})) AS g(t)
+), unioned AS (
+  SELECT * FROM obs UNION ALL SELECT * FROM grid
+), filled AS (
+  SELECT {user_col}, _t, _is_grid,
+    last_value(_v IGNORE NULLS) OVER (
+      PARTITION BY {user_col} ORDER BY _t, _is_grid
+      ROWS UNBOUNDED PRECEDING) AS value
+  FROM unioned
+)
+SELECT {user_col}, _t AS tick, value
+FROM filled WHERE _is_grid = 1
+"""

@@ -810,3 +810,39 @@ def test_assign_shards_two_phase_equals_single_window(spark):
         ).collect()
     }
     assert got == naive
+
+
+# ------------------------------------------------------------- resample
+
+
+def test_resample_ffill_planted(spark):
+    from datetime import datetime, timedelta
+
+    from cryo_spark.operators.sessions import resample_ffill
+
+    t = lambda s: datetime(2024, 1, 1) + timedelta(seconds=s)  # noqa: E731
+    rows = [(1, t(5), 10.0), (1, t(65), 20.0), (1, t(200), 30.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (r.user_id, r.tick % 86400): r.value
+        for r in resample_ffill(df, step_seconds=60).collect()
+    }
+    # grid: ticks at 60, 120, 180 (ceil(5/60)*60 .. floor(200/60)*60)
+    assert out == {(1, 60): 10.0, (1, 120): 20.0, (1, 180): 20.0}
+
+
+def test_resample_ffill_oracle_events(spark):
+    from cryo_spark.operators.sessions import (
+        resample_ffill, resample_ffill_sql,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    s = _canon(resample_ffill(ev, step_seconds=300).toPandas())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * "
+        f"FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    o = _canon(con.sql(resample_ffill_sql("events", step_seconds=300)).df())
+    con.close()
+    assert len(s) == len(o) and s.equals(o)
