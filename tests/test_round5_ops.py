@@ -846,3 +846,37 @@ def test_resample_ffill_oracle_events(spark):
     o = _canon(con.sql(resample_ffill_sql("events", step_seconds=300)).df())
     con.close()
     assert len(s) == len(o) and s.equals(o)
+
+
+# ------------------------------------------- partition-invariance pins
+
+
+def test_round5_ops_invariant_under_repartitioning(spark):
+    """The determinism claims say 'stable under repartitioning, any
+    cluster layout' — pin it: temperature_mix, assign_shards, and
+    dedup_spans give identical results on a 1-partition and a
+    17-partition copy of the same input."""
+    from cryo_spark.operators.shards import assign_shards
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    one = docs.coalesce(1)
+    many = docs.repartition(17)
+
+    mix = lambda d: sorted(  # noqa: E731
+        r.doc_id for r in sampling.temperature_mix(d, 40, 0.5).collect()
+    )
+    assert mix(one) == mix(many)
+
+    with_tok = lambda d: sampling.split_assign(  # noqa: E731
+        d.select("doc_id", (F.col("n_chars") / 4).cast("long").alias("n_tokens"))
+    )
+    sh = lambda d: sorted(  # noqa: E731
+        (r.doc_id, r.split, r.shard)
+        for r in assign_shards(with_tok(d), 2000).collect()
+    )
+    assert sh(one) == sh(many)
+
+    sd = lambda d: sorted(  # noqa: E731
+        (r.doc_id, r.text) for r in dedup_spans(d).collect()
+    )
+    assert sd(one) == sd(many)
