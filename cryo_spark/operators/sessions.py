@@ -19,6 +19,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _event_time(df: DataFrame, ts_col: str):
+    """Timestamp expression adaptive to the table's ts encoding (the
+    driver testdata has shipped events.ts both as timestamp[us] and
+    as int64 NANOSECONDS — a bare cast would silently read nanos as
+    seconds)."""
+    if dict(df.dtypes).get(ts_col) == "bigint":
+        return F.timestamp_seconds(
+            F.col(ts_col) / F.lit(1_000_000_000)
+        )
+    return F.col(ts_col).cast("timestamp")
+
+
 def sessionize(
     events: DataFrame,
     gap_seconds: int = 1800,
@@ -31,6 +43,11 @@ def sessionize(
     ``gap_seconds`` or more after the previous one. Epoch-seconds
     boundaries (session_end = last event's time, not the timeout
     horizon); total_value rounded to 6 digits."""
+    # only rewrite a non-timestamp encoding: replacing an
+    # already-timestamp column would drop a stream's watermark
+    # attribute (the column becomes a new attribute without it)
+    if not dict(events.dtypes)[ts_col].startswith("timestamp"):
+        events = events.withColumn(ts_col, _event_time(events, ts_col))
     sw = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
     return (
         events.groupBy(F.col(user_col), sw)
@@ -108,7 +125,7 @@ def resample_ffill(
     ticks + events."""
     from pyspark.sql import Window
 
-    e = F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp"))).cast("long")
+    e = F.floor(F.unix_timestamp(_event_time(events, ts_col))).cast("long")
     obs = events.select(
         F.col(user_col),
         e.alias("_t"),

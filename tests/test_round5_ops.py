@@ -880,3 +880,32 @@ def test_round5_ops_invariant_under_repartitioning(spark):
         (r.doc_id, r.text) for r in dedup_spans(d).collect()
     )
     assert sd(one) == sd(many)
+
+
+def test_sessionize_and_resample_adaptive_to_nanos_encoding(spark):
+    """The driver testdata has shipped events.ts as int64 NANOSECONDS
+    in some rounds — both time operators must give identical results
+    for the two encodings (a bare cast would read nanos as seconds)."""
+    from datetime import datetime, timedelta
+
+    from cryo_spark.operators.sessions import resample_ffill, sessionize
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, t0 + timedelta(seconds=s), float(s)) for s in (5, 65, 2000)]
+    ts_df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    nanos_df = spark.createDataFrame(
+        [
+            (u, int(ts.replace(tzinfo=None).timestamp() * 1e9), v)
+            for u, ts, v in rows
+        ],
+        "user_id long, ts long, value double",
+    )
+    for op in (
+        lambda d: sessionize(d, gap_seconds=900),
+        lambda d: resample_ffill(d, step_seconds=60),
+    ):
+        a = sorted(map(tuple, op(ts_df).collect()))
+        b = sorted(map(tuple, op(nanos_df).collect()))
+        assert a == b and a
