@@ -205,12 +205,20 @@ def test_temperature_mix_deterministic_and_nested(spark):
 
 
 def test_temperature_mix_oracle_sf(spark):
+    # alpha=1.0 keeps the quota arithmetic exact-integer at THIS
+    # corpus's non-uniform source counts (a sqrt-weight denominator
+    # sums ~20 irrational doubles, whose summation ORDER differs
+    # between engines — a last-ulp drift could flip a round(.5)
+    # quota). The contract entry uses alpha=0.5 over the sf0.01
+    # uniform counts, where sqrt is exact; fractional-alpha math is
+    # covered by the 2-source planted tests (2-term sums commute
+    # exactly in IEEE).
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     s = _canon(
-        sampling.temperature_mix(docs, budget=25, alpha=0.5).toPandas()
+        sampling.temperature_mix(docs, budget=25, alpha=1.0).toPandas()
     )
     o = _canon(
-        _oracle(SF_DIR, sampling.temperature_mix_sql("documents", 25, 0.5))
+        _oracle(SF_DIR, sampling.temperature_mix_sql("documents", 25, 1.0))
     )
     assert s.equals(o)
 
@@ -545,9 +553,12 @@ def test_prepare_training_corpus_oracle_and_stages(spark):
     )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    out = prepare_training_corpus(docs, budget=30)
+    # alpha=1.0: exact-integer quota math at non-uniform counts (see
+    # test_temperature_mix_oracle_sf)
+    out = prepare_training_corpus(docs, budget=30, alpha=1.0)
     s = _canon(out.toPandas())
-    o = _canon(_oracle(SF_DIR, prepare_training_corpus_sql("documents", budget=30)))
+    o = _canon(_oracle(SF_DIR, prepare_training_corpus_sql(
+        "documents", budget=30, alpha=1.0)))
     assert s.equals(o)
     rows = out.collect()
     assert 0 < len(rows) <= 30 + 10  # quota rounding slack
