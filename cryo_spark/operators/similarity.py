@@ -265,3 +265,117 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Product-quantization codebooks: split the vector into ``m``
+    subspaces and k-means each to ``n_codes`` centroids. Returns
+    (m, n_codes, d/m) float64. PQ is the billion-vector memory tool:
+    a 64-dim float32 vector (256 B) compresses to m code bytes, so
+    the scan side of ANN fits in RAM at scales where raw vectors
+    cannot. Trained driver-side on the same bounded deterministic
+    TakeOrdered sample as :func:`train_centroids`."""
+    rows = (
+        emb.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample)
+        .collect()
+    )
+    x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, min(n_codes, len(x)), sub))
+    for j in range(m):
+        xs = x[:, j * sub: (j + 1) * sub]
+        k = min(n_codes, len(xs))
+        cent = xs[rng.choice(len(xs), size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): nearest-centroid code per subspace — one narrow
+    Arrow-batched pass, a GEMM-free argmin per subspace against the
+    (tiny, closure-captured) codebooks."""
+    books = codebooks.copy()
+    m, _, sub = books.shape
+
+    @F.pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        out = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            xs = x[:, j * sub: (j + 1) * sub]
+            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    return emb.select(F.col(id_col), enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query builds an
+    (m x n_codes) distance table once on the driver; each row's
+    approximate squared distance is m table lookups summed — a pure
+    JVM expression over the codes array (the table ships as a
+    literal array-of-arrays), then TakeOrdered. No vector data is
+    read at query time: this is the regime where the raw vectors
+    no longer fit anywhere."""
+    q = np.asarray(query, dtype=np.float64)
+    m, n_codes, sub = codebooks.shape
+    table = [
+        [
+            float(((q[j * sub: (j + 1) * sub] - codebooks[j][c]) ** 2).sum())
+            for c in range(n_codes)
+        ]
+        for j in range(m)
+    ]
+    tab = F.array(*[
+        F.array(*[F.lit(v) for v in row]) for row in table
+    ])
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda code, j: F.element_at(
+                F.element_at(tab, j + 1), code + 1
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes_df.select(id_col, dist.alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )

@@ -920,3 +920,56 @@ def test_sessionize_and_resample_adaptive_to_nanos_encoding(spark):
         a = sorted(map(tuple, op(ts_df).collect()))
         b = sorted(map(tuple, op(nanos_df).collect()))
         assert a == b and a
+
+
+# ----------------------------------------------------- product quantization
+
+
+def test_pq_roundtrip_recall_and_determinism(spark):
+    import numpy as np
+
+    from cryo_spark.operators.similarity import (
+        cosine_topk, pq_encode, pq_topk, pq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_train(emb, m=8, n_codes=16)
+    assert books.shape == (8, 16, 8)
+    codes = pq_encode(emb, books)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes)
+               for r in rows)
+    # deterministic end to end
+    again = pq_train(emb, m=8, n_codes=16)
+    assert np.array_equal(books, again)
+
+    query = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    got = [r.vec_id for r in pq_topk(codes, books, query, k=10).collect()]
+    assert len(got) == 10
+    # the query vector itself must rank first (its own codes minimize
+    # the ADC distance)
+    assert got[0] == 0
+    exact = {
+        r.vec_id for r in cosine_topk(emb, query, k=10).collect()
+    }
+    recall = len(set(got) & exact) / 10.0
+    # near-uniform random embeddings are PQ's worst case; the floor
+    # only detects broken encoding/lookup, not quantization quality
+    assert recall >= 0.2, (recall, got, exact)
+
+
+def test_pq_clones_retrieve_each_other(spark):
+    import numpy as np
+
+    from cryo_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 1, 16)
+    rows = [(i, (base + rng.normal(0, 1e-3, 16)).tolist()) for i in range(5)]
+    rows += [(i, rng.normal(0, 1, 16).tolist()) for i in range(5, 40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_train(df, m=4, n_codes=8, sample=40)
+    codes = pq_encode(df, books)
+    got = [r.vec_id for r in pq_topk(codes, books, rows[0][1], k=5).collect()]
+    assert set(got) == {0, 1, 2, 3, 4}  # the clone cluster
