@@ -379,3 +379,47 @@ def pq_topk(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: the canonical billion-vector ANN composition — IVF
+    lists prune the scan to ``n_probe`` of ``n_centroids`` partitions
+    (directory-level when the index is persisted partitionBy
+    list_id), and PQ codes make the probed rows m bytes each, scored
+    by the ADC lookup-sum. Pass pre-built ``centroids``/``codebooks``
+    /``codes_df`` to amortize index construction across queries (the
+    codes frame carries (id, list_id, codes))."""
+    if centroids is None:
+        centroids = train_centroids(
+            emb, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    if codebooks is None:
+        codebooks = pq_train(emb, m, n_codes, id_col=id_col, vec_col=vec_col)
+    if codes_df is None:
+        codes_df = pq_encode(
+            ivf_assign(emb, centroids, vec_col=vec_col),
+            codebooks, id_col=id_col, vec_col=vec_col,
+        )
+        assigned = ivf_assign(emb, centroids, vec_col=vec_col).select(
+            id_col, "list_id"
+        )
+        codes_df = codes_df.join(assigned, id_col)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    probe = [int(i) for i in np.argsort(-(cent @ qn))[:n_probe]]
+    pruned = codes_df.filter(F.col("list_id").isin(probe))
+    return pq_topk(pruned, codebooks, query, k, id_col=id_col)

@@ -973,3 +973,16 @@ def test_pq_clones_retrieve_each_other(spark):
     codes = pq_encode(df, books)
     got = [r.vec_id for r in pq_topk(codes, books, rows[0][1], k=5).collect()]
     assert set(got) == {0, 1, 2, 3, 4}  # the clone cluster
+
+
+def test_ivfpq_prunes_and_retrieves(spark):
+    from cryo_spark.operators.similarity import cosine_topk, ivfpq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    query = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    got = [
+        r.vec_id for r in ivfpq_topk(emb, query, k=10, n_probe=8).collect()
+    ]
+    assert len(got) == 10 and got[0] == 0
+    exact = {r.vec_id for r in cosine_topk(emb, query, k=10).collect()}
+    assert len(set(got) & exact) / 10.0 >= 0.2  # plumbing floor
