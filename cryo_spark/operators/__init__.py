@@ -22,4 +22,5 @@ from cryo_spark.operators import (  # noqa: F401
     skew,
     spans,
     text,
+    tokenizer,
 )

@@ -986,3 +986,48 @@ def test_ivfpq_prunes_and_retrieves(spark):
     assert len(got) == 10 and got[0] == 0
     exact = {r.vec_id for r in cosine_topk(emb, query, k=10).collect()}
     assert len(set(got) & exact) / 10.0 >= 0.2  # plumbing floor
+
+
+# --------------------------------------------------------------- BPE
+
+
+def test_train_bpe_classic_example(spark):
+    """Sennrich-style sanity: on a corpus dominated by 'low'-family
+    words, early merges build the shared stem."""
+    from cryo_spark.operators.tokenizer import bpe_apply, train_bpe
+
+    rows = [(i, "low low low low low lower lower newest newest widest")
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, n_merges=10, sample=4)
+    # the dominant word assembles within the first 3 merges
+    # (tie-breaks may pick ('o','w') before ('l','o') — both valid)
+    assert ("low", "</w>") in merges[:3]
+    out = {r.doc_id: r for r in bpe_apply(df, merges).collect()}
+    assert all(r.n_tokens == len(r.tokens) for r in out.values())
+    # 'low</w>' should have merged to a single token by 10 merges
+    assert "low</w>" in out[0].tokens
+
+
+def test_bpe_apply_compresses_and_is_deterministic(spark):
+    from cryo_spark.operators.tokenizer import bpe_apply, train_bpe
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    merges = train_bpe(docs, n_merges=100)
+    assert merges == train_bpe(docs, n_merges=100)  # reproducible
+    out = bpe_apply(docs, merges)
+    n_bpe = out.agg(F.sum("n_tokens")).first()[0]
+    # char-level baseline: tokens without any merges
+    n_chars = bpe_apply(docs, []).agg(F.sum("n_tokens")).first()[0]
+    n_words = docs.select(
+        F.sum(text.token_count("text")).alias("n")
+    ).first()["n"]
+    # merges compress toward (but never beyond) word-level
+    assert n_words <= n_bpe < n_chars
+    # roundtrip: concatenating a doc's tokens reproduces its
+    # normalized characters (merges never lose or invent text)
+    row = out.filter("doc_id = 0").first()
+    doc = docs.filter("doc_id = 0").first()["text"]
+    joined = "".join(row.tokens).replace("</w>", " ").strip()
+    import re
+    assert joined == re.sub(r"\s+", " ", doc.strip().lower())
