@@ -334,7 +334,10 @@ def pq_encode(
             out[:, j] = np.argmin(d2, axis=1)
         return pd.Series(list(out))
 
-    return emb.select(F.col(id_col), enc(F.col(vec_col)).alias("codes"))
+    keep = [c for c in emb.columns if c not in (id_col, vec_col)]
+    return emb.select(
+        F.col(id_col), *keep, enc(F.col(vec_col)).alias("codes")
+    )
 
 
 def pq_topk(
@@ -409,14 +412,12 @@ def ivfpq_topk(
     if codebooks is None:
         codebooks = pq_train(emb, m, n_codes, id_col=id_col, vec_col=vec_col)
     if codes_df is None:
+        # one pass: pq_encode passes non-vector columns through, so
+        # the IVF assignment UDF runs once, not assign+join twice
         codes_df = pq_encode(
             ivf_assign(emb, centroids, vec_col=vec_col),
             codebooks, id_col=id_col, vec_col=vec_col,
         )
-        assigned = ivf_assign(emb, centroids, vec_col=vec_col).select(
-            id_col, "list_id"
-        )
-        codes_df = codes_df.join(assigned, id_col)
     q = np.asarray(query, dtype=np.float64)
     qn = q / np.linalg.norm(q)
     cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)

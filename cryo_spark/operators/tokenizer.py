@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cryo_spark.operators.util import spread as _spread
+
 _END = "</w>"
 
 
@@ -127,6 +129,6 @@ def bpe_apply(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _spread(df.select(id_col, text_col)).mapInPandas(
         run, f"{id_col} long, tokens array<string>, n_tokens long"
     )
