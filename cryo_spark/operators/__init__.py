@@ -8,9 +8,12 @@ joins.
 """
 
 from cryo_spark.operators import (  # noqa: F401
+    classifier,
     corpus,
     decontam,
     dedup,
+    dsir,
+    incremental,
     interval,
     multimodal,
     sampling,

@@ -1,0 +1,119 @@
+"""Model-based document quality filtering (fastText-classifier shape).
+
+The heuristic `text.quality_score` is stage one of a production
+quality pipeline; stage two is a learned classifier (GPT-3/LLaMA-style
+"does this look like the reference corpus?") scored over every
+document. This module is that second stage on Spark MLlib:
+
+- ``featurize``      hashed bag-of-{uni,bi}gram term-frequency vector
+                     (the fastText input representation) — HashingTF
+                     is a JVM-side narrow projection, no shuffle
+- ``train_quality_classifier``
+                     logistic regression over a (small) labeled frame
+                     — positives = reference-corpus docs, negatives =
+                     raw-crawl sample; LBFGS over treeAggregate
+- ``score_quality``  broadcast-coefficient scoring of the full corpus
+                     (model application is a narrow projection: the
+                     100 TB side is never shuffled, exactly like the
+                     DSIR ratio broadcast)
+
+Scale: training data for such filters is small by construction (the
+reference corpus is the scarce resource); the corpus-sized pass is
+`score_quality`, which is embarrassingly parallel. Scores are floats
+from an iteratively-fit model, so the contract check is an in-entry
+ranking-quality (AUC) gate rather than a value-hash oracle — the same
+driver-visible-gate pattern as the ANN entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import LogisticRegression, LogisticRegressionModel
+from pyspark.ml.feature import HashingTF, NGram, Tokenizer
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_FEATURES = 1 << 14
+
+
+def featurize(
+    df: DataFrame,
+    text_col: str = "text",
+    n_features: int = DEFAULT_FEATURES,
+    out_col: str = "features",
+) -> DataFrame:
+    """Append a sparse hashed-TF vector over unigrams + bigrams.
+
+    All three stages (tokenize, ngram, hashingTF) are JVM-side narrow
+    transformations — featurizing 100 TB is a map-only pass."""
+    toks = Tokenizer(inputCol=text_col, outputCol="__toks").transform(df)
+    bi = NGram(n=2, inputCol="__toks", outputCol="__bi").transform(toks)
+    both = bi.withColumn("__grams", F.concat("__toks", "__bi"))
+    tf = HashingTF(
+        inputCol="__grams", outputCol=out_col, numFeatures=n_features
+    ).transform(both)
+    return tf.drop("__toks", "__bi", "__grams")
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    n_features: int = DEFAULT_FEATURES,
+    reg_param: float = 1e-3,
+    max_iter: int = 50,
+) -> LogisticRegressionModel:
+    """Fit the filter on a labeled frame (label 1 = looks like the
+    target corpus). L2-regularized logistic regression ~ fastText's
+    linear classifier over hashed n-grams."""
+    feats = featurize(labeled, text_col, n_features)
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol=label_col,
+        regParam=reg_param,
+        maxIter=max_iter,
+        standardization=False,
+    )
+    return lr.fit(feats)
+
+
+def score_quality(
+    df: DataFrame,
+    model: LogisticRegressionModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = DEFAULT_FEATURES,
+) -> DataFrame:
+    """(id, quality_prob): P(target-like) per document. The model's
+    coefficient vector rides to executors in the closure (one sparse
+    vector, broadcast-sized); the corpus pass is narrow."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = featurize(df, text_col, n_features)
+    scored = model.transform(feats)
+    prob1 = F.element_at(vector_to_array(F.col("probability")), 2)
+    return scored.select(F.col(id_col), prob1.alias("quality_prob"))
+
+
+def auc(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "quality_prob",
+) -> float:
+    """Area under the ROC curve via the Mann-Whitney rank-sum
+    identity. The global-order window is single-partition by nature —
+    acceptable here because AUC is only ever computed over the
+    (small, by construction) labeled evaluation frame, never the
+    corpus; used by tests and the in-entry contract gate."""
+    from pyspark.sql import Window
+
+    r = F.row_number().over(Window.orderBy(score_col, label_col))
+    ranked = scored.select(F.col(label_col).alias("__y"), r.alias("__r"))
+    row = ranked.groupBy().agg(
+        F.sum(F.when(F.col("__y") == 1, F.col("__r"))).alias("rp"),
+        F.sum(F.when(F.col("__y") == 1, 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("__y") == 0, 1).otherwise(0)).alias("nn"),
+    ).first()
+    if not row.np or not row.nn:
+        return float("nan")
+    u = row.rp - row.np * (row.np + 1) / 2.0
+    return float(u / (row.np * row.nn))

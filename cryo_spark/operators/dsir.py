@@ -1,0 +1,261 @@
+"""DSIR-shaped data selection: hashed n-gram importance resampling.
+
+Selects raw-corpus documents whose hashed n-gram distribution looks
+like a (small) target corpus — the "make 100 TB of web text look like
+Wikipedia" primitive (Xie et al. 2023, "Data Selection for Language
+Models via Importance Resampling"). No trained model: both
+distributions are bag-of-hashed-n-gram counts, and the per-document
+importance weight is
+
+    logw(d) = sum over d's grams g of
+              [ ln(ct(b(g)) + 1) - ln(Tt + B) ]        # target logp
+            - [ ln(cr(b(g)) + 1) - ln(Tr + B) ]        # raw logp
+
+with ``b(g)`` a hash bucket in ``[0, B)``, ``ct``/``cr`` the bucket
+counts over the target/raw corpora, ``Tt``/``Tr`` their gram totals
+(add-one smoothing, so every ln argument is an exact integer both
+engines share bit-for-bit).
+
+Oracle strategy: the bucket hash is ``md5`` based (the same trick as
+``sampling._bucket``) so DuckDB computes identical buckets; all ln
+arguments are integers, leaving cross-engine drift only in the final
+per-doc float sum — rounded to 6 decimals BEFORE ranking, so the
+selection rank order is identical on both engines.
+
+Scale shape (the 100 TB story):
+- The gram stream is a narrow projection (one explode, no shuffle).
+- Bucket-count tables are B-row partial aggregates (hot buckets
+  combine map-side); B is a constant (default 4096), so the ratio
+  table is broadcast — the corpus itself shuffles exactly once, on
+  doc_id, to sum its gram weights.
+- Selection is a rank over rounded weights: top-k uses
+  TakeOrderedAndProject (per-task heaps) when k is small; the
+  select-fraction variant thresholds on the weight (zero extra
+  shuffle beyond the weight agg).
+- Gumbel resampling (the actual DSIR sampler) derives its noise from
+  ``md5(seed || id)`` — reproducible on any cluster, no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cryo_spark.operators.dedup import shingle_rows
+
+DEFAULT_BUCKETS = 4096
+
+
+def _bucket_col(gram: Column, n_buckets: int) -> Column:
+    """md5-derived hash bucket in [0, n_buckets) — identical in Spark
+    and DuckDB (`conv` here, `CAST('0x..' AS BIGINT)` there)."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def _bucket_sql(gram_expr: str, n_buckets: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5({gram_expr}), 1, 8)) AS BIGINT)"
+        f" % {n_buckets}"
+    )
+
+
+def gram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """(id, bucket) — one row per word n-gram occurrence. Narrow."""
+    rows = shingle_rows(df, text_col, n, id_col)
+    return rows.select(
+        F.col(id_col), _bucket_col(F.col("shingle"), n_buckets).alias("bucket")
+    )
+
+
+def bucket_log_ratios(
+    target_grams: DataFrame,
+    raw_grams: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """(bucket, log_ratio): add-one-smoothed ln p_target - ln p_raw.
+
+    Built as integer count tables (partial aggs, B rows) full-outer
+    merged; ln() only ever sees exact integers, so both engines feed
+    ln the same doubles. The result is <= B rows — broadcast it."""
+    ct = target_grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    cr = raw_grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tt = target_grams.count()
+    tr = raw_grams.count()
+    merged = ct.join(cr, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+    )
+    lr = (
+        F.log(F.col("ct") + F.lit(1))
+        - F.log(F.lit(float(tt + n_buckets)))
+        - F.log(F.col("cr") + F.lit(1))
+        + F.log(F.lit(float(tr + n_buckets)))
+    )
+    return merged.select("bucket", lr.alias("log_ratio"))
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """(id, n_grams, logw) for every raw doc; logw rounded to 6
+    decimals (the cross-engine float-sum guard — see module doc).
+
+    One corpus shuffle: the gram stream joins the broadcast B-row
+    ratio table map-side, then aggregates per doc (partial sums
+    combine in the map task). Docs with grams in no target bucket
+    still score (every bucket has a smoothed ratio via the left join's
+    coalesce — an unseen bucket contributes the unseen-mass ratio)."""
+    raw_grams = gram_buckets(df, text_col, id_col, n, n_buckets)
+    tgt_grams = gram_buckets(target, text_col, id_col, n, n_buckets)
+    ratios = bucket_log_ratios(tgt_grams, raw_grams, n_buckets)
+    unseen = (
+        -F.log(F.lit(float(tgt_grams.count() + n_buckets)))
+        + F.log(F.lit(float(raw_grams.count() + n_buckets)))
+    )
+    joined = raw_grams.join(F.broadcast(ratios), "bucket", "left").select(
+        id_col, F.coalesce("log_ratio", unseen).alias("lr")
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.round(F.sum("lr"), 6).alias("logw"),
+    )
+
+
+def _gumbel(id_col: str, seed: str) -> Column:
+    """Deterministic standard-Gumbel draw from md5(seed:id) — the
+    DSIR resampler's noise, reproducible on any engine/cluster."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**8 + 2))
+    return -F.log(-F.log(u))
+
+
+def _gumbel_sql(id_expr: str, seed: str) -> str:
+    u = (
+        f"(CAST(concat('0x', substr(md5(concat('{seed}:', "
+        f"CAST({id_expr} AS VARCHAR))), 1, 8)) AS BIGINT) + 1.0)"
+        f" / {float(16 ** 8 + 2)!r}"
+    )
+    return f"-ln(-ln({u}))"
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = DEFAULT_BUCKETS,
+    gumbel_seed: str | None = None,
+) -> DataFrame:
+    """Top-k raw docs by importance weight (plus Gumbel noise when
+    ``gumbel_seed`` is given — Gumbel-top-k IS sampling-without-
+    replacement proportional to the importance weights, the actual
+    DSIR procedure; without it, deterministic hard top-k).
+
+    Returns (id, n_grams, logw, rank). Ranking is over the ROUNDED
+    weight with the id as tie-break, so the selected set is
+    deterministic and engine-portable. Scale shape: the k survivors
+    come from ``.orderBy(...).limit(k)`` — Spark plans
+    TakeOrderedAndProject (per-task heaps over the |corpus|-row
+    weights table, no global sort); the rank window then runs over k
+    rows only, so its single partition is bounded by k, never by the
+    corpus."""
+    w = dsir_weights(df, target, text_col, id_col, n, n_buckets)
+    key = F.col("logw")
+    if gumbel_seed is not None:
+        key = F.round(key + _gumbel(id_col, gumbel_seed), 6)
+    top = (
+        w.withColumn("sel_key", key)
+        .orderBy(F.col("sel_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.col("sel_key").desc(), F.col(id_col))
+    )
+    return top.withColumn("rank", rank).select(
+        id_col, "n_grams", "logw", "rank"
+    )
+
+
+def _grams_cte(table: str, text_col: str, n: int, n_buckets: int) -> str:
+    """DuckDB CTE body producing (doc_id, bucket) gram rows,
+    mirroring shingle_rows + _bucket_col semantics exactly."""
+    norm = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
+    gram = (
+        f"CASE WHEN len(t) >= {n} THEN array_to_string(t[i:i+{n - 1}], ' ')"
+        f" ELSE array_to_string(t, ' ') END"
+    )
+    return f"""
+  SELECT doc_id, {_bucket_sql(gram, n_buckets)} AS bucket
+  FROM (SELECT doc_id, string_split({norm}, ' ') AS t FROM {table}) __t,
+  LATERAL unnest(generate_series(1, greatest(len(t) - {n - 1}, 1))) AS g(i)
+"""
+
+
+def dsir_select_sql(
+    raw_table: str,
+    target_table: str,
+    k: int,
+    text_col: str = "text",
+    n: int = 2,
+    n_buckets: int = DEFAULT_BUCKETS,
+    gumbel_seed: str | None = None,
+) -> str:
+    """DuckDB equivalent of dsir_select (same rounding, same rank)."""
+    sel = "round(w.logw, 6)"
+    if gumbel_seed is not None:
+        sel = f"round(round(w.logw, 6) + {_gumbel_sql('w.doc_id', gumbel_seed)}, 6)"
+    return f"""
+WITH raw_grams AS ({_grams_cte(raw_table, text_col, n, n_buckets)}),
+tgt_grams AS ({_grams_cte(target_table, text_col, n, n_buckets)}),
+tot AS (
+  SELECT (SELECT count(*) FROM tgt_grams) AS tt,
+         (SELECT count(*) FROM raw_grams) AS tr
+), ratios AS (
+  SELECT b.bucket,
+    ln(coalesce(ct.c, 0) + 1) - ln(tot.tt + {n_buckets})
+    - ln(coalesce(cr.c, 0) + 1) + ln(tot.tr + {n_buckets}) AS log_ratio
+  FROM (SELECT DISTINCT bucket FROM raw_grams) b
+  LEFT JOIN (SELECT bucket, count(*) c FROM tgt_grams GROUP BY 1) ct
+    ON ct.bucket = b.bucket
+  LEFT JOIN (SELECT bucket, count(*) c FROM raw_grams GROUP BY 1) cr
+    ON cr.bucket = b.bucket
+  CROSS JOIN tot
+), weights AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         round(sum(r.log_ratio), 6) AS logw
+  FROM raw_grams g JOIN ratios r ON r.bucket = g.bucket
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, logw, rank FROM (
+  SELECT w.doc_id, w.n_grams, w.logw,
+         row_number() OVER (ORDER BY {sel} DESC, w.doc_id) AS rank
+  FROM weights w
+) __r WHERE rank <= {k}
+"""

@@ -1,0 +1,172 @@
+"""Incremental near-duplicate detection against a persisted
+MinHash-signature index — the index+delta shape.
+
+A 100 TB corpus is not re-deduplicated from scratch when a day's
+crawl lands. The corpus keeps a **signature index** — k longs per
+document (`minhash_index`, ~128 bytes/doc at k=16: a 100 TB / ~100 B
+doc corpus indexes into ~100 GB of parquet, 0.1% of the data) — and
+each new batch is checked *against the index* without touching the
+base corpus's text:
+
+- ``minhash_index``       corpus -> (id, sig array<long>), persistable
+- ``incremental_pairs``   new-index vs (base ∪ new) band join; the
+                          base text is never read, never reshuffled
+- ``signature_pairs``     the from-scratch counterpart on one index
+                          (equivalence anchor for tests)
+- ``est_jaccard``         signature-estimated Jaccard (component
+                          agreement fraction) — verification when the
+                          base text is gone; exact verify via
+                          ``dedup.ngram_jaccard`` when it isn't
+
+Correctness anchor: candidates(base) ∪ incremental-candidates(new)
+== candidates(base ∪ new) *exactly* (same signatures, same band
+hashes, the new-vs-union join covers precisely the pairs the batch
+run adds), so the incremental path inherits the batch path's
+oracle-proven recall (`__spark_entry__.q_minhash_near_dups`).
+
+Scale shape: the band join shuffles band rows — ``bands`` longs per
+doc — keyed (band_id, band_hash). The delta side is a day's batch;
+the index side is corpus-sized but 100-bytes-per-doc narrow, and at
+a fixed banding the index can be bucketed on band_hash at write time
+so daily runs reuse the layout shuffle-free. No stage ever rereads
+or reshuffles base text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cryo_spark.operators.dedup import minhash_signatures, shingle_rows
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(id, sig array<long>) — the persistable per-doc signature.
+
+    Same hash family as `dedup.minhash_signatures` (shingle hashed
+    once, k members derived), packed to one array column so the index
+    schema is stable under k."""
+    sigs = minhash_signatures(df, text_col, k, n, id_col, shingles=shingles)
+    return sigs.select(
+        id_col, F.array(*[f"mh{i}" for i in range(k)]).alias("sig")
+    )
+
+
+def _band_rows(index: DataFrame, bands: int, id_col: str = "doc_id") -> DataFrame:
+    """(id, band_id, band_hash) derived from the sig array — a narrow
+    projection, so the persisted index stays k longs per doc."""
+    r = F.size("sig") / bands
+    bandstructs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.slice(
+                        "sig", (F.lit(b) * r + 1).cast("int"), r.cast("int")
+                    ),
+                    F.lit(b),
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return index.select(
+        id_col, F.explode(bandstructs).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def est_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """Signature-estimated Jaccard: fraction of agreeing minhash
+    components (unbiased estimator, variance 1/k)."""
+    agree = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return agree / F.size(sig_a)
+
+
+def signature_pairs(
+    index: DataFrame,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    min_est: float = 0.0,
+) -> DataFrame:
+    """All candidate pairs within one index (id_a < id_b) with their
+    signature-estimated Jaccard — the from-scratch batch run."""
+    b = _band_rows(index, bands, id_col)
+    a, bb = b.alias("a"), b.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return _estimate(cand, index, id_col, min_est)
+
+
+def incremental_pairs(
+    base_index: DataFrame,
+    new_index: DataFrame,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    min_est: float = 0.0,
+) -> DataFrame:
+    """Candidate pairs ADDED by the new batch: new-vs-base plus
+    new-vs-new (id_a < id_b throughout; base-vs-base pairs were
+    emitted when the base was indexed). Union with the base run's
+    pairs to equal `signature_pairs(base ∪ new)` exactly."""
+    nb = _band_rows(new_index, bands, id_col)
+    ub = _band_rows(base_index, bands, id_col).unionByName(nb)
+    n, u = nb.alias("n"), ub.alias("u")
+    new_ids = new_index.select(F.col(id_col).alias("__nid"))
+    cand = (
+        n.join(
+            u,
+            (F.col("n.band_id") == F.col("u.band_id"))
+            & (F.col("n.band_hash") == F.col("u.band_hash"))
+            & (F.col(f"n.{id_col}") != F.col(f"u.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"u.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"u.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    index = base_index.unionByName(new_index)
+    return _estimate(cand, index, id_col, min_est)
+
+
+def _estimate(
+    cand: DataFrame, index: DataFrame, id_col: str, min_est: float
+) -> DataFrame:
+    """Attach est_jaccard to (id_a, id_b) pairs from the index sigs.
+    Both joins are candidate-bounded; AQE broadcasts small sides."""
+    sa = index.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = index.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    out = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            est_jaccard(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"),
+        )
+    )
+    if min_est > 0.0:
+        out = out.filter(F.col("est_jaccard") >= min_est)
+    return out

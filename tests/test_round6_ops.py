@@ -1,0 +1,266 @@
+"""Round-6 operators: DSIR importance resampling, incremental
+minhash-index dedup, and the MLlib quality classifier."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cryo_spark.operators import classifier, dedup, dsir, incremental
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _oracle_con(sf_dir: str = SF_DIR):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(cols).reset_index(drop=True).astype(str)
+
+
+# ---------------------------------------------------------------- dsir
+
+
+def test_dsir_bucket_hash_matches_duckdb(spark):
+    """The md5-derived bucket must be engine-portable — it is the
+    foundation of the oracle contract."""
+    df = spark.createDataFrame(
+        [("hello world",), ("spark sql",), ("",), ("Ünïcode tæxt",)],
+        "g string",
+    )
+    got = {
+        r.g: r.b
+        for r in df.select(
+            "g", dsir._bucket_col(F.col("g"), 4096).alias("b")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for g, b in got.items():
+        want = con.sql(
+            f"SELECT {dsir._bucket_sql('?', 4096)}", params=[g]
+        ).fetchone()[0]
+        assert b == want, g
+    con.close()
+
+
+def test_dsir_select_matches_duckdb_oracle(spark):
+    docs = _docs(spark)
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir.dsir_select(docs, target, k=25).toPandas()
+    con = _oracle_con()
+    con.sql("CREATE VIEW tgt AS SELECT * FROM documents WHERE lang='en'")
+    want = con.sql(dsir.dsir_select_sql("documents", "tgt", 25)).df()
+    con.close()
+    assert _canon(out).equals(_canon(want))
+
+
+def test_dsir_gumbel_variant_matches_duckdb_and_differs(spark):
+    docs = _docs(spark)
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir.dsir_select(docs, target, k=25, gumbel_seed="g1").toPandas()
+    con = _oracle_con()
+    con.sql("CREATE VIEW tgt AS SELECT * FROM documents WHERE lang='en'")
+    want = con.sql(
+        dsir.dsir_select_sql("documents", "tgt", 25, gumbel_seed="g1")
+    ).df()
+    con.close()
+    assert _canon(out).equals(_canon(want))
+    hard = dsir.dsir_select(docs, target, k=25).toPandas()
+    # the resampler must actually perturb the selection...
+    assert set(out.doc_id) != set(hard.doc_id)
+    # ...and be seed-deterministic
+    again = dsir.dsir_select(docs, target, k=25, gumbel_seed="g1").toPandas()
+    assert _canon(out).equals(_canon(again))
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Planted check: raw corpus of 'web noise' + a few docs drawn
+    from the target vocabulary — those must win the top ranks."""
+    target_rows = [
+        (100 + i, f"science paper method result data model test {i}")
+        for i in range(10)
+    ]
+    noise_rows = [
+        (i, f"buy cheap pills now click here win prize {i} {i * 7}")
+        for i in range(40)
+    ]
+    planted = [
+        (900 + i, "science paper method result data analysis")
+        for i in range(3)
+    ]
+    schema = "doc_id long, text string"
+    raw = spark.createDataFrame(noise_rows + planted, schema)
+    target = spark.createDataFrame(target_rows, schema)
+    top = dsir.dsir_select(raw, target, k=3).toPandas()
+    assert set(top.doc_id) == {900, 901, 902}
+    # weights of planted docs strictly above every noise doc
+    allw = dsir.dsir_weights(raw, target).toPandas()
+    planted_min = allw[allw.doc_id >= 900].logw.min()
+    noise_max = allw[allw.doc_id < 900].logw.max()
+    assert planted_min > noise_max
+
+
+def test_dsir_select_plans_take_ordered(spark):
+    """Top-k must be per-task heaps (TakeOrderedAndProject), not a
+    global single-partition sort of the weights table."""
+    docs = _docs(spark)
+    target = docs.filter(F.col("lang") == "en")
+    plan = (
+        dsir.dsir_select(docs, target, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------- incremental index
+
+
+def test_incremental_equals_batch(spark):
+    """index(base)+delta must reproduce the from-scratch run exactly:
+    same pairs, same signature estimates."""
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    bi = incremental.minhash_index(base)
+    ni = incremental.minhash_index(new)
+    full = incremental.minhash_index(docs)
+    batch = incremental.signature_pairs(full).toPandas()
+    incr = pd.concat(
+        [
+            incremental.signature_pairs(bi).toPandas(),
+            incremental.incremental_pairs(bi, ni).toPandas(),
+        ]
+    )
+    assert _canon(batch).equals(_canon(incr))
+
+
+def test_incremental_candidates_match_lsh(spark):
+    """The index path's candidate set must equal the oracle-proven
+    dedup.minhash_lsh_candidates at the same (k, bands)."""
+    docs = _docs(spark)
+    full = incremental.minhash_index(docs)
+    got = incremental.signature_pairs(full).toPandas()[["id_a", "id_b"]]
+    want = dedup.minhash_lsh_candidates(docs, k=16, bands=4).toPandas()
+    assert _canon(got).equals(_canon(want))
+
+
+def test_incremental_index_roundtrip(spark, tmp_path):
+    """The index survives a parquet write/read (the persisted-index
+    workflow) and keeps producing identical pairs."""
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "mh_index")
+    incremental.minhash_index(base).write.parquet(path)
+    loaded = spark.read.parquet(path)
+    direct = incremental.incremental_pairs(
+        incremental.minhash_index(base), incremental.minhash_index(new)
+    ).toPandas()
+    via_disk = incremental.incremental_pairs(
+        loaded, incremental.minhash_index(new)
+    ).toPandas()
+    assert _canon(direct).equals(_canon(via_disk))
+
+
+def test_est_jaccard_bounds_and_identity(spark):
+    docs = _docs(spark).limit(20)
+    idx = incremental.minhash_index(docs)
+    self_pairs = (
+        idx.alias("a")
+        .join(idx.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"))
+        .select(
+            incremental.est_jaccard(
+                F.col("a.sig"), F.col("b.sig")
+            ).alias("e")
+        )
+        .collect()
+    )
+    assert all(r.e == 1.0 for r in self_pairs)
+    pairs = incremental.signature_pairs(idx).collect()
+    assert all(0.0 <= r.est_jaccard <= 1.0 for r in pairs)
+
+
+def test_incremental_empty_delta(spark):
+    docs = _docs(spark)
+    bi = incremental.minhash_index(docs)
+    ni = incremental.minhash_index(docs.filter(F.lit(False)))
+    assert incremental.incremental_pairs(bi, ni).count() == 0
+
+
+# ------------------------------------------------------------ classifier
+
+
+def _planted_corpus(spark, n=200):
+    """Separable corpus: 'clean prose' vs 'spam' vocabulary."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            t = f"the model result shows clear method and data analysis {i}"
+            y = 1.0
+        else:
+            t = f"click here buy now cheap deal win free prize {i} {i * 3}"
+            y = 0.0
+        rows.append((i, t, y))
+    return spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+
+def test_classifier_separates_planted_corpus(spark):
+    labeled = _planted_corpus(spark)
+    train = labeled.filter(F.col("doc_id") % 5 != 0)
+    test = labeled.filter(F.col("doc_id") % 5 == 0)
+    m = classifier.train_quality_classifier(train)
+    scored = classifier.score_quality(test, m).join(
+        test.select("doc_id", "label"), "doc_id"
+    )
+    assert classifier.auc(scored) >= 0.95
+
+
+def test_classifier_score_is_narrow_plan(spark):
+    """Corpus scoring must stay a map-only pass — no Exchange in the
+    scoring subtree (the 100 TB side is never shuffled)."""
+    labeled = _planted_corpus(spark, n=40)
+    m = classifier.train_quality_classifier(labeled)
+    plan = (
+        classifier.score_quality(_docs(spark), m)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_classifier_featurize_deterministic(spark):
+    df = _docs(spark).limit(30)
+    a = classifier.featurize(df).select("doc_id", "features").collect()
+    b = classifier.featurize(df).select("doc_id", "features").collect()
+    assert {r.doc_id: r.features for r in a} == {
+        r.doc_id: r.features for r in b
+    }
+
+
+def test_auc_known_values(spark):
+    perfect = spark.createDataFrame(
+        [(1.0, 0.9), (1.0, 0.8), (0.0, 0.2), (0.0, 0.1)],
+        "label double, quality_prob double",
+    )
+    assert classifier.auc(perfect) == 1.0
+    inverted = spark.createDataFrame(
+        [(0.0, 0.9), (0.0, 0.8), (1.0, 0.2), (1.0, 0.1)],
+        "label double, quality_prob double",
+    )
+    assert classifier.auc(inverted) == 0.0
