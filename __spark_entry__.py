@@ -31,7 +31,16 @@ from pyspark.sql import functions as F
 from cryo_spark import contract
 from cryo_spark.datasets import ORACLES, TRANSFORMS
 from cryo_spark.fixtures import default_fixtures_dir, generate
-from cryo_spark.operators import corpus, decontam, dedup, sampling, similarity, text
+from cryo_spark.operators import (
+    corpus,
+    decontam,
+    dedup,
+    dsir,
+    incremental,
+    sampling,
+    similarity,
+    text,
+)
 from cryo_spark.operators import spans as spans_mod
 
 FIXTURES_DIR = default_fixtures_dir()
@@ -676,15 +685,40 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilistic — a regenerated fixture corpus containing a
     borderline ~0.5-Jaccard pair could fail this gate without any
     code change. If a round fails ONLY here, widen bands (e.g.
-    bands=8) before debugging the verify stage."""
+    bands=8) before debugging the verify stage.
+
+    Round 6: candidates now come from the INCREMENTAL index path
+    (`operators.incremental`) — the corpus is split base/delta by
+    doc_id parity, each half builds a persistable (id, sig) minhash
+    index, and candidates are signature_pairs(base) ∪
+    incremental_pairs(base, delta), exactly the daily
+    index-plus-new-batch workflow. The candidate set provably equals
+    the direct LSH run (unit-pinned in test_round6_ops), so the same
+    exhaustive oracle now proves the index/delta machinery end-to-end
+    at no extra cost (still one signature pass over the corpus)."""
     docs = _read(spark, sf_dir, "documents")
+    # ONE signature pass over the corpus, persisted: the index frame
+    # is k longs per doc (0.1% of corpus bytes — exactly what a real
+    # deployment materializes as parquet) and is consumed three times
+    # below (base pairs, delta join's both sides). Released by the
+    # same rotation that frees candidate-pair frames.
+    full_idx = incremental.minhash_index(docs).persist()
+    dedup._VERIFY_CACHE.append(full_idx)
+    base_idx = full_idx.filter(F.col("doc_id") % 2 == 0)
+    new_idx = full_idx.filter(F.col("doc_id") % 2 == 1)
+    # with_est=False: the exact-Jaccard verify below supersedes the
+    # signature estimate, so the sig-attach joins are skipped
+    pairs = incremental.signature_pairs(
+        base_idx, with_est=False
+    ).unionByName(
+        incremental.incremental_pairs(base_idx, new_idx, with_est=False)
+    )
     # deliberately NOT persisted: the exploded shingle frame is larger
     # than its source, so materializing it costs more than recomputing
     # the (pipelined, codegen-fused) explode in each consumer — 2x
     # faster measured at sf0.1, and the same logic holds at cluster
     # scale where the cache write would also spill
     shingles = dedup.shingle_rows(docs)
-    pairs = dedup.minhash_lsh_candidates(docs, k=16, bands=4, shingles=shingles)
     return (
         dedup.ngram_jaccard(docs, pairs, shingles=shingles)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -787,17 +821,81 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.dedup_spans(_read(spark, sf_dir, "documents"))
 
 
-def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide top-100 bigrams by occurrence: partial count agg +
-    TakeOrderedAndProject (per-task k-heaps; the count table never
-    fully sorts)."""
-    return text.top_ngrams(_read(spark, sf_dir, "documents"), n=2, k=100)
+def q_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics, two formerly-separate oracled
+    entries merged (round 6, freeing a contract slot for
+    `llm_dsir_select` inside the 50-entry scoring window — the same
+    consolidation round 5 used for the text profile):
+
+    - kind='corpus_top': top-100 bigrams by occurrence (partial count
+      agg + TakeOrderedAndProject per-task heaps); rank = position in
+      the deterministic count-desc/ngram-asc order, value = count.
+    - kind='doc_keyword': per-doc top-5 tf-idf terms (linear idf for
+      bit-exact cross-engine scores); value = tfidf.
+
+    Both halves remain individually hash-proven — the union is a
+    column-aligned UNION ALL on both engines."""
+    docs = _read(spark, sf_dir, "documents")
+    tn = text.top_ngrams(docs, n=2, k=100)
+    tn_ranked = tn.select(
+        F.lit("corpus_top").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("occurrences"), "ngram"))
+        .cast("long")
+        .alias("rank"),
+        F.col("ngram").alias("term"),
+        F.col("occurrences").cast("double").alias("value"),
+    )
+    kw = text.keyword_extract(docs, k=5).select(
+        F.lit("doc_keyword").alias("kind"),
+        F.col("doc_id").cast("long"),
+        F.col("rank").cast("long"),
+        "term",
+        F.col("tfidf").alias("value"),
+    )
+    return tn_ranked.unionByName(kw)
 
 
-def q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 characteristic terms per document by linear-idf tf-idf
-    (bit-exact across engines — see keyword_extract docstring)."""
-    return text.keyword_extract(_read(spark, sf_dir, "documents"), k=5)
+def oracle_ngram_stats() -> str:
+    tn = text.top_ngrams_sql("documents", n=2, k=100)
+    kw = text.keyword_extract_sql("documents", k=5)
+    return f"""
+WITH __tn AS ({tn}), __kw AS ({kw})
+SELECT 'corpus_top' AS kind, CAST(NULL AS BIGINT) AS doc_id,
+       row_number() OVER (ORDER BY occurrences DESC, ngram)::BIGINT AS rank,
+       ngram AS term, occurrences::DOUBLE AS value
+FROM __tn
+UNION ALL
+SELECT 'doc_keyword', doc_id, rank, term, tfidf FROM __kw
+"""
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023 shape): score every
+    raw doc by how much its hashed-bigram distribution looks like the
+    target slice (lang='en' stands in for the reference corpus) and
+    Gumbel-top-k resample 100 — sampling-without-replacement
+    proportional to the importance weights.
+
+    Fully oracle-checkable by construction: md5-derived buckets,
+    ln() over exact integers only, weights rounded to 6 decimals
+    BEFORE ranking, Gumbel noise from md5(seed:id) — DuckDB computes
+    the identical selection bit-for-bit. Scale: corpus shuffles once
+    (per-doc weight agg over a broadcast 4096-row ratio table);
+    the top-k is TakeOrderedAndProject (plan-pinned)."""
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir.dsir_select(docs, target, k=100, gumbel_seed="dsir0")
+
+
+def oracle_dsir_select() -> str:
+    return dsir.dsir_select_sql(
+        "documents",
+        "(SELECT * FROM documents WHERE lang='en') AS __tgt",
+        100,
+        gumbel_seed="dsir0",
+    )
 
 
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -981,12 +1079,10 @@ GENERIC = {
     "llm_span_dedup": (
         q_span_dedup, lambda: spans_mod.dedup_spans_sql("documents")
     ),
-    "llm_top_ngrams": (
-        q_top_ngrams, lambda: text.top_ngrams_sql("documents", n=2, k=100)
-    ),
-    "llm_keywords": (
-        q_keywords, lambda: text.keyword_extract_sql("documents", k=5)
-    ),
+    # round 6: llm_top_ngrams + llm_keywords merged (both halves stay
+    # hash-proven); the freed slot carries llm_dsir_select
+    "llm_ngram_stats": (q_ngram_stats, oracle_ngram_stats),
+    "llm_dsir_select": (q_dsir_select, oracle_dsir_select),
     "llm_temperature_mix": (q_temperature_mix, oracle_temperature_mix),
     "llm_exact_dedup": (q_exact_dedup, lambda: dedup.exact_dedup_sql("documents")),
     "llm_cosine_topk": (q_cosine_topk, oracle_cosine_topk),

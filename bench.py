@@ -55,8 +55,9 @@ HEADLINE = [
     "llm_embedding_near_dups",
     # round-5 operators
     "llm_span_dedup",
-    "llm_top_ngrams",
-    "llm_keywords",
+    # round 6: top_ngrams + keywords merged into one entry; dsir added
+    "llm_ngram_stats",
+    "llm_dsir_select",
     "llm_temperature_mix",
 ]
 

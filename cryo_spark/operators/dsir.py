@@ -80,16 +80,21 @@ def bucket_log_ratios(
     target_grams: DataFrame,
     raw_grams: DataFrame,
     n_buckets: int = DEFAULT_BUCKETS,
+    totals: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(bucket, log_ratio): add-one-smoothed ln p_target - ln p_raw.
 
     Built as integer count tables (partial aggs, B rows) full-outer
     merged; ln() only ever sees exact integers, so both engines feed
-    ln the same doubles. The result is <= B rows — broadcast it."""
+    ln the same doubles. The result is <= B rows — broadcast it.
+    ``totals=(tt, tr)`` lets callers that already counted the gram
+    streams skip the two count jobs here (each count re-runs the
+    tokenize+explode subtree — two full corpus passes otherwise)."""
     ct = target_grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
     cr = raw_grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tt = target_grams.count()
-    tr = raw_grams.count()
+    tt, tr = totals if totals is not None else (
+        target_grams.count(), raw_grams.count()
+    )
     merged = ct.join(cr, "bucket", "full_outer").select(
         "bucket",
         F.coalesce("ct", F.lit(0)).alias("ct"),
@@ -120,15 +125,43 @@ def dsir_weights(
     combine in the map task). Docs with grams in no target bucket
     still score (every bucket has a smoothed ratio via the left join's
     coalesce — an unseen bucket contributes the unseen-mass ratio)."""
+    import math
+
     raw_grams = gram_buckets(df, text_col, id_col, n, n_buckets)
     tgt_grams = gram_buckets(target, text_col, id_col, n, n_buckets)
-    ratios = bucket_log_ratios(tgt_grams, raw_grams, n_buckets)
-    unseen = (
-        -F.log(F.lit(float(tgt_grams.count() + n_buckets)))
-        + F.log(F.lit(float(raw_grams.count() + n_buckets)))
+    # the count tables are bounded at B rows (constant, default 4096)
+    # — collect them and build the ratio table driver-side. One corpus
+    # pass per gram stream instead of four (separate count() jobs for
+    # the totals re-run the tokenize+explode subtree; here the totals
+    # fall out of the same aggregation), and the scoring join's build
+    # side becomes a literal local frame. math.log feeds on the same
+    # exact integers either engine's ln sees (last-ulp drift is
+    # absorbed by the round-to-6 guard, as everywhere in this module).
+    ct = {
+        r.bucket: r.c
+        for r in tgt_grams.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    cr = {
+        r.bucket: r.c
+        for r in raw_grams.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    tt, tr = sum(ct.values()), sum(cr.values())
+    off = math.log(tr + n_buckets) - math.log(tt + n_buckets)
+    ratios = df.sparkSession.createDataFrame(
+        [
+            (b, math.log(ct.get(b, 0) + 1) - math.log(c + 1) + off)
+            for b, c in cr.items()
+        ],
+        "bucket long, log_ratio double",
     )
-    joined = raw_grams.join(F.broadcast(ratios), "bucket", "left").select(
-        id_col, F.coalesce("log_ratio", unseen).alias("lr")
+    # every raw bucket is present in `ratios` by construction — the
+    # inner join drops nothing
+    joined = raw_grams.join(F.broadcast(ratios), "bucket").select(
+        id_col, F.col("log_ratio").alias("lr")
     )
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),

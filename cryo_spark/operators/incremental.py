@@ -98,9 +98,16 @@ def signature_pairs(
     bands: int = 4,
     id_col: str = "doc_id",
     min_est: float = 0.0,
+    with_est: bool = True,
 ) -> DataFrame:
     """All candidate pairs within one index (id_a < id_b) with their
-    signature-estimated Jaccard — the from-scratch batch run."""
+    signature-estimated Jaccard — the from-scratch batch run.
+
+    ``with_est=False`` returns the bare (id_a, id_b) candidate list
+    and skips the two signature-attach joins — the shape callers want
+    when a downstream exact verify supersedes the estimate (an inner
+    join cannot be pruned by Catalyst, so opting out must be
+    explicit)."""
     b = _band_rows(index, bands, id_col)
     a, bb = b.alias("a"), b.alias("b")
     cand = (
@@ -116,6 +123,8 @@ def signature_pairs(
         )
         .distinct()
     )
+    if not with_est:
+        return cand
     return _estimate(cand, index, id_col, min_est)
 
 
@@ -125,6 +134,7 @@ def incremental_pairs(
     bands: int = 4,
     id_col: str = "doc_id",
     min_est: float = 0.0,
+    with_est: bool = True,
 ) -> DataFrame:
     """Candidate pairs ADDED by the new batch: new-vs-base plus
     new-vs-new (id_a < id_b throughout; base-vs-base pairs were
@@ -147,6 +157,8 @@ def incremental_pairs(
         )
         .distinct()
     )
+    if not with_est:
+        return cand
     index = base_index.unionByName(new_index)
     return _estimate(cand, index, id_col, min_est)
 

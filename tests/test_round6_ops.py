@@ -195,6 +195,21 @@ def test_est_jaccard_bounds_and_identity(spark):
     assert all(0.0 <= r.est_jaccard <= 1.0 for r in pairs)
 
 
+def test_with_est_false_returns_same_candidates(spark):
+    """The bare-candidate fast path (used by the contract entry,
+    where an exact verify supersedes the estimate) must agree with
+    the estimating path on the pair set."""
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    bi = incremental.minhash_index(base)
+    ni = incremental.minhash_index(new)
+    bare = incremental.incremental_pairs(bi, ni, with_est=False)
+    assert bare.columns == ["id_a", "id_b"]
+    est = incremental.incremental_pairs(bi, ni)[["id_a", "id_b"]]
+    assert _canon(bare.toPandas()).equals(_canon(est.toPandas()))
+
+
 def test_incremental_empty_delta(spark):
     docs = _docs(spark)
     bi = incremental.minhash_index(docs)
