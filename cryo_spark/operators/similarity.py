@@ -424,3 +424,45 @@ def ivfpq_topk(
     probe = [int(i) for i in np.argsort(-(cent @ qn))[:n_probe]]
     pruned = codes_df.filter(F.col("list_id").isin(probe))
     return pq_topk(pruned, codebooks, query, k, id_col=id_col)
+
+
+def project_embeddings(
+    df: DataFrame,
+    out_dim: int = 16,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+    orthonormal: bool = True,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` — the
+    third compression axis of the vector tier (IVF prunes rows, PQ
+    compresses bytes, projection shrinks the dimension every stage
+    pays for). Distances are preserved within (1 ± eps) with
+    eps ~ sqrt(8 ln n / out_dim), no training data needed — the right
+    pre-step before LSH bucketing or PQ on very high-dim embeddings.
+
+    The projection matrix derives from ``seed`` alone
+    (`numpy.default_rng`, bit-reproducible across platforms), QR-
+    orthonormalized by default so projected dot products track
+    original cosines up to one global scale. It rides to executors in
+    the UDF closure (out_dim x d doubles — KBs); the corpus pass is a
+    narrow Arrow-batched GEMM, no shuffle: scale-out is linear
+    exactly like `classifier.score_quality`.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((dim, out_dim))
+    if orthonormal:
+        if out_dim > dim:
+            raise ValueError(f"out_dim {out_dim} > input dim {dim}")
+        mat, _ = np.linalg.qr(mat)
+    else:
+        mat = mat / np.sqrt(out_dim)
+
+    @F.pandas_udf("array<double>")
+    def proj(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy())
+        out = x @ mat
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, proj(F.col(vec_col)))

@@ -227,3 +227,48 @@ def streaming_exact_dedup(
             )
         return out.dropDuplicates(["content_key"]).drop("_event_time")
     return out.dropDuplicates(["content_key"])
+
+
+def streaming_ingest_clean(
+    stream: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    lang: str | None = "en",
+    redact: bool = True,
+    event_time_col: str | None = None,
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Ingest-side corpus cleaning: the stateless half of
+    `operators.corpus.clean_corpus` (quality floor, language gate,
+    in-place PII redaction) fused IN FRONT of the watermark-bounded
+    exact-dedup — documents are filtered and scrubbed the moment they
+    arrive instead of landing raw and waiting for a batch pass.
+
+    Operator order is the scale design: the filters are narrow
+    stateless projections, so they shrink the stream BEFORE the
+    stateful dedup — the dedup state store only ever holds keys of
+    documents that survived, and (with ``event_time_col``) only
+    within the ``horizon``. Emits the arrival row plus
+    (quality_score, lang_guess, content_key); the same call cleans a
+    batch DataFrame identically (unified semantics — pinned by the
+    stream/batch equivalence test).
+    """
+    from cryo_spark.operators import text as text_ops
+
+    q = F.round(text_ops.quality_score_expr(text_col), 6)
+    best = text_ops.lang_best_expr(text_col)
+    out = stream.withColumn("quality_score", q).withColumn(
+        "lang_guess", best["lang"]
+    )
+    out = out.filter(F.col("quality_score") >= min_quality)
+    if lang is not None:
+        out = out.filter(F.col("lang_guess") == lang)
+    if redact:
+        # in-place expression, not redact_pii's frame: a stream can't
+        # join back to itself, and one subtree evaluation is the
+        # point (see text.redact_text_expr)
+        out = out.withColumn(text_col, text_ops.redact_text_expr(text_col))
+    return streaming_exact_dedup(
+        out, text_col=text_col, event_time_col=event_time_col,
+        horizon=horizon,
+    )

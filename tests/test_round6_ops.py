@@ -279,3 +279,63 @@ def test_auc_known_values(spark):
         "label double, quality_prob double",
     )
     assert classifier.auc(inverted) == 0.0
+
+
+# ------------------------------------------------- random projection
+
+
+def test_project_embeddings_matches_numpy(spark):
+    import numpy as np
+
+    from cryo_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = similarity.project_embeddings(emb, out_dim=8, seed=3).select(
+        "vec_id", "embedding", "projected"
+    ).toPandas()
+    dim = len(out.embedding.iloc[0])
+    rng = np.random.default_rng(3)
+    mat, _ = np.linalg.qr(rng.standard_normal((dim, 8)))
+    want = np.stack(out.embedding.map(np.asarray).to_numpy()) @ mat
+    got = np.stack(out.projected.map(np.asarray).to_numpy())
+    assert float(np.abs(want - got).max()) < 1e-12
+
+
+def test_project_embeddings_preserves_distances(spark):
+    """JL property: pairwise distances survive an orthonormal
+    projection to a reasonable dimension within loose relative
+    error (sanity bound, not a tight JL constant)."""
+    import numpy as np
+
+    from cryo_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
+    out = similarity.project_embeddings(emb, out_dim=32, seed=5).select(
+        "embedding", "projected"
+    ).toPandas()
+    x = np.stack(out.embedding.map(np.asarray).to_numpy())
+    y = np.stack(out.projected.map(np.asarray).to_numpy())
+    dx = np.linalg.norm(x[:, None, :] - x[None, :, :], axis=2)
+    dy = np.linalg.norm(y[:, None, :] - y[None, :, :], axis=2)
+    iu = np.triu_indices(len(x), k=1)
+    ratio = dy[iu] / np.where(dx[iu] == 0, 1, dx[iu])
+    assert 0.4 < ratio.mean() < 1.1
+    assert ratio.max() <= 1.0 + 1e-9  # orthonormal: never expands
+
+
+def test_project_embeddings_deterministic_and_bounds(spark):
+    from cryo_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(10)
+    a = similarity.project_embeddings(emb, out_dim=4, seed=9).select(
+        "vec_id", "projected"
+    ).collect()
+    b = similarity.project_embeddings(emb, out_dim=4, seed=9).select(
+        "vec_id", "projected"
+    ).collect()
+    assert {r.vec_id: r.projected for r in a} == {
+        r.vec_id: r.projected for r in b
+    }
+    with pytest.raises(ValueError):
+        dim = len(emb.select("embedding").first()[0])
+        similarity.project_embeddings(emb, out_dim=dim + 1).collect()

@@ -317,3 +317,87 @@ def test_sessionize_streaming_subset_of_batch(spark, tmp_path):
     assert got <= batch
     # only sessions still open at the final watermark may be withheld
     assert len(batch) - len(got) < 50
+
+
+def test_streaming_ingest_clean_filters_redacts_dedups(spark, tmp_path):
+    """Composed ingest clean: quality floor and language gate drop
+    junk BEFORE the stateful dedup, PII is scrubbed in place, and a
+    cross-micro-batch duplicate of a surviving doc is dropped by the
+    engine's dedup state. The same call on a batch frame yields the
+    same survivor key set (unified semantics)."""
+    from datetime import datetime
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs to the "
+        "old barn in the field that was green for miles with tall "
+        "grass and the wind was soft in the morning light"
+    )
+    spam = "z$$ ### !!! 0101010 %%% ___ @@@ &&& *** ((( ))) ### $$$ !!!"
+    french = (
+        "le chat est dans la maison et les oiseaux dans le jardin pour "
+        "une belle journee que nous aimons dans la ville les arbres et "
+        "des fleurs pour le matin est dans que pour une les des"
+    )
+    pii = (
+        "contact the admin and the office of the mayor to send mail in "
+        "the city that was founded for everyone with help was "
+        "admin@example.com and the office line in the town is "
+        "555-123-4567 for the people that call"
+    )
+    schema = "doc_id long, text string, ts timestamp"
+    first = [(1, good, "2024-01-01 00:00:00"),
+             (2, spam, "2024-01-01 00:01:00"),
+             (3, french, "2024-01-01 00:02:00")]
+    later = [(4, pii, "2024-01-01 00:03:00"),
+             (5, good.upper(), "2024-01-01 00:04:00")]  # dup of 1
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+
+    def _drop(rows):
+        spark.createDataFrame(
+            [(i, t, datetime.fromisoformat(ts)) for i, t, ts in rows],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    _drop(first)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming.streaming_ingest_clean(
+        stream, event_time_col="ts", horizon="1 hour"
+    )
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = out.writeStream.format("parquet").option(
+            "path", sink
+        ).option("checkpointLocation", ckpt).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(120)
+
+    run()
+    _drop(later)
+    run()
+
+    got = {r.doc_id: r for r in spark.read.parquet(sink).collect()}
+    assert set(got) == {1, 4}  # spam/lang dropped, cross-batch dup dropped
+    assert "admin@example.com" not in got[4].text
+    assert "555-123-4567" not in got[4].text
+    assert got[1].lang_guess == "en" and got[1].quality_score >= 0.5
+
+    batch = spark.createDataFrame(
+        [
+            (i, t, datetime.fromisoformat(ts))
+            for i, t, ts in first + later
+        ],
+        schema,
+    )
+    batch_out = streaming.streaming_ingest_clean(
+        batch, event_time_col="ts", horizon="1 hour"
+    )
+    assert {r.content_key for r in batch_out.collect()} == {
+        r.content_key for r in got.values()
+    }
