@@ -601,14 +601,26 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = similarity.bucketed_ann(emb, query, k=10).withColumn(
         "method", F.lit("lsh")
     )
+    # round 6: the coarse quantizer is shared — centroids train once
+    # and the assignment frame feeds both IVF (raw-vector rescoring)
+    # and IVF-PQ (code encoding), the production one-index-many-tiers
+    # shape (previously each method retrained its own k-means)
+    cents = similarity.train_centroids(emb, n_centroids=16)
+    assigned = similarity.ivf_assign(emb, cents)
     ivf = similarity.ivf_topk(
-        emb, query, k=10, n_centroids=16, n_probe=4
+        emb, query, k=10, n_centroids=16, n_probe=4,
+        assigned=assigned, centroids=cents,
     ).withColumn("method", F.lit("ivf"))
     # round 5: the IVF-PQ tier joins the entry (scores are ADC
     # distances, not cosines — normalize the schema to the shared
     # (vec_id, score, method) shape)
+    books = similarity.pq_train(emb)
+    codes = similarity.pq_encode(assigned, books)
     ivfpq = (
-        similarity.ivfpq_topk(emb, query, k=10, n_probe=8)
+        similarity.ivfpq_topk(
+            emb, query, k=10, n_probe=8,
+            centroids=cents, codebooks=books, codes_df=codes,
+        )
         .select(
             "vec_id", F.col("adc_dist").alias("score"),
             F.lit("ivfpq").alias("method"),

@@ -98,3 +98,95 @@ SELECT d.doc_id,
 FROM {table} d LEFT JOIN hits h ON h.doc_id = d.doc_id
 WHERE {train_pred.replace('doc_id', 'd.doc_id')}
 """
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    min_est: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate decontamination: flag training docs whose
+    MinHash signature collides with any eval doc in an LSH band and
+    whose signature-estimated Jaccard clears ``min_est`` — catching
+    paraphrased/reformatted benchmark leakage the exact n-gram
+    overlap of :func:`ngram_decontaminate` misses (the fuzzy pass the
+    Llama/GPT-4 reports describe alongside exact overlap).
+
+    Built on `operators.incremental`: the eval set is indexed once
+    (benchmark-sized — thousands of docs, k longs each) and the
+    corpus side is a delta-vs-index band join, so corpus text is
+    scanned once for signatures and never joined against eval text.
+    Returns (id, max_est_jaccard, contaminated_by, contaminated) for
+    every training doc, one row each.
+    """
+    from cryo_spark.operators.incremental import (
+        _band_rows,
+        est_jaccard,
+        minhash_index,
+    )
+
+    eval_idx = minhash_index(
+        eval_docs.select(
+            # offset eval ids into their own namespace so a shared id
+            # value can never self-pair with a corpus doc
+            (-F.col(id_col) - 1).alias(id_col), text_col
+        ),
+        text_col, k, n, id_col,
+    )
+    doc_idx = minhash_index(docs, text_col, k, n, id_col)
+    eb = _band_rows(eval_idx, bands, id_col)
+    db = _band_rows(doc_idx, bands, id_col)
+    cand = (
+        db.alias("d")
+        .join(
+            F.broadcast(eb.alias("e")),
+            (F.col("d.band_id") == F.col("e.band_id"))
+            & (F.col("d.band_hash") == F.col("e.band_hash")),
+        )
+        .select(
+            F.col(f"d.{id_col}").alias("__did"),
+            F.col(f"e.{id_col}").alias("__eid"),
+        )
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            doc_idx.select(F.col(id_col).alias("__did"), F.col("sig").alias("sig_d")),
+            "__did",
+        )
+        .join(
+            F.broadcast(
+                eval_idx.select(
+                    F.col(id_col).alias("__eid"), F.col("sig").alias("sig_e")
+                )
+            ),
+            "__eid",
+        )
+        .select(
+            "__did",
+            "__eid",
+            est_jaccard(F.col("sig_d"), F.col("sig_e")).alias("est"),
+        )
+        .filter(F.col("est") >= min_est)
+        .groupBy("__did")
+        .agg(
+            F.max("est").alias("max_est_jaccard"),
+            # recover the original eval id from the offset namespace
+            F.max(-F.col("__eid") - 1).alias("contaminated_by"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored.withColumnRenamed("__did", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("max_est_jaccard", F.lit(0.0)).alias("max_est_jaccard"),
+            F.col("contaminated_by").cast("long"),
+            (F.col("max_est_jaccard").isNotNull()).alias("contaminated"),
+        )
+    )

@@ -182,3 +182,44 @@ def _estimate(
     if min_est > 0.0:
         out = out.filter(F.col("est_jaccard") >= min_est)
     return out
+
+
+def delta_duplicates(
+    pairs: DataFrame, new_index: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One-column frame of NEW-batch ids to drop, from
+    :func:`incremental_pairs` output — under ARRIVAL-priority keeper
+    semantics: an indexed (already-shipped) doc always wins a cross
+    pair even when its id is larger, because retroactively evicting
+    shipped data is not an option; within the new batch the smaller
+    id wins (the batch-window convention). Applying this rule to the
+    incremental pair stream provably reproduces a from-scratch run
+    under the same arrival ranking (pair sets are identical — pinned
+    by the daily-ingest workflow test)."""
+    nids = new_index.select(F.col(id_col).alias("__nid")).distinct()
+    marked = (
+        pairs.join(
+            nids.withColumnRenamed("__nid", "id_a").withColumn(
+                "__a_new", F.lit(True)
+            ),
+            "id_a",
+            "left",
+        )
+        .join(
+            nids.withColumnRenamed("__nid", "id_b").withColumn(
+                "__b_new", F.lit(True)
+            ),
+            "id_b",
+            "left",
+        )
+    )
+    dup = (
+        F.when(
+            F.coalesce("__a_new", F.lit(False))
+            & F.coalesce("__b_new", F.lit(False)),
+            F.greatest("id_a", "id_b"),
+        )
+        .when(F.coalesce("__a_new", F.lit(False)), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+    )
+    return marked.select(dup.alias(id_col)).distinct()

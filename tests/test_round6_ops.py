@@ -339,3 +339,118 @@ def test_project_embeddings_deterministic_and_bounds(spark):
     with pytest.raises(ValueError):
         dim = len(emb.select("embedding").first()[0])
         similarity.project_embeddings(emb, out_dim=dim + 1).collect()
+
+
+# ---------------------------------------------------- fuzzy decontam
+
+
+def test_fuzzy_decontaminate_flags_near_copies(spark):
+    from cryo_spark.operators import decontam
+
+    eval_text = (
+        "which of the following best describes the process by which "
+        "plants convert sunlight water and carbon dioxide into "
+        "glucose and oxygen during the light dependent reactions"
+    )
+    near_copy = eval_text.replace("glucose", "sugar")  # paraphrased leak
+    clean = (
+        "the quarterly report shows revenue growth across all "
+        "regions with particular strength in the northern markets "
+        "and steady margins through the fiscal year"
+    )
+    docs = spark.createDataFrame(
+        [(1, near_copy), (2, clean), (3, eval_text)],  # 3 = verbatim leak
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(1, eval_text)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in decontam.fuzzy_decontaminate(docs, eval_docs).collect()
+    }
+    assert len(out) == 3  # one row per training doc
+    assert out[3].contaminated and out[3].max_est_jaccard == 1.0
+    assert out[3].contaminated_by == 1
+    assert out[1].contaminated and out[1].max_est_jaccard >= 0.5
+    assert not out[2].contaminated and out[2].max_est_jaccard == 0.0
+
+
+def test_fuzzy_decontaminate_shared_ids_never_self_pair(spark):
+    """A corpus doc and an eval doc sharing the same id value must
+    still pair (the eval namespace is offset, not collided)."""
+    from cryo_spark.operators import decontam
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    eval_docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    out = decontam.fuzzy_decontaminate(docs, eval_docs).collect()[0]
+    assert out.contaminated and out.contaminated_by == 7
+
+
+# ------------------------------------------------ daily-ingest workflow
+
+
+def test_daily_ingest_index_workflow(spark, tmp_path):
+    """The 100 TB operating loop end-to-end at toy scale: day 1 lands
+    a corpus, builds + persists the signature index, and dedups
+    within itself; day 2 dedups its batch against the LOADED index
+    (base text untouched), appends to the index, and the two-day
+    survivor set equals a from-scratch run over everything; DSIR then
+    selects from the deduped pool deterministically."""
+    docs = _docs(spark)
+    day1 = docs.filter(F.col("doc_id") % 2 == 0)
+    day2 = docs.filter(F.col("doc_id") % 2 == 1)
+    idx_path = str(tmp_path / "index")
+
+    # --- day 1
+    idx1 = incremental.minhash_index(day1)
+    idx1.write.parquet(idx_path)
+    dup1 = {
+        r.id_b
+        for r in incremental.signature_pairs(
+            spark.read.parquet(idx_path), min_est=0.9
+        ).collect()
+    }
+
+    # --- day 2: only the delta is signed; the index is read back
+    loaded = spark.read.parquet(idx_path)
+    idx2 = incremental.minhash_index(day2)
+    pairs2 = incremental.incremental_pairs(loaded, idx2, min_est=0.9)
+    # arrival-priority keepers: a day-1 doc is already shipped, so in
+    # a cross-day pair the DAY-2 side is always the duplicate (even
+    # when its id is smaller); within day 2, smaller id wins
+    dup2 = {
+        r.doc_id
+        for r in incremental.delta_duplicates(pairs2, idx2).collect()
+    }
+    idx2.write.mode("append").parquet(idx_path)
+
+    # --- equivalence with a from-scratch run over both days under
+    # the same arrival-priority keeper rule (pair sets are identical
+    # by the incremental==batch theorem, so the dup sets must match)
+    def keeper_rank(i):
+        return (0 if i % 2 == 0 else 1, i)  # (day, id)
+
+    full_dups = set()
+    for r in incremental.signature_pairs(
+        spark.read.parquet(idx_path), min_est=0.9
+    ).collect():
+        full_dups.add(
+            max(r.id_a, r.id_b, key=keeper_rank)
+        )
+    assert dup1 | dup2 == full_dups
+
+    # --- select training docs from the deduped pool
+    survivors = docs.join(
+        spark.createDataFrame(
+            [(i,) for i in sorted(full_dups)] or [(-1,)], "doc_id long"
+        ),
+        "doc_id",
+        "left_anti",
+    )
+    target = docs.filter(F.col("lang") == "en")
+    sel = dsir.dsir_select(survivors, target, k=20, gumbel_seed="d")
+    got = sel.collect()
+    assert len(got) == 20
+    assert not {r.doc_id for r in got} & full_dups
