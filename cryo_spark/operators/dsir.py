@@ -130,25 +130,22 @@ def dsir_weights(
     raw_grams = gram_buckets(df, text_col, id_col, n, n_buckets)
     tgt_grams = gram_buckets(target, text_col, id_col, n, n_buckets)
     # the count tables are bounded at B rows (constant, default 4096)
-    # — collect them and build the ratio table driver-side. One corpus
-    # pass per gram stream instead of four (separate count() jobs for
-    # the totals re-run the tokenize+explode subtree; here the totals
-    # fall out of the same aggregation), and the scoring join's build
-    # side becomes a literal local frame. math.log feeds on the same
-    # exact integers either engine's ln sees (last-ulp drift is
-    # absorbed by the round-to-6 guard, as everywhere in this module).
-    ct = {
-        r.bucket: r.c
-        for r in tgt_grams.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    cr = {
-        r.bucket: r.c
-        for r in raw_grams.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
+    # — collect them and build the ratio table driver-side. BOTH
+    # streams aggregate in ONE side-tagged job (one driver round-trip;
+    # separate count() jobs for the totals would re-run the
+    # tokenize+explode subtree four more times — the totals fall out
+    # of the same aggregation), and the scoring join's build side
+    # becomes a literal local frame. math.log feeds on the same exact
+    # integers either engine's ln sees (last-ulp drift is absorbed by
+    # the round-to-6 guard, as everywhere in this module).
+    both = tgt_grams.select(F.lit(0).alias("side"), "bucket").unionByName(
+        raw_grams.select(F.lit(1).alias("side"), "bucket")
+    )
+    ct, cr = {}, {}
+    for r in (
+        both.groupBy("side", "bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+    ):
+        (ct if r.side == 0 else cr)[r.bucket] = r.c
     tt, tr = sum(ct.values()), sum(cr.values())
     off = math.log(tr + n_buckets) - math.log(tt + n_buckets)
     ratios = df.sparkSession.createDataFrame(
