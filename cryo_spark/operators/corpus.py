@@ -86,6 +86,8 @@ def prepare_training_corpus(
     seed: str = "corpus0",
     near_dup: bool = False,
     min_jaccard: float = 0.5,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
 ) -> DataFrame:
     """The WHOLE preparation pipeline, composed from the per-stage
     operators: quality/language filter + exact dedup (stage 1, one
@@ -149,6 +151,17 @@ def prepare_training_corpus(
         text.redact_text_expr("text").alias("text"),
         "source", "n_spans", "n_kept",
     )
+    if dsir_target is not None and dsir_k:
+        # stage 3b (optional): DSIR importance resampling toward a
+        # target corpus — runs on the REDACTED text so placeholder
+        # tokens cannot differ between engines; Gumbel-top-k keyed on
+        # the pipeline seed (oracle-exact like every other stage)
+        from cryo_spark.operators import dsir as dsir_mod
+
+        sel = dsir_mod.dsir_select(
+            out, dsir_target, k=dsir_k, gumbel_seed=f"{seed}-dsir"
+        )
+        out = out.join(sel.select("doc_id"), "doc_id")
     if budget is not None:
         out = sampling.temperature_mix(
             out, budget, alpha, strata_col="source", seed=f"{seed}-mix"
@@ -167,6 +180,8 @@ def prepare_training_corpus_sql(
     seed: str = "corpus0",
     near_dup: bool = False,
     min_jaccard: float = 0.5,
+    dsir_target_table: str | None = None,
+    dsir_k: int | None = None,
 ) -> str:
     """DuckDB oracle: the identical stage chain as CTEs over the
     per-stage oracle builders (WITH RECURSIVE when the near-dup
@@ -201,6 +216,20 @@ edges AS (
         with_kw, sd_inner, nd_ctes = "WITH", "sd", ""
     red = text.redact_pii_sql("sd", text_col)
     mix_src = "merged"
+    dsir_ctes = ""
+    if dsir_target_table is not None and dsir_k:
+        from cryo_spark.operators import dsir as dsir_mod
+
+        inner = dsir_mod.dsir_select_sql(
+            "merged", dsir_target_table, dsir_k,
+            gumbel_seed=f"{seed}-dsir",
+        )
+        dsir_ctes = (
+            ", targeted AS (\n  SELECT m.* FROM merged m JOIN ("
+            + inner
+            + ") __dsel USING (doc_id)\n)"
+        )
+        mix_src = "targeted"
     mixed = (
         sampling.temperature_mix_sql(
             mix_src, budget, alpha, strata_col="source", seed=f"{seed}-mix"
@@ -228,6 +257,6 @@ merged AS (
   SELECT sd.doc_id, red.redacted_text AS text, sd.source,
          sd.n_spans, sd.n_kept
   FROM sd JOIN red USING (doc_id)
-), mixed AS ({mixed})
+){dsir_ctes}, mixed AS ({mixed})
 {split}
 """

@@ -454,3 +454,85 @@ def test_daily_ingest_index_workflow(spark, tmp_path):
     got = sel.collect()
     assert len(got) == 20
     assert not {r.doc_id for r in got} & full_dups
+
+
+# -------------------------------------------- pipeline DSIR stage
+
+
+def test_pipeline_dsir_stage_oracle(spark):
+    """prepare_training_corpus with the optional DSIR targeting stage
+    stays a bit-exact CTE-chain differential (the stage runs on the
+    redacted text, between redaction and mixing)."""
+    from cryo_spark.operators.corpus import (
+        prepare_training_corpus,
+        prepare_training_corpus_sql,
+    )
+
+    docs = _docs(spark)
+    target = docs.filter(F.col("source") == "src0")
+    out = prepare_training_corpus(docs, dsir_target=target, dsir_k=30)
+    got = _canon(out.toPandas())
+    con = _oracle_con()
+    want = con.sql(
+        prepare_training_corpus_sql(
+            "documents",
+            dsir_target_table=(
+                "(SELECT * FROM documents WHERE source='src0') AS __t0"
+            ),
+            dsir_k=30,
+        )
+    ).df()
+    con.close()
+    assert len(got) == 30
+    assert got.equals(_canon(want))
+
+
+def test_pipeline_dsir_stage_composes_with_budget(spark):
+    """DSIR targeting then temperature mixing: the mix draws only
+    from the DSIR-selected pool and the budget binds."""
+    from cryo_spark.operators.corpus import prepare_training_corpus
+
+    docs = _docs(spark)
+    target = docs.filter(F.col("source") == "src0")
+    pool = prepare_training_corpus(docs, dsir_target=target, dsir_k=40)
+    mixed = prepare_training_corpus(
+        docs, dsir_target=target, dsir_k=40, budget=20
+    )
+    pool_ids = {r.doc_id for r in pool.select("doc_id").collect()}
+    mixed_rows = mixed.collect()
+    n_sources = pool.select("source").distinct().count()
+    # temperature_mix budgets are approximate: per-source quotas
+    # round up, so the draw can exceed the budget by < #sources
+    assert 0 < len(mixed_rows) <= 20 + n_sources
+    assert {r.doc_id for r in mixed_rows} <= pool_ids
+
+
+# ------------------------------------------- partition-invariance pins
+
+
+def test_round6_ops_invariant_under_repartitioning(spark):
+    """DSIR selection and incremental candidate pairs give identical
+    results on a 1-partition and a 17-partition copy of the input —
+    the 'stable on any cluster layout' claim, pinned."""
+    docs = _docs(spark)
+    one = docs.coalesce(1)
+    many = docs.repartition(17)
+
+    target = lambda d: d.filter(F.col("lang") == "en")  # noqa: E731
+    sel = lambda d: sorted(  # noqa: E731
+        (r.doc_id, r.rank)
+        for r in dsir.dsir_select(
+            d, target(d), k=25, gumbel_seed="inv"
+        ).collect()
+    )
+    assert sel(one) == sel(many)
+
+    def pairs(d):
+        base = incremental.minhash_index(d.filter(F.col("doc_id") % 2 == 0))
+        new = incremental.minhash_index(d.filter(F.col("doc_id") % 2 == 1))
+        return sorted(
+            (r.id_a, r.id_b, r.est_jaccard)
+            for r in incremental.incremental_pairs(base, new).collect()
+        )
+
+    assert pairs(one) == pairs(many)
