@@ -61,18 +61,33 @@ def minhash_index(
 
 def _band_rows(index: DataFrame, bands: int, id_col: str = "doc_id") -> DataFrame:
     """(id, band_id, band_hash) derived from the sig array — a narrow
-    projection, so the persisted index stays k longs per doc."""
+    projection, so the persisted index stays k longs per doc.
+
+    ``bands`` must divide the signature length k: the per-row slice
+    arithmetic would otherwise split bands inconsistently (the direct
+    LSH path silently truncates to k//bands instead — neither
+    behavior is what a caller wants, so this path raises; the guard
+    rides inside the band_hash expression so column pruning cannot
+    drop it)."""
     r = F.size("sig") / bands
+    ok = F.size("sig") % bands == 0
+
+    def _hash(b: int):
+        h = F.xxhash64(
+            F.slice("sig", (F.lit(b) * r + 1).cast("int"), r.cast("int")),
+            F.lit(b),
+        )
+        return F.when(ok, h).otherwise(
+            F.raise_error(
+                F.lit(f"bands={bands} must divide the signature length")
+            ).cast("bigint")
+        )
+
     bandstructs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    F.slice(
-                        "sig", (F.lit(b) * r + 1).cast("int"), r.cast("int")
-                    ),
-                    F.lit(b),
-                ).alias("band_hash"),
+                _hash(b).alias("band_hash"),
             )
             for b in range(bands)
         ]

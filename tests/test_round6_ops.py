@@ -536,3 +536,10 @@ def test_round6_ops_invariant_under_repartitioning(spark):
         )
 
     assert pairs(one) == pairs(many)
+
+
+def test_band_rows_rejects_non_divisible_bands(spark):
+    docs = _docs(spark).limit(10)
+    idx = incremental.minhash_index(docs)  # k=16
+    with pytest.raises(Exception, match="must divide"):
+        incremental.signature_pairs(idx, bands=5).count()
