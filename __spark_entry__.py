@@ -606,7 +606,9 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and IVF-PQ (code encoding), the production one-index-many-tiers
     # shape (previously each method retrained its own k-means)
     cents = similarity.train_centroids(emb, n_centroids=16)
-    assigned = similarity.ivf_assign(emb, cents)
+    # spread() as the inline ivf_topk path did — a one-file parquet
+    # would otherwise run the pandas-UDF GEMM single-threaded
+    assigned = similarity.ivf_assign(similarity.spread(emb), cents)
     ivf = similarity.ivf_topk(
         emb, query, k=10, n_centroids=16, n_probe=4,
         assigned=assigned, centroids=cents,
@@ -709,13 +711,14 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhaustive oracle now proves the index/delta machinery end-to-end
     at no extra cost (still one signature pass over the corpus)."""
     docs = _read(spark, sf_dir, "documents")
-    # ONE signature pass over the corpus, persisted: the index frame
-    # is k longs per doc (0.1% of corpus bytes — exactly what a real
-    # deployment materializes as parquet) and is consumed three times
-    # below (base pairs, delta join's both sides). Released by the
-    # same rotation that frees candidate-pair frames.
-    full_idx = incremental.minhash_index(docs).persist()
-    dedup._VERIFY_CACHE.append(full_idx)
+    # the index frame is consumed three times below (base pairs, the
+    # delta join's both sides) and deliberately NOT persisted: at this
+    # scale the recompute ties the cache round-trip (measured 2.62s
+    # un-persisted vs 2.77s persisted at sf0.1), and piggybacking on
+    # dedup's verify-cache rotation would evict frames it protects. A
+    # real deployment materializes the index as parquet (the
+    # daily-ingest workflow test drives exactly that path).
+    full_idx = incremental.minhash_index(docs)
     base_idx = full_idx.filter(F.col("doc_id") % 2 == 0)
     new_idx = full_idx.filter(F.col("doc_id") % 2 == 1)
     # with_est=False: the exact-Jaccard verify below supersedes the

@@ -106,7 +106,14 @@ def auc(
     corpus; used by tests and the in-entry contract gate."""
     from pyspark.sql import Window
 
-    r = F.row_number().over(Window.orderBy(score_col, label_col))
+    # AVERAGE ranks for tied scores (rank() gives the group minimum;
+    # adding (ties-1)/2 centers it) — with row_number a tie-break on
+    # the label would maximally inflate AUC: a constant-score model
+    # would score 1.0 instead of the correct 0.5, defeating the gate
+    r = (
+        F.rank().over(Window.orderBy(score_col))
+        + (F.count(F.lit(1)).over(Window.partitionBy(score_col)) - 1) / 2.0
+    )
     ranked = scored.select(F.col(label_col).alias("__y"), r.alias("__r"))
     row = ranked.groupBy().agg(
         F.sum(F.when(F.col("__y") == 1, F.col("__r"))).alias("rp"),

@@ -176,8 +176,14 @@ def fuzzy_decontaminate(
         .groupBy("__did")
         .agg(
             F.max("est").alias("max_est_jaccard"),
-            # recover the original eval id from the offset namespace
-            F.max(-F.col("__eid") - 1).alias("contaminated_by"),
+            # the eval doc that PRODUCED the max estimate (not the max
+            # id among all matches — those can be different documents);
+            # ties on est break deterministically toward the smaller
+            # original eval id, then recover it from the offset space
+            (
+                -F.max_by("__eid", F.struct(F.col("est"), F.col("__eid")))
+                - 1
+            ).alias("contaminated_by"),
         )
     )
     return (

@@ -76,39 +76,6 @@ def gram_buckets(
     )
 
 
-def bucket_log_ratios(
-    target_grams: DataFrame,
-    raw_grams: DataFrame,
-    n_buckets: int = DEFAULT_BUCKETS,
-    totals: tuple[int, int] | None = None,
-) -> DataFrame:
-    """(bucket, log_ratio): add-one-smoothed ln p_target - ln p_raw.
-
-    Built as integer count tables (partial aggs, B rows) full-outer
-    merged; ln() only ever sees exact integers, so both engines feed
-    ln the same doubles. The result is <= B rows — broadcast it.
-    ``totals=(tt, tr)`` lets callers that already counted the gram
-    streams skip the two count jobs here (each count re-runs the
-    tokenize+explode subtree — two full corpus passes otherwise)."""
-    ct = target_grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
-    cr = raw_grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tt, tr = totals if totals is not None else (
-        target_grams.count(), raw_grams.count()
-    )
-    merged = ct.join(cr, "bucket", "full_outer").select(
-        "bucket",
-        F.coalesce("ct", F.lit(0)).alias("ct"),
-        F.coalesce("cr", F.lit(0)).alias("cr"),
-    )
-    lr = (
-        F.log(F.col("ct") + F.lit(1))
-        - F.log(F.lit(float(tt + n_buckets)))
-        - F.log(F.col("cr") + F.lit(1))
-        + F.log(F.lit(float(tr + n_buckets)))
-    )
-    return merged.select("bucket", lr.alias("log_ratio"))
-
-
 def dsir_weights(
     df: DataFrame,
     target: DataFrame,

@@ -158,7 +158,6 @@ def incremental_pairs(
     nb = _band_rows(new_index, bands, id_col)
     ub = _band_rows(base_index, bands, id_col).unionByName(nb)
     n, u = nb.alias("n"), ub.alias("u")
-    new_ids = new_index.select(F.col(id_col).alias("__nid"))
     cand = (
         n.join(
             u,

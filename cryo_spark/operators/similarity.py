@@ -433,6 +433,7 @@ def project_embeddings(
     vec_col: str = "embedding",
     out_col: str = "projected",
     orthonormal: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss random projection to ``out_dim`` — the
     third compression axis of the vector tier (IVF prunes rows, PQ
@@ -448,8 +449,18 @@ def project_embeddings(
     the UDF closure (out_dim x d doubles — KBs); the corpus pass is a
     narrow Arrow-batched GEMM, no shuffle: scale-out is linear
     exactly like `classifier.score_quality`.
+
+    Pass ``dim`` explicitly to skip the input-dimension probe (one
+    first() action) — required when the frame may be empty.
     """
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        row = df.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                "cannot infer the input dimension from an empty frame "
+                "or a null leading vector — pass dim= explicitly"
+            )
+        dim = len(row[0])
     rng = np.random.default_rng(seed)
     mat = rng.standard_normal((dim, out_dim))
     if orthonormal:

@@ -543,3 +543,14 @@ def test_band_rows_rejects_non_divisible_bands(spark):
     idx = incremental.minhash_index(docs)  # k=16
     with pytest.raises(Exception, match="must divide"):
         incremental.signature_pairs(idx, bands=5).count()
+
+
+def test_auc_ties_average_not_inflated(spark):
+    """A constant-score (learned-nothing) model must score AUC 0.5 —
+    row_number with a label tie-break would inflate it to 1.0 and
+    defeat the quality gate (review finding, round 6)."""
+    flat = spark.createDataFrame(
+        [(1.0, 0.5), (1.0, 0.5), (0.0, 0.5), (0.0, 0.5)],
+        "label double, quality_prob double",
+    )
+    assert classifier.auc(flat) == 0.5
