@@ -260,3 +260,56 @@ merged AS (
 ){dsir_ctes}, mixed AS ({mixed})
 {split}
 """
+
+
+def corpus_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One small frame of corpus health metrics — the summary a
+    pipeline prints before/after each preparation stage: overall doc
+    and token counts plus per-language and per-source breakdowns.
+
+    Returns (dimension, key, n_docs, n_tokens, avg_tokens) where
+    dimension is 'corpus' (key NULL), 'lang', or 'source'. Three
+    partial aggregations over one scan subtree, output rows bounded
+    by #langs + #sources + 1 — report cost is metadata-sized at any
+    corpus scale. Engine-exact (counts + integer sums + round), so
+    the test checks it against DuckDB bit-for-bit."""
+    toks = text.token_count(text_col)
+    base = spread(df).select(
+        F.col("lang"), F.col("source"), toks.alias("_t")
+    )
+
+    def agg(g, dim):
+        grouped = base.groupBy(*([g] if g else []))
+        return grouped.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+            F.round(F.avg("_t"), 4).alias("avg_tokens"),
+        ).select(
+            F.lit(dim).alias("dimension"),
+            (F.col(g) if g else F.lit(None).cast("string")).alias("key"),
+            "n_docs",
+            "n_tokens",
+            "avg_tokens",
+        )
+
+    return (
+        agg(None, "corpus")
+        .unionByName(agg("lang", "lang"))
+        .unionByName(agg("source", "source"))
+    )
+
+
+def corpus_report_sql(table: str, text_col: str = "text") -> str:
+    t = text.token_count_sql(text_col)
+    return f"""
+SELECT 'corpus' AS dimension, CAST(NULL AS VARCHAR) AS key,
+       count(*) AS n_docs, sum({t})::BIGINT AS n_tokens,
+       round(avg({t}), 4) AS avg_tokens
+FROM {table}
+UNION ALL
+SELECT 'lang', lang, count(*), sum({t})::BIGINT, round(avg({t}), 4)
+FROM {table} GROUP BY lang
+UNION ALL
+SELECT 'source', source, count(*), sum({t})::BIGINT, round(avg({t}), 4)
+FROM {table} GROUP BY source
+"""

@@ -89,13 +89,24 @@ def write_training_shards(
     split_col: str = "split",
     id_col: str = "doc_id",
     seed: str = "shard0",
+    fmt: str = "parquet",
 ) -> dict:
     """Write ``path/split=<s>/shard=<n>/*.parquet`` in one job and
     return {split: n_shards}. Directory partitioning means a trainer
     (or a resumed export) prunes to its split/shard at the DIRECTORY
-    level."""
+    level. ``fmt='jsonl'`` writes line-delimited JSON instead (same
+    layout, same single partitioned job) for loaders that stream
+    text rather than read columnar."""
     out = assign_shards(df, shard_tokens, token_col, split_col, id_col, seed)
-    out.write.partitionBy(split_col, "shard").mode("overwrite").parquet(path)
+    writer = out.write.partitionBy(split_col, "shard").mode("overwrite")
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "jsonl":
+        # trainers that stream text want line-delimited JSON; Spark's
+        # json sink IS jsonl (one object per line, .json extension)
+        writer.json(path)
+    else:
+        raise ValueError(f"unsupported shard format: {fmt!r}")
     rows = (
         out.groupBy(split_col)
         .agg(F.count_distinct("shard").alias("n"))
@@ -105,10 +116,15 @@ def write_training_shards(
 
 
 def read_training_shards(
-    spark: SparkSession, path: str, split: str | None = None
+    spark: SparkSession, path: str, split: str | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Partition-pruned read: with ``split`` set, only that split's
     directories are listed (PartitionFilters, no footer reads
     elsewhere)."""
-    df = spark.read.parquet(path)
+    df = (
+        spark.read.parquet(path)
+        if fmt == "parquet"
+        else spark.read.json(path)
+    )
     return df.filter(F.col("split") == split) if split else df

@@ -554,3 +554,73 @@ def test_auc_ties_average_not_inflated(spark):
         "label double, quality_prob double",
     )
     assert classifier.auc(flat) == 0.5
+
+
+# ------------------------------------------------ corpus I/O + report
+
+
+def test_corpus_report_matches_duckdb(spark):
+    from cryo_spark.operators.corpus import corpus_report, corpus_report_sql
+
+    got = _canon(corpus_report(_docs(spark)).toPandas())
+    con = _oracle_con()
+    want = _canon(con.sql(corpus_report_sql("documents")).df())
+    con.close()
+    assert got.equals(want)
+
+
+def test_read_documents_formats(spark, tmp_path):
+    import json
+    import os
+
+    from cryo_spark.sources.documents import read_documents
+
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text(
+        "\n".join(
+            json.dumps({"text": t}) for t in ["alpha beta", "gamma delta"]
+        )
+    )
+    txtdir = tmp_path / "txt"
+    os.makedirs(txtdir)
+    (txtdir / "a.txt").write_text("line one\nline two\n")
+
+    jdf = read_documents(spark, str(jl), fmt="jsonl")
+    assert set(jdf.columns) >= {"doc_id", "text"}
+    assert jdf.count() == 2
+    tdf = read_documents(spark, str(txtdir), fmt="text")
+    assert {r.text for r in tdf.collect()} == {"line one", "line two"}
+    wdf = read_documents(spark, str(txtdir), fmt="text", whole_files=True)
+    assert wdf.count() == 1 and "line two" in wdf.first().text
+
+    # deterministic ids: identical re-read yields identical ids
+    a = {r.doc_id for r in jdf.collect()}
+    b = {r.doc_id for r in read_documents(spark, str(jl), fmt="jsonl").collect()}
+    assert a == b and len(a) == 2
+
+    with pytest.raises(ValueError, match="unsupported"):
+        read_documents(spark, str(jl), fmt="xml")
+    with pytest.raises(ValueError, match="no 'text'"):
+        read_documents(spark, f"{SF_DIR}/embeddings.parquet")
+
+
+def test_jsonl_shard_roundtrip(spark, tmp_path):
+    from cryo_spark.operators import sampling
+    from cryo_spark.operators.shards import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    docs = sampling.split_assign(
+        _docs(spark).select(
+            "doc_id", "text", (F.col("n_chars") / 4).cast("long").alias("n_tokens")
+        )
+    )
+    path = str(tmp_path / "shards")
+    counts = write_training_shards(docs, path, shard_tokens=2000, fmt="jsonl")
+    assert counts and all(n >= 1 for n in counts.values())
+    back = read_training_shards(spark, path, fmt="jsonl")
+    assert back.count() == docs.count()
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
