@@ -237,3 +237,61 @@ def delta_duplicates(
         .otherwise(F.col("id_b"))
     )
     return marked.select(dup.alias(id_col)).distinct()
+
+
+def save_banded_index(
+    index: DataFrame,
+    table: str,
+    bands: int = 4,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the index as a BUCKETED band-row table — the layout
+    that makes the daily delta join reuse-shuffle-free on the base
+    side. Rows are (id, band_id, band_hash, sig), bucketed on
+    (band_id, band_hash): `incremental_pairs_from_table` then reads
+    each bucket co-located, so only the (day-sized) delta shuffles —
+    the corpus-sized index never moves again. The sig column rides
+    along so estimation needs no second table."""
+    from cryo_spark.operators import skew
+
+    rows = _band_rows(index, bands, id_col).join(index, id_col)
+    skew.write_bucketed(rows, table, ["band_id", "band_hash"], n_buckets)
+
+
+def incremental_pairs_from_table(
+    spark,
+    table: str,
+    new_index: DataFrame,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    min_est: float = 0.0,
+    with_est: bool = True,
+) -> DataFrame:
+    """`incremental_pairs` against a `save_banded_index` table: the
+    new-vs-base join consumes the base side straight from its buckets
+    (no Exchange above the base scan — plan-pinned by test); Spark
+    shuffles only the delta band rows into the bucket layout. Output
+    contract identical to `incremental_pairs`."""
+    base_band = spark.table(table)
+    nb = _band_rows(new_index, bands, id_col)
+    n, u = nb.alias("n"), base_band.alias("u")
+    cross = (
+        n.join(
+            u,
+            (F.col("n.band_id") == F.col("u.band_id"))
+            & (F.col("n.band_hash") == F.col("u.band_hash"))
+            & (F.col(f"n.{id_col}") != F.col(f"u.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"u.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"u.{id_col}")).alias("id_b"),
+        )
+    )
+    within = signature_pairs(new_index, bands, id_col, with_est=False)
+    cand = cross.unionByName(within).distinct()
+    if not with_est:
+        return cand
+    base_sigs = base_band.select(id_col, "sig").dropDuplicates([id_col])
+    index = base_sigs.unionByName(new_index.select(id_col, "sig"))
+    return _estimate(cand, index, id_col, min_est)

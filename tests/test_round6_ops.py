@@ -624,3 +624,52 @@ def test_jsonl_shard_roundtrip(spark, tmp_path):
     assert {r.doc_id for r in back.select("doc_id").collect()} == {
         r.doc_id for r in docs.select("doc_id").collect()
     }
+
+
+def test_banded_index_table_equivalence_and_base_no_shuffle(spark):
+    """The bucketed band-row table reproduces incremental_pairs
+    exactly, and the base side of the delta join is consumed straight
+    from its buckets — no Exchange above the bucketed scan (only the
+    delta side shuffles, which is the whole point)."""
+    import re
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    bi = incremental.minhash_index(base)
+    ni = incremental.minhash_index(new)
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        incremental.save_banded_index(bi, "b_mh_index", n_buckets=8)
+        # force SMJ — the big-big shape where bucketing matters
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        via_table = incremental.incremental_pairs_from_table(
+            spark, "b_mh_index", ni
+        )
+        direct = incremental.incremental_pairs(bi, ni)
+        assert _canon(via_table.toPandas()).equals(_canon(direct.toPandas()))
+
+        # plan pin: the bucketed scan is consumed in place
+        # ("Bucketed: true") and the join plans strictly fewer hash
+        # exchanges than the same join against an unbucketed base —
+        # the saved exchange IS the corpus-sized one
+        nb = incremental._band_rows(ni, 4)
+        cond = lambda u: (  # noqa: E731
+            (F.col("n.band_id") == F.col(f"{u}.band_id"))
+            & (F.col("n.band_hash") == F.col(f"{u}.band_hash"))
+        )
+        bucketed = nb.alias("n").join(
+            spark.table("b_mh_index").alias("u"), cond("u")
+        )
+        plain = nb.alias("n").join(
+            incremental._band_rows(bi, 4).alias("u"), cond("u")
+        )
+        p_b = bucketed._jdf.queryExecution().executedPlan().toString()
+        p_p = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in p_b, p_b
+        assert p_b.count("Exchange hashpartitioning") < p_p.count(
+            "Exchange hashpartitioning"
+        ), (p_b, p_p)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS b_mh_index")
