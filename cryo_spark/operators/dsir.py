@@ -76,35 +76,34 @@ def gram_buckets(
     )
 
 
-def dsir_weights(
-    df: DataFrame,
+def dsir_ratios(
+    raw: DataFrame,
     target: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 2,
     n_buckets: int = DEFAULT_BUCKETS,
 ) -> DataFrame:
-    """(id, n_grams, logw) for every raw doc; logw rounded to 6
-    decimals (the cross-engine float-sum guard — see module doc).
+    """The trained artifact of DSIR: a FULL B-row (bucket, log_ratio)
+    table — add-one-smoothed ln p_target − ln p_raw per hash bucket.
+    Persist it (B rows, KBs) and re-apply to any batch with
+    :func:`dsir_apply` — the daily-loop shape: ratios train once
+    against the reference corpus, each day's delta scores without
+    re-reading either training distribution. Every bucket 0..B−1 is
+    present (unseen buckets get the smoothed 1/(T+B) mass), so
+    applying to a frame whose grams never appeared in ``raw`` is
+    well-defined.
 
-    One corpus shuffle: the gram stream joins the broadcast B-row
-    ratio table map-side, then aggregates per doc (partial sums
-    combine in the map task). Docs with grams in no target bucket
-    still score (every bucket has a smoothed ratio via the left join's
-    coalesce — an unseen bucket contributes the unseen-mass ratio)."""
+    The count tables are bounded at B rows (constant, default 4096)
+    — both streams aggregate in ONE side-tagged job (one driver
+    round-trip; the totals fall out of the same aggregation), and the
+    table is built driver-side. math.log feeds on the same exact
+    integers either engine's ln sees (last-ulp drift is absorbed by
+    the round-to-6 guard applied at the weight stage)."""
     import math
 
-    raw_grams = gram_buckets(df, text_col, id_col, n, n_buckets)
+    raw_grams = gram_buckets(raw, text_col, id_col, n, n_buckets)
     tgt_grams = gram_buckets(target, text_col, id_col, n, n_buckets)
-    # the count tables are bounded at B rows (constant, default 4096)
-    # — collect them and build the ratio table driver-side. BOTH
-    # streams aggregate in ONE side-tagged job (one driver round-trip;
-    # separate count() jobs for the totals would re-run the
-    # tokenize+explode subtree four more times — the totals fall out
-    # of the same aggregation), and the scoring join's build side
-    # becomes a literal local frame. math.log feeds on the same exact
-    # integers either engine's ln sees (last-ulp drift is absorbed by
-    # the round-to-6 guard, as everywhere in this module).
     both = tgt_grams.select(F.lit(0).alias("side"), "bucket").unionByName(
         raw_grams.select(F.lit(1).alias("side"), "bucket")
     )
@@ -115,22 +114,50 @@ def dsir_weights(
         (ct if r.side == 0 else cr)[r.bucket] = r.c
     tt, tr = sum(ct.values()), sum(cr.values())
     off = math.log(tr + n_buckets) - math.log(tt + n_buckets)
-    ratios = df.sparkSession.createDataFrame(
+    return raw.sparkSession.createDataFrame(
         [
-            (b, math.log(ct.get(b, 0) + 1) - math.log(c + 1) + off)
-            for b, c in cr.items()
+            (b, math.log(ct.get(b, 0) + 1) - math.log(cr.get(b, 0) + 1) + off)
+            for b in range(n_buckets)
         ],
         "bucket long, log_ratio double",
     )
-    # every raw bucket is present in `ratios` by construction — the
-    # inner join drops nothing
-    joined = raw_grams.join(F.broadcast(ratios), "bucket").select(
+
+
+def dsir_apply(
+    df: DataFrame,
+    ratios: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Score a batch against a (possibly persisted) ratio table:
+    (id, n_grams, logw), logw rounded to 6 decimals (the cross-engine
+    float-sum guard — see module doc). One corpus shuffle: the gram
+    stream joins the broadcast B-row table map-side, then aggregates
+    per doc (partial sums combine in the map task)."""
+    grams = gram_buckets(df, text_col, id_col, n, n_buckets)
+    joined = grams.join(F.broadcast(ratios), "bucket").select(
         id_col, F.col("log_ratio").alias("lr")
     )
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.round(F.sum("lr"), 6).alias("logw"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Train-and-apply in one call (ratios from ``df`` itself as the
+    raw distribution): (id, n_grams, logw) for every raw doc."""
+    ratios = dsir_ratios(df, target, text_col, id_col, n, n_buckets)
+    return dsir_apply(df, ratios, text_col, id_col, n, n_buckets)
 
 
 def _gumbel(id_col: str, seed: str) -> Column:

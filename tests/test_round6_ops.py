@@ -673,3 +673,24 @@ def test_banded_index_table_equivalence_and_base_no_shuffle(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP TABLE IF EXISTS b_mh_index")
+
+
+def test_dsir_ratio_table_persists_and_applies(spark, tmp_path):
+    """Train once / apply daily: a persisted ratio table scores a
+    NEW batch (grams unseen in training) identically to an in-memory
+    one, and covers all B buckets so unseen grams are well-defined."""
+    docs = _docs(spark)
+    target = docs.filter(F.col("lang") == "en")
+    ratios = dsir.dsir_ratios(docs, target, n_buckets=512)
+    assert ratios.count() == 512
+    path = str(tmp_path / "ratios")
+    ratios.write.parquet(path)
+    loaded = spark.read.parquet(path)
+    newday = spark.createDataFrame(
+        [(9001, "totally novel vocabulary zz qq xx yy"), (9002, "the fast key")],
+        "doc_id long, text string",
+    )
+    a = dsir.dsir_apply(newday, ratios, n_buckets=512).toPandas()
+    b = dsir.dsir_apply(newday, loaded, n_buckets=512).toPandas()
+    assert _canon(a).equals(_canon(b))
+    assert set(a.doc_id) == {9001, 9002}  # unseen grams still score
