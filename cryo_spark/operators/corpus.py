@@ -198,7 +198,7 @@ def prepare_training_corpus_sql(
     if near_dup:
         with_kw, sd_inner = "WITH RECURSIVE", "sd_all"
         pairs_sql = dedup.ngram_jaccard_all_pairs_sql(
-            "sd_all", text_col, min_jaccard=min_jaccard
+            "sd_all", "text", min_jaccard=min_jaccard
         )
         nd_ctes = f""", pp AS ({pairs_sql}),
 edges AS (
@@ -214,7 +214,10 @@ edges AS (
 )"""
     else:
         with_kw, sd_inner, nd_ctes = "WITH", "sd", ""
-    red = text.redact_pii_sql("sd", text_col)
+    # downstream of dedup_spans_sql the rewritten column is ALWAYS
+    # named 'text' (its fixed output schema) — passing the caller's
+    # text_col here would emit unexecutable SQL for non-default names
+    red = text.redact_pii_sql("sd", "text")
     mix_src = "merged"
     dsir_ctes = ""
     if dsir_target_table is not None and dsir_k:

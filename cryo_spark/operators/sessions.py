@@ -135,13 +135,17 @@ def resample_ffill(
         F.min("_t").alias("_lo"), F.max("_t").alias("_hi")
     )
     step = F.lit(step_seconds)
+    g_lo = F.ceil(F.col("_lo") / step).cast("long") * step_seconds
+    g_hi = F.floor(F.col("_hi") / step).cast("long") * step_seconds
+    # a key whose events all fall strictly BETWEEN two ticks has
+    # g_lo > g_hi — F.sequence would raise 'Illegal sequence
+    # boundaries'; such a key owns no ticks, matching the oracle's
+    # generate_series (which returns zero rows there)
     grid = bounds.select(
         F.col(user_col),
         F.explode(
-            F.sequence(
-                F.ceil(F.col("_lo") / step).cast("long") * step_seconds,
-                F.floor(F.col("_hi") / step).cast("long") * step_seconds,
-                step,
+            F.when(g_lo <= g_hi, F.sequence(g_lo, g_hi, step)).otherwise(
+                F.array().cast("array<bigint>")
             )
         ).alias("_t"),
     ).withColumn("_v", F.lit(None).cast("double"))

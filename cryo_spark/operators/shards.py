@@ -107,9 +107,20 @@ def write_training_shards(
         writer.json(path)
     else:
         raise ValueError(f"unsupported shard format: {fmt!r}")
+    # shard counts come from the JUST-WRITTEN directory layout —
+    # counting on `out` would re-execute the entire upstream plan
+    # (e.g. the whole prepare_training_corpus pipeline) a second time;
+    # reading back the partition columns is directory-listing work
+    back = (
+        df.sparkSession.read.parquet(path)
+        if fmt == "parquet"
+        else df.sparkSession.read.json(path)
+    )
     rows = (
-        out.groupBy(split_col)
-        .agg(F.count_distinct("shard").alias("n"))
+        back.select(split_col, "shard")
+        .distinct()
+        .groupBy(split_col)
+        .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
     return {r[split_col]: r["n"] for r in rows}

@@ -78,7 +78,28 @@ def dedup_spans(
     accounting sees the fully-boilerplate doc), the document's span
     count, and how many survived.
     """
-    sp = span_rows(df, text_col, span_words, id_col)
+    # span rows with the doc's span count attached pre-explode — one
+    # tokenize pass serves the whole operator (a separate n_spans
+    # projection over df would re-run the trim+regexp+split subtree
+    # a second time over the corpus)
+    df = _spread(df)
+    toks = df.select(
+        F.col(id_col),
+        F.split(
+            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "
+        ).alias("toks"),
+    )
+    t = F.col("toks")
+    n_sp = F.ceil(F.size(t) / F.lit(span_words)).cast("long")
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), (n_sp - 1).cast("int")),
+        lambda i: F.array_join(F.slice(t, i * span_words + 1, span_words), " "),
+    )
+    sp = toks.select(
+        F.col(id_col),
+        n_sp.alias("n_spans"),
+        F.posexplode(spans_arr).alias("span_idx", "span"),
+    )
     # global first occurrence per span: min over a (doc_id, span_idx)
     # struct — lexicographic, deterministic, and crucially a partial
     # aggregate (hot boilerplate spans combine map-side; a window
@@ -87,44 +108,32 @@ def dedup_spans(
     keep = sp.groupBy("span").agg(
         F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("_k")
     )
-    kept = (
+    is_keep = (F.col(id_col) == F.col(f"_k.{id_col}")) & (
+        F.col("span_idx") == F.col(f"_k.span_idx")
+    )
+    # conditional aggregation instead of filter-then-rejoin: every doc
+    # keeps its group row (collect_list drops the when()'s nulls), so
+    # n_spans/n_kept need no second pass over the text and no extra
+    # join — one fewer shuffle than the previous base-join formulation
+    return (
         sp.join(keep, "span")
-        .filter(
-            (F.col(id_col) == F.col(f"_k.{id_col}"))
-            & (F.col("span_idx") == F.col("_k.span_idx"))
-        )
-        .drop("_k")
-    )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("span_idx", "span"))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(is_keep, F.struct("span_idx", "span"))
+                        )
+                    ),
+                    lambda s: s["span"],
                 ),
-                lambda s: s["span"],
-            ),
-            " ",
-        ).alias("_text"),
-        F.count(F.lit(1)).alias("_n_kept"),
-    )
-    base = df.select(
-        F.col(id_col),
-        F.ceil(
-            F.size(
-                F.split(
-                    F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "
-                )
-            )
-            / F.lit(span_words)
+                " ",
+            ).alias("text"),
+            F.max("n_spans").alias("n_spans"),
+            F.sum(is_keep.cast("long")).alias("n_kept"),
         )
-        .cast("long")
-        .alias("n_spans"),
-    )
-    return base.join(rebuilt, id_col, "left").select(
-        F.col(id_col),
-        F.coalesce(F.col("_text"), F.lit("")).alias("text"),
-        F.col("n_spans"),
-        F.coalesce(F.col("_n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        .select(id_col, "text", "n_spans", "n_kept")
     )
 
 

@@ -129,6 +129,10 @@ def bpe_apply(
                 }
             )
 
+    # the id field keeps ITS OWN type (string urls, int32 ids, ...)
+    # — hardcoding long would break any non-bigint id at the Arrow
+    # boundary
+    id_type = df.schema[id_col].dataType.simpleString()
     return _spread(df.select(id_col, text_col)).mapInPandas(
-        run, f"{id_col} long, tokens array<string>, n_tokens long"
+        run, f"{id_col} {id_type}, tokens array<string>, n_tokens long"
     )

@@ -694,3 +694,64 @@ def test_dsir_ratio_table_persists_and_applies(spark, tmp_path):
     b = dsir.dsir_apply(newday, loaded, n_buckets=512).toPandas()
     assert _canon(a).equals(_canon(b))
     assert set(a.doc_id) == {9001, 9002}  # unseen grams still score
+
+
+# --------------------------------------- round-5 review regressions
+
+
+def test_resample_ffill_key_between_ticks_no_crash(spark):
+    """A key whose events all fall strictly between two grid ticks
+    owns no ticks (matching generate_series) instead of crashing
+    with 'Illegal sequence boundaries' (review finding)."""
+    from datetime import datetime
+
+    from cryo_spark.operators.sessions import resample_ffill
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 1, 1), 5.0),   # 61s: between ticks
+        (2, datetime(2024, 1, 1, 0, 0, 0), 1.0),   # on-tick control
+        (2, datetime(2024, 1, 1, 0, 2, 30), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = resample_ffill(df, step_seconds=60).collect()
+    assert not [r for r in out if r.user_id == 1]
+    assert len([r for r in out if r.user_id == 2]) == 3  # 0,60,120
+
+
+def test_bpe_apply_string_id_col(spark):
+    from cryo_spark.operators import tokenizer
+
+    df = spark.createDataFrame(
+        [("u1", "low lower lowest"), ("u2", "new newer")],
+        "url string, text string",
+    )
+    merges = tokenizer.train_bpe(
+        spark.createDataFrame([(1, "low low lower")], "doc_id long, text string"),
+        n_merges=10,
+    )
+    out = tokenizer.bpe_apply(df, merges, id_col="url")
+    assert {r.url for r in out.collect()} == {"u1", "u2"}
+    assert dict(out.dtypes)["url"] == "string"
+
+
+def test_pipeline_sql_non_default_text_col_executes(spark):
+    """prepare_training_corpus_sql must emit runnable SQL for a
+    corpus whose text column is not named 'text' (review finding:
+    the post-span-dedup CTEs always expose 'text')."""
+    from cryo_spark.operators.corpus import (
+        prepare_training_corpus,
+        prepare_training_corpus_sql,
+    )
+
+    con = _oracle_con()
+    con.sql(
+        "CREATE VIEW docs_body AS "
+        "SELECT doc_id, text AS body, lang, source FROM documents"
+    )
+    want = con.sql(
+        prepare_training_corpus_sql("docs_body", text_col="body")
+    ).df()
+    con.close()
+    docs = _docs(spark).withColumnRenamed("text", "body")
+    got = prepare_training_corpus(docs, text_col="body").toPandas()
+    assert _canon(got).equals(_canon(want))
