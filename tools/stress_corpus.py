@@ -1,0 +1,92 @@
+"""Clone-corpus scale stress for the round-6 training-data operators.
+
+Applies the SCALE.md methodology (10x-cloned sf0.1 documents —
+50k docs, every doc in a 10-member near-clone cluster, the
+adversarial case for near-dup machinery) to:
+
+1. minhash index build (signature pass throughput),
+2. delta-vs-index pairing (a 10% batch against the 90% index —
+   the daily-ingest shape; base text never reread),
+3. DSIR selection (ratio broadcast + one weight shuffle),
+4. learned-quality-filter scoring (the narrow no-shuffle pass).
+
+Usage: python tools/stress_corpus.py [clone_factor] [sf_dir]
+Numbers are recorded in SCALE.md (round-6 measured findings).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cryo_spark import get_spark
+from cryo_spark.operators import classifier, dsir, incremental
+
+
+def main() -> int:
+    clone_factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="stress_corpus")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clones = (
+        docs.crossJoin(
+            spark.range(clone_factor).withColumnRenamed("id", "rep")
+        )
+        .select(
+            (F.col("doc_id") * clone_factor + F.col("rep")).alias("doc_id"),
+            F.concat("text", F.lit(" v"), F.col("rep")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .localCheckpoint()
+    )
+    n = clones.count()
+    print(f"corpus: {n} docs ({clone_factor}x clones)")
+
+    t = time.time()
+    idx = incremental.minhash_index(clones).localCheckpoint()
+    nidx = idx.count()
+    dt = time.time() - t
+    print(f"index_build: {dt:.2f}s ({nidx / dt:,.0f} docs/s)")
+
+    base = idx.filter(F.col("doc_id") % clone_factor != 0)
+    delta = idx.filter(F.col("doc_id") % clone_factor == 0)
+    t = time.time()
+    npairs = incremental.incremental_pairs(base, delta, min_est=0.5).count()
+    print(
+        f"delta_vs_index: {time.time() - t:.2f}s, {npairs} pairs est>=0.5 "
+        f"({n // clone_factor} delta vs {n - n // clone_factor} index)"
+    )
+
+    target = clones.filter(F.col("lang") == "en")
+    nt = target.count()
+    t = time.time()
+    ns = dsir.dsir_select(clones, target, k=1000, gumbel_seed="s").count()
+    assert ns == 1000
+    print(f"dsir_select: {time.time() - t:.2f}s at {n} docs (target {nt})")
+
+    labeled = clones.limit(2000).withColumn(
+        "label", (F.col("doc_id") % 2 == 0).cast("double")
+    )
+    t = time.time()
+    model = classifier.train_quality_classifier(labeled)
+    print(f"classifier_train: {time.time() - t:.2f}s on 2000 docs")
+    t = time.time()
+    ns = classifier.score_quality(clones, model).count()
+    dt = time.time() - t
+    print(f"classifier_score: {dt:.2f}s for {ns} docs ({ns / dt:,.0f} docs/s)")
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
