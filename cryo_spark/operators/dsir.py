@@ -283,3 +283,72 @@ SELECT doc_id, n_grams, logw, rank FROM (
   FROM weights w
 ) __r WHERE rank <= {k}
 """
+
+
+def dsir_apply_rows(
+    df: DataFrame,
+    ratios: dict[int, float] | DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Row-wise twin of :func:`dsir_apply`: the whole weight computes
+    inside ONE Arrow-batched pass (tokenize → hash → table lookup →
+    sum per row), no explode, no aggregation — which makes it legal
+    on a STREAMING DataFrame (a stateless projection needs no
+    watermark) and keeps batch scoring shuffle-free. Accepts the
+    ratio table as the (bucket, log_ratio) frame or a plain dict; the
+    ~B-entry dict rides in the UDF closure like the classifier's
+    coefficients. Same md5 bucketing and round-to-6 guard, so the
+    weights match :func:`dsir_apply` exactly (pinned by test; the pin
+    covers ASCII corpora — Python's and the JVM's lowercase can
+    legally differ at exotic casefold edges like Turkish dotted I)."""
+    import hashlib
+    import re
+
+    if not isinstance(ratios, dict):
+        ratios = {r.bucket: r.log_ratio for r in ratios.collect()}
+    table = dict(ratios)
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("n_grams", LongType()),
+            StructField("logw", DoubleType()),
+        ]
+    )
+
+    def run(it):
+        for pdf in it:
+            ngs, ws = [], []
+            for t in pdf[text_col]:
+                toks = re.sub(
+                    r"\s+", " ", (t or "").strip().lower()
+                ).split(" ")
+                if len(toks) >= n:
+                    grams = [
+                        " ".join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    ]
+                else:
+                    grams = [" ".join(toks)]
+                w = 0.0
+                for g in grams:
+                    b = (
+                        int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+                        % n_buckets
+                    )
+                    w += table.get(b, 0.0)
+                ngs.append(len(grams))
+                ws.append(round(w, 6))
+            pdf = pdf.assign(n_grams=ngs, logw=ws)
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

@@ -237,6 +237,8 @@ def streaming_ingest_clean(
     redact: bool = True,
     event_time_col: str | None = None,
     horizon: str = "1 hour",
+    dsir_ratios: dict | None = None,
+    dsir_threshold: float | None = None,
 ) -> DataFrame:
     """Ingest-side corpus cleaning: the stateless half of
     `operators.corpus.clean_corpus` (quality floor, language gate,
@@ -268,6 +270,15 @@ def streaming_ingest_clean(
         # join back to itself, and one subtree evaluation is the
         # point (see text.redact_text_expr)
         out = out.withColumn(text_col, text_ops.redact_text_expr(text_col))
+    if dsir_ratios is not None:
+        # importance scoring at ingest: dsir_apply_rows is a stateless
+        # Arrow projection (no explode, no agg), so it is stream-legal
+        # without a watermark; the ratio dict ships in the closure
+        from cryo_spark.operators.dsir import dsir_apply_rows
+
+        out = dsir_apply_rows(out, dsir_ratios, text_col=text_col)
+        if dsir_threshold is not None:
+            out = out.filter(F.col("logw") >= dsir_threshold)
     return streaming_exact_dedup(
         out, text_col=text_col, event_time_col=event_time_col,
         horizon=horizon,

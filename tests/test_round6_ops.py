@@ -755,3 +755,36 @@ def test_pipeline_sql_non_default_text_col_executes(spark):
     docs = _docs(spark).withColumnRenamed("text", "body")
     got = prepare_training_corpus(docs, text_col="body").toPandas()
     assert _canon(got).equals(_canon(want))
+
+
+def test_dsir_apply_rows_matches_exploded_path(spark):
+    """The stream-legal row-wise scorer must reproduce the exploded
+    join+agg path bit-for-bit (same md5 buckets, same rounding)."""
+    docs = _docs(spark)
+    target = docs.filter(F.col("lang") == "en")
+    ratios = dsir.dsir_ratios(docs, target)
+    a = (
+        dsir.dsir_apply(docs, ratios)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    b = (
+        dsir.dsir_apply_rows(docs, ratios)
+        .select("doc_id", "n_grams", "logw")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (a.n_grams == b.n_grams).all()
+    assert (a.logw == b.logw).all()
+    # dict input equals frame input
+    as_dict = {r.bucket: r.log_ratio for r in ratios.collect()}
+    c = (
+        dsir.dsir_apply_rows(docs, as_dict)
+        .select("doc_id", "logw")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (a.logw == c.logw).all()

@@ -401,3 +401,57 @@ def test_streaming_ingest_clean_filters_redacts_dedups(spark, tmp_path):
     assert {r.content_key for r in batch_out.collect()} == {
         r.content_key for r in got.values()
     }
+
+
+def test_streaming_ingest_clean_with_dsir_scoring(spark, tmp_path):
+    """DSIR importance scoring at ingest: the ratio dict trained
+    batch-side scores each arriving doc in a stateless Arrow pass,
+    and the threshold filters inside the stream."""
+    from datetime import datetime
+
+    from cryo_spark.operators import dsir
+
+    target_like = (
+        "the model result shows the method and the data analysis "
+        "that was clear for the test in the report with the metrics"
+    )
+    off_target = (
+        "the winner takes the prize in the game and the crowd was "
+        "loud for the goal in the match with the final score"
+    )
+    schema = "doc_id long, text string, ts timestamp"
+    train = spark.createDataFrame(
+        [(i, target_like + f" v{i}") for i in range(5)]
+        + [(100 + i, off_target + f" v{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    target = train.filter(F.col("doc_id") < 100)
+    ratios = {
+        r.bucket: r.log_ratio
+        for r in dsir.dsir_ratios(train, target).collect()
+    }
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, target_like + " fresh", datetime(2024, 1, 1)),
+            (2, off_target + " fresh", datetime(2024, 1, 1, 0, 1)),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming.streaming_ingest_clean(
+        stream,
+        event_time_col="ts",
+        dsir_ratios=ratios,
+        dsir_threshold=-10.0,
+    )
+    sink = str(tmp_path / "out")
+    q = out.writeStream.format("parquet").option("path", sink).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.read.parquet(sink).collect()}
+    assert set(got) == {1}  # target-like passes, off-target scored out
+    assert got[1].logw > -10.0
