@@ -788,3 +788,55 @@ def test_dsir_apply_rows_matches_exploded_path(spark):
         .sort_index()
     )
     assert (a.logw == c.logw).all()
+
+
+def test_classifier_model_roundtrip(spark, tmp_path):
+    """The trained filter persists and reloads (MLlib native save) —
+    completing the daily loop's persist-everything story alongside
+    the minhash index and the DSIR ratio table."""
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    labeled = _planted_corpus(spark, n=80)
+    m = classifier.train_quality_classifier(labeled)
+    path = str(tmp_path / "quality_model")
+    m.write().overwrite().save(path)
+    loaded = LogisticRegressionModel.load(path)
+    docs = _docs(spark).limit(20)
+    a = classifier.score_quality(docs, m).toPandas().set_index("doc_id")
+    b = classifier.score_quality(docs, loaded).toPandas().set_index("doc_id")
+    assert (a.sort_index().quality_prob == b.sort_index().quality_prob).all()
+
+
+def test_dsir_bucket_hash_property(spark):
+    """Property pin: for arbitrary unicode grams, Spark's bucket
+    expression equals DuckDB's AND Python's (the three live
+    implementations: oracle SQL, exploded path, row-wise scorer)."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts_seen = []
+
+    @given(st.text(max_size=40))
+    @settings(max_examples=60, deadline=None)
+    def collect(t):
+        texts_seen.append(t)
+
+    collect()
+    texts = list({t for t in texts_seen if "\x00" not in t}) or ["x"]
+    df = spark.createDataFrame([(t,) for t in texts], "g string")
+    got = {
+        r.g: r.b
+        for r in df.select(
+            "g", dsir._bucket_col(F.col("g"), 4096).alias("b")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for t in texts:
+        want_sql = con.sql(
+            f"SELECT {dsir._bucket_sql('?', 4096)}", params=[t]
+        ).fetchone()[0]
+        want_py = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 4096
+        assert got[t] == want_sql == want_py, repr(t)
+    con.close()
