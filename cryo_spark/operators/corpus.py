@@ -271,34 +271,38 @@ def corpus_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     and token counts plus per-language and per-source breakdowns.
 
     Returns (dimension, key, n_docs, n_tokens, avg_tokens) where
-    dimension is 'corpus' (key NULL), 'lang', or 'source'. Three
-    partial aggregations over one scan subtree, output rows bounded
-    by #langs + #sources + 1 — report cost is metadata-sized at any
-    corpus scale. Engine-exact (counts + integer sums + round), so
-    the test checks it against DuckDB bit-for-bit."""
+    dimension is 'corpus' (key NULL), 'lang', or 'source'. ONE
+    grouping-sets aggregation — a union of three groupBys would scan
+    and tokenize the corpus three times (Spark does not share the
+    scan across union branches); grouping sets computes all three
+    breakdowns in a single pass with map-side partials. Output rows
+    bounded by #langs + #sources + 1 — metadata-sized at any corpus
+    scale. Engine-exact (counts + integer sums + round), so the test
+    checks it against DuckDB bit-for-bit."""
     toks = text.token_count(text_col)
     base = spread(df).select(
         F.col("lang"), F.col("source"), toks.alias("_t")
     )
-
-    def agg(g, dim):
-        grouped = base.groupBy(*([g] if g else []))
-        return grouped.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("_t").cast("long").alias("n_tokens"),
-            F.round(F.avg("_t"), 4).alias("avg_tokens"),
-        ).select(
-            F.lit(dim).alias("dimension"),
-            (F.col(g) if g else F.lit(None).cast("string")).alias("key"),
-            "n_docs",
-            "n_tokens",
-            "avg_tokens",
-        )
-
-    return (
-        agg(None, "corpus")
-        .unionByName(agg("lang", "lang"))
-        .unionByName(agg("source", "source"))
+    gs = base.groupingSets(
+        [[], ["lang"], ["source"]], "lang", "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_t").cast("long").alias("n_tokens"),
+        F.round(F.avg("_t"), 4).alias("avg_tokens"),
+        F.grouping("lang").alias("_gl"),
+        F.grouping("source").alias("_gs"),
+    )
+    dim = (
+        F.when(F.col("_gl") == 0, F.lit("lang"))
+        .when(F.col("_gs") == 0, F.lit("source"))
+        .otherwise(F.lit("corpus"))
+    )
+    return gs.select(
+        dim.alias("dimension"),
+        F.coalesce("lang", "source").alias("key"),
+        "n_docs",
+        "n_tokens",
+        "avg_tokens",
     )
 
 

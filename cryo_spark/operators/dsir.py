@@ -327,10 +327,17 @@ def dsir_apply_rows(
 
     def run(it):
         for pdf in it:
+            # null-text rows: the exploded path drops them (a null
+            # gram stream aggregates to no row) — match exactly
+            pdf = pdf[pdf[text_col].notna()]
             ngs, ws = [], []
             for t in pdf[text_col]:
+                # replicate _norm_text precisely: lower, trim SPACES
+                # only (Spark trim), then the JAVA \s class (ASCII
+                # whitespace — Python \s would also eat unicode
+                # spaces Spark keeps)
                 toks = re.sub(
-                    r"\s+", " ", (t or "").strip().lower()
+                    r"[ \t\n\x0b\f\r]+", " ", t.lower().strip(" ")
                 ).split(" ")
                 if len(toks) >= n:
                     grams = [

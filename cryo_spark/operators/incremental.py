@@ -59,9 +59,15 @@ def minhash_index(
     )
 
 
-def _band_rows(index: DataFrame, bands: int, id_col: str = "doc_id") -> DataFrame:
-    """(id, band_id, band_hash) derived from the sig array — a narrow
-    projection, so the persisted index stays k longs per doc.
+def _band_rows(
+    index: DataFrame,
+    bands: int,
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *carry_cols, band_id, band_hash) derived from the sig
+    array — a narrow projection, so the persisted index stays k longs
+    per doc.
 
     ``bands`` must divide the signature length k: the per-row slice
     arithmetic would otherwise split bands inconsistently (the direct
@@ -92,9 +98,10 @@ def _band_rows(index: DataFrame, bands: int, id_col: str = "doc_id") -> DataFram
             for b in range(bands)
         ]
     )
+    carry = [c for c in (carry_cols or ()) if c != id_col]
     return index.select(
-        id_col, F.explode(bandstructs).alias("band")
-    ).select(id_col, "band.band_id", "band.band_hash")
+        id_col, *carry, F.explode(bandstructs).alias("band")
+    ).select(id_col, *carry, "band.band_id", "band.band_hash")
 
 
 def est_jaccard(sig_a: Column, sig_b: Column) -> Column:
@@ -252,10 +259,15 @@ def save_banded_index(
     (band_id, band_hash): `incremental_pairs_from_table` then reads
     each bucket co-located, so only the (day-sized) delta shuffles —
     the corpus-sized index never moves again. The sig column rides
-    along so estimation needs no second table."""
+    THROUGH the band explode (a join back onto the index to attach it
+    would scan the corpus-sized index twice and shuffle both sides on
+    the id); a constant ``bands`` column records the banding so a
+    mismatched read fails fast instead of silently missing pairs."""
     from cryo_spark.operators import skew
 
-    rows = _band_rows(index, bands, id_col).join(index, id_col)
+    rows = _band_rows(index, bands, id_col, carry_cols=("sig",)).withColumn(
+        "bands", F.lit(bands)
+    )
     skew.write_bucketed(rows, table, ["band_id", "band_hash"], n_buckets)
 
 
@@ -272,8 +284,18 @@ def incremental_pairs_from_table(
     new-vs-base join consumes the base side straight from its buckets
     (no Exchange above the base scan — plan-pinned by test); Spark
     shuffles only the delta band rows into the bucket layout. Output
-    contract identical to `incremental_pairs`."""
+    contract identical to `incremental_pairs`. Raises up front if the
+    table was saved with a different ``bands`` — a mismatched banding
+    would silently match (near) nothing and lose recall, so the check
+    cannot live inside the join (no matches = no rows to check); the
+    probe is a LIMIT-1 read of the stored constant."""
     base_band = spark.table(table)
+    stored = base_band.select("bands").first()
+    if stored is not None and stored.bands != bands:
+        raise ValueError(
+            f"banded index {table!r} was saved with bands={stored.bands}, "
+            f"not {bands} — rebuild it or pass the saved value"
+        )
     nb = _band_rows(new_index, bands, id_col)
     n, u = nb.alias("n"), base_band.alias("u")
     cross = (

@@ -107,23 +107,29 @@ def write_training_shards(
         writer.json(path)
     else:
         raise ValueError(f"unsupported shard format: {fmt!r}")
-    # shard counts come from the JUST-WRITTEN directory layout —
-    # counting on `out` would re-execute the entire upstream plan
-    # (e.g. the whole prepare_training_corpus pipeline) a second time;
-    # reading back the partition columns is directory-listing work
-    back = (
-        df.sparkSession.read.parquet(path)
-        if fmt == "parquet"
-        else df.sparkSession.read.json(path)
-    )
-    rows = (
-        back.select(split_col, "shard")
-        .distinct()
-        .groupBy(split_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    return {r[split_col]: r["n"] for r in rows}
+    # shard counts come from the JUST-WRITTEN directory layout via a
+    # Hadoop FS listing — counting on `out` would re-execute the
+    # entire upstream plan a second time, and a read-back DataFrame
+    # would crash schema inference on an empty export (and, for
+    # jsonl, re-scan every byte just to infer). Listing is genuinely
+    # metadata-sized and returns {} for an all-filtered corpus.
+    spark = df.sparkSession
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    counts: dict = {}
+    if fs.exists(root):
+        for s in fs.listStatus(root):
+            name = s.getPath().getName()
+            if s.isDirectory() and name.startswith(f"{split_col}="):
+                split = name.split("=", 1)[1]
+                counts[split] = sum(
+                    1
+                    for sh in fs.listStatus(s.getPath())
+                    if sh.isDirectory()
+                    and sh.getPath().getName().startswith("shard=")
+                )
+    return counts
 
 
 def read_training_shards(

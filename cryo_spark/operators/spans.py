@@ -95,10 +95,14 @@ def dedup_spans(
         F.sequence(F.lit(0), (n_sp - 1).cast("int")),
         lambda i: F.array_join(F.slice(t, i * span_words + 1, span_words), " "),
     )
+    # posexplode_OUTER: a null-text doc has a null span array and
+    # must still emit one (null, null) row so the doc survives to the
+    # output as (id, '', 0, 0) — a plain posexplode would silently
+    # drop it (e.g. a JSONL row missing its text field)
     sp = toks.select(
         F.col(id_col),
         n_sp.alias("n_spans"),
-        F.posexplode(spans_arr).alias("span_idx", "span"),
+        F.posexplode_outer(spans_arr).alias("span_idx", "span"),
     )
     # global first occurrence per span: min over a (doc_id, span_idx)
     # struct — lexicographic, deterministic, and crucially a partial
@@ -114,9 +118,11 @@ def dedup_spans(
     # conditional aggregation instead of filter-then-rejoin: every doc
     # keeps its group row (collect_list drops the when()'s nulls), so
     # n_spans/n_kept need no second pass over the text and no extra
-    # join — one fewer shuffle than the previous base-join formulation
+    # join — one fewer shuffle than the previous base-join formulation.
+    # LEFT join: the null-span row has no keeper (null never equality-
+    # matches), and coalesce settles its null aggregates.
     return (
-        sp.join(keep, "span")
+        sp.join(keep, "span", "left")
         .groupBy(id_col)
         .agg(
             F.array_join(
@@ -130,8 +136,8 @@ def dedup_spans(
                 ),
                 " ",
             ).alias("text"),
-            F.max("n_spans").alias("n_spans"),
-            F.sum(is_keep.cast("long")).alias("n_kept"),
+            F.coalesce(F.max("n_spans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.sum(is_keep.cast("long")), F.lit(0)).alias("n_kept"),
         )
         .select(id_col, "text", "n_spans", "n_kept")
     )

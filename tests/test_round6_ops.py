@@ -840,3 +840,87 @@ def test_dsir_bucket_hash_property(spark):
         want_py = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 4096
         assert got[t] == want_sql == want_py, repr(t)
     con.close()
+
+
+# ---------------------------------- second-review regression pins
+
+
+def test_dsir_apply_rows_whitespace_and_null_parity(spark):
+    """Exact parity with the exploded path on the awkward inputs the
+    first pin missed: leading/trailing tabs+newlines (ubiquitous in
+    crawled text) and null text (dropped by BOTH paths)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "foo bar\n"),
+            (2, "\talpha beta"),
+            (3, None),
+            (4, "  spaced  out  "),
+            (5, "plain text here"),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, "foo bar baz"), (11, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    ratios = dsir.dsir_ratios(docs, target, n_buckets=512)
+    a = (
+        dsir.dsir_apply(docs, ratios, n_buckets=512)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    b = (
+        dsir.dsir_apply_rows(docs, ratios, n_buckets=512)
+        .select("doc_id", "n_grams", "logw")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(a.index) == list(b.index) == [1, 2, 4, 5]  # null dropped
+    assert (a.n_grams == b.n_grams).all()
+    assert (a.logw == b.logw).all()
+
+
+def test_dedup_spans_retains_null_text_docs(spark):
+    """A null-text doc (e.g. a JSONL row missing its text field) must
+    survive span dedup as (id, '', 0, 0), not vanish."""
+    from cryo_spark.operators.spans import dedup_spans
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "hello world entirely unique words")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_spans(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].text == "" and out[1].n_spans == 0 and out[1].n_kept == 0
+    assert out[2].n_kept == out[2].n_spans
+
+
+def test_write_training_shards_empty_input(spark, tmp_path):
+    """An all-filtered corpus exports cleanly: {} shard counts, no
+    schema-inference crash on the empty directory."""
+    from cryo_spark.operators import sampling
+    from cryo_spark.operators.shards import write_training_shards
+
+    empty = sampling.split_assign(
+        _docs(spark)
+        .filter(F.lit(False))
+        .select("doc_id", "text", F.lit(1).cast("long").alias("n_tokens"))
+    )
+    for fmt in ("parquet", "jsonl"):
+        path = str(tmp_path / f"shards_{fmt}")
+        assert write_training_shards(empty, path, 1000, fmt=fmt) == {}
+
+
+def test_banded_index_bands_mismatch_raises(spark):
+    docs = _docs(spark).limit(30)
+    idx = incremental.minhash_index(docs)
+    try:
+        incremental.save_banded_index(idx, "b_mh_chk", bands=4, n_buckets=4)
+        with pytest.raises(ValueError, match="saved with bands=4"):
+            incremental.incremental_pairs_from_table(
+                spark, "b_mh_chk", idx, bands=8
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_mh_chk")
