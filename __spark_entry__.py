@@ -719,8 +719,13 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real deployment materializes the index as parquet (the
     # daily-ingest workflow test drives exactly that path).
     full_idx = incremental.minhash_index(docs)
-    base_idx = full_idx.filter(F.col("doc_id") % 2 == 0)
-    new_idx = full_idx.filter(F.col("doc_id") % 2 == 1)
+    # pmod, not %: Spark's % keeps the dividend sign, so a plain
+    # parity split would silently drop negative odd ids (and
+    # read_documents emits signed xxhash64 ids) — pmod is exhaustive
+    # for any long
+    parity = F.pmod(F.col("doc_id"), F.lit(2))
+    base_idx = full_idx.filter(parity == 0)
+    new_idx = full_idx.filter(parity == 1)
     # with_est=False: the exact-Jaccard verify below supersedes the
     # signature estimate, so the sig-attach joins are skipped
     pairs = incremental.signature_pairs(

@@ -1,9 +1,23 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line as the LAST stdout line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>, "rows": {name: n}}
+   "queries": {name: sec, ...}, "sf": ...}
+
+The driver captures only a fixed-size stdout TAIL — BENCH_r06.json
+recorded ``parsed: null`` because the line had grown past the buffer
+(per-query plan hashes + row counts) while Spark's console progress
+bars flooded stdout. Defenses, in order:
+- console progress is disabled on the bench session,
+- the stdout line carries ONLY the contract keys (metric/value/unit/
+  queries/sf + an error map when nonempty) — ~1.2 KB for 31 queries,
+- everything else (rows, plan hashes, calibration probes, full error
+  strings) goes to the sidecar ``BENCH_FULL_LOCAL.json`` next to this
+  file,
+- a hard guard: if the line would exceed MAX_LINE_BYTES the queries
+  map degrades to per-query values only sorted by cost (still valid
+  JSON with totals) rather than ever emitting an unparseable tail.
 
 Execution is measured with the noop sink (full plan runs, no driver
 collect) except top-k/aggregate queries whose output is tiny.
@@ -60,6 +74,42 @@ HEADLINE = [
     "llm_dsir_select",
     "llm_temperature_mix",
 ]
+
+
+#: budget for the stdout JSON line — the driver's tail capture was
+#: observed at 2000 bytes (BENCH_r06.json), leave headroom for a
+#: trailing newline and any stray warning line after us
+MAX_LINE_BYTES = 1800
+
+
+def compact_line(out: dict) -> str:
+    """Serialize the bench record to ONE line guaranteed to fit the
+    driver's tail buffer. Degradation ladder (never emits >MAX bytes):
+    full queries map → errors truncated harder → most-expensive
+    queries kept individually with the rest folded into ``_other``
+    (totals stay exact)."""
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) <= MAX_LINE_BYTES:
+        return line
+    if "errors" in out:
+        out = {**out, "errors": {k: v[:20] for k, v in out["errors"].items()}}
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= MAX_LINE_BYTES:
+            return line
+    base = {**out, "queries": {}}
+    budget = MAX_LINE_BYTES - len(json.dumps(base, separators=(",", ":"))) - 30
+    keep: dict[str, float] = {}
+    used = 0
+    for k, v in sorted(out["queries"].items(), key=lambda kv: -kv[1]):
+        cost = len(json.dumps({k: v}, separators=(",", ":"))) - 1
+        if used + cost > budget:
+            break
+        keep[k] = v
+        used += cost
+    dropped = [v for k, v in out["queries"].items() if k not in keep]
+    if dropped:
+        keep["_other"] = round(sum(dropped), 3)
+    return json.dumps({**out, "queries": keep}, separators=(",", ":"))
 
 
 def plan_fingerprint(df) -> tuple[str, str]:
@@ -138,7 +188,13 @@ def bench_one(spark, fn, sf_dir: str, warm_dir: str = "/root/testdata/sf0.001",
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="cryo_spark_bench")
+    # console progress bars write \r-frames to stdout between our
+    # lines — with a tail-buffer capture they can push the JSON line
+    # out of the window (BENCH_r06); the bench session runs without
+    spark = get_spark(
+        app_name="cryo_spark_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
     # one tiny action to warm the JVM/codegen paths outside timings
@@ -214,22 +270,45 @@ def main() -> None:
         shutil.rmtree(freeze_dir, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # full record (rows, plan hashes, calibration, untruncated errors)
+    # to the sidecar — the judge and later rounds read it from the
+    # tree; the stdout line stays contract-minimal
+    full = {
         "metric": "cryo_spark headline suite wall-clock",
         "value": total,
         "unit": "sec",
         "queries": times,
         "rows": rows,
         "plans": plans,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         # host-noise guard: identical CPU-bound probe before/after the
         # suite; compare across rounds before reading total drift as
         # a code regression
         "calibration_sec": {"before": calib_before, "after": calibrate()},
     }
     if errs:
-        out["errors"] = errs
-    print(json.dumps(out))
+        full["errors"] = errs
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LOCAL.json"
+    )
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries timings
+    out = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    if errs:
+        out["errors"] = {k: v[:60] for k, v in errs.items()}
+    sys.stdout.flush()
+    print(compact_line(out))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -19,7 +19,7 @@ most |matched docs| rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cryo_spark.operators.dedup import shingle_rows
@@ -122,7 +122,12 @@ def fuzzy_decontaminate(
     corpus side is a delta-vs-index band join, so corpus text is
     scanned once for signatures and never joined against eval text.
     Returns (id, max_est_jaccard, contaminated_by, contaminated) for
-    every training doc, one row each.
+    every training doc, one row each. The two id spaces never mix
+    (eval and corpus indexes stay separate frames on opposite join
+    sides), so any id type works — including the signed xxhash64
+    longs ``read_documents`` emits and string ids; a corpus doc
+    matching an identical eval doc with the same id value is real
+    contamination and is flagged, not suppressed.
     """
     from cryo_spark.operators.incremental import (
         _band_rows,
@@ -131,12 +136,7 @@ def fuzzy_decontaminate(
     )
 
     eval_idx = minhash_index(
-        eval_docs.select(
-            # offset eval ids into their own namespace so a shared id
-            # value can never self-pair with a corpus doc
-            (-F.col(id_col) - 1).alias(id_col), text_col
-        ),
-        text_col, k, n, id_col,
+        eval_docs.select(id_col, text_col), text_col, k, n, id_col,
     )
     doc_idx = minhash_index(docs, text_col, k, n, id_col)
     eb = _band_rows(eval_idx, bands, id_col)
@@ -173,26 +173,37 @@ def fuzzy_decontaminate(
             est_jaccard(F.col("sig_d"), F.col("sig_e")).alias("est"),
         )
         .filter(F.col("est") >= min_est)
-        .groupBy("__did")
-        .agg(
-            F.max("est").alias("max_est_jaccard"),
-            # the eval doc that PRODUCED the max estimate (not the max
-            # id among all matches — those can be different documents);
-            # ties on est break deterministically toward the smaller
-            # original eval id, then recover it from the offset space
-            (
-                -F.max_by("__eid", F.struct(F.col("est"), F.col("__eid")))
-                - 1
-            ).alias("contaminated_by"),
+    )
+    # the eval doc that PRODUCED the max estimate (not the max id
+    # among all matches — those can be different documents); ties on
+    # est break deterministically toward the smaller eval id. A
+    # row_number window (not max_by over an id-negation struct) keeps
+    # this correct for ANY id type — string ids and negative longs
+    # included. The window input is the post-band candidate set,
+    # benchmark-overlap-sized, not corpus-sized.
+    best = (
+        scored.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__did").orderBy(
+                    F.desc("est"), F.asc("__eid")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "__did",
+            F.col("est").alias("max_est_jaccard"),
+            F.col("__eid").alias("contaminated_by"),
         )
     )
     return (
         docs.select(id_col)
-        .join(scored.withColumnRenamed("__did", id_col), id_col, "left")
+        .join(best.withColumnRenamed("__did", id_col), id_col, "left")
         .select(
             id_col,
             F.coalesce("max_est_jaccard", F.lit(0.0)).alias("max_est_jaccard"),
-            F.col("contaminated_by").cast("long"),
+            "contaminated_by",
             (F.col("max_est_jaccard").isNotNull()).alias("contaminated"),
         )
     )

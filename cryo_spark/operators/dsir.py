@@ -135,10 +135,22 @@ def dsir_apply(
     (id, n_grams, logw), logw rounded to 6 decimals (the cross-engine
     float-sum guard — see module doc). One corpus shuffle: the gram
     stream joins the broadcast B-row table map-side, then aggregates
-    per doc (partial sums combine in the map task)."""
-    grams = gram_buckets(df, text_col, id_col, n, n_buckets)
-    joined = grams.join(F.broadcast(ratios), "bucket").select(
-        id_col, F.col("log_ratio").alias("lr")
+    per doc (partial sums combine in the map task).
+
+    The join is LEFT with ``coalesce(log_ratio, 0.0)``: a bucket
+    absent from a partial (non-full-B) ratio table contributes 0
+    weight but still counts toward ``n_grams`` — exactly what
+    :func:`dsir_apply_rows`'s ``table.get(b, 0.0)`` does, so the two
+    paths agree even when the full-B precondition of
+    :func:`dsir_ratios` is violated (an inner join would silently
+    DROP a doc whose buckets are all absent)."""
+    # null-text docs shingle to a null bucket row; the old inner join
+    # dropped them implicitly, the left join must not resurrect them
+    grams = gram_buckets(df, text_col, id_col, n, n_buckets).filter(
+        F.col("bucket").isNotNull()
+    )
+    joined = grams.join(F.broadcast(ratios), "bucket", "left").select(
+        id_col, F.coalesce("log_ratio", F.lit(0.0)).alias("lr")
     )
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),

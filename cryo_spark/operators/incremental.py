@@ -241,7 +241,29 @@ def delta_duplicates(
             F.greatest("id_a", "id_b"),
         )
         .when(F.coalesce("__a_new", F.lit(False)), F.col("id_a"))
-        .otherwise(F.col("id_b"))
+        .when(F.coalesce("__b_new", F.lit(False)), F.col("id_b"))
+        # base-base pair: out of contract (this function consumes
+        # incremental_pairs output, where one side is always new) —
+        # e.g. a caller passed a full signature_pairs stream. A
+        # silent .otherwise(id_b) here would pick an arbitrary
+        # shipped doc to drop; fail loudly instead.
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "delta_duplicates: pair with no new-batch side "
+                        "(base-base pair "
+                    ),
+                    F.col("id_a").cast("string"),
+                    F.lit("/"),
+                    F.col("id_b").cast("string"),
+                    F.lit(
+                        ") — pass incremental_pairs output, not "
+                        "signature_pairs"
+                    ),
+                )
+            ).cast(dict(pairs.dtypes).get("id_a", "long"))
+        )
     )
     return marked.select(dup.alias(id_col)).distinct()
 

@@ -18,6 +18,46 @@ def test_bench_one_failing_query_reports_err(spark):
     assert "AnalysisException" in err or "CAST" in err
 
 
+def test_compact_line_realistic_suite_fits_with_full_detail():
+    """The real suite shape (31 queries + freeze entry) must fit the
+    driver's tail buffer WITHOUT degradation — BENCH_r06.json shipped
+    parsed:null because the line outgrew the ~2000-byte capture."""
+    import json
+
+    out = {
+        "metric": "cryo_spark headline suite wall-clock",
+        "value": 24.517,
+        "unit": "sec",
+        "queries": {name: 1.234 for name in bench.HEADLINE}
+        | {"freeze_3_datasets": 4.567},
+        "sf": 0.1,
+    }
+    line = bench.compact_line(out)
+    assert len(line) <= bench.MAX_LINE_BYTES
+    parsed = json.loads(line)
+    assert parsed["queries"] == out["queries"]  # nothing degraded
+    assert "plans" not in parsed and "rows" not in parsed
+
+
+def test_compact_line_oversize_degrades_not_truncates():
+    """A pathological map (many long names) must degrade to a valid
+    JSON line with exact totals, never an unparseable overflow."""
+    import json
+
+    qs = {f"query_with_a_very_long_descriptive_name_{i:04d}": 0.5
+          for i in range(200)}
+    out = {"metric": "m", "value": 100.0, "unit": "sec",
+           "queries": qs, "sf": 0.1,
+           "errors": {"bad_query": "x" * 300}}
+    line = bench.compact_line(out)
+    assert len(line) <= bench.MAX_LINE_BYTES
+    parsed = json.loads(line)
+    assert parsed["value"] == 100.0
+    kept = parsed["queries"]
+    assert "_other" in kept
+    assert abs(sum(kept.values()) - sum(qs.values())) < 0.01
+
+
 def test_bench_one_good_query_times(spark):
     def ok(s, sf_dir):
         return s.read.parquet(f"{sf_dir}/region.parquet")

@@ -378,7 +378,8 @@ def test_fuzzy_decontaminate_flags_near_copies(spark):
 
 def test_fuzzy_decontaminate_shared_ids_never_self_pair(spark):
     """A corpus doc and an eval doc sharing the same id value must
-    still pair (the eval namespace is offset, not collided)."""
+    still pair (the two id spaces live on opposite join sides and
+    never mix)."""
     from cryo_spark.operators import decontam
 
     text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
@@ -386,6 +387,45 @@ def test_fuzzy_decontaminate_shared_ids_never_self_pair(spark):
     eval_docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
     out = decontam.fuzzy_decontaminate(docs, eval_docs).collect()[0]
     assert out.contaminated and out.contaminated_by == 7
+
+
+def test_fuzzy_decontaminate_negative_and_string_ids(spark):
+    """Ids outside [0, inf) longs work: read_documents emits SIGNED
+    xxhash64 ids, and benchmark sets often carry string ids. The old
+    ``-id - 1`` offset trick folded eval id -1 onto corpus id 0 and
+    nulled string ids; both regimes must flag correctly now."""
+    from cryo_spark.operators import decontam
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+    # negative ids on both sides, including the -1/0 collision pair
+    docs = spark.createDataFrame(
+        [(0, text), (-1, other)], "doc_id long, text string"
+    )
+    eval_docs = spark.createDataFrame(
+        [(-1, text)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in decontam.fuzzy_decontaminate(docs, eval_docs).collect()
+    }
+    assert out[0].contaminated and out[0].contaminated_by == -1
+    assert not out[-1].contaminated and out[-1].contaminated_by is None
+    # string ids end-to-end: contaminated_by keeps the eval id verbatim
+    sdocs = spark.createDataFrame(
+        [("d-a", text), ("d-b", other)], "doc_id string, text string"
+    )
+    sevals = spark.createDataFrame(
+        [("ev-1", text), ("ev-0", text)], "doc_id string, text string"
+    )
+    sout = {
+        r.doc_id: r
+        for r in decontam.fuzzy_decontaminate(sdocs, sevals).collect()
+    }
+    # identical eval texts tie on est — deterministic toward the
+    # smaller eval id
+    assert sout["d-a"].contaminated and sout["d-a"].contaminated_by == "ev-0"
+    assert not sout["d-b"].contaminated
 
 
 # ------------------------------------------------ daily-ingest workflow
@@ -454,6 +494,55 @@ def test_daily_ingest_index_workflow(spark, tmp_path):
     got = sel.collect()
     assert len(got) == 20
     assert not {r.doc_id for r in got} & full_dups
+
+
+def test_delta_duplicates_rejects_base_base_pairs(spark):
+    """Out-of-contract input fails loudly: a pair with NO new-batch
+    side (e.g. a caller passed signature_pairs output instead of
+    incremental_pairs) used to silently nominate id_b as the
+    duplicate — an arbitrary drop of already-shipped data."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    docs = _docs(spark)
+    idx = incremental.minhash_index(docs)
+    base = idx.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    new = idx.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    # full signature_pairs over EVERYTHING contains base-base pairs
+    all_pairs = incremental.signature_pairs(idx, min_est=0.9)
+    with pytest.raises(SparkRuntimeException, match="base-base pair"):
+        incremental.delta_duplicates(all_pairs, new).collect()
+    # the in-contract stream still works and never raises
+    ok = incremental.incremental_pairs(base, new, min_est=0.9)
+    incremental.delta_duplicates(ok, new).collect()
+
+
+def test_dsir_apply_partial_ratio_table_matches_rows_path(spark):
+    """A ratio table missing buckets (full-B precondition violated)
+    must not silently DROP docs from dsir_apply: absent buckets score
+    0.0 but still count toward n_grams — bit-equal to
+    dsir_apply_rows' table.get(b, 0.0) on the same input."""
+    docs = _docs(spark).limit(40)
+    target = docs.filter(F.col("lang") == "en")
+    ratios = dsir.dsir_ratios(docs, target, n_buckets=512)
+    # keep only half the buckets: some docs now have ZERO covered grams
+    partial = ratios.filter(F.col("bucket") < 256)
+    a = (
+        dsir.dsir_apply(docs, partial, n_buckets=512)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        dsir.dsir_apply_rows(docs, partial, n_buckets=512)
+        .select("doc_id", "n_grams", "logw")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # no doc vanished
+    assert len(a) == docs.filter(F.col("text").isNotNull()).count()
 
 
 # -------------------------------------------- pipeline DSIR stage
