@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from cryo_spark import io as cio
 from cryo_spark import plan as cplan
 from cryo_spark.datasets import TRANSFORMS
+from cryo_spark import schemas
 from cryo_spark.schema_select import apply_encoding, compute_used_columns
 from cryo_spark.schemas import get_spec, resolve_name
 
@@ -338,6 +339,35 @@ def collect(
 
     with use_source(source):
         return _collect_impl(spark, datatype, **kwargs)
+
+
+async def async_collect(
+    spark: SparkSession,
+    datatype: str,
+    **kwargs,
+) -> DataFrame:
+    """Async twin of :func:`collect` (reference entry point
+    `cryo.async_collect`, crates/python/python/cryo/_collect.py:60-83;
+    there the async side is native and sync wraps it — here the
+    inverse: Spark job submission is blocking, so the sync path runs
+    on a worker thread, letting an event loop interleave other work
+    while the cluster computes)."""
+    import asyncio
+
+    return await asyncio.to_thread(collect, spark, datatype, **kwargs)
+
+
+async def async_freeze(
+    spark: SparkSession,
+    datatypes,
+    **kwargs,
+) -> dict:
+    """Async twin of :func:`freeze` (reference `cryo.async_freeze`,
+    crates/python/python/cryo/_freeze.py — same thread-executor
+    inversion as :func:`async_collect`)."""
+    import asyncio
+
+    return await asyncio.to_thread(freeze, spark, datatypes, **kwargs)
 
 
 def _collect_impl(
@@ -752,6 +782,28 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dry", action="store_true")
     argv = list(sys.argv[1:] if argv is None else argv)
     args = p.parse_args(argv)
+
+    # help subcommand routing (reference run.rs:76-90: `cryo help`,
+    # `help syntax`, `help datasets`, `help <DATASET...>`) — checked
+    # before anything else so `help` is never treated as a datatype
+    if args.datatypes and args.datatypes[0] == "help":
+        from cryo_spark import help as chelp
+
+        rc = chelp.handle_help(args.datatypes[1:])
+        if rc == 1:  # bare `help`: the general argparse usage
+            p.print_help()
+            rc = 0
+        return rc
+    # validate datatype names up front: a typo answers with a one-line
+    # error + close-name suggestions, not a KeyError traceback
+    if args.datatypes:
+        try:
+            expand_datatypes(args.datatypes)
+        except schemas.UnknownDatasetError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            print("run `cryo_spark help datasets` to list available "
+                  "datasets", file=sys.stderr)
+            return 2
 
     # --remember / replay (reference crates/cli/src/remember.rs +
     # run.rs:14-26): one default command per output directory, loaded

@@ -104,6 +104,32 @@ def register(spec: DatasetSpec) -> DatasetSpec:
     return spec
 
 
+class UnknownDatasetError(KeyError):
+    """Raised for a datatype name that resolves to nothing. Subclasses
+    KeyError (existing callers keep catching it) and carries close-name
+    ``suggestions`` so surfaces (CLI) can answer a typo with candidates
+    instead of a traceback."""
+
+    def __init__(self, name: str, suggestions: list[str]):
+        self.dataset = name
+        self.suggestions = suggestions
+        msg = f"unknown dataset: {name}"
+        if suggestions:
+            msg += " (did you mean: " + ", ".join(suggestions) + "?)"
+        super().__init__(msg)
+
+    def __str__(self) -> str:  # KeyError quotes its arg; keep it plain
+        return self.args[0]
+
+
+def known_names() -> list[str]:
+    """Every resolvable datatype name: canonical + aliases."""
+    out: list[str] = list(DATASETS)
+    for spec in DATASETS.values():
+        out.extend(spec.aliases)
+    return out
+
+
 def resolve_name(name: str) -> str:
     """Resolve a dataset name or alias (scalar.rs:46-73) to canonical."""
     n = name.lower()
@@ -112,7 +138,11 @@ def resolve_name(name: str) -> str:
     for spec in DATASETS.values():
         if n in spec.aliases:
             return spec.name
-    raise KeyError(f"unknown dataset: {name}")
+    import difflib
+
+    raise UnknownDatasetError(
+        name, difflib.get_close_matches(n, known_names(), n=3, cutoff=0.6)
+    )
 
 
 def get_spec(name: str) -> DatasetSpec:

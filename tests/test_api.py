@@ -302,6 +302,92 @@ def test_cli_dry_run_prints_paths(capsys):
     assert "/tmp/x/ethereum__transactions__00000250_to_00000499.parquet" in out
 
 
+def test_cli_help_routing(capsys):
+    """`help`, `help datasets`, `help syntax`, `help <DATASET>` all
+    route to curated help (reference run.rs:76-90) — never to the
+    freeze path, never a traceback."""
+    from cryo_spark.api import main
+
+    assert main(["help"]) == 0
+    assert "usage: cryo_spark" in capsys.readouterr().out
+
+    assert main(["help", "datasets"]) == 0
+    out = capsys.readouterr().out
+    assert "- blocks" in out and "- transactions (alias = txs)" in out
+    assert "dataset group names" in out and "state_diffs:" in out
+
+    assert main(["help", "syntax"]) == 0
+    assert "Block specification syntax" in capsys.readouterr().out
+
+    assert main(["help", "logs"]) == 0
+    out = capsys.readouterr().out
+    assert "can collect by block or by transaction" in out
+    assert "- topic0: binary" in out and "sorted by: block_number" in out
+
+    # blocks has no transaction_hash column -> by-block only
+    assert main(["help", "blocks"]) == 0
+    assert "not by transaction" in capsys.readouterr().out
+
+    # group name expands to member infos
+    assert main(["help", "state_diffs"]) == 0
+    out = capsys.readouterr().out
+    for member in ("balance_diffs", "code_diffs", "nonce_diffs",
+                   "storage_diffs"):
+        assert member in out
+
+    assert main(["help", "not_a_dataset"]) == 2
+    assert "unknown dataset" in capsys.readouterr().out
+
+
+def test_cli_unknown_dataset_clean_error(capsys):
+    """A typo'd datatype exits 2 with suggestions on stderr — the old
+    path died with a raw KeyError traceback."""
+    from cryo_spark.api import main
+
+    rc = main(["trasactions", "-b", "0:10", "--dry"])
+    captured = capsys.readouterr()
+    assert rc == 2
+    assert "unknown dataset: trasactions" in captured.err
+    assert "transactions" in captured.err  # close-match suggestion
+    assert "help datasets" in captured.err
+
+
+def test_async_collect_and_freeze_roundtrip(spark, tmp_path):
+    """async_collect/async_freeze parity (reference exposes both
+    entry points — _collect.py:60-83, _freeze.py): same results as
+    the sync path, awaitable from an event loop."""
+    import asyncio
+
+    from cryo_spark import api
+
+    async def go():
+        df = await api.async_collect(spark, "blocks", blocks="0:100")
+        summary = await api.async_freeze(
+            spark, ["blocks"], output_dir=str(tmp_path), blocks="0:100",
+            chunk_size=100, report=False,
+        )
+        return df, summary
+
+    df, summary = asyncio.run(go())
+    sync_df = api.collect(spark, "blocks", blocks="0:100")
+    assert df.columns == sync_df.columns
+    assert df.count() == sync_df.count() == 100
+    assert summary["n_completed"] == 1 and summary["n_rows"] == 100
+
+
+def test_unknown_dataset_error_is_keyerror():
+    """Back-compat: resolve_name still raises a KeyError subclass with
+    machine-readable suggestions."""
+    import pytest
+
+    from cryo_spark import schemas
+
+    with pytest.raises(KeyError) as exc_info:
+        schemas.resolve_name("trasactions")
+    assert isinstance(exc_info.value, schemas.UnknownDatasetError)
+    assert "transactions" in exc_info.value.suggestions
+
+
 def test_freeze_subdirs_and_suffix(spark, tmp_path):
     sink = FileOutput(
         output_dir=str(tmp_path), prefix="ethereum", suffix="v2",
