@@ -176,6 +176,142 @@ FROM toks t LEFT JOIN reb r USING (doc_id)
 """
 
 
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 2,
+    mode: str = "drop",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line-level corpus dedup (CCNet shape, Wenzek et al. 2020): the
+    standard pre-filter before span dedup — navigation menus, cookie
+    banners, footers and license boilerplate repeat as whole LINES
+    across unrelated pages, which the word-gram operators above key
+    past (they tokenize away the newline structure).
+
+    Lines are matched on their whitespace-trimmed content; blank
+    lines are never counted and always survive verbatim (they are
+    document structure, not boilerplate). Two modes:
+
+    - ``mode='drop'`` (default, the CCNet/C4 boilerplate filter):
+      every occurrence of a line appearing in >= ``min_docs``
+      DISTINCT documents is removed.
+    - ``mode='keep_first'`` (CCNet's shard dedup proper): only the
+      globally-first occurrence (min (doc_id, line_idx)) of a line
+      appearing in >= ``min_docs`` distinct documents survives;
+      within-document repeats of such a line also collapse to that
+      single keeper.
+
+    Returns (id, text, n_lines, n_kept) — rewritten text rebuilt in
+    original line order; a doc whose every line was boilerplate stays
+    as (id, '', n, 0).
+
+    Scale shape (mirrors :func:`dedup_spans`): one shuffle on the
+    line key — the distinct-doc count and the min-struct keeper are
+    BOTH partial aggregates sharing that exchange, so a
+    million-document cookie banner combines map-side and never
+    funnels a reducer; the verdict joins occurrences back on the same
+    key (SMJ reuses the exchange); one more shuffle on id for
+    reassembly, bounded by the largest single document.
+    """
+    if mode not in ("drop", "keep_first"):
+        raise ValueError(f"mode must be 'drop' or 'keep_first', got {mode!r}")
+    df = _spread(df)
+    # posexplode_OUTER: a null-text doc still emits one (null, null)
+    # row and survives to the output as (id, '', 0, 0)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias(
+            "line_idx", "line"
+        ),
+    ).withColumn("_key", F.trim(F.col("line")))
+    counted = lines.filter(F.col("_key") != "")
+    stats = counted.groupBy("_key").agg(
+        # approx? no — exact: distinct-doc count drives a correctness
+        # decision. count_distinct still partial-aggregates (Spark
+        # expands to a two-phase plan keyed on (_key, doc_id))
+        F.count_distinct(F.col(id_col)).alias("_n_docs"),
+        F.min(F.struct(F.col(id_col), F.col("line_idx"))).alias("_k"),
+    )
+    joined = lines.join(stats, "_key", "left")
+    dup = F.coalesce(F.col("_n_docs") >= min_docs, F.lit(False))
+    if mode == "drop":
+        is_keep = ~dup
+    else:
+        is_keep = ~dup | (
+            (F.col(id_col) == F.col(f"_k.{id_col}"))
+            & (F.col("line_idx") == F.col("_k.line_idx"))
+        )
+    # null-line rows (null-text doc) count as neither line nor keeper
+    has_line = F.col("line").isNotNull()
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                is_keep & has_line,
+                                F.struct("line_idx", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.sum(has_line.cast("long")).alias("n_lines"),
+            F.sum((is_keep & has_line).cast("long")).alias("n_kept"),
+        )
+        .select(id_col, "text", "n_lines", "n_kept")
+    )
+
+
+def dedup_lines_sql(
+    table: str,
+    text_col: str = "text",
+    min_docs: int = 2,
+    mode: str = "drop",
+) -> str:
+    """DuckDB equivalent of :func:`dedup_lines` (the oracle)."""
+    if mode == "drop":
+        keep_pred = "NOT l._dup"
+    else:
+        keep_pred = (
+            "(NOT l._dup OR (l.doc_id = l._kdoc AND l.line_idx = l._kidx))"
+        )
+    return f"""
+WITH lines AS (
+  SELECT doc_id, g.i - 1 AS line_idx, l[g.i] AS line, trim(l[g.i]) AS _key
+  FROM (SELECT doc_id, string_split({text_col}, chr(10)) AS l FROM {table}),
+    LATERAL unnest(generate_series(1, len(l))) AS g(i)
+), stats AS (
+  SELECT _key, count(DISTINCT doc_id) AS _n_docs,
+    min({{'d': doc_id, 'i': line_idx}}) AS _k
+  FROM lines WHERE _key != '' GROUP BY _key
+), marked AS (
+  SELECT li.doc_id, li.line_idx, li.line,
+    coalesce(s._n_docs >= {min_docs}, FALSE) AS _dup,
+    (s._k).d AS _kdoc, (s._k).i AS _kidx
+  FROM lines li LEFT JOIN stats s ON li._key = s._key AND li._key != ''
+)
+SELECT d.doc_id,
+  coalesce(r.text, '') AS text,
+  coalesce(r.n_lines, 0)::BIGINT AS n_lines,
+  coalesce(r.n_kept, 0)::BIGINT AS n_kept
+FROM (SELECT doc_id FROM {table}) d
+LEFT JOIN (
+  SELECT doc_id,
+    string_agg(CASE WHEN {keep_pred} THEN l.line END,
+               chr(10) ORDER BY l.line_idx) AS text,
+    count(*) AS n_lines,
+    sum(CASE WHEN {keep_pred} THEN 1 ELSE 0 END) AS n_kept
+  FROM marked l GROUP BY doc_id
+) r USING (doc_id)
+"""
+
+
 def repeated_regions(
     df: DataFrame,
     text_col: str = "text",
