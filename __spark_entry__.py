@@ -432,14 +432,6 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_token_count(_read(spark, sf_dir, "documents"))
 
 
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score + Gopher-style repetition metrics
-    (duplicate/top 2-gram fractions) in one narrow projection — the
-    repetition pass is shuffle-free (sorted gram array + one
-    aggregate expression per row, no token explode)."""
-    return text.quality_with_repetition(_read(spark, sf_dir, "documents"))
-
-
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_all_pairs(_read(spark, sf_dir, "documents"))
 
@@ -797,9 +789,13 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay inside the driver's 50-entry scoring window while the freed
     slots take the new span-dedup / n-gram / keyword / mixing
     operators — every constituent operator is still exercised and
-    hash-checked here. The joins all key on doc_id, so sort-merge
-    reuses one exchange; at scale the five projections would fuse
-    into a single select over one scan (each part is narrow)."""
+    hash-checked here. Round 8 folds in the formerly-solo
+    `llm_quality_score` entry (quality + Gopher repetition metrics,
+    also a per-doc projection keyed on doc_id) the same way, freeing
+    that slot for `llm_line_dedup`. The joins all key on doc_id, so
+    sort-merge reuses one exchange; at scale the six projections
+    would fuse into a single select over one scan (each part is
+    narrow)."""
     docs = _read(spark, sf_dir, "documents")
     out = text.word_stats(docs)
     for part in (
@@ -808,6 +804,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # n_chars duplicates the word_stats column (same expression)
         text.bpe_token_count(docs).drop("n_chars"),
         text.redact_pii(docs),
+        text.quality_with_repetition(docs),
     ):
         out = out.join(part, "doc_id")
     return out
@@ -819,15 +816,77 @@ def oracle_text_profile() -> str:
     fp = text.fingerprint_sql("documents")
     bp = text.bpe_token_count_sql("documents")
     pi = text.redact_pii_sql("documents")
+    qr = text.quality_with_repetition_sql("documents")
     return f"""
 SELECT a.*, b.* EXCLUDE (doc_id), c.* EXCLUDE (doc_id),
-  d.* EXCLUDE (doc_id, n_chars), e.* EXCLUDE (doc_id)
+  d.* EXCLUDE (doc_id, n_chars), e.* EXCLUDE (doc_id),
+  f.* EXCLUDE (doc_id)
 FROM ({ws}) a
 JOIN ({li}) b USING (doc_id)
 JOIN ({fp}) c USING (doc_id)
 JOIN ({bp}) d USING (doc_id)
 JOIN ({pi}) e USING (doc_id)
+JOIN ({qr}) f ON f.doc_id = a.doc_id
 """
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus dedup (CCNet, Wenzek et al. 2020) — the
+    standard web-corpus pre-filter: whole lines (cookie banners,
+    navigation, footers) repeated across >= min_docs distinct
+    documents are boilerplate. BOTH modes are exercised and
+    hash-proven in one entry via a mode column: 'drop' (the CCNet/C4
+    boilerplate filter — every occurrence removed) and 'keep_first'
+    (shard dedup proper — the globally-first occurrence survives).
+    One exchange on the trimmed line key feeds both the distinct-doc
+    count and the min-struct keeper (partial aggs); reassembly
+    shuffles on doc_id, bounded by the largest document.
+
+    The testdata documents are single-line (no newlines at any sf),
+    which would make line dedup a hash-proven identity — so both
+    engines first derive the SAME multi-line text by wrapping every
+    6th word onto a new line (pure regex, computed identically in
+    Spark and DuckDB). Short lines from a small vocabulary repeat
+    across docs, so the dup-removal branch of BOTH modes is actually
+    exercised by the hash check, not just the passthrough."""
+    from cryo_spark.operators import spans
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", _wrap_lines_expr("text").alias("text")
+    )
+    parts = [
+        spans.dedup_lines(docs, mode=m).select(
+            F.lit(m).alias("mode"), "doc_id", "text", "n_lines", "n_kept"
+        )
+        for m in ("drop", "keep_first")
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+_WRAP_RE = r"((?:\S+\s+){5}\S+)\s+"
+
+
+def _wrap_lines_expr(col: str):
+    return F.regexp_replace(F.col(col), _WRAP_RE, "$1\n")
+
+
+def _wrap_lines_table_sql(table: str) -> str:
+    return (
+        f"SELECT doc_id, regexp_replace({table}.text, "
+        f"'{_WRAP_RE}', '\\1' || chr(10), 'g') AS text FROM {table}"
+    )
+
+
+def oracle_line_dedup() -> str:
+    wrapped = _wrap_lines_table_sql("documents")
+    halves = [
+        f"SELECT '{m}' AS mode, * FROM ({spans_mod.dedup_lines_sql('wrapped_docs', mode=m)})"
+        for m in ("drop", "keep_first")
+    ]
+    return (
+        f"WITH wrapped_docs AS ({wrapped})\n"
+        + " UNION ALL ".join(halves)
+    )
 
 
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1099,6 +1158,9 @@ GENERIC = {
     "llm_span_dedup": (
         q_span_dedup, lambda: spans_mod.dedup_spans_sql("documents")
     ),
+    # round 8: both dedup_lines modes hash-proven in one entry; the
+    # slot came from folding llm_quality_score into llm_text_profile
+    "llm_line_dedup": (q_line_dedup, oracle_line_dedup),
     # round 6: llm_top_ngrams + llm_keywords merged (both halves stay
     # hash-proven); the freed slot carries llm_dsir_select
     "llm_ngram_stats": (q_ngram_stats, oracle_ngram_stats),
@@ -1106,9 +1168,9 @@ GENERIC = {
     "llm_temperature_mix": (q_temperature_mix, oracle_temperature_mix),
     "llm_exact_dedup": (q_exact_dedup, lambda: dedup.exact_dedup_sql("documents")),
     "llm_cosine_topk": (q_cosine_topk, oracle_cosine_topk),
-    "llm_quality_score": (
-        q_quality_score, lambda: text.quality_with_repetition_sql("documents")
-    ),
+    # llm_quality_score folded into llm_text_profile in round 8 (same
+    # per-doc-projection shape; still hash-proven there) — slot freed
+    # for llm_line_dedup
     "llm_ngram_jaccard_pairs": (
         q_ngram_jaccard_pairs,
         lambda: dedup.ngram_jaccard_all_pairs_sql("documents"),

@@ -88,10 +88,16 @@ def prepare_training_corpus(
     min_jaccard: float = 0.5,
     dsir_target: DataFrame | None = None,
     dsir_k: int | None = None,
+    line_dedup: bool = False,
+    line_min_docs: int = 2,
 ) -> DataFrame:
     """The WHOLE preparation pipeline, composed from the per-stage
     operators: quality/language filter + exact dedup (stage 1, one
-    projection + one hash window) → corpus-wide duplicate-span
+    projection + one hash window) → optional CCNet line-level dedup
+    on the survivors (stage 1b, round 8: whole lines repeated in
+    >= ``line_min_docs`` distinct docs — cookie banners, navigation —
+    are dropped BEFORE span dedup, the standard web-corpus order;
+    docs reduced to nothing exit here) → corpus-wide duplicate-span
     removal on the survivors (stage 2, drops fully-boilerplate docs)
     → optional near-duplicate collapse on the rewritten text (stage
     2b: exact n-gram Jaccard pairs → connected components → keep the
@@ -130,6 +136,13 @@ def prepare_training_corpus(
         )
         .select("doc_id", text_col, "source")
     )
+    if line_dedup:
+        ld = spans.dedup_lines(
+            kept, text_col, min_docs=line_min_docs
+        ).filter(F.col("text") != "")
+        kept = ld.select("doc_id", F.col("text").alias(text_col)).join(
+            kept.select("doc_id", "source"), "doc_id"
+        )
     sd = (
         spans.dedup_spans(kept, text_col, span_words)
         .filter(F.col("text") != "")
@@ -182,6 +195,8 @@ def prepare_training_corpus_sql(
     min_jaccard: float = 0.5,
     dsir_target_table: str | None = None,
     dsir_k: int | None = None,
+    line_dedup: bool = False,
+    line_min_docs: int = 2,
 ) -> str:
     """DuckDB oracle: the identical stage chain as CTEs over the
     per-stage oracle builders (WITH RECURSIVE when the near-dup
@@ -194,7 +209,22 @@ def prepare_training_corpus_sql(
     # table name must not collide with dedup_spans_sql's internal CTE
     # names (toks/sp/kept/reb) — DuckDB binds same-list names first and
     # reports a circular reference
-    sd0 = spans.dedup_spans_sql("filtered", text_col, span_words)
+    if line_dedup:
+        # stage 1b: dedup_lines rewrites text; its output column is
+        # always 'text', aliased back to the caller's text_col so the
+        # downstream span stage is name-agnostic
+        ld0 = spans.dedup_lines_sql(
+            "filtered", text_col, min_docs=line_min_docs
+        )
+        ld_ctes = f""", ld0 AS ({ld0}),
+linefiltered AS (
+  SELECT l.doc_id, l.text AS {text_col}, k.source
+  FROM ld0 l JOIN filtered k USING (doc_id) WHERE l.text != ''
+)"""
+        span_src = "linefiltered"
+    else:
+        ld_ctes, span_src = "", "filtered"
+    sd0 = spans.dedup_spans_sql(span_src, text_col, span_words)
     if near_dup:
         with_kw, sd_inner = "WITH RECURSIVE", "sd_all"
         pairs_sql = dedup.ngram_jaccard_all_pairs_sql(
@@ -251,7 +281,7 @@ edges AS (
 ), filtered AS (
   SELECT t.doc_id, t.{text_col}, t.source FROM {table} t
   JOIN pass1 USING (doc_id)
-), sd0 AS ({sd0}),
+){ld_ctes}, sd0 AS ({sd0}),
 {sd_inner} AS (
   SELECT s.doc_id, s.text, s.n_spans, s.n_kept, k.source
   FROM sd0 s JOIN filtered k USING (doc_id) WHERE s.text != ''
