@@ -112,7 +112,18 @@ def compact_line(out: dict) -> str:
     dropped = [v for k, v in out["queries"].items() if k not in keep]
     if dropped:
         keep["_other"] = round(sum(dropped), 3)
-    return json.dumps({**out, "queries": keep}, separators=(",", ":"))
+    line = json.dumps({**out, "queries": keep}, separators=(",", ":"))
+    if len(line) <= MAX_LINE_BYTES:
+        return line
+    # last rung: a pathological errors map could still blow the
+    # budget after the fold — drop it, then fall back to the minimal
+    # always-fits record (totals stay exact)
+    slim = {k: v for k, v in out.items() if k != "errors"}
+    line = json.dumps({**slim, "queries": keep}, separators=(",", ":"))
+    if len(line) <= MAX_LINE_BYTES:
+        return line
+    minimal = {k: out[k] for k in ("metric", "value", "unit", "sf") if k in out}
+    return json.dumps(minimal, separators=(",", ":"))
 
 
 def plan_fingerprint(df) -> tuple[str, str]:

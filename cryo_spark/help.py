@@ -114,7 +114,21 @@ def handle_help(args: list[str]) -> int:
     try:
         names = expand_datatypes(args)
     except schemas.UnknownDatasetError as exc:
-        print(f"error: {exc}")
+        import difflib
+        import sys
+
+        # a typo'd SUBCOMMAND ('help sintax') otherwise reads as an
+        # unknown dataset — suggest the help topics alongside any
+        # dataset close-matches
+        topics = difflib.get_close_matches(
+            args[0].lower(), ["syntax", "datasets"], n=1, cutoff=0.6
+        )
+        msg = str(exc)
+        if topics and not exc.suggestions:
+            msg += f" (did you mean: help {topics[0]}?)"
+        # stderr, matching main()'s unknown-dataset convention —
+        # scripts parsing help output must not see the error on stdout
+        print(f"error: {msg}", file=sys.stderr)
         return 2
     for i, name in enumerate(names):
         if i:

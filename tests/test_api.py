@@ -335,8 +335,16 @@ def test_cli_help_routing(capsys):
                    "storage_diffs"):
         assert member in out
 
+    # error goes to stderr (main()'s convention) — scripts parsing
+    # help output must not see it on stdout
     assert main(["help", "not_a_dataset"]) == 2
-    assert "unknown dataset" in capsys.readouterr().out
+    captured = capsys.readouterr()
+    assert "unknown dataset" in captured.err
+    assert "unknown dataset" not in captured.out
+
+    # a typo'd help TOPIC suggests the subcommand, not just datasets
+    assert main(["help", "sintax"]) == 2
+    assert "did you mean: help syntax?" in capsys.readouterr().err
 
 
 def test_cli_unknown_dataset_clean_error(capsys):

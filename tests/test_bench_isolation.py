@@ -58,6 +58,21 @@ def test_compact_line_oversize_degrades_not_truncates():
     assert abs(sum(kept.values()) - sum(qs.values())) < 0.01
 
 
+def test_compact_line_huge_errors_map_still_fits():
+    """Final guard rung: an errors map that survives per-value
+    truncation because of sheer KEY count must be dropped (or the
+    record collapsed to the minimal form) rather than overflow."""
+    import json
+
+    out = {"metric": "m", "value": 100.0, "unit": "sec",
+           "queries": {f"q{i}": 0.5 for i in range(5)}, "sf": 0.1,
+           "errors": {f"err_query_named_{i:05d}": "boom" for i in range(200)}}
+    line = bench.compact_line(out)
+    assert len(line) <= bench.MAX_LINE_BYTES
+    parsed = json.loads(line)
+    assert parsed["value"] == 100.0 and parsed["unit"] == "sec"
+
+
 def test_bench_one_good_query_times(spark):
     def ok(s, sf_dir):
         return s.read.parquet(f"{sf_dir}/region.parquet")
