@@ -436,12 +436,42 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_all_pairs(_read(spark, sf_dir, "documents"))
 
 
-def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # testdata embeddings are near-uniform (max pairwise cosine ~0.51
-    # at sf0.01): 0.45 keeps the check non-vacuous
-    return dedup.embedding_near_dups_exact(
-        _read(spark, sf_dir, "embeddings"), threshold=0.45
+def q_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding similarity, two formerly-separate oracled
+    entries merged (round 8, freeing a contract slot for
+    `llm_url_dedup` inside the 50-entry scoring window — the same
+    consolidation rounds 5/6 used):
+
+    - kind='near_dup': blocked-GEMM exact all-pairs cosine >= 0.45
+      (testdata embeddings are near-uniform, max pairwise ~0.51, so
+      0.45 keeps the check non-vacuous); (id_a, id_b) pair rows.
+    - kind='topk': exact cosine top-10 to the vec_id-0 query vector;
+      id_b is null, id_a carries the neighbor.
+
+    Both halves remain individually hash-proven — the union is a
+    column-aligned UNION ALL on both engines."""
+    emb = _read(spark, sf_dir, "embeddings")
+    nd = dedup.embedding_near_dups_exact(emb, threshold=0.45).select(
+        F.lit("near_dup").alias("kind"), "id_a", "id_b", "cosine"
     )
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    tk = similarity.cosine_topk(emb, query, k=10).select(
+        F.lit("topk").alias("kind"),
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        "cosine",
+    )
+    return nd.unionByName(tk)
+
+
+def oracle_embedding_sim() -> str:
+    nd = dedup.embedding_near_dups_exact_sql("embeddings", threshold=0.45)
+    tk = oracle_cosine_topk()
+    return f"""
+SELECT 'near_dup' AS kind, id_a, id_b, cosine FROM ({nd})
+UNION ALL
+SELECT 'topk' AS kind, vec_id AS id_a, NULL::BIGINT AS id_b, cosine FROM ({tk})
+"""
 
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,12 +578,6 @@ frames AS (
 )
 SELECT * FROM feats UNION ALL SELECT * FROM frames
 """
-
-
-def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings")
-    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return similarity.cosine_topk(emb, query, k=10)
 
 
 def oracle_cosine_topk() -> str:
@@ -889,6 +913,99 @@ def oracle_line_dedup() -> str:
     )
 
 
+def _messy_url_expr():
+    """Deterministic crawl-shaped URL derived from (doc_id, source) —
+    the testdata has no url column, so BOTH engines derive the same
+    messy address (scheme/www/port/trailing-slash/fragment/tracking
+    variants keyed on doc_id residues; page number = doc_id % 10, so
+    each source's ~25 docs collide onto 10 pages). The SAME derivation
+    in SQL is :func:`_messy_url_sql`."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(d % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"),
+        (d % 10).cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("?utm_source=feed"))
+        .when(d % 4 == 1, F.lit("?b=2&a=1"))
+        .when(d % 4 == 2, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+
+
+_MESSY_URL_SQL = """(
+  CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END ||
+  CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+  source || '.example.com' ||
+  CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+  '/page/' || (doc_id % 10)::VARCHAR ||
+  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+  CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed'
+                  WHEN 1 THEN '?b=2&a=1'
+                  WHEN 2 THEN '?a=1&b=2' ELSE '' END ||
+  CASE WHEN doc_id % 11 = 0 THEN '#top' ELSE '' END
+)"""
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level corpus controls (RefinedWeb §3.1 / CCNet shape),
+    both operators hash-proven in one entry via a kind column:
+
+    - kind='url_dedup': canonicalize (scheme/www/port/fragment/
+      trailing-slash/tracking-param/param-order normalization) then
+      keep-first exact URL dedup — key = canonical url, ref_id =
+      keeper doc, flag = is_duplicate.
+    - kind='domain_cap': per-host document rank with a cap-15 keep
+      flag — key = canonical host, ref_id = rank, flag = kept.
+
+    Scale: canonicalization is a zero-shuffle JVM projection; dedup is
+    one exchange on the canonical key (window keeper reuses it);
+    domain_cap windows sort one host per task (SCALE.md documents the
+    mega-host prefilter)."""
+    from cryo_spark.operators import web
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", _messy_url_expr().alias("url")
+    )
+    ud = web.url_dedup(docs).select(
+        F.lit("url_dedup").alias("kind"),
+        "doc_id",
+        F.col("canonical_url").alias("key"),
+        F.col("keeper_id").alias("ref_id"),
+        F.col("is_duplicate").alias("flag"),
+    )
+    dc = web.domain_cap(docs, cap=15).select(
+        F.lit("domain_cap").alias("kind"),
+        "doc_id",
+        F.col("domain").alias("key"),
+        F.col("domain_rank").alias("ref_id"),
+        F.col("kept").alias("flag"),
+    )
+    return ud.unionByName(dc)
+
+
+def oracle_url_dedup() -> str:
+    from cryo_spark.operators import web
+
+    ud = web.url_dedup_sql("messy_docs")
+    dc = web.domain_cap_sql("messy_docs", cap=15)
+    return f"""
+WITH messy_docs AS (
+  SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents
+)
+SELECT 'url_dedup' AS kind, doc_id, canonical_url AS key,
+       keeper_id AS ref_id, is_duplicate AS flag FROM ({ud})
+UNION ALL
+SELECT 'domain_cap' AS kind, doc_id, domain AS key,
+       domain_rank AS ref_id, kept AS flag FROM ({dc})
+"""
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicate-span removal (fixed-grid exact-substring
     dedup, Lee et al. 2022 shape): every later occurrence of a
@@ -1167,17 +1284,17 @@ GENERIC = {
     "llm_dsir_select": (q_dsir_select, oracle_dsir_select),
     "llm_temperature_mix": (q_temperature_mix, oracle_temperature_mix),
     "llm_exact_dedup": (q_exact_dedup, lambda: dedup.exact_dedup_sql("documents")),
-    "llm_cosine_topk": (q_cosine_topk, oracle_cosine_topk),
+    # llm_cosine_topk + llm_embedding_near_dups merged into
+    # llm_embedding_sim in round 8 (both halves stay hash-proven);
+    # the freed slot carries llm_url_dedup
+    "llm_embedding_sim": (q_embedding_sim, oracle_embedding_sim),
+    "llm_url_dedup": (q_url_dedup, oracle_url_dedup),
     # llm_quality_score folded into llm_text_profile in round 8 (same
     # per-doc-projection shape; still hash-proven there) — slot freed
     # for llm_line_dedup
     "llm_ngram_jaccard_pairs": (
         q_ngram_jaccard_pairs,
         lambda: dedup.ngram_jaccard_all_pairs_sql("documents"),
-    ),
-    "llm_embedding_near_dups": (
-        q_embedding_near_dups,
-        lambda: dedup.embedding_near_dups_exact_sql("embeddings", threshold=0.45),
     ),
     "llm_near_dup_clusters": (q_near_dup_clusters, oracle_near_dup_clusters),
     "llm_minhash_near_dups": (

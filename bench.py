@@ -62,16 +62,19 @@ HEADLINE = [
     "llm_text_profile",
     "llm_exact_dedup",
     "llm_minhash_near_dups",
-    "llm_cosine_topk",
+    # llm_cosine_topk + llm_embedding_near_dups merged into
+    # llm_embedding_sim in round 8
+    "llm_embedding_sim",
     "llm_ann_topk",
     # llm_quality_score merged into llm_text_profile in round 8 — its
     # timing continues inside that entry
     "llm_ngram_jaccard_pairs",
-    "llm_embedding_near_dups",
     # round-5 operators
     "llm_span_dedup",
-    # round 8: CCNet line-level dedup (both modes in one entry)
+    # round 8: CCNet line-level dedup (both modes in one entry) and
+    # URL canonicalization + dedup + per-domain caps
     "llm_line_dedup",
+    "llm_url_dedup",
     # round 6: top_ngrams + keywords merged into one entry; dsir added
     "llm_ngram_stats",
     "llm_dsir_select",

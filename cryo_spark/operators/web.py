@@ -1,0 +1,212 @@
+"""URL-level corpus controls: canonicalization, exact URL dedup, and
+per-domain document caps — the standard web-corpus steps (RefinedWeb,
+Penedo et al. 2023 §3.1; CCNet keeps one doc per URL) that run BEFORE
+any content-based dedup: the same page fetched twice (http/https,
+tracking params, trailing slash, fragment) should never reach the
+text-hash stages as two documents.
+
+Scale design (the 100 TB story):
+- canonicalization is a pure column expression (regex + array ops,
+  all JVM whole-stage-codegen) — zero shuffles, evaluated inline in
+  the consumer's scan projection.
+- url_dedup is exactly the :func:`cryo_spark.operators.dedup.exact_dedup`
+  shape: one shuffle on the canonical-url key, keeper chosen by a
+  min/max-struct WINDOW over the same partitioning (no second
+  exchange).
+- domain_cap is one window per host: row_number partitioned by the
+  canonical host sorts only THAT host's rows. A mega-host (100M docs
+  of one domain at crawl scale) funnels its sort through one task —
+  mitigate by pre-filtering with a per-host count agg + hash
+  threshold to ~2x the cap before the exact window (documented in
+  SCALE.md; the window stays the correctness anchor).
+
+Every output is oracle-checked against the identical DuckDB SQL
+(same regex/array pipeline — both engines canonicalize the same
+bytes the same way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cryo_spark.operators.util import spread as _spread
+
+#: query parameters that identify a TRACKING payload, not a resource:
+#: the standard strip-list (utm_* campaign tags, click ids, mailchimp)
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|igshid|mc_cid|mc_eid|ref|referrer)="
+
+_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"
+
+
+def canonical_url(col: str | Column) -> Column:
+    """Canonical dedup KEY for a URL (not a fetchable address): scheme
+    dropped (http/https duplicates collapse), host lowercased with
+    leading ``www.`` and default ports stripped, fragment removed,
+    trailing slashes trimmed, tracking params dropped and the
+    remaining query params sorted. Pure JVM expression."""
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment
+    u = F.regexp_replace(u, _SCHEME_RE, "")  # scheme
+    host = F.lower(F.regexp_extract(u, r"^([^/?]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    rest = F.regexp_replace(u, r"^[^/?]*", "")
+    path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1), r"/+$", "")
+    query = F.when(
+        rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        host, path, F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit(""))
+    )
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB expression computing the identical canonical key (the
+    oracle side of :func:`canonical_url`). All regexes are anchored
+    single-occurrence, so DuckDB's replace-first default matches
+    Spark's replace-all."""
+    u = f"regexp_replace(regexp_replace(trim({expr}), '#.*$', ''), '{_SCHEME_RE}', '')"
+    host = (
+        f"regexp_replace(regexp_replace(lower(regexp_extract({u}, '^([^/?]*)', 1)),"
+        f" '^www\\.', ''), ':(80|443)$', '')"
+    )
+    rest = f"regexp_replace({u}, '^[^/?]*', '')"
+    path = f"regexp_replace(regexp_extract({rest}, '^([^?]*)', 1), '/+$', '')"
+    query = (
+        f"CASE WHEN contains({rest}, '?')"
+        f" THEN regexp_replace({rest}, '^[^?]*\\?', '') ELSE '' END"
+    )
+    qs = (
+        f"array_to_string(list_sort(list_filter(string_split({query}, '&'),"
+        f" p -> p != '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))), '&')"
+    )
+    return (
+        f"({host} || {path} || CASE WHEN {qs} != ''"
+        f" THEN '?' || {qs} ELSE '' END)"
+    )
+
+
+def canonical_host(col: str | Column) -> Column:
+    """The host part of :func:`canonical_url` (the domain-cap key)."""
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    u = F.regexp_replace(u, _SCHEME_RE, "")
+    host = F.lower(F.regexp_extract(u, r"^([^/?#]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.regexp_replace(host, r":(80|443)$", "")
+
+
+def canonical_host_sql(expr: str) -> str:
+    u = f"regexp_replace(trim({expr}), '{_SCHEME_RE}', '')"
+    return (
+        f"regexp_replace(regexp_replace(lower(regexp_extract({u}, '^([^/?#]*)', 1)),"
+        f" '^www\\.', ''), ':(80|443)$', '')"
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    keep: str = "first",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Exact URL dedup verdict on the canonical key — the same
+    contract as :func:`dedup.exact_dedup`: (id, canonical_url,
+    keeper_id, is_duplicate), one row per input doc.
+
+    - ``keep='first'``: keeper = min id per canonical url.
+    - ``keep='newest'``: keeper = max (ts, id) — requires ``ts_col``;
+      the re-crawl wins, id breaks exact-timestamp ties.
+
+    One shuffle on the canonical key; the keeper is a window over the
+    same partitioning (no second exchange)."""
+    if keep not in ("first", "newest"):
+        raise ValueError(f"keep must be 'first' or 'newest', got {keep!r}")
+    if keep == "newest" and ts_col is None:
+        raise ValueError("keep='newest' requires ts_col")
+    base = _spread(df).select(
+        F.col(id_col),
+        canonical_url(url_col).alias("canonical_url"),
+        *([F.col(ts_col)] if ts_col else []),
+    )
+    w = Window.partitionBy("canonical_url")
+    if keep == "first":
+        keeper = F.min(id_col).over(w)
+    else:
+        keeper = F.max(F.struct(F.col(ts_col), F.col(id_col))).over(w)[id_col]
+    return base.select(
+        id_col,
+        "canonical_url",
+        keeper.alias("keeper_id"),
+        (F.col(id_col) != keeper).alias("is_duplicate"),
+    )
+
+
+def url_dedup_sql(
+    table: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    keep: str = "first",
+    ts_col: str | None = None,
+) -> str:
+    canon = canonical_url_sql(url_col)
+    if keep == "first":
+        keeper = f"min({id_col}) OVER (PARTITION BY canonical_url)"
+    else:
+        keeper = (
+            f"(max({{'t': {ts_col}, 'i': {id_col}}})"
+            f" OVER (PARTITION BY canonical_url)).i"
+        )
+    return f"""
+SELECT {id_col}, canonical_url,
+  {keeper} AS keeper_id,
+  {id_col} != {keeper} AS is_duplicate
+FROM (SELECT {id_col}, {canon} AS canonical_url
+      {f', {ts_col}' if ts_col else ''} FROM {table})
+"""
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document rank (RefinedWeb-style host caps): every
+    doc gets its deterministic rank within its canonical host
+    (ordered by id) and a ``kept`` flag = rank <= cap. Emitting ALL
+    rows (not just survivors) keeps the verdict joinable AND fully
+    hash-checkable; callers filter ``kept``.
+
+    The window sorts one host's rows per task. For a mega-host at
+    crawl scale, pre-filter with a per-host count + hash threshold to
+    ~2x cap before this exact window (see SCALE.md)."""
+    base = _spread(df).select(
+        F.col(id_col), canonical_host(url_col).alias("domain")
+    )
+    w = Window.partitionBy("domain").orderBy(id_col)
+    return base.select(
+        id_col,
+        "domain",
+        F.row_number().over(w).cast("long").alias("domain_rank"),
+    ).withColumn("kept", F.col("domain_rank") <= cap)
+
+
+def domain_cap_sql(
+    table: str, cap: int, url_col: str = "url", id_col: str = "doc_id"
+) -> str:
+    host = canonical_host_sql(url_col)
+    return f"""
+SELECT {id_col}, domain,
+  row_number() OVER (PARTITION BY domain ORDER BY {id_col})::BIGINT AS domain_rank,
+  row_number() OVER (PARTITION BY domain ORDER BY {id_col}) <= {cap} AS kept
+FROM (SELECT {id_col}, {host} AS domain FROM {table})
+"""

@@ -8,6 +8,7 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
+from cryo_spark.operators import web
 from cryo_spark.operators.spans import dedup_lines, dedup_lines_sql
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -194,3 +195,135 @@ def test_prepare_training_corpus_line_dedup_stage_oracle(spark, tmp_path):
     # the stage must actually bite: with it off, kept text differs
     base = prepare_training_corpus(wrapped).toPandas()
     assert base["text"].str.len().sum() > s["text"].str.len().sum()
+
+
+# ------------------------------------------------------ URL controls
+
+
+MESSY_URLS = [
+    # one page, six disguises -> ONE canonical key
+    (1, "https://example.com/article/42"),
+    (2, "http://example.com/article/42"),
+    (3, "https://www.example.com/article/42"),
+    (4, "https://example.com:443/article/42/"),
+    (5, "https://example.com/article/42#section-2"),
+    (6, "https://example.com/article/42?utm_source=feed&utm_campaign=x"),
+    # same params, different order -> same key
+    (7, "https://example.com/search?b=2&a=1"),
+    (8, "https://example.com/search?a=1&b=2"),
+    # a REAL param survives -> distinct from the bare page
+    (9, "https://example.com/search?a=1"),
+    (10, "https://other.org/article/42"),
+    (11, None),
+]
+
+
+def test_canonical_url_collapses_disguises(spark):
+    df = spark.createDataFrame(MESSY_URLS, "doc_id long, url string")
+    got = {
+        r.doc_id: r.c
+        for r in df.select("doc_id", web.canonical_url("url").alias("c")).collect()
+    }
+    assert len({got[i] for i in range(1, 7)}) == 1
+    assert got[1] == "example.com/article/42"
+    assert got[7] == got[8] == "example.com/search?a=1&b=2"
+    assert got[9] == "example.com/search?a=1" and got[9] != got[7]
+    assert got[10] == "other.org/article/42"
+    assert got[11] is None
+
+
+def test_canonical_url_matches_duckdb(spark, tmp_path):
+    df = spark.createDataFrame(MESSY_URLS, "doc_id long, url string")
+    path = str(tmp_path / "urls.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    o = con.sql(
+        f"SELECT doc_id, {web.canonical_url_sql('url')} AS c "
+        f"FROM read_parquet('{path}/*.parquet') ORDER BY doc_id"
+    ).df()
+    con.close()
+    s = (
+        df.select("doc_id", web.canonical_url("url").alias("c"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert s.astype(str).equals(o.astype(str))
+
+
+def test_url_dedup_keep_first(spark):
+    df = spark.createDataFrame(MESSY_URLS, "doc_id long, url string")
+    out = {r.doc_id: r for r in web.url_dedup(df).collect()}
+    for d in range(1, 7):
+        assert out[d].keeper_id == 1
+        assert out[d].is_duplicate == (d != 1)
+    assert out[7].keeper_id == 7 and out[8].is_duplicate
+    assert not out[9].is_duplicate and not out[10].is_duplicate
+
+
+def test_url_dedup_keep_newest(spark):
+    # re-crawl wins: same canonical url, later crawl_ts is the keeper
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com/a", 100),
+            (2, "http://www.example.com/a/", 300),
+            (3, "https://example.com/a#frag", 200),
+            (4, "https://example.com/b", 100),
+        ],
+        "doc_id long, url string, crawl_ts long",
+    )
+    out = {
+        r.doc_id: r
+        for r in web.url_dedup(df, keep="newest", ts_col="crawl_ts").collect()
+    }
+    assert out[1].keeper_id == 2 and out[1].is_duplicate
+    assert not out[2].is_duplicate
+    assert not out[4].is_duplicate
+    with pytest.raises(ValueError):
+        web.url_dedup(df, keep="newest")  # ts_col required
+    with pytest.raises(ValueError):
+        web.url_dedup(df, keep="nope")
+
+
+@pytest.mark.parametrize("keep,ts", [("first", None), ("newest", "crawl_ts")])
+def test_url_dedup_oracle(spark, tmp_path, keep, ts):
+    df = spark.createDataFrame(
+        [(i, u, 1000 - i * 7 % 13) for i, u in MESSY_URLS],
+        "doc_id long, url string, crawl_ts long",
+    )
+    path = str(tmp_path / "urls.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    o = _canon(con.sql(web.url_dedup_sql("t", keep=keep, ts_col=ts)).df())
+    con.close()
+    s = _canon(web.url_dedup(df, keep=keep, ts_col=ts).toPandas())
+    assert s.equals(o)
+
+
+def test_domain_cap_ranks_and_flags(spark):
+    df = spark.createDataFrame(
+        [(i, f"https://www.busy.com/p/{i}") for i in range(1, 6)]
+        + [(10, "http://quiet.org/x"), (11, "https://quiet.org:443/y")],
+        "doc_id long, url string",
+    )
+    out = {r.doc_id: r for r in web.domain_cap(df, cap=3).collect()}
+    assert [out[i].domain for i in (1, 10)] == ["busy.com", "quiet.org"]
+    assert [out[i].kept for i in range(1, 6)] == [True, True, True, False, False]
+    assert out[10].kept and out[11].kept
+    # ranks are the deterministic id order within the host
+    assert [out[i].domain_rank for i in range(1, 6)] == [1, 2, 3, 4, 5]
+
+
+def test_domain_cap_oracle(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, u) for i, u in MESSY_URLS if u is not None],
+        "doc_id long, url string",
+    )
+    path = str(tmp_path / "urls.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    o = _canon(con.sql(web.domain_cap_sql("t", cap=2)).df())
+    con.close()
+    s = _canon(web.domain_cap(df, cap=2).toPandas())
+    assert s.equals(o)
