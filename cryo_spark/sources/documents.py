@@ -16,6 +16,10 @@ values depend on partition layout.
 
 from __future__ import annotations
 
+import gzip
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,6 +40,16 @@ def read_documents(
       to any file size) or per FILE with ``whole_files=True`` (the
       one-doc-one-file layout; non-splittable, so a huge single file
       becomes one task — prefer line or jsonl layouts at scale).
+
+    Compressed inputs (``.jsonl.gz`` / ``.txt.gz`` — the shape real
+    crawl dumps arrive in) work through every branch unchanged:
+    Spark's text/JSON readers infer the codec from the extension and
+    decompress in the scan. CAVEAT (SCALE.md): gzip is a
+    NON-SPLITTABLE codec — each ``.gz`` file is one task regardless of
+    size, so a crawl shipped as one 500 GB gzip member serializes its
+    scan. Ship many ~100 MB-1 GB members (the CommonCrawl layout) and
+    parallelism comes from file count; or re-land as zstd/parquet
+    after first read.
 
     Identical (file, text) pairs collapse to one id by construction —
     acceptable (and usually desirable) for a dedup-oriented pipeline;
@@ -61,3 +75,122 @@ def read_documents(
             id_col, F.xxhash64(F.input_file_name(), F.col(text_col))
         )
     return df
+
+
+def read_records(
+    spark: SparkSession,
+    path: str,
+    record_sep: str = "\n\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Record-delimited corpus ingestion: one doc per SEPARATOR-bounded
+    multi-line record (the blank-line-delimited dump shape) via the
+    text reader's ``lineSep`` option — still a distributed scan, and
+    still SPLITTABLE for uncompressed input (the reader resyncs on the
+    custom delimiter exactly as it does on newlines). Gzip members
+    remain one task each (codec, not delimiter — see read_documents).
+
+    Empty records (separator runs) are dropped; ids are the same
+    deterministic (file, text) hash as read_documents."""
+    df = (
+        spark.read.option("lineSep", record_sep)
+        .text(path)
+        .withColumnRenamed("value", text_col)
+        .filter(F.trim(F.col(text_col)) != "")
+    )
+    return df.withColumn(
+        id_col, F.xxhash64(F.input_file_name(), F.col(text_col))
+    )
+
+
+#: Arrow batch schema for read_warc
+_WARC_SCHEMA = (
+    "path string, record_idx long, warc_type string, target_uri string, "
+    "warc_date string, content_length long, payload string"
+)
+
+
+def _parse_warc_bytes(raw: bytes, path: str) -> list[tuple]:
+    """Split one WARC file's bytes into records. Content-Length-DRIVEN
+    (the spec's framing): payloads may legally contain blank lines and
+    even 'WARC/1.0' text, so a regex/split reader is wrong — read the
+    header block, take exactly Content-Length payload bytes, skip the
+    two-CRLF record boundary, repeat."""
+    if path.endswith(".gz") or raw[:2] == b"\x1f\x8b":
+        raw = gzip.decompress(raw)
+    out: list[tuple] = []
+    pos, idx = 0, 0
+    n = len(raw)
+    while pos < n:
+        # skip inter-record CRLF/LF runs
+        while pos < n and raw[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            break
+        head_end = raw.find(b"\r\n\r\n", pos)
+        sep_len = 4
+        if head_end == -1:
+            head_end = raw.find(b"\n\n", pos)
+            sep_len = 2
+        if head_end == -1:
+            break  # trailing garbage, no complete header block
+        header = raw[pos:head_end].decode("utf-8", errors="replace")
+        fields: dict[str, str] = {}
+        for line in header.splitlines()[1:]:  # line 0 = 'WARC/1.0'
+            if ":" in line:
+                k, _, v = line.partition(":")
+                fields[k.strip().lower()] = v.strip()
+        clen = int(fields.get("content-length", "0") or "0")
+        body_start = head_end + sep_len
+        body = raw[body_start : body_start + clen]
+        out.append(
+            (
+                path,
+                idx,
+                fields.get("warc-type"),
+                fields.get("warc-target-uri"),
+                fields.get("warc-date"),
+                clen,
+                body.decode("utf-8", errors="replace"),
+            )
+        )
+        idx += 1
+        pos = body_start + clen
+    return out
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WARC-shaped crawl ingestion: one row per WARC record with the
+    framing headers parsed out (warc_type, target_uri, warc_date,
+    content_length) and the payload decoded as text.
+
+    Plumbing: ``binaryFile`` scan → Arrow-batched ``mapInPandas``
+    running the Content-Length-driven splitter per file. Each WARC
+    member is ONE task (binaryFile is whole-file, and real WARCs are
+    gzip anyway) — the CommonCrawl layout of ~1 GB members gives file-
+    count parallelism, same caveat as gzip JSONL (SCALE.md). Ids are
+    the deterministic (path, record_idx) hash, so re-ingestion on any
+    cluster layout yields identical ids."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "path", "record_idx", "warc_type", "target_uri",
+            "warc_date", "content_length", "payload",
+        ]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for _, r in pdf.iterrows():
+                rows.extend(_parse_warc_bytes(bytes(r["content"]), r["path"]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        files.select("path", "content")
+        .mapInPandas(parse, schema=_WARC_SCHEMA)
+        .withColumn(id_col, F.xxhash64(F.col("path"), F.col("record_idx")))
+    )

@@ -327,3 +327,116 @@ def test_domain_cap_oracle(spark, tmp_path):
     con.close()
     s = _canon(web.domain_cap(df, cap=2).toPandas())
     assert s.equals(o)
+
+
+# ------------------------------------------------- compressed ingestion
+
+
+def test_read_documents_gzip_jsonl_matches_plain(spark, tmp_path):
+    import gzip as gz
+
+    from cryo_spark.sources.documents import read_documents
+
+    lines = [
+        '{"text": "alpha doc", "lang": "en"}',
+        '{"text": "beta doc", "lang": "en"}',
+        '{"text": "gamma doc", "lang": "fr"}',
+    ]
+    plain = tmp_path / "plain"; plain.mkdir()
+    (plain / "part.jsonl").write_text("\n".join(lines) + "\n")
+    comp = tmp_path / "comp"; comp.mkdir()
+    with gz.open(comp / "part.jsonl.gz", "wt") as f:
+        f.write("\n".join(lines) + "\n")
+
+    p = read_documents(spark, str(plain), fmt="jsonl")
+    c = read_documents(spark, str(comp), fmt="jsonl")
+    assert sorted(r.text for r in p.collect()) == sorted(
+        r.text for r in c.collect()
+    ) == ["alpha doc", "beta doc", "gamma doc"]
+    # deterministic ids: two reads of the same gz input agree
+    ids1 = sorted(r.doc_id for r in c.collect())
+    ids2 = sorted(
+        r.doc_id for r in read_documents(spark, str(comp), fmt="jsonl").collect()
+    )
+    assert ids1 == ids2 and len(set(ids1)) == 3
+
+
+def test_read_records_blank_line_delimited(spark, tmp_path):
+    import gzip as gz
+
+    from cryo_spark.sources.documents import read_records
+
+    body = (
+        "first record line one\nline two\n"
+        "\n\n"  # separator run -> ONE boundary, no empty doc
+        "second record\n"
+        "\n"
+        "third\nrecord\nspans lines"
+    )
+    d = tmp_path / "recs"; d.mkdir()
+    (d / "a.txt").write_text(body)
+    out = read_records(spark, str(d), record_sep="\n\n").collect()
+    texts = sorted(r.text.strip() for r in out)
+    assert texts == [
+        "first record line one\nline two",
+        "second record",
+        "third\nrecord\nspans lines",
+    ]
+    # same records through a gzip member -> same texts (one task/file)
+    g = tmp_path / "recs_gz"; g.mkdir()
+    with gz.open(g / "a.txt.gz", "wt") as f:
+        f.write(body)
+    gtexts = sorted(
+        r.text.strip()
+        for r in read_records(spark, str(g), record_sep="\n\n").collect()
+    )
+    assert gtexts == texts
+
+
+def _warc_bytes() -> bytes:
+    # payload 1 deliberately contains a blank CRLF line AND the literal
+    # 'WARC/1.0' — only Content-Length framing parses this correctly
+    p1 = b"HTTP/1.1 200 OK\r\n\r\nbody says WARC/1.0 inside"
+    p2 = b"plain payload two"
+    rec = b""
+    for uri, p in (("https://example.com/a", p1), ("https://example.com/b", p2)):
+        rec += (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + b"WARC-Date: 2026-08-14T00:00:00Z\r\n"
+            + f"Content-Length: {len(p)}\r\n".encode()
+            + b"\r\n" + p + b"\r\n\r\n"
+        )
+    return rec
+
+
+def test_read_warc_content_length_framing(spark, tmp_path):
+    from cryo_spark.sources.documents import read_warc
+
+    d = tmp_path / "warc"; d.mkdir()
+    (d / "crawl.warc").write_bytes(_warc_bytes())
+    out = sorted(read_warc(spark, str(d)).collect(), key=lambda r: r.record_idx)
+    assert len(out) == 2
+    assert out[0].target_uri == "https://example.com/a"
+    assert out[0].payload == "HTTP/1.1 200 OK\r\n\r\nbody says WARC/1.0 inside"
+    assert out[0].content_length == len(out[0].payload)
+    assert out[1].payload == "plain payload two"
+    assert all(r.warc_type == "response" for r in out)
+    assert all(r.warc_date == "2026-08-14T00:00:00Z" for r in out)
+
+
+def test_read_warc_gzip_member_same_records(spark, tmp_path):
+    import gzip as gz
+
+    from cryo_spark.sources.documents import read_warc
+
+    d = tmp_path / "warcgz"; d.mkdir()
+    (d / "crawl.warc.gz").write_bytes(gz.compress(_warc_bytes()))
+    out = sorted(read_warc(spark, str(d)).collect(), key=lambda r: r.record_idx)
+    assert [r.target_uri for r in out] == [
+        "https://example.com/a", "https://example.com/b",
+    ]
+    # ids are (path, record_idx) hashes: stable across re-reads
+    again = sorted(read_warc(spark, str(d)).collect(), key=lambda r: r.record_idx)
+    assert [r.doc_id for r in out] == [r.doc_id for r in again]
