@@ -124,3 +124,101 @@ def auc(
         return float("nan")
     u = row.rp - row.np * (row.np + 1) / 2.0
     return float(u / (row.np * row.nn))
+
+
+def choose_threshold(
+    scored: DataFrame,
+    target_precision: float,
+    label_col: str = "label",
+    score_col: str = "quality_prob",
+) -> dict:
+    """Calibrate the keep/drop cutoff: the SMALLEST score threshold
+    whose precision (P[label=1 | score >= t]) meets
+    ``target_precision`` — i.e. maximize recall subject to the
+    precision floor, the standard operating point for a corpus filter
+    ("keep as much as possible while X% of what you keep is good").
+
+    Pass a HELD-OUT scored frame — calibrating on training docs
+    overstates precision (see :func:`train_calibrated_filter` for the
+    leak-free split + train + calibrate composition).
+
+    Distributed shape: group by distinct score (partial agg), one
+    cumulative window ordered score-desc over the distinct-score frame
+    (small by construction — it is bounded by the labeled eval set,
+    like :func:`auc`), driver takes one row. Returns
+    ``{"threshold", "precision", "recall", "kept_frac"}``.
+
+    Raises ValueError when no cutoff reaches the target (a filter that
+    cannot be made precise enough should fail loudly, not silently
+    keep everything)."""
+    from pyspark.sql import Window
+
+    per_score = scored.groupBy(score_col).agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("__p"),
+        F.sum(F.when(F.col(label_col) == 0, 1).otherwise(0)).alias("__n"),
+    )
+    w = Window.orderBy(F.col(score_col).desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_score.select(
+        F.col(score_col),
+        F.sum("__p").over(w).alias("tp"),
+        F.sum("__n").over(w).alias("fp"),
+    )
+    totals = scored.agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("pos"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    best = (
+        cum.filter(
+            F.col("tp") / (F.col("tp") + F.col("fp")) >= target_precision
+        )
+        .orderBy(F.col(score_col).asc())
+        .first()
+    )
+    if best is None:
+        raise ValueError(
+            f"no threshold reaches precision {target_precision} on the "
+            "held-out frame"
+        )
+    return {
+        "threshold": float(best[score_col]),
+        "precision": float(best["tp"] / (best["tp"] + best["fp"])),
+        "recall": float(best["tp"] / totals["pos"]) if totals["pos"] else float("nan"),
+        "kept_frac": float((best["tp"] + best["fp"]) / totals["n"]),
+    }
+
+
+def train_calibrated_filter(
+    labeled: DataFrame,
+    target_precision: float,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    holdout_frac: float = 0.25,
+    seed: str = "calib0",
+    n_features: int = DEFAULT_FEATURES,
+) -> tuple[LogisticRegressionModel, dict]:
+    """Leak-free train + calibrate: deterministically hash-split the
+    labeled frame (md5(seed:id) threshold — same primitive as the
+    sampling module, so the split is reproducible on any cluster
+    layout and no training doc can appear in the calibration half),
+    fit on the train side, score the held-out side, and pick the
+    cutoff with :func:`choose_threshold`.
+
+    Returns ``(model, stats)``; apply downstream as
+    ``score_quality(corpus, model).filter(F.col("quality_prob") >=
+    stats["threshold"])`` — a narrow broadcast-coefficient pass."""
+    from cryo_spark.operators.sampling import _bucket, _threshold
+
+    is_holdout = _bucket(id_col, seed) < F.lit(_threshold(holdout_frac))
+    train = labeled.filter(~is_holdout)
+    holdout = labeled.filter(is_holdout)
+    model = train_quality_classifier(
+        train, text_col, label_col, n_features=n_features
+    )
+    scored = score_quality(holdout, model, text_col, id_col, n_features).join(
+        holdout.select(id_col, label_col), id_col
+    )
+    stats = choose_threshold(scored, target_precision, label_col)
+    return model, stats

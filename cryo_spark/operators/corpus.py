@@ -90,6 +90,8 @@ def prepare_training_corpus(
     dsir_k: int | None = None,
     line_dedup: bool = False,
     line_min_docs: int = 2,
+    quality_model=None,
+    quality_threshold: float | None = None,
 ) -> DataFrame:
     """The WHOLE preparation pipeline, composed from the per-stage
     operators: quality/language filter + exact dedup (stage 1, one
@@ -97,7 +99,9 @@ def prepare_training_corpus(
     on the survivors (stage 1b, round 8: whole lines repeated in
     >= ``line_min_docs`` distinct docs — cookie banners, navigation —
     are dropped BEFORE span dedup, the standard web-corpus order;
-    docs reduced to nothing exit here) → corpus-wide duplicate-span
+    docs reduced to nothing exit here; an optional LEARNED quality
+    filter — ``quality_model`` + calibrated ``quality_threshold`` —
+    runs between them on the original text) → corpus-wide duplicate-span
     removal on the survivors (stage 2, drops fully-boilerplate docs)
     → optional near-duplicate collapse on the rewritten text (stage
     2b: exact n-gram Jaccard pairs → connected components → keep the
@@ -136,6 +140,23 @@ def prepare_training_corpus(
         )
         .select("doc_id", text_col, "source")
     )
+    if quality_model is not None:
+        # stage 1c (optional, round 8): LEARNED quality filter on the
+        # original text — scores are a narrow broadcast-coefficient
+        # pass (classifier.score_quality); the cutoff comes from
+        # classifier.train_calibrated_filter's held-out calibration.
+        # MLlib scoring is not SQL-expressible, so a pipeline run with
+        # this stage on has no DuckDB oracle — its correctness anchor
+        # is the composition-equivalence test (pipeline(model) ==
+        # pipeline() semi-joined to the surviving doc ids).
+        if quality_threshold is None:
+            raise ValueError("quality_model requires quality_threshold")
+        from cryo_spark.operators import classifier
+
+        ok = classifier.score_quality(kept, quality_model, text_col).filter(
+            F.col("quality_prob") >= quality_threshold
+        )
+        kept = kept.join(ok.select("doc_id"), "doc_id")
     if line_dedup:
         ld = spans.dedup_lines(
             kept, text_col, min_docs=line_min_docs

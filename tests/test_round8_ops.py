@@ -440,3 +440,113 @@ def test_read_warc_gzip_member_same_records(spark, tmp_path):
     # ids are (path, record_idx) hashes: stable across re-reads
     again = sorted(read_warc(spark, str(d)).collect(), key=lambda r: r.record_idx)
     assert [r.doc_id for r in out] == [r.doc_id for r in again]
+
+
+# ------------------------------------------- threshold calibration
+
+
+def _noisy_labeled(spark, n=400):
+    """Separable-but-noisy corpus: every 10th 'spam' doc borrows clean
+    vocabulary, so precision < 1.0 at low thresholds and the
+    calibration has a real curve to walk."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            t = f"the model result shows clear method and data analysis {i}"
+            y = 1.0
+        elif i % 10 == 1:
+            t = f"the model result buy now shows data deal analysis {i}"
+            y = 0.0
+        else:
+            t = f"click here buy now cheap deal win free prize {i} {i * 3}"
+            y = 0.0
+        rows.append((i, t, y))
+    return spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+
+def test_choose_threshold_hits_target_precision(spark):
+    from cryo_spark.operators import classifier
+
+    labeled = _noisy_labeled(spark)
+    model, stats = classifier.train_calibrated_filter(
+        labeled, target_precision=0.9
+    )
+    assert stats["precision"] >= 0.9
+    assert 0 < stats["recall"] <= 1.0
+    # the chosen threshold REPRODUCES the reported stats when applied
+    # to a freshly-scored held-out frame (no hidden state)
+    from cryo_spark.operators.sampling import _bucket, _threshold
+
+    hold = labeled.filter(_bucket("doc_id", "calib0") < F.lit(_threshold(0.25)))
+    rescored = classifier.score_quality(hold, model).join(
+        hold.select("doc_id", "label"), "doc_id"
+    )
+    kept = rescored.filter(F.col("quality_prob") >= stats["threshold"])
+    agg = kept.agg(
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("tp"),
+        F.count(F.lit(1)).alias("k"),
+    ).first()
+    assert abs(agg.tp / agg.k - stats["precision"]) < 1e-9
+
+
+def test_choose_threshold_monotone_tradeoff(spark):
+    """A higher precision floor can only shrink what is kept."""
+    from cryo_spark.operators import classifier
+
+    labeled = _noisy_labeled(spark)
+    model, lo = classifier.train_calibrated_filter(labeled, 0.8)
+    _, hi = classifier.train_calibrated_filter(labeled, 0.99)
+    assert hi["threshold"] >= lo["threshold"]
+    assert hi["kept_frac"] <= lo["kept_frac"]
+    assert hi["precision"] >= 0.99 and lo["precision"] >= 0.8
+
+
+def test_choose_threshold_unattainable_raises(spark):
+    from cryo_spark.operators import classifier
+
+    # constant scores, mixed labels: precision is pinned at the base
+    # rate (0.5) — a 0.9 target must fail loudly
+    scored = spark.createDataFrame(
+        [(i, 0.7, float(i % 2)) for i in range(20)],
+        "doc_id long, quality_prob double, label double",
+    )
+    with pytest.raises(ValueError):
+        classifier.choose_threshold(scored, 0.9)
+    out = classifier.choose_threshold(scored, 0.5)
+    assert out["kept_frac"] == 1.0  # one threshold keeps everything
+
+
+def test_corpus_pipeline_classifier_stage_composition(spark):
+    """pipeline(quality_model=m) == pipeline() restricted to the docs
+    the calibrated filter keeps — the correctness anchor for the one
+    stage with no SQL oracle."""
+    from cryo_spark.operators import classifier
+    from cryo_spark.operators.corpus import prepare_training_corpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # labels derived from the heuristic quality score: a stand-in
+    # reference corpus that the learned filter can actually fit
+    from cryo_spark.operators.text import quality_score_expr
+
+    labeled = docs.select(
+        "doc_id", "text",
+        (quality_score_expr("text") >= 0.5).cast("double").alias("label"),
+    )
+    model, stats = classifier.train_calibrated_filter(labeled, 0.7)
+
+    with_stage = prepare_training_corpus(
+        docs, quality_model=model, quality_threshold=stats["threshold"]
+    ).toPandas()
+    base = prepare_training_corpus(docs)
+    surviving = classifier.score_quality(docs, model).filter(
+        F.col("quality_prob") >= stats["threshold"]
+    )
+    # NOTE: not identical frames — span dedup sees a smaller corpus
+    # when the filter runs first, so only the DOC SET containment laws
+    # hold exactly: stage output ⊆ filter survivors, and every
+    # base-pipeline doc that survives the filter alone is present
+    ids_stage = set(with_stage["doc_id"])
+    ids_keep = {r.doc_id for r in surviving.select("doc_id").collect()}
+    assert ids_stage <= ids_keep
+    with pytest.raises(ValueError):
+        prepare_training_corpus(docs, quality_model=model)  # no threshold
