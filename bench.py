@@ -143,6 +143,9 @@ def plan_fingerprint(df) -> tuple[str, str]:
 
     s = df._jdf.queryExecution().executedPlan().toString()
     s = re.sub(r"#\d+", "#", s)
+    # higher-order-function lambda variables (x_1, y_3, ...) draw from
+    # a session-GLOBAL counter — same plan, different history, new name
+    s = re.sub(r"\b([xy])_\d+#", r"\1_#", s)
     s = re.sub(r"(plan_id|id)=\d+", r"\1=", s)
     s = re.sub(r"\[file:[^\]]*\]", "[file:...]", s)
     s = re.sub(r"InMemoryFileIndex\([^)]*\)", "InMemoryFileIndex(...)", s)

@@ -214,3 +214,35 @@ def test_span_dedup_keep_join_reuses_span_exchange(spark):
     # exchanges: spread repartition, span hash (agg+join reuse), doc_id
     n_hash_exchanges = plan.count("Exchange hashpartitioning")
     assert n_hash_exchanges <= 4, plan[:2000]
+
+
+def test_headline_plan_snapshots(spark):
+    """Round-8 plan-hash regression gate: the pinned headline queries'
+    normalized physical-plan fingerprints must match the committed
+    snapshot. A failure here means a plan SHAPE changed — a lost
+    broadcast, a new Exchange, a degraded join strategy — which used
+    to surface only as a timing drift a round later.
+
+    If the change is INTENTIONAL: run
+    ``python tools/update_plan_snapshots.py``, review the printed
+    before/after plans, and commit the regenerated
+    tests/plan_snapshots.json with the change that caused it."""
+    from tools import plan_snapshots as ps
+
+    current = ps.compute_fingerprints(spark)
+    snapshot = ps.load_snapshot()
+    assert set(current) == set(snapshot), (
+        "pinned-query set drifted — regenerate the snapshot "
+        "(python tools/update_plan_snapshots.py)"
+    )
+    moved = {
+        name: (snapshot[name], cur["fp"])
+        for name, cur in current.items()
+        if cur["fp"] != snapshot[name]
+    }
+    assert not moved, (
+        f"plan shape changed for {sorted(moved)} — if intentional, run "
+        "python tools/update_plan_snapshots.py and commit the diff; "
+        "details:\n"
+        + "\n\n".join(f"== {n} ==\n{current[n]['text']}" for n in sorted(moved))
+    )

@@ -1,0 +1,103 @@
+"""Plan-fingerprint regression gate (round 8).
+
+`bench.py` records per-query physical-plan fingerprints into the
+`BENCH_FULL_LOCAL.json` sidecar, but nothing DIFFED them — a lost
+broadcast or a new Exchange only surfaced as a timing drift a round
+later. This module pins the headline queries' plan SHAPES to a
+committed snapshot (`tests/plan_snapshots.json`):
+
+- `tests/test_plans.py::test_headline_plan_snapshots` fails when any
+  pinned query's normalized plan hash moves.
+- An INTENTIONAL plan change (new operator version, better strategy)
+  is accepted by regenerating: ``python tools/update_plan_snapshots.py``
+  — review the printed before/after plan diff, commit the new JSON
+  alongside the change that caused it.
+
+Fingerprints come from `bench.plan_fingerprint` (expression/plan ids,
+file paths and file-index contents normalized away), taken at the
+PLAN stage (AQE isFinalPlan=false) so nothing here executes the
+query. Shuffle-partition count appears in Exchange nodes, so snapshot
+and check must share session conf — both use the same
+``get_spark(shuffle_partitions=8)`` the test suite uses, at sf0.001.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SNAPSHOT_PATH = os.path.join(REPO, "tests", "plan_snapshots.json")
+SF_DIR = "/root/testdata/sf0.001"
+
+#: queries whose plan shape is load-bearing: the suite's most
+#: expensive entries plus every plan property a round has explicitly
+#: fought for (broadcasts, partial aggs, TakeOrdered, single-exchange
+#: window reuse). Dataset entries are covered by their own plan pins
+#: in tests/test_plans.py.
+PINNED = [
+    "pricing_summary",          # partial agg + small result
+    "top_orders",               # TakeOrderedAndProject
+    "nation_revenue",           # broadcast dim joins
+    "first_order_per_customer", # window over one exchange
+    "orders_asof_events",       # as-of union-window shape
+    "llm_exact_dedup",          # single md5-key exchange + window
+    "llm_span_dedup",           # span agg shares one exchange
+    "llm_line_dedup",           # line agg shares one exchange
+    "llm_url_dedup",            # canonical-key exchange + windows
+    "llm_ngram_stats",          # partial count agg + TakeOrdered
+    "llm_dsir_select",          # 4096-row broadcast + per-task heaps
+    "llm_ngram_jaccard_pairs",  # df-cap bounded joins
+    "llm_temperature_mix",      # rank window + tiny agg broadcast
+    "llm_text_profile",         # 6-way doc_id SMJ reusing exchanges
+]
+
+
+def compute_fingerprints(spark, names=None) -> dict[str, dict[str, str]]:
+    import bench
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    out: dict[str, dict[str, str]] = {}
+    for name in names or PINNED:
+        df = queries[name](spark, SF_DIR)
+        fp, text = bench.plan_fingerprint(df)
+        out[name] = {"fp": fp, "text": text}
+    return out
+
+
+def load_snapshot() -> dict[str, str]:
+    with open(SNAPSHOT_PATH) as f:
+        return json.load(f)
+
+
+def main() -> int:
+    from cryo_spark import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    current = compute_fingerprints(spark)
+    try:
+        old = load_snapshot()
+    except FileNotFoundError:
+        old = {}
+    for name, cur in current.items():
+        if name in old and old[name] != cur["fp"]:
+            print(f"== {name}: {old[name]} -> {cur['fp']} (review!)")
+            print(cur["text"])
+        elif name not in old:
+            print(f"== {name}: NEW {cur['fp']}")
+    with open(SNAPSHOT_PATH, "w") as f:
+        json.dump(
+            {k: v["fp"] for k, v in sorted(current.items())}, f, indent=1
+        )
+        f.write("\n")
+    print(f"wrote {SNAPSHOT_PATH} ({len(current)} pins)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
