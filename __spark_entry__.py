@@ -728,13 +728,20 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     at no extra cost (still one signature pass over the corpus)."""
     docs = _read(spark, sf_dir, "documents")
     # the index frame is consumed three times below (base pairs, the
-    # delta join's both sides) and deliberately NOT persisted: at this
-    # scale the recompute ties the cache round-trip (measured 2.62s
-    # un-persisted vs 2.77s persisted at sf0.1), and piggybacking on
-    # dedup's verify-cache rotation would evict frames it protects. A
-    # real deployment materializes the index as parquet (the
+    # delta join's both sides): lazily localCheckpoint it so the
+    # signature pass runs ONCE. Round-8 A/B at sf0.1 (best of 3,
+    # post-bucketed-index work): recompute 1.77s, persist() 1.75s,
+    # localCheckpoint 0.92s — checkpoint wins because it truncates the
+    # lineage, so the three consumers plan against the materialized
+    # k-longs-per-doc frame instead of re-optimizing the whole
+    # shingle->minhash subtree. (persist() keeps lineage AND would
+    # piggyback on dedup's verify-cache rotation, evicting frames it
+    # protects.) Cluster trade documented: localCheckpoint stores on
+    # executors, so a lost executor fails the job instead of
+    # recomputing — acceptable for an index that is k longs/doc; a
+    # real deployment materializes it as parquet anyway (the
     # daily-ingest workflow test drives exactly that path).
-    full_idx = incremental.minhash_index(docs)
+    full_idx = incremental.minhash_index(docs).localCheckpoint(eager=False)
     # pmod, not %: Spark's % keeps the dividend sign, so a plain
     # parity split would silently drop negative odd ids (and
     # read_documents emits signed xxhash64 ids) — pmod is exhaustive
