@@ -283,3 +283,71 @@ def streaming_ingest_clean(
         out, text_col=text_col, event_time_col=event_time_col,
         horizon=horizon,
     )
+
+
+def streaming_near_dup_candidates(
+    stream: DataFrame,
+    index_table: str,
+    out_path: str,
+    checkpoint_dir: str,
+    bands: int = 4,
+    k: int = 16,
+    append_to_index: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Round 8: bridge `streaming_ingest_clean` (exact dedup at
+    ingest) and the daily incremental-minhash workflow — a
+    `foreachBatch` stage that runs each micro-batch's NEAR-dup
+    candidate generation against the persisted banded index
+    (`incremental_pairs_from_table`), so fuzzy duplicates of the
+    historical corpus are flagged the moment a document arrives
+    instead of waiting for the nightly batch.
+
+    Per micro-batch (all batch-API inside `foreachBatch`, so every
+    already-tested operator applies unchanged):
+    1. minhash-index the batch (one signature pass over arrivals),
+    2. candidates = banded join vs the bucketed base table (base side
+       reads straight from its buckets — only the batch shuffles) ∪
+       within-batch signature pairs,
+    3. append candidate (id_a, id_b) rows to ``out_path`` parquet,
+    4. optionally append the batch's band rows INTO the index table,
+       so batch N+2 also catches near-dups of batch N+1 — with this
+       on, the union of per-batch candidates equals the one-shot
+       batch run over base ∪ all arrivals (pinned by the
+       stream/batch equivalence test in tests/test_streaming.py).
+
+    State story at scale: unlike `streaming_exact_dedup` there is NO
+    state-store growth — the "state" IS the banded index table
+    (k longs + band rows per doc), exactly the artifact the nightly
+    job maintains; a restart resumes from the checkpoint and the
+    table, nothing to rebuild."""
+    from cryo_spark.operators import incremental, skew
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        new_idx = incremental.minhash_index(
+            batch_df, text_col=text_col, k=k, id_col=id_col
+        ).localCheckpoint()  # consumed by the join AND the append
+        cand = incremental.incremental_pairs_from_table(
+            spark, index_table, new_idx, bands=bands,
+            id_col=id_col, with_est=False,
+        )
+        cand.write.mode("append").parquet(out_path)
+        if append_to_index:
+            rows = incremental._band_rows(
+                new_idx, bands, id_col, carry_cols=("sig",)
+            ).withColumn("bands", F.lit(bands))
+            skew.write_bucketed(
+                rows, index_table, ["band_id", "band_hash"],
+                mode="append",
+            )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -455,3 +455,73 @@ def test_streaming_ingest_clean_with_dsir_scoring(spark, tmp_path):
     got = {r.doc_id: r for r in spark.read.parquet(sink).collect()}
     assert set(got) == {1}  # target-like passes, off-target scored out
     assert got[1].logw > -10.0
+
+
+def test_streaming_near_dup_candidates_equals_batch(spark, tmp_path):
+    """Round-8 bridge: per-micro-batch near-dup candidate generation
+    against the persisted banded index must, unioned with the known
+    base-base pairs, equal the ONE-SHOT batch candidate run over
+    base ∪ all arrivals — including pairs BETWEEN two different
+    micro-batches (batch-1 band rows are appended to the index before
+    batch 2 processes)."""
+    from cryo_spark.operators import incremental
+
+    a = "the quick brown fox jumps over the lazy dog in the field"
+    b = "completely different text about spark shuffles and joins ok"
+    c = "a third document body describing parquet bucketing layouts"
+    d = "yet another unrelated document mentioning watermarks only"
+    base = spark.createDataFrame(
+        [(1, a), (2, b), (3, a)],  # (1,3) = known base-base pair
+        "doc_id long, text string",
+    )
+    batch1 = [(101, a), (102, c)]          # 101 ~ base 1 and 3
+    batch2 = [(201, c), (202, d)]          # 201 ~ batch-1's 102
+
+    table = "r8_stream_band_idx"
+    incremental.save_banded_index(
+        incremental.minhash_index(base), table
+    )
+    src = str(tmp_path / "arrivals"); os.makedirs(src)
+    out = str(tmp_path / "cands")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def _drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    _drop(batch1)
+    _drop(batch2)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1  # two files -> two micro-batches
+    ).parquet(src)
+    q = streaming.streaming_near_dup_candidates(
+        stream, table, out, ckpt
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.id_a, r.id_b) for r in spark.read.parquet(out).collect()
+    }
+    # cross-index, within-batch AND batch-to-batch pairs all present
+    assert {(1, 101), (3, 101), (102, 201)} <= got
+
+    all_docs = base.unionByName(
+        spark.createDataFrame(batch1 + batch2, schema)
+    )
+    batch_cands = {
+        (r.id_a, r.id_b)
+        for r in incremental.signature_pairs(
+            incremental.minhash_index(all_docs), with_est=False
+        ).collect()
+    }
+    base_pairs = {
+        (r.id_a, r.id_b)
+        for r in incremental.signature_pairs(
+            incremental.minhash_index(base), with_est=False
+        ).collect()
+    }
+    assert got | base_pairs == batch_cands
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
