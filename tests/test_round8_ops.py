@@ -550,3 +550,18 @@ def test_corpus_pipeline_classifier_stage_composition(spark):
     assert ids_stage <= ids_keep
     with pytest.raises(ValueError):
         prepare_training_corpus(docs, quality_model=model)  # no threshold
+
+
+def test_dedup_lines_modes_equals_per_mode(spark):
+    from cryo_spark.operators.spans import dedup_lines_modes
+
+    df = _planted(spark)
+    combined = dedup_lines_modes(df).toPandas()
+    for mode in ("drop", "keep_first"):
+        solo = _canon(dedup_lines(df, mode=mode).toPandas())
+        part = _canon(
+            combined[combined["mode"] == mode].drop(columns=["mode"])
+        )
+        assert part.equals(solo)
+    with pytest.raises(ValueError):
+        dedup_lines_modes(df, modes=("drop", "nope"))
