@@ -210,3 +210,76 @@ SELECT {id_col}, domain,
   row_number() OVER (PARTITION BY domain ORDER BY {id_col}) <= {cap} AS kept
 FROM (SELECT {id_col}, {host} AS domain FROM {table})
 """
+
+
+def domain_cap_survivors(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    oversample: float = 2.0,
+) -> DataFrame:
+    """The crawl-scale domain cap (the SCALE.md mitigation, made
+    real): keep exactly ``cap`` docs per canonical host, chosen by
+    HASH rank (smallest xxhash64 draw wins — a deterministic uniform
+    sample, the right semantics when "which cap docs" is policy-free),
+    WITHOUT ever sorting a mega-host's full row set in one task.
+
+    Three passes, all mega-host-safe:
+    1. per-host counts (map-side combining agg),
+    2. prefilter: keep rows whose uniform draw falls in the first
+       ``oversample * cap / count`` of hash space — a mega-host's
+       100M rows shrink to ~2*cap BEFORE the exact rank window,
+    3. exact rank window over the survivors (sorts <= ~2*cap rows per
+       host) + a REPAIR pass: any host whose prefilter undershot
+       (possible, with vanishing probability, since the draw is
+       binomial) is re-ranked from its full row set, so the result is
+       always EXACT — provably equal to the brute-force window
+       (equivalence-pinned in tests, including a forced-repair run).
+
+    Returns survivors only: (id, domain, domain_rank<=cap rows).
+    Complement to :func:`domain_cap`, which emits every row with its
+    id-ordered rank (full-audit shape) at the cost of one full window
+    per host."""
+    base = _spread(df).select(
+        F.col(id_col), canonical_host(url_col).alias("domain")
+    )
+    # uniform draw in [0, 2^32) derived from the id — deterministic
+    # on any cluster layout
+    u = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 32))
+    base = base.withColumn("_u", u)
+    counts = base.groupBy("domain").agg(F.count(F.lit(1)).alias("_n"))
+    space = float(1 << 32)
+    frac = F.least(F.lit(1.0), F.lit(float(oversample) * cap) / F.col("_n"))
+    pre = base.join(counts, "domain").filter(
+        F.col("_u") < frac * F.lit(space)
+    )
+    w = Window.partitionBy("domain").orderBy("_u", id_col)
+    ranked = pre.withColumn("_r", F.row_number().over(w))
+    # a host undershot iff its prefilter kept fewer than min(cap, n).
+    # Detect against the FULL counts table (left join): a host whose
+    # prefilter kept ZERO rows is absent from the ranked frame and
+    # would otherwise silently disappear instead of being repaired
+    pre_counts = ranked.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("_kept")
+    )
+    bad = (
+        counts.join(pre_counts, "domain", "left")
+        .filter(
+            F.coalesce(F.col("_kept"), F.lit(0))
+            < F.least(F.lit(cap), F.col("_n"))
+        )
+        .select("domain")
+    )
+    good_rows = (
+        ranked.join(bad, "domain", "left_anti")
+        .filter(F.col("_r") <= cap)
+        .select(id_col, "domain", F.col("_r").cast("long").alias("domain_rank"))
+    )
+    repair_rows = (
+        base.join(bad, "domain")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= cap)
+        .select(id_col, "domain", F.col("_r").cast("long").alias("domain_rank"))
+    )
+    return good_rows.unionByName(repair_rows)

@@ -565,3 +565,44 @@ def test_dedup_lines_modes_equals_per_mode(spark):
         assert part.equals(solo)
     with pytest.raises(ValueError):
         dedup_lines_modes(df, modes=("drop", "nope"))
+
+
+@pytest.mark.parametrize("oversample", [2.0, 0.01])
+def test_domain_cap_survivors_equals_bruteforce(spark, oversample):
+    """The prefiltered hash-rank cap must equal the brute-force full
+    window — including with a deliberately-starved prefilter
+    (oversample=0.01 forces the repair pass on every busy host)."""
+    rows = (
+        [(i, "https://busy.com/p/%d" % i) for i in range(1, 201)]
+        + [(i, "https://mid.org/x/%d" % i) for i in range(300, 320)]
+        + [(400, "https://quiet.net/only")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    cap = 5
+    got = {
+        (r.doc_id, r.domain, r.domain_rank)
+        for r in web.domain_cap_survivors(
+            df, cap=cap, oversample=oversample
+        ).collect()
+    }
+    # brute force: full window by (u, id) per host
+    u = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1 << 32))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain").orderBy("_u", "doc_id")
+    brute = {
+        (r.doc_id, r.domain, r.domain_rank)
+        for r in df.select(
+            "doc_id", web.canonical_host("url").alias("domain")
+        )
+        .withColumn("_u", u)
+        .withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("domain_rank") <= cap)
+        .collect()
+    }
+    assert got == brute
+    # exactly min(cap, n) survivors per host
+    per_host = {}
+    for _, dom, _ in got:
+        per_host[dom] = per_host.get(dom, 0) + 1
+    assert per_host == {"busy.com": 5, "mid.org": 5, "quiet.net": 1}
