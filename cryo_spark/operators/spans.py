@@ -182,6 +182,7 @@ def dedup_lines(
     min_docs: int = 2,
     mode: str = "drop",
     id_col: str = "doc_id",
+    sep: str = "\n",
 ) -> DataFrame:
     """Line-level corpus dedup (CCNet shape, Wenzek et al. 2020): the
     standard pre-filter before span dedup — navigation menus, cookie
@@ -216,23 +217,29 @@ def dedup_lines(
     """
     if mode not in ("drop", "keep_first"):
         raise ValueError(f"mode must be 'drop' or 'keep_first', got {mode!r}")
-    joined = _line_verdicts(df, text_col, min_docs, id_col)
-    return _reassemble_lines(joined, _line_keep_expr(mode, id_col), id_col)
+    joined = _line_verdicts(df, text_col, min_docs, id_col, sep)
+    return _reassemble_lines(
+        joined, _line_keep_expr(mode, id_col), id_col, sep
+    )
 
 
 def _line_verdicts(
-    df: DataFrame, text_col: str, min_docs: int, id_col: str
+    df: DataFrame, text_col: str, min_docs: int, id_col: str,
+    sep: str = "\n",
 ) -> DataFrame:
     """Shared first half of line dedup: exploded lines joined to
-    their per-line-key stats (the ONE line-key exchange)."""
+    their per-line-key stats (the ONE line-key exchange). ``sep`` is a
+    LITERAL separator (\\Q..\\E-quoted into the split regex) so the
+    Spark split and the DuckDB oracle's string_split agree byte for
+    byte — sep='\n\n' turns the operator into PARAGRAPH dedup."""
     df = _spread(df)
     # posexplode_OUTER: a null-text doc still emits one (null, null)
     # row and survives to the output as (id, '', 0, 0)
     lines = df.select(
         F.col(id_col),
-        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias(
-            "line_idx", "line"
-        ),
+        F.posexplode_outer(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("line_idx", "line"),
     ).withColumn("_key", F.trim(F.col("line")))
     counted = lines.filter(F.col("_key") != "")
     stats = counted.groupBy("_key").agg(
@@ -256,7 +263,9 @@ def _line_keep_expr(mode: str, id_col: str):
     )
 
 
-def _reassemble_lines(joined: DataFrame, is_keep, id_col: str) -> DataFrame:
+def _reassemble_lines(
+    joined: DataFrame, is_keep, id_col: str, sep: str = "\n"
+) -> DataFrame:
     # null-line rows (null-text doc) count as neither line nor keeper
     has_line = F.col("line").isNotNull()
     return (
@@ -274,7 +283,7 @@ def _reassemble_lines(joined: DataFrame, is_keep, id_col: str) -> DataFrame:
                     ),
                     lambda s: s["line"],
                 ),
-                "\n",
+                sep,
             ).alias("text"),
             F.sum(has_line.cast("long")).alias("n_lines"),
             F.sum((is_keep & has_line).cast("long")).alias("n_kept"),
@@ -289,6 +298,7 @@ def dedup_lines_modes(
     min_docs: int = 2,
     id_col: str = "doc_id",
     modes: tuple = ("drop", "keep_first"),
+    sep: str = "\n",
 ) -> DataFrame:
     """Every requested mode from ONE shared pass, mode-labeled rows
     unioned. The explode + line-key exchange + verdict join are the
@@ -303,11 +313,13 @@ def dedup_lines_modes(
     for m in modes:
         if m not in ("drop", "keep_first"):
             raise ValueError(f"mode must be 'drop' or 'keep_first', got {m!r}")
-    joined = _line_verdicts(df, text_col, min_docs, id_col).localCheckpoint(
-        eager=False
-    )
+    joined = _line_verdicts(
+        df, text_col, min_docs, id_col, sep
+    ).localCheckpoint(eager=False)
     parts = [
-        _reassemble_lines(joined, _line_keep_expr(m, id_col), id_col).select(
+        _reassemble_lines(
+            joined, _line_keep_expr(m, id_col), id_col, sep
+        ).select(
             F.lit(m).alias("mode"), id_col, "text", "n_lines", "n_kept"
         )
         for m in modes
@@ -318,13 +330,34 @@ def dedup_lines_modes(
     return out
 
 
+def _sql_literal(s: str) -> str:
+    """Render ``s`` as a DuckDB string expression, spelling newlines
+    as chr(10) (a literal LF inside generated SQL is fragile to
+    reformatting) and escaping quotes."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if ch == "\n":
+            if buf:
+                parts.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            parts.append("chr(10)")
+        else:
+            buf += ch
+    if buf:
+        parts.append("'" + buf.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
+
+
 def dedup_lines_sql(
     table: str,
     text_col: str = "text",
     min_docs: int = 2,
     mode: str = "drop",
+    sep: str = "\n",
 ) -> str:
     """DuckDB equivalent of :func:`dedup_lines` (the oracle)."""
+    sep_sql = _sql_literal(sep)
     if mode == "drop":
         keep_pred = "NOT l._dup"
     else:
@@ -334,7 +367,7 @@ def dedup_lines_sql(
     return f"""
 WITH lines AS (
   SELECT doc_id, g.i - 1 AS line_idx, l[g.i] AS line, trim(l[g.i]) AS _key
-  FROM (SELECT doc_id, string_split({text_col}, chr(10)) AS l FROM {table}),
+  FROM (SELECT doc_id, string_split({text_col}, {sep_sql}) AS l FROM {table}),
     LATERAL unnest(generate_series(1, len(l))) AS g(i)
 ), stats AS (
   SELECT _key, count(DISTINCT doc_id) AS _n_docs,
@@ -354,7 +387,7 @@ FROM (SELECT doc_id FROM {table}) d
 LEFT JOIN (
   SELECT doc_id,
     string_agg(CASE WHEN {keep_pred} THEN l.line END,
-               chr(10) ORDER BY l.line_idx) AS text,
+               {sep_sql} ORDER BY l.line_idx) AS text,
     count(*) AS n_lines,
     sum(CASE WHEN {keep_pred} THEN 1 ELSE 0 END) AS n_kept
   FROM marked l GROUP BY doc_id

@@ -606,3 +606,45 @@ def test_domain_cap_survivors_equals_bruteforce(spark, oversample):
     for _, dom, _ in got:
         per_host[dom] = per_host.get(dom, 0) + 1
     assert per_host == {"busy.com": 5, "mid.org": 5, "quiet.net": 1}
+
+
+@pytest.mark.parametrize("mode", ["drop", "keep_first"])
+def test_dedup_paragraphs_via_sep(spark, mode, tmp_path):
+    """sep='\\n\\n' turns line dedup into PARAGRAPH dedup (the other
+    CCNet granularity): multi-line paragraphs repeated across docs are
+    the unit of removal; single shared LINES inside distinct
+    paragraphs survive. Oracle-differential on the same planted data."""
+    legal = "Terms of service apply.\nSee the website for details."
+    df = spark.createDataFrame(
+        [
+            (1, f"Intro paragraph one.\n\n{legal}\n\nOutro A."),
+            (2, f"Different opening.\n\n{legal}"),
+            (3, "Unique text only.\n\nSee the website for details."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_lines(df, mode=mode, sep="\n\n").collect()
+    }
+    # the two-line legal paragraph is the dup unit
+    if mode == "drop":
+        assert legal not in out[1].text and legal not in out[2].text
+    else:
+        assert legal in out[1].text and legal not in out[2].text
+    # doc 3 shares only a LINE of the paragraph -> untouched
+    assert out[3].text == "Unique text only.\n\nSee the website for details."
+    assert out[1].n_lines == 3 and out[3].n_lines == 2
+
+    path = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    o = _canon(
+        con.sql(dedup_lines_sql("documents", mode=mode, sep="\n\n")).df()
+    )
+    con.close()
+    s = _canon(dedup_lines(df, mode=mode, sep="\n\n").toPandas())
+    assert s.equals(o)
