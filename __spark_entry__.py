@@ -620,8 +620,12 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 6: the coarse quantizer is shared — centroids train once
     # and the assignment frame feeds both IVF (raw-vector rescoring)
     # and IVF-PQ (code encoding), the production one-index-many-tiers
-    # shape (previously each method retrained its own k-means)
-    cents = similarity.train_centroids(emb, n_centroids=16)
+    # shape (previously each method retrained its own k-means).
+    # Round 8: the 4096-row training sample is also collected ONCE and
+    # fed to both trainers (they defined the identical TakeOrdered
+    # sample and each collected it — one redundant driver job)
+    smp = similarity.sample_matrix(emb)
+    cents = similarity.train_centroids(emb, n_centroids=16, sample_rows=smp)
     # spread() as the inline ivf_topk path did — a one-file parquet
     # would otherwise run the pandas-UDF GEMM single-threaded
     assigned = similarity.ivf_assign(similarity.spread(emb), cents)
@@ -632,7 +636,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 5: the IVF-PQ tier joins the entry (scores are ADC
     # distances, not cosines — normalize the schema to the shared
     # (vec_id, score, method) shape)
-    books = similarity.pq_train(emb)
+    books = similarity.pq_train(emb, sample_rows=smp)
     codes = similarity.pq_encode(assigned, books)
     ivfpq = (
         similarity.ivfpq_topk(

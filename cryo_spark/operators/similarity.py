@@ -122,6 +122,28 @@ def bucketed_ann(
     )
 
 
+def sample_matrix(
+    emb: DataFrame,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """The bounded deterministic training sample both trainers share:
+    the ``sample`` smallest rows by xxhash64(id), as a float64 matrix.
+    orderBy+limit compiles to TakeOrdered, so at cluster scale this
+    ships k rows per partition to the driver, never the table.
+    Collect ONCE and pass to train_centroids + pq_train — the ANN
+    entry builds both from the same sample, and re-collecting it was
+    a measurable fraction of its driver-side build time."""
+    rows = (
+        emb.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample)
+        .collect()
+    )
+    return np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+
+
 def train_centroids(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -130,6 +152,7 @@ def train_centroids(
     sample: int = 4096,
     iters: int = 10,
     seed: int = 42,
+    sample_rows: np.ndarray | None = None,
 ) -> np.ndarray:
     """Spherical k-means centroids (unit-norm, cosine objective)
     trained driver-side on a deterministic pseudo-random sample.
@@ -140,13 +163,11 @@ def train_centroids(
     Lloyd's iterations on <=``sample`` vectors are microseconds; the
     expensive part (assignment of the full table) stays distributed
     in :func:`ivf_assign`."""
-    rows = (
-        emb.select(F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(sample)
-        .collect()
+    x = (
+        sample_matrix(emb, sample, id_col, vec_col)
+        if sample_rows is None
+        else np.array(sample_rows, dtype=np.float64, copy=True)
     )
-    x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
     k = min(n_centroids, len(x))
@@ -276,6 +297,7 @@ def pq_train(
     sample: int = 4096,
     iters: int = 10,
     seed: int = 7,
+    sample_rows: np.ndarray | None = None,
 ) -> np.ndarray:
     """Product-quantization codebooks: split the vector into ``m``
     subspaces and k-means each to ``n_codes`` centroids. Returns
@@ -284,13 +306,11 @@ def pq_train(
     the scan side of ANN fits in RAM at scales where raw vectors
     cannot. Trained driver-side on the same bounded deterministic
     TakeOrdered sample as :func:`train_centroids`."""
-    rows = (
-        emb.select(F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(sample)
-        .collect()
+    x = (
+        sample_matrix(emb, sample, id_col, vec_col)
+        if sample_rows is None
+        else np.asarray(sample_rows, dtype=np.float64)
     )
-    x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
