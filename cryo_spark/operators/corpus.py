@@ -92,9 +92,15 @@ def prepare_training_corpus(
     line_min_docs: int = 2,
     quality_model=None,
     quality_threshold: float | None = None,
+    url_col: str | None = None,
+    domain_cap_n: int | None = None,
 ) -> DataFrame:
     """The WHOLE preparation pipeline, composed from the per-stage
-    operators: quality/language filter + exact dedup (stage 1, one
+    operators: optional URL-level controls (stage 0, round 8 — when
+    the corpus carries a ``url_col``: keep-first exact URL dedup on
+    the canonical key, then optional per-host caps; the cheapest
+    filters run FIRST, before any text processing touches a byte) →
+    quality/language filter + exact dedup (stage 1, one
     projection + one hash window) → optional CCNet line-level dedup
     on the survivors (stage 1b, round 8: whole lines repeated in
     >= ``line_min_docs`` distinct docs — cookie banners, navigation —
@@ -120,6 +126,19 @@ def prepare_training_corpus(
     shared <EMAIL> placeholders cannot alias unrelated spans into
     duplicates)."""
     from cryo_spark.operators import sampling, spans
+
+    if url_col is not None:
+        from cryo_spark.operators import web
+
+        ud = web.url_dedup(df, url_col=url_col)
+        df = df.join(
+            ud.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
+        )
+        if domain_cap_n:
+            dc = web.domain_cap(df, domain_cap_n, url_col=url_col)
+            df = df.join(dc.filter(F.col("kept")).select("doc_id"), "doc_id")
+    elif domain_cap_n:
+        raise ValueError("domain_cap_n requires url_col")
 
     best = text.lang_best_expr(text_col)
     feats = spread(df).select(
@@ -218,11 +237,34 @@ def prepare_training_corpus_sql(
     dsir_k: int | None = None,
     line_dedup: bool = False,
     line_min_docs: int = 2,
+    url_col: str | None = None,
+    domain_cap_n: int | None = None,
 ) -> str:
     """DuckDB oracle: the identical stage chain as CTEs over the
     per-stage oracle builders (WITH RECURSIVE when the near-dup
     stage needs the component closure)."""
     from cryo_spark.operators import sampling, spans
+
+    url_ctes = ""
+    if url_col is not None:
+        from cryo_spark.operators import web
+
+        ud = web.url_dedup_sql(table, url_col=url_col)
+        url_ctes = f""" urlstage0 AS (
+  SELECT t.* FROM {table} t
+  JOIN (SELECT doc_id FROM ({ud}) WHERE NOT is_duplicate) u USING (doc_id)
+),"""
+        src = "urlstage0"
+        if domain_cap_n:
+            dc = web.domain_cap_sql("urlstage0", domain_cap_n, url_col=url_col)
+            url_ctes += f""" urlstage AS (
+  SELECT t.* FROM urlstage0 t
+  JOIN (SELECT doc_id FROM ({dc}) WHERE kept) c USING (doc_id)
+),"""
+            src = "urlstage"
+        table = src
+    elif domain_cap_n:
+        raise ValueError("domain_cap_n requires url_col")
 
     q = text.quality_score_sql(table, text_col)
     l_ = text.lang_id_sql(table, text_col)
@@ -293,7 +335,7 @@ edges AS (
     )
     split = sampling.split_assign_sql("mixed", seed=f"{seed}-split")
     return f"""
-{with_kw} pass1 AS (
+{with_kw}{url_ctes} pass1 AS (
   SELECT q.doc_id FROM ({q}) q
   JOIN ({l_}) l ON l.doc_id = q.doc_id
   JOIN ({d}) d ON d.doc_id = q.doc_id

@@ -648,3 +648,45 @@ def test_dedup_paragraphs_via_sep(spark, mode, tmp_path):
     con.close()
     s = _canon(dedup_lines(df, mode=mode, sep="\n\n").toPandas())
     assert s.equals(o)
+
+
+def test_prepare_training_corpus_url_stage_oracle(spark, tmp_path):
+    """Stage-0 URL controls inside the pipeline chain: keep-first URL
+    dedup + per-host caps run before any text stage, CTE-chain
+    oracle-differential on docs carrying a derived messy url."""
+    import __spark_entry__ as entrymod
+    from cryo_spark.operators.corpus import (
+        prepare_training_corpus, prepare_training_corpus_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "url", entrymod._messy_url_expr()
+    )
+    path = str(tmp_path / "docs.parquet")
+    docs.write.mode("overwrite").parquet(path)
+
+    s = _canon(
+        prepare_training_corpus(
+            docs, url_col="url", domain_cap_n=10
+        ).toPandas()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW urldocs AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    o = _canon(
+        con.sql(
+            prepare_training_corpus_sql(
+                "urldocs", url_col="url", domain_cap_n=10
+            )
+        ).df()
+    )
+    con.close()
+    assert len(s) > 0 and s.equals(o)
+    # both sub-stages bite: fewer docs than the url-stage-off run
+    base = prepare_training_corpus(docs).count()
+    assert len(s) < base
+    with pytest.raises(ValueError):
+        prepare_training_corpus(docs, domain_cap_n=10)  # no url_col
+    with pytest.raises(ValueError):
+        prepare_training_corpus_sql("urldocs", domain_cap_n=10)
