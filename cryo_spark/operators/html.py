@@ -1,0 +1,224 @@
+"""WARC payload → clean text: the missing link between crawl
+ingestion (`sources.documents.read_warc` lands raw HTTP-response
+payloads) and the text/dedup operator layer (which consumes clean
+documents).
+
+Two stages, both NARROW column expressions (zero shuffles — at 100 TB
+this is a map-only pass fused into the ingestion scan's projection):
+
+1. HTTP split: a WARC ``response`` payload is status line + headers +
+   blank line + body. :func:`http_body_expr` / :func:`http_headers_expr`
+   split at the FIRST blank line (CRLF or LF — non-greedy
+   ``.*?\\r?\\n\\r?\\n``), and :func:`http_content_type_expr` /
+   :func:`http_charset_expr` parse the Content-Type header.
+   (Byte-level charset decode already happened in
+   ``sources.documents._decode_payload`` — by the time payloads are
+   Spark strings they are Unicode; the header parse here is for
+   filtering/metadata.)
+
+2. HTML → text (:func:`html_to_text_expr`): drop script/style blocks
+   and comments, map block-level tag boundaries to newlines (so line
+   structure survives for line-level dedup), strip remaining tags,
+   decode the common named entities, normalize whitespace. All JVM
+   regex/replace — whole-stage codegen, no Python. Numeric character
+   references (``&#8217;``) need computation regex cannot express;
+   :func:`decode_entities` is the optional Arrow-batched
+   full-fidelity pass (``html.unescape``) for corpora where they
+   matter.
+
+Every pattern is written to the RE2 ∩ Java-regex common subset (no
+backreferences, no lookaround) so the DuckDB oracle
+(:func:`html_to_text_sql`, :func:`http_body_sql`) runs the IDENTICAL
+chain — the contract entry hash-proves both stages end to end.
+
+Known (documented) limits of the regex extractor: attribute values
+containing a literal ``>`` truncate that tag early; CDATA sections
+are treated as text. Both are rare in real crawl HTML and acceptable
+for a training-corpus cleaner (reference point: the same trade is
+made by CCNet/RefinedWeb-style regex pre-cleaners before heavier
+boilerplate removal).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# -- stage 1: HTTP response split -----------------------------------
+
+#: first blank line (CRLF or LF), non-greedy: header block boundary
+_HTTP_SPLIT = r"(?s)^HTTP/.*?\r?\n\r?\n"
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def http_body_expr(col: str | Column) -> Column:
+    """Body of an HTTP response payload (text after the first blank
+    line); non-HTTP payloads pass through unchanged; a headers-only
+    payload yields ''."""
+    c = _c(col)
+    return F.when(
+        c.startswith("HTTP/"),
+        F.regexp_extract(c, _HTTP_SPLIT + r"(.*)$", 1),
+    ).otherwise(c)
+
+
+def http_body_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN starts_with({expr}, 'HTTP/') THEN "
+        f"regexp_extract({expr}, '{_HTTP_SPLIT}(.*)$', 1) "
+        f"ELSE {expr} END"
+    )
+
+
+def http_headers_expr(col: str | Column) -> Column:
+    """The status line + header block of an HTTP response payload
+    ('' for non-HTTP payloads)."""
+    return F.regexp_extract(_c(col), r"(?s)^(HTTP/.*?)\r?\n\r?\n", 1)
+
+
+def http_content_type_expr(col: str | Column) -> Column:
+    """Media type from the Content-Type header, lowercased, parameters
+    stripped ('' when absent)."""
+    return F.lower(
+        F.trim(
+            F.regexp_extract(
+                _c(col), r"(?is)\ncontent-type\s*:\s*([^;\r\n]+)", 1
+            )
+        )
+    )
+
+
+def http_charset_expr(col: str | Column) -> Column:
+    """charset parameter of the Content-Type header, lowercased ('' when
+    absent)."""
+    return F.lower(
+        F.regexp_extract(
+            _c(col), r"(?is)\ncontent-type\s*:[^\r\n]*charset\s*=\s*\"?([A-Za-z0-9_\-]+)", 1
+        )
+    )
+
+
+# -- stage 2: HTML -> clean text ------------------------------------
+
+#: (pattern, replacement) chain. ORDER IS LOAD-BEARING:
+#: script/style/comment bodies go first (their content must never
+#: reach the tag-strip as text), block boundaries become newlines
+#: BEFORE the generic strip erases the tags, entities decode AFTER
+#: tag-strip (a decoded '&lt;script&gt;' is text, not a tag), '&amp;'
+#: decodes LAST (double-escaped '&amp;lt;' must yield literal '&lt;'),
+#: whitespace collapses after '&nbsp;' became a space.
+_TAG_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<script\b.*?</script\s*>", " "),
+    (r"(?is)<style\b.*?</style\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (
+        r"(?i)<(?:br|p|/p|div|/div|/h[1-6]|li|/li|/tr|/table|/ul|/ol"
+        r"|/blockquote|/pre|/section|/article|/header|/footer|/title)\b[^>]*/?>",
+        "\n",
+    ),
+    (r"(?s)<[^>]*>", " "),
+]
+
+#: literal named-entity decodes (the high-frequency set; numeric refs
+#: are the Arrow pass's job)
+_ENTITY_STEPS: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST: double-escapes resolve one level
+]
+
+_WS_STEPS: list[tuple[str, str]] = [
+    (r"[ \t\r\f]+", " "),  # horizontal whitespace runs -> one space
+    (r"[ \n]*\n[ \n]*", "\n"),  # newline runs (w/ spaces) -> one \n
+    # regex trim: Spark's trim() strips spaces only, so leading and
+    # trailing newlines must go here, identically in both engines
+    (r"^\s+", ""),
+    (r"\s+$", ""),
+]
+
+
+def html_to_text_expr(col: str | Column) -> Column:
+    """Clean visible text of an HTML document as one fused JVM
+    expression chain — see module docstring for the stage order."""
+    c = _c(col)
+    for pat, rep in _TAG_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    for lit, rep in _ENTITY_STEPS:
+        c = F.replace(c, F.lit(lit), F.lit(rep))
+    for pat, rep in _WS_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB expression computing the identical extraction (the
+    oracle side of :func:`html_to_text_expr`): same pattern chain,
+    RE2-compatible by construction, 'g' flag to match Spark's
+    replace-all."""
+    def lit(s: str) -> str:
+        return "chr(10)" if s == "\n" else "'" + s.replace("'", "''") + "'"
+
+    c = expr
+    for pat, rep in _TAG_STEPS:
+        c = f"regexp_replace({c}, {lit(pat)}, {lit(rep)}, 'g')"
+    for l_, rep in _ENTITY_STEPS:
+        c = f"replace({c}, {lit(l_)}, {lit(rep)})"
+    for pat, rep in _WS_STEPS:
+        c = f"regexp_replace({c}, {lit(pat)}, {lit(rep)}, 'g')"
+    return c
+
+
+def decode_entities(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Full-fidelity HTML entity decode (numeric refs, the long named
+    table) via ``html.unescape`` — the Arrow-batched fallback for what
+    regex cannot compute. Run AFTER :func:`html_to_text_expr` when the
+    corpus needs it; the JVM chain already handled the high-frequency
+    set, this pass only changes docs carrying the exotic ones."""
+    import html as _html
+
+    out = out_col or text_col
+
+    @F.pandas_udf("string")
+    def _unescape(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: _html.unescape(t) if t is not None else None)
+
+    return df.withColumn(out, _unescape(F.col(text_col)))
+
+
+def extract_documents(
+    df: DataFrame,
+    payload_col: str = "payload",
+    text_col: str = "text",
+    keep_content_types: tuple[str, ...] = ("text/html", "text/plain", ""),
+    min_chars: int = 1,
+) -> DataFrame:
+    """WARC-record frame → canonical clean-text columns: keeps
+    ``response`` records whose Content-Type is in
+    ``keep_content_types`` ('' = no header, treated as HTML), splits
+    the HTTP payload, extracts clean text, and drops documents that
+    reduce to fewer than ``min_chars`` characters. One narrow
+    projection + one filter — composes directly after ``read_warc``
+    with no shuffle."""
+    ct = http_content_type_expr(payload_col)
+    body = http_body_expr(payload_col)
+    text = F.when(ct == "text/plain", F.trim(body)).otherwise(
+        html_to_text_expr(body)
+    )
+    passthrough = [c for c in df.columns if c != payload_col]
+    return (
+        df.filter(F.col("warc_type") == "response")
+        .withColumn("content_type", ct)
+        .filter(F.col("content_type").isin(*keep_content_types))
+        .select(*passthrough, "content_type", text.alias(text_col))
+        .filter(F.length(text_col) >= min_chars)
+    )

@@ -17,6 +17,7 @@ values depend on partition layout.
 from __future__ import annotations
 
 import gzip
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -111,14 +112,73 @@ _WARC_SCHEMA = (
 )
 
 
-def _parse_warc_bytes(raw: bytes, path: str) -> list[tuple]:
+#: whole-file ingestion guard: a member past this lands on ONE task
+#: (binaryFile/gzip are non-splittable) — fail fast with the SCALE.md
+#: mitigation instead of letting the executor OOM mid-task
+DEFAULT_MAX_MEMBER_BYTES = 1 << 30
+
+#: charset token in an HTTP Content-Type header (response payloads)
+_CHARSET_RE = re.compile(rb"charset\s*=\s*\"?([A-Za-z0-9_\-]+)", re.I)
+
+
+def _find_blank_line(raw: bytes, pos: int) -> tuple[int, int]:
+    """(offset, separator_len) of the FIRST blank line at/after ``pos``,
+    regardless of line-ending style. Both CRLFCRLF and LFLF are
+    searched and the EARLIEST non-negative match wins: an LF-framed
+    record whose payload contains a CRLF blank line (any HTTP response
+    body) must end its header at the LF blank line, not jump into the
+    payload. (-1, 0) when no blank line remains."""
+    cr = raw.find(b"\r\n\r\n", pos)
+    lf = raw.find(b"\n\n", pos)
+    if cr != -1 and (lf == -1 or cr < lf):
+        return cr, 4
+    if lf != -1:
+        return lf, 2
+    return -1, 0
+
+
+def _decode_payload(body: bytes, warc_type: str | None) -> str:
+    """Charset-aware payload decode: an HTTP response payload declares
+    its encoding in its own Content-Type header — honor it (the
+    CommonCrawl corpus is full of latin-1/windows-1252 pages), falling
+    back to UTF-8 with replacement for everything else."""
+    if warc_type == "response" and body[:5] == b"HTTP/":
+        head_end, _ = _find_blank_line(body, 0)
+        m = _CHARSET_RE.search(body[: head_end if head_end != -1 else 2048])
+        if m:
+            try:
+                return body.decode(m.group(1).decode("ascii"), errors="replace")
+            except LookupError:
+                pass  # unknown charset label -> UTF-8 fallback
+    return body.decode("utf-8", errors="replace")
+
+
+def _parse_warc_bytes(
+    raw: bytes,
+    path: str,
+    max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
+) -> list[tuple]:
     """Split one WARC file's bytes into records. Content-Length-DRIVEN
     (the spec's framing): payloads may legally contain blank lines and
     even 'WARC/1.0' text, so a regex/split reader is wrong — read the
     header block, take exactly Content-Length payload bytes, skip the
     two-CRLF record boundary, repeat."""
+    if len(raw) > max_member_bytes:
+        raise ValueError(
+            f"WARC member {path} is {len(raw)} bytes "
+            f"(max_member_bytes={max_member_bytes}): whole-file members "
+            "are non-splittable, so this would serialize onto one task "
+            "and risk an executor OOM — ship smaller members or raise "
+            "max_member_bytes (SCALE.md: whole-file ingestion)"
+        )
     if path.endswith(".gz") or raw[:2] == b"\x1f\x8b":
         raw = gzip.decompress(raw)
+        if len(raw) > max_member_bytes:
+            raise ValueError(
+                f"WARC member {path} decompresses to {len(raw)} bytes "
+                f"(max_member_bytes={max_member_bytes}) — see SCALE.md: "
+                "whole-file ingestion"
+            )
     out: list[tuple] = []
     pos, idx = 0, 0
     n = len(raw)
@@ -128,11 +188,7 @@ def _parse_warc_bytes(raw: bytes, path: str) -> list[tuple]:
             pos += 1
         if pos >= n:
             break
-        head_end = raw.find(b"\r\n\r\n", pos)
-        sep_len = 4
-        if head_end == -1:
-            head_end = raw.find(b"\n\n", pos)
-            sep_len = 2
+        head_end, sep_len = _find_blank_line(raw, pos)
         if head_end == -1:
             break  # trailing garbage, no complete header block
         header = raw[pos:head_end].decode("utf-8", errors="replace")
@@ -144,15 +200,16 @@ def _parse_warc_bytes(raw: bytes, path: str) -> list[tuple]:
         clen = int(fields.get("content-length", "0") or "0")
         body_start = head_end + sep_len
         body = raw[body_start : body_start + clen]
+        warc_type = fields.get("warc-type")
         out.append(
             (
                 path,
                 idx,
-                fields.get("warc-type"),
+                warc_type,
                 fields.get("warc-target-uri"),
                 fields.get("warc-date"),
                 clen,
-                body.decode("utf-8", errors="replace"),
+                _decode_payload(body, warc_type),
             )
         )
         idx += 1
@@ -164,6 +221,7 @@ def read_warc(
     spark: SparkSession,
     path: str,
     id_col: str = "doc_id",
+    max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
 ) -> DataFrame:
     """WARC-shaped crawl ingestion: one row per WARC record with the
     framing headers parsed out (warc_type, target_uri, warc_date,
@@ -186,7 +244,11 @@ def read_warc(
         for pdf in batches:
             rows: list[tuple] = []
             for _, r in pdf.iterrows():
-                rows.extend(_parse_warc_bytes(bytes(r["content"]), r["path"]))
+                rows.extend(
+                    _parse_warc_bytes(
+                        bytes(r["content"]), r["path"], max_member_bytes
+                    )
+                )
             yield pd.DataFrame(rows, columns=cols)
 
     return (
@@ -194,3 +256,44 @@ def read_warc(
         .mapInPandas(parse, schema=_WARC_SCHEMA)
         .withColumn(id_col, F.xxhash64(F.col("path"), F.col("record_idx")))
     )
+
+
+def read_warc_documents(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
+    full_entities: bool = False,
+    min_chars: int = 1,
+) -> DataFrame:
+    """WARC crawl → canonical clean-text documents, end to end:
+    :func:`read_warc` (Content-Length framing, charset-aware decode)
+    → ``operators.html.extract_documents`` (HTTP header split +
+    HTML→text, one narrow JVM projection) → optional full-fidelity
+    entity decode (``full_entities=True``, the Arrow pass for numeric
+    character references).
+
+    Lands (doc_id, url, warc_date, content_type, text) — the shape
+    every downstream operator (text suite, dedup family,
+    ``prepare_training_corpus`` with ``url_col='url'``) consumes
+    directly. The whole chain is the ingestion scan plus narrow
+    projections: no shuffle until the first dedup stage the caller
+    adds."""
+    from cryo_spark.operators import html as html_ops
+
+    recs = read_warc(
+        spark, path, id_col=id_col, max_member_bytes=max_member_bytes
+    )
+    docs = html_ops.extract_documents(
+        recs, payload_col="payload", text_col=text_col, min_chars=min_chars
+    ).select(
+        id_col,
+        F.col("target_uri").alias("url"),
+        "warc_date",
+        "content_type",
+        text_col,
+    )
+    if full_entities:
+        docs = html_ops.decode_entities(docs, text_col)
+    return docs
