@@ -74,32 +74,50 @@ def http_body_sql(expr: str) -> str:
     )
 
 
+#: header block capture — body excluded by construction, so the
+#: Content-Type/charset parses below can never match body text
+#: (quoted HTTP examples, mirrored responses, multipart parts)
+_HDR_BLOCK = r"(?s)^(HTTP/.*?)\r?\n\r?\n"
+
+#: Content-Type parses run on the HEADER BLOCK only. [ \t] instead of
+#: \s: identical in Java regex and RE2 (\s differs on \x0B), and a
+#: header value never legally wraps here anyway
+_CT_RE = r"(?i)\ncontent-type[ \t]*:[ \t]*([^;\r\n]+)"
+_CS_RE = r"(?i)\ncontent-type[^\r\n]*charset[ \t]*=[ \t]*\"?([A-Za-z0-9_\-]+)"
+
+
 def http_headers_expr(col: str | Column) -> Column:
     """The status line + header block of an HTTP response payload
     ('' for non-HTTP payloads)."""
-    return F.regexp_extract(_c(col), r"(?s)^(HTTP/.*?)\r?\n\r?\n", 1)
+    return F.regexp_extract(_c(col), _HDR_BLOCK, 1)
+
+
+def http_headers_sql(expr: str) -> str:
+    return f"regexp_extract({expr}, '{_HDR_BLOCK}', 1)"
 
 
 def http_content_type_expr(col: str | Column) -> Column:
     """Media type from the Content-Type header, lowercased, parameters
-    stripped ('' when absent)."""
-    return F.lower(
-        F.trim(
-            F.regexp_extract(
-                _c(col), r"(?is)\ncontent-type\s*:\s*([^;\r\n]+)", 1
-            )
-        )
-    )
+    stripped ('' when absent). Parsed from the extracted HEADER BLOCK,
+    never the raw payload: a body containing a 'content-type:' line (a
+    quoted HTTP example, a mirrored response) must not produce a
+    spurious content_type, and a headers-only/non-HTTP payload must
+    yield ''."""
+    return F.lower(F.trim(F.regexp_extract(http_headers_expr(col), _CT_RE, 1)))
+
+
+def http_content_type_sql(expr: str) -> str:
+    return f"lower(trim(regexp_extract({http_headers_sql(expr)}, '{_CT_RE}', 1)))"
 
 
 def http_charset_expr(col: str | Column) -> Column:
     """charset parameter of the Content-Type header, lowercased ('' when
-    absent)."""
-    return F.lower(
-        F.regexp_extract(
-            _c(col), r"(?is)\ncontent-type\s*:[^\r\n]*charset\s*=\s*\"?([A-Za-z0-9_\-]+)", 1
-        )
-    )
+    absent). Header-block-scoped like :func:`http_content_type_expr`."""
+    return F.lower(F.regexp_extract(http_headers_expr(col), _CS_RE, 1))
+
+
+def http_charset_sql(expr: str) -> str:
+    return f"lower(regexp_extract({http_headers_sql(expr)}, '{_CS_RE}', 1))"
 
 
 # -- stage 2: HTML -> clean text ------------------------------------
@@ -135,14 +153,41 @@ _ENTITY_STEPS: list[tuple[str, str]] = [
     ("&amp;", "&"),  # LAST: double-escapes resolve one level
 ]
 
+#: the trim steps, shared by the HTML chain and the text/plain branch
+#: of extract_documents. Explicit class instead of \s: Java \s
+#: includes \x0B (vertical tab), RE2's does not — a \s trim would make
+#: the Spark chain and the DuckDB oracle diverge on crawl text with
+#: leading/trailing \x0B. [ \t\r\f\n] means the same in both engines
+#: (\x0B survives the trim in both — consistently).
+_TRIM_STEPS: list[tuple[str, str]] = [
+    (r"^[ \t\r\f\n]+", ""),
+    (r"[ \t\r\f\n]+$", ""),
+]
+
 _WS_STEPS: list[tuple[str, str]] = [
     (r"[ \t\r\f]+", " "),  # horizontal whitespace runs -> one space
     (r"[ \n]*\n[ \n]*", "\n"),  # newline runs (w/ spaces) -> one \n
     # regex trim: Spark's trim() strips spaces only, so leading and
     # trailing newlines must go here, identically in both engines
-    (r"^\s+", ""),
-    (r"\s+$", ""),
+    *_TRIM_STEPS,
 ]
+
+
+def trim_text_expr(col: str | Column) -> Column:
+    """Full whitespace trim (spaces, tabs, CR/LF, form feed) as the
+    engine-parity regex chain — what ``F.trim`` (ASCII spaces only)
+    cannot do."""
+    c = _c(col)
+    for pat, rep in _TRIM_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def trim_text_sql(expr: str) -> str:
+    c = expr
+    for pat, rep in _TRIM_STEPS:
+        c = f"regexp_replace({c}, '{pat}', '{rep}', 'g')"
+    return c
 
 
 def html_to_text_expr(col: str | Column) -> Column:
@@ -211,7 +256,10 @@ def extract_documents(
     with no shuffle."""
     ct = http_content_type_expr(payload_col)
     body = http_body_expr(payload_col)
-    text = F.when(ct == "text/plain", F.trim(body)).otherwise(
+    # text/plain trims with the SAME regex chain the HTML branch ends
+    # with (F.trim strips ASCII spaces only — a plain-text doc would
+    # keep leading/trailing \r\n/\t the HTML branch removes)
+    text = F.when(ct == "text/plain", trim_text_expr(body)).otherwise(
         html_to_text_expr(body)
     )
     passthrough = [c for c in df.columns if c != payload_col]

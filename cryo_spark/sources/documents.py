@@ -139,17 +139,34 @@ def _find_blank_line(raw: bytes, pos: int) -> tuple[int, int]:
 
 def _decode_payload(body: bytes, warc_type: str | None) -> str:
     """Charset-aware payload decode: an HTTP response payload declares
-    its encoding in its own Content-Type header — honor it (the
+    its BODY's encoding in its own Content-Type header — honor it (the
     CommonCrawl corpus is full of latin-1/windows-1252 pages), falling
-    back to UTF-8 with replacement for everything else."""
+    back to UTF-8 with replacement for everything else.
+
+    The header block and the body are decoded SEPARATELY: the declared
+    charset governs only the body bytes. Decoding the whole payload
+    with a non-ASCII-compatible charset (charset=utf-16 pages exist in
+    real crawls) would garble the status line, so downstream
+    ``startswith('HTTP/')`` checks would fail and the mangled full
+    payload would flow through as document text. Headers are
+    ASCII-by-spec, so the UTF-8-with-replacement header decode is
+    lossless for them; the charset is searched in the header block
+    ONLY (never body text that happens to contain 'charset=')."""
     if warc_type == "response" and body[:5] == b"HTTP/":
-        head_end, _ = _find_blank_line(body, 0)
-        m = _CHARSET_RE.search(body[: head_end if head_end != -1 else 2048])
-        if m:
-            try:
-                return body.decode(m.group(1).decode("ascii"), errors="replace")
-            except LookupError:
-                pass  # unknown charset label -> UTF-8 fallback
+        head_end, sep_len = _find_blank_line(body, 0)
+        if head_end != -1:
+            body_start = head_end + sep_len
+            head = body[:body_start].decode("utf-8", errors="replace")
+            payload = body[body_start:]
+            m = _CHARSET_RE.search(body[:head_end])
+            if m:
+                try:
+                    return head + payload.decode(
+                        m.group(1).decode("ascii"), errors="replace"
+                    )
+                except LookupError:
+                    pass  # unknown charset label -> UTF-8 fallback
+            return head + payload.decode("utf-8", errors="replace")
     return body.decode("utf-8", errors="replace")
 
 

@@ -1,0 +1,168 @@
+"""Round-10 operators and hardening: header-scoped Content-Type
+parsing, header/body split charset decode, RE2-parity whitespace
+trims, URL host block/allowlists, the pipeline funnel report,
+main-content (boilerplate) extraction, and robots-noindex surfacing.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cryo_spark.operators import html as html_ops
+from cryo_spark.sources.documents import _decode_payload
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------- content-type is header-block-scoped
+
+
+def test_content_type_never_matches_body(spark):
+    """A body containing a 'content-type:' line (quoted HTTP example,
+    mirrored response, multipart part) must not produce a spurious
+    content_type — the parse is scoped to the extracted header block."""
+    quoted = (
+        "HTTP/1.1 200 OK\r\nServer: x\r\n\r\n"
+        "<pre>HTTP/1.1 200 OK\ncontent-type: application/pdf\n</pre>"
+    )
+    non_http = "random text\ncontent-type: application/zip\nmore"
+    df = spark.createDataFrame([(quoted,), (non_http,)], "p string")
+    rows = df.select(
+        html_ops.http_content_type_expr("p").alias("ct"),
+        html_ops.http_charset_expr("p").alias("cs"),
+    ).collect()
+    # no Content-Type header at all -> '', even though the body has one
+    assert rows[0].ct == "" and rows[0].cs == ""
+    # non-HTTP payload -> '' (previously misclassified as zip)
+    assert rows[1].ct == "" and rows[1].cs == ""
+
+
+def test_content_type_sql_parity(spark):
+    payloads = [
+        "HTTP/1.1 200 OK\r\nContent-Type: text/HTML; charset=UTF-8\r\n\r\nb",
+        "HTTP/1.1 200 OK\r\n\r\ncontent-type: application/pdf\nbody",
+        "not http\ncontent-type: application/zip",
+        "HTTP/1.1 404 NF\nContent-Type:\ttext/plain\n\nplain",
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "i long, p string"
+    )
+    got = {
+        r.i: (r.ct, r.cs, r.h)
+        for r in df.select(
+            "i",
+            html_ops.http_content_type_expr("p").alias("ct"),
+            html_ops.http_charset_expr("p").alias("cs"),
+            html_ops.http_headers_expr("p").alias("h"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        int(i): (ct, cs, h)
+        for i, ct, cs, h in con.execute(
+            f"SELECT i, {html_ops.http_content_type_sql('p')} AS ct, "
+            f"{html_ops.http_charset_sql('p')} AS cs, "
+            f"{html_ops.http_headers_sql('p')} AS h "
+            f"FROM (SELECT unnest(range({len(payloads)})) i, unnest($1) p)",
+            [payloads],
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+    assert got[0] == ("text/html", "utf-8", got[0][2])
+    assert got[3][0] == "text/plain"
+
+
+# ------------------------------------- header/body split charset decode
+
+
+def test_decode_payload_utf16_body_keeps_headers_readable():
+    body = "bönjour utf-16".encode("utf-16-le")
+    raw = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/plain; charset=utf-16-le\r\n\r\n" + body
+    )
+    out = _decode_payload(raw, "response")
+    # status line intact (previously garbled by whole-payload utf-16)
+    assert out.startswith("HTTP/1.1 200 OK")
+    assert "bönjour utf-16" in out
+
+
+def test_decode_payload_charset_in_body_not_honored():
+    """charset= appearing in BODY text must not drive the decode."""
+    raw = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+        b"example: charset=utf-16 caf\xc3\xa9"
+    )
+    out = _decode_payload(raw, "response")
+    assert out.endswith("café")  # decoded as utf-8, not utf-16
+
+
+def test_decode_payload_latin1_body():
+    raw = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=iso-8859-1\r\n\r\ncaf\xe9"
+    )
+    assert _decode_payload(raw, "response").endswith("café")
+
+
+def test_decode_payload_headers_only_and_non_http():
+    assert _decode_payload(b"HTTP/1.1 200 OK\r\nX: y", "response").startswith(
+        "HTTP/1.1"
+    )
+    assert _decode_payload(b"plain bytes", "resource") == "plain bytes"
+
+
+# --------------------------------------------- RE2-parity trim steps
+
+
+def test_trim_parity_vertical_tab(spark):
+    """\\x0B must behave identically in the Spark chain and the DuckDB
+    oracle (Java \\s includes it, RE2's does not — the explicit trim
+    class sidesteps the divergence)."""
+    cases = ["\x0bleading", "trailing\x0b", "\n\t mid\x0b dle \r\n", "\x0b"]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, h string"
+    )
+    got = {
+        r.i: r.t
+        for r in df.select(
+            "i", html_ops.html_to_text_expr("h").alias("t")
+        ).collect()
+    }
+    con = duckdb.connect()
+    expr = html_ops.html_to_text_sql("h")
+    want = {
+        int(i): t
+        for i, t in con.execute(
+            f"SELECT i, {expr} AS t FROM (SELECT unnest(range({len(cases)})) i, "
+            f"unnest($1) h)", [cases]
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+
+
+def test_extract_documents_plain_text_fully_trimmed(spark):
+    """text/plain bodies get the same full whitespace trim as the HTML
+    branch (F.trim strips ASCII spaces only)."""
+    payload = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+        "\r\n\t  plain body \t\r\n"
+    )
+    df = spark.createDataFrame(
+        [("response", payload)], "warc_type string, payload string"
+    )
+    out = html_ops.extract_documents(df).collect()
+    assert len(out) == 1
+    assert out[0].text == "plain body"
+    # SQL twin of the trim chain matches
+    con = duckdb.connect()
+    t = con.execute(
+        f"SELECT {html_ops.trim_text_sql('x')} FROM (SELECT $1 AS x)",
+        ["\r\n\t  plain body \t\r\n"],
+    ).fetchone()[0]
+    con.close()
+    assert t == "plain body"
