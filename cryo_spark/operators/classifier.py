@@ -81,13 +81,27 @@ def score_quality(
     model: LogisticRegressionModel,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_features: int = DEFAULT_FEATURES,
+    n_features: int | None = None,
 ) -> DataFrame:
     """(id, quality_prob): P(target-like) per document. The model's
     coefficient vector rides to executors in the closure (one sparse
-    vector, broadcast-sized); the corpus pass is narrow."""
+    vector, broadcast-sized); the corpus pass is narrow.
+
+    ``n_features`` defaults to ``model.numFeatures``: scoring must
+    featurize with the SAME hash width the model was trained with — a
+    model trained at a non-default width scored at the default would
+    silently mismatch every bucket. An explicit value that disagrees
+    with the model raises up front."""
     from pyspark.ml.functions import vector_to_array
 
+    if n_features is None:
+        n_features = model.numFeatures
+    elif n_features != model.numFeatures:
+        raise ValueError(
+            f"n_features={n_features} does not match the model's "
+            f"training width ({model.numFeatures}) — scoring would "
+            "hash into different buckets than training did"
+        )
     feats = featurize(df, text_col, n_features)
     scored = model.transform(feats)
     prob1 = F.element_at(vector_to_array(F.col("probability")), 2)

@@ -27,24 +27,45 @@ bytes the same way).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cryo_spark.operators.util import spread as _spread
 
 #: query parameters that identify a TRACKING payload, not a resource:
-#: the standard strip-list (utm_* campaign tags, click ids, mailchimp)
-TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|igshid|mc_cid|mc_eid|ref|referrer)="
+#: the standard strip-list (utm_* campaign tags, click ids, mailchimp).
+#: Bare ``ref``/``referrer`` are deliberately NOT here: on many real
+#: sites they are content-bearing (GitHub ``?ref=branch``, doc pages),
+#: so stripping them would collapse genuinely distinct pages. Callers
+#: whose corpus treats them as tracking pass a custom list.
+DEFAULT_TRACKING_PARAMS: tuple[str, ...] = (
+    "utm_[A-Za-z0-9_]*", "gclid", "fbclid", "igshid", "mc_cid", "mc_eid",
+)
+
+
+def tracking_param_re(params: Sequence[str] = DEFAULT_TRACKING_PARAMS) -> str:
+    """Anchored match-one-param regex from a list of param-NAME
+    patterns (RE2 ∩ Java subset so Spark and DuckDB agree)."""
+    return "^(" + "|".join(params) + ")="
+
+
+TRACKING_PARAM_RE = tracking_param_re()
 
 _SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"
 
 
-def canonical_url(col: str | Column) -> Column:
+def canonical_url(
+    col: str | Column, tracking_re: str = TRACKING_PARAM_RE
+) -> Column:
     """Canonical dedup KEY for a URL (not a fetchable address): scheme
     dropped (http/https duplicates collapse), host lowercased with
     leading ``www.`` and default ports stripped, fragment removed,
     trailing slashes trimmed, tracking params dropped and the
-    remaining query params sorted. Pure JVM expression."""
+    remaining query params sorted. Pure JVM expression.
+    ``tracking_re`` overrides the strip-list (build one with
+    :func:`tracking_param_re`)."""
     u = F.trim(F.col(col) if isinstance(col, str) else col)
     u = F.regexp_replace(u, r"#.*$", "")  # fragment
     u = F.regexp_replace(u, _SCHEME_RE, "")  # scheme
@@ -59,7 +80,7 @@ def canonical_url(col: str | Column) -> Column:
     params = F.array_sort(
         F.filter(
             F.split(query, "&"),
-            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+            lambda p: (p != "") & ~p.rlike(tracking_re),
         )
     )
     qs = F.array_join(params, "&")
@@ -68,7 +89,9 @@ def canonical_url(col: str | Column) -> Column:
     )
 
 
-def canonical_url_sql(expr: str) -> str:
+def canonical_url_sql(
+    expr: str, tracking_re: str = TRACKING_PARAM_RE
+) -> str:
     """DuckDB expression computing the identical canonical key (the
     oracle side of :func:`canonical_url`). All regexes are anchored
     single-occurrence, so DuckDB's replace-first default matches
@@ -86,7 +109,7 @@ def canonical_url_sql(expr: str) -> str:
     )
     qs = (
         f"array_to_string(list_sort(list_filter(string_split({query}, '&'),"
-        f" p -> p != '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))), '&')"
+        f" p -> p != '' AND NOT regexp_matches(p, '{tracking_re}'))), '&')"
     )
     return (
         f"({host} || {path} || CASE WHEN {qs} != ''"

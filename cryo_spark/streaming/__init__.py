@@ -321,29 +321,27 @@ def streaming_near_dup_candidates(
     state-store growth — the "state" IS the banded index table
     (k longs + band rows per doc), exactly the artifact the nightly
     job maintains; a restart resumes from the checkpoint and the
-    table, nothing to rebuild."""
-    from cryo_spark.operators import incremental, skew
+    table, nothing to rebuild.
+
+    Retry semantics (foreachBatch is at-least-once; a failed epoch is
+    REPLAYED with the same epoch_id): the candidate sink is
+    epoch-idempotent — rows land under an ``epoch_id=N`` partition via
+    dynamic partition overwrite, so a replay rewrites its own
+    partition instead of duplicating rows. The index append is guarded
+    by a per-epoch commit marker written AFTER the append: a replay of
+    a fully-committed epoch skips the append. The one remaining window
+    (crash between append and marker) can leave duplicate band rows in
+    the index; that inflates the banded join's work slightly but can
+    never change results — `incremental_pairs_from_table` emits
+    DISTINCT candidate pairs, so duplicated index rows produce the
+    identical candidate set."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        spark = batch_df.sparkSession
-        new_idx = incremental.minhash_index(
-            batch_df, text_col=text_col, k=k, id_col=id_col
-        ).localCheckpoint()  # consumed by the join AND the append
-        cand = incremental.incremental_pairs_from_table(
-            spark, index_table, new_idx, bands=bands,
-            id_col=id_col, with_est=False,
+        _near_dup_batch(
+            batch_df, epoch_id, index_table, out_path,
+            bands=bands, k=k, append_to_index=append_to_index,
+            text_col=text_col, id_col=id_col,
         )
-        cand.write.mode("append").parquet(out_path)
-        if append_to_index:
-            rows = incremental._band_rows(
-                new_idx, bands, id_col, carry_cols=("sig",)
-            ).withColumn("bands", F.lit(bands))
-            skew.write_bucketed(
-                rows, index_table, ["band_id", "band_hash"],
-                mode="append",
-            )
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -351,3 +349,62 @@ def streaming_near_dup_candidates(
         .outputMode("append")
         .start()
     )
+
+
+def _near_dup_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_table: str,
+    out_path: str,
+    bands: int = 4,
+    k: int = 16,
+    append_to_index: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of `streaming_near_dup_candidates`, module-level
+    so the retried-epoch test can invoke it directly with a pinned
+    epoch_id (foreachBatch replays crashed epochs with the same id)."""
+    from cryo_spark.operators import incremental, skew
+
+    if not batch_df.take(1):
+        return
+    spark = batch_df.sparkSession
+    marker_path = out_path.rstrip("/") + "_index_epochs"
+    committed: set[int] = set()
+    try:
+        committed = {
+            r.epoch_id for r in spark.read.parquet(marker_path).collect()
+        }
+    except Exception:
+        pass  # no marker dir yet (first epoch)
+    new_idx = incremental.minhash_index(
+        batch_df, text_col=text_col, k=k, id_col=id_col
+    ).localCheckpoint()  # consumed by the join AND the append
+    cand = incremental.incremental_pairs_from_table(
+        spark, index_table, new_idx, bands=bands,
+        id_col=id_col, with_est=False,
+    )
+    # dynamic overwrite of THIS epoch's partition only: a replayed
+    # epoch rewrites its own rows, committed epochs are untouched
+    (
+        cand.withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(out_path)
+    )
+    if append_to_index and int(epoch_id) not in committed:
+        rows = incremental._band_rows(
+            new_idx, bands, id_col, carry_cols=("sig",)
+        ).withColumn("bands", F.lit(bands))
+        skew.write_bucketed(
+            rows, index_table, ["band_id", "band_hash"],
+            mode="append",
+        )
+        # marker AFTER the append: a crash before this line replays
+        # the append (duplicate band rows, candidate set unchanged);
+        # a crash after it is fully committed
+        spark.createDataFrame(
+            [(int(epoch_id),)], "epoch_id long"
+        ).write.mode("append").parquet(marker_path)

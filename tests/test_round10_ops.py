@@ -166,3 +166,100 @@ def test_extract_documents_plain_text_fully_trimmed(spark):
     ).fetchone()[0]
     con.close()
     assert t == "plain body"
+
+
+# ------------------------------------- r8 ADVICE fixes: regressions
+
+
+def test_canonical_url_keeps_content_bearing_ref(spark):
+    """Bare ref/referrer params are content-bearing on many sites and
+    must survive the default canonicalization; a caller-supplied list
+    can still strip them."""
+    from cryo_spark.operators import web
+
+    urls = [
+        "https://github.com/x/y?ref=main",
+        "https://github.com/x/y?ref=dev",
+        "https://a.com/p?utm_source=feed&ref=keepme",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r.c for r in df.select(web.canonical_url("url").alias("c")).collect()]
+    assert got[0] == "github.com/x/y?ref=main"
+    assert got[0] != got[1], "distinct ?ref pages must not collapse"
+    assert got[2] == "a.com/p?ref=keepme"  # utm stripped, ref kept
+    # caller override strips ref too, and SQL twin agrees
+    custom = web.tracking_param_re((*web.DEFAULT_TRACKING_PARAMS, "ref"))
+    got2 = df.select(web.canonical_url("url", custom).alias("c")).collect()
+    assert got2[0].c == got2[1].c == "github.com/x/y"
+    con = duckdb.connect()
+    sql = web.canonical_url_sql("url", custom)
+    want = [
+        t[0]
+        for t in con.execute(
+            f"SELECT {sql} FROM (SELECT unnest($1) AS url)", [urls]
+        ).fetchall()
+    ]
+    con.close()
+    assert want[:2] == ["github.com/x/y", "github.com/x/y"]
+
+
+def test_score_quality_uses_model_width(spark):
+    """A model trained at a non-default hash width must score with
+    that width by default, and an explicit mismatch must raise."""
+    from cryo_spark.operators import classifier
+
+    labeled = spark.createDataFrame(
+        [(i, f"good clean text number {i}", 1) for i in range(8)]
+        + [(100 + i, f"spam spam junk {i} !!!", 0) for i in range(8)],
+        "doc_id long, text string, label int",
+    )
+    m = classifier.train_quality_classifier(labeled, n_features=1024)
+    assert m.numFeatures == 1024
+    scored = classifier.score_quality(labeled, m)  # no n_features arg
+    explicit = classifier.score_quality(labeled, m, n_features=1024)
+    a = {r.doc_id: r.quality_prob for r in scored.collect()}
+    b = {r.doc_id: r.quality_prob for r in explicit.collect()}
+    assert a == b and len(a) == 16
+    with pytest.raises(ValueError, match="does not match"):
+        classifier.score_quality(labeled, m, n_features=4096)
+
+
+def test_near_dup_batch_retried_epoch_is_idempotent(spark, tmp_path):
+    """foreachBatch replays a crashed epoch with the SAME epoch_id:
+    re-running an epoch must not duplicate candidate rows or index
+    band rows."""
+    from cryo_spark.operators import incremental
+    from cryo_spark.streaming import _near_dup_batch
+
+    a = "the quick brown fox jumps over the lazy dog in the field"
+    b = "completely different text about spark shuffles and joins ok"
+    base = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    table = "r10_retry_band_idx"
+    incremental.save_banded_index(incremental.minhash_index(base), table)
+    out = str(tmp_path / "cands")
+    batch = spark.createDataFrame(
+        [(101, a), (102, b)], "doc_id long, text string"
+    )
+    _near_dup_batch(batch, 0, table, out)
+    once_cands = sorted(
+        (r.id_a, r.id_b) for r in spark.read.parquet(out).collect()
+    )
+    once_idx = spark.table(table).count()
+    # simulate the retry: same batch, same epoch id
+    _near_dup_batch(batch, 0, table, out)
+    again_cands = sorted(
+        (r.id_a, r.id_b) for r in spark.read.parquet(out).collect()
+    )
+    assert again_cands == once_cands, "replayed epoch duplicated candidates"
+    assert spark.table(table).count() == once_idx, (
+        "replayed epoch re-appended index band rows"
+    )
+    # a NEW epoch still appends (the guard is per-epoch, not global)
+    batch2 = spark.createDataFrame([(201, a)], "doc_id long, text string")
+    _near_dup_batch(batch2, 1, table, out)
+    assert spark.table(table).count() > once_idx
+    got = {(r.id_a, r.id_b) for r in spark.read.parquet(out).collect()}
+    assert (1, 101) in got and (1, 201) in got
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
