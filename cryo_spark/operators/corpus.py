@@ -75,7 +75,7 @@ WHERE NOT d.is_duplicate
 """
 
 
-def prepare_training_corpus(
+def _corpus_stages(
     df: DataFrame,
     text_col: str = "text",
     min_quality: float = 0.5,
@@ -94,7 +94,9 @@ def prepare_training_corpus(
     quality_threshold: float | None = None,
     url_col: str | None = None,
     domain_cap_n: int | None = None,
-) -> DataFrame:
+    url_blocklist=None,
+    url_allowlist=None,
+) -> list[tuple[str, DataFrame, str]]:
     """The WHOLE preparation pipeline, composed from the per-stage
     operators: optional URL-level controls (stage 0, round 8 — when
     the corpus carries a ``url_col``: keep-first exact URL dedup on
@@ -124,21 +126,41 @@ def prepare_training_corpus(
     (:func:`prepare_training_corpus_sql`); stage order is load-
     bearing and documented there (spans dedup BEFORE redaction so
     shared <EMAIL> placeholders cannot alias unrelated spans into
-    duplicates)."""
+    duplicates).
+
+    Returns the ordered STAGE-BOUNDARY list ``(stage_name, frame,
+    text_col_at_boundary)`` — ``prepare_training_corpus`` returns the
+    last frame; :func:`corpus_funnel` counts every boundary. The list
+    shape is the single source of truth, so the funnel can never
+    disagree with what the pipeline actually ran."""
     from cryo_spark.operators import sampling, spans
 
+    stages: list[tuple[str, DataFrame, str]] = [("input", df, text_col)]
+
+    if (url_blocklist or url_allowlist or domain_cap_n) and url_col is None:
+        raise ValueError(
+            "url_blocklist/url_allowlist/domain_cap_n require url_col"
+        )
     if url_col is not None:
         from cryo_spark.operators import web
 
+        # stage 0 (round 10): host-level controls run FIRST — cheaper
+        # than even canonical-url dedup (pure expression, no shuffle)
+        if url_blocklist:
+            df = web.url_host_filter(df, url_blocklist, "block", url_col)
+            stages.append(("url_blocklist", df, text_col))
+        if url_allowlist:
+            df = web.url_host_filter(df, url_allowlist, "allow", url_col)
+            stages.append(("url_allowlist", df, text_col))
         ud = web.url_dedup(df, url_col=url_col)
         df = df.join(
             ud.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
         )
+        stages.append(("url_dedup", df, text_col))
         if domain_cap_n:
             dc = web.domain_cap(df, domain_cap_n, url_col=url_col)
             df = df.join(dc.filter(F.col("kept")).select("doc_id"), "doc_id")
-    elif domain_cap_n:
-        raise ValueError("domain_cap_n requires url_col")
+            stages.append(("domain_cap", df, text_col))
 
     best = text.lang_best_expr(text_col)
     feats = spread(df).select(
@@ -159,6 +181,7 @@ def prepare_training_corpus(
         )
         .select("doc_id", text_col, "source")
     )
+    stages.append(("quality_lang_exact", kept, text_col))
     if quality_model is not None:
         # stage 1c (optional, round 8): LEARNED quality filter on the
         # original text — scores are a narrow broadcast-coefficient
@@ -176,6 +199,7 @@ def prepare_training_corpus(
             F.col("quality_prob") >= quality_threshold
         )
         kept = kept.join(ok.select("doc_id"), "doc_id")
+        stages.append(("learned_quality", kept, text_col))
     if line_dedup:
         ld = spans.dedup_lines(
             kept, text_col, min_docs=line_min_docs
@@ -183,11 +207,13 @@ def prepare_training_corpus(
         kept = ld.select("doc_id", F.col("text").alias(text_col)).join(
             kept.select("doc_id", "source"), "doc_id"
         )
+        stages.append(("line_dedup", kept, text_col))
     sd = (
         spans.dedup_spans(kept, text_col, span_words)
         .filter(F.col("text") != "")
         .join(kept.select("doc_id", "source"), "doc_id")
     )
+    stages.append(("span_dedup", sd, "text"))
     if near_dup:
         pairs = dedup.ngram_jaccard_all_pairs(
             sd, min_jaccard=min_jaccard
@@ -196,6 +222,7 @@ def prepare_training_corpus(
         sd = sd.join(
             verdict.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
         )
+        stages.append(("near_dup", sd, "text"))
     # redaction applied IN the same projection (redact_text_expr), not
     # as a joined redact_pii frame — a join would make Catalyst
     # evaluate the whole span-dedup subtree twice
@@ -204,6 +231,7 @@ def prepare_training_corpus(
         text.redact_text_expr("text").alias("text"),
         "source", "n_spans", "n_kept",
     )
+    stages.append(("redact", out, "text"))
     if dsir_target is not None and dsir_k:
         # stage 3b (optional): DSIR importance resampling toward a
         # target corpus — runs on the REDACTED text so placeholder
@@ -215,11 +243,87 @@ def prepare_training_corpus(
             out, dsir_target, k=dsir_k, gumbel_seed=f"{seed}-dsir"
         )
         out = out.join(sel.select("doc_id"), "doc_id")
+        stages.append(("dsir", out, "text"))
     if budget is not None:
         out = sampling.temperature_mix(
             out, budget, alpha, strata_col="source", seed=f"{seed}-mix"
         )
-    return sampling.split_assign(out, seed=f"{seed}-split")
+        stages.append(("temperature_mix", out, "text"))
+    stages.append(
+        ("split", sampling.split_assign(out, seed=f"{seed}-split"), "text")
+    )
+    return stages
+
+
+def prepare_training_corpus(df: DataFrame, **kwargs) -> DataFrame:
+    """The composed pipeline's OUTPUT frame — see :func:`_corpus_stages`
+    for the stage chain and parameters, :func:`corpus_funnel` for the
+    per-stage attrition report over the same run."""
+    return _corpus_stages(df, **kwargs)[-1][1]
+
+
+def corpus_funnel(
+    df: DataFrame, cache: bool = True, **kwargs
+) -> DataFrame:
+    """Per-stage attrition (funnel) report for the EXACT pipeline
+    :func:`prepare_training_corpus` runs with the same arguments — the
+    docs/tokens-retained view every production corpus job is steered
+    by. One row per stage boundary:
+
+    (stage_idx, stage, docs_in, docs_out, tokens_in, tokens_out,
+     pct_docs, pct_tokens) — tokens are whitespace token counts of the
+    stage's text column; ``*_in`` of stage k = ``*_out`` of stage k-1
+    (the 'input' row has in == out and pct 1.0); pct = out/in rounded
+    to 6 (NULL when in = 0).
+
+    Cost discipline: ONE count/sum aggregate per stage boundary, each
+    riding on the CACHED previous stage output (``cache=True`` persists
+    every boundary frame, so the corpus is scanned once and each
+    stage's transform runs once — not once per downstream boundary).
+    The per-boundary aggregates are map-side partial counts; the final
+    lag() window orders <= 13 single-row partials on one task —
+    metadata-sized at any corpus scale. Oracle: the identical CTE
+    chain + counts in DuckDB (:func:`corpus_funnel_sql`)."""
+    stages = _corpus_stages(df, **kwargs)
+    parts = []
+    for i, (stage, frame, tc) in enumerate(stages):
+        if cache:
+            frame.persist()
+        toks = text.token_count(tc)
+        parts.append(
+            frame.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum(toks), F.lit(0)).cast("long").alias("n_tokens"),
+            ).select(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "n_docs",
+                "n_tokens",
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w = Window.orderBy("stage_idx")
+    base = u.select(
+        "stage_idx",
+        "stage",
+        F.coalesce(F.lag("n_docs").over(w), F.col("n_docs")).alias("docs_in"),
+        F.col("n_docs").alias("docs_out"),
+        F.coalesce(F.lag("n_tokens").over(w), F.col("n_tokens")).alias(
+            "tokens_in"
+        ),
+        F.col("n_tokens").alias("tokens_out"),
+    )
+    pct = lambda o, i: F.when(  # noqa: E731
+        F.col(i) == 0, F.lit(None).cast("double")
+    ).otherwise(F.round(F.col(o) / F.col(i), 6))
+    return base.select(
+        "stage_idx", "stage", "docs_in", "docs_out", "tokens_in",
+        "tokens_out",
+        pct("docs_out", "docs_in").alias("pct_docs"),
+        pct("tokens_out", "tokens_in").alias("pct_tokens"),
+    )
 
 
 def prepare_training_corpus_sql(
@@ -239,36 +343,91 @@ def prepare_training_corpus_sql(
     line_min_docs: int = 2,
     url_col: str | None = None,
     domain_cap_n: int | None = None,
+    url_blocklist=None,
+    url_allowlist=None,
 ) -> str:
     """DuckDB oracle: the identical stage chain as CTEs over the
     per-stage oracle builders (WITH RECURSIVE when the near-dup
     stage needs the component closure)."""
+    with_kw, ctes, _, split = _corpus_sql_chain(
+        table, text_col, min_quality, lang, span_words, budget, alpha,
+        seed, near_dup, min_jaccard, dsir_target_table, dsir_k,
+        line_dedup, line_min_docs, url_col, domain_cap_n,
+        url_blocklist, url_allowlist,
+    )
+    return f"\n{with_kw}{ctes}\n{split}\n"
+
+
+def _corpus_sql_chain(
+    table: str,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    lang: str = "en",
+    span_words: int = 10,
+    budget: int | None = None,
+    alpha: float = 0.5,
+    seed: str = "corpus0",
+    near_dup: bool = False,
+    min_jaccard: float = 0.5,
+    dsir_target_table: str | None = None,
+    dsir_k: int | None = None,
+    line_dedup: bool = False,
+    line_min_docs: int = 2,
+    url_col: str | None = None,
+    domain_cap_n: int | None = None,
+    url_blocklist=None,
+    url_allowlist=None,
+) -> tuple[str, str, list[tuple[str, str, str]], str]:
+    """The shared CTE chain: (with_keyword, ctes_sql, boundaries,
+    final_split_select). ``boundaries`` mirrors :func:`_corpus_stages`
+    exactly — (stage_name, cte_or_table_name, text_col_at_boundary) —
+    so the funnel oracle counts the same frames the pipeline oracle
+    selects from."""
     from cryo_spark.operators import sampling, spans
 
+    boundaries: list[tuple[str, str, str]] = [("input", table, text_col)]
     url_ctes = ""
+    if (url_blocklist or url_allowlist or domain_cap_n) and url_col is None:
+        raise ValueError(
+            "url_blocklist/url_allowlist/domain_cap_n require url_col"
+        )
     if url_col is not None:
         from cryo_spark.operators import web
 
+        if url_blocklist:
+            hb = web.url_host_filter_sql(
+                table, url_blocklist, "block", url_col
+            )
+            url_ctes += f" hostblock AS MATERIALIZED ({hb}),"
+            table = "hostblock"
+            boundaries.append(("url_blocklist", table, text_col))
+        if url_allowlist:
+            ha = web.url_host_filter_sql(
+                table, url_allowlist, "allow", url_col
+            )
+            url_ctes += f" hostallow AS MATERIALIZED ({ha}),"
+            table = "hostallow"
+            boundaries.append(("url_allowlist", table, text_col))
         ud = web.url_dedup_sql(table, url_col=url_col)
-        url_ctes = f""" urlstage0 AS (
+        url_ctes += f""" urlstage0 AS MATERIALIZED (
   SELECT t.* FROM {table} t
   JOIN (SELECT doc_id FROM ({ud}) WHERE NOT is_duplicate) u USING (doc_id)
 ),"""
-        src = "urlstage0"
+        table = "urlstage0"
+        boundaries.append(("url_dedup", table, text_col))
         if domain_cap_n:
             dc = web.domain_cap_sql("urlstage0", domain_cap_n, url_col=url_col)
-            url_ctes += f""" urlstage AS (
+            url_ctes += f""" urlstage AS MATERIALIZED (
   SELECT t.* FROM urlstage0 t
   JOIN (SELECT doc_id FROM ({dc}) WHERE kept) c USING (doc_id)
 ),"""
-            src = "urlstage"
-        table = src
-    elif domain_cap_n:
-        raise ValueError("domain_cap_n requires url_col")
+            table = "urlstage"
+            boundaries.append(("domain_cap", table, text_col))
 
     q = text.quality_score_sql(table, text_col)
     l_ = text.lang_id_sql(table, text_col)
     d = dedup.exact_dedup_sql(table, text_col)
+    boundaries.append(("quality_lang_exact", "filtered", text_col))
     # table name must not collide with dedup_spans_sql's internal CTE
     # names (toks/sp/kept/reb) — DuckDB binds same-list names first and
     # reports a circular reference
@@ -279,12 +438,13 @@ def prepare_training_corpus_sql(
         ld0 = spans.dedup_lines_sql(
             "filtered", text_col, min_docs=line_min_docs
         )
-        ld_ctes = f""", ld0 AS ({ld0}),
-linefiltered AS (
+        ld_ctes = f""", ld0 AS MATERIALIZED ({ld0}),
+linefiltered AS MATERIALIZED (
   SELECT l.doc_id, l.text AS {text_col}, k.source
   FROM ld0 l JOIN filtered k USING (doc_id) WHERE l.text != ''
 )"""
         span_src = "linefiltered"
+        boundaries.append(("line_dedup", span_src, text_col))
     else:
         ld_ctes, span_src = "", "filtered"
     sd0 = spans.dedup_spans_sql(span_src, text_col, span_words)
@@ -301,16 +461,20 @@ edges AS (
   UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
 ), comp AS (
   SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u
-), sd AS (
+), sd AS MATERIALIZED (
   SELECT s.* FROM sd_all s LEFT JOIN comp c ON c.id = s.doc_id
   WHERE coalesce(c.component, s.doc_id) = s.doc_id
 )"""
     else:
         with_kw, sd_inner, nd_ctes = "WITH", "sd", ""
+    boundaries.append(("span_dedup", sd_inner, "text"))
+    if near_dup:
+        boundaries.append(("near_dup", "sd", "text"))
     # downstream of dedup_spans_sql the rewritten column is ALWAYS
     # named 'text' (its fixed output schema) — passing the caller's
     # text_col here would emit unexecutable SQL for non-default names
     red = text.redact_pii_sql("sd", "text")
+    boundaries.append(("redact", "merged", "text"))
     mix_src = "merged"
     dsir_ctes = ""
     if dsir_target_table is not None and dsir_k:
@@ -321,11 +485,12 @@ edges AS (
             gumbel_seed=f"{seed}-dsir",
         )
         dsir_ctes = (
-            ", targeted AS (\n  SELECT m.* FROM merged m JOIN ("
+            ", targeted AS MATERIALIZED (\n  SELECT m.* FROM merged m JOIN ("
             + inner
             + ") __dsel USING (doc_id)\n)"
         )
         mix_src = "targeted"
+        boundaries.append(("dsir", "targeted", "text"))
     mixed = (
         sampling.temperature_mix_sql(
             mix_src, budget, alpha, strata_col="source", seed=f"{seed}-mix"
@@ -333,28 +498,67 @@ edges AS (
         if budget is not None
         else f"SELECT * FROM {mix_src}"
     )
+    if budget is not None:
+        boundaries.append(("temperature_mix", "mixed", "text"))
     split = sampling.split_assign_sql("mixed", seed=f"{seed}-split")
-    return f"""
-{with_kw}{url_ctes} pass1 AS (
+    boundaries.append(("split", "finalsplit", "text"))
+    ctes = f"""{url_ctes} pass1 AS MATERIALIZED (
   SELECT q.doc_id FROM ({q}) q
   JOIN ({l_}) l ON l.doc_id = q.doc_id
   JOIN ({d}) d ON d.doc_id = q.doc_id
   WHERE NOT d.is_duplicate
     AND q.quality_score >= {min_quality} AND l.lang_guess = '{lang}'
-), filtered AS (
+), filtered AS MATERIALIZED (
   SELECT t.doc_id, t.{text_col}, t.source FROM {table} t
   JOIN pass1 USING (doc_id)
-){ld_ctes}, sd0 AS ({sd0}),
-{sd_inner} AS (
+){ld_ctes}, sd0 AS MATERIALIZED ({sd0}),
+{sd_inner} AS MATERIALIZED (
   SELECT s.doc_id, s.text, s.n_spans, s.n_kept, k.source
   FROM sd0 s JOIN filtered k USING (doc_id) WHERE s.text != ''
-){nd_ctes}, red AS ({red}),
-merged AS (
+){nd_ctes}, red AS MATERIALIZED ({red}),
+merged AS MATERIALIZED (
   SELECT sd.doc_id, red.redacted_text AS text, sd.source,
          sd.n_spans, sd.n_kept
   FROM sd JOIN red USING (doc_id)
-){dsir_ctes}, mixed AS ({mixed})
-{split}
+){dsir_ctes}, mixed AS MATERIALIZED ({mixed})"""
+    return with_kw, ctes, boundaries, split
+
+
+def corpus_funnel_sql(table: str, text_col: str = "text", **kwargs) -> str:
+    """DuckDB oracle for :func:`corpus_funnel`: the IDENTICAL CTE
+    chain as :func:`prepare_training_corpus_sql` (shared builder), with
+    a per-boundary count/token-sum union and the same lag() window on
+    top — stage names, order, and optionality all come from the one
+    shared boundary list."""
+    with_kw, ctes, boundaries, split = _corpus_sql_chain(
+        table, text_col, **kwargs
+    )
+    counts = "\nUNION ALL\n".join(
+        f"SELECT {i} AS stage_idx, '{stage}' AS stage, "
+        f"count(*) AS n_docs, "
+        f"coalesce(sum({text.token_count_sql(tc)}), 0)::BIGINT AS n_tokens "
+        f"FROM {src}"
+        for i, (stage, src, tc) in enumerate(boundaries)
+    )
+    return f"""
+{with_kw}{ctes}, finalsplit AS MATERIALIZED ({split}),
+counts AS ({counts}),
+flow AS (
+  SELECT stage_idx, stage,
+    coalesce(lag(n_docs) OVER (ORDER BY stage_idx), n_docs) AS docs_in,
+    n_docs AS docs_out,
+    coalesce(lag(n_tokens) OVER (ORDER BY stage_idx), n_tokens) AS tokens_in,
+    n_tokens AS tokens_out
+  FROM counts
+)
+SELECT stage_idx::BIGINT AS stage_idx, stage,
+  docs_in::BIGINT AS docs_in, docs_out::BIGINT AS docs_out,
+  tokens_in::BIGINT AS tokens_in, tokens_out::BIGINT AS tokens_out,
+  CASE WHEN docs_in = 0 THEN NULL
+       ELSE round(docs_out / docs_in::DOUBLE, 6) END AS pct_docs,
+  CASE WHEN tokens_in = 0 THEN NULL
+       ELSE round(tokens_out / tokens_in::DOUBLE, 6) END AS pct_tokens
+FROM flow
 """
 
 

@@ -306,3 +306,118 @@ def domain_cap_survivors(
         .select(id_col, "domain", F.col("_r").cast("long").alias("domain_rank"))
     )
     return good_rows.unionByName(repair_rows)
+
+
+# ----------------------------------------- host block/allow filtering
+
+def host_suffixes(col: str | Column) -> Column:
+    """The dot-suffix chain of a URL's canonical host, e.g.
+    ``ads.tracker.example.com`` -> [``ads.tracker.example.com``,
+    ``tracker.example.com``, ``example.com``, ``com``] — the key shape
+    for RefinedWeb-style domain lists, where blocklisting
+    ``example.com`` must cover every subdomain but never the lookalike
+    ``notexample.com`` (suffix-of-label matching, not substring)."""
+    parts = F.split(canonical_host(col), r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(parts, i, n), ".")
+    )
+
+
+def host_suffixes_sql(expr: str) -> str:
+    host = canonical_host_sql(expr)
+    return (
+        f"list_transform(generate_series(1, len(string_split({host}, '.'))),"
+        f" i -> array_to_string(string_split({host}, '.')[i:], '.'))"
+    )
+
+
+def _norm_domains(domains: Sequence[str]) -> list[str]:
+    out = sorted({d.strip().strip(".").lower().removeprefix("www.") for d in domains})
+    if not out or any(not d for d in out):
+        raise ValueError("domains must be non-empty host names")
+    return out
+
+
+def url_host_matches(col: str | Column, domains: Sequence[str]) -> Column:
+    """True when the URL's canonical host equals, or is a subdomain
+    of, any listed domain. Pure JVM expression (the domain list rides
+    in the plan as an array literal) — zero shuffles, evaluated inline
+    in the scan projection. Right for lists up to ~10k entries; above
+    that use :func:`url_host_filter`'s join path (the literal array is
+    linear-scanned per row and bloats the plan)."""
+    doms = _norm_domains(domains)
+    return F.arrays_overlap(
+        host_suffixes(col), F.array(*[F.lit(d) for d in doms])
+    )
+
+
+def url_host_matches_sql(expr: str, domains: Sequence[str]) -> str:
+    doms = ", ".join("'" + d.replace("'", "''") + "'" for d in _norm_domains(domains))
+    return f"len(list_intersect({host_suffixes_sql(expr)}, [{doms}])) > 0"
+
+
+def url_host_filter(
+    df: DataFrame,
+    domains: Sequence[str],
+    mode: str = "block",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    via: str = "auto",
+) -> DataFrame:
+    """RefinedWeb-style URL control: drop (``mode='block'``) or keep
+    (``mode='allow'``) documents whose canonical host is any listed
+    domain or a subdomain of one (``ads.example.com`` matches a listed
+    ``example.com``; ``notexample.com`` does not).
+
+    Two physical strategies, result-identical (equivalence-pinned in
+    tests), neither shuffles the corpus:
+
+    - ``via='expr'``: the domain set as a JVM array literal +
+      ``arrays_overlap`` — zero joins; right up to ~10k domains.
+    - ``via='join'``: explode the host-suffix chain (narrow), semi-join
+      the broadcast domain frame (broadcast hash join, no exchange on
+      the corpus side), then broadcast the matched-id set back as a
+      semi/anti join. Right for the multi-million-entry public
+      blocklists (UT1 adult ~4M): the corpus-side cost is one narrow
+      explode, and only MATCHED ids (blocklists hit a small fraction
+      of a crawl) are collected into the second broadcast. For
+      allow-mode with a hit set too large to broadcast, use 'expr'.
+
+    ``via='auto'`` picks expr for <=1000 domains, join above."""
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    doms = _norm_domains(domains)
+    if via == "auto":
+        via = "expr" if len(doms) <= 1000 else "join"
+    if via == "expr":
+        m = url_host_matches(url_col, doms)
+        return df.filter(~m if mode == "block" else m)
+    if via != "join":
+        raise ValueError(f"via must be 'auto', 'expr' or 'join', got {via!r}")
+    spark = df.sparkSession
+    dom_df = spark.createDataFrame([(d,) for d in doms], "__domain string")
+    matched = (
+        _spread(df)
+        .select(F.col(id_col), F.explode(host_suffixes(url_col)).alias("__suf"))
+        .join(
+            F.broadcast(dom_df),
+            F.col("__suf") == F.col("__domain"),
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()  # shuffles only the matched ids, never the corpus
+    )
+    how = "left_anti" if mode == "block" else "left_semi"
+    return df.join(F.broadcast(matched), id_col, how)
+
+
+def url_host_filter_sql(
+    table: str,
+    domains: Sequence[str],
+    mode: str = "block",
+    url_col: str = "url",
+) -> str:
+    m = url_host_matches_sql(url_col, domains)
+    neg = "NOT " if mode == "block" else ""
+    return f"SELECT * FROM {table} WHERE {neg}({m})"

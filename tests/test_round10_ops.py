@@ -263,3 +263,178 @@ def test_near_dup_batch_retried_epoch_is_idempotent(spark, tmp_path):
     got = {(r.id_a, r.id_b) for r in spark.read.parquet(out).collect()}
     assert (1, 101) in got and (1, 201) in got
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# ----------------------------------------- URL host block/allowlists
+
+
+def _url_docs(spark):
+    rows = [
+        (1, "https://example.com/a", "keep me body text", "s1"),
+        (2, "https://ads.example.com/b", "subdomain of blocked", "s1"),
+        (3, "http://notexample.com/c", "lookalike suffix", "s2"),
+        (4, "https://www.blocked.org:443/d?x=1", "www+port variant", "s2"),
+        (5, "https://deep.sub.blocked.org/e", "deep subdomain", "s3"),
+        (6, "https://fine.net/f", "unrelated host", "s3"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, url string, text string, source string"
+    )
+
+
+def test_url_host_filter_block_semantics(spark):
+    from cryo_spark.operators import web
+
+    docs = _url_docs(spark)
+    doms = ["example.com", "blocked.org"]
+    kept = {r.doc_id for r in web.url_host_filter(docs, doms).collect()}
+    # exact host + subdomains blocked; notexample.com is NOT a match
+    assert kept == {3, 6}
+    allow = {
+        r.doc_id
+        for r in web.url_host_filter(docs, doms, mode="allow").collect()
+    }
+    assert allow == {1, 2, 4, 5}
+
+
+def test_url_host_filter_join_path_equivalent(spark):
+    """expr and join strategies are result-identical, and the join
+    path's corpus side never shuffles (explode + broadcast joins)."""
+    from cryo_spark.operators import web
+
+    docs = _url_docs(spark)
+    doms = ["example.com", "blocked.org"]
+    for mode in ("block", "allow"):
+        a = {r.doc_id for r in web.url_host_filter(docs, doms, mode, via="expr").collect()}
+        b = {r.doc_id for r in web.url_host_filter(docs, doms, mode, via="join").collect()}
+        assert a == b, mode
+    plan = (
+        web.url_host_filter(docs, doms, via="join")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # both joins broadcast (domain list, then matched-id set); the only
+    # hash exchange is the distinct over MATCHED ids — a single narrow
+    # doc_id projection, never the corpus rows
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    exch = [ln for ln in plan.split("\n") if "Exchange hashpartitioning" in ln]
+    assert "doc_id" in exch[0] and "text" not in exch[0], exch[0]
+
+
+def test_url_host_filter_duckdb_parity(spark):
+    from cryo_spark.operators import web
+
+    docs = _url_docs(spark)
+    doms = ["Example.com", "www.blocked.org."]  # normalization applied
+    got = sorted(
+        r.doc_id for r in web.url_host_filter(docs, doms).collect()
+    )
+    con = duckdb.connect()
+    con.register("t", docs.toPandas())
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM ({web.url_host_filter_sql('t', doms)})"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want == [3, 6]
+
+
+# ------------------------------------------- pipeline funnel report
+
+
+def _funnel_docs(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    d = F.col("doc_id")
+    return docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.when(d % 3 == 0, F.lit("ads.blocked")).otherwise(F.lit("site")),
+            F.lit(".example.com/p/"),
+            (d % 20).cast("string"),
+            F.when(d % 4 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+        ),
+    )
+
+
+FUNNEL_KW = dict(
+    url_col="url",
+    url_blocklist=["blocked.example.com"],
+    domain_cap_n=30,
+    line_dedup=True,
+    near_dup=True,
+    budget=150,
+)
+
+
+def test_corpus_funnel_matches_duckdb(spark):
+    """Full-option funnel (host blocklist, url dedup, domain cap, line
+    dedup, near dup, mixing) is bit-identical to the DuckDB CTE chain."""
+    import pandas as pd
+    from cryo_spark.operators import corpus
+
+    docs = _funnel_docs(spark)
+    got = (
+        corpus.corpus_funnel(docs, **FUNNEL_KW)
+        .toPandas().sort_values("stage_idx").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents0", docs.toPandas())
+    want = (
+        con.execute(corpus.corpus_funnel_sql("documents0", **FUNNEL_KW))
+        .df().sort_values("stage_idx").reset_index(drop=True)
+    )
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert list(got.stage) == [
+        "input", "url_blocklist", "url_dedup", "domain_cap",
+        "quality_lang_exact", "line_dedup", "span_dedup", "near_dup",
+        "redact", "temperature_mix", "split",
+    ]
+
+
+def test_corpus_funnel_counts_are_independent_truth(spark):
+    """Funnel rows equal counts computed independently of the funnel
+    machinery: docs_out of the last stage == prepare_training_corpus
+    row count, the input row == raw counts, and every stage's docs_in
+    chains from the previous stage's docs_out."""
+    from cryo_spark.operators import corpus, text as text_ops
+
+    docs = _funnel_docs(spark)
+    rows = {
+        r.stage: r
+        for r in corpus.corpus_funnel(docs, **FUNNEL_KW).collect()
+    }
+    n_raw = docs.count()
+    tok_raw = docs.select(
+        F.sum(text_ops.token_count("text")).cast("long").alias("t")
+    ).first().t
+    assert rows["input"].docs_out == n_raw == rows["input"].docs_in
+    assert rows["input"].tokens_out == tok_raw
+    final = corpus.prepare_training_corpus(docs, **FUNNEL_KW)
+    assert rows["split"].docs_out == final.count()
+    ordered = sorted(rows.values(), key=lambda r: r.stage_idx)
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert cur.docs_in == prev.docs_out
+        assert cur.tokens_in == prev.tokens_out
+        assert cur.docs_out <= cur.docs_in  # every stage only removes
+    assert rows["url_blocklist"].docs_out < n_raw  # blocklist really fired
+
+
+def test_pipeline_blocklist_stage_wired(spark):
+    """url_blocklist as pipeline stage 0 drops blocked-host docs from
+    the final corpus (and the plain run keeps them)."""
+    from cryo_spark.operators import corpus
+
+    docs = _funnel_docs(spark)
+    base = corpus.prepare_training_corpus(docs, url_col="url")
+    blocked = corpus.prepare_training_corpus(
+        docs, url_col="url", url_blocklist=["blocked.example.com"]
+    )
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    blocked_ids = {r.doc_id for r in blocked.select("doc_id").collect()}
+    assert blocked_ids < base_ids
+    gone = base_ids - blocked_ids
+    assert gone and all(i % 3 == 0 for i in gone)  # exactly blocked hosts
