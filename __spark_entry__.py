@@ -924,11 +924,17 @@ def oracle_line_dedup() -> str:
 def _messy_url_expr():
     """Deterministic crawl-shaped URL derived from (doc_id, source) —
     the testdata has no url column, so BOTH engines derive the same
-    messy address (scheme/www/port/trailing-slash/fragment/tracking
-    variants keyed on doc_id residues; page number = doc_id % 10, so
-    each source's ~25 docs collide onto 10 pages). The SAME derivation
-    in SQL is :func:`_messy_url_sql`."""
+    messy address. The SAME derivation in SQL is `_MESSY_URL_SQL`.
+
+    Variant keying: testdata doc_ids stride by #sources (doc_id % 20 =
+    source index), so any `doc_id % k` with k | 20 is CONSTANT within
+    a host — page number and query variant therefore key on the
+    per-source ordinal `doc_id // 20` (pages really collide: 25 docs
+    onto 10 pages/host, with query-form variants overlapping within a
+    page so canonical dedup collapses real groups), while port and
+    fragment noise use doc_id residues coprime to the stride."""
     d = F.col("doc_id")
+    o = F.floor(d / 20)  # per-source ordinal (testdata stride = 20)
     return F.concat(
         F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
         F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
@@ -936,11 +942,11 @@ def _messy_url_expr():
         F.lit(".example.com"),
         F.when(d % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
         F.lit("/page/"),
-        (d % 10).cast("string"),
-        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.when(d % 4 == 0, F.lit("?utm_source=feed"))
-        .when(d % 4 == 1, F.lit("?b=2&a=1"))
-        .when(d % 4 == 2, F.lit("?a=1&b=2"))
+        (o % 10).cast("string"),
+        F.when(o % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(o % 4 == 0, F.lit("?utm_source=feed"))
+        .when(o % 4 == 1, F.lit("?b=2&a=1"))
+        .when(o % 4 == 2, F.lit("?a=1&b=2"))
         .otherwise(F.lit("")),
         F.when(d % 11 == 0, F.lit("#top")).otherwise(F.lit("")),
     )
@@ -951,9 +957,9 @@ _MESSY_URL_SQL = """(
   CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
   source || '.example.com' ||
   CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
-  '/page/' || (doc_id % 10)::VARCHAR ||
-  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
-  CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed'
+  '/page/' || (floor(doc_id / 20)::BIGINT % 10)::VARCHAR ||
+  CASE WHEN floor(doc_id / 20)::BIGINT % 5 = 0 THEN '/' ELSE '' END ||
+  CASE floor(doc_id / 20)::BIGINT % 4 WHEN 0 THEN '?utm_source=feed'
                   WHEN 1 THEN '?b=2&a=1'
                   WHEN 2 THEN '?a=1&b=2' ELSE '' END ||
   CASE WHEN doc_id % 11 = 0 THEN '#top' ELSE '' END
@@ -961,8 +967,11 @@ _MESSY_URL_SQL = """(
 
 
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL-level corpus controls (RefinedWeb §3.1 / CCNet shape),
-    both operators hash-proven in one entry via a kind column:
+    """Corpus dedup CONTROLS (RefinedWeb §3.1 / CCNet shape), three
+    operators hash-proven in one entry via a kind column (exact_dedup
+    folded in round 10, freeing a contract slot for `corpus_funnel`
+    inside the 50-entry scoring window — the same consolidation
+    rounds 5/6/8 used):
 
     - kind='url_dedup': canonicalize (scheme/www/port/fragment/
       trailing-slash/tracking-param/param-order normalization) then
@@ -970,16 +979,19 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       keeper doc, flag = is_duplicate.
     - kind='domain_cap': per-host document rank with a cap-15 keep
       flag — key = canonical host, ref_id = rank, flag = kept.
+    - kind='exact_dedup': content-level exact dedup (md5 of normalized
+      text) — key = NULL (the hash key is engine-internal), ref_id =
+      keeper doc, flag = is_duplicate.
 
     Scale: canonicalization is a zero-shuffle JVM projection; dedup is
     one exchange on the canonical key (window keeper reuses it);
     domain_cap windows sort one host per task (SCALE.md documents the
-    mega-host prefilter)."""
+    mega-host prefilter); exact_dedup is one exchange on the content
+    hash with the dupe flag riding the same partitioning."""
     from cryo_spark.operators import web
 
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", _messy_url_expr().alias("url")
-    )
+    full = _read(spark, sf_dir, "documents")
+    docs = full.select("doc_id", _messy_url_expr().alias("url"))
     ud = web.url_dedup(docs).select(
         F.lit("url_dedup").alias("kind"),
         "doc_id",
@@ -994,7 +1006,14 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("domain_rank").alias("ref_id"),
         F.col("kept").alias("flag"),
     )
-    return ud.unionByName(dc)
+    ed = dedup.exact_dedup(full).select(
+        F.lit("exact_dedup").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("key"),
+        F.col("keeper_id").alias("ref_id"),
+        F.col("is_duplicate").alias("flag"),
+    )
+    return ud.unionByName(dc).unionByName(ed)
 
 
 def oracle_url_dedup() -> str:
@@ -1002,6 +1021,7 @@ def oracle_url_dedup() -> str:
 
     ud = web.url_dedup_sql("messy_docs")
     dc = web.domain_cap_sql("messy_docs", cap=15)
+    ed = dedup.exact_dedup_sql("documents")
     return f"""
 WITH messy_docs AS (
   SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents
@@ -1011,7 +1031,57 @@ SELECT 'url_dedup' AS kind, doc_id, canonical_url AS key,
 UNION ALL
 SELECT 'domain_cap' AS kind, doc_id, domain AS key,
        domain_rank AS ref_id, kept AS flag FROM ({dc})
+UNION ALL
+SELECT 'exact_dedup' AS kind, doc_id, NULL::VARCHAR AS key,
+       keeper_id AS ref_id, is_duplicate AS flag FROM ({ed})
 """
+
+
+#: full-option funnel configuration: every optional stage ON so the
+#: report exercises all 11 boundaries. Blocklist hosts / cap sized to
+#: the messy-url derivation (20 sources x 25 docs collapsing onto 10
+#: pages/host at sf0.01): two blocked source hosts, cap 8 < 10 pages
+#: so domain_cap visibly fires after url_dedup.
+_FUNNEL_KW = dict(
+    url_col="url",
+    url_blocklist=["src3.example.com", "src7.example.com"],
+    domain_cap_n=8,
+    line_dedup=True,
+    near_dup=True,
+    budget=60,
+)
+
+
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition (funnel) report for the FULL
+    prepare_training_corpus pipeline — the docs/tokens-retained view a
+    production corpus job is steered by. One row per stage boundary
+    (input, url_blocklist, url_dedup, domain_cap, quality_lang_exact,
+    line_dedup, span_dedup, near_dup, redact, temperature_mix, split)
+    with docs/tokens in/out and retention pcts.
+
+    The stage list comes from the SAME `_corpus_stages` chain the
+    pipeline runs (single source of truth), each boundary persisted so
+    the corpus is scanned once; per-boundary aggregates are map-side
+    partial counts and the lag() window orders 11 single-row partials
+    on one task — metadata-sized at any corpus scale. Oracle: the
+    identical CTE chain + counts in DuckDB (MATERIALIZED CTEs — the
+    funnel consumes each stage twice, inlining re-executes the chain
+    per consumer, measured 140x slower)."""
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "url", _messy_url_expr()
+    )
+    return corpus.corpus_funnel(docs, **_FUNNEL_KW)
+
+
+def oracle_corpus_funnel() -> str:
+    prelude = (
+        "funnel_docs AS MATERIALIZED (\n"
+        f"  SELECT *, {_MESSY_URL_SQL} AS url FROM documents\n),"
+    )
+    return corpus.corpus_funnel_sql(
+        "funnel_docs", prelude=prelude, **_FUNNEL_KW
+    )
 
 
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1291,7 +1361,10 @@ GENERIC = {
     "llm_ngram_stats": (q_ngram_stats, oracle_ngram_stats),
     "llm_dsir_select": (q_dsir_select, oracle_dsir_select),
     "llm_temperature_mix": (q_temperature_mix, oracle_temperature_mix),
-    "llm_exact_dedup": (q_exact_dedup, lambda: dedup.exact_dedup_sql("documents")),
+    # llm_exact_dedup folded into llm_url_dedup (round 10, kind=
+    # 'exact_dedup' — still hash-proven there); the freed slot carries
+    # the pipeline funnel report
+    "corpus_funnel": (q_corpus_funnel, oracle_corpus_funnel),
     # llm_cosine_topk + llm_embedding_near_dups merged into
     # llm_embedding_sim in round 8 (both halves stay hash-proven);
     # the freed slot carries llm_url_dedup

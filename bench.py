@@ -60,7 +60,11 @@ HEADLINE = [
     # merged into the five-way text profile in round 5 — the three
     # former per-projection timings continue inside this one entry
     "llm_text_profile",
-    "llm_exact_dedup",
+    # llm_exact_dedup folded into llm_url_dedup in round 10 — its
+    # timing continues inside that entry
+    # round 10: per-stage attrition report over the full composed
+    # pipeline (url controls + quality + dedup chain + mixing)
+    "corpus_funnel",
     "llm_minhash_near_dups",
     # llm_cosine_topk + llm_embedding_near_dups merged into
     # llm_embedding_sim in round 8

@@ -96,6 +96,7 @@ def _corpus_stages(
     domain_cap_n: int | None = None,
     url_blocklist=None,
     url_allowlist=None,
+    checkpoint: bool = False,
 ) -> list[tuple[str, DataFrame, str]]:
     """The WHOLE preparation pipeline, composed from the per-stage
     operators: optional URL-level controls (stage 0, round 8 — when
@@ -132,10 +133,59 @@ def _corpus_stages(
     text_col_at_boundary)`` — ``prepare_training_corpus`` returns the
     last frame; :func:`corpus_funnel` counts every boundary. The list
     shape is the single source of truth, so the funnel can never
-    disagree with what the pipeline actually ran."""
+    disagree with what the pipeline actually ran.
+
+    ``checkpoint=True`` truncates logical lineage at the deep
+    multiply-consumed boundaries with a lazy ``localCheckpoint`` (the
+    same device the minhash index uses) and persists every other
+    boundary. This is load-bearing for the funnel: several stages
+    consume their input frame 2-4x (span_dedup re-joins ``kept``,
+    near_dup references ``sd`` four times), so the k-th boundary's
+    LOGICAL plan otherwise holds O(2^k) copies of the earliest
+    subplans — measured 6+ GB of driver heap just to analyze/codegen
+    the 11-boundary funnel union (OOM at any data scale; the blow-up
+    is plan-structural, not data). persist() alone cannot fix that:
+    caching dedups EXECUTION, but the analyzer/codegen still walk
+    every logical copy. A cut at each deep fan-out resets the
+    duplicated subtree to one RDD-scan leaf, so duplication only ever
+    multiplies shallow segments: driver cost O(stages). Each cut is
+    priced (a lazy localCheckpoint runs full physical planning for
+    its segment, ~0.3-0.5 s of driver time), which is why only the
+    _CUT boundaries — not all 11 — are truncated. Rows still
+    materialize exactly once per boundary (storage-equivalent to a
+    persist-everywhere design). Execution semantics are unchanged —
+    checkpoint is a pipeline-only knob with no mirror in the SQL
+    oracle chain (DuckDB MATERIALIZED CTEs already execute each stage
+    once)."""
     from cryo_spark.operators import sampling, spans
 
-    stages: list[tuple[str, DataFrame, str]] = [("input", df, text_col)]
+    stages: list[tuple[str, DataFrame, str]] = []
+
+    # boundaries whose frame is BOTH deep (windows/joins above them)
+    # and consumed >1x downstream — the points where logical-plan
+    # copies would compound. Shallow multi-consumed frames (the raw
+    # scan, the url filter outputs) stay uncut: duplicating a leaf or
+    # scan+filter subtree is cheap, and persist() dedups execution.
+    # redact is multi-consumed only when dsir re-joins it, so its cut
+    # (priced like every cut at ~0.5 s of driver planning) is
+    # conditional.
+    _CUT = {"quality_lang_exact", "line_dedup", "span_dedup"}
+    if dsir_target is not None and dsir_k:
+        _CUT.add("redact")
+
+    def _mark(name: str, frame: DataFrame, tc: str) -> DataFrame:
+        # boundary hook: later stages and the funnel's aggregates both
+        # build on the RETURNED frame, so the lineage cut (when on)
+        # applies to every downstream consumer
+        if checkpoint:
+            if name in _CUT:
+                frame = frame.localCheckpoint(eager=False)
+            else:
+                frame.persist()
+        stages.append((name, frame, tc))
+        return frame
+
+    df = _mark("input", df, text_col)
 
     if (url_blocklist or url_allowlist or domain_cap_n) and url_col is None:
         raise ValueError(
@@ -147,20 +197,32 @@ def _corpus_stages(
         # stage 0 (round 10): host-level controls run FIRST — cheaper
         # than even canonical-url dedup (pure expression, no shuffle)
         if url_blocklist:
-            df = web.url_host_filter(df, url_blocklist, "block", url_col)
-            stages.append(("url_blocklist", df, text_col))
+            df = _mark(
+                "url_blocklist",
+                web.url_host_filter(df, url_blocklist, "block", url_col),
+                text_col,
+            )
         if url_allowlist:
-            df = web.url_host_filter(df, url_allowlist, "allow", url_col)
-            stages.append(("url_allowlist", df, text_col))
+            df = _mark(
+                "url_allowlist",
+                web.url_host_filter(df, url_allowlist, "allow", url_col),
+                text_col,
+            )
         ud = web.url_dedup(df, url_col=url_col)
-        df = df.join(
-            ud.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
+        df = _mark(
+            "url_dedup",
+            df.join(
+                ud.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
+            ),
+            text_col,
         )
-        stages.append(("url_dedup", df, text_col))
         if domain_cap_n:
             dc = web.domain_cap(df, domain_cap_n, url_col=url_col)
-            df = df.join(dc.filter(F.col("kept")).select("doc_id"), "doc_id")
-            stages.append(("domain_cap", df, text_col))
+            df = _mark(
+                "domain_cap",
+                df.join(dc.filter(F.col("kept")).select("doc_id"), "doc_id"),
+                text_col,
+            )
 
     best = text.lang_best_expr(text_col)
     feats = spread(df).select(
@@ -181,7 +243,7 @@ def _corpus_stages(
         )
         .select("doc_id", text_col, "source")
     )
-    stages.append(("quality_lang_exact", kept, text_col))
+    kept = _mark("quality_lang_exact", kept, text_col)
     if quality_model is not None:
         # stage 1c (optional, round 8): LEARNED quality filter on the
         # original text — scores are a narrow broadcast-coefficient
@@ -198,40 +260,53 @@ def _corpus_stages(
         ok = classifier.score_quality(kept, quality_model, text_col).filter(
             F.col("quality_prob") >= quality_threshold
         )
-        kept = kept.join(ok.select("doc_id"), "doc_id")
-        stages.append(("learned_quality", kept, text_col))
+        kept = _mark(
+            "learned_quality", kept.join(ok.select("doc_id"), "doc_id"),
+            text_col,
+        )
     if line_dedup:
         ld = spans.dedup_lines(
             kept, text_col, min_docs=line_min_docs
         ).filter(F.col("text") != "")
-        kept = ld.select("doc_id", F.col("text").alias(text_col)).join(
-            kept.select("doc_id", "source"), "doc_id"
+        kept = _mark(
+            "line_dedup",
+            ld.select("doc_id", F.col("text").alias(text_col)).join(
+                kept.select("doc_id", "source"), "doc_id"
+            ),
+            text_col,
         )
-        stages.append(("line_dedup", kept, text_col))
-    sd = (
+    sd = _mark(
+        "span_dedup",
         spans.dedup_spans(kept, text_col, span_words)
         .filter(F.col("text") != "")
-        .join(kept.select("doc_id", "source"), "doc_id")
+        .join(kept.select("doc_id", "source"), "doc_id"),
+        "text",
     )
-    stages.append(("span_dedup", sd, "text"))
     if near_dup:
         pairs = dedup.ngram_jaccard_all_pairs(
             sd, min_jaccard=min_jaccard
         ).select("id_a", "id_b")
         verdict = dedup.dedup_by_components(sd, pairs)
-        sd = sd.join(
-            verdict.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id"
+        sd = _mark(
+            "near_dup",
+            sd.join(
+                verdict.filter(~F.col("is_duplicate")).select("doc_id"),
+                "doc_id",
+            ),
+            "text",
         )
-        stages.append(("near_dup", sd, "text"))
     # redaction applied IN the same projection (redact_text_expr), not
     # as a joined redact_pii frame — a join would make Catalyst
     # evaluate the whole span-dedup subtree twice
-    out = sd.select(
-        "doc_id",
-        text.redact_text_expr("text").alias("text"),
-        "source", "n_spans", "n_kept",
+    out = _mark(
+        "redact",
+        sd.select(
+            "doc_id",
+            text.redact_text_expr("text").alias("text"),
+            "source", "n_spans", "n_kept",
+        ),
+        "text",
     )
-    stages.append(("redact", out, "text"))
     if dsir_target is not None and dsir_k:
         # stage 3b (optional): DSIR importance resampling toward a
         # target corpus — runs on the REDACTED text so placeholder
@@ -242,16 +317,16 @@ def _corpus_stages(
         sel = dsir_mod.dsir_select(
             out, dsir_target, k=dsir_k, gumbel_seed=f"{seed}-dsir"
         )
-        out = out.join(sel.select("doc_id"), "doc_id")
-        stages.append(("dsir", out, "text"))
+        out = _mark("dsir", out.join(sel.select("doc_id"), "doc_id"), "text")
     if budget is not None:
-        out = sampling.temperature_mix(
-            out, budget, alpha, strata_col="source", seed=f"{seed}-mix"
+        out = _mark(
+            "temperature_mix",
+            sampling.temperature_mix(
+                out, budget, alpha, strata_col="source", seed=f"{seed}-mix"
+            ),
+            "text",
         )
-        stages.append(("temperature_mix", out, "text"))
-    stages.append(
-        ("split", sampling.split_assign(out, seed=f"{seed}-split"), "text")
-    )
+    _mark("split", sampling.split_assign(out, seed=f"{seed}-split"), "text")
     return stages
 
 
@@ -277,18 +352,21 @@ def corpus_funnel(
     to 6 (NULL when in = 0).
 
     Cost discipline: ONE count/sum aggregate per stage boundary, each
-    riding on the CACHED previous stage output (``cache=True`` persists
-    every boundary frame, so the corpus is scanned once and each
-    stage's transform runs once — not once per downstream boundary).
-    The per-boundary aggregates are map-side partial counts; the final
-    lag() window orders <= 13 single-row partials on one task —
-    metadata-sized at any corpus scale. Oracle: the identical CTE
-    chain + counts in DuckDB (:func:`corpus_funnel_sql`)."""
-    stages = _corpus_stages(df, **kwargs)
+    riding on the MATERIALIZED previous stage output (``cache=True``
+    lazily localCheckpoints every boundary inside
+    :func:`_corpus_stages`, so the corpus is scanned once and each
+    stage's transform runs once — not once per downstream boundary —
+    AND the driver-side plan stays O(stages); see the checkpoint note
+    on :func:`_corpus_stages` for why plain persist() is not enough:
+    the un-truncated 11-boundary union is O(2^stages) logical-plan
+    copies and OOMs the driver during analysis/codegen at ANY data
+    scale). The per-boundary aggregates are map-side partial counts;
+    the final lag() window orders <= 13 single-row partials on one
+    task — metadata-sized at any corpus scale. Oracle: the identical
+    CTE chain + counts in DuckDB (:func:`corpus_funnel_sql`)."""
+    stages = _corpus_stages(df, checkpoint=cache, **kwargs)
     parts = []
     for i, (stage, frame, tc) in enumerate(stages):
-        if cache:
-            frame.persist()
         toks = text.token_count(tc)
         parts.append(
             frame.agg(
@@ -524,15 +602,23 @@ merged AS MATERIALIZED (
     return with_kw, ctes, boundaries, split
 
 
-def corpus_funnel_sql(table: str, text_col: str = "text", **kwargs) -> str:
+def corpus_funnel_sql(
+    table: str, text_col: str = "text", prelude: str = "", **kwargs
+) -> str:
     """DuckDB oracle for :func:`corpus_funnel`: the IDENTICAL CTE
     chain as :func:`prepare_training_corpus_sql` (shared builder), with
     a per-boundary count/token-sum union and the same lag() window on
     top — stage names, order, and optionality all come from the one
-    shared boundary list."""
+    shared boundary list.
+
+    ``prelude`` injects extra CTE clauses (``name AS (...),`` —
+    trailing comma included) right after the WITH keyword, so a caller
+    can derive ``table`` itself (e.g. synthesize a url column) without
+    nesting the whole chain in a subquery."""
     with_kw, ctes, boundaries, split = _corpus_sql_chain(
         table, text_col, **kwargs
     )
+    ctes = f" {prelude}{ctes}" if prelude else ctes
     counts = "\nUNION ALL\n".join(
         f"SELECT {i} AS stage_idx, '{stage}' AS stage, "
         f"count(*) AS n_docs, "

@@ -44,9 +44,10 @@ PINNED = [
     "nation_revenue",           # broadcast dim joins
     "first_order_per_customer", # window over one exchange
     "orders_asof_events",       # as-of union-window shape
-    "llm_exact_dedup",          # single md5-key exchange + window
     "llm_span_dedup",           # span agg shares one exchange
     "llm_line_dedup",           # line agg shares one exchange
+    # llm_exact_dedup folded in (round 10): md5-key exchange + window
+    # now pinned inside this union
     "llm_url_dedup",            # canonical-key exchange + windows
     "llm_ngram_stats",          # partial count agg + TakeOrdered
     "llm_dsir_select",          # 4096-row broadcast + per-task heaps
