@@ -406,10 +406,123 @@ FROM part GROUP BY ROLLUP (p_brand)
 # LLM-pipeline operators over documents / embeddings
 # --------------------------------------------------------------------------
 
+def _synth_payload_expr():
+    """Deterministic crawl-shaped HTTP/HTML payload derived from
+    (doc_id, text) — the testdata has no raw-crawl column, so BOTH
+    engines derive the same adversarial payload (the WARC-reader
+    fixture shape): HTTP/1.1 response wrapper (4/5 of docs; the rest
+    are raw HTML exercising the non-HTTP passthrough), upper/lower
+    Content-Type + charset-param variants, an X-Robots-Tag noindex
+    header (doc_id % 13) or robots meta tag (doc_id % 17), and the
+    document text as <p> blocks between nav/footer link chrome. The
+    SAME derivation in SQL is `_SYNTH_PAYLOAD_SQL`."""
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>doc</title>"),
+        F.when(
+            d % 17 == 0, F.lit('<meta name="robots" content="noindex">')
+        ).otherwise(F.lit("")),
+        F.lit(
+            '</head><body><div class="nav"><a href="/">Home</a> |'
+            ' <a href="/about">About</a></div><p>'
+        ),
+        F.replace(F.col("text"), F.lit("\n"), F.lit("</p><p>")),
+        F.lit(
+            '</p><div class="footer"><a href="/privacy">Privacy</a>'
+            ' <a href="/terms">Terms</a></div></body></html>'
+        ),
+    )
+    return F.when(d % 5 == 4, html).otherwise(
+        F.concat(
+            F.lit("HTTP/1.1 200 OK\r\nContent-Type: "),
+            F.when(d % 5 == 0, F.lit("TEXT/HTML; charset=UTF-8")).otherwise(
+                F.lit("text/html")
+            ),
+            F.lit("\r\n"),
+            F.when(d % 13 == 0, F.lit("X-Robots-Tag: noindex\r\n")).otherwise(
+                F.lit("")
+            ),
+            F.lit("Server: x\r\n\r\n"),
+            html,
+        )
+    )
+
+
+_SYNTH_PAYLOAD_SQL = """(
+  CASE WHEN doc_id % 5 = 4 THEN '' ELSE
+    'HTTP/1.1 200 OK' || chr(13) || chr(10) || 'Content-Type: ' ||
+    CASE WHEN doc_id % 5 = 0 THEN 'TEXT/HTML; charset=UTF-8'
+         ELSE 'text/html' END || chr(13) || chr(10) ||
+    CASE WHEN doc_id % 13 = 0
+         THEN 'X-Robots-Tag: noindex' || chr(13) || chr(10) ELSE '' END ||
+    'Server: x' || chr(13) || chr(10) || chr(13) || chr(10)
+  END ||
+  '<html><head><title>doc</title>' ||
+  CASE WHEN doc_id % 17 = 0
+       THEN '<meta name="robots" content="noindex">' ELSE '' END ||
+  '</head><body><div class="nav"><a href="/">Home</a> |' ||
+  ' <a href="/about">About</a></div><p>' ||
+  replace(text, chr(10), '</p><p>') ||
+  '</p><div class="footer"><a href="/privacy">Privacy</a>' ||
+  ' <a href="/terms">Terms</a></div></body></html>'
+)"""
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed pretraining clean: quality + language + exact-dedup +
-    token accounting in one plan (one projection + one shuffle)."""
-    return corpus.clean_corpus(_read(spark, sf_dir, "documents"))
+    """Crawl ingestion → clean corpus, composed end to end (round 10:
+    the WARC→text chain folded into this entry so the HTTP split,
+    main-content extraction and robots-noindex surfacing are all
+    driver-hash-proven — the WARC binary FRAMING itself is unit-tested,
+    it is byte parsing with no SQL twin):
+
+    documents → synthetic crawl payload (shared derivation, see
+    :func:`_synth_payload_expr`) → Content-Type parse + noindex flag +
+    HTTP body split + boilerplate-stripping main-content extraction
+    (``operators.html``) → quality + language + exact-dedup + token
+    accounting (``corpus.clean_corpus``) with content_type/noindex
+    riding the same projection.
+
+    Scale: the whole extraction is one narrow JVM projection fused
+    into the scan (zero shuffles); clean_corpus adds its single
+    content-key exchange. Same shape as production:
+    read_warc_documents(main_content=True) → clean_corpus."""
+    from cryo_spark.operators import html as html_ops
+
+    payload = _synth_payload_expr()
+    shaped = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        html_ops.http_content_type_expr(payload).alias("content_type"),
+        html_ops.noindex_expr(payload).alias("noindex"),
+        html_ops.main_content_expr(html_ops.http_body_expr(payload)).alias(
+            "text"
+        ),
+    )
+    return corpus.clean_corpus(
+        shaped, extra_cols=("content_type", "noindex")
+    )
+
+
+def oracle_clean_corpus() -> str:
+    from cryo_spark.operators import html as html_ops
+
+    p = "p.payload"
+    inner = corpus.clean_corpus_sql(
+        "shaped", extra_cols=("content_type", "noindex")
+    ).strip()
+    assert inner.startswith("WITH ")
+    return f"""
+WITH payloads AS MATERIALIZED (
+  SELECT doc_id, {_SYNTH_PAYLOAD_SQL} AS payload FROM documents
+),
+shaped AS MATERIALIZED (
+  SELECT doc_id,
+         {html_ops.http_content_type_sql(p)} AS content_type,
+         {html_ops.noindex_sql(p)} AS noindex,
+         {html_ops.main_content_sql(html_ops.http_body_sql(p))} AS text
+  FROM payloads p
+),
+{inner.removeprefix("WITH ")}
+"""
 
 
 def q_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1342,9 +1455,10 @@ GENERIC = {
     "part_type_rollup": (q_part_type_rollup, oracle_part_type_rollup),
     "salted_event_totals": (q_salted_event_totals, oracle_salted_event_totals),
     "orders_asof_events": (q_orders_asof_events, oracle_orders_asof_events),
-    "llm_clean_corpus": (
-        q_clean_corpus, lambda: corpus.clean_corpus_sql("documents")
-    ),
+    # round 10: crawl ingestion (HTTP split + main-content extraction
+    # + noindex) composed IN FRONT of the clean — WARC→text chain now
+    # driver-hash-proven inside this entry
+    "llm_clean_corpus": (q_clean_corpus, oracle_clean_corpus),
     # word_stats / lang_id / fingerprint / bpe_token_count /
     # pii_redact merged into one five-way-join profile entry in
     # round 5 (all five operators still hash-checked; the freed slots

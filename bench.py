@@ -293,6 +293,68 @@ def main() -> None:
     finally:
         shutil.rmtree(freeze_dir, ignore_errors=True)
 
+    # ingestion path: WARC members -> clean main-content documents
+    # (binaryFile scan + Arrow splitter + the fused HTML chain). The
+    # fixture is generated here deterministically — 32 gzip members
+    # (one task each, the CommonCrawl parallelism model) of 50 records
+    # so the measurement covers framing, charset decode and the
+    # JVM extraction chain end to end.
+    import gzip
+
+    from cryo_spark.sources.documents import read_warc_documents
+
+    warc_dir = tempfile.mkdtemp(prefix="cryo_spark_warc_")
+    try:
+        body = (
+            b"<html><head><title>t</title></head><body>"
+            b'<div><a href="/">Home</a> | <a href="/a">About</a></div>'
+            + b"".join(
+                b"<p>Paragraph %d with enough ordinary prose to pass the"
+                b" content-density rule of the extractor.</p>" % i
+                for i in range(20)
+            )
+            + b"<div><a href='/p'>Privacy</a></div></body></html>"
+        )
+        for m in range(32):
+            recs = b""
+            for r in range(50):
+                payload = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + body
+                )
+                recs += (
+                    b"WARC/1.0\r\nWARC-Type: response\r\n"
+                    + b"WARC-Target-URI: https://bench.test/%d/%d\r\n"
+                    % (m, r)
+                    + b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                    + b"Content-Length: %d\r\n\r\n" % len(payload)
+                    + payload
+                    + b"\r\n\r\n"
+                )
+            with open(os.path.join(warc_dir, f"m{m:02d}.warc.gz"), "wb") as f:
+                f.write(gzip.compress(recs))
+
+        def _ingest():
+            return read_warc_documents(spark, warc_dir, main_content=True)
+
+        _ingest().write.format("noop").mode("overwrite").save()  # warm
+        spark._jvm.System.gc()
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _ingest().write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times["warc_ingest"] = round(best, 3)
+        rows["warc_ingest"] = _ingest().count()
+        fp, _txt = plan_fingerprint(_ingest())
+        if fp is not None:
+            plans["warc_ingest"] = fp
+    except Exception as exc:  # noqa: BLE001
+        errs["warc_ingest"] = f"{type(exc).__name__}: {exc}"[:500]
+    finally:
+        shutil.rmtree(warc_dir, ignore_errors=True)
+
     total = round(sum(times.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # full record (rows, plan hashes, calibration, untruncated errors)

@@ -25,11 +25,15 @@ def clean_corpus(
     text_col: str = "text",
     min_quality: float = 0.5,
     lang: str = "en",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Kept documents with their features: quality >= ``min_quality``,
     winning language == ``lang``, first (min doc_id) copy of each
     exact-duplicate group. Returns (doc_id, quality_score, lang_score,
-    n_bpe_tokens)."""
+    n_bpe_tokens, *extra_cols) — ``extra_cols`` ride the SAME single
+    projection + window (ingestion metadata like content_type/noindex
+    passes through without a re-join of the upstream extraction
+    chain)."""
     best = text.lang_best_expr(text_col)
     feats = spread(df).select(
         "doc_id",
@@ -38,6 +42,7 @@ def clean_corpus(
         best["score"].alias("lang_score"),
         F.size(text.bpe_pieces_expr(text_col)).cast("long").alias("n_bpe_tokens"),
         F.md5(dedup._norm_text(text_col)).alias("content_key"),
+        *extra_cols,
     )
     w = Window.partitionBy("content_key")
     return (
@@ -47,7 +52,10 @@ def clean_corpus(
             & (F.col("quality_score") >= min_quality)
             & (F.col("lang_guess") == lang)
         )
-        .select("doc_id", "quality_score", "lang_score", "n_bpe_tokens")
+        .select(
+            "doc_id", "quality_score", "lang_score", "n_bpe_tokens",
+            *extra_cols,
+        )
     )
 
 
@@ -56,19 +64,24 @@ def clean_corpus_sql(
     text_col: str = "text",
     min_quality: float = 0.5,
     lang: str = "en",
+    extra_cols: tuple[str, ...] = (),
 ) -> str:
     """DuckDB oracle: CTE-composition of the per-operator oracles
     (join-heavy is fine here — result equality is the contract)."""
+    extra_sel = "".join(f", s.{c}" for c in extra_cols)
+    extra_join = (
+        f"\nJOIN {table} s ON s.doc_id = q.doc_id" if extra_cols else ""
+    )
     return f"""
 WITH q AS ({text.quality_score_sql(table, text_col)}),
      l AS ({text.lang_id_sql(table, text_col)}),
      t AS ({text.bpe_token_count_sql(table, text_col)}),
      d AS ({dedup.exact_dedup_sql(table, text_col)})
-SELECT q.doc_id, q.quality_score, l.lang_score, t.n_bpe_tokens
+SELECT q.doc_id, q.quality_score, l.lang_score, t.n_bpe_tokens{extra_sel}
 FROM q
 JOIN l ON l.doc_id = q.doc_id
 JOIN t ON t.doc_id = q.doc_id
-JOIN d ON d.doc_id = q.doc_id
+JOIN d ON d.doc_id = q.doc_id{extra_join}
 WHERE NOT d.is_duplicate
   AND q.quality_score >= {min_quality}
   AND l.lang_guess = '{lang}'

@@ -221,6 +221,197 @@ def html_to_text_sql(expr: str) -> str:
     return c
 
 
+# -- stage 2b: main-content (boilerplate) extraction ----------------
+
+#: anchor-text markers (control chars that never appear in real crawl
+#: text — and are SANITIZED from the input first so a hostile document
+#: cannot inject fake anchor spans)
+_M1, _M2 = "\x01", "\x02"
+_MARKS = _M1 + _M2
+
+#: anchor marking runs AFTER script/style/comment removal (their
+#: bodies may contain anchors that must not count) and BEFORE the
+#: block/tag strips (which would erase the <a> tags the link-density
+#: feature needs). [ \t\r\n] instead of \s for the RE2 ∩ Java subset.
+_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a[ \t\r\n]*>"
+
+#: short-line keeper: sentence-final punctuation (optionally closed by
+#: a quote/bracket) marks a real short paragraph, not nav chrome
+#: ("Home", "Read more", "© 2026 Example Corp" all fail this)
+_SENTENCE_END = "[.!?][\"')\\]]?$"
+
+
+def main_content_expr(
+    col: str | Column,
+    max_link_density: float = 0.4,
+    min_line_chars: int = 30,
+) -> Column:
+    """Main-content text of an HTML document with boilerplate chrome
+    (navigation, footers, link lists, cookie banners) removed — the
+    trafilatura/jusText-shaped text-density + link-density heuristic,
+    expressed as one fused JVM expression chain (zero shuffles, no
+    Python):
+
+    1. sanitize + strip script/style/comments, then wrap every
+       anchor's text in control-char markers (``<a>Home</a>`` →
+       ``\\x01Home\\x02``) so link text survives tag-stripping as a
+       measurable span;
+    2. run the same block-tags→newlines / tag-strip / entity /
+       whitespace chain as :func:`html_to_text_expr` — markers ride
+       through untouched (they are not whitespace, not tags);
+    3. per LINE (= rendered block), compute text chars (marker-free
+       length) and link chars (marker-span length) with a
+       higher-order ``filter`` over the split lines, keeping a line
+       iff it reads as content:
+
+       - ``text_chars >= min_line_chars`` AND
+         ``link_chars <= max_link_density * text_chars`` (the core
+         rule: long, mostly-non-link blocks are prose; nav bars and
+         link farms have high link density), OR
+       - shorter than ``min_line_chars`` but with ZERO link chars and
+         sentence-final punctuation (keeps short real paragraphs;
+         drops "Home", "Read more", bare headings).
+
+    Documented trade (v1): standalone headings and list-style prose
+    without sentence punctuation are dropped with the chrome —
+    acceptable for a pretraining cleaner (jusText's context smoothing
+    would need neighbor-aware passes; the per-line rule keeps the
+    whole extractor a narrow projection with an exact SQL twin,
+    :func:`main_content_sql`). Anchors spanning a block boundary leave
+    their text uncounted as link chars (markers split across lines) —
+    rare, and it errs toward keeping text."""
+    c = _c(col)
+    c = F.regexp_replace(c, f"[{_MARKS}]", "")  # sanitize injected marks
+    for pat, rep in _TAG_STEPS[:3]:  # script / style / comments
+        c = F.regexp_replace(c, pat, rep)
+    c = F.regexp_replace(c, _ANCHOR_RE, f"{_M1}$1{_M2}")
+    for pat, rep in _TAG_STEPS[3:]:  # block tags -> \n, generic strip
+        c = F.regexp_replace(c, pat, rep)
+    for lit, rep in _ENTITY_STEPS:
+        c = F.replace(c, F.lit(lit), F.lit(rep))
+    for pat, rep in _WS_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+
+    def _keep(ln: Column) -> Column:
+        stripped = F.translate(ln, _MARKS, "")
+        tc = F.length(stripped)
+        # anchor-span chars = marker-free length minus marker-free
+        # length with whole anchor spans removed
+        no_anchor = F.regexp_replace(ln, f"{_M1}[^{_M2}]*{_M2}", "")
+        lc = tc - F.length(F.translate(no_anchor, _MARKS, ""))
+        core = (tc >= min_line_chars) & (
+            lc.cast("double") <= F.lit(max_link_density) * tc
+        )
+        short_keep = (
+            (tc > 0)
+            & (tc < min_line_chars)
+            & (lc == 0)
+            & stripped.rlike(_SENTENCE_END)
+        )
+        return core | short_keep
+
+    kept = F.filter(F.split(c, "\n"), _keep)
+    c = F.array_join(F.transform(kept, lambda ln: F.translate(ln, _MARKS, "")), "\n")
+    return trim_text_expr(c)
+
+
+def main_content_sql(
+    expr: str,
+    max_link_density: float = 0.4,
+    min_line_chars: int = 30,
+) -> str:
+    """DuckDB twin of :func:`main_content_expr` — identical chain,
+    identical thresholds; only the engines' lambda / replacement
+    syntaxes differ (``$1`` vs ``\\1``, ``filter(.., x -> ..)``)."""
+    def lit(s: str) -> str:
+        return "chr(10)" if s == "\n" else "'" + s.replace("'", "''") + "'"
+
+    c = f"regexp_replace({expr}, '[{_MARKS}]', '', 'g')"
+    for pat, rep in _TAG_STEPS[:3]:
+        c = f"regexp_replace({c}, {lit(pat)}, {lit(rep)}, 'g')"
+    c = f"regexp_replace({c}, {lit(_ANCHOR_RE)}, '{_M1}\\1{_M2}', 'g')"
+    for pat, rep in _TAG_STEPS[3:]:
+        c = f"regexp_replace({c}, {lit(pat)}, {lit(rep)}, 'g')"
+    for l_, rep in _ENTITY_STEPS:
+        c = f"replace({c}, {lit(l_)}, {lit(rep)})"
+    for pat, rep in _WS_STEPS:
+        c = f"regexp_replace({c}, {lit(pat)}, {lit(rep)}, 'g')"
+    tc = f"length(translate(ln, '{_MARKS}', ''))"
+    lc = (
+        f"({tc} - length(translate("
+        f"regexp_replace(ln, '{_M1}[^{_M2}]*{_M2}', '', 'g'), '{_MARKS}', '')))"
+    )
+    keep = (
+        f"(({tc} >= {min_line_chars} AND {lc} <= {max_link_density} * {tc})"
+        f" OR ({tc} > 0 AND {tc} < {min_line_chars} AND {lc} = 0"
+        f" AND regexp_matches(translate(ln, '{_MARKS}', ''),"
+        f" '{_SENTENCE_END.replace(chr(39), chr(39) * 2)}')))"
+    )
+    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — an all-boilerplate doc must be '' in both
+    c = (
+        f"coalesce(array_to_string(list_transform(list_filter("
+        f"string_split({c}, chr(10)), ln -> {keep}),"
+        f" ln -> translate(ln, '{_MARKS}', '')), chr(10)), '')"
+    )
+    return trim_text_sql(c)
+
+
+def extract_main_content(
+    df: DataFrame,
+    html_col: str = "text",
+    out_col: str | None = None,
+    max_link_density: float = 0.4,
+    min_line_chars: int = 30,
+) -> DataFrame:
+    """DataFrame wrapper over :func:`main_content_expr` — one narrow
+    projection, composes anywhere between HTML extraction and line
+    dedup."""
+    return df.withColumn(
+        out_col or html_col,
+        main_content_expr(html_col, max_link_density, min_line_chars),
+    )
+
+
+# -- robots / noindex awareness --------------------------------------
+
+#: X-Robots-Tag response header carrying a noindex directive —
+#: header-block-scoped like the Content-Type parses
+_NOINDEX_HDR = r"(?i)\nx-robots-tag[ \t]*:[^\r\n]*noindex"
+
+#: <meta name=robots content="...noindex..."> in either attribute
+#: order; quotes optional. [^>]* keeps the match inside ONE tag.
+_NOINDEX_META = (
+    r"(?is)<meta\b(?:[^>]*\bname[ \t]*=[ \t]*[\"']?robots\b[^>]*"
+    r"\bcontent[ \t]*=[ \t]*[\"']?[^>]*?noindex"
+    r"|[^>]*\bcontent[ \t]*=[ \t]*[\"']?[^>]*?noindex[^>]*"
+    r"\bname[ \t]*=[ \t]*[\"']?robots\b)"
+)
+
+
+def noindex_expr(col: str | Column) -> Column:
+    """True when a WARC response payload asks not to be indexed:
+    ``X-Robots-Tag: noindex`` in the HTTP header block, or a
+    ``<meta name="robots" content="...noindex...">`` tag (either
+    attribute order) in the body. SURFACED as a column, never silently
+    dropped — indexing policy is the corpus owner's call
+    (:func:`~cryo_spark.sources.documents.read_warc_documents`
+    documents the default: keep and flag)."""
+    c = _c(col)
+    return F.regexp_like(http_headers_expr(c), F.lit(_NOINDEX_HDR)) | (
+        F.regexp_like(http_body_expr(c), F.lit(_NOINDEX_META))
+    )
+
+
+def noindex_sql(expr: str) -> str:
+    hdr = _NOINDEX_HDR.replace("'", "''")
+    meta = _NOINDEX_META.replace("'", "''")
+    return (
+        f"(regexp_matches({http_headers_sql(expr)}, '{hdr}')"
+        f" OR regexp_matches({http_body_sql(expr)}, '{meta}'))"
+    )
+
+
 def decode_entities(
     df: DataFrame, text_col: str = "text", out_col: str | None = None
 ) -> DataFrame:
@@ -246,6 +437,7 @@ def extract_documents(
     text_col: str = "text",
     keep_content_types: tuple[str, ...] = ("text/html", "text/plain", ""),
     min_chars: int = 1,
+    main_content: bool = False,
 ) -> DataFrame:
     """WARC-record frame → canonical clean-text columns: keeps
     ``response`` records whose Content-Type is in
@@ -253,14 +445,19 @@ def extract_documents(
     the HTTP payload, extracts clean text, and drops documents that
     reduce to fewer than ``min_chars`` characters. One narrow
     projection + one filter — composes directly after ``read_warc``
-    with no shuffle."""
+    with no shuffle. ``main_content=True`` swaps the HTML branch's
+    plain tag-strip for :func:`main_content_expr` (boilerplate/chrome
+    removal); text/plain payloads are unaffected either way."""
     ct = http_content_type_expr(payload_col)
     body = http_body_expr(payload_col)
+    html_branch = (
+        main_content_expr(body) if main_content else html_to_text_expr(body)
+    )
     # text/plain trims with the SAME regex chain the HTML branch ends
     # with (F.trim strips ASCII spaces only — a plain-text doc would
     # keep leading/trailing \r\n/\t the HTML branch removes)
     text = F.when(ct == "text/plain", trim_text_expr(body)).otherwise(
-        html_to_text_expr(body)
+        html_branch
     )
     passthrough = [c for c in df.columns if c != payload_col]
     return (

@@ -283,32 +283,41 @@ def read_warc_documents(
     max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
     full_entities: bool = False,
     min_chars: int = 1,
+    main_content: bool = False,
 ) -> DataFrame:
     """WARC crawl → canonical clean-text documents, end to end:
     :func:`read_warc` (Content-Length framing, charset-aware decode)
     → ``operators.html.extract_documents`` (HTTP header split +
-    HTML→text, one narrow JVM projection) → optional full-fidelity
-    entity decode (``full_entities=True``, the Arrow pass for numeric
-    character references).
+    HTML→text, one narrow JVM projection) → optional boilerplate
+    removal (``main_content=True`` swaps the tag-strip extraction for
+    ``operators.html.main_content_expr``'s link-density line filter on
+    HTML payloads) → optional full-fidelity entity decode
+    (``full_entities=True``, the Arrow pass for numeric character
+    references).
 
-    Lands (doc_id, url, warc_date, content_type, text) — the shape
-    every downstream operator (text suite, dedup family,
+    Lands (doc_id, url, warc_date, content_type, noindex, text) — the
+    shape every downstream operator (text suite, dedup family,
     ``prepare_training_corpus`` with ``url_col='url'``) consumes
-    directly. The whole chain is the ingestion scan plus narrow
-    projections: no shuffle until the first dedup stage the caller
-    adds."""
+    directly. ``noindex`` is True when the response carried an
+    ``X-Robots-Tag: noindex`` header or a robots-noindex meta tag —
+    SURFACED, never silently dropped: indexing policy is the corpus
+    owner's call (filter on the column when the policy says so). The
+    whole chain is the ingestion scan plus narrow projections: no
+    shuffle until the first dedup stage the caller adds."""
     from cryo_spark.operators import html as html_ops
 
     recs = read_warc(
         spark, path, id_col=id_col, max_member_bytes=max_member_bytes
-    )
+    ).withColumn("noindex", html_ops.noindex_expr("payload"))
     docs = html_ops.extract_documents(
-        recs, payload_col="payload", text_col=text_col, min_chars=min_chars
+        recs, payload_col="payload", text_col=text_col, min_chars=min_chars,
+        main_content=main_content,
     ).select(
         id_col,
         F.col("target_uri").alias("url"),
         "warc_date",
         "content_type",
+        "noindex",
         text_col,
     )
     if full_entities:

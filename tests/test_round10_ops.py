@@ -11,7 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cryo_spark.operators import html as html_ops
-from cryo_spark.sources.documents import _decode_payload
+from cryo_spark.sources.documents import _decode_payload, read_warc_documents
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -438,3 +438,232 @@ def test_pipeline_blocklist_stage_wired(spark):
     assert blocked_ids < base_ids
     gone = base_ids - blocked_ids
     assert gone and all(i % 3 == 0 for i in gone)  # exactly blocked hosts
+
+
+# ------------------------- main-content (boilerplate) extraction
+
+
+_ARTICLE = """<html><head><title>T</title><style>p{c:red}</style></head><body>
+<div class="nav"><a href="/">Home</a> | <a href="/a">About</a> | <a href="/c">Contact us</a></div>
+<h1>The Article Heading</h1>
+<p>This is the first paragraph of the article body, long enough to pass the density rule and mostly free of links.</p>
+<p>Short but real sentence.</p>
+<p>A second paragraph with one <a href="x">inline link</a> inside a long run of ordinary prose that should survive.</p>
+<ul><li><a href="/1">Related story one</a></li><li><a href="/2">Related story two</a></li></ul>
+<div class="footer"><a href="/privacy">Privacy</a> <a href="/terms">Terms</a> copyright 2026</div>
+</body></html>"""
+
+_MC_CASES = [
+    _ARTICLE,
+    # all boilerplate -> empty result (both engines must agree on '')
+    '<body><a href="/">Home</a> | <a href="/x">More</a></body>',
+    # hostile marker injection + anchor wrapping nested tags
+    "pre\x01fake\x02<a href='x'><span>deep link</span></a> plus a long plain"
+    " sentence to keep this line alive beyond thirty characters.",
+    # link-farm line above a real paragraph
+    '<p><a href="1">aa</a> <a href="2">bb</a> <a href="3">cc</a> <a href="4">'
+    'dd</a></p><p>Genuine paragraph text that runs well past the minimum'
+    " line length and has no links at all.</p>",
+    # short no-punct line (nav-ish) vs short sentence
+    "<p>Read more</p><p>It failed.</p>",
+]
+
+
+def test_main_content_keeps_article_drops_chrome(spark):
+    """Planted nav/footer/related-links chrome is dropped; the article
+    body (incl. a short sentence and a paragraph with one inline link)
+    survives with the anchor text inlined."""
+    df = spark.createDataFrame([(_ARTICLE,)], "h string")
+    out = df.select(html_ops.main_content_expr("h").alias("t")).first().t
+    lines = out.splitlines()
+    assert lines == [
+        "This is the first paragraph of the article body, long enough to"
+        " pass the density rule and mostly free of links.",
+        "Short but real sentence.",
+        "A second paragraph with one inline link inside a long run of"
+        " ordinary prose that should survive.",
+    ]
+    assert "Home" not in out and "Privacy" not in out
+    assert "Related story" not in out
+    # documented v1 trade: the bare heading goes with the chrome
+    assert "Article Heading" not in out
+
+
+def _py_main_content(html: str, max_ld: float = 0.4, min_len: int = 30) -> str:
+    """Pure-Python reference implementation (re module) of the exact
+    chain — the differential oracle for the fused Spark expression."""
+    import re as _re
+
+    from cryo_spark.operators.html import (
+        _ANCHOR_RE, _ENTITY_STEPS, _M1, _M2, _MARKS, _SENTENCE_END,
+        _TAG_STEPS, _TRIM_STEPS, _WS_STEPS,
+    )
+
+    c = _re.sub(f"[{_MARKS}]", "", html)
+    for pat, rep in _TAG_STEPS[:3]:
+        c = _re.sub(pat, rep, c)
+    c = _re.sub(_ANCHOR_RE, _M1 + r"\1" + _M2, c)
+    for pat, rep in _TAG_STEPS[3:]:
+        c = _re.sub(pat, rep, c)
+    for lit, rep in _ENTITY_STEPS:
+        c = c.replace(lit, rep)
+    for pat, rep in _WS_STEPS:
+        c = _re.sub(pat, rep, c)
+    kept = []
+    for ln in c.split("\n"):
+        stripped = ln.replace(_M1, "").replace(_M2, "")
+        tc = len(stripped)
+        no_anchor = _re.sub(f"{_M1}[^{_M2}]*{_M2}", "", ln)
+        lc = tc - len(no_anchor.replace(_M1, "").replace(_M2, ""))
+        core = tc >= min_len and lc <= max_ld * tc
+        short = 0 < tc < min_len and lc == 0 and _re.search(
+            _SENTENCE_END, stripped
+        )
+        if core or short:
+            kept.append(stripped)
+    c = "\n".join(kept)
+    for pat, rep in _TRIM_STEPS:
+        c = _re.sub(pat, rep, c)
+    return c
+
+
+def test_main_content_python_reference_differential(spark):
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(_MC_CASES)],
+                               "i long, h string")
+    got = {
+        r.i: r.t
+        for r in df.select(
+            "i", html_ops.main_content_expr("h").alias("t")
+        ).collect()
+    }
+    for i, h in enumerate(_MC_CASES):
+        assert got[i] == _py_main_content(h), f"case {i}"
+    # the short-sentence rule in isolation: nav-ish line out, sentence in
+    assert got[4] == "It failed."
+    # link farm dropped, genuine paragraph kept
+    assert got[3].startswith("Genuine paragraph")
+
+
+def test_main_content_duckdb_parity(spark):
+    """Spark (Java regex + HOF filter) and DuckDB (RE2 + list lambda)
+    produce byte-identical main content over the adversarial set."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [(i, h) for i, h in enumerate(_MC_CASES)], columns=["i", "h"]
+    )
+    df = spark.createDataFrame(pdf)
+    got = [
+        (r.i, r.t)
+        for r in df.select(
+            "i", html_ops.main_content_expr("h").alias("t")
+        ).orderBy("i").collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        f"SELECT i, {html_ops.main_content_sql('h')} AS t FROM t ORDER BY i"
+    ).fetchall()
+    con.close()
+    assert got == want
+    assert got[1][1] == ""  # all-boilerplate -> '' in BOTH engines
+
+
+# --------------------------------------- robots / noindex surfacing
+
+
+_NOINDEX_PAYLOADS = [
+    # header directive
+    "HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex\r\nContent-Type: text/html"
+    "\r\n\r\n<html>ok</html>",
+    # meta tag, name before content
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><head>"
+    '<meta name="robots" content="noindex, nofollow"></head>'
+    "<body>x</body></html>",
+    # meta tag, content before name, unquoted
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    "<meta content='noindex' name=robots><body>x</body>",
+    # negative: plain page
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<body>hello</body>",
+    # negative: header directive QUOTED in body text (header parse is
+    # header-block-scoped; the meta regex requires a real tag)
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    "<body>docs say: X-Robots-Tag: noindex</body>",
+    # negative: meta googlebot (different agent), meta keywords
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    '<meta name="keywords" content="noindex"><body>x</body>',
+]
+
+
+def test_noindex_detection_and_parity(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [(i, p) for i, p in enumerate(_NOINDEX_PAYLOADS)],
+        columns=["i", "p"],
+    )
+    got = [
+        (r.i, r.n)
+        for r in spark.createDataFrame(pdf)
+        .select("i", html_ops.noindex_expr("p").alias("n"))
+        .orderBy("i").collect()
+    ]
+    assert got == [(0, True), (1, True), (2, True), (3, False), (4, False),
+                   (5, False)]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        f"SELECT i, {html_ops.noindex_sql('p')} AS n FROM t ORDER BY i"
+    ).fetchall()
+    con.close()
+    assert got == want
+
+
+def test_read_warc_documents_noindex_and_main_content(spark, tmp_path):
+    """E2E: the WARC reader surfaces noindex as a column (keep-and-flag
+    default — never a silent drop) and main_content=True strips chrome
+    from HTML payloads while leaving text/plain untouched."""
+    import gzip
+
+    def rec(payload: bytes, uri: str) -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + b"WARC-Date: 2026-08-14T00:00:00Z\r\n"
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload + b"\r\n\r\n"
+        )
+
+    chrome_page = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b'<body><div><a href="/">Home</a> | <a href="/x">About</a></div>'
+        b"<p>The one real paragraph, comfortably longer than the minimum"
+        b" content line length.</p></body>"
+    )
+    noindex_page = (
+        b"HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex\r\n"
+        b"Content-Type: text/plain\r\n\r\nplain secret text"
+    )
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "p.warc.gz").write_bytes(
+        gzip.compress(
+            rec(chrome_page, "https://a.test/art")
+            + rec(noindex_page, "https://a.test/hidden")
+        )
+    )
+    docs = {
+        r.url: r
+        for r in read_warc_documents(
+            spark, str(d), main_content=True
+        ).collect()
+    }
+    assert set(docs) == {"https://a.test/art", "https://a.test/hidden"}
+    assert docs["https://a.test/hidden"].noindex is True  # kept + flagged
+    assert docs["https://a.test/hidden"].text == "plain secret text"
+    art = docs["https://a.test/art"]
+    assert art.noindex is False
+    assert art.text == (
+        "The one real paragraph, comfortably longer than the minimum"
+        " content line length."
+    )

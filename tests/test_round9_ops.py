@@ -1,6 +1,7 @@
 """Round-9 operators: WARC payload → clean text (HTTP split +
-HTML→text), framing/charset/size-guard hardening of the WARC reader,
-URL blocklist filtering, and the pipeline funnel report."""
+HTML→text) and framing/charset/size-guard hardening of the WARC
+reader. (URL blocklist filtering and the pipeline funnel report
+landed in round 10 — see test_round10_ops.py.)"""
 
 from __future__ import annotations
 
@@ -253,8 +254,9 @@ def test_read_warc_documents_end_to_end(spark, tmp_path):
     assert a.content_type == "text/html"
     assert by_url["https://a.test/plain"].text == "raw text doc"
     # schema is the canonical documents shape the operators consume
+    # (noindex added in round 10: robots policy surfaced, not dropped)
     assert set(docs[0].asDict()) == {
-        "doc_id", "url", "warc_date", "content_type", "text",
+        "doc_id", "url", "warc_date", "content_type", "noindex", "text",
     }
 
 
