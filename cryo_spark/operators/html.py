@@ -373,6 +373,50 @@ def extract_main_content(
     )
 
 
+# -- document metadata (title / declared language) -------------------
+
+_TITLE_RE = r"(?is)<title\b[^>]*>(.*?)</title[ \t\r\n]*>"
+#: primary language subtag of <html lang="..."> (BCP 47 head: 2-3
+#: letters; region/script subtags are dropped — 'en-US' -> 'en')
+_HTML_LANG_RE = r"(?is)<html\b[^>]*\blang[ \t]*=[ \t]*[\"']?([A-Za-z]{2,3})"
+
+
+def html_title_expr(col: str | Column) -> Column:
+    """<title> text of an HTML document as one normalized line
+    (entities decoded, whitespace collapsed, trimmed; '' when absent).
+    Useful as a dedup/audit key next to canonical_url."""
+    c = F.regexp_extract(_c(col), _TITLE_RE, 1)
+    for lit, rep in _ENTITY_STEPS:
+        c = F.replace(c, F.lit(lit), F.lit(rep))
+    c = F.regexp_replace(c, r"[ \t\r\f\n]+", " ")
+    return trim_text_expr(c)
+
+
+def html_title_sql(expr: str) -> str:
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    c = f"regexp_extract({expr}, '{_TITLE_RE}', 1)"
+    for l_, rep in _ENTITY_STEPS:
+        c = f"replace({c}, {lit(l_)}, {lit(rep)})"
+    c = f"regexp_replace({c}, '[ \\t\\r\\f\\n]+', ' ', 'g')"
+    return trim_text_sql(c)
+
+
+def html_lang_expr(col: str | Column) -> Column:
+    """Declared document language: the primary subtag of
+    ``<html lang="...">``, lowercased ('' when undeclared). A DECLARED
+    value — cross-check against the n-gram language id
+    (``text.lang_id``) before trusting it; crawls are full of template
+    defaults."""
+    return F.lower(F.regexp_extract(_c(col), _HTML_LANG_RE, 1))
+
+
+def html_lang_sql(expr: str) -> str:
+    pat = _HTML_LANG_RE.replace("'", "''")
+    return f"lower(regexp_extract({expr}, '{pat}', 1))"
+
+
 # -- robots / noindex awareness --------------------------------------
 
 #: X-Robots-Tag response header carrying a noindex directive —

@@ -295,20 +295,32 @@ def read_warc_documents(
     (``full_entities=True``, the Arrow pass for numeric character
     references).
 
-    Lands (doc_id, url, warc_date, content_type, noindex, text) — the
-    shape every downstream operator (text suite, dedup family,
-    ``prepare_training_corpus`` with ``url_col='url'``) consumes
-    directly. ``noindex`` is True when the response carried an
-    ``X-Robots-Tag: noindex`` header or a robots-noindex meta tag —
-    SURFACED, never silently dropped: indexing policy is the corpus
-    owner's call (filter on the column when the policy says so). The
-    whole chain is the ingestion scan plus narrow projections: no
-    shuffle until the first dedup stage the caller adds."""
+    Lands (doc_id, url, warc_date, content_type, noindex, title,
+    html_lang, text) — the shape every downstream operator (text
+    suite, dedup family, ``prepare_training_corpus`` with
+    ``url_col='url'``) consumes directly. ``noindex`` is True when the
+    response carried an ``X-Robots-Tag: noindex`` header or a
+    robots-noindex meta tag — SURFACED, never silently dropped:
+    indexing policy is the corpus owner's call (filter on the column
+    when the policy says so). ``title``/``html_lang`` are the
+    normalized <title> line and the declared <html lang> primary
+    subtag ('' when absent). The whole chain is the ingestion scan
+    plus narrow projections: no shuffle until the first dedup stage
+    the caller adds."""
     from cryo_spark.operators import html as html_ops
 
     recs = read_warc(
         spark, path, id_col=id_col, max_member_bytes=max_member_bytes
-    ).withColumn("noindex", html_ops.noindex_expr("payload"))
+    )
+    body = html_ops.http_body_expr("payload")
+    recs = (
+        recs.withColumn("noindex", html_ops.noindex_expr("payload"))
+        # document metadata: normalized <title> line and the DECLARED
+        # <html lang> primary subtag (audit/dedup keys — cross-check
+        # the latter against text.lang_id before trusting it)
+        .withColumn("title", html_ops.html_title_expr(body))
+        .withColumn("html_lang", html_ops.html_lang_expr(body))
+    )
     docs = html_ops.extract_documents(
         recs, payload_col="payload", text_col=text_col, min_chars=min_chars,
         main_content=main_content,
@@ -318,6 +330,8 @@ def read_warc_documents(
         "warc_date",
         "content_type",
         "noindex",
+        "title",
+        "html_lang",
         text_col,
     )
     if full_entities:

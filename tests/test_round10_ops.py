@@ -1,7 +1,8 @@
 """Round-10 operators and hardening: header-scoped Content-Type
 parsing, header/body split charset decode, RE2-parity whitespace
 trims, URL host block/allowlists, the pipeline funnel report,
-main-content (boilerplate) extraction, and robots-noindex surfacing.
+main-content (boilerplate) extraction, robots-noindex surfacing, and
+title / declared-language metadata extraction.
 """
 
 from __future__ import annotations
@@ -667,3 +668,65 @@ def test_read_warc_documents_noindex_and_main_content(spark, tmp_path):
         "The one real paragraph, comfortably longer than the minimum"
         " content line length."
     )
+
+
+# --------------------------------- title / declared-lang metadata
+
+
+def test_html_title_and_lang_extraction(spark):
+    import pandas as pd
+
+    cases = [
+        ('<html lang="en-US"><head><title> A &amp; B\n  story </title>'
+         "</head><body>x</body></html>", "A & B story", "en"),
+        ("<HTML LANG=fr><TITLE data-x=1>Bonjour</TITLE></HTML>",
+         "Bonjour", "fr"),
+        ("<html><body>no title, no lang</body></html>", "", ""),
+        # title tag inside a quoted attribute must not leak langs;
+        # lang on a non-<html> tag is NOT the document language
+        ('<html><body><div lang="de">x</div></body></html>', "", ""),
+    ]
+    pdf = pd.DataFrame(
+        [(i, h) for i, (h, _, _) in enumerate(cases)], columns=["i", "h"]
+    )
+    got = [
+        (r.t, r.l)
+        for r in spark.createDataFrame(pdf)
+        .select(
+            "i",
+            html_ops.html_title_expr("h").alias("t"),
+            html_ops.html_lang_expr("h").alias("l"),
+        )
+        .orderBy("i").collect()
+    ]
+    assert got == [(t, l) for _, t, l in cases]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        f"SELECT {html_ops.html_title_sql('h')} AS t,"
+        f" {html_ops.html_lang_sql('h')} AS l FROM t ORDER BY i"
+    ).fetchall()
+    con.close()
+    assert got == want
+
+
+def test_read_warc_documents_metadata_columns(spark, tmp_path):
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b'<html lang="en"><head><title>The &quot;Page&quot;</title></head>'
+        b"<body><p>A body paragraph long enough to survive extraction"
+        b" rules.</p></body></html>"
+    )
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://m.test/a\r\n"
+        b"WARC-Date: 2026-08-14T00:00:00Z\r\n"
+        + b"Content-Length: %d\r\n\r\n" % len(payload)
+        + payload + b"\r\n\r\n"
+    )
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "m.warc").write_bytes(rec)
+    r = read_warc_documents(spark, str(d)).first()
+    assert r.title == 'The "Page"'
+    assert r.html_lang == "en"

@@ -254,9 +254,11 @@ def test_read_warc_documents_end_to_end(spark, tmp_path):
     assert a.content_type == "text/html"
     assert by_url["https://a.test/plain"].text == "raw text doc"
     # schema is the canonical documents shape the operators consume
-    # (noindex added in round 10: robots policy surfaced, not dropped)
+    # (round 10 added noindex — robots policy surfaced, not dropped —
+    # and the title/html_lang metadata keys)
     assert set(docs[0].asDict()) == {
-        "doc_id", "url", "warc_date", "content_type", "noindex", "text",
+        "doc_id", "url", "warc_date", "content_type", "noindex",
+        "title", "html_lang", "text",
     }
 
 
