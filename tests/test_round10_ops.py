@@ -1,8 +1,9 @@
 """Round-10 operators and hardening: header-scoped Content-Type
 parsing, header/body split charset decode, RE2-parity whitespace
 trims, URL host block/allowlists, the pipeline funnel report,
-main-content (boilerplate) extraction, robots-noindex surfacing, and
-title / declared-language metadata extraction.
+main-content (boilerplate) extraction, robots-noindex surfacing,
+title / declared-language metadata extraction, and robots.txt rule
+parsing + longest-match application.
 """
 
 from __future__ import annotations
@@ -730,3 +731,219 @@ def test_read_warc_documents_metadata_columns(spark, tmp_path):
     r = read_warc_documents(spark, str(d)).first()
     assert r.title == 'The "Page"'
     assert r.html_lang == "en"
+
+
+# ------------------------------------------- robots.txt awareness
+
+
+_ROBOTS_TXT = """# crawl policy
+User-agent: googlebot
+Disallow: /private/
+
+User-agent: *
+User-agent: other-bot
+Disallow: /search
+Allow: /search/about
+Disallow: /*?sort=
+Disallow: /exact$
+Disallow:
+"""
+
+_ROBOTS_URLS = [
+    ("https://example.com/search", True),           # prefix disallow
+    ("https://example.com/search/about", False),    # longer allow wins
+    ("https://example.com/searches", True),         # prefix, no boundary (RFC)
+    ("https://example.com/page?sort=asc", True),    # * wildcard
+    ("https://example.com/exact", True),            # $ anchor hit
+    ("https://example.com/exactly", False),         # $ anchor miss
+    ("https://example.com/free", False),            # no rule matches
+    ("https://other.com/anything", False),          # host has no robots.txt
+    ("https://example.com/private/x", False),       # googlebot-only group
+]
+
+
+def _robots_frame(spark):
+    return spark.createDataFrame(
+        [("https://www.Example.com/robots.txt", _ROBOTS_TXT)],
+        "url string, text string",
+    )
+
+
+def test_robots_rules_and_apply_semantics(spark):
+    from cryo_spark.operators import robots as robots_ops
+
+    rules = robots_ops.robots_rules(_robots_frame(spark), agent="mybot")
+    got_rules = {
+        (r.rule, r.prefix) for r in rules.collect()
+    }
+    # googlebot group excluded; empty Disallow dropped as a no-op
+    assert got_rules == {
+        ("disallow", "/search"),
+        ("allow", "/search/about"),
+        ("disallow", "/*?sort="),
+        ("disallow", "/exact$"),
+    }
+    docs = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(_ROBOTS_URLS)],
+        "i long, url string",
+    )
+    got = {
+        r.i: r.robots_disallowed
+        for r in robots_ops.apply_robots(docs, rules).collect()
+    }
+    assert got == {i: d for i, (_, d) in enumerate(_ROBOTS_URLS)}
+    # drop=True removes exactly the disallowed docs and the flag column
+    kept = robots_ops.apply_robots(docs, rules, drop=True)
+    assert {r.i for r in kept.collect()} == {
+        i for i, (_, d) in enumerate(_ROBOTS_URLS) if not d
+    }
+    assert "robots_disallowed" not in kept.columns
+
+
+def test_robots_exact_agent_group_excludes_star(spark):
+    """RFC 9309: when a host has a group naming the agent exactly, the
+    * groups do NOT apply to that agent."""
+    from cryo_spark.operators import robots as robots_ops
+
+    rules = robots_ops.robots_rules(_robots_frame(spark), agent="GoogleBot")
+    got = {(r.rule, r.prefix) for r in rules.collect()}
+    assert got == {("disallow", "/private/")}  # star group ignored
+    docs = spark.createDataFrame(
+        [(0, "https://example.com/private/x"), (1, "https://example.com/search")],
+        "i long, url string",
+    )
+    verdicts = {
+        r.i: r.robots_disallowed
+        for r in robots_ops.apply_robots(docs, rules).collect()
+    }
+    assert verdicts == {0: True, 1: False}
+
+
+def _py_robots_rules(robots_texts, agent="*"):
+    """Pure-Python reference parser (same documented semantics) — the
+    differential oracle for the window/HOF Spark implementation."""
+    import re as _re
+
+    out = set()
+    for host, text in robots_texts:
+        groups, cur_agents, cur_rules, in_ua_run = [], [], [], False
+        for raw in text.split("\n"):
+            ln = raw.rstrip("\r")
+            ln = _re.sub(r"#.*$", "", ln).strip()
+            m = _re.match(r"^([A-Za-z\-]+)[ \t]*:(.*)$", ln)
+            if not m:
+                continue
+            field, value = m.group(1).lower(), m.group(2).strip()
+            if field == "user-agent":
+                if not in_ua_run:
+                    if cur_agents:
+                        groups.append((cur_agents, cur_rules))
+                    cur_agents, cur_rules = [], []
+                    in_ua_run = True
+                cur_agents.append(value.lower())
+            elif field in ("allow", "disallow"):
+                in_ua_run = False
+                if value:
+                    cur_rules.append((field, value))
+        if cur_agents:
+            groups.append((cur_agents, cur_rules))
+        exact = [g for g in groups if agent.lower() in g[0]]
+        chosen = exact or [g for g in groups if "*" in g[0]]
+        for _, rules in chosen:
+            for rule, prefix in rules:
+                out.add((host, rule, prefix))
+    return out
+
+
+def test_robots_rules_python_reference_differential(spark):
+    from cryo_spark.operators import robots as robots_ops
+
+    adversarial = [
+        ("a.com", _ROBOTS_TXT),
+        # CRLF endings, tabs, mixed case fields, comment-only lines
+        ("b.com", "USER-AGENT:\tmybot\r\n# note\r\nDISALLOW: /x\r\n"
+                  "Allow:/x/ok\r\nSitemap: https://b.com/map.xml\r\n"),
+        # two groups for the same agent merge; interleaved star group
+        ("c.com", "User-agent: mybot\nDisallow: /one\n\n"
+                  "User-agent: *\nDisallow: /star-only\n\n"
+                  "User-agent: mybot\nDisallow: /two\n"),
+        # rules before any group header are dropped
+        ("d.com", "Disallow: /orphan\nUser-agent: mybot\nDisallow: /ok\n"),
+        ("e.com", ""),
+    ]
+    df = spark.createDataFrame(
+        [(f"https://{h}/robots.txt", t) for h, t in adversarial],
+        "url string, text string",
+    )
+    got = {
+        (r.host, r.rule, r.prefix)
+        for r in robots_ops.robots_rules(df, agent="mybot").collect()
+    }
+    assert got == _py_robots_rules(adversarial, agent="mybot")
+    assert ("c.com", "disallow", "/one") in got
+    assert ("c.com", "disallow", "/two") in got
+    assert ("c.com", "disallow", "/star-only") not in got
+    assert ("d.com", "disallow", "/orphan") not in got
+
+
+def test_robots_from_warc_end_to_end(spark, tmp_path):
+    """The crawl's own robots.txt responses become the rules table and
+    gate the crawl's documents — no second fetch, one broadcast join."""
+    import gzip
+
+    from cryo_spark.operators import robots as robots_ops
+    from cryo_spark.sources.documents import read_warc
+
+    def rec(payload: bytes, uri: str) -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + b"WARC-Date: 2026-08-14T00:00:00Z\r\n"
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload + b"\r\n\r\n"
+        )
+
+    robots_payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+        b"User-agent: *\nDisallow: /secret\n"
+    )
+    page = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<body><p>A paragraph long enough to pass extraction density"
+        b" rules with room to spare.</p></body>"
+    )
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "m.warc.gz").write_bytes(gzip.compress(
+        rec(robots_payload, "https://s.test/robots.txt")
+        + rec(page, "https://s.test/secret/doc")
+        + rec(page, "https://s.test/public/doc")
+    ))
+    recs = read_warc(spark, str(d))
+    rules = robots_ops.robots_rules_from_warc(recs, agent="mybot")
+    docs = read_warc_documents(spark, str(d))
+    flagged = {
+        r.url: r.robots_disallowed
+        for r in robots_ops.apply_robots(docs, rules).collect()
+    }
+    # the robots.txt body itself also lands as a text/plain document;
+    # policy column flags the disallowed page only
+    assert flagged["https://s.test/secret/doc"] is True
+    assert flagged["https://s.test/public/doc"] is False
+
+
+def test_apply_robots_plan_is_broadcast(spark):
+    """The corpus side must not shuffle: rules aggregate on their own
+    (host-count-sized) side and reach the docs via broadcast."""
+    from cryo_spark.operators import robots as robots_ops
+
+    rules = robots_ops.robots_rules(_robots_frame(spark), agent="mybot")
+    docs = spark.createDataFrame(
+        [(0, "https://example.com/x")], "i long, url string"
+    )
+    plan = (
+        robots_ops.apply_robots(docs, rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
