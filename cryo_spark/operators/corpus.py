@@ -109,6 +109,7 @@ def _corpus_stages(
     domain_cap_n: int | None = None,
     url_blocklist=None,
     url_allowlist=None,
+    robots_rules: DataFrame | None = None,
     checkpoint: bool = False,
 ) -> list[tuple[str, DataFrame, str]]:
     """The WHOLE preparation pipeline, composed from the per-stage
@@ -200,9 +201,13 @@ def _corpus_stages(
 
     df = _mark("input", df, text_col)
 
-    if (url_blocklist or url_allowlist or domain_cap_n) and url_col is None:
+    if (
+        url_blocklist or url_allowlist or domain_cap_n
+        or robots_rules is not None
+    ) and url_col is None:
         raise ValueError(
-            "url_blocklist/url_allowlist/domain_cap_n require url_col"
+            "url_blocklist/url_allowlist/domain_cap_n/robots_rules "
+            "require url_col"
         )
     if url_col is not None:
         from cryo_spark.operators import web
@@ -219,6 +224,23 @@ def _corpus_stages(
             df = _mark(
                 "url_allowlist",
                 web.url_host_filter(df, url_allowlist, "allow", url_col),
+                text_col,
+            )
+        if robots_rules is not None:
+            # robots compliance (round 10) right after the host lists:
+            # still pre-dedup (drop before paying any text processing),
+            # a broadcast join + regexp match per doc. PIPELINE-ONLY
+            # knob: the rules come from a DataFrame
+            # (operators.robots.robots_rules), so the SQL oracle chain
+            # has no mirror — contract entries run without it, and a
+            # funnel comparison against the SQL chain must too.
+            from cryo_spark.operators import robots as robots_mod
+
+            df = _mark(
+                "robots",
+                robots_mod.apply_robots(
+                    df, robots_rules, url_col=url_col, drop=True
+                ),
                 text_col,
             )
         ud = web.url_dedup(df, url_col=url_col)

@@ -947,3 +947,42 @@ def test_apply_robots_plan_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pipeline_robots_stage_wired(spark):
+    """robots_rules as a pipeline stage drops disallowed docs before
+    any text processing, and the funnel reports the boundary."""
+    from cryo_spark.operators import corpus, robots as robots_ops
+
+    docs = _funnel_docs(spark)
+    rules = robots_ops.robots_rules(
+        spark.createDataFrame(
+            [("https://site.example.com/robots.txt",
+              "User-agent: *\nDisallow: /p/1\n")],
+            "url string, text string",
+        )
+    )
+    base = corpus.prepare_training_corpus(docs, url_col="url")
+    gated = corpus.prepare_training_corpus(
+        docs, url_col="url", robots_rules=rules
+    )
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    gated_ids = {r.doc_id for r in gated.select("doc_id").collect()}
+    assert gated_ids < base_ids
+    # /p/1, /p/10..19 on site.example.com are the disallowed paths
+    gone_urls = {
+        r.url
+        for r in docs.filter(F.col("doc_id").isin(base_ids - gated_ids))
+        .select("url").collect()
+    }
+    assert gone_urls and all(
+        "//site.example.com/p/1" in u for u in gone_urls
+    )
+    funnel = {
+        r.stage: r
+        for r in corpus.corpus_funnel(
+            docs, url_col="url", robots_rules=rules
+        ).collect()
+    }
+    assert "robots" in funnel
+    assert funnel["robots"].docs_out < funnel["robots"].docs_in
