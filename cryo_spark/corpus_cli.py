@@ -1,0 +1,190 @@
+"""`python -m cryo_spark corpus ...` — the training-corpus pipeline
+as a command, mirroring how the chain side exposes extraction
+(`python -m cryo_spark <datatypes> ...`). One invocation runs:
+
+    ingest (warc | parquet | jsonl | text)
+      -> optional robots.txt gating (rules parsed from the SAME crawl)
+      -> prepare_training_corpus (url controls, quality/lang filter,
+         exact + line + span + near dedup, PII redaction,
+         temperature mixing, split assignment)
+      -> token-budgeted training shards (parquet or jsonl)
+      -> per-stage funnel report (the attrition table a production
+         corpus job is steered by)
+
+Everything is the already-tested operator layer — this module only
+parses flags, composes, and writes; there is no pipeline logic here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cryo_spark corpus",
+        description="prepare a pretraining corpus: ingest -> clean -> "
+        "dedup -> mix -> shards, with a per-stage funnel report",
+    )
+    p.add_argument("--input", required=True, help="corpus path/glob")
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "jsonl", "text", "warc"])
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--url-col", default=None,
+                   help="enables URL controls (warc ingestion sets "
+                        "this to its url column automatically)")
+    p.add_argument("--main-content", action="store_true",
+                   help="warc: boilerplate-stripping extraction")
+    p.add_argument("--drop-noindex", action="store_true",
+                   help="warc: drop pages flagged noindex (default "
+                        "keeps and flags)")
+    p.add_argument("--robots-agent", default=None,
+                   help="warc: parse the crawl's robots.txt responses "
+                        "and drop docs this agent may not index")
+    p.add_argument("--blocklist", nargs="+", default=None,
+                   help="host suffixes to drop")
+    p.add_argument("--allowlist", nargs="+", default=None)
+    p.add_argument("--domain-cap", type=int, default=None,
+                   help="max docs per host")
+    p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--lang", default="en")
+    p.add_argument("--span-words", type=int, default=10)
+    p.add_argument("--line-dedup", action="store_true")
+    p.add_argument("--near-dup", action="store_true")
+    p.add_argument("--min-jaccard", type=float, default=0.5)
+    p.add_argument("--budget", type=int, default=None,
+                   help="temperature-mix token budget (docs)")
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--seed", default="corpus0")
+    p.add_argument("--shard-tokens", type=int, default=None,
+                   help="tokens per training shard (omit: one plain "
+                        "parquet table)")
+    p.add_argument("--shard-format", default="parquet",
+                   choices=["parquet", "jsonl"])
+    p.add_argument("--no-funnel", action="store_true",
+                   help="skip the per-stage attrition report (saves "
+                        "one materialization pass per stage)")
+    p.add_argument("--dry", action="store_true",
+                   help="print the resolved plan and exit")
+    return p
+
+
+def run(args: argparse.Namespace) -> int:
+    from cryo_spark import get_spark
+    from cryo_spark.operators import corpus, text as text_ops
+    from cryo_spark.operators.shards import write_training_shards
+    from cryo_spark.sources import documents as docs_src
+
+    kw: dict = dict(
+        text_col=args.text_col,
+        min_quality=args.min_quality,
+        lang=args.lang,
+        span_words=args.span_words,
+        line_dedup=args.line_dedup,
+        near_dup=args.near_dup,
+        min_jaccard=args.min_jaccard,
+        budget=args.budget,
+        alpha=args.alpha,
+        seed=args.seed,
+        url_col=args.url_col,
+        url_blocklist=args.blocklist,
+        url_allowlist=args.allowlist,
+        domain_cap_n=args.domain_cap,
+    )
+    if args.dry:
+        print(json.dumps({"input": args.input, "format": args.format,
+                          "output": args.output, "pipeline": {
+                              k: v for k, v in kw.items() if v
+                          }}, indent=1))
+        return 0
+
+    spark = get_spark(app_name="cryo_spark_corpus")
+    if args.format == "warc":
+        docs = docs_src.read_warc_documents(
+            spark, args.input, text_col=args.text_col,
+            main_content=args.main_content,
+        )
+        kw["url_col"] = args.url_col or "url"
+        if args.drop_noindex:
+            from pyspark.sql import functions as F
+
+            docs = docs.filter(~F.col("noindex"))
+        if args.robots_agent:
+            from cryo_spark.operators import robots as robots_mod
+
+            kw["robots_rules"] = robots_mod.robots_rules_from_warc(
+                docs_src.read_warc(spark, args.input),
+                agent=args.robots_agent,
+            )
+        # the pipeline's quality/report layers expect a source column;
+        # for a crawl the natural stratum is the host
+        if "source" not in docs.columns:
+            from cryo_spark.operators.web import canonical_host
+
+            docs = docs.withColumn("source", canonical_host("url"))
+    else:
+        docs = docs_src.read_documents(
+            spark, args.input, fmt=args.format, text_col=args.text_col
+        )
+
+    os.makedirs(args.output, exist_ok=True)
+    out = corpus.prepare_training_corpus(docs, **kw)
+
+    if args.shard_tokens:
+        from pyspark.sql import functions as F
+
+        shard_in = out.withColumn(
+            "n_tokens",
+            text_ops.token_count(args.text_col).cast("long"),
+        )
+        shards = write_training_shards(
+            shard_in, os.path.join(args.output, "shards"),
+            shard_tokens=args.shard_tokens, fmt=args.shard_format,
+            seed=f"{args.seed}-shard",
+        )
+        summary = {"shards": shards}
+    else:
+        dest = os.path.join(args.output, "corpus")
+        out.write.mode("overwrite").parquet(dest)
+        summary = {"corpus": dest}
+    # n_docs from what was just written — no extra pipeline run
+    if args.shard_tokens:
+        written = os.path.join(args.output, "shards")
+        reader = (
+            spark.read.parquet(written)
+            if args.shard_format == "parquet"
+            else spark.read.json(written)
+        )
+    else:
+        reader = spark.read.parquet(os.path.join(args.output, "corpus"))
+    summary["n_docs"] = reader.count()
+
+    if not args.no_funnel:
+        funnel_rows = [
+            r.asDict() for r in corpus.corpus_funnel(docs, **kw).collect()
+        ]
+        fpath = os.path.join(args.output, "funnel.json")
+        with open(fpath, "w") as f:
+            json.dump(funnel_rows, f, indent=1)
+        summary["funnel"] = fpath
+        for r in funnel_rows:
+            print(
+                f"{r['stage_idx']:>2} {r['stage']:<20} "
+                f"docs {r['docs_in']:>9} -> {r['docs_out']:>9}  "
+                f"tokens {r['tokens_in']:>12} -> {r['tokens_out']:>12}"
+            )
+    print(json.dumps(summary))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return run(args)
+    except (ValueError, FileNotFoundError) as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
