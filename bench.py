@@ -55,6 +55,10 @@ HEADLINE = [
     "events_hourly",
     "orders_asof_events",
     # LLM-pipeline operators (scale with sf)
+    # round 10 scope change: this entry now composes the full crawl
+    # ingestion chain (HTTP split + main-content extraction + noindex)
+    # IN FRONT of the clean — its timing roughly tripled (0.6 -> 1.8 s
+    # at sf0.1) because it measures three stages, not a regression
     "llm_clean_corpus",
     # word_stats + lang_id + bpe_token_count (+ fingerprint + pii)
     # merged into the five-way text profile in round 5 — the three

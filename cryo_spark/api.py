@@ -781,6 +781,14 @@ def main(argv: list[str] | None = None) -> int:
                         "(replayed when run without datatypes)")
     p.add_argument("--dry", action="store_true")
     argv = list(sys.argv[1:] if argv is None else argv)
+
+    # corpus subcommand routing (the training-corpus pipeline surface,
+    # checked before chain-extraction parsing so its flags never clash)
+    if argv and argv[0] == "corpus":
+        from cryo_spark import corpus_cli
+
+        return corpus_cli.main(argv[1:])
+
     args = p.parse_args(argv)
 
     # help subcommand routing (reference run.rs:76-90: `cryo help`,

@@ -986,3 +986,82 @@ def test_pipeline_robots_stage_wired(spark):
     }
     assert "robots" in funnel
     assert funnel["robots"].docs_out < funnel["robots"].docs_in
+
+
+# ------------------------------------------------- corpus CLI surface
+
+
+def test_corpus_cli_dry_and_parquet_run(spark, tmp_path, capsys):
+    import json
+
+    from cryo_spark.api import main
+
+    rc = main(["corpus", "--input", f"{SF_DIR}/documents.parquet",
+               "--output", str(tmp_path / "x"), "--dry"])
+    assert rc == 0
+    assert '"pipeline"' in capsys.readouterr().out
+
+    out = tmp_path / "run"
+    rc = main(["corpus", "--input", f"{SF_DIR}/documents.parquet",
+               "--output", str(out), "--budget", "100",
+               "--shard-tokens", "5000"])
+    assert rc == 0
+    funnel = json.load(open(out / "funnel.json"))
+    stages = [r["stage"] for r in funnel]
+    assert stages[0] == "input" and stages[-1] == "split"
+    assert funnel[0]["docs_in"] == 500  # sf0.001 documents table
+    # budget stage really mixed down; shards written per split
+    mix = next(r for r in funnel if r["stage"] == "temperature_mix")
+    assert mix.get("docs_out") <= 110
+    assert (out / "shards").is_dir()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_docs"] == funnel[-1]["docs_out"]
+
+
+def test_corpus_cli_warc_with_robots(spark, tmp_path, capsys):
+    import gzip
+    import json
+
+    from cryo_spark.api import main
+
+    def rec(payload: bytes, uri: str) -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + b"WARC-Date: 2026-08-14T00:00:00Z\r\n"
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload + b"\r\n\r\n"
+        )
+
+    def page(i: int) -> bytes:
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b'<body><div><a href="/">Home</a></div><p>The quick brown fox'
+            b" jumps over the lazy dog and this sentence number %d carries"
+            b" enough ordinary english prose to pass the quality and"
+            b" language filters used by the corpus pipeline.</p></body>"
+            % i
+        )
+
+    robots = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+              b"User-agent: *\nDisallow: /secret\n")
+    raw = rec(robots, "https://s.test/robots.txt")
+    for i in range(12):
+        uri = (f"https://s.test/doc/{i}" if i % 3
+               else f"https://s.test/secret/{i}")
+        raw += rec(page(i), uri)
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "m.warc.gz").write_bytes(gzip.compress(raw))
+    out = tmp_path / "out"
+    rc = main(["corpus", "--input", str(d), "--format", "warc",
+               "--output", str(out), "--main-content",
+               "--robots-agent", "trainbot"])
+    assert rc == 0
+    funnel = {r["stage"]: r for r in json.load(open(out / "funnel.json"))}
+    # 12 pages + the robots.txt doc itself = 13 in; 4 /secret/ docs
+    # (i = 0, 3, 6, 9) dropped by the robots stage
+    assert funnel["input"]["docs_in"] == 13
+    assert funnel["robots"]["docs_in"] - funnel["robots"]["docs_out"] == 4
+    kept = spark.read.parquet(str(out / "corpus"))
+    assert kept.count() == funnel["split"]["docs_out"]
