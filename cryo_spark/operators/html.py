@@ -377,8 +377,12 @@ def extract_main_content(
 
 _TITLE_RE = r"(?is)<title\b[^>]*>(.*?)</title[ \t\r\n]*>"
 #: primary language subtag of <html lang="..."> (BCP 47 head: 2-3
-#: letters; region/script subtags are dropped — 'en-US' -> 'en')
-_HTML_LANG_RE = r"(?is)<html\b[^>]*\blang[ \t]*=[ \t]*[\"']?([A-Za-z]{2,3})"
+#: letters; region/script subtags are dropped — 'en-US' -> 'en').
+#: Whitespace REQUIRED before the attribute name: \b alone would also
+#: match data-lang= and xml:lang= ('-' and ':' are word boundaries)
+_HTML_LANG_RE = (
+    r"(?is)<html\b[^>]*[ \t\r\n]lang[ \t]*=[ \t]*[\"']?([A-Za-z]{2,3})"
+)
 
 
 def html_title_expr(col: str | Column) -> Column:
@@ -424,12 +428,14 @@ def html_lang_sql(expr: str) -> str:
 _NOINDEX_HDR = r"(?i)\nx-robots-tag[ \t]*:[^\r\n]*noindex"
 
 #: <meta name=robots content="...noindex..."> in either attribute
-#: order; quotes optional. [^>]* keeps the match inside ONE tag.
+#: order; quotes optional. [^>]* keeps the match inside ONE tag;
+#: attribute names require PRECEDING WHITESPACE (\b alone would also
+#: match data-name=/data-content= — '-' is a word boundary).
 _NOINDEX_META = (
-    r"(?is)<meta\b(?:[^>]*\bname[ \t]*=[ \t]*[\"']?robots\b[^>]*"
-    r"\bcontent[ \t]*=[ \t]*[\"']?[^>]*?noindex"
-    r"|[^>]*\bcontent[ \t]*=[ \t]*[\"']?[^>]*?noindex[^>]*"
-    r"\bname[ \t]*=[ \t]*[\"']?robots\b)"
+    r"(?is)<meta\b(?:[^>]*[ \t\r\n]name[ \t]*=[ \t]*[\"']?robots\b[^>]*"
+    r"[ \t\r\n]content[ \t]*=[ \t]*[\"']?[^>]*?noindex"
+    r"|[^>]*[ \t\r\n]content[ \t]*=[ \t]*[\"']?[^>]*?noindex[^>]*"
+    r"[ \t\r\n]name[ \t]*=[ \t]*[\"']?robots\b)"
 )
 
 

@@ -125,18 +125,19 @@ def robots_rules(
         F.col("_value").alias("prefix"),
     ).distinct()
     esc = F.regexp_replace("prefix", r"([.^+?(){}\[\]\\|])", r"\\$1")
+    core = F.when(
+        F.col("_esc").endswith("$"),
+        F.expr("substring(_esc, 1, length(_esc) - 1)"),
+    ).otherwise(F.col("_esc"))
+    # only a TRAILING '$' is an anchor (RFC 9309); a mid-rule '$' is a
+    # literal octet and must be escaped, or the compiled pattern would
+    # carry a mid-string end-anchor that can never match
+    core = F.replace(core, F.lit("$"), F.lit(r"\$"))
     return rules.withColumn("_esc", esc).select(
         "host", "rule", "prefix",
         F.concat(
             F.lit("^"),
-            F.replace(
-                F.when(
-                    F.col("_esc").endswith("$"),
-                    F.expr("substring(_esc, 1, length(_esc) - 1)"),
-                ).otherwise(F.col("_esc")),
-                F.lit("*"),
-                F.lit(".*"),
-            ),
+            F.replace(core, F.lit("*"), F.lit(".*")),
             F.when(F.col("_esc").endswith("$"), F.lit("$")).otherwise(F.lit("")),
         ).alias("pattern"),
     )
@@ -180,15 +181,18 @@ def apply_robots(
     BROADCAST-join to the corpus on host — the document side stays
     shuffle-free; the match itself is a higher-order filter over the
     broadcast array."""
+    # rules-side host is renamed before the join: DataFrame.drop by
+    # name removes EVERY column with that name, so a caller's own
+    # 'host' column would be silently lost otherwise
     per_host = rules.groupBy("host").agg(
         F.collect_list(F.struct("rule", "prefix", "pattern")).alias("_rules")
-    )
+    ).withColumnRenamed("host", "_rules_host")
     path = url_path_expr(url_col)
     joined = docs.withColumn("_host", canonical_host(url_col)).join(
         F.broadcast(per_host),
-        F.col("_host") == per_host["host"],
+        F.col("_host") == F.col("_rules_host"),
         "left",
-    ).drop("host")
+    ).drop("_rules_host")
     # a host without robots.txt leaves _rules NULL: every lambda below
     # propagates NULL and the final coalesce resolves it to allowed
     matching = F.filter(

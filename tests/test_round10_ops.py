@@ -1065,3 +1065,69 @@ def test_corpus_cli_warc_with_robots(spark, tmp_path, capsys):
     assert funnel["robots"]["docs_in"] - funnel["robots"]["docs_out"] == 4
     kept = spark.read.parquet(str(out / "corpus"))
     assert kept.count() == funnel["split"]["docs_out"]
+
+
+# ----------------------------------- round-10 self-audit hardening
+
+
+def test_lang_and_meta_attrs_require_whitespace(spark):
+    """\\b alone would let data-lang=/xml:lang=/data-content= spoof the
+    attribute parses ('-' and ':' are word boundaries)."""
+    cases = [
+        ('<html data-lang="de"><body>x</body></html>', ""),
+        ("<html xml:lang='fr'><body>x</body></html>", ""),
+        ('<html xml:lang="fr" lang="fr"><body>x</body></html>', "fr"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, h string"
+    )
+    got = [
+        r.l
+        for r in df.select("i", html_ops.html_lang_expr("h").alias("l"))
+        .orderBy("i").collect()
+    ]
+    assert got == [want for _, want in cases]
+    # meta: data-content carrying 'noindex' must not flag the page
+    p = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        '<meta name="robots" data-content="noindex"><body>x</body>'
+    )
+    df2 = spark.createDataFrame([(p,)], "p string")
+    assert df2.select(html_ops.noindex_expr("p").alias("n")).first().n is False
+
+
+def test_robots_mid_dollar_is_literal(spark):
+    """RFC 9309: '$' anchors only at rule end; mid-rule it is a
+    literal octet, not a never-matching mid-pattern anchor."""
+    from cryo_spark.operators import robots as robots_ops
+
+    rules = robots_ops.robots_rules(
+        spark.createDataFrame(
+            [("https://d.test/robots.txt",
+              "User-agent: *\nDisallow: /a$b\nDisallow: /end$\n")],
+            "url string, text string",
+        )
+    )
+    docs = spark.createDataFrame(
+        [(0, "https://d.test/a$b/page"), (1, "https://d.test/end"),
+         (2, "https://d.test/endless")],
+        "i long, url string",
+    )
+    got = {
+        r.i: r.robots_disallowed
+        for r in robots_ops.apply_robots(docs, rules).collect()
+    }
+    assert got == {0: True, 1: True, 2: False}
+
+
+def test_apply_robots_preserves_caller_host_column(spark):
+    from cryo_spark.operators import robots as robots_ops
+
+    rules = robots_ops.robots_rules(_robots_frame(spark), agent="mybot")
+    docs = spark.createDataFrame(
+        [(0, "https://example.com/search", "my-own-host-value")],
+        "i long, url string, host string",
+    )
+    out = robots_ops.apply_robots(docs, rules).first()
+    assert out.host == "my-own-host-value"
+    assert out.robots_disallowed is True
