@@ -398,7 +398,12 @@ def corpus_funnel(
     scale). The per-boundary aggregates are map-side partial counts;
     the final lag() window orders <= 13 single-row partials on one
     task — metadata-sized at any corpus scale. Oracle: the identical
-    CTE chain + counts in DuckDB (:func:`corpus_funnel_sql`)."""
+    CTE chain + counts in DuckDB (:func:`corpus_funnel_sql`).
+
+    ``cache=False`` disables BOTH the boundary materialization and the
+    lineage cuts: every boundary recomputes its full prefix AND the
+    plan-copy blow-up above applies — usable only for small stage
+    subsets (debugging); never run it with the full option set."""
     stages = _corpus_stages(df, checkpoint=cache, **kwargs)
     parts = []
     for i, (stage, frame, tc) in enumerate(stages):
