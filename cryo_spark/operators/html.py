@@ -96,6 +96,20 @@ def http_headers_sql(expr: str) -> str:
     return f"regexp_extract({expr}, '{_HDR_BLOCK}', 1)"
 
 
+#: status code on the HTTP/1.x status line
+_STATUS_RE = r"^HTTP/[0-9.]+[ \t]+([0-9]{3})"
+
+
+def http_status_expr(col: str | Column) -> Column:
+    """HTTP status code of a response payload as an int (NULL for
+    non-HTTP payloads — they carry no status to judge)."""
+    return F.regexp_extract(_c(col), _STATUS_RE, 1).try_cast("int")
+
+
+def http_status_sql(expr: str) -> str:
+    return f"try_cast(regexp_extract({expr}, '{_STATUS_RE}', 1) AS INTEGER)"
+
+
 def http_content_type_expr(col: str | Column) -> Column:
     """Media type from the Content-Type header, lowercased, parameters
     stripped ('' when absent). Parsed from the extracted HEADER BLOCK,
@@ -488,12 +502,16 @@ def extract_documents(
     keep_content_types: tuple[str, ...] = ("text/html", "text/plain", ""),
     min_chars: int = 1,
     main_content: bool = False,
+    status_range: tuple[int, int] | None = (200, 299),
 ) -> DataFrame:
     """WARC-record frame → canonical clean-text columns: keeps
     ``response`` records whose Content-Type is in
-    ``keep_content_types`` ('' = no header, treated as HTML), splits
-    the HTTP payload, extracts clean text, and drops documents that
-    reduce to fewer than ``min_chars`` characters. One narrow
+    ``keep_content_types`` ('' = no header, treated as HTML), whose
+    HTTP status is inside ``status_range`` (default 2xx — 404/5xx
+    ERROR-PAGE bodies are template chrome, not content; payloads with
+    no status line pass, they are raw documents; ``None`` disables),
+    splits the HTTP payload, extracts clean text, and drops documents
+    that reduce to fewer than ``min_chars`` characters. One narrow
     projection + one filter — composes directly after ``read_warc``
     with no shuffle. ``main_content=True`` swaps the HTML branch's
     plain tag-strip for :func:`main_content_expr` (boilerplate/chrome
@@ -510,9 +528,14 @@ def extract_documents(
         html_branch
     )
     passthrough = [c for c in df.columns if c != payload_col]
+    out = df.filter(F.col("warc_type") == "response")
+    if status_range is not None:
+        status = http_status_expr(payload_col)
+        out = out.filter(
+            status.isNull() | status.between(*status_range)
+        )
     return (
-        df.filter(F.col("warc_type") == "response")
-        .withColumn("content_type", ct)
+        out.withColumn("content_type", ct)
         .filter(F.col("content_type").isin(*keep_content_types))
         .select(*passthrough, "content_type", text.alias(text_col))
         .filter(F.length(text_col) >= min_chars)

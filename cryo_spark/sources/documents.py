@@ -120,6 +120,87 @@ DEFAULT_MAX_MEMBER_BYTES = 1 << 30
 #: charset token in an HTTP Content-Type header (response payloads)
 _CHARSET_RE = re.compile(rb"charset\s*=\s*\"?([A-Za-z0-9_\-]+)", re.I)
 
+#: wire-format body transforms (raw crawls store the WIRE bytes; the
+#: CommonCrawl corpus stores decoded payloads — both must land clean)
+#: \r? before $: header lines are CRLF-terminated and multiline $
+#: matches before the \n only, leaving the \r in the way
+_CONTENT_ENC_RE = re.compile(
+    rb"^content-encoding[ \t]*:[ \t]*(?:x-)?(gzip|deflate)[ \t]*\r?$",
+    re.I | re.M,
+)
+_CHUNKED_RE = re.compile(
+    rb"^transfer-encoding[ \t]*:.*\bchunked\b[ \t]*\r?$", re.I | re.M
+)
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode Transfer-Encoding: chunked framing (hex-size line, CRLF,
+    chunk bytes, CRLF, ... , 0-size terminator). Malformed framing
+    returns the bytes decoded so far plus nothing — never raises (crawl
+    payloads are frequently truncated mid-chunk)."""
+    out, pos, n = [], 0, len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol == -1:
+            eol = body.find(b"\n", pos)
+            if eol == -1:
+                break
+            next_pos = eol + 1
+        else:
+            next_pos = eol + 2
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        chunk = body[next_pos : next_pos + size]
+        out.append(chunk)
+        if len(chunk) < size:
+            break  # truncated capture
+        pos = next_pos + size
+        # skip the CRLF (or LF) after the chunk
+        if body[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos : pos + 1] == b"\n":
+            pos += 1
+    return b"".join(out)
+
+
+def _decode_body_transforms(
+    head: bytes, payload: bytes, max_bytes: int
+) -> bytes:
+    """Undo wire-format transforms on an HTTP body, outermost first:
+    chunked framing, then Content-Encoding gzip/deflate. Failures
+    (corrupt stream, unknown form) fall back to the bytes as captured
+    — ingestion must never throw on one bad page. Decompressed size is
+    capped at ``max_bytes`` (a body bomb inside one record must not
+    OOM the task — same stance as the member guard, but per-record
+    fallback instead of fail-fast)."""
+    import zlib
+
+    if _CHUNKED_RE.search(head):
+        payload = _dechunk(payload)
+    m = _CONTENT_ENC_RE.search(head)
+    if m:
+        form = m.group(1).lower()
+        # gzip wrapper (16+15), raw deflate (-15), and the in-the-wild
+        # "deflate means zlib" variant (15) — first form that decodes
+        # cleanly within the cap wins
+        wbits_order = [16 + 15] if form == b"gzip" else [-15, 15]
+        for wbits in wbits_order:
+            try:
+                d = zlib.decompressobj(wbits)
+                out = d.decompress(payload, max_bytes)
+                if d.unconsumed_tail:
+                    break  # bomb past the cap: keep the raw bytes
+                payload = out
+                break
+            except zlib.error:
+                continue  # corrupt/partial or wrong wrapper
+    return payload
+
 
 def _find_blank_line(raw: bytes, pos: int) -> tuple[int, int]:
     """(offset, separator_len) of the FIRST blank line at/after ``pos``,
@@ -137,7 +218,11 @@ def _find_blank_line(raw: bytes, pos: int) -> tuple[int, int]:
     return -1, 0
 
 
-def _decode_payload(body: bytes, warc_type: str | None) -> str:
+def _decode_payload(
+    body: bytes,
+    warc_type: str | None,
+    max_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
+) -> str:
     """Charset-aware payload decode: an HTTP response payload declares
     its BODY's encoding in its own Content-Type header — honor it (the
     CommonCrawl corpus is full of latin-1/windows-1252 pages), falling
@@ -157,7 +242,12 @@ def _decode_payload(body: bytes, warc_type: str | None) -> str:
         if head_end != -1:
             body_start = head_end + sep_len
             head = body[:body_start].decode("utf-8", errors="replace")
-            payload = body[body_start:]
+            # wire transforms (chunked framing, gzip/deflate bodies)
+            # undo BEFORE any charset decode — raw crawls store wire
+            # bytes; stored-decoded corpora (CommonCrawl) are no-ops
+            payload = _decode_body_transforms(
+                body[:head_end], body[body_start:], max_bytes
+            )
             m = _CHARSET_RE.search(body[:head_end])
             if m:
                 try:
@@ -226,7 +316,7 @@ def _parse_warc_bytes(
                 fields.get("warc-target-uri"),
                 fields.get("warc-date"),
                 clen,
-                _decode_payload(body, warc_type),
+                _decode_payload(body, warc_type, max_member_bytes),
             )
         )
         idx += 1
@@ -295,8 +385,8 @@ def read_warc_documents(
     (``full_entities=True``, the Arrow pass for numeric character
     references).
 
-    Lands (doc_id, url, warc_date, content_type, noindex, title,
-    html_lang, text) — the shape every downstream operator (text
+    Lands (doc_id, url, warc_date, content_type, status, noindex,
+    title, html_lang, text) — the shape every downstream operator (text
     suite, dedup family, ``prepare_training_corpus`` with
     ``url_col='url'``) consumes directly. ``noindex`` is True when the
     response carried an ``X-Robots-Tag: noindex`` header or a
@@ -315,6 +405,7 @@ def read_warc_documents(
     body = html_ops.http_body_expr("payload")
     recs = (
         recs.withColumn("noindex", html_ops.noindex_expr("payload"))
+        .withColumn("status", html_ops.http_status_expr("payload"))
         # document metadata: normalized <title> line and the DECLARED
         # <html lang> primary subtag (audit/dedup keys — cross-check
         # the latter against text.lang_id before trusting it)
@@ -329,6 +420,7 @@ def read_warc_documents(
         F.col("target_uri").alias("url"),
         "warc_date",
         "content_type",
+        "status",
         "noindex",
         "title",
         "html_lang",

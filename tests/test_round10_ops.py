@@ -2,8 +2,9 @@
 parsing, header/body split charset decode, RE2-parity whitespace
 trims, URL host block/allowlists, the pipeline funnel report,
 main-content (boilerplate) extraction, robots-noindex surfacing,
-title / declared-language metadata extraction, and robots.txt rule
-parsing + longest-match application.
+title / declared-language metadata extraction, robots.txt rule
+parsing + longest-match application, wire-format body decoding
+(chunked / gzip / deflate), and HTTP status filtering.
 """
 
 from __future__ import annotations
@@ -1131,3 +1132,151 @@ def test_apply_robots_preserves_caller_host_column(spark):
     out = robots_ops.apply_robots(docs, rules).first()
     assert out.host == "my-own-host-value"
     assert out.robots_disallowed is True
+
+
+# ----------------------- wire-format bodies + HTTP status handling
+
+
+def test_decode_payload_gzip_body():
+    import gzip as _gz
+
+    body = _gz.compress("compressed café page".encode())
+    raw = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Content-Type: text/plain; charset=utf-8\r\n\r\n" + body
+    )
+    out = _decode_payload(raw, "response")
+    assert out.endswith("compressed café page")
+    assert out.startswith("HTTP/1.1 200 OK")
+
+
+def test_decode_payload_deflate_raw_and_zlib():
+    import zlib
+
+    text = b"deflate body text"
+    for blob in (
+        zlib.compress(text)[2:-4],  # raw deflate (RFC form)
+        zlib.compress(text),        # zlib-wrapped ("deflate means zlib")
+    ):
+        raw = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + blob
+        )
+        assert _decode_payload(raw, "response").endswith("deflate body text")
+
+
+def test_decode_payload_chunked_and_combined():
+    import gzip as _gz
+
+    gz = _gz.compress(b"chunked gzip body")
+    chunks = (
+        f"{len(gz[:7]):x}\r\n".encode() + gz[:7] + b"\r\n"
+        + f"{len(gz[7:]):x}\r\n".encode() + gz[7:] + b"\r\n0\r\n\r\n"
+    )
+    raw = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + chunks
+    )
+    assert _decode_payload(raw, "response").endswith("chunked gzip body")
+    # plain chunked without compression
+    raw2 = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    )
+    assert _decode_payload(raw2, "response").endswith("hello world")
+
+
+def test_decode_payload_corrupt_and_bomb_fall_back():
+    import zlib
+
+    # corrupt stream: raw bytes flow through, never raises
+    raw = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip"
+    assert _decode_payload(raw, "response").endswith("not-gzip")
+    # decompression bomb past the cap: raw bytes kept, never OOMs
+    bomb = zlib.compress(b"x" * 10_000_000)
+    raw2 = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + bomb
+    )
+    out = _decode_payload(raw2, "response", max_bytes=1000)
+    assert len(out) < 2 * len(bomb) + 200  # not the 10 MB expansion
+
+
+def test_extract_documents_filters_error_pages(spark):
+    ok = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+          "<p>Real page body text.</p>")
+    nf = ("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n"
+          "<p>Pretty error page chrome.</p>")
+    raw = "no status line raw document"
+    df = spark.createDataFrame(
+        [("response", p) for p in (ok, nf, raw)],
+        "warc_type string, payload string",
+    )
+    texts = {r.text for r in html_ops.extract_documents(df).collect()}
+    # 404 body dropped by default; raw (status-less) passes
+    assert texts == {"Real page body text.", "no status line raw document"}
+    all_texts = {
+        r.text
+        for r in html_ops.extract_documents(df, status_range=None).collect()
+    }
+    assert "Pretty error page chrome." in all_texts
+
+
+def test_http_status_expr_and_sql_parity(spark):
+    import pandas as pd
+
+    payloads = [
+        "HTTP/1.1 200 OK\r\n\r\nx",
+        "HTTP/1.0 404 Not Found\r\n\r\nx",
+        "HTTP/2 301\r\n\r\nx",
+        "not http at all",
+    ]
+    pdf = pd.DataFrame(
+        [(i, p) for i, p in enumerate(payloads)], columns=["i", "p"]
+    )
+    got = [
+        r.s
+        for r in spark.createDataFrame(pdf)
+        .select("i", html_ops.http_status_expr("p").alias("s"))
+        .orderBy("i").collect()
+    ]
+    assert got == [200, 404, 301, None]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {html_ops.http_status_sql('p')} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want
+
+
+def test_read_warc_documents_surfaces_status(spark, tmp_path):
+    def rec(payload: bytes, uri: str) -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + b"WARC-Date: 2026-08-14T00:00:00Z\r\n"
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload + b"\r\n\r\n"
+        )
+
+    import gzip as _gz
+
+    gz_body = _gz.compress(
+        b"<p>A gzip-encoded page body with plenty of ordinary prose to"
+        b" pass the extraction rules.</p>"
+    )
+    ok = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+          b"Content-Encoding: gzip\r\n\r\n" + gz_body)
+    nf = (b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n"
+          b"<p>Error page body that must not land in the corpus.</p>")
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "m.warc").write_bytes(
+        rec(ok, "https://w.test/ok") + rec(nf, "https://w.test/missing")
+    )
+    docs = read_warc_documents(spark, str(d)).collect()
+    assert [r.url for r in docs] == ["https://w.test/ok"]  # 404 dropped
+    assert docs[0].status == 200
+    assert docs[0].text.startswith("A gzip-encoded page body")

@@ -257,8 +257,8 @@ def test_read_warc_documents_end_to_end(spark, tmp_path):
     # (round 10 added noindex — robots policy surfaced, not dropped —
     # and the title/html_lang metadata keys)
     assert set(docs[0].asDict()) == {
-        "doc_id", "url", "warc_date", "content_type", "noindex",
-        "title", "html_lang", "text",
+        "doc_id", "url", "warc_date", "content_type", "status",
+        "noindex", "title", "html_lang", "text",
     }
 
 
