@@ -371,19 +371,104 @@ def main_content_sql(
     return trim_text_sql(c)
 
 
+def _line_features(ln: Column) -> tuple[Column, Column, Column]:
+    """(marker-free line, text_chars, link_chars) — the shared feature
+    triple of the per-line content rules."""
+    stripped = F.translate(ln, _MARKS, "")
+    tc = F.length(stripped)
+    no_anchor = F.regexp_replace(ln, f"{_M1}[^{_M2}]*{_M2}", "")
+    lc = tc - F.length(F.translate(no_anchor, _MARKS, ""))
+    return stripped, tc, lc
+
+
 def extract_main_content(
     df: DataFrame,
     html_col: str = "text",
     out_col: str | None = None,
     max_link_density: float = 0.4,
     min_line_chars: int = 30,
+    smooth: bool = False,
 ) -> DataFrame:
     """DataFrame wrapper over :func:`main_content_expr` — one narrow
     projection, composes anywhere between HTML extraction and line
-    dedup."""
-    return df.withColumn(
-        out_col or html_col,
-        main_content_expr(html_col, max_link_density, min_line_chars),
+    dedup.
+
+    ``smooth=True`` adds the jusText-shaped GOOD-NEIGHBOR pass the
+    pure-expression form deliberately omits: a short, zero-link line
+    (heading, caption, short lead-in) that sits DIRECTLY NEXT TO a
+    core content line is kept even without sentence punctuation —
+    rescuing "Introduction" above an article body while still dropping
+    isolated chrome like "Home" in a nav run (its neighbors are other
+    chrome, not core lines). Implemented as three chained projections
+    (lines array → core-flag array → index-aware filter) so the
+    regex chain and flags materialize ONCE per row instead of once per
+    lambda reference; still zero shuffles. Smoothing is a
+    PIPELINE-ONLY refinement: it has no SQL twin, and the contract
+    entry hash-proves the base extractor."""
+    out = out_col or html_col
+    if not smooth:
+        return df.withColumn(
+            out,
+            main_content_expr(html_col, max_link_density, min_line_chars),
+        )
+
+    c = _c(html_col)
+    c = F.regexp_replace(c, f"[{_MARKS}]", "")
+    for pat, rep in _TAG_STEPS[:3]:
+        c = F.regexp_replace(c, pat, rep)
+    c = F.regexp_replace(c, _ANCHOR_RE, f"{_M1}$1{_M2}")
+    for pat, rep in _TAG_STEPS[3:]:
+        c = F.regexp_replace(c, pat, rep)
+    for lit, rep in _ENTITY_STEPS:
+        c = F.replace(c, F.lit(lit), F.lit(rep))
+    for pat, rep in _WS_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+
+    def _core(ln: Column) -> Column:
+        _, tc, lc = _line_features(ln)
+        return (tc >= min_line_chars) & (
+            lc.cast("double") <= F.lit(max_link_density) * tc
+        )
+
+    def _keep(ln: Column, i: Column) -> Column:
+        stripped, tc, lc = _line_features(ln)
+        core = _core(ln)
+        short_sentence = (
+            (tc > 0) & (tc < min_line_chars) & (lc == 0)
+            & stripped.rlike(_SENTENCE_END)
+        )
+        # lambda index i is 0-based; element_at is 1-based (and throws
+        # on index 0, so the first line's prev lookup must be gated)
+        prev_core = F.when(
+            i > 0,
+            F.coalesce(F.element_at(F.col("_mc_core"), i), F.lit(False)),
+        ).otherwise(F.lit(False))
+        next_core = F.coalesce(
+            F.element_at(F.col("_mc_core"), i + 2), F.lit(False)
+        )
+        neighbor_core = prev_core | next_core
+        short_neighbor = (
+            (tc > 0) & (tc < min_line_chars) & (lc == 0) & neighbor_core
+        )
+        return core | short_sentence | short_neighbor
+
+    lines = F.split(c, "\n")
+    return (
+        df.withColumn("_mc_lines", lines)
+        .withColumn("_mc_core", F.transform(F.col("_mc_lines"), _core))
+        .withColumn(
+            out,
+            trim_text_expr(
+                F.array_join(
+                    F.transform(
+                        F.filter(F.col("_mc_lines"), _keep),
+                        lambda ln: F.translate(ln, _MARKS, ""),
+                    ),
+                    "\n",
+                )
+            ),
+        )
+        .drop("_mc_lines", "_mc_core")
     )
 
 

@@ -1280,3 +1280,96 @@ def test_read_warc_documents_surfaces_status(spark, tmp_path):
     assert [r.url for r in docs] == ["https://w.test/ok"]  # 404 dropped
     assert docs[0].status == 200
     assert docs[0].text.startswith("A gzip-encoded page body")
+
+
+# ------------------------------- good-neighbor smoothing (jusText)
+
+
+_SMOOTH_HTML = """<body>
+<div><a href="/">Home</a> | <a href="/a">About</a> | <a href="/c">Contact</a></div>
+<h1>Introduction</h1>
+<p>This opening paragraph of the article is comfortably longer than the minimum content line length.</p>
+<div><a href="/x">x</a> <a href="/y">y</a></div>
+<h2>Archive</h2>
+<div><a href="/1">one</a> <a href="/2">two</a></div>
+<p>Closing paragraph also long enough to count as core content by the density rule.</p>
+</body>"""
+
+
+def _py_main_content_smooth(html: str, max_ld: float = 0.4,
+                            min_len: int = 30) -> str:
+    import re as _re
+
+    from cryo_spark.operators.html import (
+        _ANCHOR_RE, _ENTITY_STEPS, _M1, _M2, _MARKS, _SENTENCE_END,
+        _TAG_STEPS, _TRIM_STEPS, _WS_STEPS,
+    )
+
+    c = _re.sub(f"[{_MARKS}]", "", html)
+    for pat, rep in _TAG_STEPS[:3]:
+        c = _re.sub(pat, rep, c)
+    c = _re.sub(_ANCHOR_RE, _M1 + r"\1" + _M2, c)
+    for pat, rep in _TAG_STEPS[3:]:
+        c = _re.sub(pat, rep, c)
+    for lit, rep in _ENTITY_STEPS:
+        c = c.replace(lit, rep)
+    for pat, rep in _WS_STEPS:
+        c = _re.sub(pat, rep, c)
+    lines = c.split("\n")
+
+    def feats(ln):
+        stripped = ln.replace(_M1, "").replace(_M2, "")
+        tc = len(stripped)
+        no_anchor = _re.sub(f"{_M1}[^{_M2}]*{_M2}", "", ln)
+        lc = tc - len(no_anchor.replace(_M1, "").replace(_M2, ""))
+        return stripped, tc, lc
+
+    core = []
+    for ln in lines:
+        _, tc, lc = feats(ln)
+        core.append(tc >= min_len and lc <= max_ld * tc)
+    kept = []
+    for i, ln in enumerate(lines):
+        stripped, tc, lc = feats(ln)
+        short = 0 < tc < min_len and lc == 0
+        sent = short and _re.search(_SENTENCE_END, stripped)
+        neigh = short and (
+            (i > 0 and core[i - 1]) or (i + 1 < len(lines) and core[i + 1])
+        )
+        if core[i] or sent or neigh:
+            kept.append(stripped)
+    c = "\n".join(kept)
+    for pat, rep in _TRIM_STEPS:
+        c = _re.sub(pat, rep, c)
+    return c
+
+
+def test_main_content_smoothing_rescues_adjacent_headings(spark):
+    df = spark.createDataFrame([(_SMOOTH_HTML,)], "text string")
+    base = html_ops.extract_main_content(df, "text", "o").first().o
+    sm = html_ops.extract_main_content(
+        df, "text", "o", smooth=True
+    ).first().o
+    # heading above the article body: rescued only by smoothing
+    assert "Introduction" not in base
+    assert sm.splitlines()[0] == "Introduction"
+    # short heading surrounded by link chrome stays dropped either way
+    assert "Archive" not in base and "Archive" not in sm
+    # chrome never leaks
+    for t in ("Home", "About", "one", "two"):
+        assert t not in sm
+
+
+def test_main_content_smooth_python_reference_differential(spark):
+    cases = [*_MC_CASES, _SMOOTH_HTML]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(cases)], "i long, text string"
+    )
+    got = {
+        r.i: r.o
+        for r in html_ops.extract_main_content(
+            df, "text", "o", smooth=True
+        ).select("i", "o").collect()
+    }
+    for i, h in enumerate(cases):
+        assert got[i] == _py_main_content_smooth(h), f"case {i}"
