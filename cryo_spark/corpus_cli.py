@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "this to its url column automatically)")
     p.add_argument("--main-content", action="store_true",
                    help="warc: boilerplate-stripping extraction")
+    p.add_argument("--smooth", action="store_true",
+                   help="warc: good-neighbor smoothing on top of "
+                        "--main-content (keeps headings adjacent to "
+                        "core content)")
     p.add_argument("--drop-noindex", action="store_true",
                    help="warc: drop pages flagged noindex (default "
                         "keeps and flags)")
@@ -106,7 +110,7 @@ def run(args: argparse.Namespace) -> int:
     if args.format == "warc":
         docs = docs_src.read_warc_documents(
             spark, args.input, text_col=args.text_col,
-            main_content=args.main_content,
+            main_content=args.main_content, smooth=args.smooth,
         )
         kw["url_col"] = args.url_col or "url"
         if args.drop_noindex:

@@ -587,6 +587,7 @@ def extract_documents(
     keep_content_types: tuple[str, ...] = ("text/html", "text/plain", ""),
     min_chars: int = 1,
     main_content: bool = False,
+    smooth: bool = False,
     status_range: tuple[int, int] | None = (200, 299),
 ) -> DataFrame:
     """WARC-record frame → canonical clean-text columns: keeps
@@ -600,18 +601,10 @@ def extract_documents(
     projection + one filter — composes directly after ``read_warc``
     with no shuffle. ``main_content=True`` swaps the HTML branch's
     plain tag-strip for :func:`main_content_expr` (boilerplate/chrome
-    removal); text/plain payloads are unaffected either way."""
+    removal, plus the good-neighbor ``smooth`` pass when requested);
+    text/plain payloads are unaffected either way."""
     ct = http_content_type_expr(payload_col)
     body = http_body_expr(payload_col)
-    html_branch = (
-        main_content_expr(body) if main_content else html_to_text_expr(body)
-    )
-    # text/plain trims with the SAME regex chain the HTML branch ends
-    # with (F.trim strips ASCII spaces only — a plain-text doc would
-    # keep leading/trailing \r\n/\t the HTML branch removes)
-    text = F.when(ct == "text/plain", trim_text_expr(body)).otherwise(
-        html_branch
-    )
     passthrough = [c for c in df.columns if c != payload_col]
     out = df.filter(F.col("warc_type") == "response")
     if status_range is not None:
@@ -619,9 +612,32 @@ def extract_documents(
         out = out.filter(
             status.isNull() | status.between(*status_range)
         )
+    out = out.withColumn("content_type", ct).filter(
+        F.col("content_type").isin(*keep_content_types)
+    )
+    if main_content and smooth:
+        # the smooth pass needs df-level staging (line + flag arrays
+        # materialized once per row) — stage the body, smooth it, then
+        # pick the branch
+        out = extract_main_content(
+            out.withColumn("_mc_body", body), "_mc_body", "_mc_text",
+            smooth=True,
+        )
+        html_branch = F.col("_mc_text")
+        body = F.col("_mc_body")
+    else:
+        html_branch = (
+            main_content_expr(body)
+            if main_content
+            else html_to_text_expr(body)
+        )
+    # text/plain trims with the SAME regex chain the HTML branch ends
+    # with (F.trim strips ASCII spaces only — a plain-text doc would
+    # keep leading/trailing \r\n/\t the HTML branch removes)
+    text = F.when(
+        F.col("content_type") == "text/plain", trim_text_expr(body)
+    ).otherwise(html_branch)
     return (
-        out.withColumn("content_type", ct)
-        .filter(F.col("content_type").isin(*keep_content_types))
-        .select(*passthrough, "content_type", text.alias(text_col))
+        out.select(*passthrough, "content_type", text.alias(text_col))
         .filter(F.length(text_col) >= min_chars)
     )

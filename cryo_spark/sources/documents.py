@@ -374,6 +374,7 @@ def read_warc_documents(
     full_entities: bool = False,
     min_chars: int = 1,
     main_content: bool = False,
+    smooth: bool = False,
 ) -> DataFrame:
     """WARC crawl → canonical clean-text documents, end to end:
     :func:`read_warc` (Content-Length framing, charset-aware decode)
@@ -414,7 +415,7 @@ def read_warc_documents(
     )
     docs = html_ops.extract_documents(
         recs, payload_col="payload", text_col=text_col, min_chars=min_chars,
-        main_content=main_content,
+        main_content=main_content, smooth=smooth,
     ).select(
         id_col,
         F.col("target_uri").alias("url"),
