@@ -16,9 +16,9 @@ values depend on partition layout.
 
 from __future__ import annotations
 
-import gzip
 import re
 from collections.abc import Iterator
+from itertools import chain as _chain
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -260,16 +260,118 @@ def _decode_payload(
     return body.decode("utf-8", errors="replace")
 
 
+#: largest tolerated WARC header block — past this the stream is
+#: treated as garbage (real header blocks are < 1 KB)
+_MAX_HEADER_BLOCK = 1 << 20
+
+
+def _gunzip_chunks(chunks: Iterator[bytes]) -> Iterator[bytes]:
+    """Streaming gzip decode over a byte-chunk iterator, MULTI-MEMBER
+    aware: real ``.warc.gz`` files (the CommonCrawl layout) are one
+    gzip member PER RECORD, concatenated — a plain decompressobj stops
+    at the first member boundary, so on eof the decoder restarts on
+    the unused tail. Memory stays O(chunk)."""
+    import zlib
+
+    d = zlib.decompressobj(16 + 15)
+    for c in chunks:
+        data = c
+        while data:
+            out = d.decompress(data)
+            if out:
+                yield out
+            if d.eof:
+                data = d.unused_data
+                d = zlib.decompressobj(16 + 15)
+            else:
+                data = b""
+    out = d.flush()
+    if out:
+        yield out
+
+
+def _iter_warc_stream(
+    chunks: Iterator[bytes],
+    path: str,
+    max_record_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
+) -> Iterator[tuple]:
+    """Incremental Content-Length-driven WARC parser over a byte-chunk
+    iterator: the spec's framing (payloads may legally contain blank
+    lines and even 'WARC/1.0' text, so a regex/split reader is wrong)
+    — read the header block, take exactly Content-Length payload
+    bytes, skip the record boundary, repeat. STREAMING: peak memory is
+    O(largest record + one chunk), never the member size — a 5 GB
+    decompressed CommonCrawl member parses in constant memory."""
+    buf = bytearray()
+    it = iter(chunks)
+    done = False
+    idx = 0
+
+    def fill(need: int) -> bool:
+        nonlocal done
+        while len(buf) < need and not done:
+            try:
+                buf.extend(next(it))
+            except StopIteration:
+                done = True
+        return len(buf) >= need
+
+    while True:
+        # skip inter-record CRLF/LF runs
+        while fill(1) and buf[0:1] in (b"\r", b"\n"):
+            del buf[0]
+        if not buf:
+            return
+        # accumulate until the header block's blank line is in buffer
+        # (bytearray.find underneath — no copy)
+        while True:
+            head_end, sep_len = _find_blank_line(buf, 0)
+            if head_end != -1:
+                break
+            if done or len(buf) > _MAX_HEADER_BLOCK:
+                return  # trailing garbage / no complete header block
+            fill(len(buf) + (64 << 10))
+        header = bytes(buf[:head_end]).decode("utf-8", errors="replace")
+        fields: dict[str, str] = {}
+        for line in header.splitlines()[1:]:  # line 0 = 'WARC/1.0'
+            if ":" in line:
+                k, _, v = line.partition(":")
+                fields[k.strip().lower()] = v.strip()
+        clen = int(fields.get("content-length", "0") or "0")
+        if clen > max_record_bytes:
+            raise ValueError(
+                f"WARC record {idx} in {path} declares Content-Length "
+                f"{clen} (max_record_bytes={max_record_bytes}) — one "
+                "record must fit in a task; raise max_record_bytes or "
+                "repair the member (SCALE.md: whole-file ingestion)"
+            )
+        body_start = head_end + sep_len
+        fill(body_start + clen)  # truncated capture: take what exists
+        body = bytes(buf[body_start : body_start + clen])
+        warc_type = fields.get("warc-type")
+        yield (
+            path,
+            idx,
+            warc_type,
+            fields.get("warc-target-uri"),
+            fields.get("warc-date"),
+            clen,
+            _decode_payload(body, warc_type, max_record_bytes),
+        )
+        idx += 1
+        del buf[: body_start + clen]
+
+
 def _parse_warc_bytes(
     raw: bytes,
     path: str,
     max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
 ) -> list[tuple]:
-    """Split one WARC file's bytes into records. Content-Length-DRIVEN
-    (the spec's framing): payloads may legally contain blank lines and
-    even 'WARC/1.0' text, so a regex/split reader is wrong — read the
-    header block, take exactly Content-Length payload bytes, skip the
-    two-CRLF record boundary, repeat."""
+    """In-memory convenience over :func:`_iter_warc_stream` (tests,
+    small members): the raw-size guard rejects oversized members up
+    front, and ``max_member_bytes`` doubles as the per-record cap —
+    a gzip bomb whose single record decompresses past the cap fails
+    fast instead of ballooning."""
     if len(raw) > max_member_bytes:
         raise ValueError(
             f"WARC member {path} is {len(raw)} bytes "
@@ -278,50 +380,10 @@ def _parse_warc_bytes(
             "and risk an executor OOM — ship smaller members or raise "
             "max_member_bytes (SCALE.md: whole-file ingestion)"
         )
+    chunks: Iterator[bytes] = iter([bytes(raw)])
     if path.endswith(".gz") or raw[:2] == b"\x1f\x8b":
-        raw = gzip.decompress(raw)
-        if len(raw) > max_member_bytes:
-            raise ValueError(
-                f"WARC member {path} decompresses to {len(raw)} bytes "
-                f"(max_member_bytes={max_member_bytes}) — see SCALE.md: "
-                "whole-file ingestion"
-            )
-    out: list[tuple] = []
-    pos, idx = 0, 0
-    n = len(raw)
-    while pos < n:
-        # skip inter-record CRLF/LF runs
-        while pos < n and raw[pos : pos + 1] in (b"\r", b"\n"):
-            pos += 1
-        if pos >= n:
-            break
-        head_end, sep_len = _find_blank_line(raw, pos)
-        if head_end == -1:
-            break  # trailing garbage, no complete header block
-        header = raw[pos:head_end].decode("utf-8", errors="replace")
-        fields: dict[str, str] = {}
-        for line in header.splitlines()[1:]:  # line 0 = 'WARC/1.0'
-            if ":" in line:
-                k, _, v = line.partition(":")
-                fields[k.strip().lower()] = v.strip()
-        clen = int(fields.get("content-length", "0") or "0")
-        body_start = head_end + sep_len
-        body = raw[body_start : body_start + clen]
-        warc_type = fields.get("warc-type")
-        out.append(
-            (
-                path,
-                idx,
-                warc_type,
-                fields.get("warc-target-uri"),
-                fields.get("warc-date"),
-                clen,
-                _decode_payload(body, warc_type, max_member_bytes),
-            )
-        )
-        idx += 1
-        pos = body_start + clen
-    return out
+        chunks = _gunzip_chunks(chunks)
+    return list(_iter_warc_stream(chunks, path, max_member_bytes))
 
 
 def read_warc(
@@ -334,33 +396,82 @@ def read_warc(
     framing headers parsed out (warc_type, target_uri, warc_date,
     content_length) and the payload decoded as text.
 
-    Plumbing: ``binaryFile`` scan → Arrow-batched ``mapInPandas``
-    running the Content-Length-driven splitter per file. Each WARC
-    member is ONE task (binaryFile is whole-file, and real WARCs are
-    gzip anyway) — the CommonCrawl layout of ~1 GB members gives file-
-    count parallelism, same caveat as gzip JSONL (SCALE.md). Ids are
-    the deterministic (path, record_idx) hash, so re-ingestion on any
+    Plumbing: ``binaryFile`` LISTING (path + length only — column
+    pruning keeps the file CONTENT out of the scan) → ``mapInPandas``
+    tasks that stream each member through pyarrow's filesystem layer
+    in 4 MB chunks: multi-member gzip decode, then the incremental
+    Content-Length splitter, emitting output batches of 2048 records.
+    Peak task memory is O(largest record + chunk), NOT the member
+    size — a ~1 GB CommonCrawl member (4-5 GB decompressed) parses in
+    constant memory instead of materializing. Each member is still ONE
+    task (gzip + Content-Length framing cannot resync mid-stream) —
+    file-count parallelism, same caveat as gzip JSONL (SCALE.md).
+    ``max_member_bytes`` guards the RAW member size (fail fast on
+    pathological single members that would serialize one task for
+    hours); the per-record cap reuses the same limit. Ids are the
+    deterministic (path, record_idx) hash, so re-ingestion on any
     cluster layout yields identical ids."""
-    files = spark.read.format("binaryFile").load(path)
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "length"
+    )
+
+    def open_chunks(p: str, chunk: int = 4 << 20) -> Iterator[bytes]:
+        import pyarrow.fs as pafs
+
+        if p.startswith("file:"):
+            fs, local = pafs.LocalFileSystem(), p.split(":", 1)[1]
+            while local.startswith("//"):  # file:///x and file:/x forms
+                local = local[1:]
+            p = local
+        else:
+            try:
+                fs, p = pafs.FileSystem.from_uri(p)
+            except Exception:
+                fs = pafs.LocalFileSystem()
+        # compression=None: pyarrow's default 'detect' would silently
+        # gunzip .gz paths itself — the multi-member decode (and the
+        # raw-bytes magic sniff) must see the WIRE bytes
+        with fs.open_input_stream(p, compression=None) as f:
+            while True:
+                b = f.read(chunk)
+                if not b:
+                    return
+                yield bytes(b)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             "path", "record_idx", "warc_type", "target_uri",
             "warc_date", "content_length", "payload",
         ]
+        rows: list[tuple] = []
         for pdf in batches:
-            rows: list[tuple] = []
             for _, r in pdf.iterrows():
-                rows.extend(
-                    _parse_warc_bytes(
-                        bytes(r["content"]), r["path"], max_member_bytes
+                p, length = r["path"], int(r["length"])
+                if length > max_member_bytes:
+                    raise ValueError(
+                        f"WARC member {p} is {length} bytes "
+                        f"(max_member_bytes={max_member_bytes}): "
+                        "whole-file members are non-splittable, so this "
+                        "would serialize onto one task — ship smaller "
+                        "members or raise max_member_bytes (SCALE.md: "
+                        "whole-file ingestion)"
                     )
-                )
-            yield pd.DataFrame(rows, columns=cols)
+                chunks = open_chunks(p)
+                first = next(chunks, b"")
+                if not first:
+                    continue
+                chained = _chain([first], chunks)
+                if p.endswith(".gz") or first[:2] == b"\x1f\x8b":
+                    chained = _gunzip_chunks(chained)
+                for rec in _iter_warc_stream(chained, p, max_member_bytes):
+                    rows.append(rec)
+                    if len(rows) >= 2048:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+        yield pd.DataFrame(rows, columns=cols)
 
     return (
-        files.select("path", "content")
-        .mapInPandas(parse, schema=_WARC_SCHEMA)
+        files.mapInPandas(parse, schema=_WARC_SCHEMA)
         .withColumn(id_col, F.xxhash64(F.col("path"), F.col("record_idx")))
     )
 

@@ -69,10 +69,12 @@ def test_member_size_guard_rejects_oversized(tmp_path):
     raw = _warc_record(b"x" * 100, "https://a.test/big")
     with pytest.raises(ValueError, match="max_member_bytes"):
         _parse_warc_bytes(raw, "big.warc", max_member_bytes=50)
-    # decompressed size is also guarded (a 60-byte gz bomb of 10 KB)
+    # a gzip bomb is caught by the PER-RECORD cap (round 10: the
+    # parser streams, so total decompressed size is no longer a
+    # memory hazard — a single ballooning record still fails fast)
     bomb = gzip.compress(_warc_record(b"y" * 10_000, "https://a.test/b"))
     assert len(bomb) < 1000
-    with pytest.raises(ValueError, match="decompresses"):
+    with pytest.raises(ValueError, match="max_record_bytes"):
         _parse_warc_bytes(bomb, "bomb.warc.gz", max_member_bytes=1000)
     # and the guard surfaces through the Spark path too
     d = tmp_path / "warc"
