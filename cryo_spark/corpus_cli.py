@@ -99,6 +99,23 @@ def run(args: argparse.Namespace) -> int:
         url_allowlist=args.allowlist,
         domain_cap_n=args.domain_cap,
     )
+    # warc-only flags must not be silently dropped for other formats
+    # (--robots-agent is compliance-relevant: ignoring it would be a
+    # policy violation the user never sees)
+    if args.format != "warc":
+        warc_only = {
+            "--main-content": args.main_content,
+            "--smooth": args.smooth,
+            "--drop-noindex": args.drop_noindex,
+            "--robots-agent": args.robots_agent,
+        }
+        bad = [f for f, v in warc_only.items() if v]
+        if bad:
+            raise ValueError(
+                f"{', '.join(bad)} only apply to --format warc "
+                f"(got --format {args.format})"
+            )
+
     if args.dry:
         print(json.dumps({"input": args.input, "format": args.format,
                           "output": args.output, "pipeline": {
@@ -136,7 +153,14 @@ def run(args: argparse.Namespace) -> int:
         )
 
     os.makedirs(args.output, exist_ok=True)
-    out = corpus.prepare_training_corpus(docs, **kw)
+    # ONE staged chain for both the output and the funnel: composing
+    # prepare_training_corpus + corpus_funnel separately would run
+    # every stage (all dedup shuffles, robots scans) twice
+    funnel_df = None
+    if args.no_funnel:
+        out = corpus.prepare_training_corpus(docs, **kw)
+    else:
+        out, funnel_df = corpus.prepare_with_funnel(docs, **kw)
 
     if args.shard_tokens:
         from pyspark.sql import functions as F
@@ -167,10 +191,8 @@ def run(args: argparse.Namespace) -> int:
         reader = spark.read.parquet(os.path.join(args.output, "corpus"))
     summary["n_docs"] = reader.count()
 
-    if not args.no_funnel:
-        funnel_rows = [
-            r.asDict() for r in corpus.corpus_funnel(docs, **kw).collect()
-        ]
+    if funnel_df is not None:
+        funnel_rows = [r.asDict() for r in funnel_df.collect()]
         fpath = os.path.join(args.output, "funnel.json")
         with open(fpath, "w") as f:
             json.dump(funnel_rows, f, indent=1)

@@ -405,6 +405,42 @@ def corpus_funnel(
     plan-copy blow-up above applies — usable only for small stage
     subsets (debugging); never run it with the full option set."""
     stages = _corpus_stages(df, checkpoint=cache, **kwargs)
+    return _funnel_from_stages(stages)
+
+
+def prepare_with_funnel(
+    df: DataFrame, **kwargs
+) -> tuple[DataFrame, DataFrame]:
+    """(final corpus frame, funnel frame) over ONE shared staged
+    chain — the shape a production run wants: composing
+    :func:`prepare_training_corpus` and :func:`corpus_funnel`
+    separately would execute every stage (all dedup shuffles, minhash
+    joins, robots scans) TWICE. The boundaries are materialized once
+    (checkpoint mode), the final frame rides the same materialized
+    stages, and the funnel aggregates are per-boundary partial counts
+    on top."""
+    stages = _corpus_stages(df, checkpoint=True, **kwargs)
+    return stages[-1][1], _funnel_from_stages(stages)
+
+
+def release_stage_storage(df_or_session) -> None:
+    """Free the boundary storage a funnel/prepare_with_funnel run left
+    behind in a LONG-LIVED session (notebook, service): persisted
+    boundary frames un-cache via ``spark.catalog.clearCache()`` (safe:
+    Spark re-materializes any still-referenced cache on next use), and
+    lazy-localCheckpoint RDD blocks are freed by the ContextCleaner
+    once the Python frames are garbage-collected — drop references and
+    this call's ``System.gc()`` nudge completes the release. One-shot
+    jobs (the CLI, the driver harness) don't need this; their storage
+    dies with the session."""
+    spark = getattr(df_or_session, "sparkSession", df_or_session)
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+
+
+def _funnel_from_stages(
+    stages: list[tuple[str, DataFrame, str]]
+) -> DataFrame:
     parts = []
     for i, (stage, frame, tc) in enumerate(stages):
         toks = text.token_count(tc)

@@ -437,14 +437,22 @@ def extract_main_content(
             (tc > 0) & (tc < min_line_chars) & (lc == 0)
             & stripped.rlike(_SENTENCE_END)
         )
-        # lambda index i is 0-based; element_at is 1-based (and throws
-        # on index 0, so the first line's prev lookup must be gated)
+        # lambda index i is 0-based; element_at is 1-based AND throws
+        # out-of-bounds under ANSI mode (Spark 4 default) — both
+        # neighbor lookups go through try_element_at: the prev lookup
+        # would hit index 0 on the first line, the next lookup runs
+        # past the array on the LAST line (a short unpunctuated final
+        # line — footer chrome — is common, and the boolean OR does
+        # not short-circuit it away)
+        # ... and try_element_at still rejects index 0 outright
+        # (INVALID_INDEX_OF_ZERO is not an out-of-bounds it suppresses)
+        # so the first line's prev lookup needs the i>0 gate on top
         prev_core = F.when(
             i > 0,
-            F.coalesce(F.element_at(F.col("_mc_core"), i), F.lit(False)),
+            F.coalesce(F.try_element_at(F.col("_mc_core"), i), F.lit(False)),
         ).otherwise(F.lit(False))
         next_core = F.coalesce(
-            F.element_at(F.col("_mc_core"), i + 2), F.lit(False)
+            F.try_element_at(F.col("_mc_core"), i + 2), F.lit(False)
         )
         neighbor_core = prev_core | next_core
         short_neighbor = (

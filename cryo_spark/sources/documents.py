@@ -135,15 +135,22 @@ _CHUNKED_RE = re.compile(
 
 def _dechunk(body: bytes) -> bytes:
     """Decode Transfer-Encoding: chunked framing (hex-size line, CRLF,
-    chunk bytes, CRLF, ... , 0-size terminator). Malformed framing
-    returns the bytes decoded so far plus nothing — never raises (crawl
-    payloads are frequently truncated mid-chunk)."""
+    chunk bytes, CRLF, ... , 0-size terminator). A body whose FIRST
+    line does not parse as a chunk size is returned UNCHANGED — a
+    stored-decoded corpus that preserved the original headers, a
+    mislabeling server, or a capture truncated before the first chunk
+    would otherwise lose the whole document to b''. Past a valid first
+    chunk, malformed framing returns the bytes decoded so far — never
+    raises (crawl payloads are frequently truncated mid-chunk)."""
+    first_size_valid = False
     out, pos, n = [], 0, len(body)
     while pos < n:
         eol = body.find(b"\r\n", pos)
         if eol == -1:
             eol = body.find(b"\n", pos)
             if eol == -1:
+                if not first_size_valid:
+                    return body  # no line structure: not chunk-framed
                 break
             next_pos = eol + 1
         else:
@@ -152,7 +159,10 @@ def _dechunk(body: bytes) -> bytes:
         try:
             size = int(size_tok, 16)
         except ValueError:
+            if not first_size_valid:
+                return body  # not chunk-framed at all: keep as captured
             break
+        first_size_valid = True
         if size == 0:
             break
         chunk = body[next_pos : next_pos + size]
@@ -400,10 +410,11 @@ def read_warc(
     pruning keeps the file CONTENT out of the scan) → ``mapInPandas``
     tasks that stream each member through pyarrow's filesystem layer
     in 4 MB chunks: multi-member gzip decode, then the incremental
-    Content-Length splitter, emitting output batches of 2048 records.
-    Peak task memory is O(largest record + chunk), NOT the member
-    size — a ~1 GB CommonCrawl member (4-5 GB decompressed) parses in
-    constant memory instead of materializing. Each member is still ONE
+    Content-Length splitter, emitting output batches capped at 2048
+    records AND 64 MB of decoded text. Peak task memory is O(batch
+    cap + largest record), NOT the member size — a ~1 GB CommonCrawl
+    member (4-5 GB decompressed) parses in bounded memory instead of
+    materializing. Each member is still ONE
     task (gzip + Content-Length framing cannot resync mid-stream) —
     file-count parallelism, same caveat as gzip JSONL (SCALE.md).
     ``max_member_bytes`` guards the RAW member size (fail fast on
@@ -423,11 +434,18 @@ def read_warc(
             while local.startswith("//"):  # file:///x and file:/x forms
                 local = local[1:]
             p = local
+        elif "://" in p:
+            # remote scheme: resolution failures must PROPAGATE — a
+            # LocalFileSystem fallback on s3a://... would fail later
+            # with a misleading FileNotFoundError that hides the real
+            # cause (unsupported scheme / missing pyarrow FS driver).
+            # Hadoop's s3a/s3n spellings map to pyarrow's s3 driver.
+            scheme, rest = p.split("://", 1)
+            if scheme in ("s3a", "s3n"):
+                p = f"s3://{rest}"
+            fs, p = pafs.FileSystem.from_uri(p)
         else:
-            try:
-                fs, p = pafs.FileSystem.from_uri(p)
-            except Exception:
-                fs = pafs.LocalFileSystem()
+            fs = pafs.LocalFileSystem()
         # compression=None: pyarrow's default 'detect' would silently
         # gunzip .gz paths itself — the multi-member decode (and the
         # raw-bytes magic sniff) must see the WIRE bytes
@@ -443,7 +461,14 @@ def read_warc(
             "path", "record_idx", "warc_type", "target_uri",
             "warc_date", "content_length", "payload",
         ]
+        # flush on ROWS OR BYTES: a count-only threshold would buffer
+        # 2048 fully decoded multi-MB records (gzip/chunked bodies
+        # expanded by _decode_body_transforms) before the first yield —
+        # the byte bound keeps peak task memory at O(batch cap +
+        # largest record), which is the streaming guarantee
+        max_batch_bytes = 64 << 20
         rows: list[tuple] = []
+        batch_bytes = 0
         for pdf in batches:
             for _, r in pdf.iterrows():
                 p, length = r["path"], int(r["length"])
@@ -465,9 +490,10 @@ def read_warc(
                     chained = _gunzip_chunks(chained)
                 for rec in _iter_warc_stream(chained, p, max_member_bytes):
                     rows.append(rec)
-                    if len(rows) >= 2048:
+                    batch_bytes += len(rec[6])  # decoded payload text
+                    if len(rows) >= 2048 or batch_bytes >= max_batch_bytes:
                         yield pd.DataFrame(rows, columns=cols)
-                        rows = []
+                        rows, batch_bytes = [], 0
         yield pd.DataFrame(rows, columns=cols)
 
     return (

@@ -370,6 +370,24 @@ def _near_dup_batch(
     if not batch_df.take(1):
         return
     spark = batch_df.sparkSession
+    # LAYOUT GUARD (before any batch work): this sink is
+    # epoch_id-PARTITIONED (since round 10); pointing it at a
+    # directory holding the pre-partitioning flat part-* files would
+    # produce a mixed layout that spark.read.parquet rejects with a
+    # misleading 'conflicting directory structures' later — fail fast
+    # with the migration path instead
+    import os as _os
+
+    if _os.path.isdir(out_path) and any(
+        f.startswith("part-") for f in _os.listdir(out_path)
+    ):
+        raise ValueError(
+            f"candidate sink {out_path} contains flat part-* files "
+            "from the pre-round-10 append layout; migrate by reading "
+            "the old directory and rewriting it partitioned by "
+            "epoch_id (e.g. epoch_id=-1 for historic rows), or point "
+            "the stream at a fresh directory"
+        )
     marker_path = out_path.rstrip("/") + "_index_epochs"
     committed: set[int] = set()
     try:

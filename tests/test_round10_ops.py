@@ -1439,3 +1439,89 @@ def test_warc_streaming_memory_is_record_bounded():
         1 for _ in _iter_warc_stream(chunks(), "f.warc", max_record_bytes=1000)
     )
     assert n == 2000
+
+
+# ----------------------------- review-pass regressions (round 10)
+
+
+def test_smooth_last_line_short_chrome_no_ansi_crash(spark):
+    """A doc whose LAST rendered line is short, link-free and
+    unpunctuated (footer chrome) must not blow up the neighbor lookup
+    under ANSI mode (element_at past the array end throws; the lookups
+    go through try_element_at)."""
+    html = (
+        "<p>Leading paragraph with plenty of ordinary prose to qualify"
+        " as core content under the density rule.</p>"
+        "<p>Menu</p><p>Contact</p>"
+    )
+    df = spark.createDataFrame([(html,)], "text string")
+    out = html_ops.extract_main_content(df, "text", "o", smooth=True).first().o
+    # 'Menu' is adjacent to core -> rescued; trailing 'Contact' is not
+    assert out.splitlines()[0].startswith("Leading paragraph")
+    assert "Menu" in out and "Contact" not in out
+    # and the python reference agrees byte-for-byte
+    assert out == _py_main_content_smooth(html)
+    # first-line heading (prev lookup at index 0) also safe
+    html2 = "<h1>Hi</h1><p>Body text long enough to pass the minimum content rule.</p>"
+    df2 = spark.createDataFrame([(html2,)], "text string")
+    out2 = html_ops.extract_main_content(df2, "text", "o", smooth=True).first().o
+    assert out2 == _py_main_content_smooth(html2)
+
+
+def test_dechunk_falls_back_on_unchunked_body():
+    """A Transfer-Encoding: chunked header over a NON-chunk-framed
+    stored body (stored-decoded corpora, mislabeling servers) must
+    keep the bytes as captured, not wipe the document to ''."""
+    body = b"<html><body>Hello decoded world</body></html>"
+    raw = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Type: text/html\r\n\r\n" + body
+    )
+    assert _decode_payload(raw, "response").endswith(body.decode())
+    # no line structure at all: same fallback
+    raw2 = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nplainblob"
+    )
+    assert _decode_payload(raw2, "response").endswith("plainblob")
+
+
+def test_prepare_with_funnel_single_chain_consistency(spark):
+    """prepare_with_funnel's final frame and funnel report come from
+    one staged chain and agree with the separately-composed calls."""
+    from cryo_spark.operators import corpus
+
+    docs = _funnel_docs(spark)
+    final, funnel = corpus.prepare_with_funnel(docs, **FUNNEL_KW)
+    rows = {r.stage: r for r in funnel.collect()}
+    assert rows["split"].docs_out == final.count()
+    ref = corpus.prepare_training_corpus(docs, **FUNNEL_KW)
+    assert {r.doc_id for r in final.select("doc_id").collect()} == {
+        r.doc_id for r in ref.select("doc_id").collect()
+    }
+
+
+def test_streaming_candidate_sink_rejects_old_flat_layout(spark, tmp_path):
+    import pandas as pd
+
+    from cryo_spark.streaming import _near_dup_batch
+
+    out = tmp_path / "cands"
+    out.mkdir()
+    (out / "part-00000-old.snappy.parquet").write_bytes(b"x")
+    batch = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["hello world text"]})
+    )
+    with pytest.raises(ValueError, match="pre-round-10 append layout"):
+        _near_dup_batch(
+            batch, 0, index_table=str(tmp_path / "idx"),
+            out_path=str(out),
+        )
+
+
+def test_corpus_cli_rejects_warc_flags_for_parquet(tmp_path, capsys):
+    from cryo_spark.api import main
+
+    rc = main(["corpus", "--input", f"{SF_DIR}/documents.parquet",
+               "--output", str(tmp_path / "o"), "--robots-agent", "bot"])
+    assert rc == 2
+    assert "--robots-agent" in capsys.readouterr().err
