@@ -108,7 +108,8 @@ def read_records(
 #: Arrow batch schema for read_warc
 _WARC_SCHEMA = (
     "path string, record_idx long, warc_type string, target_uri string, "
-    "warc_date string, content_length long, payload string"
+    "warc_date string, content_length long, payload string, "
+    "payload_digest string"
 )
 
 
@@ -367,6 +368,11 @@ def _iter_warc_stream(
             fields.get("warc-date"),
             clen,
             _decode_payload(body, warc_type, max_record_bytes),
+            # the crawler's own content digest (e.g. 'sha1:...') —
+            # exact crawl-level dedup can key on it without re-hashing
+            # payload text, and 'revisit' records carry the digest of
+            # the page they duplicate
+            fields.get("warc-payload-digest"),
         )
         idx += 1
         del buf[: body_start + clen]
@@ -459,7 +465,7 @@ def read_warc(
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             "path", "record_idx", "warc_type", "target_uri",
-            "warc_date", "content_length", "payload",
+            "warc_date", "content_length", "payload", "payload_digest",
         ]
         # flush on ROWS OR BYTES: a count-only threshold would buffer
         # 2048 fully decoded multi-MB records (gzip/chunked bodies

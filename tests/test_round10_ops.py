@@ -1525,3 +1525,31 @@ def test_corpus_cli_rejects_warc_flags_for_parquet(tmp_path, capsys):
                "--output", str(tmp_path / "o"), "--robots-agent", "bot"])
     assert rc == 2
     assert "--robots-agent" in capsys.readouterr().err
+
+
+def test_warc_payload_digest_surfaced(spark, tmp_path):
+    """WARC-Payload-Digest (the crawler's own content hash) lands as a
+    column — crawl-level exact dedup can key on it with zero text
+    hashing; records without the header carry NULL."""
+    payload = b"HTTP/1.1 200 OK\r\n\r\nhello"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://dg.test/a\r\n"
+        b"WARC-Payload-Digest: sha1:ABCDEF0123456789\r\n"
+        + b"Content-Length: %d\r\n\r\n" % len(payload)
+        + payload + b"\r\n\r\n"
+    )
+    rec2 = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://dg.test/b\r\n"
+        + b"Content-Length: %d\r\n\r\n" % len(payload)
+        + payload + b"\r\n\r\n"
+    )
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "m.warc").write_bytes(rec + rec2)
+    from cryo_spark.sources.documents import read_warc
+
+    rows = {r.target_uri: r for r in read_warc(spark, str(d)).collect()}
+    assert rows["https://dg.test/a"].payload_digest == "sha1:ABCDEF0123456789"
+    assert rows["https://dg.test/b"].payload_digest is None
