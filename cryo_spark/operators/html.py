@@ -597,6 +597,7 @@ def extract_documents(
     main_content: bool = False,
     smooth: bool = False,
     status_range: tuple[int, int] | None = (200, 299),
+    max_replacement_ratio: float | None = 0.3,
 ) -> DataFrame:
     """WARC-record frame → canonical clean-text columns: keeps
     ``response`` records whose Content-Type is in
@@ -610,7 +611,15 @@ def extract_documents(
     with no shuffle. ``main_content=True`` swaps the HTML branch's
     plain tag-strip for :func:`main_content_expr` (boilerplate/chrome
     removal, plus the good-neighbor ``smooth`` pass when requested);
-    text/plain payloads are unaffected either way."""
+    text/plain payloads are unaffected either way.
+
+    ``max_replacement_ratio`` drops documents whose extracted text is
+    mostly U+FFFD replacement chars: binary payloads that slipped the
+    Content-Type filter (no header → treated as HTML, e.g. a PDF or
+    image served without headers) decode to replacement-char mojibake,
+    and so do wrong-charset pages — both are garbage for a training
+    corpus. 0.3 is deliberately lenient (real mixed-encoding pages sit
+    far below it); ``None`` disables."""
     ct = http_content_type_expr(payload_col)
     body = http_body_expr(payload_col)
     passthrough = [c for c in df.columns if c != payload_col]
@@ -645,7 +654,17 @@ def extract_documents(
     text = F.when(
         F.col("content_type") == "text/plain", trim_text_expr(body)
     ).otherwise(html_branch)
-    return (
+    out = (
         out.select(*passthrough, "content_type", text.alias(text_col))
         .filter(F.length(text_col) >= min_chars)
     )
+    if max_replacement_ratio is not None:
+        t = F.col(text_col)
+        n_bad = F.length(t) - F.length(
+            F.replace(t, F.lit("�"), F.lit(""))
+        )
+        out = out.filter(
+            n_bad.cast("double")
+            <= F.lit(max_replacement_ratio) * F.length(t)
+        )
+    return out

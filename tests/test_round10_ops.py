@@ -1553,3 +1553,36 @@ def test_warc_payload_digest_surfaced(spark, tmp_path):
     rows = {r.target_uri: r for r in read_warc(spark, str(d)).collect()}
     assert rows["https://dg.test/a"].payload_digest == "sha1:ABCDEF0123456789"
     assert rows["https://dg.test/b"].payload_digest is None
+
+
+def test_extract_documents_drops_mojibake_binaries(spark, tmp_path):
+    """A binary payload served with NO Content-Type header (treated as
+    HTML by the '' rule) decodes to replacement-char mojibake — the
+    density guard drops it; ordinary text with a stray bad byte
+    survives."""
+    import gzip as _gz
+
+    pdf_ish = b"HTTP/1.1 200 OK\r\nServer: x\r\n\r\n%PDF-1.4 " + bytes(
+        range(128, 256)
+    ) * 20
+    ok = (
+        b"HTTP/1.1 200 OK\r\nServer: x\r\n\r\n<p>Mostly fine text with "
+        b"one stray byte \xff in a long ordinary paragraph that keeps "
+        b"the replacement density far under the threshold.</p>"
+    )
+    def rec(payload: bytes, uri: str) -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload + b"\r\n\r\n"
+        )
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "m.warc.gz").write_bytes(
+        _gz.compress(rec(pdf_ish, "https://b.test/pdf")
+                     + rec(ok, "https://b.test/ok"))
+    )
+    urls = {r.url for r in read_warc_documents(spark, str(d)).collect()}
+    assert urls == {"https://b.test/ok"}
