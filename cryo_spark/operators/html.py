@@ -528,6 +528,40 @@ def html_lang_sql(expr: str) -> str:
     return f"lower(regexp_extract({expr}, '{pat}', 1))"
 
 
+#: opening-tag names in document order (the layout "skeleton")
+_TAG_NAME_RE = r"<([A-Za-z][A-Za-z0-9]*)"
+
+
+def html_skeleton_expr(col: str | Column) -> Column:
+    """Template fingerprint of an HTML document: md5 of the lowercased
+    opening-tag-name sequence (text content ignored). Pages generated
+    from the SAME template share a skeleton even when their text is
+    entirely different — grouping by (host, skeleton) finds template
+    families (listing pages, tag archives, calendar spam) that
+    text-level dedup misses because each instance's words differ.
+    Script/style/comment bodies are stripped first so embedded markup
+    examples cannot perturb the layout hash."""
+    c = _c(col)
+    for pat, rep in _TAG_STEPS[:3]:  # script / style / comments
+        c = F.regexp_replace(c, pat, rep)
+    return F.md5(
+        F.lower(F.array_join(F.regexp_extract_all(c, F.lit(_TAG_NAME_RE), 1), ">"))
+    )
+
+
+def html_skeleton_sql(expr: str) -> str:
+    def lit(s: str) -> str:
+        return "chr(10)" if s == "\n" else "'" + s.replace("'", "''") + "'"
+
+    c = expr
+    for pat, rep in _TAG_STEPS[:3]:
+        c = f"regexp_replace({c}, {lit(pat)}, {lit(rep)}, 'g')"
+    return (
+        f"md5(lower(array_to_string("
+        f"regexp_extract_all({c}, '{_TAG_NAME_RE}', 1), '>')))"
+    )
+
+
 # -- robots / noindex awareness --------------------------------------
 
 #: X-Robots-Tag response header carrying a noindex directive —

@@ -214,3 +214,27 @@ def apply_robots(
     if drop:
         out = out.filter(~F.col(out_col)).drop(out_col)
     return out
+
+
+def robots_sitemaps(
+    df: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """(host, sitemap_url) pairs from robots.txt documents — the
+    standard crawl-frontier seed next to the allow/disallow rules
+    (``Sitemap:`` lines are group-independent per the spec, so no
+    agent selection applies). Distinct across repeated fetches."""
+    d = df.select(
+        canonical_host(url_col).alias("host"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_line"),
+    )
+    line = F.trim(F.regexp_replace("_line", r"\r$", ""))
+    return (
+        d.select(
+            "host",
+            F.regexp_extract(
+                line, r"(?i)^sitemap[ \t]*:[ \t]*(\S+)", 1
+            ).alias("sitemap_url"),
+        )
+        .filter(F.col("sitemap_url") != "")
+        .distinct()
+    )

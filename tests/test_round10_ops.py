@@ -1586,3 +1586,60 @@ def test_extract_documents_drops_mojibake_binaries(spark, tmp_path):
     )
     urls = {r.url for r in read_warc_documents(spark, str(d)).collect()}
     assert urls == {"https://b.test/ok"}
+
+
+# --------------------------- template skeletons + sitemap surfacing
+
+
+def test_html_skeleton_groups_templates(spark):
+    """Same template, different text -> same skeleton; different
+    layout -> different skeleton; script bodies don't perturb it."""
+    import pandas as pd
+
+    a1 = ('<html><head><title>A</title></head><body><div class="x">'
+          "<p>first article text</p></div></body></html>")
+    a2 = ('<html><head><title>B</title><script>var q="<td>";</script>'
+          '</head><body><div class="y"><p>totally different words</p>'
+          "</div></body></html>")
+    b = "<html><body><ul><li>x</li><li>y</li></ul></body></html>"
+    pdf = pd.DataFrame({"i": [0, 1, 2], "h": [a1, a2, b]})
+    got = [
+        r.s
+        for r in spark.createDataFrame(pdf)
+        .select("i", html_ops.html_skeleton_expr("h").alias("s"))
+        .orderBy("i").collect()
+    ]
+    # a2's extra <script> is stripped pre-hash, so a1/a2 share a
+    # skeleton despite different text and attribute values
+    assert got[0] == got[1] != got[2]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {html_ops.html_skeleton_sql('h')} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want
+
+
+def test_robots_sitemaps_extraction(spark):
+    from cryo_spark.operators import robots as robots_ops
+
+    txt = ("User-agent: *\nDisallow: /x\n"
+           "Sitemap: https://a.com/map.xml\r\n"
+           "sitemap:\thttps://a.com/map2.xml\n"
+           "# Sitemap: https://a.com/commented.xml is just a comment? no"
+           "\nSitemap: https://a.com/map.xml\n")
+    df = spark.createDataFrame(
+        [("https://www.A.com/robots.txt", txt)], "url string, text string"
+    )
+    got = {
+        (r.host, r.sitemap_url)
+        for r in robots_ops.robots_sitemaps(df).collect()
+    }
+    assert got == {
+        ("a.com", "https://a.com/map.xml"),
+        ("a.com", "https://a.com/map2.xml"),
+    }
