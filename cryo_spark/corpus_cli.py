@@ -31,7 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--input", required=True, help="corpus path/glob")
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "jsonl", "text", "warc"])
+                   choices=["parquet", "jsonl", "text", "warc", "wet"])
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--text-col", default="text")
     p.add_argument("--url-col", default=None,
@@ -143,6 +143,18 @@ def run(args: argparse.Namespace) -> int:
             )
         # the pipeline's quality/report layers expect a source column;
         # for a crawl the natural stratum is the host
+        if "source" not in docs.columns:
+            from cryo_spark.operators.web import canonical_host
+
+            docs = docs.withColumn("source", canonical_host("url"))
+    elif args.format == "wet":
+        # pre-extracted CommonCrawl text: same document shape as the
+        # warc branch minus the extraction options (the crawler
+        # already extracted), so the host stratum applies identically
+        docs = docs_src.read_wet_documents(
+            spark, args.input, text_col=args.text_col
+        )
+        kw["url_col"] = args.url_col or "url"
         if "source" not in docs.columns:
             from cryo_spark.operators.web import canonical_host
 

@@ -109,7 +109,7 @@ def read_records(
 _WARC_SCHEMA = (
     "path string, record_idx long, warc_type string, target_uri string, "
     "warc_date string, content_length long, payload string, "
-    "payload_digest string"
+    "payload_digest string, identified_lang string"
 )
 
 
@@ -373,6 +373,11 @@ def _iter_warc_stream(
             # payload text, and 'revisit' records carry the digest of
             # the page they duplicate
             fields.get("warc-payload-digest"),
+            # WET conversion records carry the crawler's CLD2 verdict
+            # ('eng,rus' ISO 639-3 list) — language stratification can
+            # key on it without recomputing lang-id over 100 TB; absent
+            # on classic response records
+            fields.get("warc-identified-content-language"),
         )
         idx += 1
         del buf[: body_start + clen]
@@ -466,6 +471,7 @@ def read_warc(
         cols = [
             "path", "record_idx", "warc_type", "target_uri",
             "warc_date", "content_length", "payload", "payload_digest",
+            "identified_lang",
         ]
         # flush on ROWS OR BYTES: a count-only threshold would buffer
         # 2048 fully decoded multi-MB records (gzip/chunked bodies
@@ -573,3 +579,51 @@ def read_warc_documents(
     if full_entities:
         docs = html_ops.decode_entities(docs, text_col)
     return docs
+
+
+def read_wet_documents(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
+    min_chars: int = 1,
+) -> DataFrame:
+    """WET crawl extracts → canonical documents. A ``.warc.wet.gz``
+    file (the CommonCrawl *extracted-text* companion to the raw WARC)
+    is WARC framing around ``conversion`` records whose payload is the
+    already-extracted plain text of one page — no HTTP envelope, no
+    HTML. Ingestion is therefore :func:`read_warc` (same streaming
+    member parser, same guards) + a ``conversion`` filter + the
+    engine-parity whitespace trim — one narrow projection, zero
+    Python beyond the shared parser.
+
+    Lands (doc_id, url, warc_date, identified_lang, text):
+    ``identified_lang`` is the crawler's own language verdict
+    (``WARC-Identified-Content-Language``, an ISO 639-3 list like
+    ``'eng,rus'``; '' pre-2018 crawls) — language stratification can
+    key on it without recomputing ``text.lang_id`` over the corpus,
+    and cross-checking the two columns flags mislabeled pages.
+
+    Use this when the corpus recipe trusts CommonCrawl's extraction;
+    use :func:`read_warc_documents` (raw WARC + ``main_content=True``)
+    when it needs its own boilerplate policy — the output shape is
+    identical either way, so pipelines swap sources freely."""
+    from cryo_spark.operators.html import trim_text_expr
+
+    recs = read_warc(
+        spark, path, id_col=id_col, max_member_bytes=max_member_bytes
+    )
+    return (
+        recs.filter(F.col("warc_type") == "conversion")
+        .select(
+            id_col,
+            F.col("target_uri").alias("url"),
+            "warc_date",
+            F.coalesce(F.col("identified_lang"), F.lit("")).alias(
+                "identified_lang"
+            ),
+            trim_text_expr("payload").alias(text_col),
+        )
+        .filter(F.length(text_col) >= min_chars)
+    )

@@ -1,0 +1,318 @@
+"""WET (pre-extracted text) ingestion and CDX(J) index reading +
+index-driven ranged record fetch — the CommonCrawl companion formats
+to raw WARC.
+
+WET: WARC framing around ``conversion`` records whose payload is the
+page's already-extracted plain text; the crawler's language verdict
+rides in ``WARC-Identified-Content-Language``.
+
+CDX: ``<SURT urlkey> <timestamp> <JSON>`` lines whose JSON carries the
+capture's (filename, offset, length) — the handle for fetching ONE
+record's bytes out of a multi-GB ``.warc.gz`` whose records are
+independent gzip members.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cryo_spark.sources.cdx import fetch_cdx_records, read_cdx
+from cryo_spark.sources.documents import read_warc_documents, read_wet_documents
+
+
+def _wet_record(text: bytes, uri: str, lang: str = "") -> bytes:
+    sep = b"\r\n"
+    hdrs = (
+        b"WARC/1.0" + sep
+        + b"WARC-Type: conversion" + sep
+        + f"WARC-Target-URI: {uri}".encode() + sep
+        + b"WARC-Date: 2026-08-14T00:00:00Z" + sep
+    )
+    if lang:
+        hdrs += f"WARC-Identified-Content-Language: {lang}".encode() + sep
+    return (
+        hdrs
+        + f"Content-Length: {len(text)}".encode() + sep
+        + sep + text + sep + sep
+    )
+
+
+def _warcinfo_record() -> bytes:
+    sep = b"\r\n"
+    body = b"software: test-crawler/1.0"
+    return (
+        b"WARC/1.0" + sep
+        + b"WARC-Type: warcinfo" + sep
+        + f"Content-Length: {len(body)}".encode() + sep
+        + sep + body + sep + sep
+    )
+
+
+def test_read_wet_documents(spark, tmp_path):
+    """conversion records land as (doc_id, url, warc_date,
+    identified_lang, text); warcinfo headers and empty extracts are
+    dropped; trim uses the full whitespace class, not just spaces."""
+    raw = (
+        _warcinfo_record()
+        + _wet_record(b"\r\n  Hello world extract.\t\r\n", "https://a.test/p1",
+                      lang="eng")
+        + _wet_record("Bonjour le monde — extrait.".encode(),
+                      "https://b.test/p2", lang="fra,eng")
+        + _wet_record(b"   \r\n  ", "https://c.test/empty")
+    )
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "part.warc.wet.gz").write_bytes(gzip.compress(raw))
+    docs = read_wet_documents(spark, str(d)).orderBy("url").collect()
+    assert [r.url for r in docs] == ["https://a.test/p1", "https://b.test/p2"]
+    assert docs[0].text == "Hello world extract."
+    assert docs[0].identified_lang == "eng"
+    assert docs[1].identified_lang == "fra,eng"
+    assert docs[1].text == "Bonjour le monde — extrait."
+    # deterministic ids: re-read yields identical ids
+    again = read_wet_documents(spark, str(d)).orderBy("url").collect()
+    assert [r.doc_id for r in again] == [r.doc_id for r in docs]
+
+
+def test_wet_lang_absent_is_empty(spark, tmp_path):
+    """Pre-2018 crawls carry no Identified-Content-Language header —
+    the column must land '' (not NULL) so group-bys don't need
+    coalesce."""
+    d = tmp_path / "wet2"
+    d.mkdir()
+    (d / "p.warc.wet").write_bytes(_wet_record(b"text here", "https://x.test/"))
+    r = read_wet_documents(spark, str(d)).collect()[0]
+    assert r.identified_lang == ""
+
+
+# ------------------------------------------------------------- CDX
+
+
+def _cdx_line(urlkey: str, ts: str, **j) -> str:
+    return f"{urlkey} {ts} {json.dumps(j)}"
+
+
+def test_read_cdx_parses_typed_columns(spark, tmp_path):
+    lines = [
+        _cdx_line(
+            "test,a)/x", "20260814120000",
+            url="https://a.test/x", mime="text/html", status="200",
+            digest="sha1:AAAA", length="1234", offset="5678",
+            filename="crawl/seg/file.warc.gz", languages="eng",
+        ),
+        _cdx_line(
+            "test,b)/y", "20260101000000",
+            url="https://b.test/y", mime="application/pdf", status="404",
+            length="10", offset="0", filename="crawl/seg/g.warc.gz",
+        ),
+        "garbage line without json",
+    ]
+    p = tmp_path / "idx.cdx"
+    p.write_text("\n".join(lines))
+    df = read_cdx(spark, str(p))
+    rows = {r.urlkey: r for r in df.collect()}
+    a = rows["test,a)/x"]
+    assert a.url == "https://a.test/x" and a.status == 200
+    assert a.length == 1234 and a.offset == 5678
+    assert a.filename == "crawl/seg/file.warc.gz"
+    assert a.languages == "eng"
+    assert str(a.ts).startswith("2026-08-14 12:00:00")
+    b = rows["test,b)/y"]
+    assert b.status == 404 and b.mime == "application/pdf"
+    # malformed line: NULL parsed fields, scan does not fail
+    g = rows["garbage"]
+    assert g.url is None and g.offset is None
+
+
+def test_read_cdx_matches_duckdb_parse(spark, tmp_path):
+    """Differential: the JVM parse and a DuckDB JSON parse agree on
+    the load-bearing fields."""
+    import duckdb
+
+    line = _cdx_line(
+        "test,d)/p q", "20250630235959",
+        url="https://d.test/p?q=1", mime="text/html", status="301",
+        digest="sha1:XYZ", length="99", offset="1000",
+        filename="f.warc.gz", redirect="https://d.test/p2",
+    )
+    p = tmp_path / "one.cdx"
+    p.write_text(line)
+    r = read_cdx(spark, str(p)).collect()[0]
+    j = line[line.index("{"):]
+    dk = duckdb.execute(
+        "SELECT json_extract_string(j, '$.url') AS url, "
+        "try_cast(json_extract_string(j, '$.status') AS INT) AS status, "
+        "try_cast(json_extract_string(j, '$.offset') AS BIGINT) AS off, "
+        "json_extract_string(j, '$.redirect') AS redirect "
+        "FROM (SELECT ?::VARCHAR AS j)", [j]
+    ).fetchone()
+    assert (r.url, r.status, r.offset, r.redirect) == dk
+
+
+# ------------------------------------------- index-driven ranged fetch
+
+
+def _member(payload: bytes, uri: str) -> bytes:
+    """One WARC response record as ONE gzip member (the .warc.gz
+    contract CDX byte offsets rely on)."""
+    sep = b"\r\n"
+    rec = (
+        b"WARC/1.0" + sep
+        + b"WARC-Type: response" + sep
+        + f"WARC-Target-URI: {uri}".encode() + sep
+        + b"WARC-Date: 2026-08-14T00:00:00Z" + sep
+        + f"Content-Length: {len(payload)}".encode() + sep
+        + sep + payload + sep + sep
+    )
+    return gzip.compress(rec)
+
+
+def _build_archive(tmp_path, n: int = 5):
+    """Multi-member .warc.gz + its CDX index with real offsets."""
+    members, offsets = [], []
+    pos = 0
+    for i in range(n):
+        body = f"<html><body><p>Document number {i} body text, long enough to keep.</p></body></html>"
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + body.encode()
+        )
+        m = _member(payload, f"https://site{i}.test/page")
+        members.append(m)
+        offsets.append((pos, len(m)))
+        pos += len(m)
+    warc = tmp_path / "arc.warc.gz"
+    warc.write_bytes(b"".join(members))
+    lines = [
+        _cdx_line(
+            f"test,site{i})/page", "20260814000000",
+            url=f"https://site{i}.test/page", mime="text/html",
+            status="200", length=str(ln), offset=str(off),
+            filename="arc.warc.gz",
+        )
+        for i, (off, ln) in enumerate(offsets)
+    ]
+    idx = tmp_path / "arc.cdx"
+    idx.write_text("\n".join(lines))
+    return warc, idx
+
+
+def test_fetch_cdx_records_selective(spark, tmp_path):
+    """Filtering the index then fetching touches only the selected
+    records and lands the read_warc frame shape."""
+    warc, idx = _build_archive(tmp_path, n=5)
+    cdx = read_cdx(spark, str(idx))
+    picked = cdx.filter(F.col("urlkey").isin("test,site1)/page",
+                                             "test,site3)/page"))
+    recs = fetch_cdx_records(
+        spark, picked, warc_root=str(tmp_path) + "/"
+    ).orderBy("target_uri").collect()
+    assert [r.target_uri for r in recs] == [
+        "https://site1.test/page", "https://site3.test/page"
+    ]
+    assert all(r.warc_type == "response" for r in recs)
+    assert "Document number 1 body text" in recs[0].payload
+    assert "Document number 3 body text" in recs[1].payload
+    # ids are deterministic in (filename, offset)
+    again = fetch_cdx_records(
+        spark, picked, warc_root=str(tmp_path) + "/"
+    ).orderBy("target_uri").collect()
+    assert [r.doc_id for r in again] == [r.doc_id for r in recs]
+
+
+def test_fetch_composes_with_extract_documents(spark, tmp_path):
+    """The fetched frame feeds the same projection chain whole-member
+    ingestion uses — text extraction needs no special-casing."""
+    from cryo_spark.operators.html import extract_documents
+
+    warc, idx = _build_archive(tmp_path, n=3)
+    cdx = read_cdx(spark, str(idx)).filter(F.col("status") == 200)
+    recs = fetch_cdx_records(spark, cdx, warc_root=str(tmp_path) + "/")
+    docs = extract_documents(recs).orderBy("target_uri").collect()
+    assert len(docs) == 3
+    assert docs[0].text.startswith("Document number 0 body text")
+
+
+def test_fetch_missing_handle_rows_dropped(spark, tmp_path):
+    """Index rows lacking filename/offset/length cannot be fetched and
+    are dropped up front instead of failing tasks."""
+    warc, idx = _build_archive(tmp_path, n=2)
+    extra = idx.read_text() + "\n" + _cdx_line(
+        "test,nohandle)/x", "20260814000000", url="https://nohandle.test/x"
+    )
+    idx.write_text(extra)
+    cdx = read_cdx(spark, str(idx))
+    assert cdx.count() == 3
+    recs = fetch_cdx_records(spark, cdx, warc_root=str(tmp_path) + "/")
+    assert recs.count() == 2
+
+
+def test_fetch_oversized_record_fails_fast(spark, tmp_path):
+    warc, idx = _build_archive(tmp_path, n=1)
+    cdx = read_cdx(spark, str(idx))
+    with pytest.raises(Exception, match="max_member_bytes"):
+        fetch_cdx_records(
+            spark, cdx, warc_root=str(tmp_path) + "/", max_member_bytes=10
+        ).collect()
+
+
+def test_corpus_cli_wet_format(spark, tmp_path, capsys):
+    """--format wet drives the full pipeline off pre-extracted
+    CommonCrawl text, with hosts as the default source stratum."""
+    from cryo_spark.api import main
+
+    prose = (
+        "The quick brown fox jumps over the lazy dog and this page "
+        "number %d carries enough ordinary english prose to pass the "
+        "quality and language filters used by the corpus pipeline."
+    )
+    raw = b"".join(
+        _wet_record((prose % i).encode(), f"https://w{i % 3}.test/p/{i}",
+                    lang="eng")
+        for i in range(9)
+    )
+    d = tmp_path / "wetcrawl"
+    d.mkdir()
+    (d / "m.warc.wet.gz").write_bytes(gzip.compress(raw))
+    out = tmp_path / "out"
+    rc = main(["corpus", "--input", str(d), "--format", "wet",
+               "--output", str(out)])
+    assert rc == 0
+    funnel = {r["stage"]: r for r in json.load(open(out / "funnel.json"))}
+    assert funnel["input"]["docs_in"] == 9
+    kept = spark.read.parquet(str(out / "corpus"))
+    assert kept.count() == funnel["split"]["docs_out"]
+    assert "source" in kept.columns  # host stratum landed
+
+    # warc-only extraction flags are rejected for wet (there is no
+    # HTML left to extract from)
+    capsys.readouterr()
+    rc = main(["corpus", "--input", str(d), "--format", "wet",
+               "--output", str(out), "--main-content"])
+    assert rc == 2
+    assert "--main-content" in capsys.readouterr().err
+
+
+def test_wet_and_warc_document_shapes_interchange(spark, tmp_path):
+    """A pipeline written against read_warc_documents' (doc_id, url,
+    text) core consumes read_wet_documents output unchanged — the
+    documented source-swap property."""
+    raw = _wet_record(b"Shared pipeline text.", "https://swap.test/a",
+                      lang="eng")
+    d = tmp_path / "wet3"
+    d.mkdir()
+    (d / "p.warc.wet.gz").write_bytes(gzip.compress(raw))
+    wet = read_wet_documents(spark, str(d))
+    core = {"doc_id", "url", "text"}
+    assert core <= set(wet.columns)
+    # same core that read_warc_documents lands
+    warc_dir = tmp_path / "warc"
+    warc_dir.mkdir()
+    payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>Warc text.</p>"
+    (warc_dir / "p.warc.gz").write_bytes(_member(payload, "https://swap.test/b"))
+    warc_docs = read_warc_documents(spark, str(warc_dir))
+    assert core <= set(warc_docs.columns)
