@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--robots-agent", default=None,
                    help="warc: parse the crawl's robots.txt responses "
                         "and drop docs this agent may not index")
+    p.add_argument("--min-host-rank", type=float, default=None,
+                   help="warc: build the crawl's own host link graph, "
+                        "PageRank it, and drop docs whose host rank "
+                        "falls below this floor")
+    p.add_argument("--host-rank-iters", type=int, default=10,
+                   help="power iterations for --min-host-rank")
     p.add_argument("--blocklist", nargs="+", default=None,
                    help="host suffixes to drop")
     p.add_argument("--allowlist", nargs="+", default=None)
@@ -108,6 +114,7 @@ def run(args: argparse.Namespace) -> int:
             "--smooth": args.smooth,
             "--drop-noindex": args.drop_noindex,
             "--robots-agent": args.robots_agent,
+            "--min-host-rank": args.min_host_rank is not None,
         }
         bad = [f for f, v in warc_only.items() if v]
         if bad:
@@ -141,6 +148,20 @@ def run(args: argparse.Namespace) -> int:
                 docs_src.read_warc(spark, args.input),
                 agent=args.robots_agent,
             )
+        if args.min_host_rank is not None:
+            # the crawl ranks itself: link graph from the raw WARC
+            # payloads (extraction rides the same ingestion scan),
+            # PageRank over hosts, floor applied as the host_rank
+            # pipeline stage
+            from cryo_spark.operators import linkgraph
+
+            kw["host_ranks"] = linkgraph.host_rank(
+                linkgraph.host_link_graph(
+                    docs_src.read_warc(spark, args.input)
+                ),
+                iters=args.host_rank_iters,
+            )
+            kw["min_host_rank"] = args.min_host_rank
         # the pipeline's quality/report layers expect a source column;
         # for a crawl the natural stratum is the host
         if "source" not in docs.columns:

@@ -110,6 +110,8 @@ def _corpus_stages(
     url_blocklist=None,
     url_allowlist=None,
     robots_rules: DataFrame | None = None,
+    host_ranks: DataFrame | None = None,
+    min_host_rank: float = 0.0,
     checkpoint: bool = False,
 ) -> list[tuple[str, DataFrame, str]]:
     """The WHOLE preparation pipeline, composed from the per-stage
@@ -203,11 +205,11 @@ def _corpus_stages(
 
     if (
         url_blocklist or url_allowlist or domain_cap_n
-        or robots_rules is not None
+        or robots_rules is not None or host_ranks is not None
     ) and url_col is None:
         raise ValueError(
-            "url_blocklist/url_allowlist/domain_cap_n/robots_rules "
-            "require url_col"
+            "url_blocklist/url_allowlist/domain_cap_n/robots_rules/"
+            "host_ranks require url_col"
         )
     if url_col is not None:
         from cryo_spark.operators import web
@@ -241,6 +243,23 @@ def _corpus_stages(
                 robots_mod.apply_robots(
                     df, robots_rules, url_col=url_col, drop=True
                 ),
+                text_col,
+            )
+        if host_ranks is not None:
+            # link-graph quality prior (round 10), last of the
+            # host-level policy controls: broadcast the #hosts-sized
+            # rank frame, keep docs whose host rank clears the floor.
+            # PIPELINE-ONLY like robots (the ranks come from a
+            # DataFrame — operators.linkgraph.host_rank); contract
+            # entries run without it. The signal column is dropped at
+            # the boundary so downstream stage schemas are unchanged.
+            from cryo_spark.operators import linkgraph
+
+            df = _mark(
+                "host_rank",
+                linkgraph.attach_host_rank(df, host_ranks, url_col=url_col)
+                .filter(F.col("host_rank") >= min_host_rank)
+                .drop("host_rank"),
                 text_col,
             )
         ud = web.url_dedup(df, url_col=url_col)

@@ -150,6 +150,97 @@ def test_attach_host_rank_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_host_rank_pipeline_stage(spark):
+    """host_ranks + min_host_rank compose as a stage-0 URL control:
+    docs on low-rank hosts exit at the host_rank boundary, the funnel
+    reports it, and absent hosts rank 0 (dropped under any positive
+    floor)."""
+    from cryo_spark.operators.corpus import corpus_funnel
+
+    prose = (
+        "The quick brown fox jumps over the lazy dog and this page "
+        "number %d carries enough ordinary english prose to pass the "
+        "quality and language filters used by the corpus pipeline."
+    )
+    docs = spark.createDataFrame(
+        [
+            (i,
+             prose % i,
+             "web",
+             f"https://{'good' if i % 2 else 'spam'}.test/p/{i}")
+            for i in range(10)
+        ],
+        "doc_id long, text string, source string, url string",
+    )
+    ranks = spark.createDataFrame(
+        [("good.test", 0.8), ("spam.test", 0.01)], "host string, rank double"
+    )
+    funnel = corpus_funnel(
+        docs, url_col="url", host_ranks=ranks, min_host_rank=0.1
+    )
+    rows = {r.stage: r for r in funnel.collect()}
+    assert "host_rank" in rows
+    assert rows["host_rank"].docs_in == 10
+    assert rows["host_rank"].docs_out == 5  # the spam.test half exits
+
+    # url_col is required when host_ranks is passed
+    with pytest.raises(ValueError, match="host_ranks"):
+        corpus_funnel(docs.drop("url"), host_ranks=ranks)
+
+
+def test_corpus_cli_min_host_rank(spark, tmp_path):
+    """--min-host-rank ranks the crawl's own link graph and gates the
+    pipeline; rejected for non-warc formats."""
+    import gzip
+    import json
+
+    from cryo_spark.api import main
+
+    def rec(body: bytes, uri: str) -> bytes:
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        )
+        return gzip.compress(
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + b"WARC-Date: 2026-08-14T00:00:00Z\r\n"
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload + b"\r\n\r\n"
+        )
+
+    prose = (
+        b"<p>The quick brown fox jumps over the lazy dog and this page"
+        b" carries enough ordinary english prose to pass the quality"
+        b" and language filters used by the corpus pipeline.</p>"
+    )
+    # hub.test is linked by every page; lonely.test by nobody
+    raw = b""
+    for i in range(4):
+        raw += rec(
+            prose + b'<a href="https://hub.test/x"></a>',
+            f"https://s{i}.test/p",
+        )
+    raw += rec(prose, "https://hub.test/x")
+    raw += rec(prose, "https://lonely.test/y")
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "m.warc.gz").write_bytes(raw)
+    out = tmp_path / "out"
+    rc = main(["corpus", "--input", str(d), "--format", "warc",
+               "--output", str(out), "--min-host-rank", "0.3",
+               "--host-rank-iters", "4"])
+    assert rc == 0
+    funnel = {r["stage"]: r for r in json.load(open(out / "funnel.json"))}
+    hr = funnel["host_rank"]
+    # hub.test survives (everyone links it); the four s*.test sources
+    # and lonely.test sit at/below the teleport floor
+    assert hr["docs_in"] == 6 and hr["docs_out"] == 1
+
+    rc = main(["corpus", "--input", f"{tmp_path}", "--format", "parquet",
+               "--output", str(out), "--min-host-rank", "0.5"])
+    assert rc == 2
+
+
 def test_linkgraph_from_warc_end_to_end(spark, tmp_path):
     """read_warc records feed host_link_graph directly (payload +
     target_uri defaults), closing the crawl → graph → signal loop."""
