@@ -66,6 +66,7 @@ def host_link_graph(
     df: DataFrame,
     html_col: str = "payload",
     url_col: str = "target_uri",
+    links_col: str | None = None,
 ) -> DataFrame:
     """Weighted host-level link graph from raw HTML documents:
     ``(src_host, dst_host, n_links)`` with self-edges dropped.
@@ -78,10 +79,25 @@ def host_link_graph(
     on every page counts per page) — :func:`host_rank` normalizes by
     out-degree, so a link farm's thousand outbound edges each carry
     1/1000th of its rank (the property that makes rank hard to
-    inflate by emitting more links)."""
+    inflate by emitting more links).
+
+    ``links_col`` switches the source from raw HTML to a
+    pre-extracted link array (``sources.documents.read_wat_links``'s
+    ``links`` column — WAT metadata): targets are taken from each
+    element's ``url`` field under the SAME host-naming filter
+    (absolute / protocol-relative only), so WARC- and WAT-built
+    graphs agree by construction."""
     src = canonical_host(url_col)
-    link = F.explode(html_links_expr(html_col)).alias("link")
-    links = df.select(src.alias("src_host"), link)
+    if links_col is not None:
+        target = F.explode(F.col(links_col)).alias("l")
+        links = (
+            df.select(src.alias("src_host"), target)
+            .select("src_host", F.col("l")["url"].alias("link"))
+            .filter(F.col("link").rlike(r"(?i)^(?:https?:)?//"))
+        )
+    else:
+        link = F.explode(html_links_expr(html_col)).alias("link")
+        links = df.select(src.alias("src_host"), link)
     dst = canonical_host(
         F.when(
             F.col("link").startswith("//"),

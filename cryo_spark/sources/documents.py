@@ -581,6 +581,66 @@ def read_warc_documents(
     return docs
 
 
+#: WAT JSON envelope: the subtree the link-graph consumer needs.
+#: Field names carry '-'; backticks keep the DDL parser happy.
+_WAT_SCHEMA = (
+    "struct<`Envelope`: struct<"
+    "`WARC-Header-Metadata`: struct<`WARC-Target-URI`: string>, "
+    "`Payload-Metadata`: struct<`HTTP-Response-Metadata`: struct<"
+    "`HTML-Metadata`: struct<"
+    "`Links`: array<struct<`path`: string, `url`: string, "
+    "`text`: string, `title`: string>>, "
+    "`Head`: struct<`Title`: string>>>>>>"
+)
+
+
+def read_wat_links(
+    spark: SparkSession,
+    path: str,
+    max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
+) -> DataFrame:
+    """WAT crawl metadata → per-page outlinks: one row per crawled
+    page with (url, title, links array<struct<path, url, text,
+    title>>). A ``.warc.wat.gz`` file (the CommonCrawl *metadata*
+    companion) is WARC framing around ``metadata`` records whose
+    payload is a JSON envelope; the link list lives at
+    ``Envelope.Payload-Metadata.HTTP-Response-Metadata
+    .HTML-Metadata.Links``.
+
+    Ingestion is :func:`read_warc` (same streaming parser/guards) +
+    one JVM ``from_json`` with a PRUNED schema — only the envelope
+    subtree the link graph needs is parsed; the rest of the (large)
+    JSON is skipped by the Jackson parser. Malformed payloads land
+    NULL links, never fail the scan.
+
+    This is the link-graph source for recipes that never touch raw
+    WARC: ``operators.linkgraph.host_link_graph(read_wat_links(...),
+    html_col=None, links_col='links')`` builds the same host edges
+    from the pre-extracted link lists (absolute/protocol-relative
+    targets only, exactly as the raw-HTML extractor)."""
+    recs = read_warc(
+        spark, path, max_member_bytes=max_member_bytes
+    ).filter(F.col("warc_type") == "metadata")
+    j = F.from_json(F.col("payload"), _WAT_SCHEMA)
+    meta = j["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"][
+        "HTML-Metadata"
+    ]
+    return recs.select(
+        F.coalesce(
+            j["Envelope"]["WARC-Header-Metadata"]["WARC-Target-URI"],
+            F.col("target_uri"),
+        ).alias("url"),
+        meta["Head"]["Title"].alias("title"),
+        F.coalesce(
+            meta["Links"],
+            F.expr(
+                "cast(array() as array<struct<"
+                "path:string,url:string,text:string,title:string>>)"
+            ),
+        ).alias("links"),
+    )
+
+
 def read_wet_documents(
     spark: SparkSession,
     path: str,

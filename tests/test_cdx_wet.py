@@ -297,6 +297,106 @@ def test_corpus_cli_wet_format(spark, tmp_path, capsys):
     assert "--main-content" in capsys.readouterr().err
 
 
+def _wat_record(uri: str, links: list[str], title: str = "T") -> bytes:
+    env = {
+        "Envelope": {
+            "WARC-Header-Metadata": {"WARC-Target-URI": uri},
+            "Payload-Metadata": {
+                "HTTP-Response-Etc-Ignored": {"big": "blob"},
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": {
+                        "Head": {"Title": title},
+                        "Links": [
+                            {"path": "A@/href", "url": u} for u in links
+                        ],
+                    }
+                },
+            },
+        }
+    }
+    body = json.dumps(env).encode()
+    sep = b"\r\n"
+    return (
+        b"WARC/1.0" + sep
+        + b"WARC-Type: metadata" + sep
+        + f"WARC-Target-URI: {uri}".encode() + sep
+        + b"WARC-Date: 2026-08-14T00:00:00Z" + sep
+        + f"Content-Length: {len(body)}".encode() + sep
+        + sep + body + sep + sep
+    )
+
+
+def test_read_wat_links(spark, tmp_path):
+    raw = (
+        _wat_record("https://a.test/p",
+                    ["https://b.test/x", "/relative", "//c.test/y"],
+                    title="Page A")
+        + _wat_record("https://d.test/q", [])
+        # malformed JSON payload: NULL-safe, scan must not fail
+        + (b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+           b"WARC-Target-URI: https://bad.test/\r\n"
+           b"Content-Length: 9\r\n\r\nnot json!\r\n\r\n")
+    )
+    d = tmp_path / "wat"
+    d.mkdir()
+    (d / "m.warc.wat.gz").write_bytes(gzip.compress(raw))
+    from cryo_spark.sources.documents import read_wat_links
+
+    rows = {r.url: r for r in read_wat_links(spark, str(d)).collect()}
+    assert rows["https://a.test/p"].title == "Page A"
+    assert [l.url for l in rows["https://a.test/p"].links] == [
+        "https://b.test/x", "/relative", "//c.test/y"
+    ]
+    assert list(rows["https://d.test/q"].links) == []
+    # malformed payload: URI falls back to the WARC header, links []
+    assert list(rows["https://bad.test/"].links) == []
+
+
+def test_wat_and_warc_link_graphs_agree(spark, tmp_path):
+    """The same crawl's WARC (raw HTML) and WAT (pre-extracted links)
+    must yield the SAME host edge graph — the documented construction
+    property."""
+    from cryo_spark.operators.linkgraph import host_link_graph
+    from cryo_spark.sources.documents import read_warc, read_wat_links
+
+    pages = [
+        ("https://a.test/p", ["https://b.test/x", "//c.test/y",
+                              "/rel-ignored"]),
+        ("https://b.test/q", ["https://a.test/", "https://a.test/2"]),
+    ]
+    warc_raw, wat_raw = b"", b""
+    for uri, links in pages:
+        body = "".join(f'<a href="{u}">t</a>' for u in links).encode()
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        )
+        warc_raw += (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + b"WARC-Date: 2026-08-14T00:00:00Z\r\n"
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload + b"\r\n\r\n"
+        )
+        wat_raw += _wat_record(uri, links)
+    dw = tmp_path / "warc_g"
+    dt = tmp_path / "wat_g"
+    dw.mkdir(), dt.mkdir()
+    (dw / "m.warc.gz").write_bytes(gzip.compress(warc_raw))
+    (dt / "m.warc.wat.gz").write_bytes(gzip.compress(wat_raw))
+    from_warc = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_link_graph(read_warc(spark, str(dw))).collect()
+    }
+    from_wat = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_link_graph(
+            read_wat_links(spark, str(dt)), url_col="url", links_col="links"
+        ).collect()
+    }
+    assert from_warc == from_wat
+    assert from_warc[("b.test", "a.test")] == 2
+
+
 def test_wet_and_warc_document_shapes_interchange(spark, tmp_path):
     """A pipeline written against read_warc_documents' (doc_id, url,
     text) core consumes read_wet_documents output unchanged — the

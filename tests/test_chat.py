@@ -112,6 +112,44 @@ def test_token_loss_mask(spark):
             assert m == 0
 
 
+def test_render_property_random_conversations(spark):
+    """Property: for randomized conversations (roles, unicode content,
+    empty turns), the JVM render equals the pure-Python reference and
+    every span slices exactly its message's content."""
+    from hypothesis import given, settings, strategies as st
+
+    content = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",),  # no lone surrogates
+        ),
+        max_size=40,
+    )
+    msg = st.fixed_dictionaries(
+        {"role": st.sampled_from(["system", "user", "assistant", "tool"]),
+         "content": content}
+    )
+    convs = st.lists(st.lists(msg, max_size=6), min_size=1, max_size=5)
+
+    @settings(max_examples=15, deadline=None)
+    @given(convs=convs)
+    def check(convs):
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(convs)], MSG_SCHEMA
+        )
+        rows = {r.conv_id: r for r in render_chat(df).collect()}
+        for i, msgs in enumerate(convs):
+            want_text, want_spans = reference_render(msgs)
+            got = rows[i]
+            assert got.text == want_text
+            got_spans = [(s.start, s.end) for s in got.assistant_spans]
+            assert got_spans == want_spans
+            contents = [m["content"] for m in msgs
+                        if m["role"] == "assistant"]
+            assert [got.text[a:b] for a, b in got_spans] == contents
+
+    check()
+
+
 def test_mask_feeds_packing(spark):
     """Rendered rows are documents: token windows/packing consume the
     text; the mask arrays ride along index-aligned."""
