@@ -183,7 +183,10 @@ def fetch_cdx_records(
         handle_path: str | None = None
         try:
             for pdf in batches:
-                pdf = pdf.sort_values(["filename", "offset"])
+                # rows arrive task-sorted by (filename, offset) via
+                # sortWithinPartitions below — sorting per pandas
+                # batch here would NOT order across batch boundaries,
+                # and the handle-reuse run depends on global task order
                 for fn, off, ln in pdf.itertuples(index=False):
                     p = warc_root + fn if warc_root else fn
                     if ln > max_member_bytes:
@@ -216,6 +219,7 @@ def fetch_cdx_records(
 
     fetched = (
         sel.repartition("filename")
+        .sortWithinPartitions("filename", "offset")
         .mapInPandas(fetch, schema=_WARC_SCHEMA)
         .withColumn(id_col, F.xxhash64(F.col("path"), F.col("record_idx")))
     )
