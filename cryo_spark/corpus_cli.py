@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--domain-cap", type=int, default=None,
                    help="max docs per host")
     p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--lm-keep-frac", type=float, default=None,
+                   help="CCNet-style perplexity filter: keep this "
+                        "fraction of docs by self-trained bigram-LM "
+                        "score (stage 1d); omit to disable")
     p.add_argument("--lang", default="en")
     p.add_argument("--span-words", type=int, default=10)
     p.add_argument("--line-dedup", action="store_true")
@@ -92,6 +96,7 @@ def run(args: argparse.Namespace) -> int:
     kw: dict = dict(
         text_col=args.text_col,
         min_quality=args.min_quality,
+        lm_keep_frac=args.lm_keep_frac,
         lang=args.lang,
         span_words=args.span_words,
         line_dedup=args.line_dedup,

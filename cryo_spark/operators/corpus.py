@@ -105,6 +105,8 @@ def _corpus_stages(
     line_min_docs: int = 2,
     quality_model=None,
     quality_threshold: float | None = None,
+    lm_keep_frac: float | None = None,
+    lm_add_k: float = 0.5,
     url_col: str | None = None,
     domain_cap_n: int | None = None,
     url_blocklist=None,
@@ -126,7 +128,9 @@ def _corpus_stages(
     are dropped BEFORE span dedup, the standard web-corpus order;
     docs reduced to nothing exit here; an optional LEARNED quality
     filter — ``quality_model`` + calibrated ``quality_threshold`` —
-    runs between them on the original text) → corpus-wide duplicate-span
+    runs between them on the original text, and an optional
+    CCNet-shaped self-trained bigram-LM perplexity filter —
+    ``lm_keep_frac`` — after that, stage 1d) → corpus-wide duplicate-span
     removal on the survivors (stage 2, drops fully-boilerplate docs)
     → optional near-duplicate collapse on the rewritten text (stage
     2b: exact n-gram Jaccard pairs → connected components → keep the
@@ -317,6 +321,43 @@ def _corpus_stages(
         kept = _mark(
             "learned_quality", kept.join(ok.select("doc_id"), "doc_id"),
             text_col,
+        )
+    if lm_keep_frac is not None:
+        # stage 1d (optional, round 10): CCNet-shaped perplexity
+        # filter — the corpus's own bigram LM (text.ngram_lm_score)
+        # scores every surviving doc and the BOTTOM (1 - lm_keep_frac)
+        # by avg_logp (most atypical word transitions: garbage,
+        # boilerplate soup, residual wrong-language) is dropped. The
+        # cutoff is the corpus quantile via percentile_approx (one
+        # mergeable sketch aggregate — no sort, no single-partition
+        # collapse at any scale); docs too short to have a bigram have
+        # no score row and are KEPT (no evidence of atypicality;
+        # length floors belong to the quality stage), hence the
+        # drop-side left_anti rather than a keep-side semi join.
+        # PIPELINE-ONLY knob like robots/host_ranks: ln() and the
+        # approx quantile both sit outside the exact-hash oracle
+        # contract, so the SQL chain has no mirror — the correctness
+        # anchor is the composition-equivalence test (pipeline(lm) ==
+        # pipeline() semi-joined to the scored survivors) plus
+        # ngram_lm_score's own numpy differential.
+        if not (0.0 < lm_keep_frac <= 1.0):
+            raise ValueError("lm_keep_frac must be in (0, 1]")
+        scored = text.ngram_lm_score(kept, text_col, add_k=lm_add_k)
+        # two consumers (quantile + filter): persist dedups the bigram
+        # shuffles; released with the other boundary storage
+        scored.persist()
+        thr = scored.agg(
+            F.percentile_approx(
+                "avg_logp", F.lit(1.0 - lm_keep_frac), F.lit(10000)
+            ).alias("_thr")
+        )
+        drop = (
+            scored.crossJoin(F.broadcast(thr))
+            .filter(F.col("avg_logp") < F.col("_thr"))
+            .select("doc_id")
+        )
+        kept = _mark(
+            "lm_filter", kept.join(drop, "doc_id", "left_anti"), text_col
         )
     if line_dedup:
         ld = spans.dedup_lines(

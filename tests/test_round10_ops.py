@@ -1643,3 +1643,88 @@ def test_robots_sitemaps_extraction(spark):
         ("a.com", "https://a.com/map.xml"),
         ("a.com", "https://a.com/map2.xml"),
     }
+
+
+# --------------------------- CCNet-shaped bigram-LM perplexity filter
+
+
+def test_corpus_pipeline_lm_filter_stage(spark):
+    """The stage 1d perplexity filter has no SQL oracle (ln + approx
+    quantile), so its anchor is composition laws on the staged chain:
+    keep-all is the identity, the drop set is score-separated from the
+    keep set, unscored (bigram-less) docs are kept, and the stage only
+    ever shrinks the doc set."""
+    from cryo_spark.operators import text as text_ops
+    from cryo_spark.operators.corpus import (
+        _corpus_stages,
+        prepare_training_corpus,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ids_base = {
+        r.doc_id
+        for r in prepare_training_corpus(docs).select("doc_id").collect()
+    }
+
+    # lm_keep_frac=1.0 → threshold at the min score, drop is
+    # strictly-below → identity
+    ids_all = {
+        r.doc_id
+        for r in prepare_training_corpus(docs, lm_keep_frac=1.0)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids_all == ids_base
+
+    stages = {
+        name: frame
+        for name, frame, _ in _corpus_stages(docs, lm_keep_frac=0.5)
+    }
+    ids_in = {
+        r.doc_id
+        for r in stages["quality_lang_exact"].select("doc_id").collect()
+    }
+    ids_out = {
+        r.doc_id for r in stages["lm_filter"].select("doc_id").collect()
+    }
+    assert ids_out < ids_in  # proper shrink at 0.5 on this corpus
+
+    # independent rescoring of the stage's actual input: every dropped
+    # doc scores strictly below every kept scored doc (threshold
+    # separation), and every unscored doc is kept
+    scores = {
+        r.doc_id: r.avg_logp
+        for r in text_ops.ngram_lm_score(
+            stages["quality_lang_exact"]
+        ).collect()
+    }
+    dropped = ids_in - ids_out
+    assert dropped <= set(scores)  # unscored docs can never drop
+    kept_scored = [scores[i] for i in ids_out if i in scores]
+    assert max(scores[i] for i in dropped) < min(kept_scored)
+    # roughly half the scored docs survive (quantile is element-exact
+    # at this size; ties can only widen the kept side)
+    assert len(kept_scored) >= len(scores) // 2
+
+    for bad in (0.0, 1.5, -0.2):
+        with pytest.raises(ValueError):
+            prepare_training_corpus(docs, lm_keep_frac=bad)
+
+
+def test_corpus_funnel_has_lm_filter_boundary(spark):
+    from cryo_spark.operators.corpus import corpus_funnel, release_stage_storage
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fun = {r.stage: r for r in corpus_funnel(docs, lm_keep_frac=0.5).collect()}
+    assert "lm_filter" in fun
+    row = fun["lm_filter"]
+    assert row.docs_out < row.docs_in
+    assert row.tokens_out <= row.tokens_in
+    # boundary stitching: lm_filter's input is the previous stage's out
+    prev = fun["quality_lang_exact"]
+    assert row.docs_in == prev.docs_out
+    release_stage_storage(docs)
+
+    base = {r.stage for r in corpus_funnel(docs).collect()}
+    assert "lm_filter" not in base
+    release_stage_storage(docs)
