@@ -23,6 +23,13 @@ string>>`` per row. Three operators:
   batch — the same tokenization regex the token-count operators use,
   applied with positions.
 
+- :func:`render_preference_pairs` — DPO/RLHF preference-pair prep:
+  a prompt conversation plus two candidate responses render to
+  (prompt_text, chosen_text, rejected_text) with the RESPONSE span on
+  each side, so a preference trainer can slice response logprobs
+  without re-tokenizing. Pure narrow projection on top of
+  :func:`render_chat`'s machinery.
+
 - :func:`reference_render` — pure-Python reference implementation
   (independent string-ops derivation) the differential tests pin the
   JVM accumulator against.
@@ -114,6 +121,82 @@ def render_chat(
         F.col("_rc.txt").alias(text_col),
         F.col("_rc.spans").alias(spans_col),
     ).drop("_rc")
+
+
+def render_preference_pairs(
+    df: DataFrame,
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    template: dict | None = None,
+    response_role: str = "assistant",
+    drop_ties: bool = True,
+) -> DataFrame:
+    """DPO/RLHF preference-pair rendering: ``prompt_col`` holds the
+    conversation so far (``array<struct<role,content>>``, normally
+    ending on a user turn), ``chosen_col``/``rejected_col`` the two
+    candidate response STRINGS. Adds:
+
+    - ``prompt_text`` — the rendered prompt transcript;
+    - ``chosen_text`` / ``rejected_text`` — prompt + the response
+      rendered as a ``response_role`` turn;
+    - ``chosen_spans`` / ``rejected_spans`` — single-element span
+      arrays covering the response CONTENT in the corresponding text
+      (render_chat's span shape, so :func:`token_loss_mask` applies
+      to either side unchanged).
+
+    The span is computed directly from the prompt length (prompt +
+    role prefix), NOT by re-running the full-transcript span
+    accumulator — DPO scores the candidate response only, so
+    assistant turns INSIDE a multi-turn prompt must stay unmasked,
+    which reusing :func:`render_chat` span tracking on the
+    concatenated messages would get wrong.
+
+    ``drop_ties=True`` removes rows where chosen == rejected (or
+    either side is NULL): a tie carries zero preference signal and a
+    NULL side is an unusable pair — both poison a DPO loss silently.
+    Everything here is one narrow projection: zero shuffles, zero
+    Python; dedup/decontam compose upstream on the raw columns."""
+    template = template or DEFAULT_TEMPLATE
+    rendered = render_chat(
+        df,
+        messages_col=prompt_col,
+        text_col="prompt_text",
+        spans_col="_prompt_spans",
+        template=template,
+        mask_role=response_role,
+    ).drop("_prompt_spans")
+
+    role = F.lit(response_role)
+
+    def side(resp_col: str, text_name: str, spans_name: str):
+        pre, content, suf = _rendered_parts(role, F.col(resp_col), template)
+        start = F.length("prompt_text") + F.length(pre)
+        end = start + F.length(content)
+        return (
+            F.concat(F.col("prompt_text"), pre, content, suf).alias(
+                text_name
+            ),
+            F.array(
+                F.struct(
+                    start.cast("long").alias("start"),
+                    end.cast("long").alias("end"),
+                )
+            ).alias(spans_name),
+        )
+
+    out = rendered.select(
+        "*",
+        *side(chosen_col, "chosen_text", "chosen_spans"),
+        *side(rejected_col, "rejected_text", "rejected_spans"),
+    )
+    if drop_ties:
+        out = out.filter(
+            F.col(chosen_col).isNotNull()
+            & F.col(rejected_col).isNotNull()
+            & (F.col(chosen_col) != F.col(rejected_col))
+        )
+    return out
 
 
 def reference_render(

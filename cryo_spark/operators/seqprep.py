@@ -17,6 +17,11 @@ Scale design (the 100 TB story):
   unique by offsetting with the partition id. One shuffle (the
   repartition that balances docs across packers); fill quality is
   asserted by tests, not assumed.
+- ``pack_bins`` materializes the packed sequences themselves —
+  per-bin concatenated token (and loss-mask) arrays in deterministic
+  doc_id order — with one bin_id shuffle and a budget-bounded
+  collect_list per group; the concatenation is built-in
+  flatten/transform, no Python.
 """
 
 from __future__ import annotations
@@ -139,3 +144,86 @@ def pack_sequences(
         .withColumn("_part", F.spark_partition_id())
     )
     return prepped.groupBy("_part").applyInPandas(pack, _PACK_SCHEMA)
+
+
+def pack_bins(
+    df: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    mask_col: str | None = None,
+    assignment: DataFrame | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Materialize packed TRAINING SEQUENCES from per-doc token (and
+    optional loss-mask) arrays: what a trainer actually loads, not
+    just the :func:`pack_sequences` assignment. Returns one row per
+    bin — (bin_id, n_docs, n_tokens, doc_ids, tokens[, loss_mask]) —
+    where ``tokens`` is the concatenation of member docs' arrays in
+    ascending doc_id order (deterministic, and documented as the
+    in-bin order contract) and ``loss_mask`` is concatenated the same
+    way so index-for-index alignment with ``tokens`` survives packing
+    (the chat loss-mask contract).
+
+    Pass ``assignment`` to reuse an existing pack_sequences output
+    (e.g. when the caller also writes the assignment table);
+    otherwise one is computed here from ``size(tokens_col)``.
+
+    Scale shape: one shuffle on bin_id; each group is budget-bounded
+    (singleton oversize docs aside), so collect_list per bin is
+    O(budget) — never a skew risk. The flatten/sort/transform chain
+    is all built-in JVM functions: no Python in the concatenation."""
+    if assignment is None:
+        assignment = pack_sequences(
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.size(tokens_col).cast("long").alias("n_tokens"),
+            ),
+            budget=budget,
+            partitions=partitions,
+        )
+    fields = [
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(tokens_col).alias("_toks"),
+    ]
+    if mask_col is not None:
+        fields.append(F.col(mask_col).alias("_mask"))
+    joined = df.select(*fields).join(
+        assignment.select("doc_id", "bin_id"), "doc_id"
+    )
+    # struct sorts by leading field → ascending doc_id defines in-bin
+    # order; flatten(transform(...)) concatenates JVM-side
+    members = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("doc_id"),
+                F.col("_toks"),
+                *([F.col("_mask")] if mask_col is not None else []),
+            )
+        )
+    )
+    out = joined.groupBy("bin_id").agg(members.alias("_m")).select(
+        "bin_id",
+        F.size("_m").alias("n_docs"),
+        F.transform("_m", lambda m: m["doc_id"]).alias("doc_ids"),
+        F.flatten(F.transform("_m", lambda m: m["_toks"])).alias(
+            tokens_col
+        ),
+        *(
+            [
+                F.flatten(F.transform("_m", lambda m: m["_mask"])).alias(
+                    mask_col
+                )
+            ]
+            if mask_col is not None
+            else []
+        ),
+    )
+    return out.select(
+        "bin_id",
+        "n_docs",
+        F.size(tokens_col).cast("long").alias("n_tokens"),
+        "doc_ids",
+        tokens_col,
+        *([mask_col] if mask_col is not None else []),
+    )

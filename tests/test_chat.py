@@ -170,3 +170,165 @@ def test_mask_feeds_packing(spark):
     assert {r.doc_id for r in rows} == {1, 2}
     assert all(r.loss_mask is not None for r in rows)
     assert all(r.bin_fill <= 64 for r in rows)
+
+
+# ------------------------------------------ DPO preference-pair prep
+
+PAIR_SCHEMA = (
+    "pair_id long, prompt array<struct<role string, content string>>, "
+    "chosen string, rejected string"
+)
+
+PAIRS = [
+    (1, _conv(("system", "Be terse."), ("user", "2+2?")), "4.", "five"),
+    (2, _conv(("user", "Hi"), ("assistant", "Hello!"), ("user", "Bye?")),
+     "Goodbye.", "Hi again!"),
+    (3, _conv(("user", "tie"),), "same", "same"),
+    (4, _conv(("user", "null side"),), "ok", None),
+]
+
+
+def _pair_reference(msgs, response, template=None, role="assistant"):
+    """Independent derivation: render the prompt with the reference,
+    append the response as one role turn with plain string ops."""
+    tpl = template or DEFAULT_TEMPLATE
+    ptext, _ = reference_render(msgs, template=template)
+    pre = tpl["prefix"].replace("{role}", role)
+    suf = tpl["suffix"].replace("{role}", role)
+    start = len(ptext) + len(pre)
+    return ptext, ptext + pre + response + suf, (start, start + len(response))
+
+
+def test_preference_pairs_match_reference(spark):
+    from cryo_spark.operators.chat import render_preference_pairs
+
+    df = spark.createDataFrame(PAIRS, PAIR_SCHEMA)
+    rows = {r.pair_id: r for r in render_preference_pairs(df).collect()}
+    # ties and NULL sides are dropped by default
+    assert set(rows) == {1, 2}
+    for pid, msgs, ch, rj in PAIRS[:2]:
+        got = rows[pid]
+        ptext, ctext, cspan = _pair_reference(msgs, ch)
+        _, rtext, rspan = _pair_reference(msgs, rj)
+        assert got.prompt_text == ptext
+        assert got.chosen_text == ctext
+        assert got.rejected_text == rtext
+        assert [(s.start, s.end) for s in got.chosen_spans] == [cspan]
+        assert [(s.start, s.end) for s in got.rejected_spans] == [rspan]
+        # the spans slice out exactly the response content
+        assert got.chosen_text[cspan[0]:cspan[1]] == ch
+        assert got.rejected_text[rspan[0]:rspan[1]] == rj
+
+
+def test_preference_pairs_prompt_assistant_turns_unmasked(spark):
+    """Multi-turn prompt with an in-prompt assistant turn: the span
+    must cover ONLY the candidate response, never 'Hello!'."""
+    from cryo_spark.operators.chat import render_preference_pairs
+
+    df = spark.createDataFrame(PAIRS[1:2], PAIR_SCHEMA)
+    r = render_preference_pairs(df).first()
+    assert len(r.chosen_spans) == 1
+    s = r.chosen_spans[0]
+    assert r.chosen_text[s.start:s.end] == "Goodbye."
+    assert "Hello!" in r.prompt_text  # in the text, outside the span
+    assert s.start >= len(r.prompt_text)
+
+
+def test_preference_pairs_keep_ties_and_custom_template(spark):
+    from cryo_spark.operators.chat import render_preference_pairs
+
+    tpl = {"prefix": "[{role}] ", "suffix": "\n"}
+    df = spark.createDataFrame(PAIRS, PAIR_SCHEMA)
+    rows = {
+        r.pair_id: r
+        for r in render_preference_pairs(
+            df, template=tpl, drop_ties=False
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    ptext, ctext, cspan = _pair_reference(
+        PAIRS[0][1], PAIRS[0][2], template=tpl
+    )
+    assert rows[1].prompt_text == ptext
+    assert rows[1].chosen_text == ctext
+    assert [(s.start, s.end) for s in rows[1].chosen_spans] == [cspan]
+    # the tie row renders both sides identically rather than vanishing
+    assert rows[3].chosen_text == rows[3].rejected_text
+
+
+def test_preference_pairs_compose_with_loss_mask(spark):
+    """token_loss_mask applies to either side unchanged: weight-1
+    tokens reconstruct exactly the chosen response's tokens."""
+    from cryo_spark.operators.chat import render_preference_pairs
+
+    df = spark.createDataFrame(PAIRS[:2], PAIR_SCHEMA)
+    out = token_loss_mask(
+        render_preference_pairs(df),
+        text_col="chosen_text",
+        spans_col="chosen_spans",
+    )
+    for r in out.collect():
+        want = re.findall(TOKEN_RE, dict((p[0], p[2]) for p in PAIRS)[r.pair_id])
+        got = [t for t, m in zip(r.tokens, r.loss_mask) if m == 1]
+        assert got == want
+
+
+# ------------------------------------- packed-sequence materialization
+
+
+def test_pack_bins_materializes_aligned_sequences(spark):
+    """chat render → loss mask → pack_bins: per-bin token and mask
+    arrays are the doc_id-ordered concatenation of the members',
+    index-aligned, with every doc in exactly one bin."""
+    from cryo_spark.operators.seqprep import pack_bins
+
+    docs = token_loss_mask(
+        render_chat(spark.createDataFrame(CONVS[:2], MSG_SCHEMA))
+    ).select(F.col("conv_id").alias("doc_id"), "tokens", "loss_mask")
+    per_doc = {
+        r.doc_id: (list(r.tokens), list(r.loss_mask))
+        for r in docs.collect()
+    }
+
+    bins = pack_bins(docs, budget=64, mask_col="loss_mask").collect()
+    seen = [d for b in bins for d in b.doc_ids]
+    assert sorted(seen) == sorted(per_doc)  # partition, no dup, no loss
+    for b in bins:
+        want_toks = [t for d in sorted(b.doc_ids) for t in per_doc[d][0]]
+        want_mask = [m for d in sorted(b.doc_ids) for m in per_doc[d][1]]
+        assert list(b.doc_ids) == sorted(b.doc_ids)  # in-bin order law
+        assert list(b.tokens) == want_toks
+        assert list(b.loss_mask) == want_mask
+        assert b.n_tokens == len(want_toks) and b.n_docs == len(b.doc_ids)
+        assert b.n_tokens <= 64 or b.n_docs == 1  # oversize = singleton
+        # the mask still selects exactly the assistant tokens
+        masked = [t for t, m in zip(b.tokens, b.loss_mask) if m == 1]
+        want_masked = [
+            t
+            for d in sorted(b.doc_ids)
+            for t, m in zip(*per_doc[d])
+            if m == 1
+        ]
+        assert masked == want_masked
+
+
+def test_pack_bins_reuses_external_assignment(spark):
+    """assignment= short-circuits the internal pack: bins follow the
+    caller's table exactly (here: a deliberately non-FFD assignment)."""
+    from cryo_spark.operators.seqprep import pack_bins
+
+    docs = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["c"]), (3, ["d", "e", "f"])],
+        "doc_id long, tokens array<string>",
+    )
+    assign = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 9)], "doc_id long, bin_id long"
+    )
+    got = {
+        r.bin_id: (list(r.doc_ids), list(r.tokens))
+        for r in pack_bins(docs, assignment=assign).collect()
+    }
+    assert got == {
+        7: ([1, 2], ["a", "b", "c"]),
+        9: ([3], ["d", "e", "f"]),
+    }
