@@ -1288,17 +1288,42 @@ def oracle_dsir_select() -> str:
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted source mixing (alpha = 0.5, ~200-row
     budget at the check scale): deterministic hash-order draws with
-    per-source quotas proportional to count^alpha. Text column
-    dropped from the checked surface (selection is what's under
-    test; the rows are verbatim inputs)."""
-    return sampling.temperature_mix(
-        _read(spark, sf_dir, "documents"), budget=200, alpha=0.5
-    ).select("doc_id", "lang", "source", "n_chars")
+    per-source quotas proportional to count^alpha. Round 10 absorbs
+    the data-constrained variant (the established merge pattern):
+    `epoch_mix` rows ride along under mode='epoch' with a budget
+    past the corpus size (1160 over 20x25-doc sources = two full
+    epochs + a fractional hash-prefix third), so the repetition AND
+    fractional-epoch quota math is hash-proven. Text column dropped from the
+    checked surface (selection is what's under test; the rows are
+    verbatim inputs)."""
+    docs = _read(spark, sf_dir, "documents")
+    flat = (
+        sampling.temperature_mix(docs, budget=200, alpha=0.5)
+        .select("doc_id", "lang", "source", "n_chars")
+        .withColumn("mode", F.lit("flat"))
+        .withColumn("epoch", F.lit(0))
+    )
+    ep = sampling.epoch_mix(
+        docs, budget=1160, alpha=0.2, max_epochs=3
+    ).select(
+        "doc_id", "lang", "source", "n_chars",
+        F.lit("epoch").alias("mode"), F.col("epoch").cast("int"),
+    )
+    return flat.unionByName(ep)
 
 
 def oracle_temperature_mix() -> str:
-    inner = sampling.temperature_mix_sql("documents", budget=200, alpha=0.5)
-    return f"SELECT doc_id, lang, source, n_chars FROM ({inner}) __m"
+    flat = sampling.temperature_mix_sql("documents", budget=200, alpha=0.5)
+    ep = sampling.epoch_mix_sql(
+        "documents", budget=1160, alpha=0.2, max_epochs=3
+    )
+    return f"""
+SELECT doc_id, lang, source, n_chars, 'flat' AS mode, 0 AS epoch
+FROM ({flat}) __m
+UNION ALL
+SELECT doc_id, lang, source, n_chars, 'epoch' AS mode, epoch
+FROM ({ep}) __e
+"""
 
 
 # --------------------------------------------------------------------------

@@ -359,6 +359,45 @@ def main() -> None:
     finally:
         shutil.rmtree(warc_dir, ignore_errors=True)
 
+    # packing path: regex pretokenize (JVM) -> split assignment ->
+    # split-local FFD pack -> per-bin token arrays (the trainer-ready
+    # export the corpus CLI writes with --pack-budget). Measures the
+    # packer shuffle + budget-bounded collect_list at sf scale.
+    try:
+        from pyspark.sql import functions as F
+
+        from cryo_spark.operators.chat import TOKEN_RE
+        from cryo_spark.operators.sampling import split_assign
+        from cryo_spark.operators.seqprep import pack_bins
+
+        def _pack():
+            docs = spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            )
+            toks = split_assign(docs.select("doc_id", "text")).select(
+                "doc_id",
+                "split",
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(TOKEN_RE), 0
+                ).alias("tokens"),
+            )
+            return pack_bins(toks, budget=512, group_cols=["split"])
+
+        _pack().write.format("noop").mode("overwrite").save()  # warm
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _pack().write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times["llm_pack"] = round(best, 3)
+        rows["llm_pack"] = _pack().count()
+        fp, _txt = plan_fingerprint(_pack())
+        if fp is not None:
+            plans["llm_pack"] = fp
+    except Exception as exc:  # noqa: BLE001
+        errs["llm_pack"] = f"{type(exc).__name__}: {exc}"[:500]
+
     total = round(sum(times.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # full record (rows, plan hashes, calibration, untruncated errors)

@@ -74,6 +74,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="temperature-mix token budget (docs)")
     p.add_argument("--alpha", type=float, default=0.5)
     p.add_argument("--seed", default="corpus0")
+    p.add_argument("--pack-budget", type=int, default=None,
+                   help="pack the prepared docs into training "
+                        "sequences of at most this many tokens "
+                        "(split-local bins; writes token arrays "
+                        "instead of doc rows)")
+    p.add_argument("--bpe-merges", type=int, default=None,
+                   help="with --pack-budget: train a corpus BPE "
+                        "tokenizer with this many merges and pack "
+                        "its tokens (default: regex pretokens)")
     p.add_argument("--shard-tokens", type=int, default=None,
                    help="tokens per training shard (omit: one plain "
                         "parquet table)")
@@ -110,6 +119,8 @@ def run(args: argparse.Namespace) -> int:
         url_allowlist=args.allowlist,
         domain_cap_n=args.domain_cap,
     )
+    if args.bpe_merges and not args.pack_budget:
+        raise ValueError("--bpe-merges requires --pack-budget")
     # warc-only flags must not be silently dropped for other formats
     # (--robots-agent is compliance-relevant: ignoring it would be a
     # policy violation the user never sees)
@@ -200,25 +211,50 @@ def run(args: argparse.Namespace) -> int:
     else:
         out, funnel_df = corpus.prepare_with_funnel(docs, **kw)
 
-    if args.shard_tokens:
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
-        shard_in = out.withColumn(
-            "n_tokens",
-            text_ops.token_count(args.text_col).cast("long"),
+    export = out
+    if args.pack_budget:
+        # trainer-ready packed sequences: tokenize (corpus-trained
+        # BPE when asked, the regex pretokenizer otherwise), then
+        # split-local bin packing — a train bin never swallows
+        # validation docs
+        from cryo_spark.operators.seqprep import pack_bins
+
+        if args.bpe_merges:
+            from cryo_spark.operators.tokenizer import bpe_apply, train_bpe
+
+            merges = train_bpe(out, n_merges=args.bpe_merges)
+            toks = bpe_apply(out, merges).join(
+                out.select("doc_id", "split"), "doc_id"
+            )
+        else:
+            from cryo_spark.operators.chat import TOKEN_RE
+
+            toks = out.select(
+                "doc_id", "split",
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(TOKEN_RE), 0
+                ).alias("tokens"),
+            )
+        export = pack_bins(
+            toks, budget=args.pack_budget, group_cols=["split"]
         )
+
+    if args.shard_tokens:
+        shard_in = export
+        if not args.pack_budget:
+            shard_in = export.withColumn(
+                "n_tokens",
+                text_ops.token_count(args.text_col).cast("long"),
+            )
         shards = write_training_shards(
             shard_in, os.path.join(args.output, "shards"),
             shard_tokens=args.shard_tokens, fmt=args.shard_format,
             seed=f"{args.seed}-shard",
+            id_col="bin_id" if args.pack_budget else "doc_id",
         )
         summary = {"shards": shards}
-    else:
-        dest = os.path.join(args.output, "corpus")
-        out.write.mode("overwrite").parquet(dest)
-        summary = {"corpus": dest}
-    # n_docs from what was just written — no extra pipeline run
-    if args.shard_tokens:
         written = os.path.join(args.output, "shards")
         reader = (
             spark.read.parquet(written)
@@ -226,8 +262,24 @@ def run(args: argparse.Namespace) -> int:
             else spark.read.json(written)
         )
     else:
-        reader = spark.read.parquet(os.path.join(args.output, "corpus"))
-    summary["n_docs"] = reader.count()
+        dest = os.path.join(
+            args.output, "packed" if args.pack_budget else "corpus"
+        )
+        export.write.mode("overwrite").parquet(dest)
+        summary = {("packed" if args.pack_budget else "corpus"): dest}
+        reader = spark.read.parquet(dest)
+    # counts from what was just written — no extra pipeline run
+    if args.pack_budget:
+        agg = reader.agg(
+            F.count(F.lit(1)).alias("b"),
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("d"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),
+        ).first()
+        summary.update(
+            n_bins=agg.b, n_docs=int(agg.d), n_tokens=int(agg.t)
+        )
+    else:
+        summary["n_docs"] = reader.count()
 
     if funnel_df is not None:
         funnel_rows = [r.asDict() for r in funnel_df.collect()]

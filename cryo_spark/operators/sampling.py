@@ -334,6 +334,108 @@ def temperature_rates(
     }
 
 
+def epoch_mix(
+    df: DataFrame,
+    budget: int,
+    alpha: float = 0.5,
+    max_epochs: int = 4,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix0",
+) -> DataFrame:
+    """Data-constrained temperature mixing WITH upsampling: like
+    :func:`temperature_mix`, per-source quotas are proportional to
+    count^alpha — but a small source whose quota exceeds its size is
+    REPEATED (multiple epochs) instead of silently capped, up to
+    ``max_epochs`` copies of any document (the data-constrained
+    scaling guard: repeating past a few epochs stops buying loss).
+
+    Each emitted copy carries an ``epoch`` column (0-based): full
+    epochs repeat every doc; the fractional last epoch takes the
+    source's hash-order prefix (same md5 key as the whole module →
+    deterministic on any cluster, superset-stable in the budget).
+    quota_s = min(round(budget * c^alpha / Z), max_epochs * c).
+
+    Scale shape: counts are a partial agg on a low-cardinality key;
+    the quota table broadcasts; the corpus pays one per-source
+    hash-rank window (same caveat as temperature_mix — for web-scale
+    strata apply the fractional epoch with ``hash_sample`` rates
+    instead) and the repeat is ``explode(sequence(...))`` — rows fan
+    out map-side, never shuffle. Exactly oracle-able (DuckDB twin:
+    :func:`epoch_mix_sql`)."""
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_c"))
+    denom = counts.agg(F.sum(F.pow("_c", F.lit(alpha))).alias("_z"))
+    quota = counts.crossJoin(F.broadcast(denom)).select(
+        strata_col,
+        F.col("_c"),
+        F.least(
+            F.round(
+                F.lit(budget) * F.pow("_c", F.lit(alpha)) / F.col("_z")
+            ).cast("long"),
+            F.lit(max_epochs) * F.col("_c"),
+        ).alias("_take"),
+    )
+    wo = Window.partitionBy(strata_col).orderBy(
+        _bucket(id_col, seed), F.col(id_col)
+    )
+    # reps = full epochs + 1 more iff this doc is in the fractional
+    # epoch's hash-order prefix; sequence() only after the reps>0
+    # filter (sequence(0,-1) would DESCEND, not return empty)
+    reps = (F.col("_take") / F.col("_c")).cast("long") + F.when(
+        F.col("_rn") <= F.col("_take") % F.col("_c"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("_rn", F.row_number().over(wo))
+        .join(F.broadcast(quota), strata_col)
+        .withColumn("_reps", reps)
+        .filter(F.col("_reps") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0), (F.col("_reps") - 1).cast("int"))),
+        )
+        .drop("_rn", "_c", "_take", "_reps")
+    )
+
+
+def epoch_mix_sql(
+    table: str,
+    budget: int,
+    alpha: float = 0.5,
+    max_epochs: int = 4,
+    strata_col: str = "source",
+    id_expr: str = "doc_id",
+    seed: str = "mix0",
+) -> str:
+    b = _bucket_sql(id_expr, seed)
+    return f"""
+WITH counts AS (
+  SELECT {strata_col}, count(*) AS _c FROM {table} GROUP BY {strata_col}
+), z AS (
+  SELECT sum(power(_c, {alpha})) AS _z FROM counts
+), quota AS (
+  SELECT {strata_col}, _c,
+    least(CAST(round({budget} * power(_c, {alpha}) / _z) AS BIGINT),
+          {max_epochs} * _c) AS _take
+  FROM counts, z
+), ranked AS (
+  SELECT t.*,
+    row_number() OVER (
+      PARTITION BY {strata_col} ORDER BY {b}, {id_expr}
+    ) AS _rn
+  FROM {table} t
+), reps AS (
+  SELECT * EXCLUDE (_rn, _c, _take),
+    (_take // _c) + CASE WHEN _rn <= _take % _c THEN 1 ELSE 0 END AS _reps
+  FROM ranked JOIN quota USING ({strata_col})
+)
+SELECT * EXCLUDE (_reps), CAST(unnest(range(_reps)) AS INTEGER) AS epoch
+FROM reps
+WHERE _reps > 0
+"""
+
+
 def leakage_safe_split(
     df: DataFrame,
     pairs: DataFrame,

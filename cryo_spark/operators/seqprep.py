@@ -11,12 +11,14 @@ Scale design (the 100 TB story):
   Exactly oracle-checkable (Spark ``sequence`` and DuckDB
   ``generate_series`` share inclusive-aligned step semantics).
 - ``pack_sequences`` is greedy first-fit-decreasing per PARTITION
-  (Arrow applyInPandas): packing is embarrassingly parallel when each
-  task packs its own slice — a global optimal packing would serialize
-  the world for a ~1% fill-factor gain. Bin ids are made globally
-  unique by offsetting with the partition id. One shuffle (the
-  repartition that balances docs across packers); fill quality is
-  asserted by tests, not assumed.
+  (Arrow mapInPandas, partition id from TaskContext): packing is
+  embarrassingly parallel when each task packs its own slice — a
+  global optimal packing would serialize the world for a ~1%
+  fill-factor gain. Bin ids are made globally unique by offsetting
+  with the partition id. EXACTLY one shuffle (the repartition that
+  balances docs across packers doubles as the packing boundary — a
+  groupBy formulation would re-exchange the same rows); fill quality
+  is asserted by tests, not assumed.
 - ``pack_bins`` materializes the packed sequences themselves —
   per-bin concatenated token (and loss-mask) arrays in deterministic
   doc_id order — with one bin_id shuffle and a budget-bounded
@@ -101,6 +103,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     count_col: str = "n_tokens",
     partitions: int | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Greedy first-fit-decreasing bin packing of documents into
     training sequences of at most ``budget`` tokens. Returns
@@ -108,42 +111,77 @@ def pack_sequences(
     token total of the doc's bin. Docs longer than the budget get a
     singleton bin (truncation is the caller's policy). Packing runs
     independently per partition; bin ids are globally unique via a
-    partition-id offset."""
+    partition-id offset.
+
+    ``group_cols`` (e.g. ``["split"]``) makes packing group-local: a
+    bin never mixes docs from different groups (a train bin must not
+    swallow validation docs). Group columns pass through the output,
+    and bin ids are then unique per (group values) — key bins by the
+    group columns PLUS bin_id, since two groups landing in the same
+    packer partition reuse the same offset range."""
     n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    groups = list(group_cols or [])
+    out_cols = groups + ["doc_id", "n_tokens", "bin_id", "bin_fill"]
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf.empty:
-            return pd.DataFrame(
-                {"doc_id": [], "n_tokens": [], "bin_id": [], "bin_fill": []}
+    # ONE shuffle: the repartition below both balances docs across
+    # packers and IS the packing boundary — each task packs its own
+    # partition via mapInPandas (partition id from TaskContext), so
+    # no second groupBy exchange re-moves the (doc_id, n_tokens)
+    # rows. FFD needs the whole slice at once; the concat holds the
+    # same rows applyInPandas would have materialized per group.
+    def pack_part(it):
+        from pyspark import TaskContext
+
+        pdfs = list(it)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        part = TaskContext.get().partitionId()
+
+        def ffd(sub: pd.DataFrame) -> pd.DataFrame:
+            sub = sub.sort_values(
+                ["n_tokens", "doc_id"], ascending=[False, True]
             )
-        part = int(pdf["_part"].iloc[0])
-        pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
-        bins: list[int] = []  # remaining capacity per bin
-        assign: list[int] = []
-        for n in pdf["n_tokens"].to_numpy():
-            placed = None
-            for i, cap in enumerate(bins):
-                if cap >= n:
-                    placed = i
-                    bins[i] = cap - n
-                    break
-            if placed is None:
-                bins.append(max(budget - n, 0))
-                placed = len(bins) - 1
-            assign.append(placed)
-        pdf = pdf.assign(bin_id=[part * 10_000_000 + a for a in assign])
-        fills = pdf.groupby("bin_id")["n_tokens"].transform("sum")
-        return pdf.assign(bin_fill=fills)[["doc_id", "n_tokens", "bin_id", "bin_fill"]]
+            bins: list[int] = []  # remaining capacity per bin
+            assign: list[int] = []
+            for n in sub["n_tokens"].to_numpy():
+                placed = None
+                for i, cap in enumerate(bins):
+                    if cap >= n:
+                        placed = i
+                        bins[i] = cap - n
+                        break
+                if placed is None:
+                    bins.append(max(budget - n, 0))
+                    placed = len(bins) - 1
+                assign.append(placed)
+            sub = sub.assign(bin_id=[part * 10_000_000 + a for a in assign])
+            fills = sub.groupby("bin_id")["n_tokens"].transform("sum")
+            return sub.assign(bin_fill=fills)
 
-    prepped = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(count_col).cast("long").alias("n_tokens"),
-        )
-        .repartition(n_parts, F.col("doc_id"))
-        .withColumn("_part", F.spark_partition_id())
+        if groups:
+            res = pd.concat(
+                [
+                    ffd(g)
+                    for _, g in pdf.groupby(groups, sort=False, dropna=False)
+                ],
+                ignore_index=True,
+            )
+        else:
+            res = ffd(pdf)
+        yield res[out_cols]
+
+    group_fields = [df.schema[g].dataType.simpleString() for g in groups]
+    schema = ", ".join(
+        [f"`{g}` {t}" for g, t in zip(groups, group_fields)]
+        + [_PACK_SCHEMA]
     )
-    return prepped.groupBy("_part").applyInPandas(pack, _PACK_SCHEMA)
+    prepped = df.select(
+        *groups,
+        F.col(id_col).alias("doc_id"),
+        F.col(count_col).cast("long").alias("n_tokens"),
+    ).repartition(n_parts, *(groups + ["doc_id"]))
+    return prepped.mapInPandas(pack_part, schema)
 
 
 def pack_bins(
@@ -154,6 +192,7 @@ def pack_bins(
     mask_col: str | None = None,
     assignment: DataFrame | None = None,
     partitions: int | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Materialize packed TRAINING SEQUENCES from per-doc token (and
     optional loss-mask) arrays: what a trainer actually loads, not
@@ -168,19 +207,25 @@ def pack_bins(
     Pass ``assignment`` to reuse an existing pack_sequences output
     (e.g. when the caller also writes the assignment table);
     otherwise one is computed here from ``size(tokens_col)``.
+    ``group_cols`` (e.g. ``["split"]``) keeps bins group-local (see
+    :func:`pack_sequences`) and rides the group columns through to
+    the bin rows — the bin key is then (group values, bin_id).
 
     Scale shape: one shuffle on bin_id; each group is budget-bounded
     (singleton oversize docs aside), so collect_list per bin is
     O(budget) — never a skew risk. The flatten/sort/transform chain
     is all built-in JVM functions: no Python in the concatenation."""
+    groups = list(group_cols or [])
     if assignment is None:
         assignment = pack_sequences(
             df.select(
+                *groups,
                 F.col(id_col).alias("doc_id"),
                 F.size(tokens_col).cast("long").alias("n_tokens"),
             ),
             budget=budget,
             partitions=partitions,
+            group_cols=groups or None,
         )
     fields = [
         F.col(id_col).cast("long").alias("doc_id"),
@@ -189,7 +234,7 @@ def pack_bins(
     if mask_col is not None:
         fields.append(F.col(mask_col).alias("_mask"))
     joined = df.select(*fields).join(
-        assignment.select("doc_id", "bin_id"), "doc_id"
+        assignment.select(*groups, "doc_id", "bin_id"), "doc_id"
     )
     # struct sorts by leading field → ascending doc_id defines in-bin
     # order; flatten(transform(...)) concatenates JVM-side
@@ -202,7 +247,8 @@ def pack_bins(
             )
         )
     )
-    out = joined.groupBy("bin_id").agg(members.alias("_m")).select(
+    out = joined.groupBy(*groups, "bin_id").agg(members.alias("_m")).select(
+        *groups,
         "bin_id",
         F.size("_m").alias("n_docs"),
         F.transform("_m", lambda m: m["doc_id"]).alias("doc_ids"),
@@ -220,6 +266,7 @@ def pack_bins(
         ),
     )
     return out.select(
+        *groups,
         "bin_id",
         "n_docs",
         F.size(tokens_col).cast("long").alias("n_tokens"),

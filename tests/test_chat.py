@@ -332,3 +332,26 @@ def test_pack_bins_reuses_external_assignment(spark):
         7: ([1, 2], ["a", "b", "c"]),
         9: ([3], ["d", "e", "f"]),
     }
+
+
+def test_pack_bins_group_local_never_mixes_groups(spark):
+    """group_cols packing: a bin never mixes splits, group columns
+    ride through, and the bin key is (group, bin_id) — two groups in
+    the same packer partition may reuse offsets."""
+    from cryo_spark.operators.seqprep import pack_bins
+
+    docs = spark.createDataFrame(
+        [(i, ["t"] * (1 + i % 3), "train" if i % 2 else "val")
+         for i in range(40)],
+        "doc_id long, tokens array<string>, split string",
+    )
+    per_doc = {r.doc_id: r.split for r in docs.collect()}
+    bins = pack_bins(docs, budget=5, group_cols=["split"]).collect()
+    seen = []
+    for b in bins:
+        assert {per_doc[d] for d in b.doc_ids} == {b.split}  # group-pure
+        assert b.n_tokens <= 5
+        seen.extend(b.doc_ids)
+    assert sorted(seen) == sorted(per_doc)  # partition of the corpus
+    keys = [(b.split, b.bin_id) for b in bins]
+    assert len(keys) == len(set(keys))  # (group, bin_id) is the key

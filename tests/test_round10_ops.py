@@ -1728,3 +1728,131 @@ def test_corpus_funnel_has_lm_filter_boundary(spark):
     base = {r.stage for r in corpus_funnel(docs).collect()}
     assert "lm_filter" not in base
     release_stage_storage(docs)
+
+
+def test_corpus_cli_packed_export(spark, tmp_path, capsys):
+    """--pack-budget writes trainer-ready packed sequences: split-pure
+    bins of token arrays with conserved token totals; --bpe-merges
+    swaps in the corpus-trained tokenizer; --bpe-merges alone errors."""
+    import json
+
+    from cryo_spark.api import main
+
+    out = tmp_path / "packed"
+    rc = main(["corpus", "--input", f"{SF_DIR}/documents.parquet",
+               "--output", str(out), "--pack-budget", "256"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    bins = spark.read.parquet(str(out / "packed"))
+    rows = bins.collect()
+    assert summary["n_bins"] == len(rows)
+    assert summary["n_docs"] == sum(r.n_docs for r in rows)
+    assert summary["n_tokens"] == sum(len(r.tokens) for r in rows)
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert all(len(r.tokens) <= 256 or r.n_docs == 1 for r in rows)
+    # funnel docs survive into exactly one bin each
+    funnel = json.load(open(out / "funnel.json"))
+    assert summary["n_docs"] == funnel[-1]["docs_out"]
+
+    out2 = tmp_path / "bpe"
+    rc = main(["corpus", "--input", f"{SF_DIR}/documents.parquet",
+               "--output", str(out2), "--pack-budget", "256",
+               "--bpe-merges", "50", "--no-funnel"])
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["n_docs"] == summary["n_docs"]  # same corpus, same docs
+
+    rc = main(["corpus", "--input", f"{SF_DIR}/documents.parquet",
+               "--output", str(tmp_path / "bad"), "--bpe-merges", "10"])
+    assert rc == 2
+    assert "requires --pack-budget" in capsys.readouterr().err
+
+
+def test_corpus_cli_packed_shards(spark, tmp_path, capsys):
+    """--pack-budget + --shard-tokens: packed bins land in
+    split/shard directories with in-shard token sums bounded."""
+    import json
+
+    from cryo_spark.api import main
+
+    out = tmp_path / "ps"
+    rc = main(["corpus", "--input", f"{SF_DIR}/documents.parquet",
+               "--output", str(out), "--pack-budget", "256",
+               "--shard-tokens", "3000", "--no-funnel"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["shards"]  # at least one split has shards
+    shards = spark.read.parquet(str(out / "shards"))
+    assert {"split", "shard", "bin_id", "tokens"} <= set(shards.columns)
+    per = {
+        (r.split, r.shard): r.t
+        for r in shards.groupBy("split", "shard")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    # every shard except possibly a split's last respects the budget
+    # up to one bin of overshoot (exclusive-prefix assignment)
+    assert all(t <= 3000 + 256 for t in per.values())
+
+
+# -------------------------- data-constrained (epoch) temperature mix
+
+
+def _epoch_docs(spark):
+    rows = [(i, "big") for i in range(100)] + [
+        (1000 + i, "small") for i in range(10)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_epoch_mix_matches_duckdb(spark):
+    from cryo_spark.operators.sampling import epoch_mix, epoch_mix_sql
+
+    df = _epoch_docs(spark)
+    got = sorted(
+        (r.doc_id, r.source, r.epoch)
+        for r in epoch_mix(df, budget=60, alpha=0.3).collect()
+    )
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                epoch_mix_sql("t", budget=60, alpha=0.3)
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_epoch_mix_upsampling_laws(spark):
+    from cryo_spark.operators.sampling import epoch_mix, temperature_mix
+
+    df = _epoch_docs(spark)
+    out = epoch_mix(df, budget=60, alpha=0.3, max_epochs=4).collect()
+    # quotas: alpha=0.3 upweights 'small' past its 10 docs → repeats
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault((r.doc_id, r.source), []).append(r.epoch)
+    copies = {k: sorted(v) for k, v in by_doc.items()}
+    assert all(v == list(range(len(v))) for v in copies.values())
+    assert max(len(v) for v in copies.values()) >= 2  # really upsampled
+    assert all(len(v) <= 4 for v in copies.values())  # epoch cap
+    # realized per-source totals equal the capped quotas exactly
+    import collections
+
+    per_src = collections.Counter(s for (_, s), v in copies.items() for _ in v)
+    c = {"big": 100, "small": 10}
+    z = sum(n ** 0.3 for n in c.values())
+    for s, n in c.items():
+        assert per_src[s] == min(round(60 * n ** 0.3 / z), 4 * n)
+
+    # max_epochs=1 degenerates to temperature_mix's doc set, epoch 0
+    one = epoch_mix(df, budget=60, alpha=0.3, max_epochs=1).collect()
+    assert all(r.epoch == 0 for r in one)
+    tm = temperature_mix(df, budget=60, alpha=0.3)
+    assert {r.doc_id for r in one} == {r.doc_id for r in tm.collect()}
+
+    with pytest.raises(ValueError):
+        epoch_mix(df, budget=60, max_epochs=0)
