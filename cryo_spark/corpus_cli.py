@@ -83,6 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --pack-budget: train a corpus BPE "
                         "tokenizer with this many merges and pack "
                         "its tokens (default: regex pretokens)")
+    p.add_argument("--token-ids", action="store_true",
+                   help="with --pack-budget: also emit integer token "
+                        "ids (deterministic frequency-ranked vocab, "
+                        "written to vocab.json next to the export)")
     p.add_argument("--shard-tokens", type=int, default=None,
                    help="tokens per training shard (omit: one plain "
                         "parquet table)")
@@ -121,6 +125,8 @@ def run(args: argparse.Namespace) -> int:
     )
     if args.bpe_merges and not args.pack_budget:
         raise ValueError("--bpe-merges requires --pack-budget")
+    if args.token_ids and not args.pack_budget:
+        raise ValueError("--token-ids requires --pack-budget")
     # warc-only flags must not be silently dropped for other formats
     # (--robots-agent is compliance-relevant: ignoring it would be a
     # policy violation the user never sees)
@@ -237,9 +243,26 @@ def run(args: argparse.Namespace) -> int:
                     F.col("text"), F.lit(TOKEN_RE), 0
                 ).alias("tokens"),
             )
-        export = pack_bins(
-            toks, budget=args.pack_budget, group_cols=["split"]
-        )
+        if args.token_ids:
+            # integer ids ride the packer's aligned-array channel
+            # (same flatten contract as loss masks); the vocab is the
+            # frequency-ranked table, persisted for the trainer
+            from cryo_spark.operators.tokenizer import build_vocab, encode_ids
+
+            vocab = build_vocab(toks)
+            vpath = os.path.join(args.output, "vocab.json")
+            with open(vpath, "w") as f:
+                json.dump(vocab, f)
+            export = pack_bins(
+                encode_ids(toks, vocab),
+                budget=args.pack_budget,
+                group_cols=["split"],
+                mask_col="token_ids",
+            )
+        else:
+            export = pack_bins(
+                toks, budget=args.pack_budget, group_cols=["split"]
+            )
 
     if args.shard_tokens:
         shard_in = export
@@ -278,6 +301,9 @@ def run(args: argparse.Namespace) -> int:
         summary.update(
             n_bins=agg.b, n_docs=int(agg.d), n_tokens=int(agg.t)
         )
+        if args.token_ids:
+            summary["vocab"] = vpath
+            summary["vocab_size"] = len(vocab)
     else:
         summary["n_docs"] = reader.count()
 

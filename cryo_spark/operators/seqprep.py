@@ -211,10 +211,17 @@ def pack_bins(
     :func:`pack_sequences`) and rides the group columns through to
     the bin rows — the bin key is then (group values, bin_id).
 
-    Scale shape: one shuffle on bin_id; each group is budget-bounded
-    (singleton oversize docs aside), so collect_list per bin is
-    O(budget) — never a skew risk. The flatten/sort/transform chain
-    is all built-in JVM functions: no Python in the concatenation."""
+    Scale shape: the token arrays move once into the bin aggregation
+    (each group budget-bounded — singleton oversize docs aside — so
+    collect_list per bin is O(budget), never a skew risk) plus the
+    assignment join, whose strategy is deliberately left to AQE: the
+    assignment is broadcast when small and co-partitioned on doc_id
+    when corpus-sized (it is one row per doc — force-broadcasting it
+    would be wrong at scale). Tokens are NOT routed through the
+    packer itself: the packer's pandas pass materializes its whole
+    partition, which is fine for (doc_id, n_tokens) rows and an OOM
+    for token arrays. The flatten/sort/transform chain is all
+    built-in JVM functions: no Python in the concatenation."""
     groups = list(group_cols or [])
     if assignment is None:
         assignment = pack_sequences(

@@ -136,3 +136,52 @@ def bpe_apply(
     return _spread(df.select(id_col, text_col)).mapInPandas(
         run, f"{id_col} {id_type}, tokens array<string>, n_tokens long"
     )
+
+
+def build_vocab(
+    df: DataFrame, tokens_col: str = "tokens"
+) -> dict[str, int]:
+    """Deterministic token→id vocabulary from a tokenized corpus:
+    ids are dense ranks ordered by (count desc, token asc), so the
+    same corpus yields the same table on any cluster and frequent
+    tokens get small ids (the convention trainers and embedding
+    tables expect).
+
+    The aggregation is distributed (explode → partial-agg count);
+    only the VOCABULARY lands on the driver — bounded by alphabet
+    size + merge count for BPE tokens (a few tens of thousands of
+    rows), never by corpus size."""
+    rows = (
+        df.select(F.explode(tokens_col).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    ranked = sorted(((r["t"], r["n"]) for r in rows), key=lambda kv: (-kv[1], kv[0]))
+    return {t: i for i, (t, _) in enumerate(ranked)}
+
+
+def encode_ids(
+    df: DataFrame,
+    vocab: dict[str, int],
+    tokens_col: str = "tokens",
+    ids_col: str = "token_ids",
+    unk_id: int | None = None,
+) -> DataFrame:
+    """token strings → integer ids under ``vocab``; unknown tokens
+    (a vocab trained on another corpus slice) map to ``unk_id``
+    (default: len(vocab), one past the table — never silently
+    dropped, never aliased onto a real token). One narrow Arrow pass
+    with the vocab dict closure-broadcast, aligned index-for-index
+    with ``tokens_col`` so loss masks keep applying unchanged."""
+    unk = len(vocab) if unk_id is None else unk_id
+
+    @F.pandas_udf("array<int>")
+    def _ids(tokens: pd.Series) -> pd.Series:
+        return tokens.map(
+            lambda ts: None
+            if ts is None
+            else [vocab.get(t, unk) for t in ts]
+        )
+
+    return df.withColumn(ids_col, _ids(F.col(tokens_col)))

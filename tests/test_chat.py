@@ -355,3 +355,35 @@ def test_pack_bins_group_local_never_mixes_groups(spark):
     assert sorted(seen) == sorted(per_doc)  # partition of the corpus
     keys = [(b.split, b.bin_id) for b in bins]
     assert len(keys) == len(set(keys))  # (group, bin_id) is the key
+
+
+def test_pack_bins_plan_shape(spark):
+    """Packer plan pin on the scale-invariant structure: exactly ONE
+    explicit repartition (the packing boundary — a groupBy
+    formulation would add a second exchange over the same rows),
+    exactly one bin aggregation exchange, and a mapInPandas packer.
+    The assignment→tokens join strategy is deliberately NOT pinned:
+    AQE broadcasts the assignment when it is small and co-partitions
+    on doc_id when it is corpus-sized — both are the right call at
+    their scale."""
+    from cryo_spark.operators.seqprep import pack_bins
+
+    docs = spark.createDataFrame(
+        [(i, ["t"] * (1 + i % 5), "train") for i in range(50)],
+        "doc_id long, tokens array<string>, split string",
+    )
+    plan = (
+        pack_bins(docs, budget=8, group_cols=["split"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    assert plan.count("REPARTITION_BY_NUM") == 1  # the packer boundary
+    agg_exchanges = re.findall(
+        r"Exchange hashpartitioning\(split#\d+, bin_id#\d+L", plan
+    )
+    assert len(agg_exchanges) == 1  # exactly one bin aggregation
+    assert "FlatMapGroupsInPandas" not in plan  # mapInPandas packer
+    assert "MapInPandas" in plan

@@ -1856,3 +1856,66 @@ def test_epoch_mix_upsampling_laws(spark):
 
     with pytest.raises(ValueError):
         epoch_mix(df, budget=60, max_epochs=0)
+
+
+# --------------------------------------- token-id encoding + vocab
+
+
+def test_build_vocab_and_encode_ids_roundtrip(spark):
+    from cryo_spark.operators.tokenizer import build_vocab, encode_ids
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "a", "c"]), (2, ["b", "a"]), (3, [])],
+        "doc_id long, tokens array<string>",
+    )
+    vocab = build_vocab(df)
+    # frequency-ranked, ties lexicographic: a(3)=0, b(2)=1, c(1)=2
+    assert vocab == {"a": 0, "b": 1, "c": 2}
+    assert build_vocab(df) == vocab  # deterministic
+
+    enc = {r.doc_id: r for r in encode_ids(df, vocab).collect()}
+    assert list(enc[1].token_ids) == [0, 1, 0, 2]
+    assert list(enc[2].token_ids) == [1, 0]
+    assert list(enc[3].token_ids) == []
+    # alignment: ids decode back to the token strings
+    inv = {i: t for t, i in vocab.items()}
+    for r in enc.values():
+        assert [inv[i] for i in r.token_ids] == list(r.tokens)
+
+    # unknown tokens get the one-past-the-table id, never aliased
+    df2 = spark.createDataFrame(
+        [(9, ["a", "zz"])], "doc_id long, tokens array<string>"
+    )
+    got = encode_ids(df2, vocab).first()
+    assert list(got.token_ids) == [0, len(vocab)]
+    got = encode_ids(df2, vocab, unk_id=-1).first()
+    assert list(got.token_ids) == [0, -1]
+
+
+def test_corpus_cli_packed_token_ids(spark, tmp_path, capsys):
+    """--token-ids writes vocab.json and id arrays aligned with the
+    packed token arrays; --token-ids without --pack-budget errors."""
+    import json
+
+    from cryo_spark.api import main
+
+    out = tmp_path / "ids"
+    rc = main(["corpus", "--input", f"{SF_DIR}/documents.parquet",
+               "--output", str(out), "--pack-budget", "256",
+               "--token-ids", "--no-funnel"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    vocab = json.load(open(summary["vocab"]))
+    assert summary["vocab_size"] == len(vocab) > 0
+    bins = spark.read.parquet(str(out / "packed")).collect()
+    inv = {i: t for t, i in vocab.items()}
+    for b in bins:
+        assert len(b.token_ids) == len(b.tokens)
+        # every id decodes to its aligned token (vocab built on this
+        # corpus: no unks possible)
+        assert [inv[i] for i in b.token_ids] == list(b.tokens)
+
+    rc = main(["corpus", "--input", f"{SF_DIR}/documents.parquet",
+               "--output", str(tmp_path / "bad"), "--token-ids"])
+    assert rc == 2
+    assert "requires --pack-budget" in capsys.readouterr().err
