@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--budget", type=int, default=None,
                    help="temperature-mix token budget (docs)")
     p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--max-epochs", type=int, default=None,
+                   help="with --budget: upsample small sources by "
+                        "repetition up to this many copies per doc "
+                        "(epoch_mix) instead of capping their quota")
     p.add_argument("--seed", default="corpus0")
     p.add_argument("--pack-budget", type=int, default=None,
                    help="pack the prepared docs into training "
@@ -117,6 +121,7 @@ def run(args: argparse.Namespace) -> int:
         min_jaccard=args.min_jaccard,
         budget=args.budget,
         alpha=args.alpha,
+        max_epochs=args.max_epochs,
         seed=args.seed,
         url_col=args.url_col,
         url_blocklist=args.blocklist,
@@ -127,6 +132,8 @@ def run(args: argparse.Namespace) -> int:
         raise ValueError("--bpe-merges requires --pack-budget")
     if args.token_ids and not args.pack_budget:
         raise ValueError("--token-ids requires --pack-budget")
+    if args.max_epochs and not args.budget:
+        raise ValueError("--max-epochs requires --budget")
     # warc-only flags must not be silently dropped for other formats
     # (--robots-agent is compliance-relevant: ignoring it would be a
     # policy violation the user never sees)

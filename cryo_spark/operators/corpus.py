@@ -96,6 +96,7 @@ def _corpus_stages(
     span_words: int = 10,
     budget: int | None = None,
     alpha: float = 0.5,
+    max_epochs: int | None = None,
     seed: str = "corpus0",
     near_dup: bool = False,
     min_jaccard: float = 0.5,
@@ -138,7 +139,10 @@ def _corpus_stages(
     because it is SQL-oracle-able end to end — swap in the LSH path
     for web scale, same (id_a, id_b) contract) → PII redaction
     (stage 3, narrow) → optional temperature-weighted source mixing
-    (stage 4) → deterministic split assignment (stage 5, narrow).
+    (stage 4; with ``max_epochs`` the data-constrained ``epoch_mix``
+    variant that repeats small sources instead of capping them —
+    still oracle-exact) → deterministic split assignment (stage 5,
+    narrow).
 
     Returns (doc_id, text, source, n_spans, n_kept, split) — the
     redacted, span-deduped text plus span accounting and the split
@@ -414,13 +418,30 @@ def _corpus_stages(
         )
         out = _mark("dsir", out.join(sel.select("doc_id"), "doc_id"), "text")
     if budget is not None:
-        out = _mark(
-            "temperature_mix",
-            sampling.temperature_mix(
-                out, budget, alpha, strata_col="source", seed=f"{seed}-mix"
-            ),
-            "text",
-        )
+        if max_epochs:
+            # data-constrained variant (round 10): small sources whose
+            # temperature quota exceeds their size get REPEATED (up to
+            # max_epochs copies, `epoch` column surfaced) instead of
+            # silently capped. Downstream split assignment hashes
+            # doc_id, so every copy of a doc lands in the SAME split —
+            # repetition can never leak a doc across splits.
+            out = _mark(
+                "epoch_mix",
+                sampling.epoch_mix(
+                    out, budget, alpha, max_epochs,
+                    strata_col="source", seed=f"{seed}-mix",
+                ),
+                "text",
+            )
+        else:
+            out = _mark(
+                "temperature_mix",
+                sampling.temperature_mix(
+                    out, budget, alpha, strata_col="source",
+                    seed=f"{seed}-mix",
+                ),
+                "text",
+            )
     _mark("split", sampling.split_assign(out, seed=f"{seed}-split"), "text")
     return stages
 
@@ -548,6 +569,7 @@ def prepare_training_corpus_sql(
     span_words: int = 10,
     budget: int | None = None,
     alpha: float = 0.5,
+    max_epochs: int | None = None,
     seed: str = "corpus0",
     near_dup: bool = False,
     min_jaccard: float = 0.5,
@@ -567,7 +589,7 @@ def prepare_training_corpus_sql(
         table, text_col, min_quality, lang, span_words, budget, alpha,
         seed, near_dup, min_jaccard, dsir_target_table, dsir_k,
         line_dedup, line_min_docs, url_col, domain_cap_n,
-        url_blocklist, url_allowlist,
+        url_blocklist, url_allowlist, max_epochs=max_epochs,
     )
     return f"\n{with_kw}{ctes}\n{split}\n"
 
@@ -591,6 +613,7 @@ def _corpus_sql_chain(
     domain_cap_n: int | None = None,
     url_blocklist=None,
     url_allowlist=None,
+    max_epochs: int | None = None,
 ) -> tuple[str, str, list[tuple[str, str, str]], str]:
     """The shared CTE chain: (with_keyword, ctes_sql, boundaries,
     final_split_select). ``boundaries`` mirrors :func:`_corpus_stages`
@@ -705,15 +728,19 @@ edges AS (
         )
         mix_src = "targeted"
         boundaries.append(("dsir", "targeted", "text"))
-    mixed = (
-        sampling.temperature_mix_sql(
+    if budget is not None and max_epochs:
+        mixed = sampling.epoch_mix_sql(
+            mix_src, budget, alpha, max_epochs,
+            strata_col="source", seed=f"{seed}-mix",
+        )
+        boundaries.append(("epoch_mix", "mixed", "text"))
+    elif budget is not None:
+        mixed = sampling.temperature_mix_sql(
             mix_src, budget, alpha, strata_col="source", seed=f"{seed}-mix"
         )
-        if budget is not None
-        else f"SELECT * FROM {mix_src}"
-    )
-    if budget is not None:
         boundaries.append(("temperature_mix", "mixed", "text"))
+    else:
+        mixed = f"SELECT * FROM {mix_src}"
     split = sampling.split_assign_sql("mixed", seed=f"{seed}-split")
     boundaries.append(("split", "finalsplit", "text"))
     ctes = f"""{url_ctes} pass1 AS MATERIALIZED (

@@ -1919,3 +1919,54 @@ def test_corpus_cli_packed_token_ids(spark, tmp_path, capsys):
                "--output", str(tmp_path / "bad"), "--token-ids"])
     assert rc == 2
     assert "requires --pack-budget" in capsys.readouterr().err
+
+
+def test_prepare_training_corpus_epoch_mix_oracle(spark):
+    """Pipeline with max_epochs equals the identical CTE chain in
+    DuckDB end to end (epoch_mix is oracle-exact, unlike the
+    pipeline-only knobs), repeats really happen at an
+    over-corpus budget, and every copy of a doc shares one split."""
+    from cryo_spark.operators.corpus import (
+        corpus_funnel,
+        prepare_training_corpus,
+        prepare_training_corpus_sql,
+        release_stage_storage,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    kw = dict(budget=900, alpha=1.0, max_epochs=3)
+    out = prepare_training_corpus(docs, **kw)
+    pdf = out.toPandas()
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = con.sql(
+        prepare_training_corpus_sql("documents", **kw)
+    ).df()
+    con.close()
+
+    def canon(p):
+        p = p[sorted(p.columns)]
+        return sorted(map(tuple, p.itertuples(index=False)))
+
+    assert canon(pdf) == canon(want) and len(pdf) > 0
+    assert "epoch" in pdf.columns
+    assert pdf["epoch"].max() >= 1  # budget 900 > survivors: repeats ran
+    # leakage law: all copies of a doc land in one split
+    assert (pdf.groupby("doc_id")["split"].nunique() == 1).all()
+
+    fun = {r.stage for r in corpus_funnel(docs, **kw).collect()}
+    assert "epoch_mix" in fun and "temperature_mix" not in fun
+    release_stage_storage(docs)
+
+
+def test_corpus_cli_max_epochs(tmp_path, capsys):
+    from cryo_spark.api import main
+
+    rc = main(["corpus", "--input", f"{SF_DIR}/documents.parquet",
+               "--output", str(tmp_path / "bad"), "--max-epochs", "3"])
+    assert rc == 2
+    assert "requires --budget" in capsys.readouterr().err
