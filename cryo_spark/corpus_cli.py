@@ -91,6 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --pack-budget: also emit integer token "
                         "ids (deterministic frequency-ranked vocab, "
                         "written to vocab.json next to the export)")
+    p.add_argument("--vocab-size", type=int, default=65536,
+                   help="with --token-ids: keep the top-N tokens by "
+                        "frequency; the tail maps to the unk id "
+                        "(bounds the driver-side vocab table)")
     p.add_argument("--shard-tokens", type=int, default=None,
                    help="tokens per training shard (omit: one plain "
                         "parquet table)")
@@ -234,18 +238,32 @@ def run(args: argparse.Namespace) -> int:
         # validation docs
         from cryo_spark.operators.seqprep import pack_bins
 
+        # the pack/tokenize/vocab stages consume `out` several times;
+        # with --no-funnel the pipeline boundaries are NOT
+        # checkpointed, so an unpersisted `out` would re-run every
+        # dedup shuffle once per consumer
+        out.persist()
+        # an epoch-mixed corpus identifies rows by (doc_id, epoch) —
+        # packing on doc_id alone would cross-join the k copies into
+        # k^2 bin memberships
+        id_cols = ["doc_id", "epoch"] if "epoch" in out.columns else [
+            "doc_id"
+        ]
         if args.bpe_merges:
             from cryo_spark.operators.tokenizer import bpe_apply, train_bpe
 
             merges = train_bpe(out, n_merges=args.bpe_merges)
-            toks = bpe_apply(out, merges).join(
-                out.select("doc_id", "split"), "doc_id"
+            # tokenize each doc ONCE, then fan the token arrays out to
+            # the (doc_id, epoch) copies
+            uniq = out.select("doc_id", "text").dropDuplicates(["doc_id"])
+            toks = bpe_apply(uniq, merges).drop("n_tokens").join(
+                out.select(*id_cols, "split"), "doc_id"
             )
         else:
             from cryo_spark.operators.chat import TOKEN_RE
 
             toks = out.select(
-                "doc_id", "split",
+                *id_cols, "split",
                 F.regexp_extract_all(
                     F.col("text"), F.lit(TOKEN_RE), 0
                 ).alias("tokens"),
@@ -253,22 +271,27 @@ def run(args: argparse.Namespace) -> int:
         if args.token_ids:
             # integer ids ride the packer's aligned-array channel
             # (same flatten contract as loss masks); the vocab is the
-            # frequency-ranked table, persisted for the trainer
+            # frequency-ranked table, persisted for the trainer.
+            # --vocab-size caps the driver-side table — mandatory
+            # discipline for the regex-pretoken path, whose distinct
+            # count is unbounded at web scale
             from cryo_spark.operators.tokenizer import build_vocab, encode_ids
 
-            vocab = build_vocab(toks)
+            vocab = build_vocab(toks, max_size=args.vocab_size)
             vpath = os.path.join(args.output, "vocab.json")
             with open(vpath, "w") as f:
                 json.dump(vocab, f)
             export = pack_bins(
                 encode_ids(toks, vocab),
                 budget=args.pack_budget,
+                id_col=id_cols,
                 group_cols=["split"],
                 mask_col="token_ids",
             )
         else:
             export = pack_bins(
-                toks, budget=args.pack_budget, group_cols=["split"]
+                toks, budget=args.pack_budget, id_col=id_cols,
+                group_cols=["split"],
             )
 
     if args.shard_tokens:
@@ -278,11 +301,19 @@ def run(args: argparse.Namespace) -> int:
                 "n_tokens",
                 text_ops.token_count(args.text_col).cast("long"),
             )
+        if args.pack_budget:
+            shard_id = "bin_id"
+        elif "epoch" in export.columns:
+            # epoch copies share doc_id; the composite identity keeps
+            # shard assignment deterministic (no ordering ties)
+            shard_id = ["doc_id", "epoch"]
+        else:
+            shard_id = "doc_id"
         shards = write_training_shards(
             shard_in, os.path.join(args.output, "shards"),
             shard_tokens=args.shard_tokens, fmt=args.shard_format,
             seed=f"{args.seed}-shard",
-            id_col="bin_id" if args.pack_budget else "doc_id",
+            id_col=shard_id,
         )
         summary = {"shards": shards}
         written = os.path.join(args.output, "shards")

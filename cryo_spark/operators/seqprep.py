@@ -94,24 +94,31 @@ FROM starts
 """
 
 
-_PACK_SCHEMA = "doc_id long, n_tokens long, bin_id long, bin_fill long"
+def _id_list(id_col) -> list[str]:
+    return [id_col] if isinstance(id_col, str) else list(id_col)
 
 
 def pack_sequences(
     df: DataFrame,
     budget: int = 2048,
-    id_col: str = "doc_id",
+    id_col: str | list[str] = "doc_id",
     count_col: str = "n_tokens",
     partitions: int | None = None,
     group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Greedy first-fit-decreasing bin packing of documents into
     training sequences of at most ``budget`` tokens. Returns
-    (doc_id, n_tokens, bin_id, bin_fill) — bin_fill is the packed
+    (*id cols, n_tokens, bin_id, bin_fill) — bin_fill is the packed
     token total of the doc's bin. Docs longer than the budget get a
     singleton bin (truncation is the caller's policy). Packing runs
     independently per partition; bin ids are globally unique via a
     partition-id offset.
+
+    ``id_col`` may be a LIST of columns when one column is not a key
+    — e.g. an epoch-upsampled corpus where identity is (doc_id,
+    epoch); rows must be unique under the id tuple or the downstream
+    join in :func:`pack_bins` cross-multiplies copies. Id columns
+    keep their own names AND types (string urls, int32 ids, ...).
 
     ``group_cols`` (e.g. ``["split"]``) makes packing group-local: a
     bin never mixes docs from different groups (a train bin must not
@@ -121,7 +128,8 @@ def pack_sequences(
     packer partition reuse the same offset range."""
     n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
     groups = list(group_cols or [])
-    out_cols = groups + ["doc_id", "n_tokens", "bin_id", "bin_fill"]
+    ids = _id_list(id_col)
+    out_cols = groups + ids + ["n_tokens", "bin_id", "bin_fill"]
 
     # ONE shuffle: the repartition below both balances docs across
     # packers and IS the packing boundary — each task packs its own
@@ -140,7 +148,7 @@ def pack_sequences(
 
         def ffd(sub: pd.DataFrame) -> pd.DataFrame:
             sub = sub.sort_values(
-                ["n_tokens", "doc_id"], ascending=[False, True]
+                ["n_tokens"] + ids, ascending=[False] + [True] * len(ids)
             )
             bins: list[int] = []  # remaining capacity per bin
             assign: list[int] = []
@@ -171,23 +179,23 @@ def pack_sequences(
             res = ffd(pdf)
         yield res[out_cols]
 
-    group_fields = [df.schema[g].dataType.simpleString() for g in groups]
-    schema = ", ".join(
-        [f"`{g}` {t}" for g, t in zip(groups, group_fields)]
-        + [_PACK_SCHEMA]
-    )
+    typed = [
+        f"`{c}` {df.schema[c].dataType.simpleString()}"
+        for c in groups + ids
+    ]
+    schema = ", ".join(typed + ["n_tokens long, bin_id long, bin_fill long"])
     prepped = df.select(
         *groups,
-        F.col(id_col).alias("doc_id"),
+        *ids,
         F.col(count_col).cast("long").alias("n_tokens"),
-    ).repartition(n_parts, *(groups + ["doc_id"]))
+    ).repartition(n_parts, *(groups + ids))
     return prepped.mapInPandas(pack_part, schema)
 
 
 def pack_bins(
     df: DataFrame,
     budget: int = 2048,
-    id_col: str = "doc_id",
+    id_col: str | list[str] = "doc_id",
     tokens_col: str = "tokens",
     mask_col: str | None = None,
     assignment: DataFrame | None = None,
@@ -223,42 +231,54 @@ def pack_bins(
     for token arrays. The flatten/sort/transform chain is all
     built-in JVM functions: no Python in the concatenation."""
     groups = list(group_cols or [])
+    ids = _id_list(id_col)
     if assignment is None:
         assignment = pack_sequences(
             df.select(
                 *groups,
-                F.col(id_col).alias("doc_id"),
+                *ids,
                 F.size(tokens_col).cast("long").alias("n_tokens"),
             ),
             budget=budget,
+            id_col=ids,
             partitions=partitions,
             group_cols=groups or None,
         )
+    # id columns keep their NATIVE types — a long cast here would turn
+    # string ids into NULL join keys and silently drop every row
     fields = [
-        F.col(id_col).cast("long").alias("doc_id"),
+        *[F.col(i) for i in ids],
         F.col(tokens_col).alias("_toks"),
     ]
     if mask_col is not None:
         fields.append(F.col(mask_col).alias("_mask"))
     joined = df.select(*fields).join(
-        assignment.select(*groups, "doc_id", "bin_id"), "doc_id"
+        assignment.select(*groups, *ids, "bin_id"), ids
     )
-    # struct sorts by leading field → ascending doc_id defines in-bin
+    # struct sorts field-by-field → ascending id tuple defines in-bin
     # order; flatten(transform(...)) concatenates JVM-side
     members = F.array_sort(
         F.collect_list(
             F.struct(
-                F.col("doc_id"),
+                *[F.col(i) for i in ids],
                 F.col("_toks"),
                 *([F.col("_mask")] if mask_col is not None else []),
             )
+        )
+    )
+    # single id → plain array of ids; composite id → array<struct>
+    doc_ids = (
+        F.transform("_m", lambda m: m[ids[0]])
+        if len(ids) == 1
+        else F.transform(
+            "_m", lambda m: F.struct(*[m[i].alias(i) for i in ids])
         )
     )
     out = joined.groupBy(*groups, "bin_id").agg(members.alias("_m")).select(
         *groups,
         "bin_id",
         F.size("_m").alias("n_docs"),
-        F.transform("_m", lambda m: m["doc_id"]).alias("doc_ids"),
+        doc_ids.alias("doc_ids"),
         F.flatten(F.transform("_m", lambda m: m["_toks"])).alias(
             tokens_col
         ),

@@ -23,7 +23,7 @@ def assign_shards(
     shard_tokens: int,
     token_col: str = "n_tokens",
     split_col: str = "split",
-    id_col: str = "doc_id",
+    id_col: str | list[str] = "doc_id",
     seed: str = "shard0",
 ) -> DataFrame:
     """Append ``shard`` (0-based per split): documents fill a shard
@@ -45,8 +45,14 @@ def assign_shards(
     order — bit-identical shard membership to the single-window
     formulation (pinned by test), with per-task work 1/4096th of a
     split."""
+    # id_col may be a LIST when one column is not a key (an
+    # epoch-upsampled corpus identifies rows by (doc_id, epoch)) —
+    # ties on the full ordering key would otherwise make which copy
+    # lands in which shard depend on shuffle order, breaking the
+    # determinism contract below
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     order = F.md5(
-        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+        F.concat_ws(":", F.lit(seed), *[F.col(i).cast("string") for i in ids])
     )
     bucket = F.substring(order, 1, 3)
     keyed = df.withColumn("_ord", order).withColumn("_bkt", bucket)
@@ -68,7 +74,7 @@ def assign_shards(
     # phase 2: in-bucket exclusive cumsum + broadcast bucket offset
     win = (
         Window.partitionBy(split_col, "_bkt")
-        .orderBy("_ord", F.col(id_col))
+        .orderBy("_ord", *[F.col(i) for i in ids])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prefix = F.coalesce(F.sum(token_col).over(win), F.lit(0)) + F.col("_boff")
@@ -87,7 +93,7 @@ def write_training_shards(
     shard_tokens: int,
     token_col: str = "n_tokens",
     split_col: str = "split",
-    id_col: str = "doc_id",
+    id_col: str | list[str] = "doc_id",
     seed: str = "shard0",
     fmt: str = "parquet",
 ) -> dict:

@@ -139,7 +139,7 @@ def bpe_apply(
 
 
 def build_vocab(
-    df: DataFrame, tokens_col: str = "tokens"
+    df: DataFrame, tokens_col: str = "tokens", max_size: int | None = None
 ) -> dict[str, int]:
     """Deterministic token→id vocabulary from a tokenized corpus:
     ids are dense ranks ordered by (count desc, token asc), so the
@@ -147,16 +147,22 @@ def build_vocab(
     tokens get small ids (the convention trainers and embedding
     tables expect).
 
-    The aggregation is distributed (explode → partial-agg count);
-    only the VOCABULARY lands on the driver — bounded by alphabet
-    size + merge count for BPE tokens (a few tens of thousands of
-    rows), never by corpus size."""
-    rows = (
+    The aggregation is distributed (explode → partial-agg count).
+    The driver footprint is the vocabulary: inherently bounded for
+    BPE tokens (alphabet + merges), but UNBOUNDED for raw
+    regex/whitespace pretokens on a web corpus — set ``max_size`` in
+    that case to keep the top-``max_size`` tokens (a distributed
+    TakeOrdered, never a full sort) and let the tail fall to the
+    encoder's unk id."""
+    counts = (
         df.select(F.explode(tokens_col).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
     )
+    if max_size is not None:
+        rows = counts.orderBy(F.desc("n"), "t").limit(max_size).collect()
+    else:
+        rows = counts.collect()
     ranked = sorted(((r["t"], r["n"]) for r in rows), key=lambda kv: (-kv[1], kv[0]))
     return {t: i for i, (t, _) in enumerate(ranked)}
 

@@ -1970,3 +1970,99 @@ def test_corpus_cli_max_epochs(tmp_path, capsys):
                "--output", str(tmp_path / "bad"), "--max-epochs", "3"])
     assert rc == 2
     assert "requires --budget" in capsys.readouterr().err
+
+
+def test_corpus_cli_max_epochs_with_pack_budget(spark, tmp_path, capsys):
+    """Review regression: --max-epochs + --pack-budget must pack each
+    (doc, epoch) copy exactly once — the doc_id-only join would
+    cross-multiply k copies into k^2 bin memberships. Token totals
+    must equal (copies x per-doc tokens) exactly."""
+    import json
+
+    from cryo_spark.api import main
+
+    out = tmp_path / "ep"
+    rc = main(["corpus", "--input", f"{SF_DIR}/documents.parquet",
+               "--output", str(out), "--budget", "900", "--alpha", "1.0",
+               "--max-epochs", "3", "--pack-budget", "256",
+               "--no-funnel"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    bins = spark.read.parquet(str(out / "packed"))
+    rows = bins.collect()
+    # identity is (doc_id, epoch): every copy appears exactly once
+    members = [
+        (m.doc_id, m.epoch) for b in rows for m in b.doc_ids
+    ]
+    assert len(members) == len(set(members))
+    assert summary["n_docs"] == len(members)
+    by_doc: dict = {}
+    for d, e in members:
+        by_doc.setdefault(d, []).append(e)
+    assert any(len(v) > 1 for v in by_doc.values())  # upsampling ran
+    assert all(sorted(v) == list(range(len(v))) for v in by_doc.values())
+    # token conservation: n_tokens summed over bins == sum over copies
+    # of the doc's token count (k copies -> exactly k x tokens)
+    from cryo_spark.operators.corpus import prepare_training_corpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = prepare_training_corpus(
+        docs, budget=900, alpha=1.0, max_epochs=3
+    ).select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)"))
+        .alias("nt"),
+    )
+    want = sum(r.nt for r in base.collect())
+    assert summary["n_tokens"] == want
+
+
+def test_pack_bins_string_ids_not_dropped(spark):
+    """Review regression: non-numeric ids must survive — the old
+    cast('long') turned string doc ids into NULL join keys and
+    silently emptied the result."""
+    from cryo_spark.operators.seqprep import pack_bins
+
+    docs = spark.createDataFrame(
+        [("u1", ["a", "b"]), ("u2", ["c"])],
+        "doc_id string, tokens array<string>",
+    )
+    rows = pack_bins(docs, budget=8).collect()
+    got = sorted(d for b in rows for d in b.doc_ids)
+    assert got == ["u1", "u2"]
+
+
+def test_assign_shards_composite_id_deterministic(spark):
+    """Composite (doc_id, epoch) identity: duplicate doc_ids no
+    longer tie on the ordering key, so shard assignment is stable
+    across runs and partitionings."""
+    from cryo_spark.operators.shards import assign_shards
+
+    rows = [(i, e, "train", 7) for i in range(20) for e in range(3)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, epoch int, split string, n_tokens long"
+    )
+    a = {
+        (r.doc_id, r.epoch): r.shard
+        for r in assign_shards(df, 40, id_col=["doc_id", "epoch"]).collect()
+    }
+    b = {
+        (r.doc_id, r.epoch): r.shard
+        for r in assign_shards(
+            df.repartition(7), 40, id_col=["doc_id", "epoch"]
+        ).collect()
+    }
+    assert a == b and len(a) == len(rows)
+
+
+def test_build_vocab_max_size_caps_and_unks(spark):
+    from cryo_spark.operators.tokenizer import build_vocab, encode_ids
+
+    df = spark.createDataFrame(
+        [(1, ["a", "a", "a", "b", "b", "c"])],
+        "doc_id long, tokens array<string>",
+    )
+    vocab = build_vocab(df, max_size=2)
+    assert vocab == {"a": 0, "b": 1}
+    got = encode_ids(df, vocab).first()
+    assert list(got.token_ids) == [0, 0, 0, 1, 1, 2]  # c -> unk=len
