@@ -98,6 +98,32 @@ def _id_list(id_col) -> list[str]:
     return [id_col] if isinstance(id_col, str) else list(id_col)
 
 
+def _ffd_assign(counts, budget: int) -> list[int]:
+    """First-fit-decreasing core over an ALREADY-SORTED (descending)
+    token-count sequence: returns the 0-based bin index per item.
+    Pure function so its invariants (every item placed, bin sums <=
+    budget except singletons, dense bin ids) are property-tested
+    without a Spark session."""
+    bins: list[int] = []  # remaining capacity per bin
+    assign: list[int] = []
+    for n in counts:
+        placed = None
+        for i, cap in enumerate(bins):
+            if cap >= n:
+                placed = i
+                bins[i] = cap - n
+                break
+        if placed is None:
+            # an oversize item's bin is CLOSED (capacity -1, not 0):
+            # with 0 a zero-count item would first-fit into it and
+            # break the oversize-bins-are-singletons contract
+            # (property-test-found edge)
+            bins.append(budget - n if n <= budget else -1)
+            placed = len(bins) - 1
+        assign.append(placed)
+    return assign
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 2048,
@@ -150,19 +176,7 @@ def pack_sequences(
             sub = sub.sort_values(
                 ["n_tokens"] + ids, ascending=[False] + [True] * len(ids)
             )
-            bins: list[int] = []  # remaining capacity per bin
-            assign: list[int] = []
-            for n in sub["n_tokens"].to_numpy():
-                placed = None
-                for i, cap in enumerate(bins):
-                    if cap >= n:
-                        placed = i
-                        bins[i] = cap - n
-                        break
-                if placed is None:
-                    bins.append(max(budget - n, 0))
-                    placed = len(bins) - 1
-                assign.append(placed)
+            assign = _ffd_assign(sub["n_tokens"].to_numpy(), budget)
             sub = sub.assign(bin_id=[part * 10_000_000 + a for a in assign])
             fills = sub.groupby("bin_id")["n_tokens"].transform("sum")
             return sub.assign(bin_fill=fills)

@@ -182,3 +182,34 @@ def test_asof_join_matches_pandas_merge_asof(
     else:
         want = {int(i): (int(k), None) for i, k in enumerate(lkeys)}
     assert got == want
+
+
+@given(
+    counts=st.lists(st.integers(0, 5000), min_size=0, max_size=300),
+    budget=st.integers(1, 2048),
+)
+@settings(max_examples=200, deadline=None)
+def test_ffd_assign_invariants(counts, budget):
+    """First-fit-decreasing packer core: every item placed exactly
+    once, bin ids dense from 0, per-bin totals within budget unless a
+    single oversize item, and no two bins are BOTH under half budget
+    (else the later one would have first-fit into the earlier)."""
+    from cryo_spark.operators.seqprep import _ffd_assign
+
+    ordered = sorted(counts, reverse=True)
+    assign = _ffd_assign(ordered, budget)
+    assert len(assign) == len(ordered)
+    if not ordered:
+        return
+    n_bins = max(assign) + 1
+    assert sorted(set(assign)) == list(range(n_bins))  # dense ids
+    sums = [0] * n_bins
+    members = [0] * n_bins
+    for a, n in zip(assign, ordered):
+        sums[a] += n
+        members[a] += 1
+    for s_, m in zip(sums, members):
+        assert s_ <= budget or m == 1  # oversize = singleton
+    under_half = [s_ for s_ in sums if s_ * 2 < budget]
+    # classical FFD property: at most one bin less than half full
+    assert len(under_half) <= 1
