@@ -4,7 +4,11 @@ trims, URL host block/allowlists, the pipeline funnel report,
 main-content (boilerplate) extraction, robots-noindex surfacing,
 title / declared-language metadata extraction, robots.txt rule
 parsing + longest-match application, wire-format body decoding
-(chunked / gzip / deflate), and HTTP status filtering.
+(chunked / gzip / deflate), HTTP status filtering, the CCNet-style
+bigram-LM perplexity filter (stage 1d), data-constrained epoch
+mixing (standalone + pipeline + CLI), the packed training-sequence
+export (--pack-budget / --bpe-merges / --token-ids, split-local
+composite-id packing), and token-id vocab encoding.
 """
 
 from __future__ import annotations
