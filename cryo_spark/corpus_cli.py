@@ -297,9 +297,14 @@ def run(args: argparse.Namespace) -> int:
     if args.shard_tokens:
         shard_in = export
         if not args.pack_budget:
+            # prepare_training_corpus always emits the text under the
+            # fixed name "text" (dedup_spans renames the input col),
+            # so the shard token count must NOT use args.text_col —
+            # that column no longer exists here and would raise an
+            # unresolved-column AnalysisException.
             shard_in = export.withColumn(
                 "n_tokens",
-                text_ops.token_count(args.text_col).cast("long"),
+                text_ops.token_count("text").cast("long"),
             )
         if args.pack_budget:
             shard_id = "bin_id"

@@ -157,6 +157,15 @@ def host_rank(
         .localCheckpoint(eager=True)
     )
     n = hosts.count()  # bounded: #hosts, needed for the teleport term
+    if n == 0:
+        # empty link graph (a crawl whose pages carry no
+        # absolute/protocol-relative links — reachable via the CLI's
+        # --min-host-rank): return an empty (host, rank) frame rather
+        # than dividing by zero; downstream joins/filters compose as
+        # no-ops exactly as an all-unknown-host corpus should
+        return hosts.select(
+            "host", F.lit(0.0).alias("rank")
+        )
     ranks = hosts.select("host", F.lit(1.0 / n).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
     linkers = (

@@ -143,10 +143,13 @@ def fetch_cdx_records(
     (the ``.warc.gz`` contract that CDX offsets rely on), parsed with
     the shared in-memory parser under the same per-record size guard
     as streaming ingestion. Output is the ``read_warc`` frame shape —
-    ``extract_documents`` composes directly — with the SAME
-    deterministic id a whole-member read of that file would assign
-    requiring only metadata the index provides: xxhash64(filename,
-    offset)."""
+    ``extract_documents`` composes directly. Ids are deterministic in
+    (warc_root+filename, byte offset) — xxhash64 over exactly the
+    metadata the index provides — but intentionally NOT comparable to
+    ``read_warc``'s ids, which hash (listing-URI path, sequential
+    record_idx): the two ingestion paths address records by different
+    coordinates, so never join/dedup across them on ``doc_id``;
+    re-derive a content key instead."""
     sel = cdx.filter(
         F.col("filename").isNotNull()
         & F.col("offset").isNotNull()

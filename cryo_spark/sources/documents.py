@@ -134,15 +134,90 @@ _CHUNKED_RE = re.compile(
 )
 
 
+def _parse_size_line(body: bytes, pos: int):
+    """Parse one chunk-size line at ``pos``. Returns
+    (size, byte-after-line) or None when the line is not hex-framed
+    (no line ending found, or the token before any ';ext' is not a
+    hex integer)."""
+    eol = body.find(b"\r\n", pos)
+    if eol == -1:
+        eol = body.find(b"\n", pos)
+        if eol == -1:
+            return None
+        next_pos = eol + 1
+    else:
+        next_pos = eol + 2
+    size_tok = body[pos:eol].split(b";", 1)[0].strip()
+    try:
+        return int(size_tok, 16), next_pos
+    except ValueError:
+        return None
+
+
+def _chunk_framing_confirmed(body: bytes) -> bool:
+    """True when the body is confirmed chunk-framed one step PAST the
+    first declared chunk. A stored-decoded body (Transfer-Encoding
+    header preserved, framing already stripped — the CommonCrawl
+    storage shape) whose first line happens to parse as hex (a page
+    starting '2026', minified '0\\n…') would otherwise be silently
+    reframed and truncated/garbled. Confirmation rules:
+
+    - first line isn't a hex size → not framed (caller keeps raw);
+    - first size == 0 (terminator as the very first chunk): framed
+      only if the remainder is empty or pure trailer lines
+      ('name: value' each) followed by at most one blank line — a
+      decoded document that merely STARTS with '0' fails this;
+    - first chunk complete: the byte run after it must be CRLF/LF
+      followed by ANOTHER hex size line, or nothing at all
+      (capture truncated exactly at the boundary);
+    - first chunk truncated mid-payload: ambiguous by construction —
+      trust the Transfer-Encoding header (genuinely truncated chunked
+      captures are common; a decoded page whose first token declares
+      more bytes than the page holds is the rarer shape)."""
+    parsed = _parse_size_line(body, 0)
+    if parsed is None:
+        return False
+    size, pos = parsed
+    if size == 0:
+        rest = body[pos:]
+        # trailers: header-shaped lines then a blank line, nothing else
+        while rest:
+            line, _, rest = rest.partition(b"\n")
+            line = line.rstrip(b"\r")
+            if line == b"":
+                return rest == b""
+            if b":" not in line:
+                return False
+        return True
+    if pos + size >= len(body):
+        return True  # truncated mid-first-chunk: header wins
+    after = pos + size
+    if body[after : after + 2] == b"\r\n":
+        after += 2
+    elif body[after : after + 1] == b"\n":
+        after += 1
+    else:
+        return False  # no chunk-terminating CRLF where framing demands one
+    if after == len(body):
+        return True  # truncated exactly at the chunk boundary
+    return _parse_size_line(body, after) is not None
+
+
 def _dechunk(body: bytes) -> bytes:
     """Decode Transfer-Encoding: chunked framing (hex-size line, CRLF,
     chunk bytes, CRLF, ... , 0-size terminator). A body whose FIRST
-    line does not parse as a chunk size is returned UNCHANGED — a
-    stored-decoded corpus that preserved the original headers, a
-    mislabeling server, or a capture truncated before the first chunk
-    would otherwise lose the whole document to b''. Past a valid first
-    chunk, malformed framing returns the bytes decoded so far — never
-    raises (crawl payloads are frequently truncated mid-chunk)."""
+    line does not parse as a chunk size — or whose framing fails the
+    one-step-further confirmation in :func:`_chunk_framing_confirmed`
+    (the byte run after the first declared chunk must be CRLF plus
+    another hex size, or the 0 terminator must be followed only by
+    trailers) — is returned UNCHANGED: a stored-decoded corpus that
+    preserved the original headers, a mislabeling server, or a capture
+    truncated before the first chunk would otherwise lose or garble
+    the whole document. Past a confirmed first chunk, malformed
+    framing returns the bytes decoded so far — never raises (crawl
+    payloads are frequently truncated mid-chunk)."""
+    if not _chunk_framing_confirmed(body):
+        return body
     first_size_valid = False
     out, pos, n = [], 0, len(body)
     while pos < n:

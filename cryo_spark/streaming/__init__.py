@@ -351,6 +351,27 @@ def streaming_near_dup_candidates(
     )
 
 
+def _sink_has_flat_parts(spark: SparkSession, out_path: str) -> bool:
+    """True when ``out_path`` exists and holds flat ``part-*`` files
+    directly (the pre-round-10 unpartitioned append layout). Resolved
+    through the Hadoop FileSystem API so remote URIs (s3a://,
+    hdfs://, …) are checked too — ``os.path.isdir`` is always False
+    for those, which is exactly where production streaming sinks
+    live. Listing errors other than not-found PROPAGATE: an
+    unreachable sink should fail loudly here, not three stages later
+    with a misleading parquet-layout error."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = jpath.getFileSystem(hconf)
+    if not fs.exists(jpath) or not fs.getFileStatus(jpath).isDirectory():
+        return False
+    for st in fs.listStatus(jpath):
+        if st.getPath().getName().startswith("part-"):
+            return True
+    return False
+
+
 def _near_dup_batch(
     batch_df: DataFrame,
     epoch_id: int,
@@ -375,12 +396,12 @@ def _near_dup_batch(
     # directory holding the pre-partitioning flat part-* files would
     # produce a mixed layout that spark.read.parquet rejects with a
     # misleading 'conflicting directory structures' later — fail fast
-    # with the migration path instead
-    import os as _os
-
-    if _os.path.isdir(out_path) and any(
-        f.startswith("part-") for f in _os.listdir(out_path)
-    ):
+    # with the migration path instead. Resolved through the Hadoop
+    # FileSystem API so the check also fires for s3://, hdfs:// and
+    # other remote sink URIs — exactly where production streaming
+    # sinks live; os.path.isdir is always False there and would leave
+    # the hazard unguarded.
+    if _sink_has_flat_parts(spark, out_path):
         raise ValueError(
             f"candidate sink {out_path} contains flat part-* files "
             "from the pre-round-10 append layout; migrate by reading "
