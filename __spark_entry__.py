@@ -887,14 +887,21 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (rows-only check; engine-specific hashing)."""
+    """SimHash signatures (engine-neutral md5-derived hash since
+    round 11 — see dedup.simhash)."""
     return dedup.simhash(_read(spark, sf_dir, "documents"))
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via 8-band pigeonhole + hamming verify
-    (rows-only check; the 64-bit signature itself is engine-specific,
-    so no SQL oracle is possible).
+    """SimHash near-dup pairs via 8-band pigeonhole + hamming verify.
+
+    HASH-EXACT oracle since round 11: the per-token hash is
+    engine-neutral (DuckDB ``md5_number_lower`` = little-endian low 8
+    bytes of md5, extracted JVM-side via conv/substring), so the
+    whole signature → banding → hamming chain is deterministic
+    arithmetic with a DuckDB SQL twin
+    (dedup.simhash_near_dups_sql) — the driver verifies the exact
+    pair set + hamming values, not just row counts.
 
     In-contract recall pin (same spirit as the minhash oracle pin):
     the result must cover >= 80% of the exact-3-gram-Jaccard >= 0.7
@@ -902,8 +909,9 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     raises here, turning the unit-level claim into a driver-visible
     one. NOT a superset gate: simhash hamming tracks the cosine of
     term-frequency vectors, so even >= 0.9-Jaccard pairs can flip > 7
-    of 64 bits (measured coverage 94% at sf0.1, 100% at sf0.01 — the
-    0.8 floor leaves fixture-regeneration margin). If a round fails
+    of 64 bits (measured coverage 97% at sf0.1, 100% at sf0.01 with
+    the md5-derived hash — the 0.8 floor leaves fixture-regeneration
+    margin). If a round fails
     ONLY here, it is the corpus, not simhash — lower the floor before
     debugging the operator."""
     docs = _read(spark, sf_dir, "documents")
@@ -1524,17 +1532,24 @@ GENERIC = {
     ),
     "llm_stratified_sample": (q_stratified_sample, oracle_stratified_sample),
     "llm_multimodal": (q_multimodal, oracle_multimodal),
+    # round 11: hash-exact (was rows-only since r5) — the simhash
+    # token hash is now engine-neutral md5-derived arithmetic
+    # (DuckDB's md5_number_lower), so the full signature → banding →
+    # hamming chain has a deterministic SQL twin
+    "llm_simhash_near_dups": (
+        q_simhash_near_dups,
+        lambda: dedup.simhash_near_dups_sql("documents"),
+    ),
 }
 
 # llm_simhash (raw signature dump) gave up its contract slot to the
 # oracle-backed llm_near_dup_clusters; simhash stays covered by
-# llm_simhash_near_dups + unit tests
+# llm_simhash_near_dups (hash-exact since round 11) + unit tests
 NO_ORACLE = {
-    # both rows-only entries carry in-entry recall gates against
-    # oracle-proven exact answers (round 5) — approximate/hash outputs
-    # themselves stay engine-specific, their recall does not
+    # rows-only by nature: k-means/hyperplane tiers have no SQL twin;
+    # the entry carries an in-entry recall gate against the
+    # oracle-proven exact answer (round 5)
     "llm_ann_topk": q_ann_topk,  # LSH + IVF merged (method column)
-    "llm_simhash_near_dups": q_simhash_near_dups,
 }
 
 

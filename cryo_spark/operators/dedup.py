@@ -388,10 +388,22 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     or differ in few bits (bucket by signature prefix for a hamming
     join).
 
-    Pure JVM: explode tokens, xxhash64 each, aggregate 64 per-bit
-    vote sums (map-side partial agg — the shuffle carries 64 ints per
+    Pure JVM: explode tokens, hash each, aggregate 64 per-bit vote
+    sums (map-side partial agg — the shuffle carries 64 ints per
     doc), then reassemble the sign bits. Empty/whitespace-only text
-    gets signature 0."""
+    gets signature 0.
+
+    The per-token 64-bit hash is ENGINE-NEUTRAL by design (round 11):
+    the little-endian low 8 bytes of md5(token) — exactly DuckDB's
+    ``md5_number_lower`` — extracted here as 8 byte-valued columns
+    via conv(substring(md5_hex)). That makes the whole
+    signature→banding→hamming chain expressible as a DuckDB SQL twin
+    (:func:`simhash_near_dups_sql`), so the driver can hash-verify
+    near-dup pairs instead of the weaker rows-only check. Cost vs the
+    previous xxhash64: one md5 per token occurrence (still
+    whole-stage-codegen JVM, no Python); the md5 hex is bound to a
+    concrete column first so the 8 byte extractions don't re-inline
+    the digest per expression."""
     df = _spread(df)
     toks = df.select(
         F.col(id_col),
@@ -399,16 +411,29 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         ).alias("tok"),
     )
-    h = F.xxhash64("tok")
+    hashed = toks.select(id_col, "tok", F.md5("tok").alias("h"))
+    # digest bytes 8..15 (hex chars 17.. as 2-char pairs), little-endian:
+    # bit b of the 64-bit hash lives in byte b//8 at position b%8
+    hb = hashed.select(
+        id_col,
+        "tok",
+        *[
+            F.conv(F.substring("h", 17 + 2 * j, 2), 16, 10)
+            .cast("int")
+            .alias(f"hb{j}")
+            for j in range(8)
+        ],
+    )
     votes = [
         F.sum(
             F.when(F.col("tok").isNull() | (F.col("tok") == ""), F.lit(0)).otherwise(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+                F.shiftright(F.col(f"hb{b // 8}"), b % 8).bitwiseAND(F.lit(1)) * 2
+                - 1
             )
         ).alias(f"v{b}")
         for b in range(64)
     ]
-    agg = toks.groupBy(id_col).agg(*votes)
+    agg = hb.groupBy(id_col).agg(*votes)
     sig = None
     for b in range(64):
         # bit 63 is the long sign bit: adding -(2^63) sets it in
@@ -475,6 +500,62 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_near_dups_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+) -> str:
+    """DuckDB twin of :func:`simhash` + :func:`simhash_near_dups`.
+
+    Same deterministic arithmetic, engine-neutral by construction:
+    the per-token hash is DuckDB's ``md5_number_lower`` (little-endian
+    low 8 bytes of md5 — byte-for-byte what the Spark path extracts
+    via conv/substring, equivalence pinned in tests), votes are the
+    same ±1 sums, the signature is assembled as a HUGEINT (no sign
+    games needed since it never leaves the query), banding is the
+    same 8x8-bit pigeonhole, and the hamming verify is
+    bit_count(xor(...)). Docs whose text is NULL fall out of the
+    token unnest, so the signature frame LEFT JOINs the corpus and
+    the all-NULL vote case collapses to signature 0 — matching
+    Spark's explode_outer behavior."""
+    norm = f"trim(lower({text_col}))"
+    vote_terms = ",\n    ".join(
+        "sum(CASE WHEN tok = '' THEN 0 ELSE "
+        f"2 * CAST((md5_number_lower(tok) >> {b}) & 1 AS INT) - 1 END)"
+        f" AS v{b}"
+        for b in range(64)
+    )
+    sig_terms = "\n      + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (1::HUGEINT << {b}) ELSE 0::HUGEINT END)"
+        for b in range(64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest(string_split(
+           regexp_replace({norm}, '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM {table}
+), votes AS (
+  SELECT {id_col},
+    {vote_terms}
+  FROM toks GROUP BY {id_col}
+), sigs AS (
+  SELECT d.{id_col},
+    ({sig_terms}) AS usig
+  FROM {table} d LEFT JOIN votes USING ({id_col})
+), banded AS (
+  SELECT {id_col}, usig, band_id, (usig >> (8 * band_id)) & 255 AS band_val
+  FROM sigs, (SELECT unnest(generate_series(0, 7)) AS band_id)
+)
+SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+  CAST(bit_count(xor(a.usig, b.usig)) AS INT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val
+ AND a.{id_col} < b.{id_col}
+WHERE bit_count(xor(a.usig, b.usig)) <= {max_hamming}
+"""
 
 
 def embedding_near_dups_exact(

@@ -131,6 +131,7 @@ def pack_sequences(
     count_col: str = "n_tokens",
     partitions: int | None = None,
     group_cols: list[str] | None = None,
+    _bin_stride: int = 10_000_000,
 ) -> DataFrame:
     """Greedy first-fit-decreasing bin packing of documents into
     training sequences of at most ``budget`` tokens. Returns
@@ -138,7 +139,17 @@ def pack_sequences(
     token total of the doc's bin. Docs longer than the budget get a
     singleton bin (truncation is the caller's policy). Packing runs
     independently per partition; bin ids are globally unique via a
-    partition-id offset.
+    partition-id offset of ``_bin_stride`` local bins.
+
+    Scale note (collision-impossible by construction): a packer task
+    whose local bin count reaches the stride would silently bleed
+    into the next partition's id range, merging unrelated bins in
+    :func:`pack_bins` — so the task RAISES at the stride boundary
+    with the fix (more ``partitions``) in the message instead. At the
+    default stride that is >10M bins in one task — ≥10M docs landing
+    on a single packer partition, far past the point the repartition
+    below should have spread them — so a production run never hits
+    it; ``_bin_stride`` exists to force the edge in tests.
 
     ``id_col`` may be a LIST of columns when one column is not a key
     — e.g. an epoch-upsampled corpus where identity is (doc_id,
@@ -177,7 +188,15 @@ def pack_sequences(
                 ["n_tokens"] + ids, ascending=[False] + [True] * len(ids)
             )
             assign = _ffd_assign(sub["n_tokens"].to_numpy(), budget)
-            sub = sub.assign(bin_id=[part * 10_000_000 + a for a in assign])
+            if assign and max(assign) >= _bin_stride:
+                raise ValueError(
+                    f"packer partition {part} produced {max(assign) + 1} "
+                    f"local bins, at the id stride {_bin_stride} — bin "
+                    "ids would collide with the next partition's range; "
+                    "raise pack_sequences(partitions=...) to spread "
+                    "docs across more packer tasks"
+                )
+            sub = sub.assign(bin_id=[part * _bin_stride + a for a in assign])
             fills = sub.groupby("bin_id")["n_tokens"].transform("sum")
             return sub.assign(bin_fill=fills)
 

@@ -1,0 +1,222 @@
+"""Round-11 hardening: ADVICE regression tests (shard branch with a
+custom --text-col, chunked-framing confirmation for stored-decoded
+bodies, Hadoop-FS-resolved flat-layout sink guard, empty-link-graph
+host_rank), plus the round's new surfaces as they land.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cryo_spark.sources.documents import (
+    _chunk_framing_confirmed,
+    _decode_payload,
+    _dechunk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------- ADVICE: corpus CLI shard branch
+
+
+def test_corpus_cli_shard_tokens_with_custom_text_col(spark, tmp_path, capsys):
+    """--text-col body --shard-tokens N WITHOUT --pack-budget: the
+    pipeline renames the text to the fixed 'text' column, so the
+    shard branch must count tokens on 'text', not args.text_col
+    (previously an unresolved-column AnalysisException)."""
+    import json
+
+    from cryo_spark.api import main
+
+    src = tmp_path / "in.parquet"
+    (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .withColumnRenamed("text", "body")
+        .write.parquet(str(src))
+    )
+    out = tmp_path / "run"
+    rc = main([
+        "corpus", "--input", str(src), "--output", str(out),
+        "--text-col", "body", "--shard-tokens", "5000",
+    ])
+    assert rc == 0
+    assert (out / "shards").is_dir()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_docs"] > 0
+    shards = spark.read.parquet(str(out / "shards"))
+    assert "n_tokens" in shards.columns
+    assert shards.agg(F.sum("n_tokens")).first()[0] > 0
+
+
+# ------------------------- ADVICE: chunked-framing confirmation
+
+
+def test_dechunk_hex_looking_decoded_body_kept_raw():
+    """A stored-decoded body whose FIRST line parses as hex ('2026',
+    minified '0\\n…') must be returned unchanged: the framing is
+    confirmed one step past the first declared chunk before any
+    reframing happens."""
+    # first line '2026' parses as hex 0x2026=8230, the body is longer
+    # than 8230 bytes, and the byte run after is NOT another size line
+    decoded = b"2026\nThe year in review. " + b"x" * 9000
+    assert _dechunk(decoded) == decoded
+    assert not _chunk_framing_confirmed(decoded)
+    # minified file starting '0\n' — the 0 terminator must be followed
+    # only by trailers, not by the rest of a document
+    minified = b"0\nvar a=1;function f(){return a}\n"
+    assert _dechunk(minified) == minified
+    # via the full payload decoder with a preserved chunked header
+    raw = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Type: text/plain\r\n\r\n" + minified
+    )
+    assert _decode_payload(raw, "response").endswith(minified.decode())
+
+
+def test_dechunk_genuine_framing_still_decodes():
+    """Real chunked framing — including the empty-body terminator and
+    trailer lines — still decodes exactly as before."""
+    framed = b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    assert _dechunk(framed) == b"hello world"
+    # empty chunked body: bare terminator
+    assert _dechunk(b"0\r\n\r\n") == b""
+    # terminator with a trailer header
+    assert _dechunk(b"0\r\nX-Check: ok\r\n\r\n") == b""
+    # truncated mid-first-chunk: header wins, decode what's there
+    assert _dechunk(b"A\r\nhello") == b"hello"
+    # truncated exactly at the first chunk boundary
+    assert _dechunk(b"5\r\nhello\r\n") == b"hello"
+    # LF-only framing (lenient parse)
+    assert _dechunk(b"5\nhello\n0\n\n") == b"hello"
+
+
+# ----------------- ADVICE: Hadoop-FS-resolved flat-layout sink guard
+
+
+def test_sink_flat_layout_guard_resolves_uris(spark, tmp_path):
+    """The layout guard resolves through the Hadoop FileSystem API, so
+    URI-form sink paths (the shape remote s3a/hdfs sinks take) are
+    checked too — os.path.isdir is always False for those."""
+    from cryo_spark.streaming import _sink_has_flat_parts
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    (flat / "part-00000-old.snappy.parquet").write_bytes(b"x")
+    assert _sink_has_flat_parts(spark, f"file://{flat}")
+    assert _sink_has_flat_parts(spark, str(flat))
+    part = tmp_path / "ok"
+    (part / "epoch_id=0").mkdir(parents=True)
+    (part / "epoch_id=0" / "part-00000.parquet").write_bytes(b"x")
+    assert not _sink_has_flat_parts(spark, f"file://{part}")
+    assert not _sink_has_flat_parts(spark, str(tmp_path / "missing"))
+
+
+# ------------------------------ ADVICE: empty-link-graph host_rank
+
+
+def test_host_rank_empty_graph(spark):
+    """A crawl whose pages carry no absolute/protocol-relative links
+    produces an empty edge frame; host_rank must return an empty
+    (host, rank) frame, not raise ZeroDivisionError."""
+    from cryo_spark.operators import linkgraph
+
+    edges = spark.createDataFrame(
+        [], "src_host string, dst_host string, n_links long"
+    )
+    ranks = linkgraph.host_rank(edges, iters=3)
+    assert ranks.columns == ["host", "rank"]
+    assert ranks.count() == 0
+    # and the attach composes as a no-op prior (all 0.0)
+    docs = spark.createDataFrame(
+        [("a", "https://x.example/p")], "doc_id string, url string"
+    )
+    out = linkgraph.attach_host_rank(docs, ranks)
+    assert out.first().host_rank == 0.0
+
+
+# ------------------- hash-exact simhash (engine-neutral md5 hash)
+
+
+def test_simhash_token_hash_matches_duckdb_md5_number_lower(spark):
+    """The Spark-side conv/substring byte extraction equals DuckDB's
+    md5_number_lower bit-for-bit — the invariant the hash-exact
+    simhash oracle rests on (incl. Unicode and the empty token)."""
+    import duckdb
+
+    toks = ["hello", "wörld", "a", "tok300", "", "日本語"]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    cols = [
+        F.conv(F.substring(F.md5("tok"), 17 + 2 * j, 2), 16, 10)
+        .cast("int")
+        .alias(f"b{j}")
+        for j in range(8)
+    ]
+    for r in df.select("tok", *cols).collect():
+        got = sum(r[f"b{j}"] << (8 * j) for j in range(8))
+        want = duckdb.sql(
+            "select md5_number_lower(?)", params=[r.tok]
+        ).fetchone()[0]
+        assert got == want, r.tok
+
+
+def test_simhash_near_dups_sql_twin_matches(spark):
+    """simhash_near_dups == its DuckDB SQL twin on a planted frame
+    (near pair within hamming 7, far doc excluded, empty docs pair at
+    hamming 0)."""
+    import duckdb
+
+    from cryo_spark.operators import dedup
+
+    base = " ".join(f"tok{i}" for i in range(400))
+    near = base.replace("tok200", "changed")
+    far = " ".join(f"other{i}" for i in range(400))
+    rows = [(1, base), (2, near), (3, far), (4, ""), (5, "   "), (6, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_near_dups(df).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs_pd", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "text"]
+    ))
+    con.sql("CREATE VIEW documents AS SELECT * FROM docs_pd")
+    want = {
+        tuple(r)
+        for r in con.sql(dedup.simhash_near_dups_sql("documents")).fetchall()
+    }
+    assert got == want
+    assert (1, 2) in {(a, b) for a, b, _ in got}
+    # empty/whitespace/null docs all collapse to signature 0 → pairs
+    # at hamming 0 (explode_outer vs LEFT JOIN parity across engines)
+    assert (4, 5, 0) in got and (4, 6, 0) in got and (5, 6, 0) in got
+    assert not any({a, b} & {3} == {3} and {a, b} & {1, 2} for a, b, _ in got)
+
+
+# ------------------------------- packer bin-id stride hardening
+
+
+def test_pack_sequences_raises_at_bin_stride(spark):
+    """A packer partition whose local bin count reaches the id stride
+    must raise (with the partitions=... fix named), never silently
+    collide with the next partition's id range."""
+    from py4j.protocol import Py4JJavaError
+
+    from cryo_spark.operators import seqprep
+
+    docs = spark.createDataFrame(
+        [(i, 10) for i in range(8)], "doc_id long, n_tokens long"
+    )
+    # budget 10 -> one bin per doc; stride 4 < 8 bins forces the edge
+    with pytest.raises(Exception, match="id stride|PythonException") as ei:
+        seqprep.pack_sequences(
+            docs, budget=10, partitions=1, _bin_stride=4
+        ).collect()
+    assert "id stride" in str(ei.value) or isinstance(
+        ei.value, Py4JJavaError
+    )
+    # same data under the default stride packs fine and stays dense
+    out = seqprep.pack_sequences(docs, budget=10, partitions=1).collect()
+    assert len({r.bin_id for r in out}) == 8
