@@ -137,6 +137,72 @@ def compact_line(out: dict) -> str:
     return json.dumps(minimal, separators=(",", ":"))
 
 
+def make_warc_fixture(warc_dir: str, members: int = 32, records: int = 50) -> None:
+    """Deterministic WARC fixture for the warc_ingest bench query —
+    ``members`` gzip members (one task each, the CommonCrawl
+    parallelism model) of ``records`` response records, covering
+    framing, charset decode and the JVM extraction chain. Module-level
+    so the plan-snapshot gate (tools/plan_snapshots.py) builds the
+    SAME frame it pins."""
+    import gzip
+
+    body = (
+        b"<html><head><title>t</title></head><body>"
+        b'<div><a href="/">Home</a> | <a href="/a">About</a></div>'
+        + b"".join(
+            b"<p>Paragraph %d with enough ordinary prose to pass the"
+            b" content-density rule of the extractor.</p>" % i
+            for i in range(20)
+        )
+        + b"<div><a href='/p'>Privacy</a></div></body></html>"
+    )
+    for m in range(members):
+        recs = b""
+        for r in range(records):
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+            )
+            recs += (
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                + b"WARC-Target-URI: https://bench.test/%d/%d\r\n" % (m, r)
+                + b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                + b"Content-Length: %d\r\n\r\n" % len(payload)
+                + payload
+                + b"\r\n\r\n"
+            )
+        with open(os.path.join(warc_dir, f"m{m:02d}.warc.gz"), "wb") as f:
+            f.write(gzip.compress(recs))
+
+
+def warc_ingest_frame(spark, warc_dir: str):
+    """The warc_ingest bench frame: WARC members -> clean main-content
+    documents (binaryFile scan + Arrow splitter + fused HTML chain)."""
+    from cryo_spark.sources.documents import read_warc_documents
+
+    return read_warc_documents(spark, warc_dir, main_content=True)
+
+
+def llm_pack_frame(spark, sf_dir: str):
+    """The llm_pack bench frame: regex pretokenize (JVM) -> split
+    assignment -> split-local FFD pack -> per-bin token arrays (the
+    trainer-ready export the corpus CLI writes with --pack-budget)."""
+    from pyspark.sql import functions as F
+
+    from cryo_spark.operators.chat import TOKEN_RE
+    from cryo_spark.operators.sampling import split_assign
+    from cryo_spark.operators.seqprep import pack_bins
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = split_assign(docs.select("doc_id", "text")).select(
+        "doc_id",
+        "split",
+        F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0).alias(
+            "tokens"
+        ),
+    )
+    return pack_bins(toks, budget=512, group_cols=["split"])
+
+
 def plan_fingerprint(df) -> tuple[str, str]:
     """(md5-12, normalized text) of the query's initial physical plan.
 
@@ -303,43 +369,12 @@ def main() -> None:
     # (one task each, the CommonCrawl parallelism model) of 50 records
     # so the measurement covers framing, charset decode and the
     # JVM extraction chain end to end.
-    import gzip
-
-    from cryo_spark.sources.documents import read_warc_documents
-
     warc_dir = tempfile.mkdtemp(prefix="cryo_spark_warc_")
     try:
-        body = (
-            b"<html><head><title>t</title></head><body>"
-            b'<div><a href="/">Home</a> | <a href="/a">About</a></div>'
-            + b"".join(
-                b"<p>Paragraph %d with enough ordinary prose to pass the"
-                b" content-density rule of the extractor.</p>" % i
-                for i in range(20)
-            )
-            + b"<div><a href='/p'>Privacy</a></div></body></html>"
-        )
-        for m in range(32):
-            recs = b""
-            for r in range(50):
-                payload = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-                    + body
-                )
-                recs += (
-                    b"WARC/1.0\r\nWARC-Type: response\r\n"
-                    + b"WARC-Target-URI: https://bench.test/%d/%d\r\n"
-                    % (m, r)
-                    + b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
-                    + b"Content-Length: %d\r\n\r\n" % len(payload)
-                    + payload
-                    + b"\r\n\r\n"
-                )
-            with open(os.path.join(warc_dir, f"m{m:02d}.warc.gz"), "wb") as f:
-                f.write(gzip.compress(recs))
+        make_warc_fixture(warc_dir)
 
         def _ingest():
-            return read_warc_documents(spark, warc_dir, main_content=True)
+            return warc_ingest_frame(spark, warc_dir)
 
         _ingest().write.format("noop").mode("overwrite").save()  # warm
         spark._jvm.System.gc()
@@ -364,24 +399,8 @@ def main() -> None:
     # export the corpus CLI writes with --pack-budget). Measures the
     # packer shuffle + budget-bounded collect_list at sf scale.
     try:
-        from pyspark.sql import functions as F
-
-        from cryo_spark.operators.chat import TOKEN_RE
-        from cryo_spark.operators.sampling import split_assign
-        from cryo_spark.operators.seqprep import pack_bins
-
         def _pack():
-            docs = spark.read.parquet(
-                os.path.join(sf_dir, "documents.parquet")
-            )
-            toks = split_assign(docs.select("doc_id", "text")).select(
-                "doc_id",
-                "split",
-                F.regexp_extract_all(
-                    F.col("text"), F.lit(TOKEN_RE), 0
-                ).alias("tokens"),
-            )
-            return pack_bins(toks, budget=512, group_cols=["split"])
+            return llm_pack_frame(spark, sf_dir)
 
         _pack().write.format("noop").mode("overwrite").save()  # warm
         best = None

@@ -54,7 +54,54 @@ PINNED = [
     "llm_ngram_jaccard_pairs",  # df-cap bounded joins
     "llm_temperature_mix",      # rank window + tiny agg broadcast
     "llm_text_profile",         # 6-way doc_id SMJ reusing exchanges
+    # round 11 (round-10 verdict #3): the most expensive bench query —
+    # a lost persist/localCheckpoint in the staged funnel chain would
+    # otherwise only surface as a timing drift a round later
+    "corpus_funnel",
 ]
+
+#: bench-only headline queries (not contract entries) whose plan
+#: shape is load-bearing: built via the same bench.py frame builders
+#: the measurement uses, so the pin covers what actually runs.
+_WARC_FIXTURE: str | None = None
+
+
+def _warc_fixture_dir() -> str:
+    """Tiny (2-member) WARC fixture, built once per process — the
+    fingerprint normalizes file paths and file-index contents away,
+    so member COUNT does not move the plan hash (pinned in
+    tests/test_plans.py)."""
+    global _WARC_FIXTURE
+    if _WARC_FIXTURE is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        import bench
+
+        d = tempfile.mkdtemp(prefix="plan_snap_warc_")
+        bench.make_warc_fixture(d, members=2, records=3)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _WARC_FIXTURE = d
+    return _WARC_FIXTURE
+
+
+def _warc_ingest_frame(spark):
+    import bench
+
+    return bench.warc_ingest_frame(spark, _warc_fixture_dir())
+
+
+def _llm_pack_frame(spark):
+    import bench
+
+    return bench.llm_pack_frame(spark, SF_DIR)
+
+
+EXTRA_PINNED = {
+    "warc_ingest": _warc_ingest_frame,  # binaryFile scan + Arrow split
+    "llm_pack": _llm_pack_frame,        # one bin_id shuffle, JVM concat
+}
 
 
 def compute_fingerprints(spark, names=None) -> dict[str, dict[str, str]]:
@@ -63,8 +110,11 @@ def compute_fingerprints(spark, names=None) -> dict[str, dict[str, str]]:
 
     queries = entrymod.queries()
     out: dict[str, dict[str, str]] = {}
-    for name in names or PINNED:
-        df = queries[name](spark, SF_DIR)
+    for name in names or (PINNED + sorted(EXTRA_PINNED)):
+        if name in EXTRA_PINNED:
+            df = EXTRA_PINNED[name](spark)
+        else:
+            df = queries[name](spark, SF_DIR)
         fp, text = bench.plan_fingerprint(df)
         out[name] = {"fp": fp, "text": text}
     return out
