@@ -635,7 +635,16 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     content sha256, and the frame fan-out arithmetic — verifies
     against plain SQL. Only the decode vectors (feature/frame bytes,
     engine-specific by nature; stubbed in this container) stay out of
-    the checked surface, exactly the columns already dropped."""
+    the checked surface, exactly the columns already dropped.
+
+    Round 11 merge (50-entry window full — established pattern):
+    perceptual-hash image near-dup joins this entry as two more op
+    kinds, 'dhash' (per-image 64-bit fake-grid dHash signature, pure
+    JVM md5-chain arithmetic) and 'dhash_pair' (banded-hamming pair
+    rows: media_id, pair_b, hamming) — signatures, band-derived pair
+    sets AND hamming values all hash-verify against the DuckDB twin
+    (multimodal.image_near_dups_sql). The real-decoder path
+    (real_dhash via PIL) swaps into the same banding unchanged."""
     from cryo_spark.operators import multimodal
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
@@ -663,11 +672,39 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = multimodal.sample_frames(
         media, interval_ms=60_000, max_frames=8
     ).drop("frame").withColumn("op", F.lit("frames"))
-    return feats.unionByName(frames, allowMissingColumns=True)
+    # ONE signature pass feeds both the per-image rows and the pair
+    # join (image_near_dups reuses it via sigs=)
+    sigs = multimodal.image_dhash(media)
+    dhash_rows = sigs.withColumn("op", F.lit("dhash"))
+    pair_rows = (
+        multimodal.image_near_dups(media, sigs=sigs)
+        .select(
+            F.col("id_a").alias("media_id"),
+            F.col("id_b").alias("pair_b"),
+            "hamming",
+        )
+        .withColumn("op", F.lit("dhash_pair"))
+    )
+    return (
+        feats.unionByName(frames, allowMissingColumns=True)
+        .unionByName(dhash_rows, allowMissingColumns=True)
+        .unionByName(pair_rows, allowMissingColumns=True)
+    )
 
 
 def oracle_multimodal() -> str:
-    return """
+    from cryo_spark.operators import multimodal
+
+    null_cols = (
+        "NULL::BIGINT AS n_bytes, NULL::VARCHAR AS content_sha256, "
+        "NULL::INTEGER AS frame_index, NULL::BIGINT AS ts_ms"
+    )
+    dsig = multimodal.fake_dhash_duckdb_expr("encode(text)")
+    dpairs = multimodal.image_near_dups_sql(
+        "SELECT doc_id AS media_id, encode(text) AS payload "
+        "FROM documents WHERE doc_id % 3 = 0"
+    )
+    return f"""
 WITH media AS (
   SELECT doc_id AS media_id, doc_id % 3 AS k, text,
          (doc_id % 10 + 1) * 60000 AS dur
@@ -676,20 +713,44 @@ WITH media AS (
 feats AS (
   SELECT media_id, octet_length(encode(text))::BIGINT AS n_bytes,
          sha256(text) AS content_sha256,
-         'features' AS op, NULL::INTEGER AS frame_index, NULL::BIGINT AS ts_ms
+         'features' AS op, NULL::INTEGER AS frame_index, NULL::BIGINT AS ts_ms,
+         NULL::BIGINT AS dhash, NULL::BIGINT AS pair_b, NULL::INTEGER AS hamming
   FROM media
 ),
 frames AS (
   SELECT media_id, NULL::BIGINT AS n_bytes, NULL::VARCHAR AS content_sha256,
          'frames' AS op, f.frame_index::INTEGER AS frame_index,
-         (f.frame_index * 60000)::BIGINT AS ts_ms
+         (f.frame_index * 60000)::BIGINT AS ts_ms,
+         NULL::BIGINT AS dhash, NULL::BIGINT AS pair_b, NULL::INTEGER AS hamming
   FROM media
   CROSS JOIN LATERAL (
     SELECT unnest(range(least(dur // 60000 + 1, 8))) AS frame_index
   ) f
   WHERE k = 2
+),
+dhash_rows AS (
+  SELECT media_id, {null_cols}, 'dhash' AS op,
+         (CASE WHEN usig >= 9223372036854775808::HUGEINT
+               THEN usig - 18446744073709551616::HUGEINT
+               ELSE usig END)::BIGINT AS dhash,
+         NULL::BIGINT AS pair_b, NULL::INTEGER AS hamming
+  FROM (SELECT media_id, {dsig} AS usig FROM media WHERE k = 0) __d
+),
+pair_rows AS (
+  SELECT id_a AS media_id, {null_cols}, 'dhash_pair' AS op,
+         NULL::BIGINT AS dhash, id_b::BIGINT AS pair_b,
+         hamming::INTEGER AS hamming
+  FROM ({dpairs}) __p
 )
-SELECT * FROM feats UNION ALL SELECT * FROM frames
+SELECT media_id, n_bytes, content_sha256, op, frame_index, ts_ms,
+       dhash, pair_b, hamming
+FROM feats
+UNION ALL SELECT media_id, n_bytes, content_sha256, op, frame_index,
+       ts_ms, dhash, pair_b, hamming FROM frames
+UNION ALL SELECT media_id, n_bytes, content_sha256, op, frame_index,
+       ts_ms, dhash, pair_b, hamming FROM dhash_rows
+UNION ALL SELECT media_id, n_bytes, content_sha256, op, frame_index,
+       ts_ms, dhash, pair_b, hamming FROM pair_rows
 """
 
 

@@ -461,19 +461,37 @@ def simhash_near_dups(
     (band_id, band_value) — bucket-local, never all-pairs — and the
     exact hamming check (bit_count of xor) filters within buckets.
     All JVM."""
+    del shingles  # simhash tokenizes directly; kept for API symmetry
+    return banded_hamming_pairs(
+        simhash(df, text_col, id_col), "simhash", id_col, max_hamming
+    )
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Near-duplicate (id_a, id_b, hamming) pairs over 64-bit
+    signatures by pigeonhole banding: the signature splits into 8
+    8-bit bands; any pair within hamming distance <= 7 agrees on at
+    least one whole band, so candidates come from an equality
+    self-join on (band_id, band_value) — bucket-local, never
+    all-pairs — and the exact hamming check (bit_count of xor)
+    filters within buckets. All JVM. Shared by text simhash and
+    perceptual-hash (dHash) image near-dups."""
     if max_hamming > 7:
         raise ValueError("8-band pigeonhole supports max_hamming <= 7")
-    del shingles  # simhash tokenizes directly; kept for API symmetry
-    sigs = simhash(df, text_col, id_col)
     banded = sigs.select(
         F.col(id_col),
-        "simhash",
+        sig_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.shiftrightunsigned("simhash", 8 * b)
+                        F.shiftrightunsigned(sig_col, 8 * b)
                         .bitwiseAND(F.lit(0xFF))
                         .alias("band_val"),
                     )
@@ -481,7 +499,7 @@ def simhash_near_dups(
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    ).select(id_col, sig_col, "band.band_id", "band.band_val")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -494,7 +512,7 @@ def simhash_near_dups(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)

@@ -219,6 +219,303 @@ def sample_frames(
     return media.mapInPandas(run, FRAME_SCHEMA)
 
 
+# --------------------------------------------------------------------
+# Perceptual-hash (dHash) image near-duplicates (round 11)
+#
+# Real-decoder path: grayscale, resize to a 9x8 grid, compare adjacent
+# columns -> 64-bit dHash (the standard perceptual hash; near-dup
+# images differ in few bits). PIL is absent in this container, so the
+# DEFAULT grid derivation is a deterministic fake — chained md5 over
+# the payload hex — which (a) keeps the whole signature pure JVM
+# whole-stage-codegen (no Python at all, unlike a real decode), and
+# (b) is engine-neutral arithmetic, so the contract entry hash-checks
+# the signatures, band keys and pair counts against a DuckDB twin.
+# Under the fake grid only byte-identical payloads hash close
+# (hamming 0); SEMANTIC near-dups need the real decoder, which slots
+# into the same banding machinery unchanged.
+
+#: number of chained md5 blocks covering the 8x9 = 72-byte fake grid
+_DHASH_CHAINS = (8 * 9 + 15) // 16
+
+
+def _dhash_chain_cols(payload_col) -> list:
+    """The chained md5 hex strings the fake grid derives from — bind
+    these to CONCRETE columns (a select) before feeding
+    :func:`_dhash_sig_expr`, so the ~18 byte extractions per chain
+    reference a bound string instead of re-inlining the md5."""
+    hexp = F.hex(payload_col)
+    return [
+        F.md5(F.concat(hexp, F.lit(f":{i}"))) for i in range(_DHASH_CHAINS)
+    ]
+
+
+def _dhash_sig_expr(chains: list, payload_col) -> "F.Column":
+    """64-bit dHash signature from bound chain columns: grid byte j =
+    digest byte j%16 of chain j//16; bit r*8+c set when grid[r][c] <
+    grid[r][c+1] (8 rows x 9 cols, adjacent-column gradient). Signed
+    long (bit 63 via two's complement, as dedup.simhash does). NULL
+    payload -> NULL signature."""
+
+    def byte_at(j: int):
+        p = j % 16
+        return F.conv(
+            F.substring(chains[j // 16], 2 * p + 1, 2), 16, 10
+        ).cast("int")
+
+    sig = None
+    for r in range(8):
+        for c in range(8):
+            b = r * 8 + c
+            term = F.when(
+                byte_at(r * 9 + c) < byte_at(r * 9 + c + 1),
+                F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            sig = term if sig is None else sig + term
+    return F.when(payload_col.isNull(), F.lit(None).cast("long")).otherwise(sig)
+
+
+def fake_dhash_expr(payload_col) -> "F.Column":
+    """Inline (single-expression) form of the fake-grid dHash — for
+    ad-hoc use and cross-engine parity tests; :func:`image_dhash`
+    uses the bound two-step form."""
+    return _dhash_sig_expr(_dhash_chain_cols(payload_col), payload_col)
+
+
+def fake_dhash_duckdb_expr(payload_sql: str) -> str:
+    """DuckDB scalar expression (HUGEINT, unsigned 0..2^64) equal
+    bit-for-bit to :func:`fake_dhash_expr`'s signature: digest byte p
+    of md5(hex(payload)||':'||i) comes from md5_number_upper (p<8) or
+    md5_number_lower (p>=8), both little-endian — the byte mapping is
+    pinned cross-engine in tests. Wrap with the 2^63 subtraction to
+    compare against Spark's signed long output."""
+
+    def byte_at(j: int) -> str:
+        i, p = j // 16, j % 16
+        s = f"concat(hex({payload_sql}), ':{i}')"
+        if p < 8:
+            return f"((md5_number_upper({s}) >> {8 * p}) & 255)"
+        return f"((md5_number_lower({s}) >> {8 * (p - 8)}) & 255)"
+
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            b = r * 8 + c
+            terms.append(
+                f"(CASE WHEN {byte_at(r * 9 + c)} < {byte_at(r * 9 + c + 1)}"
+                f" THEN (1::HUGEINT << {b}) ELSE 0::HUGEINT END)"
+            )
+    return "(" + "\n + ".join(terms) + ")"
+
+
+def real_dhash(payload: bytes) -> int | None:
+    """Real dHash when PIL is importable: grayscale, resize to 9x8,
+    bit r*8+c set when pixel[r][c] < pixel[r][c+1]. Returns a signed
+    64-bit int (two's complement). NotImplementedError where PIL is
+    absent (this container) — the pipeline then runs on the fake-grid
+    JVM expression; the skipif-guarded test covers this path wherever
+    the dependency exists."""
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "image dHash requires PIL — not available in this container; "
+            "use the fake-grid fake_dhash_expr for pipeline testing"
+        ) from exc
+    import io
+
+    if payload is None:
+        return None
+    px = np.asarray(
+        Image.open(io.BytesIO(payload)).convert("L").resize((9, 8)),
+        dtype=np.int64,
+    )
+    sig = 0
+    for r in range(8):
+        for c in range(8):
+            if px[r][c] < px[r][c + 1]:
+                sig |= 1 << (r * 8 + c)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def image_dhash(
+    media: DataFrame,
+    hasher: Callable[[bytes], int | None] | None = None,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(media_id, dhash) 64-bit perceptual-hash signatures for image
+    rows. Default (``hasher=None``) uses the deterministic fake-grid
+    JVM expression — zero Python, one narrow projection fused into
+    the scan. Pass ``hasher=real_dhash`` (or any payload->int) to run
+    a real decoder via Arrow-batched mapInPandas; the downstream
+    banding is identical either way."""
+    img = media.filter(F.col("kind") == "image") if "kind" in media.columns else media
+    if hasher is None:
+        bound = img.select(
+            F.col(id_col),
+            F.col(payload_col),
+            *[
+                c.alias(f"_dh{i}")
+                for i, c in enumerate(_dhash_chain_cols(F.col(payload_col)))
+            ],
+        )
+        return bound.select(
+            F.col(id_col),
+            _dhash_sig_expr(
+                [F.col(f"_dh{i}") for i in range(_DHASH_CHAINS)],
+                F.col(payload_col),
+            ).alias("dhash"),
+        )
+    out_schema = T.StructType(
+        [
+            next(f for f in img.schema.fields if f.name == id_col),
+            T.StructField("dhash", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "dhash": pd.array(
+                        [
+                            None if p is None else hasher(bytes(p))
+                            for p in pdf[payload_col]
+                        ],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return img.mapInPandas(run, out_schema)
+
+
+def image_near_dups(
+    media: DataFrame,
+    hasher: Callable[[bytes], int | None] | None = None,
+    max_hamming: int = 7,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate image pairs (id_a, id_b, hamming): dHash
+    signatures -> the same 8x8-bit pigeonhole banding + exact hamming
+    verify the text simhash path uses
+    (:func:`cryo_spark.operators.dedup.banded_hamming_pairs`) —
+    bucket-local equality self-join, never all-pairs, scale shape
+    identical to the text dedup family. Rows with NULL signatures
+    (NULL payloads) drop out of the banding. Pass ``sigs`` (an
+    :func:`image_dhash` output) to reuse an already-computed
+    signature frame instead of hashing again."""
+    from cryo_spark.operators.dedup import banded_hamming_pairs
+
+    if sigs is None:
+        sigs = image_dhash(media, hasher, payload_col, id_col)
+    return banded_hamming_pairs(
+        sigs.filter(F.col("dhash").isNotNull()), "dhash", id_col, max_hamming
+    )
+
+
+def image_dhash_index(
+    media: DataFrame,
+    hasher: Callable[[bytes], int | None] | None = None,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, sig array<long>[8]) — the persistable per-image dHash
+    index: sig[b] = byte b of the 64-bit signature. Deliberately the
+    SAME (id, sig) shape as ``operators.incremental.minhash_index``,
+    so the whole delta machinery — ``save_banded_index``,
+    ``incremental_pairs(_from_table)``, ``delta_duplicates`` — composes
+    unchanged for daily image-batch runs (bands=8: each band hashes
+    one signature byte, so band equality == band-value equality, and
+    the 8-band pigeonhole guarantee for hamming <= 7 carries over)."""
+    sigs = image_dhash(media, hasher, payload_col, id_col).filter(
+        F.col("dhash").isNotNull()
+    )
+    return sigs.select(
+        id_col,
+        F.array(
+            *[
+                F.shiftrightunsigned("dhash", 8 * b).bitwiseAND(F.lit(0xFF))
+                for b in range(8)
+            ]
+        ).alias("sig"),
+    )
+
+
+def dhash_hamming(sig_a, sig_b) -> "F.Column":
+    """Exact hamming distance between two banded dHash index sigs
+    (JVM zip_with/aggregate — per-band xor bit counts summed)."""
+    return F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def image_incremental_near_dups(
+    base_index: DataFrame,
+    new_index: DataFrame,
+    max_hamming: int = 7,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-dup image pairs ADDED by a new batch (new-vs-base plus
+    new-vs-new; base-vs-base pairs were emitted when the base was
+    indexed): banded candidates from the shared incremental machinery,
+    then the exact hamming verify. Union with the base run's pairs to
+    equal the from-scratch :func:`image_near_dups` exactly (pinned in
+    tests). The base side never rehashes — the candidate join reads
+    the persisted 8-longs-per-image index."""
+    from cryo_spark.operators import incremental
+
+    cand = incremental.incremental_pairs(
+        base_index, new_index, bands=8, id_col=id_col, with_est=False
+    )
+    idx = base_index.unionByName(new_index)
+    sa = idx.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = idx.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dhash_hamming(F.col("sig_a"), F.col("sig_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def image_near_dups_sql(
+    media_sql: str,
+    payload_sql: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 7,
+) -> str:
+    """DuckDB twin of :func:`image_near_dups` over the fake-grid
+    dHash — same banding, same hamming verify (see
+    dedup.simhash_near_dups_sql for the shared pattern)."""
+    sig = fake_dhash_duckdb_expr(payload_sql)
+    return f"""
+WITH sigs AS (
+  SELECT {id_col}, {sig} AS usig
+  FROM ({media_sql}) __m
+  WHERE {payload_sql} IS NOT NULL
+), banded AS (
+  SELECT {id_col}, usig, band_id, (usig >> (8 * band_id)) & 255 AS band_val
+  FROM sigs, (SELECT unnest(generate_series(0, 7)) AS band_id)
+)
+SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+  CAST(bit_count(xor(a.usig, b.usig)) AS INT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val
+ AND a.{id_col} < b.{id_col}
+WHERE bit_count(xor(a.usig, b.usig)) <= {max_hamming}
+"""
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table for pipeline tests."""
     rng = np.random.default_rng(seed)

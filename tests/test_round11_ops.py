@@ -195,6 +195,139 @@ def test_simhash_near_dups_sql_twin_matches(spark):
     assert not any({a, b} & {3} == {3} and {a, b} & {1, 2} for a, b, _ in got)
 
 
+# ---------------- perceptual-hash (dHash) image near-duplicates
+
+
+def _clone_media(spark):
+    from cryo_spark.operators import multimodal as mm
+
+    texts = [
+        "the original image payload bytes",
+        "the original image payload bytes",   # exact clone -> hamming 0
+        "a completely different image here",
+        "yet another unrelated payload blob",
+    ]
+    rows = [
+        (i, "image", t.encode(), "image/png", None, None, None)
+        for i, t in enumerate(texts)
+    ] + [(99, "audio", b"not an image", "audio/wav", None, None, 1000)]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_image_dhash_matches_duckdb_and_finds_clones(spark):
+    """Fake-grid dHash signatures equal the DuckDB twin bit-for-bit
+    (signed conversion included); byte-identical payloads pair at
+    hamming 0; audio rows are excluded by the kind filter."""
+    import duckdb
+    import pandas as pd
+
+    from cryo_spark.operators import multimodal as mm
+
+    media = _clone_media(spark)
+    sigs = {r.media_id: r.dhash for r in mm.image_dhash(media).collect()}
+    assert set(sigs) == {0, 1, 2, 3}  # audio row filtered out
+    assert sigs[0] == sigs[1] and sigs[0] != sigs[2]
+    con = duckdb.connect()
+    con.register(
+        "m",
+        pd.DataFrame(
+            {
+                "media_id": list(sigs),
+                "payload": [
+                    r.payload
+                    for r in media.filter("kind = 'image'")
+                    .orderBy("media_id")
+                    .collect()
+                ],
+            }
+        ),
+    )
+    expr = mm.fake_dhash_duckdb_expr("payload")
+    want = {
+        mid: (u - (1 << 64) if u >= (1 << 63) else u)
+        for mid, u in con.sql(f"select media_id, {expr} from m").fetchall()
+    }
+    assert sigs == {k: int(v) for k, v in want.items()}
+    pairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.image_near_dups(media).collect()
+    }
+    dpairs = {
+        tuple(r)
+        for r in con.sql(
+            mm.image_near_dups_sql("SELECT media_id, payload FROM m")
+        ).fetchall()
+    }
+    assert pairs == dpairs and (0, 1, 0) in pairs
+
+
+def test_image_dhash_incremental_equals_batch(spark):
+    """base pairs ∪ incremental(new) == from-scratch image_near_dups:
+    the (id, sig) index shape rides the shared incremental machinery
+    (bands=8, one byte per band), and clones arriving in the delta
+    match the persisted base index without rehashing it."""
+    from cryo_spark.operators import incremental, multimodal as mm
+
+    media = _clone_media(spark).filter("kind = 'image'")
+    base = media.filter("media_id < 2")
+    new = media.filter("media_id >= 2")
+    bidx = mm.image_dhash_index(base)
+    nidx = mm.image_dhash_index(new)
+    base_cand = incremental.signature_pairs(
+        bidx, bands=8, id_col="media_id", with_est=False
+    )
+    base_pairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in base_cand.join(
+            mm.image_near_dups(base).select("id_a", "id_b", "hamming"),
+            ["id_a", "id_b"],
+        ).collect()
+    }
+    inc_pairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.image_incremental_near_dups(bidx, nidx).collect()
+    }
+    full = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.image_near_dups(media).collect()
+    }
+    assert base_pairs | inc_pairs == full
+    assert base_pairs & inc_pairs == set()
+    # a clone arriving in a LATER delta matches the persisted base
+    clone = spark.createDataFrame(
+        [(7, "the original image payload bytes".encode())],
+        "media_id long, payload binary",
+    )
+    cidx = mm.image_dhash_index(clone)
+    hits = mm.image_incremental_near_dups(
+        bidx.unionByName(nidx), cidx
+    ).collect()
+    assert {(r.id_a, r.id_b, r.hamming) for r in hits} == {
+        (0, 7, 0), (1, 7, 0)
+    }
+
+
+def test_real_dhash_requires_pil():
+    """real_dhash raises the documented NotImplementedError where PIL
+    is absent; where PIL exists it produces a signed 64-bit int."""
+    from cryo_spark.operators import multimodal as mm
+
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            mm.real_dhash(b"\x89PNG fake")
+        return
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (32, 32), 128).save(buf, format="PNG")
+    sig = mm.real_dhash(buf.getvalue())
+    assert isinstance(sig, int) and -(1 << 63) <= sig < (1 << 63)
+
+
 # ------------------------------- packer bin-id stride hardening
 
 
