@@ -100,6 +100,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "parquet table)")
     p.add_argument("--shard-format", default="parquet",
                    choices=["parquet", "jsonl"])
+    p.add_argument("--delta-index", default=None,
+                   help="daily-delta mode: near-dup-dedup the input "
+                        "batch against this persisted banded minhash "
+                        "index (incremental.save_banded_index layout) "
+                        "BEFORE the pipeline; the funnel gains "
+                        "delta_input/delta_near_dup rows")
+    p.add_argument("--delta-bands", type=int, default=4,
+                   help="banding of the persisted index (must match "
+                        "how it was saved)")
+    p.add_argument("--delta-k", type=int, default=16,
+                   help="minhash signature length for the delta batch")
+    p.add_argument("--update-index", action="store_true",
+                   help="after deduping, append this batch's band "
+                        "rows to --delta-index for the next day's "
+                        "run; bootstraps (creates) the index when it "
+                        "does not exist yet")
     p.add_argument("--no-funnel", action="store_true",
                    help="skip the per-stage attrition report (saves "
                         "one materialization pass per stage)")
@@ -132,6 +148,8 @@ def run(args: argparse.Namespace) -> int:
         url_allowlist=args.allowlist,
         domain_cap_n=args.domain_cap,
     )
+    if args.update_index and not args.delta_index:
+        raise ValueError("--update-index requires --delta-index")
     if args.bpe_merges and not args.pack_budget:
         raise ValueError("--bpe-merges requires --pack-budget")
     if args.token_ids and not args.pack_budget:
@@ -223,7 +241,45 @@ def run(args: argparse.Namespace) -> int:
     # prepare_training_corpus + corpus_funnel separately would run
     # every stage (all dedup shuffles, robots scans) twice
     funnel_df = None
-    if args.no_funnel:
+    if args.delta_index:
+        from cryo_spark.operators import incremental
+
+        if not spark.catalog.tableExists(args.delta_index):
+            if not args.update_index:
+                raise ValueError(
+                    f"banded index {args.delta_index!r} does not exist "
+                    "— bootstrap a day-1 run with --update-index, or "
+                    "point --delta-index at an existing table"
+                )
+            # day-1 bootstrap: nothing to dedup against — run the
+            # normal pipeline and SEED the index from this batch so
+            # day 2 can dedup against it
+            incremental.save_banded_index(
+                incremental.minhash_index(
+                    docs, text_col=args.text_col, k=args.delta_k
+                ),
+                args.delta_index,
+                bands=args.delta_bands,
+            )
+            if args.no_funnel:
+                out = corpus.prepare_training_corpus(docs, **kw)
+            else:
+                out, funnel_df = corpus.prepare_with_funnel(docs, **kw)
+        else:
+            # day-N: index dedup + pipeline in one staged chain (the
+            # funnel always rides along in delta mode — the staged
+            # boundaries are materialized either way)
+            out, funnel_df = corpus.prepare_corpus_delta(
+                docs,
+                args.delta_index,
+                bands=args.delta_bands,
+                k=args.delta_k,
+                update_index=args.update_index,
+                **kw,
+            )
+            if args.no_funnel:
+                funnel_df = None
+    elif args.no_funnel:
         out = corpus.prepare_training_corpus(docs, **kw)
     else:
         out, funnel_df = corpus.prepare_with_funnel(docs, **kw)

@@ -504,6 +504,78 @@ def prepare_with_funnel(
     return stages[-1][1], _funnel_from_stages(stages)
 
 
+def prepare_corpus_delta(
+    new_docs: DataFrame,
+    index_table: str,
+    bands: int = 4,
+    k: int = 16,
+    update_index: bool = False,
+    text_col: str = "text",
+    **kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """Daily-delta ingest as ONE call (round 11; previously the
+    tested-but-manual wiring in the daily-ingest workflow test): the
+    new batch is near-dup-deduplicated AGAINST an existing persisted
+    banded minhash index (``incremental.save_banded_index`` layout)
+    before the full preparation pipeline runs on the survivors.
+
+    Chain: ``minhash_index(new)`` → ``incremental_pairs_from_table``
+    (the base side reads straight from its buckets — no Exchange above
+    the corpus-sized index scan, plan-pinned; only the day-sized delta
+    shuffles) → ``delta_duplicates`` (arrival-priority keepers: an
+    already-shipped doc always wins a cross pair) → anti-join →
+    :func:`_corpus_stages` with the usual options. Returns (final
+    frame, funnel frame) like :func:`prepare_with_funnel`, with two
+    extra leading funnel rows — ``delta_input`` (the raw batch) and
+    ``delta_near_dup`` (survivors of the index dedup) — so the delta
+    stages are steerable from the same attrition report.
+
+    ``update_index=True`` appends the new batch's band rows to
+    ``index_table`` for the NEXT day's run. The drop list is
+    materialized (eager localCheckpoint — ids only, day-batch-bounded)
+    BEFORE the append, so the lazily-evaluated dedup can never read
+    its own batch back out of the table; the append itself reuses the
+    exact layout ``save_banded_index`` wrote.
+
+    Scale shape: the base index never re-shuffles (bucketed read), the
+    new index is k longs/doc, the drop list is ids-only, and the
+    pipeline stages inherit the funnel's O(stages) driver-plan
+    discipline."""
+    from cryo_spark.operators import incremental, skew
+
+    spark = new_docs.sparkSession
+    # consumed by the pair join, the drop list AND the index append —
+    # one signature pass (same device as the minhash contract entry)
+    new_idx = incremental.minhash_index(
+        new_docs, text_col=text_col, k=k
+    ).localCheckpoint(eager=False)
+    pairs = incremental.incremental_pairs_from_table(
+        spark, index_table, new_idx, bands=bands, with_est=False
+    )
+    # EAGER: forces the base-index read NOW, so a subsequent
+    # update_index append cannot leak the new batch into its own
+    # dedup (lazy evaluation would otherwise read the table at
+    # action time, after the append)
+    drops = incremental.delta_duplicates(pairs, new_idx).localCheckpoint(
+        eager=True
+    )
+    if update_index:
+        rows = incremental._band_rows(
+            new_idx, bands, "doc_id", carry_cols=("sig",)
+        ).withColumn("bands", F.lit(bands))
+        skew.write_bucketed(
+            rows, index_table, ["band_id", "band_hash"], mode="append"
+        )
+    surv = new_docs.join(drops, "doc_id", "left_anti")
+    stages = _corpus_stages(surv, text_col=text_col, checkpoint=True, **kwargs)
+    # the pipeline's own 'input' boundary IS the delta survivors —
+    # relabel it and prepend the raw batch so the funnel covers the
+    # index-dedup attrition
+    stages[0] = ("delta_near_dup", stages[0][1], stages[0][2])
+    full = [("delta_input", new_docs, text_col)] + stages
+    return full[-1][1], _funnel_from_stages(full)
+
+
 def release_stage_storage(df_or_session) -> None:
     """Free the boundary storage a funnel/prepare_with_funnel run left
     behind in a LONG-LIVED session (notebook, service): persisted

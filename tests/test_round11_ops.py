@@ -328,6 +328,148 @@ def test_real_dhash_requires_pil():
     assert isinstance(sig, int) and -(1 << 63) <= sig < (1 << 63)
 
 
+# ----------------------------- daily-delta ingest (corpus --delta)
+
+
+def _delta_days(spark):
+    """Day-1 corpus + a day-2 batch where ids 100/101 near-dup day-1
+    docs and 102/103 are new."""
+    mk = lambda i, t: (i, t, f"src{i % 2}")  # noqa: E731
+    base_txt = (
+        "the quick brown fox jumps over the lazy dog and keeps on "
+        "running through the wide open field all day long without rest"
+    )
+    other_txt = (
+        "completely different prose about spark shuffles broadcast "
+        "joins and adaptive query execution at large cluster scale"
+    )
+    day1 = spark.createDataFrame(
+        [mk(1, base_txt), mk(2, other_txt)],
+        "doc_id long, text string, source string",
+    )
+    day2 = spark.createDataFrame(
+        [
+            mk(100, base_txt),  # exact clone of shipped doc 1 -> drop
+            mk(101, base_txt.replace("lazy", "sleepy")),  # near-dup -> drop
+            mk(102, "entirely novel day two document about parquet "
+                    "bucketing and co located join strategies in spark"),
+            mk(103, "another fresh day two article that covers arrow "
+                    "batched python workers and pandas udf overheads"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    return day1, day2
+
+
+def test_prepare_corpus_delta_dedups_against_saved_index(spark):
+    """prepare_corpus_delta drops day-2 docs that near-dup the
+    persisted day-1 index (arrival priority: shipped docs win), the
+    funnel covers the delta stages, and update_index=True makes
+    day-3 dedup against day-2 docs too."""
+    from cryo_spark.operators import corpus, incremental
+
+    day1, day2 = _delta_days(spark)
+    table = "r11_delta_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    incremental.save_banded_index(
+        incremental.minhash_index(day1), table, bands=4
+    )
+    final, funnel = corpus.prepare_corpus_delta(
+        day2, table, update_index=True, min_quality=0.0
+    )
+    kept = {r.doc_id for r in final.select("doc_id").collect()}
+    assert kept == {102, 103}
+    rows = {r.stage: r for r in funnel.collect()}
+    assert rows["delta_input"].docs_out == 4
+    assert rows["delta_near_dup"].docs_in == 4
+    assert rows["delta_near_dup"].docs_out == 2
+    assert funnel.first().stage == "delta_input"
+    # day-3: a clone of a DAY-2 doc must now hit the updated index
+    day3 = spark.createDataFrame(
+        [(200, "entirely novel day two document about parquet "
+               "bucketing and co located join strategies in spark",
+          "src0")],
+        "doc_id long, text string, source string",
+    )
+    final3, _ = corpus.prepare_corpus_delta(day3, table, min_quality=0.0)
+    assert final3.count() == 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_prepare_corpus_delta_base_side_stays_bucketed(spark):
+    """The composed delta path inherits the bucketed-read property:
+    no Exchange above the base index scan in the candidate join (only
+    the day-sized delta shuffles)."""
+    from cryo_spark.operators import incremental
+
+    day1, day2 = _delta_days(spark)
+    table = "r11_delta_plan_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    incremental.save_banded_index(
+        incremental.minhash_index(day1), table, bands=4
+    )
+    pairs = incremental.incremental_pairs_from_table(
+        spark, table, incremental.minhash_index(day2), bands=4,
+        with_est=False,
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_corpus_cli_delta_end_to_end(spark, tmp_path, capsys):
+    """CLI day-1 bootstrap (--delta-index + --update-index creates the
+    index), then day-2 dedups against it and its funnel carries the
+    delta rows."""
+    import json
+
+    from cryo_spark.api import main
+
+    day1, day2 = _delta_days(spark)
+    d1, d2 = tmp_path / "day1.parquet", tmp_path / "day2.parquet"
+    day1.write.parquet(str(d1))
+    day2.write.parquet(str(d2))
+    table = "r11_cli_delta_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    rc = main([
+        "corpus", "--input", str(d1), "--output", str(tmp_path / "o1"),
+        "--delta-index", table, "--update-index", "--min-quality", "0",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main([
+        "corpus", "--input", str(d2), "--output", str(tmp_path / "o2"),
+        "--delta-index", table, "--min-quality", "0",
+    ])
+    assert rc == 0
+    funnel = json.load(open(tmp_path / "o2" / "funnel.json"))
+    stages = [r["stage"] for r in funnel]
+    assert stages[:2] == ["delta_input", "delta_near_dup"]
+    assert funnel[0]["docs_out"] == 4 and funnel[1]["docs_out"] == 2
+    out = spark.read.parquet(str(tmp_path / "o2" / "corpus"))
+    assert {r.doc_id for r in out.select("doc_id").collect()} == {102, 103}
+    # day-2 ran WITHOUT --update-index: the index must be unchanged
+    assert spark.table(table).select("doc_id").distinct().count() == 2
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    capsys.readouterr()
+
+
+def test_corpus_cli_delta_flag_validation(tmp_path, capsys):
+    from cryo_spark.api import main
+
+    rc = main([
+        "corpus", "--input", f"{SF_DIR}/documents.parquet",
+        "--output", str(tmp_path / "x"), "--update-index",
+    ])
+    assert rc == 2
+    rc = main([
+        "corpus", "--input", f"{SF_DIR}/documents.parquet",
+        "--output", str(tmp_path / "y"),
+        "--delta-index", "r11_missing_idx",
+    ])
+    assert rc == 2
+
+
 # ------------------------------- packer bin-id stride hardening
 
 
