@@ -205,9 +205,20 @@ def fetch_cdx_records(
                         handle_path = p
                     handle.seek(off)
                     raw = handle.read(ln)
-                    for rec in _parse_warc_bytes(
-                        bytes(raw), p, max_member_bytes
-                    ):
+                    # a stale/corrupt index entry (wrong offset, bit
+                    # rot, truncated archive) yields bytes that are
+                    # not a gzip member or not WARC-framed — DROP that
+                    # record instead of failing the task: one bad
+                    # pointer must not kill a crawl-sized fetch (the
+                    # same malformed-input policy as read_cdx's NULL
+                    # rows; the capture is unusable either way)
+                    try:
+                        recs = list(
+                            _parse_warc_bytes(bytes(raw), p, max_member_bytes)
+                        )
+                    except Exception:
+                        continue
+                    for rec in recs:
                         # record_idx is meaningless for a ranged fetch
                         # (the index entry identifies ONE record); the
                         # byte offset is the stable identity
@@ -227,3 +238,113 @@ def fetch_cdx_records(
         .withColumn(id_col, F.xxhash64(F.col("path"), F.col("record_idx")))
     )
     return fetched
+
+
+def reextract_documents(
+    spark: SparkSession,
+    cdx: DataFrame | str,
+    warc_root: str = "",
+    hosts: list[str] | None = None,
+    host_frame: DataFrame | None = None,
+    languages: list[str] | None = None,
+    mimes: list[str] | None = None,
+    statuses: tuple[int, ...] | None = (200,),
+    ts_from: str | None = None,
+    ts_to: str | None = None,
+    latest_per_url: bool = False,
+    text_col: str = "text",
+    main_content: bool = False,
+    smooth: bool = False,
+    max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
+) -> DataFrame:
+    """One-call SELECTIVE re-extraction: "re-extract this
+    domain/language/date-slice" against a CDX-indexed crawl, without
+    streaming the archives.
+
+    Every selection below is applied to the INDEX frame (KB per
+    million captures) so partition pruning and predicate pushdown do
+    their work before a single archive byte moves; only the selected
+    records' byte ranges are then fetched (:func:`fetch_cdx_records`)
+    and fed through the SAME record→document projection chain
+    whole-member ingestion uses
+    (``documents.documents_from_records``) — selecting 0.1% of a
+    crawl touches ~0.1% of its bytes (proven end to end in tests by
+    corrupting every byte OUTSIDE the selected ranges and re-running).
+
+    Selections (all optional, AND-composed):
+
+    - ``hosts``: RefinedWeb-style domain/subdomain-suffix allowlist
+      on the capture url (``operators.web.url_host_filter`` allow
+      mode — ``ads.example.com`` matches a listed ``example.com``).
+    - ``host_frame``: a (host, ...) frame — e.g.
+      ``operators.robots.robots_sitemaps(robots_docs)`` to re-extract
+      exactly the hosts that declare sitemaps — broadcast-semi-joined
+      on the capture's canonical host; the index never shuffles.
+    - ``languages``: crawler language verdicts (the index's
+      comma-separated ``languages`` field intersects the list).
+    - ``mimes`` / ``statuses``: content-type and HTTP status slices.
+    - ``ts_from`` / ``ts_to``: capture-timestamp slice, compact
+      ``yyyyMMddHHmmss`` strings (prefixes zero-pad: '20260814' works).
+    - ``latest_per_url=True``: keep only each urlkey's newest capture
+      (the standard re-crawl recipe) — a window over the index, still
+      index-sized.
+
+    Returns the canonical document frame (doc_id, url, warc_date,
+    content_type, status, noindex, title, html_lang, text)."""
+    from cryo_spark.operators import web
+    from cryo_spark.sources.documents import documents_from_records
+
+    idx = read_cdx(spark, cdx) if isinstance(cdx, str) else cdx
+    if hosts:
+        idx = web.url_host_filter(idx, hosts, mode="allow", url_col="url")
+    if host_frame is not None:
+        idx = (
+            idx.withColumn("_rx_host", web.canonical_host("url"))
+            .join(
+                F.broadcast(
+                    host_frame.select(F.col("host").alias("_rx_host"))
+                ),
+                "_rx_host",
+                "left_semi",
+            )
+            .drop("_rx_host")
+        )
+    if languages:
+        idx = idx.filter(
+            F.size(
+                F.array_intersect(
+                    F.split(F.coalesce(F.col("languages"), F.lit("")), ","),
+                    F.array(*[F.lit(x) for x in languages]),
+                )
+            )
+            > 0
+        )
+    if mimes:
+        idx = idx.filter(F.col("mime").isin(list(mimes)))
+    if statuses:
+        idx = idx.filter(F.col("status").isin(list(statuses)))
+
+    def _ts(s: str):
+        return F.to_timestamp(F.lit(s.ljust(14, "0")), "yyyyMMddHHmmss")
+
+    if ts_from:
+        idx = idx.filter(F.col("ts") >= _ts(ts_from))
+    if ts_to:
+        idx = idx.filter(F.col("ts") <= _ts(ts_to))
+    if latest_per_url:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("urlkey").orderBy(
+            F.col("ts").desc(), F.col("offset").desc()
+        )
+        idx = (
+            idx.withColumn("_rx_rn", F.row_number().over(w))
+            .filter(F.col("_rx_rn") == 1)
+            .drop("_rx_rn")
+        )
+    recs = fetch_cdx_records(
+        spark, idx, warc_root=warc_root, max_member_bytes=max_member_bytes
+    )
+    return documents_from_records(
+        recs, text_col=text_col, main_content=main_content, smooth=smooth
+    )

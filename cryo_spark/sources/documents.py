@@ -622,11 +622,38 @@ def read_warc_documents(
     subtag ('' when absent). The whole chain is the ingestion scan
     plus narrow projections: no shuffle until the first dedup stage
     the caller adds."""
-    from cryo_spark.operators import html as html_ops
-
     recs = read_warc(
         spark, path, id_col=id_col, max_member_bytes=max_member_bytes
     )
+    return documents_from_records(
+        recs,
+        id_col=id_col,
+        text_col=text_col,
+        full_entities=full_entities,
+        min_chars=min_chars,
+        main_content=main_content,
+        smooth=smooth,
+    )
+
+
+def documents_from_records(
+    recs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    full_entities: bool = False,
+    min_chars: int = 1,
+    main_content: bool = False,
+    smooth: bool = False,
+) -> DataFrame:
+    """The record→document projection chain shared by whole-member
+    ingestion (:func:`read_warc_documents`) and the index-driven
+    selective path (``cryo_spark.sources.cdx.reextract_documents``):
+    any ``_WARC_SCHEMA``-shaped record frame (plus ``id_col``) in,
+    the canonical (doc_id, url, warc_date, content_type, status,
+    noindex, title, html_lang, text) document frame out — all narrow
+    JVM projections, no shuffle."""
+    from cryo_spark.operators import html as html_ops
+
     body = html_ops.http_body_expr("payload")
     recs = (
         recs.withColumn("noindex", html_ops.noindex_expr("payload"))
