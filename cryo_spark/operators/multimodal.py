@@ -488,6 +488,146 @@ def image_incremental_near_dups(
     )
 
 
+def video_frame_dhash(
+    media: DataFrame,
+    sampler: Callable[[bytes, int], bytes] = fake_frame,
+    interval_ms: int = 1000,
+    max_frames: int = 32,
+    hasher: Callable[[bytes], int | None] | None = None,
+) -> DataFrame:
+    """(media_id, frame_index, dhash) — per-sampled-frame perceptual
+    hashes for video rows: :func:`sample_frames` fans each video out
+    to frame rows, then the SAME dHash the image path uses runs over
+    the frame bytes (default: the fake-grid JVM expression — works on
+    any binary column; pass ``hasher=real_dhash`` for decoded
+    frames). The expensive part (frame sampling) is the one
+    row-multiplying Arrow stage; hashing stays a narrow projection on
+    top."""
+    frames = sample_frames(
+        media, interval_ms=interval_ms, max_frames=max_frames,
+        sampler=sampler,
+    )
+    if hasher is None:
+        bound = frames.select(
+            "media_id",
+            "frame_index",
+            F.col("frame"),
+            *[
+                c.alias(f"_dh{i}")
+                for i, c in enumerate(_dhash_chain_cols(F.col("frame")))
+            ],
+        )
+        return bound.select(
+            "media_id",
+            "frame_index",
+            _dhash_sig_expr(
+                [F.col(f"_dh{i}") for i in range(_DHASH_CHAINS)],
+                F.col("frame"),
+            ).alias("dhash"),
+        )
+    # real-hasher path: Arrow batches carrying (id, frame_index) so
+    # the per-frame identity survives (image_dhash keeps only the id)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_index": pdf["frame_index"],
+                    "dhash": pd.array(
+                        [
+                            None if f is None else hasher(bytes(f))
+                            for f in pdf["frame"]
+                        ],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return frames.select("media_id", "frame_index", "frame").mapInPandas(
+        run, "media_id long, frame_index int, dhash long"
+    )
+
+
+def video_near_dups(
+    media: DataFrame,
+    min_overlap: float = 0.5,
+    max_hamming: int = 7,
+    sampler: Callable[[bytes, int], bytes] = fake_frame,
+    interval_ms: int = 1000,
+    max_frames: int = 32,
+    hasher: Callable[[bytes], int | None] | None = None,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs by frame-signature overlap — the
+    video member of the multimodal dedup family: sampled frames hash
+    to 64-bit dHashes, frame-level matches come from the shared
+    banded-hamming machinery (bucket-local, never all-pairs — two
+    videos are compared only where individual frames collide in a
+    band bucket), and a video pair survives when the CONTAINMENT —
+    matched distinct frames of either side over that side's frame
+    count — reaches ``min_overlap`` (containment, not Jaccard, so a
+    clip trimmed out of a longer video still matches it).
+
+    Returns (id_a, id_b, matched_a, matched_b, n_frames_a,
+    n_frames_b, overlap) with id_a < id_b. Scale shape: frame
+    signatures are 1 long per sampled frame (≤ ``max_frames`` per
+    video), the pair aggregation is a partial-agg groupBy on the
+    video pair, and the per-video frame counts broadcast back
+    (#videos-sized)."""
+    from cryo_spark.operators.dedup import banded_hamming_pairs
+
+    sigs = video_frame_dhash(
+        media, sampler, interval_ms, max_frames, hasher
+    ).filter(F.col("dhash").isNotNull())
+    # one signature pass feeds the counts AND the pair join
+    sigs = sigs.localCheckpoint(eager=False)
+    counts = sigs.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    fid = F.struct(F.col("media_id"), F.col("frame_index")).alias("fid")
+    fp = banded_hamming_pairs(
+        sigs.select(fid, "dhash"), "dhash", "fid", max_hamming
+    ).filter(F.col("id_a.media_id") != F.col("id_b.media_id"))
+    # struct order sorts by media_id first, so id_a.media_id <
+    # id_b.media_id on every cross-video pair
+    agg = fp.groupBy(
+        F.col("id_a.media_id").alias("id_a"),
+        F.col("id_b.media_id").alias("id_b"),
+    ).agg(
+        F.countDistinct("id_a.frame_index").alias("matched_a"),
+        F.countDistinct("id_b.frame_index").alias("matched_b"),
+    )
+    ca = F.broadcast(
+        counts.select(
+            F.col("media_id").alias("id_a"), F.col("n_frames").alias("n_frames_a")
+        )
+    )
+    cb = F.broadcast(
+        counts.select(
+            F.col("media_id").alias("id_b"), F.col("n_frames").alias("n_frames_b")
+        )
+    )
+    return (
+        agg.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "overlap",
+            F.round(
+                F.greatest(
+                    F.col("matched_a") / F.col("n_frames_a"),
+                    F.col("matched_b") / F.col("n_frames_b"),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("overlap") >= min_overlap)
+        .select(
+            "id_a", "id_b", "matched_a", "matched_b",
+            "n_frames_a", "n_frames_b", "overlap",
+        )
+    )
+
+
 def image_near_dups_sql(
     media_sql: str,
     payload_sql: str = "payload",

@@ -307,6 +307,40 @@ def test_image_dhash_incremental_equals_batch(spark):
     }
 
 
+def test_video_near_dups_frame_overlap(spark):
+    """Video member of the dedup family: identical videos overlap at
+    1.0; a TRIMMED copy (shorter duration, same content) still matches
+    via containment (its every frame appears in the longer video);
+    unrelated videos don't pair."""
+    from cryo_spark.operators import multimodal as mm
+
+    vids = [
+        (1, "video", b"shared video content", "video/mp4", None, None, 8000),
+        (2, "video", b"shared video content", "video/mp4", None, None, 8000),
+        (3, "video", b"shared video content", "video/mp4", None, None, 3000),
+        (4, "video", b"totally different clip", "video/mp4", None, None, 8000),
+        (5, "image", b"not a video", "image/png", None, None, None),
+    ]
+    media = spark.createDataFrame(vids, mm.MEDIA_SCHEMA)
+    pairs = {
+        (r.id_a, r.id_b): r
+        for r in mm.video_near_dups(media, min_overlap=0.9).collect()
+    }
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert pairs[(1, 2)].overlap == 1.0
+    assert pairs[(1, 2)].n_frames_a == 9 and pairs[(1, 2)].n_frames_b == 9
+    # trimmed pair: the 4-frame clip is fully contained in the 9-frame
+    # video (containment 1.0), though Jaccard would be 4/9
+    assert pairs[(1, 3)].n_frames_b == 4
+    assert pairs[(1, 3)].matched_b == 4 and pairs[(1, 3)].overlap == 1.0
+    # per-frame signatures are deterministic across runs
+    s1 = {(r.media_id, r.frame_index): r.dhash
+          for r in mm.video_frame_dhash(media).collect()}
+    s2 = {(r.media_id, r.frame_index): r.dhash
+          for r in mm.video_frame_dhash(media).collect()}
+    assert s1 == s2 and (4, 0) in s1 and (5, 0) not in s1
+
+
 def test_real_dhash_requires_pil():
     """real_dhash raises the documented NotImplementedError where PIL
     is absent; where PIL exists it produces a signed 64-bit int."""
