@@ -98,9 +98,39 @@ def _llm_pack_frame(spark):
     return bench.llm_pack_frame(spark, SF_DIR)
 
 
+_CDX_FIXTURE: tuple[str, str] | None = None
+
+
+def _cdx_fixture() -> tuple[str, str]:
+    global _CDX_FIXTURE
+    if _CDX_FIXTURE is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        import bench
+
+        d = tempfile.mkdtemp(prefix="plan_snap_cdx_")
+        idx = bench.make_cdx_fixture(d, files=2, records=6)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _CDX_FIXTURE = (d, idx)
+    return _CDX_FIXTURE
+
+
+def _cdx_reextract_frame(spark):
+    import bench
+
+    root, idx = _cdx_fixture()
+    return bench.cdx_reextract_frame(spark, root, idx)
+
+
 EXTRA_PINNED = {
     "warc_ingest": _warc_ingest_frame,  # binaryFile scan + Arrow split
     "llm_pack": _llm_pack_frame,        # one bin_id shuffle, JVM concat
+    # round 11: index-filter pushdown + one filename exchange + ranged
+    # fetch — a plan regression here (filters after the fetch, an
+    # extra exchange) would silently re-read archive bytes
+    "cdx_reextract": _cdx_reextract_frame,
 }
 
 
