@@ -194,16 +194,20 @@ def sample_frames(
     interval_ms: int = 1000,
     max_frames: int = 32,
     sampler: Callable[[bytes, int], bytes] = fake_frame,
+    kind: str = "video",
 ) -> DataFrame:
-    """Sample frames from video rows every ``interval_ms``, capped at
-    ``max_frames`` per video: one input row fans out to N frame rows
-    (mapInPandas — the row-multiplying shape a real ffmpeg sampler
-    needs). Non-video rows contribute nothing."""
+    """Sample frames/windows from ``kind`` rows every ``interval_ms``,
+    capped at ``max_frames`` per item: one input row fans out to N
+    frame rows (mapInPandas — the row-multiplying shape a real
+    ffmpeg/librosa sampler needs). Rows of other kinds contribute
+    nothing. ``kind='video'`` samples video frames (the default);
+    ``kind='audio'`` samples audio windows — both need only a
+    ``duration_ms``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {"media_id": [], "frame_index": [], "ts_ms": [], "frame": []}
-            for _, row in pdf[pdf["kind"] == "video"].iterrows():
+            for _, row in pdf[pdf["kind"] == kind].iterrows():
                 dur = row["duration_ms"]
                 if dur is None or pd.isna(dur):
                     continue
@@ -494,18 +498,19 @@ def video_frame_dhash(
     interval_ms: int = 1000,
     max_frames: int = 32,
     hasher: Callable[[bytes], int | None] | None = None,
+    kind: str = "video",
 ) -> DataFrame:
     """(media_id, frame_index, dhash) — per-sampled-frame perceptual
-    hashes for video rows: :func:`sample_frames` fans each video out
-    to frame rows, then the SAME dHash the image path uses runs over
-    the frame bytes (default: the fake-grid JVM expression — works on
-    any binary column; pass ``hasher=real_dhash`` for decoded
-    frames). The expensive part (frame sampling) is the one
-    row-multiplying Arrow stage; hashing stays a narrow projection on
-    top."""
+    hashes for ``kind`` rows: :func:`sample_frames` fans each item out
+    to frame/window rows, then the SAME dHash the image path uses runs
+    over the frame bytes (default: the fake-grid JVM expression —
+    works on any binary column; pass ``hasher=real_dhash`` for decoded
+    video frames, or an audio-fingerprint callable for decoded
+    windows). The expensive part (sampling) is the one row-multiplying
+    Arrow stage; hashing stays a narrow projection on top."""
     frames = sample_frames(
         media, interval_ms=interval_ms, max_frames=max_frames,
-        sampler=sampler,
+        sampler=sampler, kind=kind,
     )
     if hasher is None:
         bound = frames.select(
@@ -557,27 +562,29 @@ def video_near_dups(
     interval_ms: int = 1000,
     max_frames: int = 32,
     hasher: Callable[[bytes], int | None] | None = None,
+    kind: str = "video",
 ) -> DataFrame:
-    """Near-duplicate VIDEO pairs by frame-signature overlap — the
-    video member of the multimodal dedup family: sampled frames hash
-    to 64-bit dHashes, frame-level matches come from the shared
+    """Near-duplicate pairs of sampled-frame media by frame-signature
+    overlap — the video (and, via :func:`audio_near_dups`, audio)
+    member of the multimodal dedup family: sampled frames/windows
+    hash to 64-bit dHashes, frame-level matches come from the shared
     banded-hamming machinery (bucket-local, never all-pairs — two
-    videos are compared only where individual frames collide in a
-    band bucket), and a video pair survives when the CONTAINMENT —
+    items are compared only where individual frames collide in a
+    band bucket), and a pair survives when the CONTAINMENT —
     matched distinct frames of either side over that side's frame
     count — reaches ``min_overlap`` (containment, not Jaccard, so a
-    clip trimmed out of a longer video still matches it).
+    clip trimmed out of a longer recording still matches it).
 
     Returns (id_a, id_b, matched_a, matched_b, n_frames_a,
     n_frames_b, overlap) with id_a < id_b. Scale shape: frame
     signatures are 1 long per sampled frame (≤ ``max_frames`` per
-    video), the pair aggregation is a partial-agg groupBy on the
-    video pair, and the per-video frame counts broadcast back
-    (#videos-sized)."""
+    item), the pair aggregation is a partial-agg groupBy on the
+    item pair, and the per-item frame counts broadcast back
+    (#items-sized)."""
     from cryo_spark.operators.dedup import banded_hamming_pairs
 
     sigs = video_frame_dhash(
-        media, sampler, interval_ms, max_frames, hasher
+        media, sampler, interval_ms, max_frames, hasher, kind=kind
     ).filter(F.col("dhash").isNotNull())
     # one signature pass feeds the counts AND the pair join
     sigs = sigs.localCheckpoint(eager=False)
@@ -625,6 +632,49 @@ def video_near_dups(
             "id_a", "id_b", "matched_a", "matched_b",
             "n_frames_a", "n_frames_b", "overlap",
         )
+    )
+
+
+def real_audio_fingerprint(payload: bytes, index: int) -> bytes:
+    """Real per-window audio fingerprint (chromaprint-style spectral
+    landmarks over a decoded PCM window) — requires an audio decode
+    stack (librosa/ffmpeg) that is not in this container, so this
+    raises NotImplementedError; the pipeline runs on the
+    deterministic :func:`fake_frame` window sampler instead, and a
+    real deployment swaps this in as ``audio_near_dups``'s
+    ``sampler`` with the banding/overlap machinery unchanged."""
+    raise NotImplementedError(
+        "audio fingerprinting requires an audio decode stack "
+        "(librosa/ffmpeg) — not available in this container; use "
+        "fake_frame for pipeline testing"
+    )
+
+
+def audio_near_dups(
+    media: DataFrame,
+    min_overlap: float = 0.5,
+    max_hamming: int = 7,
+    sampler: Callable[[bytes, int], bytes] = fake_frame,
+    window_ms: int = 1000,
+    max_windows: int = 64,
+    hasher: Callable[[bytes], int | None] | None = None,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs by window-fingerprint overlap —
+    completing the image/video/audio multimodal dedup triple with the
+    exact machinery the video path uses (:func:`video_near_dups` with
+    ``kind='audio'``): per-window fingerprints → banded-hamming
+    window matches → containment threshold. Same output columns;
+    ``window_ms``/``max_windows`` mirror the audio framing
+    vocabulary."""
+    return video_near_dups(
+        media,
+        min_overlap=min_overlap,
+        max_hamming=max_hamming,
+        sampler=sampler,
+        interval_ms=window_ms,
+        max_frames=max_windows,
+        hasher=hasher,
+        kind="audio",
     )
 
 

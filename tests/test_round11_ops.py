@@ -341,6 +341,32 @@ def test_video_near_dups_frame_overlap(spark):
     assert s1 == s2 and (4, 0) in s1 and (5, 0) not in s1
 
 
+def test_audio_near_dups_window_overlap(spark):
+    """Audio member of the dedup family: same machinery as video with
+    kind='audio' — identical tracks pair at 1.0, a trimmed excerpt
+    matches via containment, video rows are ignored, and the real
+    fingerprint path raises the documented guard."""
+    from cryo_spark.operators import multimodal as mm
+
+    rows = [
+        (1, "audio", b"same song bytes", "audio/wav", None, None, 5000),
+        (2, "audio", b"same song bytes", "audio/wav", None, None, 5000),
+        (3, "audio", b"same song bytes", "audio/wav", None, None, 2000),
+        (4, "audio", b"other melody!!", "audio/wav", None, None, 5000),
+        (5, "video", b"same song bytes", "video/mp4", None, None, 5000),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    pairs = {
+        (r.id_a, r.id_b): r
+        for r in mm.audio_near_dups(media, min_overlap=0.9).collect()
+    }
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert pairs[(1, 2)].overlap == 1.0
+    assert pairs[(1, 3)].matched_b == pairs[(1, 3)].n_frames_b  # containment
+    with pytest.raises(NotImplementedError, match="audio"):
+        mm.real_audio_fingerprint(b"x", 0)
+
+
 def test_real_dhash_requires_pil():
     """real_dhash raises the documented NotImplementedError where PIL
     is absent; where PIL exists it produces a signed 64-bit int."""
