@@ -672,12 +672,21 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = multimodal.sample_frames(
         media, interval_ms=60_000, max_frames=8
     ).drop("frame").withColumn("op", F.lit("frames"))
-    # ONE signature pass feeds both the per-image rows and the pair
-    # join (image_near_dups reuses it via sigs=)
-    sigs = multimodal.image_dhash(media)
-    dhash_rows = sigs.withColumn("op", F.lit("dhash"))
+    # 'dhash' rows prove the signature arithmetic on the UNIQUE text
+    # payloads; 'dhash_pair' rows prove the banding/pairing machinery
+    # on source-derived CLONE FAMILIES (unique texts never collide
+    # under a perceptual hash, so pairing the text payloads would be
+    # a vacuous zero-row check — same trick as video_pair below)
+    dhash_rows = multimodal.image_dhash(media).withColumn(
+        "op", F.lit("dhash")
+    )
+    imedia = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("source", "UTF-8").alias("payload"),
+    ).filter(F.col("media_id") % 3 == 0)
     pair_rows = (
-        multimodal.image_near_dups(media, sigs=sigs)
+        multimodal.image_near_dups(imedia)
         .select(
             F.col("id_a").alias("media_id"),
             F.col("id_b").alias("pair_b"),
@@ -685,10 +694,38 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("op", F.lit("dhash_pair"))
     )
+    # round 11 (second merge): video near-dups by frame-overlap
+    # containment — the fake frame bytes are sha256(payload || ':' ||
+    # i), so per-frame dHashes AND the pair/overlap arithmetic are
+    # oracle-expressible end to end. Video payloads derive from the
+    # document's SOURCE (20 strata) rather than its unique text, so
+    # clone families exist and the pairing machinery runs with real
+    # volume: same-source videos share every frame up to the shorter
+    # duration (containment 1.0 regardless of length mismatch).
+    vmedia = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("source", "UTF-8").alias("payload"),
+        ((F.col("doc_id") % 10 + 1) * 60000).cast("long").alias(
+            "duration_ms"
+        ),
+    ).filter(F.col("media_id") % 3 == 2)
+    video_rows = (
+        multimodal.video_near_dups(
+            vmedia, min_overlap=0.5, interval_ms=60_000, max_frames=8
+        )
+        .select(
+            F.col("id_a").alias("media_id"),
+            F.col("id_b").alias("pair_b"),
+            "overlap",
+        )
+        .withColumn("op", F.lit("video_pair"))
+    )
     return (
         feats.unionByName(frames, allowMissingColumns=True)
         .unionByName(dhash_rows, allowMissingColumns=True)
         .unionByName(pair_rows, allowMissingColumns=True)
+        .unionByName(video_rows, allowMissingColumns=True)
     )
 
 
@@ -701,8 +738,11 @@ def oracle_multimodal() -> str:
     )
     dsig = multimodal.fake_dhash_duckdb_expr("encode(text)")
     dpairs = multimodal.image_near_dups_sql(
-        "SELECT doc_id AS media_id, encode(text) AS payload "
+        "SELECT doc_id AS media_id, encode(source) AS payload "
         "FROM documents WHERE doc_id % 3 = 0"
+    )
+    vchains, vusig = multimodal.fake_dhash_duckdb_parts(
+        "upper(sha256(concat(source, ':', frame_index)))"
     )
     return f"""
 WITH media AS (
@@ -714,14 +754,16 @@ feats AS (
   SELECT media_id, octet_length(encode(text))::BIGINT AS n_bytes,
          sha256(text) AS content_sha256,
          'features' AS op, NULL::INTEGER AS frame_index, NULL::BIGINT AS ts_ms,
-         NULL::BIGINT AS dhash, NULL::BIGINT AS pair_b, NULL::INTEGER AS hamming
+         NULL::BIGINT AS dhash, NULL::BIGINT AS pair_b, NULL::INTEGER AS hamming,
+         NULL::DOUBLE AS overlap
   FROM media
 ),
 frames AS (
   SELECT media_id, NULL::BIGINT AS n_bytes, NULL::VARCHAR AS content_sha256,
          'frames' AS op, f.frame_index::INTEGER AS frame_index,
          (f.frame_index * 60000)::BIGINT AS ts_ms,
-         NULL::BIGINT AS dhash, NULL::BIGINT AS pair_b, NULL::INTEGER AS hamming
+         NULL::BIGINT AS dhash, NULL::BIGINT AS pair_b, NULL::INTEGER AS hamming,
+         NULL::DOUBLE AS overlap
   FROM media
   CROSS JOIN LATERAL (
     SELECT unnest(range(least(dur // 60000 + 1, 8))) AS frame_index
@@ -733,24 +775,71 @@ dhash_rows AS (
          (CASE WHEN usig >= 9223372036854775808::HUGEINT
                THEN usig - 18446744073709551616::HUGEINT
                ELSE usig END)::BIGINT AS dhash,
-         NULL::BIGINT AS pair_b, NULL::INTEGER AS hamming
+         NULL::BIGINT AS pair_b, NULL::INTEGER AS hamming,
+         NULL::DOUBLE AS overlap
   FROM (SELECT media_id, {dsig} AS usig FROM media WHERE k = 0) __d
 ),
 pair_rows AS (
   SELECT id_a AS media_id, {null_cols}, 'dhash_pair' AS op,
          NULL::BIGINT AS dhash, id_b::BIGINT AS pair_b,
-         hamming::INTEGER AS hamming
+         hamming::INTEGER AS hamming, NULL::DOUBLE AS overlap
   FROM ({dpairs}) __p
+),
+vframes AS (
+  SELECT d.doc_id AS media_id, f.frame_index, d.source
+  FROM documents d
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(least(((d.doc_id % 10 + 1) * 60000) // 60000 + 1,
+                              8))) AS frame_index
+  ) f
+  WHERE d.doc_id % 3 = 2
+),
+vchains AS (
+  SELECT media_id, frame_index, {vchains} FROM vframes
+),
+vsigs AS (
+  SELECT media_id, frame_index, {vusig} AS usig FROM vchains
+),
+vbanded AS (
+  SELECT media_id, frame_index, usig, band_id,
+         (usig >> (8 * band_id)) & 255 AS band_val
+  FROM vsigs, (SELECT unnest(generate_series(0, 7)) AS band_id)
+),
+vfp AS (
+  SELECT DISTINCT a.media_id AS id_a, a.frame_index AS fa,
+         b.media_id AS id_b, b.frame_index AS fb
+  FROM vbanded a JOIN vbanded b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.media_id < b.media_id
+  WHERE bit_count(xor(a.usig, b.usig)) <= 7
+),
+vcnt AS (SELECT media_id, count(*) AS nf FROM vframes GROUP BY media_id),
+vagg AS (
+  SELECT id_a, id_b, count(DISTINCT fa) AS ma, count(DISTINCT fb) AS mb
+  FROM vfp GROUP BY id_a, id_b
+),
+video_pairs AS (
+  SELECT id_a AS media_id, {null_cols}, 'video_pair' AS op,
+         NULL::BIGINT AS dhash, id_b::BIGINT AS pair_b,
+         NULL::INTEGER AS hamming,
+         round(greatest(ma::DOUBLE / ca.nf, mb::DOUBLE / cb.nf), 6)
+           AS overlap
+  FROM vagg
+  JOIN vcnt ca ON ca.media_id = id_a
+  JOIN vcnt cb ON cb.media_id = id_b
+  WHERE round(greatest(ma::DOUBLE / ca.nf, mb::DOUBLE / cb.nf), 6) >= 0.5
 )
 SELECT media_id, n_bytes, content_sha256, op, frame_index, ts_ms,
-       dhash, pair_b, hamming
+       dhash, pair_b, hamming, overlap
 FROM feats
 UNION ALL SELECT media_id, n_bytes, content_sha256, op, frame_index,
-       ts_ms, dhash, pair_b, hamming FROM frames
+       ts_ms, dhash, pair_b, hamming, overlap FROM frames
 UNION ALL SELECT media_id, n_bytes, content_sha256, op, frame_index,
-       ts_ms, dhash, pair_b, hamming FROM dhash_rows
+       ts_ms, dhash, pair_b, hamming, overlap FROM dhash_rows
 UNION ALL SELECT media_id, n_bytes, content_sha256, op, frame_index,
-       ts_ms, dhash, pair_b, hamming FROM pair_rows
+       ts_ms, dhash, pair_b, hamming, overlap FROM pair_rows
+UNION ALL SELECT media_id, n_bytes, content_sha256, op, frame_index,
+       ts_ms, dhash, pair_b, hamming, overlap FROM video_pairs
 """
 
 

@@ -183,10 +183,16 @@ def resize_images(
 
 
 def fake_frame(payload: bytes, index: int) -> bytes:
-    """Deterministic stand-in for a video frame grab."""
+    """Deterministic stand-in for a video frame grab / audio window:
+    sha256(payload || ':' || str(index)). The separator is TEXTUAL by
+    design (round 11): when the payload itself is valid UTF-8 (the
+    contract entry derives media from document text), the frame bytes
+    — and therefore the frame dHashes and the video near-dup pairs —
+    are expressible in DuckDB as sha256(text || ':' || i), making the
+    whole video-dedup chain oracle-checkable."""
     if payload is None:
         return None
-    return hashlib.sha256(payload + index.to_bytes(4, "big")).digest()
+    return hashlib.sha256(payload + b":" + str(index).encode()).digest()
 
 
 def sample_frames(
@@ -309,6 +315,36 @@ def fake_dhash_duckdb_expr(payload_sql: str) -> str:
                 f" THEN (1::HUGEINT << {b}) ELSE 0::HUGEINT END)"
             )
     return "(" + "\n + ".join(terms) + ")"
+
+
+def fake_dhash_duckdb_parts(hex_sql: str) -> tuple[str, str]:
+    """Two-step (compact) form of :func:`fake_dhash_duckdb_expr` for
+    per-frame hashing, where the payload's UPPERCASE hex is already a
+    SQL expression (``hex_sql``): returns (chain column list, usig
+    expression over those columns). Bind the chain columns in a CTE,
+    then use the usig expression in the next SELECT — the inline form
+    would re-embed ``hex_sql`` 128 times."""
+    chains = ", ".join(
+        f"md5_number_upper(concat({hex_sql}, ':{i}')) AS __dhu{i}, "
+        f"md5_number_lower(concat({hex_sql}, ':{i}')) AS __dhl{i}"
+        for i in range(_DHASH_CHAINS)
+    )
+
+    def byte_at(j: int) -> str:
+        i, p = j // 16, j % 16
+        if p < 8:
+            return f"((__dhu{i} >> {8 * p}) & 255)"
+        return f"((__dhl{i} >> {8 * (p - 8)}) & 255)"
+
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            b = r * 8 + c
+            terms.append(
+                f"(CASE WHEN {byte_at(r * 9 + c)} < {byte_at(r * 9 + c + 1)}"
+                f" THEN (1::HUGEINT << {b}) ELSE 0::HUGEINT END)"
+            )
+    return chains, "(" + "\n + ".join(terms) + ")"
 
 
 def real_dhash(payload: bytes) -> int | None:

@@ -367,6 +367,26 @@ def test_audio_near_dups_window_overlap(spark):
         mm.real_audio_fingerprint(b"x", 0)
 
 
+def test_contract_multimodal_video_pairs(spark):
+    """The llm_multimodal contract entry carries video_pair rows with
+    real volume (source-derived clone families): same-source videos
+    pair at containment 1.0, and every op kind is present."""
+    import __spark_entry__ as E
+
+    # sf0.01 — the driver's correctness scale; sf0.001 has no
+    # identical-text image docs, so dhash_pair is empty there
+    out = E.queries()["llm_multimodal"](spark, "/root/testdata/sf0.01")
+    ops = {r.op for r in out.select("op").distinct().collect()}
+    assert ops == {"features", "frames", "dhash", "dhash_pair",
+                   "video_pair"}
+    vp = out.filter(F.col("op") == "video_pair").collect()
+    assert len(vp) > 100
+    assert all(r.overlap == 1.0 for r in vp)
+    # pair ids are videos (doc_id % 3 == 2), ordered
+    assert all(r.media_id % 3 == 2 and r.pair_b % 3 == 2 for r in vp)
+    assert all(r.media_id < r.pair_b for r in vp)
+
+
 def test_real_dhash_requires_pil():
     """real_dhash raises the documented NotImplementedError where PIL
     is absent; where PIL exists it produces a signed 64-bit int."""
