@@ -31,7 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--input", required=True, help="corpus path/glob")
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "jsonl", "text", "warc", "wet"])
+                   choices=["parquet", "jsonl", "text", "warc", "wet",
+                            "cdx"])
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--text-col", default="text")
     p.add_argument("--url-col", default=None,
@@ -100,6 +101,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "parquet table)")
     p.add_argument("--shard-format", default="parquet",
                    choices=["parquet", "jsonl"])
+    p.add_argument("--warc-root", default="",
+                   help="(--format cdx) prefix for the index's "
+                        "relative WARC filenames")
+    p.add_argument("--cdx-hosts", nargs="+", default=None,
+                   help="(--format cdx) re-extract only these "
+                        "domains (subdomain-suffix allowlist)")
+    p.add_argument("--cdx-languages", nargs="+", default=None,
+                   help="(--format cdx) crawler language verdicts")
+    p.add_argument("--cdx-ts-from", default=None,
+                   help="(--format cdx) capture timestamp slice "
+                        "start, yyyyMMddHHmmss prefix")
+    p.add_argument("--cdx-ts-to", default=None)
+    p.add_argument("--cdx-latest", action="store_true",
+                   help="(--format cdx) keep each url's newest "
+                        "capture only")
     p.add_argument("--delta-index", default=None,
                    help="daily-delta mode: near-dup-dedup the input "
                         "batch against this persisted banded minhash "
@@ -156,14 +172,26 @@ def run(args: argparse.Namespace) -> int:
         raise ValueError("--token-ids requires --pack-budget")
     if args.max_epochs and not args.budget:
         raise ValueError("--max-epochs requires --budget")
-    # warc-only flags must not be silently dropped for other formats
+    # crawl-only flags must not be silently dropped for other formats
     # (--robots-agent is compliance-relevant: ignoring it would be a
-    # policy violation the user never sees)
-    if args.format != "warc":
-        warc_only = {
+    # policy violation the user never sees). --main-content/--smooth/
+    # --drop-noindex apply wherever the HTML extraction chain runs
+    # (warc AND cdx); robots/host-rank need the raw WARC scan, so
+    # they stay warc-only.
+    if args.format not in ("warc", "cdx"):
+        extraction = {
             "--main-content": args.main_content,
             "--smooth": args.smooth,
             "--drop-noindex": args.drop_noindex,
+        }
+        bad = [f for f, v in extraction.items() if v]
+        if bad:
+            raise ValueError(
+                f"{', '.join(bad)} only apply to --format warc/cdx "
+                f"(got --format {args.format})"
+            )
+    if args.format != "warc":
+        warc_only = {
             "--robots-agent": args.robots_agent,
             "--min-host-rank": args.min_host_rank is not None,
         }
@@ -171,6 +199,21 @@ def run(args: argparse.Namespace) -> int:
         if bad:
             raise ValueError(
                 f"{', '.join(bad)} only apply to --format warc "
+                f"(got --format {args.format})"
+            )
+    if args.format != "cdx":
+        cdx_only = {
+            "--warc-root": bool(args.warc_root),
+            "--cdx-hosts": args.cdx_hosts,
+            "--cdx-languages": args.cdx_languages,
+            "--cdx-ts-from": args.cdx_ts_from,
+            "--cdx-ts-to": args.cdx_ts_to,
+            "--cdx-latest": args.cdx_latest,
+        }
+        bad = [f for f, v in cdx_only.items() if v]
+        if bad:
+            raise ValueError(
+                f"{', '.join(bad)} only apply to --format cdx "
                 f"(got --format {args.format})"
             )
 
@@ -215,6 +258,28 @@ def run(args: argparse.Namespace) -> int:
             kw["min_host_rank"] = args.min_host_rank
         # the pipeline's quality/report layers expect a source column;
         # for a crawl the natural stratum is the host
+        if "source" not in docs.columns:
+            from cryo_spark.operators.web import canonical_host
+
+            docs = docs.withColumn("source", canonical_host("url"))
+    elif args.format == "cdx":
+        # selective re-extraction: the input is a CDX index; every
+        # --cdx-* selection applies to the index before a single
+        # archive byte is fetched (see sources.cdx.reextract_documents)
+        from cryo_spark.sources.cdx import reextract_documents
+
+        docs = reextract_documents(
+            spark, args.input, warc_root=args.warc_root,
+            hosts=args.cdx_hosts, languages=args.cdx_languages,
+            ts_from=args.cdx_ts_from, ts_to=args.cdx_ts_to,
+            latest_per_url=args.cdx_latest, text_col=args.text_col,
+            main_content=args.main_content, smooth=args.smooth,
+        )
+        kw["url_col"] = args.url_col or "url"
+        if args.drop_noindex:
+            from pyspark.sql import functions as F
+
+            docs = docs.filter(~F.col("noindex"))
         if "source" not in docs.columns:
             from cryo_spark.operators.web import canonical_host
 

@@ -573,6 +573,35 @@ def test_reextract_sitemap_hosts_and_latest(spark, tmp_path):
     assert (n_all, n_latest) == (2, 1)
 
 
+def test_corpus_cli_cdx_format(spark, tmp_path, capsys):
+    """corpus --format cdx drives the selective re-extraction recipe
+    end to end: a host slice of a CDX-indexed crawl feeds the full
+    pipeline, and cdx-only flags are rejected for other formats."""
+    import json
+
+    from cryo_spark.api import main
+
+    root, idx, _ = _build_cdx_crawl(tmp_path)
+    out = tmp_path / "o"
+    rc = main([
+        "corpus", "--format", "cdx", "--input", idx,
+        "--warc-root", root, "--cdx-hosts", "site1.test",
+        "--output", str(out), "--min-quality", "0",
+    ])
+    assert rc == 0
+    funnel = json.load(open(out / "funnel.json"))
+    assert funnel[0]["docs_in"] == 3  # 3 of 12 captures selected
+    corpus_out = spark.read.parquet(str(out / "corpus"))
+    assert corpus_out.count() == 3
+    capsys.readouterr()
+    # cdx-only flags rejected for parquet input
+    rc = main([
+        "corpus", "--input", f"{SF_DIR}/documents.parquet",
+        "--output", str(tmp_path / "x"), "--cdx-hosts", "a.test",
+    ])
+    assert rc == 2
+
+
 # ----------------------------- daily-delta ingest (corpus --delta)
 
 
@@ -638,6 +667,30 @@ def test_prepare_corpus_delta_dedups_against_saved_index(spark):
     )
     final3, _ = corpus.prepare_corpus_delta(day3, table, min_quality=0.0)
     assert final3.count() == 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_prepare_corpus_delta_all_dups_empty_survivors(spark):
+    """A day-2 batch that duplicates day-1 ENTIRELY: survivors are
+    empty, the pipeline still runs, and the funnel reports the full
+    attrition instead of erroring on the empty frame."""
+    from cryo_spark.operators import corpus, incremental
+
+    day1, _ = _delta_days(spark)
+    table = "r11_delta_empty_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    incremental.save_banded_index(
+        incremental.minhash_index(day1), table, bands=4
+    )
+    clone = day1.withColumn("doc_id", F.col("doc_id") + 100)
+    final, funnel = corpus.prepare_corpus_delta(
+        clone, table, min_quality=0.0
+    )
+    assert final.count() == 0
+    rows = {r.stage: r for r in funnel.collect()}
+    assert rows["delta_near_dup"].docs_in == 2
+    assert rows["delta_near_dup"].docs_out == 0
+    assert rows["split"].docs_out == 0
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
