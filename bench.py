@@ -292,6 +292,14 @@ def plan_fingerprint(df) -> tuple[str, str]:
     s = re.sub(r"(plan_id|id)=\d+", r"\1=", s)
     s = re.sub(r"\[file:[^\]]*\]", "[file:...]", s)
     s = re.sub(r"InMemoryFileIndex\([^)]*\)", "InMemoryFileIndex(...)", s)
+    # FileScan's DataFilters blob is TRUNCATED by Spark at a fixed
+    # character width BEFORE our expression-id normalization runs —
+    # a session whose expr ids have more digits truncates the blob a
+    # few characters earlier, moving the hash with zero plan change
+    # (caught in round 11: the cdx_reextract pin flipped depending on
+    # which tests ran first). The blob is redundant with the Filter
+    # node above the scan (un-truncated, id-normalized), so drop it.
+    s = re.sub(r"DataFilters: \[.*?(?=, Format:)", "DataFilters: [...", s)
     return hashlib.md5(s.encode()).hexdigest()[:12], s
 
 
