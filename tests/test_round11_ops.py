@@ -195,6 +195,88 @@ def test_simhash_near_dups_sql_twin_matches(spark):
     assert not any({a, b} & {3} == {3} and {a, b} & {1, 2} for a, b, _ in got)
 
 
+def test_simhash_twin_randomized_corpus(spark):
+    """Seeded randomized differential (stronger than planted cases):
+    the simhash near-dup SQL twin matches Spark over a corpus of
+    random unicode/whitespace/edge-case docs, including planted
+    near-dup clusters so the pair set is non-trivial."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from cryo_spark.operators import dedup
+
+    rng = random.Random("r11-simhash-prop")
+    alphabet = ["tok", "wörd", "日本", "x", "The", "除", "é", "()"]
+    docs = []
+    for i in range(40):
+        n = rng.randint(0, 60)
+        words = [
+            alphabet[rng.randrange(len(alphabet))] + str(rng.randrange(50))
+            for _ in range(n)
+        ]
+        sep = rng.choice([" ", "  ", "\t", "\n", " \r\n "])
+        docs.append((i, sep.join(words)))
+    # planted near-dup cluster: one-token edits of a 80-token doc
+    base = " ".join(f"w{j}" for j in range(80))
+    for k in range(4):
+        docs.append((100 + k, base.replace(f"w{10 * k}", "edited")))
+    docs += [(200, ""), (201, "   \t\n"), (202, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_near_dups(df).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "docs_pd", pd.DataFrame(docs, columns=["doc_id", "text"])
+    )
+    con.sql("CREATE VIEW documents AS SELECT * FROM docs_pd")
+    want = {
+        tuple(r)
+        for r in con.sql(dedup.simhash_near_dups_sql("documents")).fetchall()
+    }
+    assert got == want
+    planted = {(a, b) for a, b, _ in got if a >= 100 and b < 200}
+    assert len(planted) >= 3  # the cluster is actually found
+
+
+def test_image_dhash_twin_randomized_payloads(spark):
+    """Seeded randomized differential for the fake-grid dHash: random
+    binary payloads (arbitrary bytes, not just UTF-8) hash identically
+    in Spark and DuckDB, including the signed conversion."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from cryo_spark.operators import multimodal as mm
+
+    rng = random.Random("r11-dhash-prop")
+    payloads = [bytes(rng.randrange(256) for _ in range(rng.randint(0, 200)))
+                for _ in range(40)]
+    rows = [
+        (i, "image", p, None, None, None, None)
+        for i, p in enumerate(payloads)
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r.media_id: r.dhash for r in mm.image_dhash(media).collect()}
+    con = duckdb.connect()
+    con.register(
+        "m", pd.DataFrame({"media_id": range(len(payloads)),
+                           "payload": payloads})
+    )
+    expr = mm.fake_dhash_duckdb_expr("payload")
+    want = {
+        mid: (u - (1 << 64) if u >= (1 << 63) else u)
+        for mid, u in con.sql(f"select media_id, {expr} from m").fetchall()
+    }
+    assert got == {k: int(v) for k, v in want.items()}
+    # signatures spread: random payloads should not collide
+    assert len(set(got.values())) == len(got)
+
+
 # ---------------- perceptual-hash (dHash) image near-duplicates
 
 
