@@ -296,7 +296,14 @@ def reextract_documents(
 
     idx = read_cdx(spark, cdx) if isinstance(cdx, str) else cdx
     if hosts:
-        idx = web.url_host_filter(idx, hosts, mode="allow", url_col="url")
+        # via='expr' pinned: the auto heuristic switches to the
+        # broadcast-join strategy above 1000 domains, which keys on a
+        # doc_id column the index frame does not have — and an index
+        # row is KB-cheap to filter by expression at any domain count
+        # that fits a broadcast anyway
+        idx = web.url_host_filter(
+            idx, hosts, mode="allow", url_col="url", via="expr"
+        )
     if host_frame is not None:
         idx = (
             idx.withColumn("_rx_host", web.canonical_host("url"))

@@ -469,6 +469,34 @@ def test_contract_multimodal_video_pairs(spark):
     assert all(r.media_id < r.pair_b for r in vp)
 
 
+def test_image_dhash_custom_hasher_arrow_path(spark):
+    """The hasher= Arrow path (what a real PIL/decoder deployment
+    uses) produces (id, dhash) with NULL payloads handled, and
+    image_near_dups composes with it."""
+    from cryo_spark.operators import multimodal as mm
+
+    rows = [
+        (1, "image", b"aaaa", None, None, None, None),
+        (2, "image", b"bbbb", None, None, None, None),
+        (3, "image", b"cc", None, None, None, None),
+        (4, "image", None, None, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    hasher = lambda b: len(b) * 1000  # noqa: E731 — stand-in decoder
+    sigs = {r.media_id: r.dhash for r in mm.image_dhash(media, hasher).collect()}
+    assert sigs == {1: 4000, 2: 4000, 3: 2000, 4: None}
+    pairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.image_near_dups(media, hasher=hasher).collect()
+    }
+    assert (1, 2, 0) in pairs and not any(4 in (a, b) for a, b, _ in pairs)
+    # video frame path with a custom hasher rides the same machinery
+    vrows = [(7, "video", b"vv", None, None, None, 2000)]
+    vm = spark.createDataFrame(vrows, mm.MEDIA_SCHEMA)
+    vs = mm.video_frame_dhash(vm, hasher=hasher).collect()
+    assert len(vs) == 3 and all(r.dhash == 32000 for r in vs)
+
+
 def test_real_dhash_requires_pil():
     """real_dhash raises the documented NotImplementedError where PIL
     is absent; where PIL exists it produces a signed 64-bit int."""
