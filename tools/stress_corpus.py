@@ -84,6 +84,41 @@ def main() -> int:
     dt = time.time() - t
     print(f"classifier_score: {dt:.2f}s for {ns} docs ({ns / dt:,.0f} docs/s)")
 
+    # round 11: the COMPOSED daily-delta path — bucketed index table +
+    # prepare_corpus_delta (index dedup -> pipeline -> funnel) on a
+    # 10% batch, the shape `corpus --delta-index` runs every day
+    from cryo_spark.operators import corpus
+
+    base_docs = clones.filter(F.col("doc_id") % clone_factor != 0)
+    new_docs = clones.filter(F.col("doc_id") % clone_factor == 0)
+    table = "stress_delta_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    t = time.time()
+    incremental.save_banded_index(
+        incremental.minhash_index(base_docs), table
+    )
+    print(f"save_banded_index: {time.time() - t:.2f}s "
+          f"({n - n // clone_factor} docs)")
+    t = time.time()
+    final, funnel = corpus.prepare_corpus_delta(
+        new_docs, table, update_index=True, min_quality=0.0,
+    )
+    rows = {r.stage: r for r in funnel.collect()}
+    nf = final.count()
+    dt = time.time() - t
+    dn = rows["delta_near_dup"]
+    print(
+        f"prepare_corpus_delta: {dt:.2f}s — delta {dn.docs_in} docs, "
+        f"{dn.docs_out} survived index dedup "
+        f"({100 * (1 - dn.docs_out / dn.docs_in):.1f}% dropped as "
+        f"near-clones of shipped docs), {nf} out of the full pipeline"
+    )
+    # every delta doc is a near-clone of 9 shipped docs: the index
+    # dedup must catch (nearly) all of them — a recall collapse in
+    # the composed path shows up here as a wrong survivor count
+    assert dn.docs_out < dn.docs_in * 0.2, (dn.docs_in, dn.docs_out)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
     spark.stop()
     return 0
 
