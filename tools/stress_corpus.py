@@ -119,6 +119,32 @@ def main() -> int:
     assert dn.docs_out < dn.docs_in * 0.2, (dn.docs_in, dn.docs_out)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
+    # round 11: image perceptual-hash dedup at the same clone scale —
+    # clone_factor byte-identical payloads per cluster, so every
+    # cluster must collapse at hamming 0 through the banded join
+    media = clones.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        # payload identical WITHIN a cluster (strip the ' vN' suffix)
+        F.encode(
+            F.regexp_replace("text", r" v\d+$", ""), "UTF-8"
+        ).alias("payload"),
+    )
+    from cryo_spark.operators import multimodal as mm
+
+    t = time.time()
+    np_img = mm.image_near_dups(media).count()
+    dt = time.time() - t
+    expect = (n // clone_factor) * (
+        clone_factor * (clone_factor - 1) // 2
+    )
+    print(
+        f"image_near_dups: {dt:.2f}s for {n} images -> {np_img} pairs "
+        f"(expected >= {expect} from {n // clone_factor} clone "
+        f"clusters of {clone_factor})"
+    )
+    assert np_img >= expect, (np_img, expect)
+
     spark.stop()
     return 0
 
