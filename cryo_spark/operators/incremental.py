@@ -312,12 +312,26 @@ def incremental_pairs_from_table(
     cannot live inside the join (no matches = no rows to check); the
     probe is a LIMIT-1 read of the stored constant."""
     base_band = spark.table(table)
-    stored = base_band.select("bands").first()
+    stored = base_band.select("bands", F.size("sig").alias("k")).first()
     if stored is not None and stored.bands != bands:
         raise ValueError(
             f"banded index {table!r} was saved with bands={stored.bands}, "
             f"not {bands} — rebuild it or pass the saved value"
         )
+    # k (signature length) mismatch is the same silent-zero-recall
+    # failure the bands probe guards: band hashes of differently-sized
+    # signature slices never collide, so the join would quietly find
+    # (near) nothing. The probe is a LIMIT-1 look at each side — the
+    # delta side runs one small partial job, bounded by a single
+    # signature row.
+    if stored is not None:
+        new_k = new_index.select(F.size("sig").alias("k")).first()
+        if new_k is not None and new_k.k != stored.k:
+            raise ValueError(
+                f"banded index {table!r} holds k={stored.k} signatures "
+                f"but the new batch was indexed with k={new_k.k} — "
+                "rebuild one side so the minhash families match"
+            )
     nb = _band_rows(new_index, bands, id_col)
     n, u = nb.alias("n"), base_band.alias("u")
     cross = (

@@ -804,6 +804,32 @@ def test_prepare_corpus_delta_all_dups_empty_survivors(spark):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_incremental_pairs_from_table_rejects_k_mismatch(spark):
+    """A delta batch indexed with a different signature length than
+    the saved table must raise — a k mismatch would otherwise find
+    (near) zero pairs silently, the same failure class the bands
+    probe guards."""
+    from cryo_spark.operators import incremental
+
+    day1, day2 = _delta_days(spark)
+    table = "r11_k_mismatch_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    incremental.save_banded_index(
+        incremental.minhash_index(day1, k=16), table, bands=4
+    )
+    bad = incremental.minhash_index(day2, k=8)
+    with pytest.raises(ValueError, match="k=16.*k=8"):
+        incremental.incremental_pairs_from_table(
+            spark, table, bad, bands=4
+        )
+    # matching k still works
+    ok = incremental.minhash_index(day2, k=16)
+    incremental.incremental_pairs_from_table(
+        spark, table, ok, bands=4, with_est=False
+    ).count()
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_prepare_corpus_delta_base_side_stays_bucketed(spark):
     """The composed delta path inherits the bucketed-read property:
     no Exchange above the base index scan in the candidate join (only
