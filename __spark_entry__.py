@@ -637,14 +637,22 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific by nature; stubbed in this container) stay out of
     the checked surface, exactly the columns already dropped.
 
-    Round 11 merge (50-entry window full — established pattern):
-    perceptual-hash image near-dup joins this entry as two more op
-    kinds, 'dhash' (per-image 64-bit fake-grid dHash signature, pure
-    JVM md5-chain arithmetic) and 'dhash_pair' (banded-hamming pair
-    rows: media_id, pair_b, hamming) — signatures, band-derived pair
-    sets AND hamming values all hash-verify against the DuckDB twin
-    (multimodal.image_near_dups_sql). The real-decoder path
-    (real_dhash via PIL) swaps into the same banding unchanged."""
+    Round 11 merges (50-entry window full — established pattern):
+    perceptual-hash image near-dup joins this entry as 'dhash'
+    (per-image 64-bit fake-grid dHash signature, pure JVM md5-chain
+    arithmetic) and 'dhash_pair' (banded-hamming pair rows: media_id,
+    pair_b, hamming), and video near-dup as 'video_pair' (media_id,
+    pair_b, overlap — frame fan-out → per-frame dHash → banded frame
+    matches → containment). Signatures, band-derived pair sets,
+    hamming values AND overlap fractions all hash-verify against the
+    DuckDB twins (image_near_dups_sql / fake_dhash_duckdb_parts).
+    Both pair ops run on SOURCE-derived clone families (a perceptual
+    hash never collides the corpus's unique texts, so text payloads
+    would make the pair checks vacuously empty); the 'dhash' rows
+    keep the unique text payloads so signature arithmetic is proven
+    on maximal-entropy inputs. The real-decoder paths (real_dhash via
+    PIL; audio_near_dups' fingerprints) swap into the same banding
+    unchanged."""
     from cryo_spark.operators import multimodal
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
