@@ -535,7 +535,14 @@ def prepare_corpus_delta(
     materialized (eager localCheckpoint — ids only, day-batch-bounded)
     BEFORE the append, so the lazily-evaluated dedup can never read
     its own batch back out of the table; the append itself reuses the
-    exact layout ``save_banded_index`` wrote.
+    exact layout ``save_banded_index`` wrote. Index SCOPE: the append
+    records the whole INGESTED batch (pre-pipeline), not just the
+    pipeline's survivors — the same seen-docs semantics the streaming
+    near-dup sink and the manual daily workflow use, so content
+    already evaluated once (even if quality-filtered out) is never
+    re-admitted by a later crawl of the same page. If shipped-only
+    semantics are wanted instead, pass ``update_index=False`` and
+    append ``incremental.minhash_index(final_frame)`` after the run.
 
     Scale shape: the base index never re-shuffles (bucketed read), the
     new index is k longs/doc, the drop list is ids-only, and the

@@ -284,7 +284,9 @@ def reextract_documents(
       comma-separated ``languages`` field intersects the list).
     - ``mimes`` / ``statuses``: content-type and HTTP status slices.
     - ``ts_from`` / ``ts_to``: capture-timestamp slice, compact
-      ``yyyyMMddHHmmss`` strings (prefixes zero-pad: '20260814' works).
+      ``yyyyMMddHHmmss`` strings; prefixes are INCLUSIVE on both ends
+      ('20260814' as ts_to covers the whole of Aug 14, not just its
+      midnight instant).
     - ``latest_per_url=True``: keep only each urlkey's newest capture
       (the standard re-crawl recipe) — a window over the index, still
       index-sized.
@@ -331,13 +333,22 @@ def reextract_documents(
     if statuses:
         idx = idx.filter(F.col("status").isin(list(statuses)))
 
-    def _ts(s: str):
-        return F.to_timestamp(F.lit(s.ljust(14, "0")), "yyyyMMddHHmmss")
+    def _ts(s: str, end: bool = False):
+        # prefixes are INCLUSIVE on both ends: the start bound
+        # zero-pads ('20260814' -> day start) and the end bound pads
+        # with the maximum time digits ('20260814' -> 20260814235959)
+        # — a zero-padded end would silently exclude everything after
+        # midnight of the named day
+        if end:
+            full = s + "235959"[len(s) - 8:] if len(s) < 14 else s
+        else:
+            full = s.ljust(14, "0")
+        return F.to_timestamp(F.lit(full), "yyyyMMddHHmmss")
 
     if ts_from:
         idx = idx.filter(F.col("ts") >= _ts(ts_from))
     if ts_to:
-        idx = idx.filter(F.col("ts") <= _ts(ts_to))
+        idx = idx.filter(F.col("ts") <= _ts(ts_to, end=True))
     if latest_per_url:
         from pyspark.sql import Window
 

@@ -607,6 +607,17 @@ def test_reextract_documents_slices(spark, tmp_path):
         hosts=["site0.test", "site2.test"], languages=["eng"],
     ).collect()
     assert len(both) == 6  # eng captures land on even hosts here
+    # ts_to date prefixes are INCLUSIVE of the whole day: captures at
+    # 20260814000000 must be covered by ts_to='20260814' AND by a
+    # same-day ts_from (zero-padded start)
+    day2 = reextract_documents(
+        spark, idx, warc_root=root,
+        ts_from="20260814", ts_to="20260814",
+    ).count()
+    assert day2 == 6
+    assert reextract_documents(
+        spark, idx, warc_root=root, ts_to="20260813"
+    ).count() == 6  # first-day captures only
 
 
 def test_reextract_touches_only_selected_bytes(spark, tmp_path):
