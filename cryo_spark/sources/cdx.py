@@ -339,6 +339,12 @@ def reextract_documents(
         # with the maximum time digits ('20260814' -> 20260814235959)
         # — a zero-padded end would silently exclude everything after
         # midnight of the named day
+        if len(s) not in (8, 10, 12, 14) or not s.isdigit():
+            raise ValueError(
+                f"timestamp prefix {s!r} must be 8/10/12/14 digits of "
+                "yyyyMMddHHmmss — an odd-length prefix would silently "
+                "shift the padded time digits"
+            )
         if end:
             full = s + "235959"[len(s) - 8:] if len(s) < 14 else s
         else:
