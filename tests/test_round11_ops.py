@@ -497,6 +497,35 @@ def test_image_dhash_custom_hasher_arrow_path(spark):
     assert len(vs) == 3 and all(r.dhash == 32000 for r in vs)
 
 
+def test_image_dhash_index_rides_persisted_table(spark):
+    """The (id, sig[8]) image index composes with save_banded_index /
+    incremental_pairs_from_table exactly as the docstring claims: a
+    day-2 image batch dedups against day-1's BUCKETED table (bands=8,
+    one byte per band), clones are found, and the k-probe accepts the
+    8-long signatures."""
+    from cryo_spark.operators import incremental, multimodal as mm
+
+    media = _clone_media(spark).filter("kind = 'image'")
+    base = media.filter("media_id < 2")
+    new = spark.createDataFrame(
+        [(50, "the original image payload bytes".encode()),
+         (51, b"brand new day two image")],
+        "media_id long, payload binary",
+    )
+    table = "r11_img_band_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    incremental.save_banded_index(
+        mm.image_dhash_index(base), table, bands=8, id_col="media_id"
+    )
+    cand = incremental.incremental_pairs_from_table(
+        spark, table, mm.image_dhash_index(new), bands=8,
+        id_col="media_id", with_est=False,
+    )
+    got = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert got == {(0, 50), (1, 50)}  # clones of both shipped copies
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_real_dhash_requires_pil():
     """real_dhash raises the documented NotImplementedError where PIL
     is absent; where PIL exists it produces a signed 64-bit int."""
