@@ -615,8 +615,8 @@ def video_near_dups(
     n_frames_b, overlap) with id_a < id_b. Scale shape: frame
     signatures are 1 long per sampled frame (≤ ``max_frames`` per
     item), the pair aggregation is a partial-agg groupBy on the
-    item pair, and the per-item frame counts broadcast back
-    (#items-sized)."""
+    item pair, and the per-item frame counts (#items-sized, so never
+    force-broadcast) join back under AQE's runtime strategy pick."""
     from cryo_spark.operators.dedup import banded_hamming_pairs
 
     sigs = video_frame_dhash(
@@ -640,15 +640,17 @@ def video_near_dups(
         F.countDistinct("id_a.frame_index").alias("matched_a"),
         F.countDistinct("id_b.frame_index").alias("matched_b"),
     )
-    ca = F.broadcast(
-        counts.select(
-            F.col("media_id").alias("id_a"), F.col("n_frames").alias("n_frames_a")
-        )
+    # counts is corpus-cardinality (one row per media item), so it must
+    # NOT be force-broadcast: on a billion-item corpus that would OOM
+    # the driver.  The pair side (agg) is the small side if anything —
+    # leave the strategy to AQE, which sees the real runtime sizes and
+    # broadcasts whichever side actually fits.  The join keys (item
+    # ids) are well-distributed, so the sort-merge fallback is safe.
+    ca = counts.select(
+        F.col("media_id").alias("id_a"), F.col("n_frames").alias("n_frames_a")
     )
-    cb = F.broadcast(
-        counts.select(
-            F.col("media_id").alias("id_b"), F.col("n_frames").alias("n_frames_b")
-        )
+    cb = counts.select(
+        F.col("media_id").alias("id_b"), F.col("n_frames").alias("n_frames_b")
     )
     return (
         agg.join(ca, "id_a")
