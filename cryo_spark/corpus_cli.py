@@ -134,7 +134,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "does not exist yet")
     p.add_argument("--no-funnel", action="store_true",
                    help="skip the per-stage attrition report (saves "
-                        "one materialization pass per stage)")
+                        "one materialization pass per stage; in "
+                        "day-N --delta-index mode the staged "
+                        "boundaries are materialized regardless — "
+                        "this only suppresses the report output)")
     p.add_argument("--dry", action="store_true",
                    help="print the resolved plan and exit")
     return p

@@ -534,8 +534,13 @@ def prepare_corpus_delta(
     ``index_table`` for the NEXT day's run. The drop list is
     materialized (eager localCheckpoint — ids only, day-batch-bounded)
     BEFORE the append, so the lazily-evaluated dedup can never read
-    its own batch back out of the table; the append itself reuses the
-    exact layout ``save_banded_index`` wrote. Index SCOPE: the append
+    its own batch back out of the table; the append adopts the
+    table's SAVED bucket spec (``skew.write_bucketed`` reads the
+    catalog, so an index saved with a non-default ``n_buckets``
+    appends cleanly) and is RETRY-IDEMPOTENT: rows whose doc_id is
+    already in the index (a failed-then-retried run that got past its
+    append) are skipped, so a retry can never bloat the index with
+    duplicate band rows. Index SCOPE: the append
     records the whole INGESTED batch (pre-pipeline), not just the
     pipeline's survivors — the same seen-docs semantics the streaming
     near-dup sink and the manual daily workflow use, so content
@@ -570,6 +575,31 @@ def prepare_corpus_delta(
         rows = incremental._band_rows(
             new_idx, bands, "doc_id", carry_cols=("sig",)
         ).withColumn("bands", F.lit(bands))
+        # RETRY IDEMPOTENCY: a day-N run that appended its index rows
+        # but failed before the output write gets retried — without
+        # this, the retry re-appends the same band rows, bloating the
+        # index and every future candidate join. Probe the table for
+        # ids of THIS batch (broadcast the day-sized id set into a
+        # semi-join; the corpus-sized index streams, nothing
+        # corpus-sized shuffles) and skip rows already present. Eager
+        # checkpoint: the probe must run BEFORE the append so the
+        # rows plan can never read the table mid-write.
+        already = (
+            spark.table(index_table)
+            .join(
+                F.broadcast(new_idx.select("doc_id").distinct()),
+                "doc_id",
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        rows = rows.join(
+            F.broadcast(already), "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        # append adopts the table's saved bucket count (write_bucketed
+        # reads the catalog spec), so an index saved with a
+        # non-default n_buckets appends cleanly
         skew.write_bucketed(
             rows, index_table, ["band_id", "band_hash"], mode="append"
         )

@@ -54,6 +54,27 @@ def salted_agg(
     )
 
 
+def table_bucket_spec(spark, table: str) -> tuple[int, list[str]] | None:
+    """(num buckets, bucket columns) of an existing bucketed table, or
+    None when the table doesn't exist / isn't bucketed — read from the
+    catalog so appenders can adopt the layout the table was SAVED
+    with instead of assuming a default."""
+    if not spark.catalog.tableExists(table):
+        return None
+    info = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    }
+    if "Num Buckets" not in info:
+        return None
+    cols = [
+        c.strip().strip("`")
+        for c in info.get("Bucket Columns", "").strip("[]").split(",")
+        if c.strip()
+    ]
+    return int(info["Num Buckets"]), cols
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -69,11 +90,29 @@ def write_bucketed(
     Overwrite is made idempotent against a stale warehouse: the table
     is dropped from the catalog AND any orphaned warehouse directory
     (left by a prior session whose metastore is gone) is removed, so
-    ``LOCATION_ALREADY_EXISTS`` can never fire."""
+    ``LOCATION_ALREADY_EXISTS`` can never fire.
+
+    Append ADOPTS the existing table's bucket COUNT (Spark refuses an
+    append whose bucket spec differs, so a table saved with a
+    non-default count would otherwise be un-appendable with the
+    default ``n_buckets``) and fails fast with a clear error when the
+    bucket KEYS differ — a key mismatch is a layout rebuild, not an
+    append."""
     spark = df.sparkSession
     if mode == "overwrite":
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         _clean_orphan_location(spark, table)
+    elif mode == "append":
+        spec = table_bucket_spec(spark, table)
+        if spec is not None:
+            existing_n, existing_keys = spec
+            if existing_keys and existing_keys != list(bucket_keys):
+                raise ValueError(
+                    f"table {table!r} is bucketed on {existing_keys}, "
+                    f"not {list(bucket_keys)} — rebuild the table "
+                    "instead of appending a different layout"
+                )
+            n_buckets = existing_n
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_keys)
     if sort_keys:
         writer = writer.sortBy(*sort_keys)

@@ -32,6 +32,8 @@ _WARC_SCHEMA` shape (plus ``doc_id``), so ``extract_documents`` /
 
 from __future__ import annotations
 
+import gzip
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -41,6 +43,7 @@ from pyspark.sql import functions as F
 from cryo_spark.sources.documents import (
     DEFAULT_MAX_MEMBER_BYTES,
     _WARC_SCHEMA,
+    MemberTooLargeError,
     _parse_warc_bytes,
 )
 
@@ -124,11 +127,18 @@ def fetch_cdx_records(
     warc_root: str = "",
     id_col: str = "doc_id",
     max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
+    dropped=None,
 ) -> DataFrame:
     """Fetch exactly the WARC records a (filtered) CDX frame points
     at, by byte range — the selective-re-extraction path: pruning
     happens on the INDEX (KB per million captures), and only the
     selected records' bytes ever leave storage.
+
+    ``dropped`` (optional): a Spark accumulator
+    (``spark.sparkContext.accumulator(0)``) incremented once per
+    corrupt-index record dropped by the framing catch below — read it
+    after an action to audit silent loss. Size-cap violations
+    (:class:`MemberTooLargeError`) are never dropped; they raise.
 
     ``warc_root`` prefixes the index's relative ``filename`` values
     (CommonCrawl publishes paths relative to the bucket root; '' when
@@ -211,12 +221,28 @@ def fetch_cdx_records(
                     # record instead of failing the task: one bad
                     # pointer must not kill a crawl-sized fetch (the
                     # same malformed-input policy as read_cdx's NULL
-                    # rows; the capture is unusable either way)
+                    # rows; the capture is unusable either way). The
+                    # catch is NARROW: only framing/decompress
+                    # corruption drops. The deliberate size guard
+                    # (MemberTooLargeError — e.g. a gzip bomb whose
+                    # record decompresses past the cap) and anything
+                    # unexpected still fail loudly with the documented
+                    # max_member_bytes guidance.
                     try:
                         recs = list(
                             _parse_warc_bytes(bytes(raw), p, max_member_bytes)
                         )
-                    except Exception:
+                    except MemberTooLargeError:
+                        raise
+                    except (
+                        ValueError,      # WARC framing / header parse
+                        zlib.error,      # corrupt deflate stream
+                        gzip.BadGzipFile,  # not a gzip member
+                        EOFError,        # truncated member
+                        UnicodeDecodeError,
+                    ):
+                        if dropped is not None:
+                            dropped.add(1)
                         continue
                     for rec in recs:
                         # record_idx is meaningless for a ranged fetch
@@ -256,6 +282,7 @@ def reextract_documents(
     main_content: bool = False,
     smooth: bool = False,
     max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
+    dropped=None,
 ) -> DataFrame:
     """One-call SELECTIVE re-extraction: "re-extract this
     domain/language/date-slice" against a CDX-indexed crawl, without
@@ -367,7 +394,8 @@ def reextract_documents(
             .drop("_rx_rn")
         )
     recs = fetch_cdx_records(
-        spark, idx, warc_root=warc_root, max_member_bytes=max_member_bytes
+        spark, idx, warc_root=warc_root, max_member_bytes=max_member_bytes,
+        dropped=dropped,
     )
     return documents_from_records(
         recs, text_col=text_col, main_content=main_content, smooth=smooth

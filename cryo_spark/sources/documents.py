@@ -25,6 +25,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class MemberTooLargeError(ValueError):
+    """A WARC member or record exceeds the configured size cap
+    (``max_member_bytes`` / ``max_record_bytes``). Distinct from
+    framing/decompress corruption so callers with a drop-bad-records
+    policy (``fetch_cdx_records``) can still FAIL LOUDLY on the
+    deliberate size guard instead of silently dropping an oversized
+    but valid record."""
+
+
 def read_documents(
     spark: SparkSession,
     path: str,
@@ -134,6 +143,10 @@ _CHUNKED_RE = re.compile(
 )
 
 
+#: genuine HTTP chunk-size token: unsigned hex digits, nothing else
+_HEX_TOKEN_RE = re.compile(rb"[0-9a-fA-F]+")
+
+
 def _parse_size_line(body: bytes, pos: int):
     """Parse one chunk-size line at ``pos``. Returns
     (size, byte-after-line) or None when the line is not hex-framed
@@ -148,10 +161,13 @@ def _parse_size_line(body: bytes, pos: int):
     else:
         next_pos = eol + 2
     size_tok = body[pos:eol].split(b";", 1)[0].strip()
-    try:
-        return int(size_tok, 16), next_pos
-    except ValueError:
+    # strict hex only: int(x, 16) also accepts signed/underscored
+    # forms ('-5', '+5', '1_0') that are not valid HTTP chunk sizes —
+    # a negative size would flow into the dechunk slicing as a
+    # negative offset
+    if not _HEX_TOKEN_RE.fullmatch(size_tok):
         return None
+    return int(size_tok, 16), next_pos
 
 
 def _chunk_framing_confirmed(body: bytes) -> bool:
@@ -425,7 +441,7 @@ def _iter_warc_stream(
                 fields[k.strip().lower()] = v.strip()
         clen = int(fields.get("content-length", "0") or "0")
         if clen > max_record_bytes:
-            raise ValueError(
+            raise MemberTooLargeError(
                 f"WARC record {idx} in {path} declares Content-Length "
                 f"{clen} (max_record_bytes={max_record_bytes}) — one "
                 "record must fit in a task; raise max_record_bytes or "
@@ -469,7 +485,7 @@ def _parse_warc_bytes(
     a gzip bomb whose single record decompresses past the cap fails
     fast instead of ballooning."""
     if len(raw) > max_member_bytes:
-        raise ValueError(
+        raise MemberTooLargeError(
             f"WARC member {path} is {len(raw)} bytes "
             f"(max_member_bytes={max_member_bytes}): whole-file members "
             "are non-splittable, so this would serialize onto one task "
@@ -560,7 +576,7 @@ def read_warc(
             for _, r in pdf.iterrows():
                 p, length = r["path"], int(r["length"])
                 if length > max_member_bytes:
-                    raise ValueError(
+                    raise MemberTooLargeError(
                         f"WARC member {p} is {length} bytes "
                         f"(max_member_bytes={max_member_bytes}): "
                         "whole-file members are non-splittable, so this "

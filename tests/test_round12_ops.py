@@ -54,3 +54,197 @@ def test_audio_near_dups_no_forced_counts_broadcast(spark):
     pairs = mm.audio_near_dups(media, min_overlap=0.9)
     assert "ResolvedHint" not in _analyzed_plan(pairs)
     assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(1, 2)}
+
+
+# ----------------------------- ADVICE: cdx fetch drop-policy scope
+
+
+def _gz_member(payload: bytes, uri: str) -> bytes:
+    import gzip
+
+    sep = b"\r\n"
+    rec = (
+        b"WARC/1.0" + sep
+        + b"WARC-Type: response" + sep
+        + f"WARC-Target-URI: {uri}".encode() + sep
+        + b"WARC-Date: 2026-08-14T00:00:00Z" + sep
+        + f"Content-Length: {len(payload)}".encode() + sep
+        + sep + payload + sep + sep
+    )
+    return gzip.compress(rec)
+
+
+def _cdxj(urlkey: str, off: int, ln: int, fn: str) -> str:
+    import json
+
+    j = {"url": f"https://{urlkey}", "mime": "text/html", "status": "200",
+         "length": str(ln), "offset": str(off), "filename": fn}
+    return f"{urlkey} 20260814000000 {json.dumps(j)}"
+
+
+def test_fetch_corrupt_record_dropped_and_counted(spark, tmp_path):
+    """A corrupt member (bad gzip bytes at a valid index offset) is
+    dropped, the fetch continues, and the optional accumulator counts
+    the loss — no more invisible drops."""
+    from cryo_spark.sources.cdx import fetch_cdx_records, read_cdx
+
+    members = [_gz_member(b"HTTP/1.1 200 OK\r\n\r\nbody %d" % i,
+                          f"site{i}.test/p") for i in range(3)]
+    # corrupt the middle member in place (same length, garbage bytes)
+    members[1] = b"\x00" * len(members[1])
+    offs, pos = [], 0
+    for m in members:
+        offs.append((pos, len(m)))
+        pos += len(m)
+    (tmp_path / "a.warc.gz").write_bytes(b"".join(members))
+    (tmp_path / "a.cdx").write_text("\n".join(
+        _cdxj(f"site{i}.test/p", off, ln, "a.warc.gz")
+        for i, (off, ln) in enumerate(offs)
+    ))
+    cdx = read_cdx(spark, str(tmp_path / "a.cdx"))
+    acc = spark.sparkContext.accumulator(0)
+    recs = fetch_cdx_records(
+        spark, cdx, warc_root=str(tmp_path) + "/", dropped=acc
+    ).collect()
+    assert sorted(r.target_uri for r in recs) == [
+        "site0.test/p", "site2.test/p"
+    ]
+    assert acc.value == 1
+
+
+def test_fetch_gzip_bomb_raises_not_drops(spark, tmp_path):
+    """A record whose COMPRESSED length passes the index pre-check but
+    whose decompressed record exceeds the cap trips the deliberate
+    size guard — it must RAISE (MemberTooLargeError), never be
+    silently dropped by the corruption catch."""
+    from cryo_spark.sources.cdx import fetch_cdx_records, read_cdx
+
+    # 64 KiB of zeros compresses to well under 1 KiB
+    m = _gz_member(b"HTTP/1.1 200 OK\r\n\r\n" + b"\x00" * 65536,
+                   "bomb.test/p")
+    assert len(m) < 1000
+    (tmp_path / "b.warc.gz").write_bytes(m)
+    (tmp_path / "b.cdx").write_text(_cdxj("bomb.test/p", 0, len(m),
+                                          "b.warc.gz"))
+    cdx = read_cdx(spark, str(tmp_path / "b.cdx"))
+    acc = spark.sparkContext.accumulator(0)
+    with pytest.raises(Exception, match="max_record_bytes"):
+        fetch_cdx_records(
+            spark, cdx, warc_root=str(tmp_path) + "/",
+            max_member_bytes=1000, dropped=acc,
+        ).collect()
+    assert acc.value == 0
+
+
+# ------------------------- ADVICE: strict hex chunk-size validation
+
+
+def test_parse_size_line_rejects_non_hex_tokens():
+    """int(x, 16) accepts signed/underscored forms that are not valid
+    HTTP chunk sizes; a negative size would become a negative slice
+    offset downstream. Only ^[0-9a-fA-F]+$ counts as framing."""
+    from cryo_spark.sources.documents import _parse_size_line
+
+    assert _parse_size_line(b"-5\r\nhello", 0) is None
+    assert _parse_size_line(b"+5\r\nhello", 0) is None
+    assert _parse_size_line(b"1_0\r\nhello", 0) is None
+    assert _parse_size_line(b" - 5\r\nhello", 0) is None
+    assert _parse_size_line(b"a3\r\nx", 0) == (0xA3, 4)
+    assert _parse_size_line(b"A3;ext=1\r\nx", 0) == (0xA3, 10)
+    assert _parse_size_line(b"0\n", 0) == (0, 2)
+
+
+# ---------------- ADVICE: delta-index append bucket spec + retries
+
+
+def _delta_docs(spark):
+    def mk(i, txt):
+        return (i, txt, f"src{i % 3}")
+
+    base_txt = ("the quick brown fox jumps over the lazy dog and then "
+                "writes a long enough document about spark bucketing")
+    day1 = spark.createDataFrame(
+        [mk(1, base_txt),
+         mk(2, "a completely different first day article discussing "
+               "arrow batches and vectorized python workers at scale")],
+        "doc_id long, text string, source string",
+    )
+    day2 = spark.createDataFrame(
+        [mk(100, base_txt),  # clone of shipped doc 1 -> drop
+         mk(102, "entirely novel day two document about parquet "
+                 "bucketing and co located join strategies in spark")],
+        "doc_id long, text string, source string",
+    )
+    return day1, day2
+
+
+def test_delta_append_adopts_saved_bucket_count(spark):
+    """An index saved with a NON-default n_buckets must still accept
+    the day-N append: write_bucketed reads the catalog spec instead of
+    assuming 32 (Spark refuses appends with a mismatched spec)."""
+    from cryo_spark.operators import corpus, incremental, skew
+
+    day1, day2 = _delta_docs(spark)
+    table = "r12_bucket_adopt_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    incremental.save_banded_index(
+        incremental.minhash_index(day1), table, bands=4, n_buckets=8
+    )
+    assert skew.table_bucket_spec(spark, table) == (
+        8, ["band_id", "band_hash"]
+    )
+    final, _ = corpus.prepare_corpus_delta(
+        day2, table, update_index=True, min_quality=0.0
+    )
+    assert {r.doc_id for r in final.select("doc_id").collect()} == {102}
+    # the append kept the saved spec
+    assert skew.table_bucket_spec(spark, table) == (
+        8, ["band_id", "band_hash"]
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_delta_append_retry_is_idempotent(spark):
+    """A failed-then-retried day-N run whose index append already
+    landed must not duplicate band rows: the second identical run
+    appends nothing new and the index row count is unchanged."""
+    from cryo_spark.operators import corpus, incremental
+
+    day1, day2 = _delta_docs(spark)
+    table = "r12_retry_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    incremental.save_banded_index(
+        incremental.minhash_index(day1), table, bands=4
+    )
+    final1, _ = corpus.prepare_corpus_delta(
+        day2, table, update_index=True, min_quality=0.0
+    )
+    final1.count()  # run the pipeline like a real job would
+    n_after_first = spark.table(table).count()
+    # retry: same batch, index already holds its rows
+    final2, _ = corpus.prepare_corpus_delta(
+        day2, table, update_index=True, min_quality=0.0
+    )
+    # survivors identical (same-id band rows never self-pair)
+    assert ({r.doc_id for r in final2.select("doc_id").collect()}
+            == {r.doc_id for r in final1.select("doc_id").collect()})
+    assert spark.table(table).count() == n_after_first
+    # and no duplicate (doc_id, band_id) rows exist
+    dup = (
+        spark.table(table).groupBy("doc_id", "band_id").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_write_bucketed_append_rejects_key_mismatch(spark):
+    from cryo_spark.operators import skew
+
+    table = "r12_key_mismatch"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    df = spark.range(10).withColumn("k", F.col("id") % 3)
+    skew.write_bucketed(df, table, ["k"], n_buckets=4)
+    with pytest.raises(ValueError, match="bucketed on"):
+        skew.write_bucketed(df, table, ["id"], mode="append")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
