@@ -867,25 +867,31 @@ LIMIT 10
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k, the three scale paths in one entry:
-    hyperplane-LSH bucket prefilter, IVF (spherical k-means lists
-    trained on a deterministic sample, query probes the 4 nearest
-    lists), and IVF-PQ (probe-pruned asymmetric-distance search over
-    m-byte codes — round 5).
+    """Approximate top-k, the three scale paths in one entry — now
+    HASH-EXACT (round 12, the 50th contract row):
 
-    In-contract recall gate: each method's hits are joined against
-    the exact (ORACLE-PROVEN) `cosine_topk` answer and the per-method
-    recall@10 lands as a checked column; rows with recall < 0.5 are
-    filtered OUT, so an ANN recall collapse shows up in the driver's
-    row count (20 -> 10 or 0), not just in unit tests. The floor is a
-    coarse broken-bucketing detector, deliberately below the measured
-    0.6-0.8 recall (16 hyperplanes / 16 centroids on a few thousand
-    vectors) so fixture regeneration noise cannot trip it. The entry
-    stays rows-only (buckets/centroids are engine-specific) but its
-    recall is now driver-visible."""
+    - method='exact': brute-force cosine top-10 (oracle: the same
+      round-8 arithmetic in DuckDB).
+    - method='lsh': hyperplane-LSH bucket prefilter + exact rescoring
+      via `similarity.lsh_topk` — integer planes over integer-
+      quantized vectors make every bucket decision exact BIGINT math,
+      so `lsh_topk_sql` reproduces the row set bit-for-bit (the same
+      engine-neutral trick that flipped simhash to hash-exact in
+      round 11, `dedup.simhash_near_dups_sql`).
+    - IVF and IVF-PQ (k-means lists / ADC codes — genuinely
+      SQL-inexpressible buckets) stay driver-visible as RECALL-GATE
+      rows: each method contributes one sentinel row (vec_id -1/-2,
+      score = its floor) emitted ONLY when its recall@10 vs the exact
+      answer clears the floor; the oracle emits the sentinels
+      unconditionally, so a recall collapse is a driver-visible
+      rows+hash mismatch, while centroid-dependent hits never touch
+      the hash. Floors: 0.5 detects broken IVF bucketing; PQ's 8-byte
+      codes on near-uniform random vectors are the quantizer's worst
+      case (measured ~0.3-0.5 recall@10), so its 0.2 floor only
+      detects broken encode/ADC plumbing."""
     emb = _read(spark, sf_dir, "embeddings")
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    lsh = similarity.bucketed_ann(emb, query, k=10).withColumn(
+    lsh = similarity.lsh_topk(emb, query, k=10).withColumn(
         "method", F.lit("lsh")
     )
     # round 6: the coarse quantizer is shared — centroids train once
@@ -922,31 +928,49 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = lsh.select(
         "vec_id", F.col(lsh.columns[1]).alias("score"), "method"
     )
-    ivf = ivf.select(
-        "vec_id", F.col(ivf.columns[1]).alias("score"), "method"
+    exact = similarity.cosine_topk(emb, query, k=10)
+    exact_rows = exact.select(
+        "vec_id", F.col("cosine").alias("score"), F.lit("exact").alias("method")
     )
-    out = lsh.unionByName(ivf).unionByName(ivfpq)
-    exact = similarity.cosine_topk(emb, query, k=10).select(
-        F.col("vec_id").alias("__exact_id")
-    )
-    w = Window.partitionBy("method")
+    exact_ids = exact.select("vec_id")
+
+    def recall_gate(hits: DataFrame, floor: float, sentinel: int,
+                    name: str) -> DataFrame:
+        # one lazy 10-row semi-join + a scalar agg per method — the
+        # sentinel row survives only while recall@10 >= floor
+        return (
+            hits.select("vec_id")
+            .join(F.broadcast(exact_ids), "vec_id", "left_semi")
+            .agg((F.count(F.lit(1)) / 10.0).alias("r"))
+            .filter(F.col("r") >= floor)
+            .select(
+                F.lit(sentinel).cast("long").alias("vec_id"),
+                F.lit(float(floor)).alias("score"),
+                F.lit(name).alias("method"),
+            )
+        )
+
     return (
-        out.join(
-            F.broadcast(exact), out["vec_id"] == F.col("__exact_id"), "left"
-        )
-        .withColumn(
-            "recall_at_k", F.round(F.count("__exact_id").over(w) / 10.0, 2)
-        )
-        # per-method floors: 0.5 detects broken LSH/IVF bucketing;
-        # PQ's 8-byte codes on near-uniform random vectors are the
-        # quantizer's worst case (measured ~0.3-0.5 recall@10), so
-        # its floor only detects broken encode/ADC plumbing
-        .filter(
-            F.col("recall_at_k")
-            >= F.when(F.col("method") == "ivfpq", 0.2).otherwise(0.5)
-        )
-        .drop("__exact_id")
+        exact_rows.unionByName(lsh)
+        .unionByName(recall_gate(ivf, 0.5, -1, "ivf_recall_ge_floor"))
+        .unionByName(recall_gate(ivfpq, 0.2, -2, "ivfpq_recall_ge_floor"))
     )
+
+
+def oracle_ann_topk() -> str:
+    ex = oracle_cosine_topk()
+    lsh = similarity.lsh_topk_sql("embeddings", k=10, dim=64)
+    return f"""
+SELECT vec_id, cosine AS score, 'exact' AS method FROM ({ex})
+UNION ALL
+SELECT vec_id, cosine AS score, 'lsh' AS method FROM ({lsh})
+UNION ALL
+SELECT -1::BIGINT AS vec_id, 0.5::DOUBLE AS score,
+       'ivf_recall_ge_floor' AS method
+UNION ALL
+SELECT -2::BIGINT AS vec_id, 0.2::DOUBLE AS score,
+       'ivfpq_recall_ge_floor' AS method
+"""
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1698,17 +1722,21 @@ GENERIC = {
         q_simhash_near_dups,
         lambda: dedup.simhash_near_dups_sql("documents"),
     ),
+    # round 12: hash-exact (was the last rows-only entry) — the LSH
+    # tier's buckets are now exact integer arithmetic with a DuckDB
+    # twin (similarity.lsh_topk_sql), the exact tier was always
+    # SQL-expressible, and the k-means tiers (IVF / IVF-PQ) are
+    # driver-visible as unconditional oracle sentinel rows that the
+    # Spark side emits only while recall@10 clears each floor
+    "llm_ann_topk": (q_ann_topk, oracle_ann_topk),
 }
 
 # llm_simhash (raw signature dump) gave up its contract slot to the
 # oracle-backed llm_near_dup_clusters; simhash stays covered by
-# llm_simhash_near_dups (hash-exact since round 11) + unit tests
-NO_ORACLE = {
-    # rows-only by nature: k-means/hyperplane tiers have no SQL twin;
-    # the entry carries an in-entry recall gate against the
-    # oracle-proven exact answer (round 5)
-    "llm_ann_topk": q_ann_topk,  # LSH + IVF merged (method column)
-}
+# llm_simhash_near_dups (hash-exact since round 11) + unit tests.
+# llm_ann_topk left this set in round 12 — every contract entry now
+# has a full rows+schema+hash oracle.
+NO_ORACLE: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 
 def _canon_generic(fn: Callable[[SparkSession, str], DataFrame]):

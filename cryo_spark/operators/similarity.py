@@ -122,6 +122,151 @@ def bucketed_ann(
     )
 
 
+def int_planes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Integer random hyperplanes (entries uniform in [-31, 31]) from
+    ``seed`` alone — the ENGINE-NEUTRAL variant of the hyperplane
+    family: with integer plane entries and integer-quantized vectors
+    the signature dot products are exact BIGINT sums, so the bucket of
+    every row is bit-identical on Spark, DuckDB, numpy, anything —
+    no float-summation-order sign flips at the decision boundary
+    (the same trick that made the simhash oracle hash-exact:
+    ``dedup.simhash_near_dups_sql``)."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(-31, 32, size=(n_planes, dim))
+
+
+#: quantization scale for engine-neutral signatures. A power of two:
+#: float32 -> double widening is exact and multiplying a double by
+#: 1024 only shifts the exponent, so floor(x * 1024) is the SAME
+#: integer in Python, the JVM and DuckDB — no rounding-mode or
+#: summation-order hazard anywhere in the signature arithmetic.
+LSH_QUANT = 1024
+
+
+def _quantized(vec_col: Column, quant: int = LSH_QUANT) -> Column:
+    return F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * quant).cast("long")
+    )
+
+
+def _int_sig(qvec: Column, planes: np.ndarray) -> Column:
+    """Signature of an integer-quantized vector column: bit p set when
+    the exact integer dot with plane p is >= 0."""
+    sig: Column | None = None
+    for p, row in enumerate(planes):
+        arr = F.array(*[F.lit(int(v)) for v in row])
+        dot = F.aggregate(
+            F.zip_with(qvec, arr, lambda x, y: x * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 42,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Hyperplane-LSH approximate top-k with ENGINE-NEUTRAL buckets:
+    rows whose integer signature is within ``max_hamming`` bit flips
+    of the query's are rescored by exact cosine (round 8), top ``k``
+    with an id tie-break. Semantically :func:`bucketed_ann` (the
+    hamming<=2 filter IS the query-bucket + 1-flip + 2-flip multiprobe
+    set), but the signature arithmetic is exact integers end to end,
+    so :func:`lsh_topk_sql` reproduces the row set bit-for-bit — the
+    contract twin the driver hash-checks. One narrow scan: quantize
+    once, 6 integer dots, bit_count filter, TakeOrdered — all JVM, no
+    shuffle beyond the k-row ordering."""
+    planes = int_planes(n_planes, len(query), seed)
+    qq = [int(np.floor(float(x) * LSH_QUANT)) for x in query]
+    qsig = 0
+    for p, row in enumerate(planes):
+        if sum(int(v) * q for v, q in zip(row, qq)) >= 0:
+            qsig |= 1 << p
+    emb = spread(emb)
+    qnorm = float(np.sqrt(np.dot(query, query)))
+    cos = _dot_with_literal(F.col(vec_col), query) / (
+        _norm(F.col(vec_col)) * F.lit(qnorm)
+    )
+    return (
+        emb.withColumn("_bucket", _int_sig(_quantized(F.col(vec_col)), planes))
+        .filter(
+            F.bit_count(F.lit(qsig).bitwiseXOR(F.col("_bucket")))
+            <= max_hamming
+        )
+        .select(F.col(id_col), F.round(cos, 8).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_topk_sql(
+    table: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 42,
+    max_hamming: int = 2,
+    dim: int = 64,
+    query_pred: str = "vec_id = 0",
+) -> str:
+    """DuckDB twin of :func:`lsh_topk` for a query vector selected by
+    ``query_pred`` — same seeded integer planes (``dim`` must match
+    the table's vector width), same exact-integer signatures, same
+    hamming filter and round-8 cosine rescoring, so the driver's
+    value-hash comparison is exact, not recall-approximate."""
+    planes = int_planes(n_planes, dim, seed)
+
+    def dot(row: np.ndarray) -> str:
+        lit = "[" + ",".join(str(int(v)) for v in row) + "]"
+        return (
+            f"list_sum(list_transform(list_zip(iq, {lit}::BIGINT[]), "
+            "x -> x[1] * x[2]))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot(planes[p])} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    quant = (
+        f"list_transform({vec_col}, "
+        f"x -> CAST(floor(x::DOUBLE * {LSH_QUANT}) AS BIGINT))"
+    )
+    return f"""
+WITH rows_q AS (
+  SELECT {id_col}, {vec_col}, {quant} AS iq FROM {table}
+),
+sigs AS (
+  SELECT {id_col}, {vec_col}, ({bucket}) AS bucket FROM rows_q
+),
+qrow AS (
+  SELECT {vec_col} AS qe, {quant} AS iq FROM {table} WHERE {query_pred}
+),
+qsig AS (
+  SELECT qe, ({bucket}) AS qbucket FROM qrow
+)
+SELECT s.{id_col} AS {id_col},
+  round(list_sum(list_transform(list_zip(s.{vec_col}, qe),
+        x -> x[1]::DOUBLE * x[2]::DOUBLE))
+    / (sqrt(list_sum(list_transform(s.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))), 8)
+    AS cosine
+FROM sigs s, qsig
+WHERE bit_count(xor(s.bucket, qbucket)) <= {max_hamming}
+ORDER BY cosine DESC, {id_col}
+LIMIT {k}
+"""
+
+
 def sample_matrix(
     emb: DataFrame,
     sample: int = 4096,

@@ -770,21 +770,30 @@ def test_asof_dedup_left_matches_direct_and_suffixes(spark):
 
 
 def test_contract_ann_recall_gate_and_simhash_pin(spark):
-    """The driver-visible recall gates: llm_ann_topk keeps each
-    method's 10 rows only while its recall@10 clears the per-method
-    floor vs the exact answer (0.5 for lsh/ivf bucketing, 0.2
-    plumbing-floor for ivfpq's worst-case random-vector codes);
-    llm_simhash_near_dups raises unless it covers 80% of the
-    exact-Jaccard>=0.7 pairs. Run at sf0.01 — the correctness SF the
-    driver uses (at sf0.001 LSH recall legitimately dips)."""
+    """The driver-visible ANN contract (hash-exact since round 12):
+    10 exact rows + 10 hash-exact LSH rows, plus one sentinel row per
+    k-means tier (ivf/ivfpq) that exists only while that method's
+    recall@10 clears its floor — so a recall collapse is a
+    driver-visible row/hash mismatch against the oracle's
+    unconditional sentinels. llm_simhash_near_dups raises unless it
+    covers 80% of the exact-Jaccard>=0.7 pairs. Run at sf0.01 — the
+    correctness SF the driver uses."""
     import __spark_entry__ as E
 
     qs = E.queries()
     rows = qs["llm_ann_topk"](spark, "/root/testdata/sf0.01").collect()
-    assert len(rows) == 30
-    assert {r.method for r in rows} == {"lsh", "ivf", "ivfpq"}
+    assert len(rows) == 22
+    by_method = {}
     for r in rows:
-        assert r.recall_at_k >= (0.2 if r.method == "ivfpq" else 0.5)
+        by_method.setdefault(r.method, []).append(r)
+    assert set(by_method) == {
+        "exact", "lsh", "ivf_recall_ge_floor", "ivfpq_recall_ge_floor"
+    }
+    assert len(by_method["exact"]) == len(by_method["lsh"]) == 10
+    assert [(r.vec_id, r.score) for r in by_method["ivf_recall_ge_floor"]] \
+        == [(-1, 0.5)]
+    assert [(r.vec_id, r.score) for r in by_method["ivfpq_recall_ge_floor"]] \
+        == [(-2, 0.2)]
     pairs = qs["llm_simhash_near_dups"](spark, "/root/testdata/sf0.01").collect()
     assert pairs  # coverage gate passed (raises otherwise)
 

@@ -248,3 +248,53 @@ def test_write_bucketed_append_rejects_key_mismatch(spark):
     with pytest.raises(ValueError, match="bucketed on"):
         skew.write_bucketed(df, table, ["id"], mode="append")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# --------------- hash-exact ANN: engine-neutral LSH tier (50th row)
+
+
+def test_lsh_topk_matches_duckdb_twin(spark):
+    """The LSH tier's integer-quantized signatures make the bucket of
+    every row exact BIGINT math — the DuckDB twin must reproduce the
+    row set and round-8 cosines bit-for-bit (the contract hash)."""
+    import duckdb
+
+    from cryo_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    query = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    got = [
+        (r.vec_id, r.cosine)
+        for r in similarity.lsh_topk(emb, query, k=10).collect()
+    ]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    )
+    want = con.sql(similarity.lsh_topk_sql("embeddings", k=10)).fetchall()
+    con.close()
+    assert got == [(a, b) for a, b in want]
+    # the bucket prefilter is not vacuous: recall vs exact is real
+    exact = {
+        r.vec_id
+        for r in similarity.cosine_topk(emb, query, k=10).collect()
+    }
+    assert len(exact & {v for v, _ in got}) / 10 >= 0.5
+
+
+def test_ann_topk_gate_rows_drop_on_recall_collapse(spark):
+    """The k-means tiers' sentinel rows exist only while recall@10
+    clears the floor — feed the gate helper a hits frame disjoint from
+    the exact answer and the sentinel must disappear (the driver-side
+    mismatch that makes an ANN collapse visible)."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["llm_ann_topk"](spark, "/root/testdata/sf0.01")
+    methods = [r.method for r in rows.collect()]
+    assert methods.count("ivf_recall_ge_floor") == 1
+    assert methods.count("ivfpq_recall_ge_floor") == 1
+    assert methods.count("exact") == 10 and methods.count("lsh") == 10
