@@ -650,9 +650,11 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash never collides the corpus's unique texts, so text payloads
     would make the pair checks vacuously empty); the 'dhash' rows
     keep the unique text payloads so signature arithmetic is proven
-    on maximal-entropy inputs. The real-decoder paths (real_dhash via
-    PIL; audio_near_dups' fingerprints) swap into the same banding
-    unchanged."""
+    on maximal-entropy inputs. The real-decoder paths swap into the
+    same banding unchanged — proven for images (real_dhash via PIL,
+    skipif-tested) AND audio (round 12: real_audio_window +
+    spectral_band_hash over stdlib-decoded PCM WAV, tested
+    unconditionally in test_round12_ops)."""
     from cryo_spark.operators import multimodal
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")

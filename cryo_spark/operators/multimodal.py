@@ -11,6 +11,7 @@ decoder at deployment.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 from collections.abc import Callable, Iterator
 
@@ -673,18 +674,90 @@ def video_near_dups(
     )
 
 
-def real_audio_fingerprint(payload: bytes, index: int) -> bytes:
-    """Real per-window audio fingerprint (chromaprint-style spectral
-    landmarks over a decoded PCM window) — requires an audio decode
-    stack (librosa/ffmpeg) that is not in this container, so this
-    raises NotImplementedError; the pipeline runs on the
-    deterministic :func:`fake_frame` window sampler instead, and a
-    real deployment swaps this in as ``audio_near_dups``'s
-    ``sampler`` with the banding/overlap machinery unchanged."""
-    raise NotImplementedError(
-        "audio fingerprinting requires an audio decode stack "
-        "(librosa/ffmpeg) — not available in this container; use "
-        "fake_frame for pipeline testing"
+@functools.lru_cache(maxsize=8)
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """(mono float64 samples, sample rate) from WAV bytes — stdlib
+    ``wave`` + numpy, no external decode stack (the container has no
+    librosa/ffmpeg, but PCM WAV needs neither). 16-bit and 8-bit PCM;
+    multi-channel averages to mono. The tiny executor-local LRU keeps
+    the per-window sampler from re-decoding the same item once per
+    window (windows of one item arrive consecutively in a batch)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    elif width == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if n_ch > 1:
+        x = x[: len(x) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def real_audio_window(
+    payload: bytes, index: int, window_ms: int = 1000
+) -> bytes | None:
+    """REAL audio window sampler (round 12 — was a stub): the
+    ``index``-th ``window_ms`` slice of the decoded mono PCM stream as
+    float64 LE bytes, None past the end or for a NULL payload. Slices
+    are ABSOLUTE (sample ``index*window_ms*rate/1000`` onward), so a
+    recording trimmed by whole windows yields byte-identical window
+    content — which is what lets containment match a clip against the
+    longer original. Wire as ``audio_near_dups(media,
+    sampler=real_audio_window, hasher=spectral_band_hash)``; keep
+    ``window_ms`` in sync with the near-dup call (functools.partial
+    for non-default windows)."""
+    if payload is None:
+        return None
+    x, rate = _decode_wav(payload)
+    lo = index * window_ms * rate // 1000
+    hi = (index + 1) * window_ms * rate // 1000
+    seg = x[lo:hi]
+    if len(seg) == 0:
+        return None
+    return seg.astype("<f8").tobytes()
+
+
+def spectral_band_hash(window: bytes | None, n_bands: int = 65) -> int | None:
+    """64-bit spectral-band fingerprint of one PCM window (float64 LE
+    bytes from :func:`real_audio_window`): FFT power spectrum, DC
+    dropped, split into ``n_bands`` contiguous bands; bit i set when
+    band i's energy < band i+1's — the dHash gradient trick in the
+    frequency domain, so mild amplitude/noise changes that preserve
+    the spectral SHAPE land within a few hamming bits. Signed 64-bit
+    two's complement (same convention as :func:`real_dhash` /
+    ``dedup.simhash``), drop-in for the banded-hamming machinery."""
+    if window is None:
+        return None
+    x = np.frombuffer(window, dtype="<f8")
+    if len(x) == 0:
+        return None
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    bands = np.array_split(spec[1:], n_bands)
+    e = [float(b.sum()) for b in bands]
+    sig = 0
+    for i in range(64):
+        if e[i] < e[i + 1]:
+            sig |= 1 << i
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def real_audio_fingerprint(
+    payload: bytes, index: int, window_ms: int = 1000
+) -> int | None:
+    """One-call per-window fingerprint: decode + window + spectral
+    hash. Equivalent to what ``audio_near_dups(media,
+    sampler=real_audio_window, hasher=spectral_band_hash)`` computes
+    per (payload, index) — exposed for ad-hoc scoring and tests."""
+    return spectral_band_hash(
+        real_audio_window(payload, index, window_ms=window_ms)
     )
 
 
@@ -703,7 +776,8 @@ def audio_near_dups(
     ``kind='audio'``): per-window fingerprints → banded-hamming
     window matches → containment threshold. Same output columns;
     ``window_ms``/``max_windows`` mirror the audio framing
-    vocabulary."""
+    vocabulary. Real path (PCM WAV needs no external decode stack):
+    ``sampler=real_audio_window, hasher=spectral_band_hash``."""
     return video_near_dups(
         media,
         min_overlap=min_overlap,

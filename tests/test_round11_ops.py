@@ -427,7 +427,9 @@ def test_audio_near_dups_window_overlap(spark):
     """Audio member of the dedup family: same machinery as video with
     kind='audio' — identical tracks pair at 1.0, a trimmed excerpt
     matches via containment, video rows are ignored, and the real
-    fingerprint path raises the documented guard."""
+    fingerprint path rejects non-WAV bytes loudly (since round 12 it
+    is a REAL stdlib decode, tested on real PCM in
+    test_round12_ops)."""
     from cryo_spark.operators import multimodal as mm
 
     rows = [
@@ -445,7 +447,7 @@ def test_audio_near_dups_window_overlap(spark):
     assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
     assert pairs[(1, 2)].overlap == 1.0
     assert pairs[(1, 3)].matched_b == pairs[(1, 3)].n_frames_b  # containment
-    with pytest.raises(NotImplementedError, match="audio"):
+    with pytest.raises(Exception):  # not a WAV container
         mm.real_audio_fingerprint(b"x", 0)
 
 

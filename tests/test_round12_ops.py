@@ -298,3 +298,82 @@ def test_ann_topk_gate_rows_drop_on_recall_collapse(spark):
     assert methods.count("ivf_recall_ge_floor") == 1
     assert methods.count("ivfpq_recall_ge_floor") == 1
     assert methods.count("exact") == 10 and methods.count("lsh") == 10
+
+
+# ------------------- real audio fingerprint path (stdlib wave+numpy)
+
+
+def _wav_bytes(samples, rate=8000):
+    import io
+    import wave
+
+    import numpy as np
+
+    pcm = (np.clip(samples, -1, 1) * 32000).astype("<i2").tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def test_real_audio_fingerprint_properties():
+    """The decode->window->spectral-hash chain on real PCM WAV bytes:
+    amplitude scaling preserves every band comparison (hamming 0),
+    whole-window trims yield byte-identical windows, unrelated signals
+    land far apart, and windows past the stream end are None."""
+    import numpy as np
+
+    from cryo_spark.operators.multimodal import real_audio_fingerprint
+
+    rate = 8000
+    base = np.random.default_rng(5).standard_normal(5 * rate) * 0.2
+    a = _wav_bytes(base, rate)
+    scaled = _wav_bytes(base * 0.9, rate)
+    trimmed = _wav_bytes(base[2 * rate:], rate)
+    other = _wav_bytes(
+        np.random.default_rng(99).standard_normal(5 * rate) * 0.2, rate
+    )
+    fa = [real_audio_fingerprint(a, i) for i in range(6)]
+    assert fa[5] is None and all(f is not None for f in fa[:5])
+    assert fa[:5] == [real_audio_fingerprint(scaled, i) for i in range(5)]
+    assert [real_audio_fingerprint(trimmed, i) for i in range(3)] == fa[2:5]
+
+    def ham(x, y):
+        return bin(((x & (2**64 - 1)) ^ (y & (2**64 - 1)))).count("1")
+
+    fu = [real_audio_fingerprint(other, i) for i in range(5)]
+    assert all(ham(x, y) > 7 for x, y in zip(fa, fu))
+
+
+def test_audio_near_dups_real_fingerprints(spark):
+    """Real fingerprints flow through audio_near_dups' banding
+    unchanged (the audio member of the dedup triple on a REAL decode
+    path): clone-scaled and window-trimmed recordings pair with the
+    original, unrelated audio does not."""
+    import numpy as np
+
+    from cryo_spark.operators import multimodal as mm
+
+    rate = 8000
+    base = np.random.default_rng(5).standard_normal(5 * rate) * 0.2
+    rows = [
+        (1, "audio", _wav_bytes(base, rate), "audio/wav", None, None, 5000),
+        (2, "audio", _wav_bytes(base * 0.9, rate), "audio/wav",
+         None, None, 5000),
+        (3, "audio", _wav_bytes(base[2 * rate:], rate), "audio/wav",
+         None, None, 3000),
+        (4, "audio",
+         _wav_bytes(np.random.default_rng(99).standard_normal(5 * rate) * 0.2,
+                    rate),
+         "audio/wav", None, None, 5000),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    pairs = mm.audio_near_dups(
+        media, min_overlap=0.9,
+        sampler=mm.real_audio_window, hasher=mm.spectral_band_hash,
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
