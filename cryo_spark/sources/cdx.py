@@ -45,6 +45,7 @@ from cryo_spark.sources.documents import (
     _WARC_SCHEMA,
     MemberTooLargeError,
     _parse_warc_bytes,
+    capture_id_expr,
 )
 
 #: JSON part of a CDXJ line — everything is a string in the wire
@@ -155,11 +156,16 @@ def fetch_cdx_records(
     as streaming ingestion. Output is the ``read_warc`` frame shape —
     ``extract_documents`` composes directly. Ids are deterministic in
     (warc_root+filename, byte offset) — xxhash64 over exactly the
-    metadata the index provides — but intentionally NOT comparable to
+    metadata the index provides — and NOT comparable to
     ``read_warc``'s ids, which hash (listing-URI path, sequential
     record_idx): the two ingestion paths address records by different
-    coordinates, so never join/dedup across them on ``doc_id``;
-    re-derive a content key instead."""
+    coordinates, so never join/dedup across them on ``doc_id``. For
+    cross-path joins use ``capture_id`` (round 12) —
+    md5(WARC-Target-URI, WARC-Date) from the record's OWN headers,
+    attached identically by both paths
+    (``documents.capture_id_expr``), so "did the whole-member ingest
+    already cover this selectively re-extracted capture?" is an
+    inner join on it."""
     sel = cdx.filter(
         F.col("filename").isNotNull()
         & F.col("offset").isNotNull()
@@ -262,6 +268,7 @@ def fetch_cdx_records(
         .sortWithinPartitions("filename", "offset")
         .mapInPandas(fetch, schema=_WARC_SCHEMA)
         .withColumn(id_col, F.xxhash64(F.col("path"), F.col("record_idx")))
+        .withColumn("capture_id", capture_id_expr())
     )
     return fetched
 

@@ -498,6 +498,29 @@ def _parse_warc_bytes(
     return list(_iter_warc_stream(chunks, path, max_member_bytes))
 
 
+def capture_id_expr(
+    uri_col: str = "target_uri", date_col: str = "warc_date"
+) -> "F.Column":
+    """Deterministic CROSS-PATH capture identity: md5 over
+    (WARC-Target-URI, WARC-Date), the two headers every WARC record
+    carries in its OWN framing — so whole-member ingestion
+    (:func:`read_warc`) and the CDX-index ranged fetch
+    (``cdx.fetch_cdx_records``) derive the SAME key for the same
+    capture even though their ``doc_id``s hash different coordinates
+    ((listing path, record_idx) vs (filename, byte offset)). Join the
+    two ingestion paths on ``capture_id`` — "did last month's
+    whole-member ingest already cover this selectively re-extracted
+    doc?" is an inner join. Nulls coalesce to '' around a \\x1f
+    separator, so a missing header cannot alias a real value."""
+    return F.md5(
+        F.concat(
+            F.coalesce(F.col(uri_col), F.lit("")),
+            F.lit("\x1f"),
+            F.coalesce(F.col(date_col), F.lit("")),
+        )
+    )
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
@@ -523,7 +546,9 @@ def read_warc(
     pathological single members that would serialize one task for
     hours); the per-record cap reuses the same limit. Ids are the
     deterministic (path, record_idx) hash, so re-ingestion on any
-    cluster layout yields identical ids."""
+    cluster layout yields identical ids; ``capture_id``
+    (:func:`capture_id_expr`) is the cross-path identity shared with
+    the CDX ranged-fetch path."""
     files = spark.read.format("binaryFile").load(path).select(
         "path", "length"
     )
@@ -602,6 +627,7 @@ def read_warc(
     return (
         files.mapInPandas(parse, schema=_WARC_SCHEMA)
         .withColumn(id_col, F.xxhash64(F.col("path"), F.col("record_idx")))
+        .withColumn("capture_id", capture_id_expr())
     )
 
 
@@ -667,7 +693,9 @@ def documents_from_records(
     any ``_WARC_SCHEMA``-shaped record frame (plus ``id_col``) in,
     the canonical (doc_id, url, warc_date, content_type, status,
     noindex, title, html_lang, text) document frame out — all narrow
-    JVM projections, no shuffle."""
+    JVM projections, no shuffle. A ``capture_id`` column (both
+    ingestion paths attach one) rides through, keeping the
+    cross-path join key on the DOCUMENT frame too."""
     from cryo_spark.operators import html as html_ops
 
     body = html_ops.http_body_expr("payload")
@@ -687,6 +715,7 @@ def documents_from_records(
         id_col,
         F.col("target_uri").alias("url"),
         "warc_date",
+        *(["capture_id"] if "capture_id" in recs.columns else []),
         "content_type",
         "status",
         "noindex",

@@ -377,3 +377,73 @@ def test_audio_near_dups_real_fingerprints(spark):
     )
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+# --------------- shared capture identity across ingestion paths
+
+
+def test_capture_id_joins_whole_member_and_cdx_paths(spark, tmp_path):
+    """The same fixture crawl ingested BOTH ways — whole-member
+    read_warc_documents and CDX-selective reextract_documents — joins
+    100% on capture_id (md5 of the record's own Target-URI + Date),
+    even though the two paths' doc_ids hash different coordinates.
+    The key rides through to the document frame on both sides."""
+    import gzip
+    import json
+
+    from cryo_spark.sources.cdx import reextract_documents
+    from cryo_spark.sources.documents import read_warc_documents
+
+    body = "".join(
+        f"<p>Capture paragraph {k} with enough ordinary prose to "
+        "survive the extraction rules.</p>" for k in range(6)
+    )
+    lines, blobs, pos = [], [], 0
+    for i in range(12):
+        host = f"h{i % 3}.test"
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + f"<html><body>{body}<p>doc {i}</p></body></html>".encode()
+        )
+        sep = b"\r\n"
+        rec = (
+            b"WARC/1.0" + sep
+            + b"WARC-Type: response" + sep
+            + f"WARC-Target-URI: https://{host}/p{i}".encode() + sep
+            + f"WARC-Date: 2026-08-0{1 + i % 9}T00:00:00Z".encode() + sep
+            + f"Content-Length: {len(payload)}".encode() + sep
+            + sep + payload + sep + sep
+        )
+        m = gzip.compress(rec)
+        lines.append(
+            f"test,h{i % 3})/p{i} 2026080{1 + i % 9}000000 "
+            + json.dumps(dict(
+                url=f"https://{host}/p{i}", mime="text/html", status="200",
+                length=str(len(m)), offset=str(pos), filename="c.warc.gz",
+            ))
+        )
+        blobs.append(m)
+        pos += len(m)
+    (tmp_path / "c.warc.gz").write_bytes(b"".join(blobs))
+    (tmp_path / "c.cdx").write_text("\n".join(lines))
+
+    whole = read_warc_documents(spark, str(tmp_path / "c.warc.gz"))
+    assert "capture_id" in whole.columns
+    selective = reextract_documents(
+        spark, str(tmp_path / "c.cdx"),
+        warc_root=str(tmp_path) + "/", hosts=["h1.test"],
+    )
+    assert "capture_id" in selective.columns
+    n_sel = selective.count()
+    assert n_sel == 4  # 12 docs over 3 hosts
+    joined = selective.select("capture_id", "url").join(
+        whole.select("capture_id", F.col("url").alias("url_w")),
+        "capture_id",
+    )
+    got = joined.collect()
+    assert len(got) == n_sel  # 100% cross-path match
+    assert all(r.url == r.url_w for r in got)
+    # and doc_ids genuinely differ across paths (the key is the join)
+    sel_ids = {r.doc_id for r in selective.select("doc_id").collect()}
+    whole_ids = {r.doc_id for r in whole.select("doc_id").collect()}
+    assert sel_ids.isdisjoint(whole_ids)
