@@ -300,6 +300,11 @@ def plan_fingerprint(df) -> tuple[str, str]:
     # which tests ran first). The blob is redundant with the Filter
     # node above the scan (un-truncated, id-normalized), so drop it.
     s = re.sub(r"DataFilters: \[.*?(?=, Format:)", "DataFilters: [...", s)
+    # BINARY literals in PushedFilters render via Java's default
+    # Object.toString ("[B@3c3ee1d6" — an identity hash), so a scan
+    # pushing a bytes literal (e.g. logs_decoded's topic0 signature)
+    # would change the hash on every construction with zero plan change
+    s = re.sub(r"\[B@[0-9a-f]+", "[B@", s)
     return hashlib.md5(s.encode()).hexdigest()[:12], s
 
 
