@@ -376,26 +376,37 @@ def main() -> None:
     # one tiny action to warm the JVM/codegen paths outside timings
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    def calibrate() -> float:
+    def calibrate(rows: int = 200_000_000) -> float:
         """Fixed CPU-bound probe (~0.2 s on an idle local[32]): its
         time is recorded alongside the suite so a noisy host window
         (observed: an entire run 2.7x slow, all queries uniformly)
         is distinguishable from a real regression when rounds are
         compared."""
         t0 = time.time()
-        spark.range(0, 200_000_000, 1, 32).selectExpr(
+        spark.range(0, rows, 1, 32).selectExpr(
             "sum(id * 2654435761 % 1000003)"
         ).collect()
         return round(time.time() - t0, 3)
 
     calib_before = calibrate()
 
+    def probe() -> float:
+        """Quarter-size per-query probe (~0.05 s idle): round 11's
+        driver run spent its first HALF on a ~1.4x-contended host and
+        the two end-of-run calibrations could not localize which
+        queries were hit — a probe interleaved before every query
+        makes per-query drift attributable (sidecar ``probes`` map)
+        without forensic correction across rounds."""
+        return calibrate(50_000_000)
+
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     errs: dict[str, str] = {}
     plans: dict[str, str] = {}
+    probes: dict[str, float] = {}
     plan_dump = os.environ.get("SPARK_GRAFT_PLAN_DUMP")
     for name in HEADLINE:
+        probes[name] = probe()
         t, n, err, (fp, fp_text) = bench_one(spark, queries[name], sf_dir)
         if err is None:
             times[name], rows[name] = t, n
@@ -420,6 +431,7 @@ def main() -> None:
 
     from cryo_spark import api
 
+    probes["freeze_3_datasets"] = probe()
     freeze_dir = tempfile.mkdtemp(prefix="cryo_spark_bench_")
     try:
         api.freeze(  # warm-up compiles the write-path codegen
@@ -451,6 +463,7 @@ def main() -> None:
     # (one task each, the CommonCrawl parallelism model) of 50 records
     # so the measurement covers framing, charset decode and the
     # JVM extraction chain end to end.
+    probes["warc_ingest"] = probe()
     warc_dir = tempfile.mkdtemp(prefix="cryo_spark_warc_")
     try:
         make_warc_fixture(warc_dir)
@@ -480,6 +493,7 @@ def main() -> None:
     # host-slice filters + ranged fetch of 1/8 of the captures + the
     # shared document projection — the touch-only-selected-bytes
     # recipe measured end to end.
+    probes["cdx_reextract"] = probe()
     cdx_dir = tempfile.mkdtemp(prefix="cryo_spark_cdx_")
     try:
         cdx_idx = make_cdx_fixture(cdx_dir)
@@ -508,6 +522,7 @@ def main() -> None:
     # split-local FFD pack -> per-bin token arrays (the trainer-ready
     # export the corpus CLI writes with --pack-budget). Measures the
     # packer shuffle + budget-bounded collect_list at sf scale.
+    probes["llm_pack"] = probe()
     try:
         def _pack():
             return llm_pack_frame(spark, sf_dir)
@@ -539,6 +554,7 @@ def main() -> None:
         "queries": times,
         "rows": rows,
         "plans": plans,
+        "probes": probes,
         "sf": sf_val,
         # host-noise guard: identical CPU-bound probe before/after the
         # suite; compare across rounds before reading total drift as

@@ -145,6 +145,29 @@ def main() -> int:
     )
     assert np_img >= expect, (np_img, expect)
 
+    # round 12 (round-11 verdict #6): the funnel at clone_factor x
+    # bench scale. corpus_funnel's bench time at sf0.1 (5k docs) is
+    # dominated by fixed per-boundary localCheckpoint/driver
+    # structure; running the IDENTICAL funnel (same kwargs as the
+    # contract entry) on the cloned corpus checks that claim with a
+    # number — if the cost were data-scaling, 10x docs would cost
+    # ~10x; fixed cost shows up as a far smaller multiple. JVM heap is
+    # reported too (local mode: the driver and executors share one
+    # JVM, so this bounds the funnel's analyzer/broadcast footprint).
+    import __spark_entry__ as entry
+    from cryo_spark.operators import html as _html  # noqa: F401 (url expr deps)
+
+    docs_url = clones.withColumn("url", entry._messy_url_expr())
+    t = time.time()
+    stage_rows = corpus.corpus_funnel(docs_url, **entry._FUNNEL_KW).collect()
+    dt = time.time() - t
+    rt = spark._jvm.java.lang.Runtime.getRuntime()
+    used_mb = (rt.totalMemory() - rt.freeMemory()) // (1 << 20)
+    print(
+        f"corpus_funnel_{clone_factor}x: {dt:.2f}s for {n} docs "
+        f"({len(stage_rows)} stage rows; jvm heap used {used_mb} MB)"
+    )
+
     spark.stop()
     return 0
 
