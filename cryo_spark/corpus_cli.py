@@ -116,6 +116,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cdx-latest", action="store_true",
                    help="(--format cdx) keep each url's newest "
                         "capture only")
+    p.add_argument("--cdx-exclude-captures", default=None,
+                   help="(--format cdx) parquet path with a "
+                        "capture_id column — typically a prior run's "
+                        "<output>/captures ledger (written by every "
+                        "cdx run): captures it already covers are "
+                        "pruned on the INDEX, so their archive bytes "
+                        "are never fetched — the incremental "
+                        "re-extraction recipe")
     p.add_argument("--delta-index", default=None,
                    help="daily-delta mode: near-dup-dedup the input "
                         "batch against this persisted banded minhash "
@@ -212,6 +220,7 @@ def run(args: argparse.Namespace) -> int:
             "--cdx-ts-from": args.cdx_ts_from,
             "--cdx-ts-to": args.cdx_ts_to,
             "--cdx-latest": args.cdx_latest,
+            "--cdx-exclude-captures": args.cdx_exclude_captures,
         }
         bad = [f for f, v in cdx_only.items() if v]
         if bad:
@@ -271,12 +280,32 @@ def run(args: argparse.Namespace) -> int:
         # archive byte is fetched (see sources.cdx.reextract_documents)
         from cryo_spark.sources.cdx import reextract_documents
 
-        docs = reextract_documents(
-            spark, args.input, warc_root=args.warc_root,
+        from cryo_spark.sources.cdx import cdx_capture_id_expr, select_cdx
+
+        exclude = (
+            spark.read.parquet(args.cdx_exclude_captures)
+            if args.cdx_exclude_captures else None
+        )
+        sel_kw = dict(
             hosts=args.cdx_hosts, languages=args.cdx_languages,
             ts_from=args.cdx_ts_from, ts_to=args.cdx_ts_to,
-            latest_per_url=args.cdx_latest, text_col=args.text_col,
+            latest_per_url=args.cdx_latest, exclude_captures=exclude,
+        )
+        # capture LEDGER for the next incremental run: every capture
+        # this run SELECTED (pre-pipeline — a capture that was fetched
+        # and then quality-filtered must not be re-fetched tomorrow
+        # just to fail quality again), computed on the KB-sized index
+        # so it costs no second fetch. Point the next run's
+        # --cdx-exclude-captures at <output>/captures.
+        ledger_dest = os.path.join(args.output, "captures")
+        select_cdx(spark, args.input, **sel_kw).select(
+            cdx_capture_id_expr().alias("capture_id"), "url", "ts"
+        ).write.mode("overwrite").parquet(ledger_dest)
+        docs = reextract_documents(
+            spark, args.input, warc_root=args.warc_root,
+            text_col=args.text_col,
             main_content=args.main_content, smooth=args.smooth,
+            **sel_kw,
         )
         kw["url_col"] = args.url_col or "url"
         if args.drop_noindex:

@@ -104,6 +104,28 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def cdx_capture_id_expr(url_col: str = "url", ts_col: str = "ts") -> "F.Column":
+    """INDEX-side capture identity: the same md5(Target-URI, WARC-Date)
+    key :func:`documents.capture_id_expr` derives from record headers,
+    reconstructed from the CDX columns (``url`` + the 14-digit
+    timestamp rendered back to WARC's second-precision UTC ISO form).
+    Matches the header-derived key whenever the record's WARC-Date is
+    the usual ``yyyy-MM-ddTHH:mm:ssZ`` the CDX timestamp is derived
+    from (the CommonCrawl convention); a non-standard date renders a
+    different key, so an exclusion anti-join simply fetches that
+    capture — extra work, never data loss. Rendering uses
+    ``date_format`` on the parsed ``ts``, which round-trips the
+    session timezone the parse used."""
+    iso = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    return F.md5(
+        F.concat(
+            F.coalesce(F.col(url_col), F.lit("")),
+            F.lit("\x1f"),
+            F.coalesce(iso, F.lit("")),
+        )
+    )
+
+
 def cdx_sql(expr: str) -> str:
     """DuckDB twin of :func:`read_cdx`'s parse for a single CDXJ line
     expression — used by tests to differential-check the JVM parse."""
@@ -273,10 +295,9 @@ def fetch_cdx_records(
     return fetched
 
 
-def reextract_documents(
+def select_cdx(
     spark: SparkSession,
     cdx: DataFrame | str,
-    warc_root: str = "",
     hosts: list[str] | None = None,
     host_frame: DataFrame | None = None,
     languages: list[str] | None = None,
@@ -285,50 +306,16 @@ def reextract_documents(
     ts_from: str | None = None,
     ts_to: str | None = None,
     latest_per_url: bool = False,
-    text_col: str = "text",
-    main_content: bool = False,
-    smooth: bool = False,
-    max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
-    dropped=None,
+    exclude_captures: DataFrame | None = None,
 ) -> DataFrame:
-    """One-call SELECTIVE re-extraction: "re-extract this
-    domain/language/date-slice" against a CDX-indexed crawl, without
-    streaming the archives.
-
-    Every selection below is applied to the INDEX frame (KB per
-    million captures) so partition pruning and predicate pushdown do
-    their work before a single archive byte moves; only the selected
-    records' byte ranges are then fetched (:func:`fetch_cdx_records`)
-    and fed through the SAME record→document projection chain
-    whole-member ingestion uses
-    (``documents.documents_from_records``) — selecting 0.1% of a
-    crawl touches ~0.1% of its bytes (proven end to end in tests by
-    corrupting every byte OUTSIDE the selected ranges and re-running).
-
-    Selections (all optional, AND-composed):
-
-    - ``hosts``: RefinedWeb-style domain/subdomain-suffix allowlist
-      on the capture url (``operators.web.url_host_filter`` allow
-      mode — ``ads.example.com`` matches a listed ``example.com``).
-    - ``host_frame``: a (host, ...) frame — e.g.
-      ``operators.robots.robots_sitemaps(robots_docs)`` to re-extract
-      exactly the hosts that declare sitemaps — broadcast-semi-joined
-      on the capture's canonical host; the index never shuffles.
-    - ``languages``: crawler language verdicts (the index's
-      comma-separated ``languages`` field intersects the list).
-    - ``mimes`` / ``statuses``: content-type and HTTP status slices.
-    - ``ts_from`` / ``ts_to``: capture-timestamp slice, compact
-      ``yyyyMMddHHmmss`` strings; prefixes are INCLUSIVE on both ends
-      ('20260814' as ts_to covers the whole of Aug 14, not just its
-      midnight instant).
-    - ``latest_per_url=True``: keep only each urlkey's newest capture
-      (the standard re-crawl recipe) — a window over the index, still
-      index-sized.
-
-    Returns the canonical document frame (doc_id, url, warc_date,
-    content_type, status, noindex, title, html_lang, text)."""
+    """The INDEX-side selection half of :func:`reextract_documents`,
+    exposed first-class: apply every selection to the CDX frame and
+    return the selected index rows (KB per million captures) WITHOUT
+    fetching a byte — for capture ledgers, selection dry-runs, and
+    cost estimates (``sum(length)`` of the result is the exact byte
+    bill of the fetch). See :func:`reextract_documents` for the
+    selection semantics."""
     from cryo_spark.operators import web
-    from cryo_spark.sources.documents import documents_from_records
 
     idx = read_cdx(spark, cdx) if isinstance(cdx, str) else cdx
     if hosts:
@@ -400,6 +387,93 @@ def reextract_documents(
             .filter(F.col("_rx_rn") == 1)
             .drop("_rx_rn")
         )
+    if exclude_captures is not None:
+        seen = exclude_captures.select(
+            F.col("capture_id").alias("_rx_cap")
+        ).distinct()
+        idx = (
+            idx.withColumn("_rx_cap", cdx_capture_id_expr())
+            .join(seen, "_rx_cap", "left_anti")
+            .drop("_rx_cap")
+        )
+    return idx
+
+
+def reextract_documents(
+    spark: SparkSession,
+    cdx: DataFrame | str,
+    warc_root: str = "",
+    hosts: list[str] | None = None,
+    host_frame: DataFrame | None = None,
+    languages: list[str] | None = None,
+    mimes: list[str] | None = None,
+    statuses: tuple[int, ...] | None = (200,),
+    ts_from: str | None = None,
+    ts_to: str | None = None,
+    latest_per_url: bool = False,
+    exclude_captures: DataFrame | None = None,
+    text_col: str = "text",
+    main_content: bool = False,
+    smooth: bool = False,
+    max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
+    dropped=None,
+) -> DataFrame:
+    """One-call SELECTIVE re-extraction: "re-extract this
+    domain/language/date-slice" against a CDX-indexed crawl, without
+    streaming the archives.
+
+    Every selection below is applied to the INDEX frame (KB per
+    million captures) so partition pruning and predicate pushdown do
+    their work before a single archive byte moves; only the selected
+    records' byte ranges are then fetched (:func:`fetch_cdx_records`)
+    and fed through the SAME record→document projection chain
+    whole-member ingestion uses
+    (``documents.documents_from_records``) — selecting 0.1% of a
+    crawl touches ~0.1% of its bytes (proven end to end in tests by
+    corrupting every byte OUTSIDE the selected ranges and re-running).
+
+    Selections (all optional, AND-composed):
+
+    - ``hosts``: RefinedWeb-style domain/subdomain-suffix allowlist
+      on the capture url (``operators.web.url_host_filter`` allow
+      mode — ``ads.example.com`` matches a listed ``example.com``).
+    - ``host_frame``: a (host, ...) frame — e.g.
+      ``operators.robots.robots_sitemaps(robots_docs)`` to re-extract
+      exactly the hosts that declare sitemaps — broadcast-semi-joined
+      on the capture's canonical host; the index never shuffles.
+    - ``languages``: crawler language verdicts (the index's
+      comma-separated ``languages`` field intersects the list).
+    - ``mimes`` / ``statuses``: content-type and HTTP status slices.
+    - ``ts_from`` / ``ts_to``: capture-timestamp slice, compact
+      ``yyyyMMddHHmmss`` strings; prefixes are INCLUSIVE on both ends
+      ('20260814' as ts_to covers the whole of Aug 14, not just its
+      midnight instant).
+    - ``latest_per_url=True``: keep only each urlkey's newest capture
+      (the standard re-crawl recipe) — a window over the index, still
+      index-sized.
+    - ``exclude_captures``: any frame with a ``capture_id`` column —
+      typically a PRIOR ingest's document output (both ingestion
+      paths attach the key) — anti-joined on the INDEX-side
+      reconstruction of the same key (:func:`cdx_capture_id_expr`),
+      so already-covered captures' bytes are never fetched: the
+      incremental "re-extract only what last month's ingest missed"
+      recipe. Applied AFTER ``latest_per_url`` (a url whose latest
+      capture is covered yields nothing, not its stale runner-up).
+      The ledger side can be corpus-sized, so it is NOT broadcast —
+      this is one index-vs-ledger key shuffle.
+
+    Returns the canonical document frame (doc_id, url, warc_date,
+    content_type, status, noindex, title, html_lang, text,
+    capture_id). :func:`select_cdx` is the selection half alone —
+    the filtered index without a fetch."""
+    from cryo_spark.sources.documents import documents_from_records
+
+    idx = select_cdx(
+        spark, cdx, hosts=hosts, host_frame=host_frame,
+        languages=languages, mimes=mimes, statuses=statuses,
+        ts_from=ts_from, ts_to=ts_to, latest_per_url=latest_per_url,
+        exclude_captures=exclude_captures,
+    )
     recs = fetch_cdx_records(
         spark, idx, warc_root=warc_root, max_member_bytes=max_member_bytes,
         dropped=dropped,

@@ -447,3 +447,151 @@ def test_capture_id_joins_whole_member_and_cdx_paths(spark, tmp_path):
     sel_ids = {r.doc_id for r in selective.select("doc_id").collect()}
     whole_ids = {r.doc_id for r in whole.select("doc_id").collect()}
     assert sel_ids.isdisjoint(whole_ids)
+
+
+# --------- incremental re-extraction: exclude already-seen captures
+
+
+def _mk_indexed_crawl(tmp_path, n=12):
+    """n captures over 3 hosts in one multi-member .warc.gz + a CDX
+    index with real byte offsets. Returns [(offset, length)] so tests
+    can corrupt specific records in place."""
+    import gzip
+    import json
+
+    body = "".join(
+        f"<p>Capture paragraph {k} with enough ordinary prose to "
+        "survive the extraction rules.</p>" for k in range(6)
+    )
+    lines, blobs, ranges, pos = [], [], [], 0
+    for i in range(n):
+        host = f"h{i % 3}.test"
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + f"<html><body>{body}<p>doc {i}</p></body></html>".encode()
+        )
+        sep = b"\r\n"
+        rec = (
+            b"WARC/1.0" + sep
+            + b"WARC-Type: response" + sep
+            + f"WARC-Target-URI: https://{host}/p{i}".encode() + sep
+            + f"WARC-Date: 2026-08-0{1 + i % 9}T00:00:00Z".encode() + sep
+            + f"Content-Length: {len(payload)}".encode() + sep
+            + sep + payload + sep + sep
+        )
+        m = gzip.compress(rec)
+        lines.append(
+            f"test,h{i % 3})/p{i} 2026080{1 + i % 9}000000 "
+            + json.dumps(dict(
+                url=f"https://{host}/p{i}", mime="text/html", status="200",
+                length=str(len(m)), offset=str(pos), filename="c.warc.gz",
+            ))
+        )
+        blobs.append(m)
+        ranges.append((pos, len(m)))
+        pos += len(m)
+    (tmp_path / "c.warc.gz").write_bytes(b"".join(blobs))
+    (tmp_path / "c.cdx").write_text("\n".join(lines))
+    return ranges
+
+
+def test_reextract_exclude_captures_prunes_on_the_index(spark, tmp_path):
+    """exclude_captures anti-joins the INDEX, so an already-covered
+    capture's bytes are never fetched: corrupt exactly the excluded
+    records' byte ranges in the archive and the re-extraction still
+    returns the remaining docs cleanly (dropped-counter stays 0 — the
+    corrupt ranges were never read)."""
+    from cryo_spark.sources.cdx import reextract_documents
+    from cryo_spark.sources.documents import read_warc_documents
+
+    ranges = _mk_indexed_crawl(tmp_path)
+    # "prior ingest": whole-member docs for the EVEN captures (any
+    # frame with a capture_id column works as the ledger) —
+    # MATERIALIZED before the corruption below, like a real prior
+    # ingest's persisted output (a lazy frame would re-read the
+    # archive at join time)
+    prior_ids = [
+        r.capture_id
+        for r in read_warc_documents(spark, str(tmp_path / "c.warc.gz"))
+        .filter(F.col("url").rlike("/p(0|2|4|6|8|10)$"))
+        .select("capture_id").collect()
+    ]
+    assert len(prior_ids) == 6
+    prior = spark.createDataFrame(
+        [(c,) for c in prior_ids], "capture_id string"
+    )
+    # corrupt the excluded (even) captures' ranges in place — if the
+    # exclusion failed to prune at the index, the fetch would either
+    # drop them (counter > 0) or return fewer docs
+    raw = bytearray((tmp_path / "c.warc.gz").read_bytes())
+    for i, (off, ln) in enumerate(ranges):
+        if i % 2 == 0:
+            raw[off:off + ln] = b"\x00" * ln
+    (tmp_path / "c.warc.gz").write_bytes(bytes(raw))
+
+    acc = spark.sparkContext.accumulator(0)
+    docs = reextract_documents(
+        spark, str(tmp_path / "c.cdx"), warc_root=str(tmp_path) + "/",
+        exclude_captures=prior, dropped=acc,
+    )
+    got = sorted(r.url for r in docs.collect())
+    assert got == sorted(
+        f"https://h{i % 3}.test/p{i}" for i in (1, 3, 5, 7, 9, 11)
+    )
+    assert acc.value == 0  # excluded/corrupt ranges never touched
+    # full exclusion fetches nothing at all
+    full = reextract_documents(
+        spark, str(tmp_path / "c.cdx"), warc_root=str(tmp_path) + "/",
+        exclude_captures=docs.select("capture_id").union(prior),
+    )
+    assert full.count() == 0
+
+
+def test_corpus_cli_cdx_exclude_captures(spark, tmp_path):
+    """The CLI incremental recipe end to end: day-1 corpus run over
+    one host; day-2 run over ALL hosts with --cdx-exclude-captures
+    pointing at day-1's corpus output — day-2 processes only the
+    captures day 1 did not cover."""
+    import json
+
+    from cryo_spark.api import main
+
+    _mk_indexed_crawl(tmp_path)
+    day1 = tmp_path / "day1"
+    rc = main([
+        "corpus", "--format", "cdx", "--input", str(tmp_path / "c.cdx"),
+        "--warc-root", str(tmp_path) + "/", "--cdx-hosts", "h1.test",
+        "--output", str(day1), "--min-quality", "0",
+    ])
+    assert rc == 0
+    # every cdx run writes a <output>/captures ledger of the captures
+    # it SELECTED (pre-pipeline, index-side — no second fetch)
+    l1 = spark.read.parquet(str(day1 / "captures"))
+    assert l1.count() == 4  # 12 captures over 3 hosts
+    day2 = tmp_path / "day2"
+    rc = main([
+        "corpus", "--format", "cdx", "--input", str(tmp_path / "c.cdx"),
+        "--warc-root", str(tmp_path) + "/",
+        "--cdx-exclude-captures", str(day1 / "captures"),
+        "--output", str(day2), "--min-quality", "0",
+    ])
+    assert rc == 0
+    funnel = json.load(open(day2 / "funnel.json"))
+    assert funnel[0]["docs_in"] == 8  # 12 - day-1's 4
+    l2 = spark.read.parquet(str(day2 / "captures"))
+    assert l2.count() == 8
+    assert {r.capture_id for r in l1.collect()}.isdisjoint(
+        {r.capture_id for r in l2.collect()}
+    )
+    # day-2's shipped docs carry header-derived capture ids that all
+    # appear in day-2's index-derived ledger (the two derivations of
+    # the key agree end to end)
+    d2 = spark.read.parquet(str(day2 / "corpus"))
+    assert d2.count() == 8
+    # flag rejected off-format
+    rc = main([
+        "corpus", "--input", str(tmp_path / "c.cdx"),
+        "--output", str(tmp_path / "x"),
+        "--cdx-exclude-captures", str(day1 / "captures"),
+    ])
+    assert rc == 2
