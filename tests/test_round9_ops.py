@@ -258,9 +258,10 @@ def test_read_warc_documents_end_to_end(spark, tmp_path):
     # schema is the canonical documents shape the operators consume
     # (round 10 added noindex — robots policy surfaced, not dropped —
     # and the title/html_lang metadata keys)
+    # round 12 added capture_id — the cross-ingestion-path join key
     assert set(docs[0].asDict()) == {
-        "doc_id", "url", "warc_date", "content_type", "status",
-        "noindex", "title", "html_lang", "text",
+        "doc_id", "url", "warc_date", "capture_id", "content_type",
+        "status", "noindex", "title", "html_lang", "text",
     }
 
 

@@ -1,0 +1,123 @@
+"""Vector-tier scale stress: N synthetic 64-dim vectors (default
+200k — 100x the sf0.1 embeddings table) on local[32].
+
+Measures what SCALE.md's vector-tier claims assert but nothing
+previously timed at volume:
+
+1. exact cosine top-k (the brute-force scan every tier is judged
+   against),
+2. LSH top-k (engine-neutral integer-signature tier) — latency +
+   recall@10,
+3. IVF index build (driver k-means on the bounded sample + the one
+   distributed assign pass) and the amortized per-query probe scan,
+4. PQ encode + IVF-PQ ADC query over m-byte codes.
+
+Vectors are deterministic JVM arithmetic (xxhash64(vec_id, dim) mapped
+to [-0.5, 0.5]) — no driver-side generation, no data shipped, any
+cluster layout reproduces the same corpus.
+
+Usage: python tools/stress_ann.py [n_vectors]
+Numbers are recorded in SCALE.md (round-12 measured findings).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cryo_spark import get_spark
+from cryo_spark.operators import similarity
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    spark = get_spark(app_name="stress_ann")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dim = 64
+    vec = F.array(*[
+        (
+            (F.xxhash64(F.col("vec_id"), F.lit(i)) % 100_000).cast("double")
+            / 100_000.0
+        ).cast("float")
+        for i in range(dim)
+    ])
+    emb = (
+        spark.range(0, n, 1, 32)
+        .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+        .localCheckpoint()  # materialize once: every tier reads the
+        # same corpus instead of re-deriving 64 hashes per row per tier
+    )
+    emb.count()
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    print(f"corpus: {n} x {dim} float32 vectors")
+
+    t = time.time()
+    exact = similarity.cosine_topk(emb, query, k=10).collect()
+    t_exact = time.time() - t
+    exact_ids = {r.vec_id for r in exact}
+    print(f"exact_topk: {t_exact:.2f}s (the full-scan baseline)")
+
+    t = time.time()
+    lsh = similarity.lsh_topk(emb, query, k=10).collect()
+    t_lsh = time.time() - t
+    r_lsh = len(exact_ids & {r.vec_id for r in lsh}) / 10
+    print(f"lsh_topk: {t_lsh:.2f}s, recall@10 {r_lsh:.2f}")
+    assert r_lsh >= 0.3, r_lsh  # plumbing floor, not a quality claim
+
+    # IVF: index built once (the persisted-index model), queries
+    # amortize it — time build and query separately
+    t = time.time()
+    smp = similarity.sample_matrix(emb)
+    cents = similarity.train_centroids(emb, n_centroids=16, sample_rows=smp)
+    assigned = similarity.ivf_assign(emb, cents).localCheckpoint()
+    n_assigned = assigned.count()
+    t_build = time.time() - t
+    # near-UNIFORM vectors are the coarse quantizer's worst case
+    # (real embeddings cluster; uniform ones barely do, so a true
+    # neighbor's list correlates weakly with the query's) — probe
+    # half the lists and use a plumbing floor, not a quality claim
+    t = time.time()
+    ivf = similarity.ivf_topk(
+        emb, query, k=10, n_centroids=16, n_probe=8,
+        assigned=assigned, centroids=cents,
+    ).collect()
+    t_ivf = time.time() - t
+    r_ivf = len(exact_ids & {r.vec_id for r in ivf}) / 10
+    print(
+        f"ivf: build {t_build:.2f}s ({n_assigned / t_build:,.0f} vec/s "
+        f"assign), query {t_ivf:.2f}s (8/16 lists), recall@10 {r_ivf:.2f}"
+    )
+    assert r_ivf >= 0.4, r_ivf
+
+    t = time.time()
+    books = similarity.pq_train(emb, sample_rows=smp)
+    codes = similarity.pq_encode(assigned, books).localCheckpoint()
+    n_codes = codes.count()
+    t_enc = time.time() - t
+    t = time.time()
+    ivfpq = (
+        similarity.ivfpq_topk(
+            emb, query, k=10, n_probe=8,
+            centroids=cents, codebooks=books, codes_df=codes,
+        )
+    ).collect()
+    t_pq = time.time() - t
+    r_pq = len(exact_ids & {r.vec_id for r in ivfpq}) / 10
+    print(
+        f"ivfpq: encode {t_enc:.2f}s ({n_codes / t_enc:,.0f} vec/s), "
+        f"query {t_pq:.2f}s, recall@10 {r_pq:.2f}"
+    )
+    assert r_pq >= 0.1, r_pq  # ADC on near-uniform vectors: plumbing floor
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
