@@ -560,8 +560,13 @@ def q_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
       0.45 keeps the check non-vacuous); (id_a, id_b) pair rows.
     - kind='topk': exact cosine top-10 to the vec_id-0 query vector;
       id_b is null, id_a carries the neighbor.
+    - kind='hard_neg' (round 12): per-anchor top-2 hard negatives —
+      most-cosine-similar rows OUTSIDE the anchor's label class,
+      candidates bucket-local via the engine-neutral integer LSH
+      signature (`similarity.hard_negatives`), the contrastive-
+      training mining shape.
 
-    Both halves remain individually hash-proven — the union is a
+    All parts remain individually hash-proven — the union is a
     column-aligned UNION ALL on both engines."""
     emb = _read(spark, sf_dir, "embeddings")
     nd = dedup.embedding_near_dups_exact(emb, threshold=0.45).select(
@@ -574,16 +579,31 @@ def q_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("id_b"),
         "cosine",
     )
-    return nd.unionByName(tk)
+    # round 12: hard-negative mining (contrastive training prep) —
+    # per-anchor top-2 most-similar rows OUTSIDE the anchor's label
+    # class, candidates bucket-local via the engine-neutral integer
+    # LSH signature, so the rows are hash-exact vs the DuckDB twin
+    hn = similarity.hard_negatives(emb, k=2, group_col="label").select(
+        F.lit("hard_neg").alias("kind"),
+        F.col("vec_id").alias("id_a"),
+        F.col("neg_id").alias("id_b"),
+        "cosine",
+    )
+    return nd.unionByName(tk).unionByName(hn)
 
 
 def oracle_embedding_sim() -> str:
     nd = dedup.embedding_near_dups_exact_sql("embeddings", threshold=0.45)
     tk = oracle_cosine_topk()
+    hn = similarity.hard_negatives_sql(
+        "embeddings", k=2, group_col="label", dim=64
+    )
     return f"""
 SELECT 'near_dup' AS kind, id_a, id_b, cosine FROM ({nd})
 UNION ALL
 SELECT 'topk' AS kind, vec_id AS id_a, NULL::BIGINT AS id_b, cosine FROM ({tk})
+UNION ALL
+SELECT 'hard_neg' AS kind, vec_id AS id_a, neg_id AS id_b, cosine FROM ({hn})
 """
 
 

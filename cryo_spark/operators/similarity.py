@@ -267,6 +267,149 @@ LIMIT {k}
 """
 
 
+def _sql_bucket(planes: np.ndarray, iq: str = "iq") -> str:
+    """DuckDB expression for the integer-plane signature of a
+    quantized BIGINT list column ``iq`` — shared by the LSH twin and
+    the hard-negative twin."""
+
+    def dot(row: np.ndarray) -> str:
+        lit = "[" + ",".join(str(int(v)) for v in row) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({iq}, {lit}::BIGINT[]), "
+            "x -> x[1] * x[2]))"
+        )
+
+    return " + ".join(
+        f"(CASE WHEN {dot(planes[p])} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(len(planes))
+    )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+    n_planes: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-row HARD NEGATIVES for contrastive training data: for every
+    vector, the ``k`` most-cosine-similar OTHER rows — optionally
+    excluding rows sharing ``group_col`` (the positive class/source,
+    which would be false negatives). Returns (id_col, neg_id, cosine)
+    with ``k`` rows per anchor (fewer when its bucket runs dry).
+
+    Candidates are BUCKET-LOCAL: rows pair only within their integer
+    hyperplane-LSH signature bucket (:func:`int_planes` — the same
+    engine-neutral exact-integer arithmetic as :func:`lsh_topk`, so
+    the DuckDB twin :func:`hard_negatives_sql` reproduces the output
+    bit-for-bit), never all-pairs. The per-anchor top-k is one
+    row_number window over the candidate pairs.
+
+    Scale: bucket population drives cost — a bucket of B rows
+    generates B^2 candidate pairs, so size ``n_planes`` to the corpus
+    (≈ log2(n / target_bucket_rows); 6 planes = 64 buckets fits the
+    test tables; a 10^8-row corpus wants ~17+ planes for ~1k-row
+    buckets). The window and the self-join share the one bucket-key
+    shuffle; misses (true neighbors hashed to another bucket) soften
+    recall, which is the standard LSH-kNN-graph trade."""
+    row = emb.select(vec_col).first() if dim is None else None
+    d = dim if dim is not None else len(row[0])
+    planes = int_planes(n_planes, d, seed)
+    sig = _int_sig(_quantized(F.col(vec_col)), planes)
+    keep = [id_col, vec_col] + ([group_col] if group_col else [])
+    sigs = emb.select(*keep).withColumn("_hn_b", sig)
+    a = sigs.select(
+        F.col(id_col).alias("_a_id"),
+        F.col(vec_col).alias("_a_v"),
+        *([F.col(group_col).alias("_a_g")] if group_col else []),
+        "_hn_b",
+    )
+    b = sigs.select(
+        F.col(id_col).alias("_b_id"),
+        F.col(vec_col).alias("_b_v"),
+        *([F.col(group_col).alias("_b_g")] if group_col else []),
+        "_hn_b",
+    )
+    cond = a["_hn_b"] == b["_hn_b"]
+    pairs = a.join(b, cond).filter(F.col("_a_id") != F.col("_b_id"))
+    if group_col:
+        # NULL-safe: a NULL group matches nothing, so NULL-group rows
+        # keep all candidates (no positive class to exclude)
+        pairs = pairs.filter(
+            ~F.col("_a_g").eqNullSafe(F.col("_b_g"))
+        )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_a_v"), F.col("_b_v"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (_norm(F.col("_a_v")) * _norm(F.col("_b_v"))), 8)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("neg_id")
+    )
+    return (
+        pairs.select(
+            F.col("_a_id").alias(id_col),
+            F.col("_b_id").alias("neg_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("_hn_rn", F.row_number().over(w))
+        .filter(F.col("_hn_rn") <= k)
+        .drop("_hn_rn")
+    )
+
+
+def hard_negatives_sql(
+    table: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+    n_planes: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`hard_negatives` — same integer planes,
+    same bucket-local pairing, same round-8 cosine and (cosine desc,
+    id) tie-break, so the driver's value-hash comparison is exact."""
+    planes = int_planes(n_planes, dim, seed)
+    quant = (
+        f"list_transform({vec_col}, "
+        f"x -> CAST(floor(x::DOUBLE * {LSH_QUANT}) AS BIGINT))"
+    )
+    gsel = f", {group_col} AS g" if group_col else ""
+    gpred = "AND NOT (a.g IS NOT DISTINCT FROM b.g)" if group_col else ""
+    return f"""
+WITH sigs AS (
+  SELECT {id_col}, {vec_col}{gsel}, ({_sql_bucket(planes, "iq")}) AS b
+  FROM (SELECT *, {quant} AS iq FROM {table})
+),
+cand AS (
+  SELECT a.{id_col} AS {id_col}, b.{id_col} AS neg_id,
+    round(list_sum(list_transform(list_zip(a.{vec_col}, b.{vec_col}),
+          x -> x[1]::DOUBLE * x[2]::DOUBLE))
+      / (sqrt(list_sum(list_transform(a.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))
+         * sqrt(list_sum(list_transform(b.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))),
+      8) AS cosine
+  FROM sigs a JOIN sigs b ON a.b = b.b AND a.{id_col} != b.{id_col}
+    {gpred}
+)
+SELECT {id_col}, neg_id, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {id_col} ORDER BY cosine DESC, neg_id) AS rn
+  FROM cand
+) WHERE rn <= {k}
+"""
+
+
 def sample_matrix(
     emb: DataFrame,
     sample: int = 4096,

@@ -595,3 +595,63 @@ def test_corpus_cli_cdx_exclude_captures(spark, tmp_path):
         "--cdx-exclude-captures", str(day1 / "captures"),
     ])
     assert rc == 2
+
+
+# ------------------- hard-negative mining (contrastive data prep)
+
+
+def test_hard_negatives_planted_and_twin(spark):
+    """Planted semantics: an identical vector with a DIFFERENT label
+    is the top hard negative; same-label near-clones are excluded as
+    false negatives; k bounds per-anchor rows. And the DuckDB twin
+    reproduces the sf0.01 output bit-for-bit (the contract hash)."""
+    import duckdb
+
+    from cryo_spark.operators import similarity
+
+    dim = 64
+    base = [0.1 * ((i % 7) - 3) for i in range(dim)]
+    far = [0.2 * ((i % 5) - 2) for i in range(dim)]
+    rows = [
+        (0, base, 0),
+        (1, base, 1),           # identical, other label -> top negative
+        (2, base, 0),           # identical, SAME label -> excluded
+        (3, far, 1),            # different direction, other label
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r.vec_id: (r.neg_id, r.cosine)
+        for r in similarity.hard_negatives(
+            emb, k=1, group_col="label", n_planes=2
+        ).collect()
+    }
+    assert got[0] == (1, 1.0)  # the cross-label clone, not vec 2
+    assert got[2] == (1, 1.0)
+    assert got[1][0] == 0  # ties break by id: 0 before 2
+    # k bounds rows per anchor
+    k2 = similarity.hard_negatives(emb, k=2, group_col="label", n_planes=2)
+    from collections import Counter
+
+    per = Counter(r.vec_id for r in k2.collect())
+    assert all(v <= 2 for v in per.values())
+
+    # cross-engine twin on the real table
+    real = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got_rows = sorted(
+        (r.vec_id, r.neg_id, r.cosine)
+        for r in similarity.hard_negatives(
+            real, k=2, group_col="label"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(
+        similarity.hard_negatives_sql("embeddings", k=2, group_col="label")
+    ).fetchall())
+    con.close()
+    assert got_rows == want and len(got_rows) > 900
