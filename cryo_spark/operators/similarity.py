@@ -225,18 +225,7 @@ def lsh_topk_sql(
     hamming filter and round-8 cosine rescoring, so the driver's
     value-hash comparison is exact, not recall-approximate."""
     planes = int_planes(n_planes, dim, seed)
-
-    def dot(row: np.ndarray) -> str:
-        lit = "[" + ",".join(str(int(v)) for v in row) + "]"
-        return (
-            f"list_sum(list_transform(list_zip(iq, {lit}::BIGINT[]), "
-            "x -> x[1] * x[2]))"
-        )
-
-    bucket = " + ".join(
-        f"(CASE WHEN {dot(planes[p])} >= 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(n_planes)
-    )
+    bucket = _sql_bucket(planes, "iq")
     quant = (
         f"list_transform({vec_col}, "
         f"x -> CAST(floor(x::DOUBLE * {LSH_QUANT}) AS BIGINT))"
@@ -315,9 +304,15 @@ def hard_negatives(
     buckets). The window and the self-join share the one bucket-key
     shuffle; misses (true neighbors hashed to another bucket) soften
     recall, which is the standard LSH-kNN-graph trade."""
-    row = emb.select(vec_col).first() if dim is None else None
-    d = dim if dim is not None else len(row[0])
-    planes = int_planes(n_planes, d, seed)
+    if dim is None:
+        row = emb.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                "cannot infer the vector dimension from an empty frame "
+                "or a null leading vector — pass dim= explicitly"
+            )
+        dim = len(row[0])
+    planes = int_planes(n_planes, dim, seed)
     sig = _int_sig(_quantized(F.col(vec_col)), planes)
     keep = [id_col, vec_col] + ([group_col] if group_col else [])
     sigs = emb.select(*keep).withColumn("_hn_b", sig)
