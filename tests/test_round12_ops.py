@@ -655,3 +655,77 @@ def test_hard_negatives_planted_and_twin(spark):
     ).fetchall())
     con.close()
     assert got_rows == want and len(got_rows) > 900
+
+
+# ---------- engine-neutral quantization: cross-engine property pin
+
+
+def test_lsh_quantization_engine_neutral_property():
+    """The hash-exact ANN/hard-neg tiers rest on one claim: floor(x *
+    1024) of a float32 is the SAME integer in Python, DuckDB and the
+    JVM (power-of-two scale => exact double arithmetic). Property-pin
+    the Python==DuckDB half over adversarial float32s (negatives,
+    tiny/huge magnitudes, exact-half boundaries, denormals)."""
+    import math
+    import struct
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    f32 = st.floats(
+        min_value=-1e6, max_value=1e6, width=32, allow_nan=False
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(f32, min_size=1, max_size=8))
+    def prop(xs):
+        # exact float32 round-trip (what parquet stores / Spark reads)
+        xs = [struct.unpack("f", struct.pack("f", x))[0] for x in xs]
+        py = [int(math.floor(x * 1024.0)) for x in xs]
+        # per-element ::DOUBLE::FLOAT — DuckDB parses numeric
+        # literals as DECIMAL, and DECIMAL->FLOAT divides in float32
+        # (one ulp off for e.g. 16777.375); repr->DOUBLE is exact and
+        # DOUBLE->FLOAT rounds correctly, which is also how values
+        # actually enter DuckDB in production (parquet FLOAT columns,
+        # ::DOUBLE[] query literals — never the decimal path)
+        lit = "[" + ",".join(f"{x!r}::DOUBLE::FLOAT" for x in xs) + "]"
+        duck = con.sql(
+            f"SELECT list_transform({lit}, "
+            "x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT))"
+        ).fetchone()[0]
+        assert py == duck
+
+    prop()
+    # exact-half boundary: 2.5/1024 and -2.5/1024 are representable
+    for v in (2.5 / 1024, -2.5 / 1024, 0.0, -0.0):
+        py = int(math.floor(v * 1024.0))
+        duck = con.sql(
+            f"SELECT CAST(floor(({v!r}::FLOAT)::DOUBLE * 1024) AS BIGINT)"
+        ).fetchone()[0]
+        assert py == duck, v
+    con.close()
+
+
+def test_lsh_quantization_spark_matches_python(spark):
+    """The JVM third of the neutrality claim: Spark's
+    floor(cast(float as double) * 1024) matches Python's on the same
+    adversarial values (the sf tables only exercise ordinary
+    magnitudes)."""
+    import math
+    import struct
+
+    vals = [
+        0.0, -0.0, 2.5 / 1024, -2.5 / 1024, 1e-30, -1e-30,
+        999999.9, -999999.9, 0.123456789, -0.987654321, 1.5e-7,
+    ]
+    vals = [struct.unpack("f", struct.pack("f", v))[0] for v in vals]
+    df = spark.createDataFrame([(vals,)], "v array<float>")
+    got = df.select(
+        F.transform(
+            "v", lambda x: F.floor(x.cast("double") * 1024).cast("long")
+        ).alias("q")
+    ).first()["q"]
+    assert got == [int(math.floor(v * 1024.0)) for v in vals]
