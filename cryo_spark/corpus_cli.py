@@ -237,6 +237,7 @@ def run(args: argparse.Namespace) -> int:
         return 0
 
     spark = get_spark(app_name="cryo_spark_corpus")
+    cdx_ledger = None
     if args.format == "warc":
         docs = docs_src.read_warc_documents(
             spark, args.input, text_col=args.text_col,
@@ -296,11 +297,13 @@ def run(args: argparse.Namespace) -> int:
         # and then quality-filtered must not be re-fetched tomorrow
         # just to fail quality again), computed on the KB-sized index
         # so it costs no second fetch. Point the next run's
-        # --cdx-exclude-captures at <output>/captures.
-        ledger_dest = os.path.join(args.output, "captures")
-        select_cdx(spark, args.input, **sel_kw).select(
+        # --cdx-exclude-captures at <output>/captures. WRITTEN at the
+        # very end of the run (after the corpus/shards output lands):
+        # a failed run must not leave a ledger that excludes captures
+        # it never shipped.
+        cdx_ledger = select_cdx(spark, args.input, **sel_kw).select(
             cdx_capture_id_expr().alias("capture_id"), "url", "ts"
-        ).write.mode("overwrite").parquet(ledger_dest)
+        )
         docs = reextract_documents(
             spark, args.input, warc_root=args.warc_root,
             text_col=args.text_col,
@@ -515,6 +518,12 @@ def run(args: argparse.Namespace) -> int:
                 f"docs {r['docs_in']:>9} -> {r['docs_out']:>9}  "
                 f"tokens {r['tokens_in']:>12} -> {r['tokens_out']:>12}"
             )
+    if cdx_ledger is not None:
+        # the incremental-exclusion ledger lands LAST — its existence
+        # certifies the run's outputs above it completed
+        ledger_dest = os.path.join(args.output, "captures")
+        cdx_ledger.write.mode("overwrite").parquet(ledger_dest)
+        summary["captures"] = ledger_dest
     print(json.dumps(summary))
     return 0
 
