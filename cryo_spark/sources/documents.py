@@ -552,6 +552,19 @@ def read_warc(
     files = spark.read.format("binaryFile").load(path).select(
         "path", "length"
     )
+    return warc_records_from_listing(files, id_col, max_member_bytes)
+
+
+def warc_records_from_listing(
+    files: DataFrame,
+    id_col: str = "doc_id",
+    max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
+) -> DataFrame:
+    """The member-parse half of :func:`read_warc` over ANY (path,
+    length) listing frame — batch (``spark.read.format('binaryFile')``)
+    or STREAMING (``spark.readStream.format('binaryFile')``): the
+    parse is a stateless mapInPandas, so the same code serves both
+    execution modes (see ``streaming.stream_warc_documents``)."""
 
     def open_chunks(p: str, chunk: int = 4 << 20) -> Iterator[bytes]:
         import pyarrow.fs as pafs

@@ -285,6 +285,62 @@ def streaming_ingest_clean(
     )
 
 
+def stream_warc_documents(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_member_bytes: int | None = None,
+    full_entities: bool = False,
+    min_chars: int = 1,
+    main_content: bool = False,
+    smooth: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING crawl ingestion: WARC members landing in ``path``
+    flow to canonical clean-text documents as they arrive — the
+    continuous-crawl shape (a fetcher drops ``.warc.gz`` members into
+    a bucket; this stream turns each into documents within one
+    trigger, no batch re-scan of the whole crawl).
+
+    Same code as the batch path end to end: the binaryFile file-stream
+    source lists new members (path+length only — content never enters
+    the scan), ``documents.warc_records_from_listing`` parses each
+    member in a stateless mapInPandas (stream-legal, no watermark
+    needed), ``documents_from_records`` projects the canonical
+    document frame with the SAME doc_id hash and ``capture_id`` the
+    batch path derives — so a corpus bootstrapped by batch ingestion
+    and continued by this stream has one id space. Compose with
+    :func:`streaming_ingest_clean` for clean+dedup at ingest, or
+    :func:`streaming_near_dup_candidates` for index-backed near-dup
+    flagging.
+
+    ``max_files_per_trigger`` paces a backlog (each member is one
+    task, the WARC parallelism model — cap it near the cluster's task
+    slots). Batch/stream equivalence is pinned by test."""
+    from cryo_spark.sources import documents as docs_mod
+
+    reader = spark.readStream.format("binaryFile")
+    # file-stream sources require an explicit schema; binaryFile's is
+    # fixed by the format
+    reader = reader.schema(
+        "path string, modificationTime timestamp, "
+        "length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "length")
+    recs = docs_mod.warc_records_from_listing(
+        files, id_col,
+        max_member_bytes or docs_mod.DEFAULT_MAX_MEMBER_BYTES,
+    )
+    return docs_mod.documents_from_records(
+        recs, id_col=id_col, text_col=text_col,
+        full_entities=full_entities, min_chars=min_chars,
+        main_content=main_content, smooth=smooth,
+    )
+
+
 def streaming_near_dup_candidates(
     stream: DataFrame,
     index_table: str,

@@ -729,3 +729,72 @@ def test_lsh_quantization_spark_matches_python(spark):
         ).alias("q")
     ).first()["q"]
     assert got == [int(math.floor(v * 1024.0)) for v in vals]
+
+
+# ------------------------ streaming WARC ingestion (crawl stream)
+
+
+def test_stream_warc_documents_matches_batch(spark, tmp_path):
+    """Continuous-crawl ingestion: WARC members consumed through the
+    binaryFile file-stream source yield EXACTLY the batch path's
+    document rows — same doc_ids (one id space across bootstrap and
+    stream) and same capture_ids. availableNow trigger drains the
+    directory; a file added later arrives in the next run without
+    reprocessing the old ones (checkpointed source state)."""
+    import gzip
+
+    from cryo_spark.sources.documents import read_warc_documents
+    from cryo_spark.streaming import stream_warc_documents
+
+    def member(i):
+        body = "".join(
+            f"<p>Stream paragraph {k} with enough ordinary prose to "
+            "survive extraction.</p>" for k in range(6)
+        )
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + f"<html><body>{body}<p>m {i}</p></body></html>".encode()
+        )
+        sep = b"\r\n"
+        return gzip.compress(
+            b"WARC/1.0" + sep + b"WARC-Type: response" + sep
+            + f"WARC-Target-URI: https://s.test/m{i}".encode() + sep
+            + b"WARC-Date: 2026-08-15T00:00:00Z" + sep
+            + f"Content-Length: {len(payload)}".encode() + sep
+            + sep + payload + sep + sep
+        )
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    for i in range(3):
+        (crawl / f"m{i}.warc.gz").write_bytes(member(i))
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        q = (
+            stream_warc_documents(spark, str(crawl))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    assert stream_warc_documents(spark, str(crawl)).isStreaming
+    drain()
+    got = spark.read.parquet(sink)
+    batch = read_warc_documents(spark, str(crawl))
+    key = lambda r: (r.doc_id, r.capture_id, r.url, r.text)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
+    assert got.count() == 3
+    # late-arriving member: only the NEW file processes on the next
+    # run (checkpointed source state), no reprocessing of old members
+    (crawl / "m3.warc.gz").write_bytes(member(3))
+    drain()
+    got2 = spark.read.parquet(sink)
+    assert got2.count() == 4
+    assert sorted(r.url for r in got2.collect()) == [
+        f"https://s.test/m{i}" for i in range(4)
+    ]
