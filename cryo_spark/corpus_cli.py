@@ -47,6 +47,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--drop-noindex", action="store_true",
                    help="warc: drop pages flagged noindex (default "
                         "keeps and flags)")
+    p.add_argument("--stream", action="store_true",
+                   help="(--format warc) landing-zone mode: drain NEW "
+                        "WARC members into <output>/documents parquet "
+                        "through the checkpointed file-stream source "
+                        "(availableNow — one restartable pass; members "
+                        "a previous run already ingested are skipped). "
+                        "The batch pipeline does NOT run — point a "
+                        "normal run's --input at the landing parquet. "
+                        "Ids/capture_ids match batch ingestion, so "
+                        "mixing bootstrap and stream runs is safe.")
     p.add_argument("--robots-agent", default=None,
                    help="warc: parse the crawl's robots.txt responses "
                         "and drop docs this agent may not index")
@@ -236,7 +246,43 @@ def run(args: argparse.Namespace) -> int:
                           }}, indent=1))
         return 0
 
+    if args.stream and args.format != "warc":
+        raise ValueError(
+            f"--stream only applies to --format warc "
+            f"(got --format {args.format})"
+        )
     spark = get_spark(app_name="cryo_spark_corpus")
+    if args.stream:
+        # landing-zone drain: ingest-only, restartable, incremental —
+        # pipeline flags are deliberately ignored (the batch pipeline
+        # runs later over the accumulated landing parquet)
+        from cryo_spark.operators.web import canonical_host
+        from cryo_spark.streaming import stream_warc_documents
+
+        dest = os.path.join(args.output, "documents")
+        landing = stream_warc_documents(
+            spark, args.input, text_col=args.text_col,
+            main_content=args.main_content, smooth=args.smooth,
+        ).withColumn(
+            # same stratum the batch warc branch derives — the landing
+            # parquet is directly pipeline-ready
+            "source", canonical_host("url")
+        )
+        q = (
+            landing.writeStream.format("parquet")
+            .option("path", dest)
+            .option(
+                "checkpointLocation",
+                os.path.join(args.output, "_stream_checkpoint"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        print(json.dumps(
+            {"documents": dest, "n_docs": spark.read.parquet(dest).count()}
+        ))
+        return 0
     cdx_ledger = None
     if args.format == "warc":
         docs = docs_src.read_warc_documents(

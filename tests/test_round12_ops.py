@@ -798,3 +798,61 @@ def test_stream_warc_documents_matches_batch(spark, tmp_path):
     assert sorted(r.url for r in got2.collect()) == [
         f"https://s.test/m{i}" for i in range(4)
     ]
+
+
+def test_corpus_cli_stream_landing_zone(spark, tmp_path, capsys):
+    """corpus --format warc --stream drains new members into the
+    landing parquet incrementally across invocations, and the
+    accumulated parquet feeds a normal batch pipeline run."""
+    import gzip
+    import json
+
+    from cryo_spark.api import main
+
+    def member(i):
+        body = "".join(
+            f"<p>Landing paragraph {k} with enough ordinary prose to "
+            "survive extraction.</p>" for k in range(6)
+        )
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + f"<html><body>{body}<p>z {i}</p></body></html>".encode()
+        )
+        sep = b"\r\n"
+        return gzip.compress(
+            b"WARC/1.0" + sep + b"WARC-Type: response" + sep
+            + f"WARC-Target-URI: https://z{i % 2}.test/d{i}".encode() + sep
+            + b"WARC-Date: 2026-08-15T01:00:00Z" + sep
+            + f"Content-Length: {len(payload)}".encode() + sep
+            + sep + payload + sep + sep
+        )
+
+    crawl = tmp_path / "in"
+    crawl.mkdir()
+    for i in range(2):
+        (crawl / f"w{i}.warc.gz").write_bytes(member(i))
+    land = tmp_path / "land"
+    rc = main(["corpus", "--format", "warc", "--stream",
+               "--input", str(crawl), "--output", str(land)])
+    assert rc == 0
+    assert spark.read.parquet(str(land / "documents")).count() == 2
+    capsys.readouterr()
+    # second drain: only the new member lands
+    (crawl / "w2.warc.gz").write_bytes(member(2))
+    rc = main(["corpus", "--format", "warc", "--stream",
+               "--input", str(crawl), "--output", str(land)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 3
+    # the landing parquet feeds the normal batch pipeline
+    final = tmp_path / "corpus_out"
+    rc = main(["corpus", "--input", str(land / "documents"),
+               "--url-col", "url",
+               "--output", str(final), "--min-quality", "0"])
+    assert rc == 0
+    assert spark.read.parquet(str(final / "corpus")).count() == 3
+    # flag rejected off-format
+    rc = main(["corpus", "--format", "parquet", "--stream",
+               "--input", str(land / "documents"),
+               "--output", str(tmp_path / "x")])
+    assert rc == 2
