@@ -251,6 +251,22 @@ def run(args: argparse.Namespace) -> int:
             f"--stream only applies to --format warc "
             f"(got --format {args.format})"
         )
+    if args.stream:
+        # ingest-only mode: flags that promise pipeline outputs would
+        # be silently unmet — reject them loudly (filter flags like
+        # --min-quality are merely unused defaults, not promises)
+        bad = [f for f, v in {
+            "--shard-tokens": args.shard_tokens,
+            "--pack-budget": args.pack_budget,
+            "--delta-index": args.delta_index,
+            "--token-ids": args.token_ids,
+        }.items() if v]
+        if bad:
+            raise ValueError(
+                f"{', '.join(bad)} produce pipeline outputs — --stream "
+                "is the ingest-only landing-zone mode; run the batch "
+                "pipeline over <output>/documents instead"
+            )
     spark = get_spark(app_name="cryo_spark_corpus")
     if args.stream:
         # landing-zone drain: ingest-only, restartable, incremental —
