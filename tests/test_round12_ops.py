@@ -856,3 +856,57 @@ def test_corpus_cli_stream_landing_zone(spark, tmp_path, capsys):
                "--input", str(land / "documents"),
                "--output", str(tmp_path / "x")])
     assert rc == 2
+
+
+def test_stream_warc_composes_with_ingest_clean(spark, tmp_path):
+    """The docstring's composition claim, proven: the WARC stream
+    feeds streaming_ingest_clean (stateless clean + stateful exact
+    dedup) in one streaming query — duplicate-content members collapse
+    to one survivor at ingest."""
+    import gzip
+
+    from cryo_spark.streaming import (
+        stream_warc_documents,
+        streaming_ingest_clean,
+    )
+
+    def member(i, text_seed):
+        body = "".join(
+            f"<p>Composed paragraph {k} about {text_seed} with enough "
+            "ordinary prose to survive extraction.</p>" for k in range(6)
+        )
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + f"<html><body>{body}</body></html>".encode()
+        )
+        sep = b"\r\n"
+        return gzip.compress(
+            b"WARC/1.0" + sep + b"WARC-Type: response" + sep
+            + f"WARC-Target-URI: https://c.test/{i}".encode() + sep
+            + b"WARC-Date: 2026-08-15T02:00:00Z" + sep
+            + f"Content-Length: {len(payload)}".encode() + sep
+            + sep + payload + sep + sep
+        )
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "a.warc.gz").write_bytes(member(0, "spark"))
+    (crawl / "b.warc.gz").write_bytes(member(1, "spark"))   # same content
+    (crawl / "c.warc.gz").write_bytes(member(2, "parquet"))  # distinct
+
+    cleaned = streaming_ingest_clean(
+        stream_warc_documents(spark, str(crawl)),
+        min_quality=0.0, lang=None,
+    )
+    q = (
+        cleaned.writeStream.format("memory").queryName("r12_compose")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM r12_compose").collect()
+    # 3 members, 2 distinct contents -> exact dedup keeps 2
+    assert len(rows) == 2
+    assert {"quality_score", "lang_guess", "content_key"} <= set(
+        rows[0].asDict()
+    )
