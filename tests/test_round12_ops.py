@@ -910,3 +910,48 @@ def test_stream_warc_composes_with_ingest_clean(spark, tmp_path):
     assert {"quality_score", "lang_guess", "content_key"} <= set(
         rows[0].asDict()
     )
+
+
+# ----------------------- landing-zone compaction (small-file fix)
+
+
+def test_compact_parquet_preserves_rows_and_shrinks_files(spark, tmp_path):
+    """Compaction rewrites a many-small-files dataset (the streaming
+    landing-zone shape) into few scan-sized files with identical rows;
+    order_by clusters the rewrite; in-place compaction is refused."""
+    from cryo_spark.maintenance import compact_parquet
+
+    src = str(tmp_path / "landing")
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("source"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+    )
+    docs.repartition(40).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) >= 40
+
+    dest = str(tmp_path / "snap")
+    stats = compact_parquet(spark, src, dest, target_mb=256)
+    assert stats["rows"] == 2000
+    assert stats["files_in"] >= 40
+    assert stats["files_out"] <= 2
+    a = {tuple(r) for r in spark.read.parquet(src).collect()}
+    b = {tuple(r) for r in spark.read.parquet(dest).collect()}
+    assert a == b
+
+    # clustered rewrite: each output file holds a contiguous source
+    # range (row groups prune on source filters)
+    dest2 = str(tmp_path / "snap2")
+    compact_parquet(spark, src, dest2, target_mb=1, order_by=["source"])
+    per_file = (
+        spark.read.parquet(dest2)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("source").alias("lo"), F.max("source").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # ranges do not interleave
+
+    with pytest.raises(ValueError, match="in-place"):
+        compact_parquet(spark, src, src + "/")
