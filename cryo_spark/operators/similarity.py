@@ -315,16 +315,26 @@ def hard_negatives(
     planes = int_planes(n_planes, dim, seed)
     sig = _int_sig(_quantized(F.col(vec_col)), planes)
     keep = [id_col, vec_col] + ([group_col] if group_col else [])
-    sigs = emb.select(*keep).withColumn("_hn_b", sig)
+    # norm computed ONCE per row, before the join — the naive per-pair
+    # norm would redo the 64-element reduction candidate-count times
+    # per row (bit-identical values either way: same ops, same order,
+    # so the DuckDB twin's per-pair spelling still hash-matches)
+    sigs = (
+        emb.select(*keep)
+        .withColumn("_hn_b", sig)
+        .withColumn("_hn_n", _norm(F.col(vec_col)))
+    )
     a = sigs.select(
         F.col(id_col).alias("_a_id"),
         F.col(vec_col).alias("_a_v"),
+        F.col("_hn_n").alias("_a_n"),
         *([F.col(group_col).alias("_a_g")] if group_col else []),
         "_hn_b",
     )
     b = sigs.select(
         F.col(id_col).alias("_b_id"),
         F.col(vec_col).alias("_b_v"),
+        F.col("_hn_n").alias("_b_n"),
         *([F.col(group_col).alias("_b_g")] if group_col else []),
         "_hn_b",
     )
@@ -344,7 +354,7 @@ def hard_negatives(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = F.round(dot / (_norm(F.col("_a_v")) * _norm(F.col("_b_v"))), 8)
+    cos = F.round(dot / (F.col("_a_n") * F.col("_b_n")), 8)
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy(

@@ -119,6 +119,63 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def compact_bucketed_table(
+    spark,
+    table: str,
+    tmp_suffix: str = "_compact_tmp",
+    swap: bool = True,
+) -> dict:
+    """Rewrite a bucketed table that has accumulated append files
+    (e.g. the daily-delta minhash index: every
+    ``prepare_corpus_delta(update_index=True)`` day adds one file per
+    bucket, so a year is ~365 files/bucket and every candidate join
+    pays the opens). One pass through ``write_bucketed`` into a tmp
+    table with the SAME saved bucket spec — the layout, and therefore
+    every bucketed-read plan, is unchanged — then, after a row-count
+    equality gate, the tmp is swapped in (drop + rename; metadata-only,
+    a brief read gap but never data loss since the tmp is verified
+    first). ``swap=False`` leaves the verified tmp for the caller to
+    repoint manually. Returns {"files_in", "files_out", "rows"}."""
+    spec = table_bucket_spec(spark, table)
+    if spec is None:
+        raise ValueError(
+            f"{table!r} does not exist or is not bucketed — "
+            "compact_parquet handles plain datasets"
+        )
+    n_buckets, keys = spec
+    src = spark.table(table)
+    files_in = len(src.inputFiles())
+    rows_in = src.count()
+    tmp = table + tmp_suffix
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    _clean_orphan_location(spark, tmp)
+    # one file per bucket: group rows by the WRITER's bucket function
+    # (pmod(murmur3, n) — what bucketBy assigns) via an explicit
+    # column. Repartitioning on the raw keys does NOT work here: the
+    # bucketed scan already satisfies that partitioning, Catalyst
+    # elides/mangles the exchange, and the write emits one file per
+    # (input file x bucket) — measured 98 files where 4 were expected.
+    grouped = (
+        src.withColumn("_cb", F.pmod(F.hash(*keys), F.lit(n_buckets)))
+        .repartition(n_buckets, "_cb")
+        .drop("_cb")
+    )
+    write_bucketed(grouped, tmp, keys, n_buckets=n_buckets)
+    rows_out = spark.table(tmp).count()
+    if rows_out != rows_in:
+        raise RuntimeError(
+            f"compaction row mismatch on {table!r}: {rows_in} in, "
+            f"{rows_out} out — tmp table {tmp!r} kept for inspection"
+        )
+    files_out = len(spark.table(tmp).inputFiles())
+    if swap:
+        spark.sql(f"DROP TABLE {table}")
+        _clean_orphan_location(spark, table)
+        # rename moves the data directory under the warehouse too
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    return {"files_in": files_in, "files_out": files_out, "rows": rows_in}
+
+
 def _clean_orphan_location(spark, table: str) -> None:
     """Remove a leftover warehouse directory for ``table`` that no
     catalog entry points at (stale ./spark-warehouse from a previous

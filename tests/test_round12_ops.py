@@ -955,3 +955,43 @@ def test_compact_parquet_preserves_rows_and_shrinks_files(spark, tmp_path):
 
     with pytest.raises(ValueError, match="in-place"):
         compact_parquet(spark, src, src + "/")
+
+
+def test_compact_bucketed_table_preserves_layout(spark):
+    """Daily appends leave one file per bucket per day; compaction
+    rewrites the index to ~one file per bucket with the SAME saved
+    bucket spec (bucketed-read plans unchanged), same rows, and the
+    delta candidate join still works on the compacted table."""
+    from cryo_spark.operators import incremental, skew
+
+    day1, day2 = _delta_docs(spark)
+    table = "r12_compact_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    incremental.save_banded_index(
+        incremental.minhash_index(day1), table, bands=4, n_buckets=4
+    )
+    # simulate three daily appends
+    for i in range(3):
+        extra = day2.withColumn("doc_id", F.col("doc_id") + 1000 * i)
+        rows = incremental._band_rows(
+            incremental.minhash_index(extra), 4, "doc_id",
+            carry_cols=("sig",),
+        ).withColumn("bands", F.lit(4))
+        skew.write_bucketed(
+            rows, table, ["band_id", "band_hash"], mode="append"
+        )
+    before = spark.table(table).count()
+    stats = skew.compact_bucketed_table(spark, table)
+    assert stats["rows"] == before
+    assert stats["files_out"] < stats["files_in"]
+    assert stats["files_out"] <= 4  # one per bucket
+    assert skew.table_bucket_spec(spark, table) == (
+        4, ["band_id", "band_hash"]
+    )
+    assert spark.table(table).count() == before
+    # the compacted index still serves the delta join
+    pairs = incremental.incremental_pairs_from_table(
+        spark, table, incremental.minhash_index(day2), min_est=0.5
+    )
+    assert pairs.count() > 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
