@@ -71,8 +71,14 @@ HEADLINE = [
     "corpus_funnel",
     "llm_minhash_near_dups",
     # llm_cosine_topk + llm_embedding_near_dups merged into
-    # llm_embedding_sim in round 8
+    # llm_embedding_sim in round 8; round 12 scope change: the entry
+    # gained the hard-negative mining op (bucket-local pair join +
+    # per-anchor top-k window over ~n^2/64 candidates), so its timing
+    # roughly doubled — it measures three ops now, not a regression
     "llm_embedding_sim",
+    # round 12 scope change: hash-exact restructure added the exact
+    # cosine tier + two recall-gate aggregates on top of the previous
+    # three ANN tiers
     "llm_ann_topk",
     # llm_quality_score merged into llm_text_profile in round 8 — its
     # timing continues inside that entry

@@ -284,6 +284,12 @@ def run(args: argparse.Namespace) -> int:
             # parquet is directly pipeline-ready
             "source", canonical_host("url")
         )
+        if args.drop_noindex:
+            # ingest option, honored in stream mode like the batch
+            # warc branch (stateless filter — stream-legal)
+            from pyspark.sql import functions as F
+
+            landing = landing.filter(~F.col("noindex"))
         q = (
             landing.writeStream.format("parquet")
             .option("path", dest)
