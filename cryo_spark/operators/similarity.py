@@ -283,6 +283,7 @@ def hard_negatives(
     n_planes: int = 6,
     seed: int = 42,
     dim: int | None = None,
+    method: str = "fold",
 ) -> DataFrame:
     """Per-row HARD NEGATIVES for contrastive training data: for every
     vector, the ``k`` most-cosine-similar OTHER rows — optionally
@@ -303,7 +304,23 @@ def hard_negatives(
     test tables; a 10^8-row corpus wants ~17+ planes for ~1k-row
     buckets). The window and the self-join share the one bucket-key
     shuffle; misses (true neighbors hashed to another bucket) soften
-    recall, which is the standard LSH-kNN-graph trade."""
+    recall, which is the standard LSH-kNN-graph trade.
+
+    ``method``: 'fold' (default) scores pairs with the JVM zip_with
+    fold — the arithmetic the DuckDB twin spells out, the contract
+    path. 'gemm' computes each bucket's cosine submatrix with ONE
+    numpy GEMM per bucket (Arrow ``applyInPandas``) — the same
+    round-8 values in practice (pinned equal to 'fold' by test; the
+    `embedding_near_dups_exact` precedent: a per-pair interpreted
+    fold measures ~40x slower than the blocked GEMM), at B^2-doubles
+    peak task memory per bucket (~1k-row buckets = 8 MB) — the scale
+    path."""
+    if method == "gemm":
+        return _hard_negatives_gemm(
+            emb, k, id_col, vec_col, group_col, n_planes, seed, dim
+        )
+    if method != "fold":
+        raise ValueError(f"unknown method {method!r}: 'fold' or 'gemm'")
     if dim is None:
         row = emb.select(vec_col).first()
         if row is None or row[0] is None:
@@ -341,10 +358,13 @@ def hard_negatives(
     cond = a["_hn_b"] == b["_hn_b"]
     pairs = a.join(b, cond).filter(F.col("_a_id") != F.col("_b_id"))
     if group_col:
-        # NULL-safe: a NULL group matches nothing, so NULL-group rows
-        # keep all candidates (no positive class to exclude)
+        # a NULL group matches NOTHING — an unknown positive class
+        # excludes no candidates (eqNullSafe would be wrong here: it
+        # makes two NULL-group rows exclude each other)
         pairs = pairs.filter(
-            ~F.col("_a_g").eqNullSafe(F.col("_b_g"))
+            F.col("_a_g").isNull()
+            | F.col("_b_g").isNull()
+            | (F.col("_a_g") != F.col("_b_g"))
         )
     dot = F.aggregate(
         F.zip_with(
@@ -372,6 +392,74 @@ def hard_negatives(
     )
 
 
+def _hard_negatives_gemm(
+    emb: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    group_col: str | None,
+    n_planes: int,
+    seed: int,
+    dim: int | None,
+) -> DataFrame:
+    """GEMM scoring for :func:`hard_negatives`: one bucket = one
+    Arrow group = one numpy cosine submatrix; per-anchor top-k with
+    the same (round-8 cosine desc, neg_id) order. Dot-then-divide
+    mirrors the fold's structure (sum of products / norm product), so
+    round-8 values coincide with the fold path (pinned by test)."""
+    if dim is None:
+        row = emb.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                "cannot infer the vector dimension from an empty frame "
+                "or a null leading vector — pass dim= explicitly"
+            )
+        dim = len(row[0])
+    planes = int_planes(n_planes, dim, seed)
+    keep = [id_col, vec_col] + ([group_col] if group_col else [])
+    sigs = emb.select(*keep).withColumn(
+        "_hn_b", _int_sig(_quantized(F.col(vec_col)), planes)
+    )
+    has_group = group_col is not None
+    kk = k
+
+    def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"),
+                 "neg_id": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((m * m).sum(axis=1))
+        cos = np.round((m @ m.T) / np.outer(nrm, nrm), 8)
+        ids = pdf[id_col].to_numpy()
+        allowed = ~np.eye(len(ids), dtype=bool)
+        if has_group:
+            g = pdf[group_col].to_numpy()
+            both = g[:, None] == g[None, :]
+            # NULL groups exclude nothing (match the fold's NULL-safe
+            # predicate: a NULL never equals anything)
+            isnull = pd.isna(pdf[group_col]).to_numpy()
+            both &= ~(isnull[:, None] | isnull[None, :])
+            allowed &= ~both
+        out_a, out_b, out_c = [], [], []
+        for i in range(len(ids)):
+            cand = np.nonzero(allowed[i])[0]
+            if not len(cand):
+                continue
+            # (cosine desc, neg_id asc): lexsort's last key is primary
+            order = cand[np.lexsort((ids[cand], -cos[i, cand]))][:kk]
+            out_a.extend([ids[i]] * len(order))
+            out_b.extend(ids[order])
+            out_c.extend(cos[i, order])
+        return pd.DataFrame({id_col: out_a, "neg_id": out_b, "cosine": out_c})
+
+    return sigs.groupBy("_hn_b").applyInPandas(
+        compute, f"{id_col} long, neg_id long, cosine double"
+    )
+
+
 def hard_negatives_sql(
     table: str,
     k: int = 5,
@@ -391,7 +479,12 @@ def hard_negatives_sql(
         f"x -> CAST(floor(x::DOUBLE * {LSH_QUANT}) AS BIGINT))"
     )
     gsel = f", {group_col} AS g" if group_col else ""
-    gpred = "AND NOT (a.g IS NOT DISTINCT FROM b.g)" if group_col else ""
+    # NULL group excludes nothing (IS NOT DISTINCT FROM would make
+    # two NULL-group rows exclude each other)
+    gpred = (
+        "AND NOT (a.g IS NOT NULL AND b.g IS NOT NULL AND a.g = b.g)"
+        if group_col else ""
+    )
     return f"""
 WITH sigs AS (
   SELECT {id_col}, {vec_col}{gsel}, ({_sql_bucket(planes, "iq")}) AS b

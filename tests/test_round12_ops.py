@@ -995,3 +995,42 @@ def test_compact_bucketed_table_preserves_layout(spark):
     )
     assert pairs.count() > 0
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_hard_negatives_gemm_equals_fold(spark):
+    """The scale path (one numpy GEMM per bucket) returns the exact
+    rows of the contract fold path — same round-8 cosines, same
+    (cosine desc, id) top-k, same NULL-group semantics."""
+    from cryo_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    fold = sorted(
+        (r.vec_id, r.neg_id, r.cosine)
+        for r in similarity.hard_negatives(
+            emb, k=3, group_col="label"
+        ).collect()
+    )
+    gemm = sorted(
+        (r.vec_id, r.neg_id, r.cosine)
+        for r in similarity.hard_negatives(
+            emb, k=3, group_col="label", method="gemm"
+        ).collect()
+    )
+    assert fold == gemm and len(fold) > 900
+    # NULL-group rows exclude nothing on either path
+    rows = [
+        (0, [0.5] * 64, None),
+        (1, [0.5] * 64, None),
+        (2, [0.5] * 64, 1),
+    ]
+    nulls = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    for m in ("fold", "gemm"):
+        got = {
+            (r.vec_id, r.neg_id)
+            for r in similarity.hard_negatives(
+                nulls, k=2, group_col="label", n_planes=2, method=m
+            ).collect()
+        }
+        assert got == {(0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1)}, m
