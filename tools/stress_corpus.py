@@ -117,6 +117,27 @@ def main() -> int:
     # dedup must catch (nearly) all of them — a recall collapse in
     # the composed path shows up here as a wrong survivor count
     assert dn.docs_out < dn.docs_in * 0.2, (dn.docs_in, dn.docs_out)
+
+    # round 12: the index after its delta append has base+append
+    # files per bucket — compact to one file per bucket and prove the
+    # delta join still runs on the compacted layout
+    from cryo_spark.operators import incremental as incr
+    from cryo_spark.operators import skew
+
+    t = time.time()
+    cstats = skew.compact_bucketed_table(spark, table)
+    dt = time.time() - t
+    npairs2 = incr.incremental_pairs_from_table(
+        spark, table, incr.minhash_index(new_docs), min_est=0.5
+    ).count()
+    print(
+        f"compact_bucketed_table: {dt:.2f}s — "
+        f"{cstats['files_in']} -> {cstats['files_out']} files "
+        f"({cstats['rows']} rows); delta join on the compacted index "
+        f"still finds {npairs2} pairs"
+    )
+    assert cstats["files_out"] < cstats["files_in"]
+    assert npairs2 > 0
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
     # round 11: image perceptual-hash dedup at the same clone scale —
