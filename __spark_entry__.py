@@ -583,7 +583,9 @@ def q_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-anchor top-2 most-similar rows OUTSIDE the anchor's label
     # class, candidates bucket-local via the engine-neutral integer
     # LSH signature, so the rows are hash-exact vs the DuckDB twin
-    hn = similarity.hard_negatives(emb, k=2, group_col="label").select(
+    # dim=64 matches the twin's hardcoded width and skips the
+    # infer-dimension first() job at entry construction
+    hn = similarity.hard_negatives(emb, k=2, group_col="label", dim=64).select(
         F.lit("hard_neg").alias("kind"),
         F.col("vec_id").alias("id_a"),
         F.col("neg_id").alias("id_b"),

@@ -128,12 +128,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "capture only")
     p.add_argument("--cdx-exclude-captures", default=None,
                    help="(--format cdx) parquet path with a "
-                        "capture_id column — typically a prior run's "
-                        "<output>/captures ledger (written by every "
-                        "cdx run): captures it already covers are "
-                        "pruned on the INDEX, so their archive bytes "
-                        "are never fetched — the incremental "
-                        "re-extraction recipe")
+                        "capture_id column — typically the PREVIOUS "
+                        "run's <output>/captures ledger (every cdx "
+                        "run writes one, CUMULATIVE: its own "
+                        "selection union the exclusion it was given, "
+                        "so chaining daily runs needs only this one "
+                        "flag): covered captures are pruned on the "
+                        "INDEX, their archive bytes never fetched — "
+                        "the incremental re-extraction recipe. Use a "
+                        "fresh --output dir per run.")
     p.add_argument("--delta-index", default=None,
                    help="daily-delta mode: near-dup-dedup the input "
                         "batch against this persisted banded minhash "
@@ -267,6 +270,21 @@ def run(args: argparse.Namespace) -> int:
                 "is the ingest-only landing-zone mode; run the batch "
                 "pipeline over <output>/documents instead"
             )
+        # compliance flags must never be SILENTLY unmet: robots and
+        # host-rank filtering need the raw-WARC batch scans, which the
+        # stream mode does not run — apply them in the batch pipeline
+        # pass over the landing parquet
+        policy = [f for f, v in {
+            "--robots-agent": args.robots_agent,
+            "--min-host-rank": args.min_host_rank,
+        }.items() if v is not None]
+        if policy:
+            raise ValueError(
+                f"{', '.join(policy)} are batch-scan policies --stream "
+                "cannot apply — a silently-ignored compliance flag is "
+                "worse than an error; apply them in the batch pipeline "
+                "run over <output>/documents"
+            )
     spark = get_spark(app_name="cryo_spark_corpus")
     if args.stream:
         # landing-zone drain: ingest-only, restartable, incremental —
@@ -301,9 +319,13 @@ def run(args: argparse.Namespace) -> int:
             .start()
         )
         q.awaitTermination()
-        print(json.dumps(
-            {"documents": dest, "n_docs": spark.read.parquet(dest).count()}
-        ))
+        # an empty drain (no members arrived yet) never creates dest —
+        # a legitimate no-op for cron-style usage, not an error
+        try:
+            n_docs = spark.read.parquet(dest).count()
+        except Exception:
+            n_docs = 0
+        print(json.dumps({"documents": dest, "n_docs": n_docs}))
         return 0
     cdx_ledger = None
     if args.format == "warc":
@@ -351,6 +373,19 @@ def run(args: argparse.Namespace) -> int:
 
         from cryo_spark.sources.cdx import cdx_capture_id_expr, select_cdx
 
+        if args.cdx_exclude_captures and os.path.realpath(
+            args.cdx_exclude_captures
+        ).startswith(os.path.realpath(args.output) + os.sep):
+            # the ledger write at the end of this run would overwrite
+            # the very path the exclusion (lazily) reads — Spark
+            # rejects read-from-overwritten-path, and "it worked" would
+            # mean data loss. Chain runs through FRESH output dirs.
+            raise ValueError(
+                "--cdx-exclude-captures points inside --output: this "
+                "run's ledger write would overwrite the path the "
+                "exclusion reads — use a fresh output directory per "
+                "incremental run"
+            )
         exclude = (
             spark.read.parquet(args.cdx_exclude_captures)
             if args.cdx_exclude_captures else None
@@ -364,14 +399,32 @@ def run(args: argparse.Namespace) -> int:
         # this run SELECTED (pre-pipeline — a capture that was fetched
         # and then quality-filtered must not be re-fetched tomorrow
         # just to fail quality again), computed on the KB-sized index
-        # so it costs no second fetch. Point the next run's
-        # --cdx-exclude-captures at <output>/captures. WRITTEN at the
-        # very end of the run (after the corpus/shards output lands):
-        # a failed run must not leave a ledger that excludes captures
-        # it never shipped.
+        # so it costs no second fetch, UNIONED with the incoming
+        # exclusion ledger so the ledger is CUMULATIVE — day N's
+        # captures output covers days 1..N and the next run needs only
+        # ONE --cdx-exclude-captures (without the union, day 3 pointed
+        # at day 2's disjoint ledger would re-fetch and re-ship day
+        # 1's captures). Point the next run's flag at this run's
+        # <output>/captures. WRITTEN at the very end of the run (after
+        # the corpus/shards output lands): a failed run must not leave
+        # a ledger that excludes captures it never shipped.
         cdx_ledger = select_cdx(spark, args.input, **sel_kw).select(
             cdx_capture_id_expr().alias("capture_id"), "url", "ts"
         )
+        if exclude is not None:
+            from pyspark.sql import functions as F
+
+            prev = exclude.select(
+                "capture_id",
+                *[
+                    (F.col(c) if c in exclude.columns
+                     else F.lit(None).cast(t)).alias(c)
+                    for c, t in (("url", "string"), ("ts", "timestamp"))
+                ],
+            )
+            cdx_ledger = cdx_ledger.unionByName(prev).dropDuplicates(
+                ["capture_id"]
+            )
         docs = reextract_documents(
             spark, args.input, warc_root=args.warc_root,
             text_col=args.text_col,

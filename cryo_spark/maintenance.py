@@ -17,26 +17,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _file_sizes(spark: SparkSession, df: DataFrame) -> list[int]:
-    """Byte sizes of the parquet files behind ``df`` — via the same
-    pyarrow filesystem resolution the ingestion paths use, so local,
-    file:// and object-store URIs all work."""
-    import pyarrow.fs as pafs
+    """Byte sizes of the parquet files behind ``df`` — via the SHARED
+    pyarrow filesystem resolution (cryo_spark.fsutil) the ingestion
+    paths use, so local, file:// and object-store URIs all work."""
+    from cryo_spark.fsutil import resolve_fs
 
     sizes = []
     for p in df.inputFiles():
-        if p.startswith("file:"):
-            local = p.split(":", 1)[1]
-            while local.startswith("//"):
-                local = local[1:]
-            fs, p = pafs.LocalFileSystem(), local
-        elif "://" in p:
-            scheme, rest = p.split("://", 1)
-            if scheme in ("s3a", "s3n"):
-                p = f"s3://{rest}"
-            fs, p = pafs.FileSystem.from_uri(p)
-        else:
-            fs = pafs.LocalFileSystem()
-        sizes.append(fs.get_file_info(p).size)
+        fs, local = resolve_fs(p)
+        sizes.append(fs.get_file_info(local).size)
     return sizes
 
 

@@ -511,6 +511,7 @@ def prepare_corpus_delta(
     k: int = 16,
     update_index: bool = False,
     text_col: str = "text",
+    retry_probe: bool = True,
     **kwargs,
 ) -> tuple[DataFrame, DataFrame]:
     """Daily-delta ingest as ONE call (round 11; previously the
@@ -540,7 +541,13 @@ def prepare_corpus_delta(
     appends cleanly) and is RETRY-IDEMPOTENT: rows whose doc_id is
     already in the index (a failed-then-retried run that got past its
     append) are skipped, so a retry can never bloat the index with
-    duplicate band rows. Index SCOPE: the append
+    duplicate band rows. COST of that guarantee: one extra
+    column-pruned (doc_id-only) scan of the index per update day — the
+    index has no doc_id pruning structure, so the probe cannot be
+    cheaper without a transactional marker plain parquet tables lack.
+    Orchestrators that guarantee at-most-once runs (or rebuild the
+    index on failure) can pass ``retry_probe=False`` to skip the scan
+    entirely. Index SCOPE: the append
     records the whole INGESTED batch (pre-pipeline), not just the
     pipeline's survivors — the same seen-docs semantics the streaming
     near-dup sink and the manual daily workflow use, so content
@@ -584,19 +591,19 @@ def prepare_corpus_delta(
         # corpus-sized shuffles) and skip rows already present. Eager
         # checkpoint: the probe must run BEFORE the append so the
         # rows plan can never read the table mid-write.
-        already = (
-            spark.table(index_table)
-            .join(
-                F.broadcast(new_idx.select("doc_id").distinct()),
-                "doc_id",
-                "left_semi",
+        if retry_probe:
+            already = (
+                spark.table(index_table)
+                .join(
+                    F.broadcast(new_idx.select("doc_id").distinct()),
+                    "doc_id",
+                    "left_semi",
+                )
+                .select("doc_id")
+                .distinct()
             )
-            .select("doc_id")
-            .distinct()
-        )
-        rows = rows.join(
-            F.broadcast(already), "doc_id", "left_anti"
-        ).localCheckpoint(eager=True)
+            rows = rows.join(F.broadcast(already), "doc_id", "left_anti")
+        rows = rows.localCheckpoint(eager=True)
         # append adopts the table's saved bucket count (write_bucketed
         # reads the catalog spec), so an index saved with a
         # non-default n_buckets appends cleanly

@@ -674,14 +674,17 @@ def video_near_dups(
     )
 
 
-@functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=2)
 def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """(mono float64 samples, sample rate) from WAV bytes — stdlib
     ``wave`` + numpy, no external decode stack (the container has no
     librosa/ffmpeg, but PCM WAV needs neither). 16-bit and 8-bit PCM;
-    multi-channel averages to mono. The tiny executor-local LRU keeps
-    the per-window sampler from re-decoding the same item once per
-    window (windows of one item arrive consecutively in a batch)."""
+    multi-channel averages to mono. The executor-local LRU keeps the
+    per-window sampler from re-decoding the same item once per window;
+    windows of one item arrive consecutively in a batch, so two slots
+    give the full hit rate — the cache is bounded by COUNT, and each
+    slot pins the payload plus a ~4x decoded array, so a large
+    maxsize would quietly pin GBs per Python worker on big media."""
     import io
     import wave
 
@@ -743,7 +746,10 @@ def spectral_band_hash(window: bytes | None, n_bands: int = 65) -> int | None:
     bands = np.array_split(spec[1:], n_bands)
     e = [float(b.sum()) for b in bands]
     sig = 0
-    for i in range(64):
+    # n_bands energies give n_bands-1 adjacent comparisons; the
+    # signature holds at most 64 bits (fewer bands -> fewer bits set,
+    # extra bands beyond 65 are simply not compared)
+    for i in range(min(n_bands - 1, 64)):
         if e[i] < e[i + 1]:
             sig |= 1 << i
     return sig - (1 << 64) if sig >= (1 << 63) else sig

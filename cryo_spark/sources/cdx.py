@@ -195,24 +195,14 @@ def fetch_cdx_records(
     ).select("filename", "offset", "length")
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.fs as pafs
-
-        # same filesystem resolution policy as read_warc.open_chunks:
+        # one shared filesystem resolution policy (cryo_spark.fsutil):
         # file:-form normalization, s3a/s3n → pyarrow s3, remote
         # resolution failures PROPAGATE (no silent local fallback)
         def open_file(p: str):
-            if p.startswith("file:"):
-                local = p.split(":", 1)[1]
-                while local.startswith("//"):
-                    local = local[1:]
-                return pafs.LocalFileSystem().open_input_file(local)
-            if "://" in p:
-                scheme, rest = p.split("://", 1)
-                if scheme in ("s3a", "s3n"):
-                    p = f"s3://{rest}"
-                fs, p = pafs.FileSystem.from_uri(p)
-                return fs.open_input_file(p)
-            return pafs.LocalFileSystem().open_input_file(p)
+            from cryo_spark.fsutil import resolve_fs
+
+            fs, local = resolve_fs(p)
+            return fs.open_input_file(local)
 
         cols = [
             "path", "record_idx", "warc_type", "target_uri",

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cryo_spark.fsutil import resolve_fs
+
 
 class MemberTooLargeError(ValueError):
     """A WARC member or record exceeds the configured size cap
@@ -567,25 +569,9 @@ def warc_records_from_listing(
     execution modes (see ``streaming.stream_warc_documents``)."""
 
     def open_chunks(p: str, chunk: int = 4 << 20) -> Iterator[bytes]:
-        import pyarrow.fs as pafs
-
-        if p.startswith("file:"):
-            fs, local = pafs.LocalFileSystem(), p.split(":", 1)[1]
-            while local.startswith("//"):  # file:///x and file:/x forms
-                local = local[1:]
-            p = local
-        elif "://" in p:
-            # remote scheme: resolution failures must PROPAGATE — a
-            # LocalFileSystem fallback on s3a://... would fail later
-            # with a misleading FileNotFoundError that hides the real
-            # cause (unsupported scheme / missing pyarrow FS driver).
-            # Hadoop's s3a/s3n spellings map to pyarrow's s3 driver.
-            scheme, rest = p.split("://", 1)
-            if scheme in ("s3a", "s3n"):
-                p = f"s3://{rest}"
-            fs, p = pafs.FileSystem.from_uri(p)
-        else:
-            fs = pafs.LocalFileSystem()
+        # one shared resolution policy (file: normalization, s3a/s3n
+        # mapping, remote failures PROPAGATE) — cryo_spark.fsutil
+        fs, p = resolve_fs(p)
         # compression=None: pyarrow's default 'detect' would silently
         # gunzip .gz paths itself — the multi-member decode (and the
         # raw-bytes magic sniff) must see the WIRE bytes

@@ -578,21 +578,39 @@ def test_corpus_cli_cdx_exclude_captures(spark, tmp_path):
     assert rc == 0
     funnel = json.load(open(day2 / "funnel.json"))
     assert funnel[0]["docs_in"] == 8  # 12 - day-1's 4
+    # the ledger is CUMULATIVE (this run's selection UNION the
+    # incoming exclusion), so chaining needs only ONE flag — day 3
+    # pointed at day 2's ledger must not re-fetch day 1's captures
     l2 = spark.read.parquet(str(day2 / "captures"))
-    assert l2.count() == 8
-    assert {r.capture_id for r in l1.collect()}.isdisjoint(
-        {r.capture_id for r in l2.collect()}
-    )
-    # day-2's shipped docs carry header-derived capture ids that all
-    # appear in day-2's index-derived ledger (the two derivations of
-    # the key agree end to end)
+    assert l2.count() == 12
+    assert {r.capture_id for r in l1.collect()} <= {
+        r.capture_id for r in l2.collect()
+    }
     d2 = spark.read.parquet(str(day2 / "corpus"))
     assert d2.count() == 8
+    day3 = tmp_path / "day3"
+    rc = main([
+        "corpus", "--format", "cdx", "--input", str(tmp_path / "c.cdx"),
+        "--warc-root", str(tmp_path) + "/",
+        "--cdx-exclude-captures", str(day2 / "captures"),
+        "--output", str(day3), "--min-quality", "0",
+    ])
+    assert rc == 0
+    assert json.load(open(day3 / "funnel.json"))[0]["docs_in"] == 0
     # flag rejected off-format
     rc = main([
         "corpus", "--input", str(tmp_path / "c.cdx"),
         "--output", str(tmp_path / "x"),
         "--cdx-exclude-captures", str(day1 / "captures"),
+    ])
+    assert rc == 2
+    # and an exclusion path INSIDE the output dir is refused (the
+    # ledger write would overwrite what the exclusion reads)
+    rc = main([
+        "corpus", "--format", "cdx", "--input", str(tmp_path / "c.cdx"),
+        "--warc-root", str(tmp_path) + "/",
+        "--cdx-exclude-captures", str(day2 / "captures"),
+        "--output", str(day2), "--min-quality", "0",
     ])
     assert rc == 2
 
