@@ -320,11 +320,13 @@ def run(args: argparse.Namespace) -> int:
         )
         q.awaitTermination()
         # an empty drain (no members arrived yet) never creates dest —
-        # a legitimate no-op for cron-style usage, not an error
-        try:
-            n_docs = spark.read.parquet(dest).count()
-        except Exception:
-            n_docs = 0
+        # a legitimate no-op for cron-style usage, not an error. Only
+        # that path-not-found case maps to 0; a corrupt/unreadable
+        # landing zone must PROPAGATE, not report success (ADVICE r12)
+        has_files = os.path.isdir(dest) and any(
+            f.endswith(".parquet") for f in os.listdir(dest)
+        )
+        n_docs = spark.read.parquet(dest).count() if has_files else 0
         print(json.dumps({"documents": dest, "n_docs": n_docs}))
         return 0
     cdx_ledger = None

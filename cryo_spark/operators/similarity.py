@@ -35,6 +35,17 @@ def _dot_with_literal(vec_col: Column, query: list[float]) -> Column:
     )
 
 
+def _seq_norm(query: list[float]) -> float:
+    """Euclidean norm via a plain sequential left-to-right Python
+    fold — NOT ``np.dot``, whose pairwise/SIMD summation order can
+    differ by 1 ULP from the engines' sequential ``list_sum`` /
+    ``aggregate`` folds; at a round-8 half-way boundary that 1 ULP
+    would flip the contract value-hash (ADVICE r12)."""
+    import math
+
+    return float(math.sqrt(sum(float(x) * float(x) for x in query)))
+
+
 def _norm(vec_col: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -55,7 +66,7 @@ def cosine_topk(
     """Exact top-k by cosine similarity to ``query``. Deterministic
     tie-break on id."""
     emb = spread(emb)
-    qnorm = float(np.sqrt(np.dot(query, query)))
+    qnorm = _seq_norm(query)
     cos = _dot_with_literal(F.col(vec_col), query) / (_norm(F.col(vec_col)) * F.lit(qnorm))
     return (
         emb.select(F.col(id_col), F.round(cos, 8).alias("cosine"))
@@ -111,7 +122,7 @@ def bucketed_ann(
         dot = _dot_with_literal(F.col(vec_col), [float(x) for x in planes[p]])
         bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
-    qnorm = float(np.sqrt(np.dot(query, query)))
+    qnorm = _seq_norm(query)
     cos = _dot_with_literal(F.col(vec_col), query) / (_norm(F.col(vec_col)) * F.lit(qnorm))
     return (
         emb.withColumn("_bucket", sig)
@@ -192,7 +203,7 @@ def lsh_topk(
         if sum(int(v) * q for v, q in zip(row, qq)) >= 0:
             qsig |= 1 << p
     emb = spread(emb)
-    qnorm = float(np.sqrt(np.dot(query, query)))
+    qnorm = _seq_norm(query)
     cos = _dot_with_literal(F.col(vec_col), query) / (
         _norm(F.col(vec_col)) * F.lit(qnorm)
     )
@@ -422,12 +433,16 @@ def _hard_negatives_gemm(
     )
     has_group = group_col is not None
     kk = k
+    # derive the output id type from the INPUT schema — hardcoding
+    # 'long' made method='gemm' error at runtime for the string/int id
+    # columns the fold path supports (ADVICE r12)
+    id_type = emb.schema[id_col].dataType.simpleString()
 
     def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
             return pd.DataFrame(
-                {id_col: pd.Series(dtype="int64"),
-                 "neg_id": pd.Series(dtype="int64"),
+                {id_col: pdf[id_col].iloc[:0],
+                 "neg_id": pdf[id_col].iloc[:0],
                  "cosine": pd.Series(dtype="float64")}
             )
         m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -456,7 +471,7 @@ def _hard_negatives_gemm(
         return pd.DataFrame({id_col: out_a, "neg_id": out_b, "cosine": out_c})
 
     return sigs.groupBy("_hn_b").applyInPandas(
-        compute, f"{id_col} long, neg_id long, cosine double"
+        compute, f"{id_col} {id_type}, neg_id {id_type}, cosine double"
     )
 
 
@@ -664,7 +679,7 @@ def ivf_topk(
     q /= np.linalg.norm(q)
     cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     probes = [int(i) for i in np.argsort(-(cent @ q))[:n_probe]]
-    qnorm = float(np.sqrt(np.dot(query, query)))
+    qnorm = _seq_norm(query)
     cos = _dot_with_literal(F.col(vec_col), query) / (_norm(F.col(vec_col)) * F.lit(qnorm))
     return (
         assigned.filter(F.col("list_id").isin(probes))

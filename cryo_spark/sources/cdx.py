@@ -160,7 +160,15 @@ def fetch_cdx_records(
     ``dropped`` (optional): a Spark accumulator
     (``spark.sparkContext.accumulator(0)``) incremented once per
     corrupt-index record dropped by the framing catch below — read it
-    after an action to audit silent loss. Size-cap violations
+    after an action to audit silent loss. CAVEAT (accumulator
+    semantics): the increment runs inside ``mapInPandas``, so it
+    counts per EVALUATION — task retries, speculative execution, or a
+    second action on the uncached returned frame re-run the fetch and
+    inflate it. Only trust the value after exactly one action on a
+    cached/checkpointed frame; for an evaluation-independent audit,
+    compute ``selected index rows − fetched.select("path",
+    "record_idx").distinct().count()`` instead (``record_idx`` holds
+    the byte offset on this path). Size-cap violations
     (:class:`MemberTooLargeError`) are never dropped; they raise.
 
     ``warc_root`` prefixes the index's relative ``filename`` values

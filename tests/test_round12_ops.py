@@ -1034,7 +1034,14 @@ def test_hard_negatives_gemm_equals_fold(spark):
             emb, k=3, group_col="label", method="gemm"
         ).collect()
     )
-    assert fold == gemm and len(fold) > 900
+    # the CONTRACT pair is fold==DuckDB (exact); fold vs gemm may
+    # differ by one rounding step when BLAS GEMM summation order lands
+    # a half-way round-8 boundary on the other side (ADVICE r12), so
+    # tolerate a 1e-8 delta on cosine while requiring identical pairs
+    assert len(fold) > 900 and len(fold) == len(gemm)
+    for (fa, fb, fc), (ga, gb, gc) in zip(fold, gemm):
+        assert (fa, fb) == (ga, gb)
+        assert abs(fc - gc) <= 1e-8 + 1e-12, ((fa, fb), fc, gc)
     # NULL-group rows exclude nothing on either path
     rows = [
         (0, [0.5] * 64, None),
@@ -1052,6 +1059,24 @@ def test_hard_negatives_gemm_equals_fold(spark):
             ).collect()
         }
         assert got == {(0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1)}, m
+
+
+def test_hard_negatives_gemm_nonlong_ids(spark):
+    """method='gemm' derives the output id type from the input schema
+    (ADVICE r12: the hardcoded 'long' schema errored on string ids)."""
+    from cryo_spark.operators import similarity
+
+    rows = [(f"doc-{i}", [float(i % 3) + 0.5] * 8) for i in range(12)]
+    emb = spark.createDataFrame(
+        rows, "doc_id string, embedding array<float>"
+    )
+    for m in ("fold", "gemm"):
+        out = similarity.hard_negatives(
+            emb, k=2, id_col="doc_id", n_planes=2, method=m
+        )
+        assert out.schema["doc_id"].dataType.simpleString() == "string"
+        assert out.schema["neg_id"].dataType.simpleString() == "string"
+        assert out.count() > 0
 
 
 # ------------------ page-change detection (freshness re-crawls)
