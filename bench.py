@@ -311,6 +311,28 @@ def plan_fingerprint(df) -> tuple[str, str]:
     # pushing a bytes literal (e.g. logs_decoded's topic0 signature)
     # would change the hash on every construction with zero plan change
     s = re.sub(r"\[B@[0-9a-f]+", "[B@", s)
+    # InMemoryRelation bodies are RUNTIME state, not plan shape: a
+    # cached subtree captured after its cache materialized renders the
+    # inner AQE plan finalized (isFinalPlan=true, ResultQueryStage N,
+    # expanded == Final Plan == sections — all dependent on what the
+    # session executed before the capture), while the same query
+    # captured pre-materialization renders isFinalPlan=false (caught
+    # round 13: corpus_funnel's pin flipped with construction order
+    # because its connected-components stage executes — and fills
+    # boundary caches — during plan CONSTRUCTION). Keep the
+    # InMemoryRelation line itself (the cache point IS plan shape) and
+    # elide every more-deeply-nested line under it.
+    out, elide_at = [], None
+    for line in s.splitlines():
+        indent = re.match(r"^[ :+\-]*", line).end()
+        if elide_at is not None:
+            if indent > elide_at and line[:elide_at].strip(" :") == "":
+                continue
+            elide_at = None
+        out.append(line)
+        if "InMemoryRelation" in line:
+            elide_at = indent
+    s = "\n".join(out)
     return hashlib.md5(s.encode()).hexdigest()[:12], s
 
 

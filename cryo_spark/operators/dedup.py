@@ -764,14 +764,26 @@ def connected_components(
     the distributed loop remains the path for genuinely large graphs
     and stays covered by tests via ``driver_threshold=0``.
     """
-    edges = (
+    edges_plan = (
         pairs.select(F.col(left).alias("u"), F.col(right).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
-    if driver_threshold and edges.count() <= driver_threshold:
-        return _driver_components(edges)
+    if driver_threshold:
+        # ONE bounded job decides the path AND fetches the edges: the
+        # limit caps what crosses to the driver at threshold+1 rows,
+        # so this is safe on a billion-edge graph (the old
+        # checkpoint+count+collect probe paid three jobs and an RDD
+        # materialization before the first component was found)
+        probe = edges_plan.limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            return _driver_components(
+                probe,
+                edges_plan.schema["u"].dataType,
+                pairs.sparkSession,
+            )
+    # big-graph path: materialize the full edge list once for the loop
+    edges = edges_plan.localCheckpoint()
     all_nodes = (
         edges.select(F.col("u").alias("id"))
         .union(edges.select(F.col("v").alias("id")))
@@ -887,8 +899,8 @@ def near_dup_dedup(
     )
 
 
-def _driver_components(edges: DataFrame) -> DataFrame:
-    """Union-find over a driver-collected edge list (bounded by
+def _driver_components(edge_rows, utype, spark) -> DataFrame:
+    """Union-find over an already-collected edge list (bounded by
     ``driver_threshold``). Union-by-min keeps every root the minimum
     id of its component — the same labeling the distributed rounds
     converge to."""
@@ -902,17 +914,16 @@ def _driver_components(edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in edges.collect():
+    for row in edge_rows:
         ra, rb = find(row.u), find(row.v)
         if ra != rb:
             hi, lo = (ra, rb) if ra > rb else (rb, ra)
             parent[hi] = lo
-    utype = edges.schema["u"].dataType
     out_schema = T.StructType([
         T.StructField("id", utype), T.StructField("component", utype),
     ])
     rows = [(x, find(x)) for x in parent]
-    return edges.sparkSession.createDataFrame(rows, out_schema)
+    return spark.createDataFrame(rows, out_schema)
 
 
 def dedup_by_components(

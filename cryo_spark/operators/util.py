@@ -2,7 +2,19 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+# logical nodes whose OUTPUT partitioning is shuffle-driven (or, for
+# LogicalRDD, already fixed by an upstream materialization): anchored
+# to the start of a treeString line (after the tree-art prefix) so a
+# column named e.g. `join` can never match.
+_WIDE_ANCESTOR = re.compile(
+    r"(?m)^[\s:+*\-]*(Join|Aggregate|Window|Sort|Repartition"
+    r"|RepartitionByExpression|Rebalance|Deduplicate|LogicalRDD"
+    r"|FlatMapGroupsInPandas|Intersect|Except)\b"
+)
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -11,8 +23,34 @@ def spread(df: DataFrame) -> DataFrame:
     A small parquet input lands in fewer splits than cores (locally:
     one file / one row group -> one task evaluating every expression
     single-threaded). At real scale inputs have >= parallelism splits
-    and this is a no-op; the check costs nothing (plan-only)."""
+    and this is a no-op.
+
+    Cost discipline (round 13): the old exact probe
+    (``df.rdd.getNumPartitions()``) was anything but plan-only — under
+    AQE, converting a frame with joins/aggregates to an RDD EXECUTES
+    the upstream shuffle stages at plan-construction time (measured
+    1.5 s + a hidden job on a 2-join frame) and then reports the
+    AQE-coalesced count (1 locally), so spread() both ran hidden eager
+    work and inserted a pointless extra full-corpus exchange above
+    every join. Instead, probe the ANALYZED LOGICAL plan (no physical
+    planning, no execution — measured ~3-60 ms): any wide ancestor
+    (join/agg/window/sort/repartition) means the output partitioning
+    is already `spark.sql.shuffle.partitions`-driven, and a LogicalRDD
+    leaf (a localCheckpoint cut or createDataFrame) carries the
+    partitioning of what it materialized — both already parallel, so
+    spread is a no-op. Only a NARROW chain over file scans — the case
+    spread exists for — pays the exact `.rdd` probe, which is cheap
+    there (no shuffle stages to execute, ~50 ms of planning).
+
+    The probe is a heuristic in one direction only: a broadcast join
+    over a single-split scan skips the repartition it used to get.
+    That is parallelism (local-test perf), never correctness — every
+    operator here is partition-agnostic — and at scale the big side
+    of a broadcast join has >= parallelism splits anyway."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().analyzed().treeString()
+    if _WIDE_ANCESTOR.search(plan):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
