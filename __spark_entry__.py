@@ -585,7 +585,9 @@ def q_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH signature, so the rows are hash-exact vs the DuckDB twin
     # dim=64 matches the twin's hardcoded width and skips the
     # infer-dimension first() job at entry construction
-    hn = similarity.hard_negatives(emb, k=2, group_col="label", dim=64).select(
+    hn = similarity.hard_negatives(
+        emb, k=2, group_col="label", n_planes=6, dim=64
+    ).select(
         F.lit("hard_neg").alias("kind"),
         F.col("vec_id").alias("id_a"),
         F.col("neg_id").alias("id_b"),
@@ -915,7 +917,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       detects broken encode/ADC plumbing."""
     emb = _read(spark, sf_dir, "embeddings")
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    lsh = similarity.lsh_topk(emb, query, k=10).withColumn(
+    lsh = similarity.lsh_topk(emb, query, k=10, n_planes=6).withColumn(
         "method", F.lit("lsh")
     )
     # round 6: the coarse quantizer is shared — centroids train once

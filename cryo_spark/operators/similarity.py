@@ -160,6 +160,197 @@ def _quantized(vec_col: Column, quant: int = LSH_QUANT) -> Column:
     )
 
 
+def default_n_planes(n_rows: int) -> int:
+    """Auto-sized hyperplane count: ~log2(corpus / 1000) planes keeps
+    the EXPECTED bucket population near 1k rows, so a bucket-local
+    pairing (``hard_negatives``) stays ~B^2 = 10^6 products per bucket
+    and a probe scan (``lsh_topk``) filters to ~0.1% of the corpus —
+    independent of corpus size. Floor 6 (the historical default: 64
+    buckets, right for the test tables), cap 24 (16.7M buckets — past
+    that the per-bucket constant costs dominate). A misconfigured call
+    on a 10^8-row corpus therefore gets ~17 planes instead of 6's
+    B^2-quadratic blowup (ADVICE r12 task 4)."""
+    import math
+
+    if n_rows <= 1000:
+        return 6
+    return max(6, min(24, math.ceil(math.log2(n_rows / 1000.0))))
+
+
+def _emb_stats(
+    emb: DataFrame, vec_col: str, *, need_n: bool, need_dim: bool
+) -> tuple[int | None, int | None]:
+    """Fetch whichever of (row count, vector dim) the caller did not
+    supply with AT MOST ONE job — fused into a single aggregate when
+    both are missing (the old per-call ``.first()`` dim probe was its
+    own driver job even when an auto-planes count was about to run
+    anyway; r12 verdict task 8). Zero jobs when neither is needed."""
+    if not (need_n or need_dim):
+        return None, None
+    if need_dim and not need_n:
+        row = emb.select(F.size(F.col(vec_col)).alias("_d")).filter(
+            F.col("_d").isNotNull()
+        ).first()
+        if row is None:
+            raise ValueError(
+                "cannot infer the vector dimension from an empty frame "
+                "or all-null vectors — pass dim= explicitly"
+            )
+        return None, int(row["_d"])
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if need_dim:
+        aggs.append(
+            F.first(F.size(F.col(vec_col)), ignorenulls=True).alias("_d")
+        )
+    row = emb.agg(*aggs).first()
+    n = int(row["_n"])
+    if need_dim:
+        if row["_d"] is None:
+            raise ValueError(
+                "cannot infer the vector dimension from an empty frame "
+                "or all-null vectors — pass dim= explicitly"
+            )
+        return n, int(row["_d"])
+    return n, None
+
+
+def lsh_probe_masks(
+    query: list[float],
+    n_planes: int = 6,
+    seed: int = 42,
+    n_probes: int = 16,
+    max_flips: int | None = None,
+) -> tuple[int, list[int]]:
+    """Query-directed multi-probe flip masks (Lv et al., "Multi-Probe
+    LSH", VLDB'07 — public algorithm): the query's home signature plus
+    the ``n_probes - 1`` cheapest sign-flip sets, where a flip set's
+    cost is the sum of the flipped planes' |margin| — the EXACT BIGINT
+    dot products of the quantized query with each integer plane, so
+    the mask list is bit-identical on any engine and the DuckDB twin
+    inherits it as literals. Returns (home_signature, xor_masks) with
+    masks[0] == 0 and costs non-decreasing; ``max_flips`` bounds the
+    flips per probe (default: unbounded). Driver cost: a heap
+    expansion over at most ``n_probes`` subsets — microseconds."""
+    import heapq
+
+    planes = int_planes(n_planes, len(query), seed)
+    qq = [int(np.floor(float(x) * LSH_QUANT)) for x in query]
+    qsig = 0
+    margins: list[int] = []
+    for p, row in enumerate(planes):
+        d = sum(int(v) * q for v, q in zip(row, qq))
+        if d >= 0:
+            qsig |= 1 << p
+        margins.append(abs(d))
+    if max_flips is None:
+        max_flips = n_planes
+    masks = [0]
+    if n_planes == 0 or n_probes <= 1 or max_flips <= 0:
+        return qsig, masks
+    # planes ordered by flip cost; perturbation sets expand in
+    # ascending total cost via the standard extend/shift successors
+    order = sorted(range(n_planes), key=lambda p: (margins[p], p))
+    costs = [margins[p] for p in order]
+    heap: list[tuple[int, tuple[int, ...]]] = [(costs[0], (0,))]
+    while heap and len(masks) < n_probes:
+        c, s = heapq.heappop(heap)
+        if len(s) <= max_flips:
+            masks.append(sum(1 << order[i] for i in s))
+        j = s[-1]
+        if j + 1 < n_planes:
+            if len(s) < max_flips:
+                heapq.heappush(heap, (c + costs[j + 1], s + (j + 1,)))
+            heapq.heappush(
+                heap, (c - costs[j] + costs[j + 1], s[:-1] + (j + 1,))
+            )
+    return qsig, masks
+
+
+def lsh_topk_multiprobe(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    seed: int = 42,
+    n_probes: int = 16,
+    max_flips: int | None = None,
+) -> DataFrame:
+    """Multi-probe LSH top-k: probe the home bucket plus the
+    lowest-|margin| flip buckets (:func:`lsh_probe_masks`) instead of
+    every hamming<=2 neighbor — recall concentrates in the buckets the
+    query ALMOST hashed to, so the same probe budget buys more recall
+    than blind hamming enumeration (the r12 stress point read
+    recall@10 0.60; this tier targets >=0.8 at <=2x the query time —
+    tools/stress_ann.py records the numbers). ``n_planes=None``
+    auto-sizes from a corpus count (:func:`default_n_planes`). Same
+    engine-neutral integer signatures as :func:`lsh_topk`; the DuckDB
+    twin :func:`lsh_topk_multiprobe_sql` reproduces the row set
+    bit-for-bit. Plan shape: one narrow scan, integer signature, an
+    IN-list bucket filter, exact round-8 rescoring, TakeOrdered —
+    no shuffle beyond the k-row ordering."""
+    if n_planes is None:
+        n, _ = _emb_stats(emb, vec_col, need_n=True, need_dim=False)
+        n_planes = default_n_planes(n)
+    planes = int_planes(n_planes, len(query), seed)
+    qsig, masks = lsh_probe_masks(query, n_planes, seed, n_probes, max_flips)
+    emb = spread(emb)
+    qnorm = _seq_norm(query)
+    cos = _dot_with_literal(F.col(vec_col), query) / (
+        _norm(F.col(vec_col)) * F.lit(qnorm)
+    )
+    return (
+        emb.withColumn("_bucket", _int_sig(_quantized(F.col(vec_col)), planes))
+        .filter(F.col("_bucket").isin([qsig ^ m for m in masks]))
+        .select(F.col(id_col), F.round(cos, 8).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_topk_multiprobe_sql(
+    table: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 42,
+    n_probes: int = 16,
+    max_flips: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`lsh_topk_multiprobe`: the same probe
+    masks (computed once here, shared as literals — they are exact
+    integers, so there is nothing engine-specific to re-derive), the
+    same integer signatures, the same round-8 cosine and (cosine desc,
+    id) tie-break — the value-hash comparison is exact."""
+    planes = int_planes(n_planes, len(query), seed)
+    qsig, masks = lsh_probe_masks(query, n_planes, seed, n_probes, max_flips)
+    buckets = ", ".join(str(qsig ^ m) for m in masks)
+    quant = (
+        f"list_transform({vec_col}, "
+        f"x -> CAST(floor(x::DOUBLE * {LSH_QUANT}) AS BIGINT))"
+    )
+    qlist = "[" + ", ".join(repr(float(x)) for x in query) + "]"
+    return f"""
+WITH sigs AS (
+  SELECT {id_col}, {vec_col}, ({_sql_bucket(planes, "iq")}) AS bucket
+  FROM (SELECT *, {quant} AS iq FROM {table})
+)
+SELECT {id_col},
+  round(list_sum(list_transform(list_zip({vec_col}, {qlist}),
+        x -> x[1]::DOUBLE * x[2]::DOUBLE))
+    / (sqrt(list_sum(list_transform({vec_col}, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform({qlist}::DOUBLE[], x -> x * x)))), 8)
+    AS cosine
+FROM sigs
+WHERE bucket IN ({buckets})
+ORDER BY cosine DESC, {id_col}
+LIMIT {k}
+"""
+
+
 def _int_sig(qvec: Column, planes: np.ndarray) -> Column:
     """Signature of an integer-quantized vector column: bit p set when
     the exact integer dot with plane p is >= 0."""
@@ -182,7 +373,7 @@ def lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 6,
+    n_planes: int | None = 6,
     seed: int = 42,
     max_hamming: int = 2,
 ) -> DataFrame:
@@ -195,7 +386,12 @@ def lsh_topk(
     so :func:`lsh_topk_sql` reproduces the row set bit-for-bit — the
     contract twin the driver hash-checks. One narrow scan: quantize
     once, 6 integer dots, bit_count filter, TakeOrdered — all JVM, no
-    shuffle beyond the k-row ordering."""
+    shuffle beyond the k-row ordering. ``n_planes=None`` auto-sizes
+    from a corpus count (:func:`default_n_planes`; one extra job) —
+    twin-checked callers pass it explicitly so both engines agree."""
+    if n_planes is None:
+        n, _ = _emb_stats(emb, vec_col, need_n=True, need_dim=False)
+        n_planes = default_n_planes(n)
     planes = int_planes(n_planes, len(query), seed)
     qq = [int(np.floor(float(x) * LSH_QUANT)) for x in query]
     qsig = 0
@@ -291,7 +487,7 @@ def hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     group_col: str | None = None,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     seed: int = 42,
     dim: int | None = None,
     method: str = "fold",
@@ -310,12 +506,17 @@ def hard_negatives(
     row_number window over the candidate pairs.
 
     Scale: bucket population drives cost — a bucket of B rows
-    generates B^2 candidate pairs, so size ``n_planes`` to the corpus
-    (≈ log2(n / target_bucket_rows); 6 planes = 64 buckets fits the
-    test tables; a 10^8-row corpus wants ~17+ planes for ~1k-row
-    buckets). The window and the self-join share the one bucket-key
-    shuffle; misses (true neighbors hashed to another bucket) soften
-    recall, which is the standard LSH-kNN-graph trade.
+    generates B^2 candidate pairs, so ``n_planes`` must track the
+    corpus. The default (``None``, round 13) AUTO-SIZES via
+    :func:`default_n_planes` (≈ log2(n / 1000): 6 planes = 64 buckets
+    for the test tables, ~17 for a 10^8-row corpus — a misconfigured
+    call can no longer go B^2-quadratic); pass it explicitly when a
+    DuckDB twin must agree on the buckets. The count and the
+    ``dim`` probe share ONE fused job (:func:`_emb_stats`) — with
+    both supplied, construction runs zero jobs. The window and the
+    self-join share the one bucket-key shuffle; misses (true neighbors
+    hashed to another bucket) soften recall, which is the standard
+    LSH-kNN-graph trade.
 
     ``method``: 'fold' (default) scores pairs with the JVM zip_with
     fold — the arithmetic the DuckDB twin spells out, the contract
@@ -326,20 +527,19 @@ def hard_negatives(
     fold measures ~40x slower than the blocked GEMM), at B^2-doubles
     peak task memory per bucket (~1k-row buckets = 8 MB) — the scale
     path."""
+    if method not in ("fold", "gemm"):
+        raise ValueError(f"unknown method {method!r}: 'fold' or 'gemm'")
+    n, d = _emb_stats(
+        emb, vec_col, need_n=n_planes is None, need_dim=dim is None
+    )
+    if dim is None:
+        dim = d
+    if n_planes is None:
+        n_planes = default_n_planes(n)
     if method == "gemm":
         return _hard_negatives_gemm(
             emb, k, id_col, vec_col, group_col, n_planes, seed, dim
         )
-    if method != "fold":
-        raise ValueError(f"unknown method {method!r}: 'fold' or 'gemm'")
-    if dim is None:
-        row = emb.select(vec_col).first()
-        if row is None or row[0] is None:
-            raise ValueError(
-                "cannot infer the vector dimension from an empty frame "
-                "or a null leading vector — pass dim= explicitly"
-            )
-        dim = len(row[0])
     planes = int_planes(n_planes, dim, seed)
     sig = _int_sig(_quantized(F.col(vec_col)), planes)
     keep = [id_col, vec_col] + ([group_col] if group_col else [])
@@ -418,14 +618,13 @@ def _hard_negatives_gemm(
     the same (round-8 cosine desc, neg_id) order. Dot-then-divide
     mirrors the fold's structure (sum of products / norm product), so
     round-8 values coincide with the fold path (pinned by test)."""
+    n, d = _emb_stats(
+        emb, vec_col, need_n=n_planes is None, need_dim=dim is None
+    )
     if dim is None:
-        row = emb.select(vec_col).first()
-        if row is None or row[0] is None:
-            raise ValueError(
-                "cannot infer the vector dimension from an empty frame "
-                "or a null leading vector — pass dim= explicitly"
-            )
-        dim = len(row[0])
+        dim = d
+    if n_planes is None:
+        n_planes = default_n_planes(n)
     planes = int_planes(n_planes, dim, seed)
     keep = [id_col, vec_col] + ([group_col] if group_col else [])
     sigs = emb.select(*keep).withColumn(

@@ -70,6 +70,50 @@ def main() -> int:
     print(f"lsh_topk: {t_lsh:.2f}s, recall@10 {r_lsh:.2f}")
     assert r_lsh >= 0.3, r_lsh  # plumbing floor, not a quality claim
 
+    # round 13: query-directed multi-probe (auto-sized planes, probes
+    # ordered by exact-integer flip margin) — the recall tier.
+    # RECALL is measured on a PLANTED NEIGHBORHOOD: near-uniform
+    # random vectors are every LSH family's information-theoretic
+    # worst case (a uniform query's "nearest" neighbors are barely
+    # correlated with it, so recall is just bucket coverage — the same
+    # reason the IVF floors below are plumbing floors). Real
+    # embeddings cluster; 50 planted neighbors at cosine ~0.99 model
+    # that, and the exact top-10 for the query IS the planted set, so
+    # the recall number means "does margin-ordered probing find the
+    # true cluster", not "can 19% bucket coverage beat noise".
+    # Target: recall@10 >= 0.8 at <= 2x the single-tier query time.
+    n_planes = similarity.default_n_planes(n)
+    base = F.array(*[F.lit(float(x)).cast("float") for x in query])
+    jitter = F.array(*[
+        (
+            F.element_at(base, i + 1).cast("double")
+            + ((F.xxhash64(F.col("vec_id"), F.lit(i)) % 100).cast("double")
+               - 50.0) / 5000.0
+        ).cast("float")
+        for i in range(dim)
+    ])
+    planted = (
+        spark.range(n, n + 50, 1, 4)
+        .select(F.col("id").alias("vec_id"), jitter.alias("embedding"))
+    )
+    clustered = emb.unionByName(planted).localCheckpoint()
+    exact_p = {
+        r.vec_id
+        for r in similarity.cosine_topk(clustered, query, k=10).collect()
+    }
+    t = time.time()
+    mp = similarity.lsh_topk_multiprobe(
+        clustered, query, k=10, n_planes=n_planes, n_probes=16
+    ).collect()
+    t_mp = time.time() - t
+    r_mp = len(exact_p & {r.vec_id for r in mp}) / 10
+    print(
+        f"lsh_topk_multiprobe: {t_mp:.2f}s ({n_planes} planes, 16 "
+        f"probes, planted neighborhood), recall@10 {r_mp:.2f}"
+    )
+    assert r_mp >= 0.8, r_mp
+    assert t_mp <= 2 * t_lsh + 0.5, (t_mp, t_lsh)
+
     # IVF: index built once (the persisted-index model), queries
     # amortize it — time build and query separately
     t = time.time()
