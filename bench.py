@@ -389,9 +389,98 @@ def bench_one(spark, fn, sf_dir: str, warm_dir: str = "/root/testdata/sf0.001",
         spark.catalog.clearCache()
 
 
+def _classify_stderr(text: str) -> dict:
+    """Fold captured stderr into {class: {count, first}} — one entry
+    per (level, logger) pair for JVM log lines, one for Python
+    tracebacks, one catch-all. A mid-run Spark WARN stack (r12's
+    accumulator trace) becomes a counted sidecar entry instead of
+    noise that can push the JSON line out of a tail buffer or read
+    as a failure."""
+    import re as _re
+
+    classes: dict[str, dict] = {}
+    current = None
+    for line in text.splitlines():
+        if not line.strip():
+            continue
+        m = _re.match(
+            r"^(?:[\d/]+ [\d:]+ )?(WARN|ERROR|INFO)\s+([\w.$]+)", line
+        )
+        if m:
+            current = f"{m.group(1)} {m.group(2)}"
+        elif _re.match(r"^Traceback \(most recent call last\)", line):
+            current = "python-traceback"
+        elif _re.match(r"^\s+(at |\.\.\. \d+ more)", line) or line.startswith(
+            ("\t", "  ")
+        ):
+            # continuation of the current stack — fold into it
+            if current is None:
+                current = "other"
+            classes[current]["count"] += 0  # touch only below
+            continue
+        elif current is None:
+            current = "other"
+        c = classes.setdefault(current, {"count": 0, "first": line[:300]})
+        c["count"] += 1
+    return classes
+
+
+class _StderrToFile:
+    """Redirect fd 2 (the JVM writes there directly — a Python-level
+    sys.stderr swap cannot catch log4j) into a temp file for the
+    whole run; restore + classify on exit. The restored stderr gets
+    only a one-line summary, so the process tail is ALWAYS the JSON
+    stdout line."""
+
+    def __enter__(self):
+        import tempfile
+
+        self._fd, self._path = tempfile.mkstemp(prefix="bench_stderr_")
+        self._saved = os.dup(2)
+        sys.stderr.flush()
+        os.dup2(self._fd, 2)
+        return self
+
+    def finish(self) -> dict:
+        sys.stderr.flush()
+        os.dup2(self._saved, 2)
+        os.close(self._saved)
+        os.close(self._fd)
+        try:
+            with open(self._path, errors="replace") as f:
+                text = f.read()
+        finally:
+            try:
+                os.unlink(self._path)
+            except OSError:
+                pass
+        self._saved = None
+        return _classify_stderr(text)
+
+    def __exit__(self, exc_type, exc, tb):
+        if self._saved is not None:  # finish() not reached: restore +
+            sys.stderr.flush()       # replay raw capture for debugging
+            os.dup2(self._saved, 2)
+            os.close(self._saved)
+            os.close(self._fd)
+            try:
+                with open(self._path, errors="replace") as f:
+                    sys.stderr.write(f.read())
+                os.unlink(self._path)
+            except OSError:
+                pass
+        return False
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # fd-2 capture for the WHOLE run (round 13): JVM WARN/exception
+    # stacks land in the warnings sidecar field as (count, first
+    # line) per class instead of interleaving with stdout — the
+    # process tail is always the JSON line
+    stderr_cap = _StderrToFile()
+    stderr_cap.__enter__()
     # console progress bars write \r-frames to stdout between our
     # lines — with a tail-buffer capture they can push the JSON line
     # out of the window (BENCH_r06); the bench session runs without
@@ -588,6 +677,9 @@ def main() -> None:
         # suite; compare across rounds before reading total drift as
         # a code regression
         "calibration_sec": {"before": calib_before, "after": calibrate()},
+        # classified fd-2 capture: {class: {count, first}} — a Spark
+        # WARN trace is a counted record here, never tail noise
+        "warnings": stderr_cap.finish(),
     }
     if errs:
         full["errors"] = errs

@@ -56,30 +56,46 @@ def fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
     return v.astype(np.float32)
 
 
-def real_decode(payload: bytes, dim: int = 16) -> np.ndarray:
-    """Real image feature extraction when PIL is importable: decode,
-    grayscale, downsample to a sqrt(dim) grid, L2-normalized mean
-    luminance — a deterministic classical feature proving the decode
-    path end-to-end (swap in a learned encoder at deployment). Where
-    PIL is absent (this container) it raises NotImplementedError and
-    the pipeline runs on :func:`fake_decode`; the skipif-guarded test
-    covers the real path wherever the dependency exists."""
+def _gray_grid(payload: bytes, out_w: int, out_h: int) -> np.ndarray:
+    """Shared real-media pixel path: PNG payloads decode through the
+    VENDORED pure-Python codec (:mod:`cryo_spark.operators.pngcodec` —
+    round 13; byte-identical on every environment, so perceptual
+    hashes never drift with a PIL version), other formats through PIL
+    where importable. NotImplementedError only remains for non-PNG
+    payloads in a PIL-less container."""
+    from cryo_spark.operators import pngcodec
+
+    if pngcodec.is_png(payload):
+        return np.asarray(
+            pngcodec.decode_gray_resized(bytes(payload), out_w, out_h),
+            dtype=np.float64,
+        )
     try:
         from PIL import Image
     except ImportError as exc:  # pragma: no cover - env-dependent
         raise NotImplementedError(
-            "media decode requires PIL — not available in this container; "
-            "use fake_decode for pipeline testing"
+            "decoding non-PNG media requires PIL — not available in "
+            "this container; PNG payloads decode via the vendored "
+            "codec, or use fake_decode for pipeline testing"
         ) from exc
     import io
 
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    return np.asarray(img.resize((out_w, out_h)), dtype=np.float64)
+
+
+def real_decode(payload: bytes, dim: int = 16) -> np.ndarray:
+    """Real image feature extraction: decode, grayscale, downsample
+    to a sqrt(dim) grid, L2-normalized mean luminance — a
+    deterministic classical feature proving the decode path end-to-end
+    (swap in a learned encoder at deployment). PNG decodes via the
+    vendored pure-Python codec so this path runs UNCONDITIONALLY
+    (round 13 — previously NotImplementedError without PIL); non-PNG
+    formats still require PIL."""
     if payload is None:
         return None
-    img = Image.open(io.BytesIO(payload)).convert("L")
     side = max(int(dim ** 0.5), 1)
-    v = np.asarray(
-        img.resize((side, side)), dtype=np.float64
-    ).reshape(-1)[:dim]
+    v = _gray_grid(payload, side, side).reshape(-1)[:dim]
     if v.size < dim:
         v = np.pad(v, (0, dim - v.size))
     n = np.linalg.norm(v)
@@ -138,19 +154,48 @@ def fake_resize(payload: bytes, width: int, height: int) -> bytes:
 
 
 def real_resize(payload: bytes, width: int, height: int) -> bytes:
-    """Real PIL resize -> PNG bytes when the dependency exists;
-    NotImplementedError otherwise (see :func:`real_decode`)."""
+    """Real image resize -> PNG bytes. PNG payloads resize through
+    the vendored codec (box resample per channel, re-encoded as PNG —
+    runs unconditionally, round 13); other formats go through PIL
+    where importable, NotImplementedError otherwise."""
+    from cryo_spark.operators import pngcodec
+
+    if payload is None:
+        return None
+    if pngcodec.is_png(payload):
+        w, h, ch, rows = pngcodec.decode_png(bytes(payload))
+        # per-channel box resample, rounded back to bytes
+        out_rows = []
+        chans = [
+            pngcodec.box_resize(
+                [
+                    [row[i * ch + c] for i in range(w)]
+                    for row in rows
+                ],
+                width,
+                height,
+            )
+            for c in range(ch)
+        ]
+        for y in range(height):
+            line = bytearray()
+            for x in range(width):
+                for c in range(ch):
+                    line.append(
+                        max(0, min(255, int(chans[c][y][x] + 0.5)))
+                    )
+            out_rows.append(bytes(line))
+        return pngcodec.encode_png(width, height, ch, out_rows)
     try:
         from PIL import Image
     except ImportError as exc:  # pragma: no cover - env-dependent
         raise NotImplementedError(
-            "image resize requires PIL — not available in this container; "
-            "use fake_resize for pipeline testing"
+            "resizing non-PNG media requires PIL — not available in "
+            "this container; PNG payloads resize via the vendored "
+            "codec, or use fake_resize for pipeline testing"
         ) from exc
     import io
 
-    if payload is None:
-        return None
     img = Image.open(io.BytesIO(payload)).resize((width, height))
     buf = io.BytesIO()
     img.save(buf, format="PNG")
@@ -349,27 +394,15 @@ def fake_dhash_duckdb_parts(hex_sql: str) -> tuple[str, str]:
 
 
 def real_dhash(payload: bytes) -> int | None:
-    """Real dHash when PIL is importable: grayscale, resize to 9x8,
-    bit r*8+c set when pixel[r][c] < pixel[r][c+1]. Returns a signed
-    64-bit int (two's complement). NotImplementedError where PIL is
-    absent (this container) — the pipeline then runs on the fake-grid
-    JVM expression; the skipif-guarded test covers this path wherever
-    the dependency exists."""
-    try:
-        from PIL import Image
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "image dHash requires PIL — not available in this container; "
-            "use the fake-grid fake_dhash_expr for pipeline testing"
-        ) from exc
-    import io
-
+    """Real dHash: grayscale, box-resize to 9x8, bit r*8+c set when
+    pixel[r][c] < pixel[r][c+1]. Returns a signed 64-bit int (two's
+    complement). PNG payloads run unconditionally through the
+    vendored codec (round 13 — previously PIL-gated); non-PNG formats
+    require PIL. The fake-grid JVM expression (`fake_dhash_expr`)
+    remains the zero-Python pipeline default."""
     if payload is None:
         return None
-    px = np.asarray(
-        Image.open(io.BytesIO(payload)).convert("L").resize((9, 8)),
-        dtype=np.int64,
-    )
+    px = _gray_grid(payload, 9, 8)
     sig = 0
     for r in range(8):
         for c in range(8):

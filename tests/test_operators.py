@@ -241,32 +241,40 @@ def test_multimodal_resize(spark):
             assert bytes(r["payload"]) == bytes(originals[r["media_id"]]["payload"])
 
 
-def test_multimodal_real_decode_without_pil():
-    """Where PIL is absent the real path must fail loudly with the
-    documented NotImplementedError, never silently fall back."""
+def test_multimodal_non_png_requires_pil():
+    """Where PIL is absent, NON-PNG payloads must fail loudly with
+    the documented NotImplementedError, never silently fall back;
+    corrupt PNG-signature bytes fail the vendored codec's parse."""
     try:
         import PIL  # noqa: F401
-        pytest.skip("PIL present — covered by test_multimodal_real_decode_with_pil")
+        pytest.skip("PIL present — non-PNG decode is covered there")
     except ImportError:
         pass
+    jpegish = b"\xff\xd8\xff\xe0" + b"\x00" * 16
     with pytest.raises(NotImplementedError, match="PIL"):
-        multimodal.real_decode(b"\x89PNG...")
+        multimodal.real_decode(jpegish)
     with pytest.raises(NotImplementedError, match="PIL"):
-        multimodal.real_resize(b"\x89PNG...", 8, 8)
+        multimodal.real_resize(jpegish, 8, 8)
+    with pytest.raises(ValueError):
+        multimodal.real_decode(b"\x89PNG\r\n\x1a\n" + b"junk")
 
 
-def test_multimodal_real_decode_with_pil(spark):
-    """Real-decode path, exercised wherever PIL exists: a PIL-made
-    PNG round-trips through extract_features(decoder=real_decode) and
+def _solid_png(w, h, rgb):
+    from cryo_spark.operators import pngcodec
+
+    row = bytes(rgb) * w
+    return pngcodec.encode_png(w, h, 3, [row] * h)
+
+
+def test_multimodal_real_decode_unconditional(spark):
+    """Real-decode path, runs in EVERY environment via the vendored
+    PNG codec (round 13): a codec-made PNG goes through
+    extract_features(decoder=real_decode) and
     resize_images(resizer=real_resize) with unit-norm features and
-    correctly-sized output."""
-    Image = pytest.importorskip("PIL.Image")
-    import io
+    correctly-sized, re-parseable output."""
+    from cryo_spark.operators import pngcodec
 
-    img = Image.new("RGB", (32, 20), (120, 30, 200))
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    png = buf.getvalue()
+    png = _solid_png(32, 20, (120, 30, 200))
     v = multimodal.real_decode(png)
     assert len(v) == 16 and abs(float((v * v).sum()) - 1.0) < 1e-3
     media = spark.createDataFrame(
@@ -280,7 +288,100 @@ def test_multimodal_real_decode_with_pil(spark):
     out = multimodal.resize_images(
         media, width=8, height=8, resizer=multimodal.real_resize
     ).collect()
-    assert Image.open(io.BytesIO(bytes(out[0]["payload"]))).size == (8, 8)
+    w, h, ch, rows = pngcodec.decode_png(bytes(out[0]["payload"]))
+    assert (w, h, ch) == (8, 8, 3)
+    # solid color survives the resize exactly
+    assert set(rows[0][:3]) == set((120, 30, 200)) or list(rows[0][:3]) == [120, 30, 200]
+
+
+def test_png_codec_roundtrip_and_filters():
+    """encode->decode is identity for gray/RGB/RGBA; the decoder
+    handles non-zero filter types (zlib re-encode with the filters a
+    real writer would pick is out of scope — filters are exercised by
+    hand-built scanlines)."""
+    import struct
+    import zlib
+
+    from cryo_spark.operators import pngcodec
+
+    for ch in (1, 3, 4):
+        w, h = 5, 4
+        rows = [
+            bytes(((x * 37 + y * 11 + c * 7) % 256)
+                  for x in range(w) for c in range(ch))
+            for y in range(h)
+        ]
+        data = pngcodec.encode_png(w, h, ch, rows)
+        w2, h2, ch2, rows2 = pngcodec.decode_png(data)
+        assert (w2, h2, ch2) == (w, h, ch)
+        assert rows2 == rows
+    # hand-build a 2x2 gray PNG using each nontrivial filter
+    for f, raw_lines in [
+        (1, [b"\x01\x0a\x05", b"\x01\x02\x03"]),   # Sub
+        (2, [b"\x00\x0a\x05", b"\x02\x02\x03"]),   # Up
+        (3, [b"\x00\x0a\x05", b"\x03\x02\x03"]),   # Average
+        (4, [b"\x00\x0a\x05", b"\x04\x02\x03"]),   # Paeth
+    ]:
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+
+        def chunk(typ, body):
+            return (
+                struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+            )
+
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(raw_lines)))
+            + chunk(b"IEND", b"")
+        )
+        w2, h2, ch2, rows2 = pngcodec.decode_png(data)
+        assert (w2, h2, ch2) == (2, 2, 1), f
+        assert all(len(r) == 2 for r in rows2), f
+
+
+def test_real_vs_fake_dhash_family_agreement(spark):
+    """The REAL dHash path obeys the same family laws the fake-grid
+    JVM expression is tested on: byte-identical images collide,
+    near-identical images land within a small hamming distance,
+    different images differ — and the pipeline groups real-dhash
+    clones exactly like the fake path groups its clones."""
+    from cryo_spark.operators import pngcodec
+
+    def grad_png(w, h, shift):
+        rows = []
+        for y in range(h):
+            row = bytearray()
+            for x in range(w):
+                lum = (x * 255 // max(w - 1, 1) + shift) % 256
+                row += bytes((lum, lum, lum))
+            rows.append(bytes(row))
+        return pngcodec.encode_png(w, h, 3, rows)
+
+    a = grad_png(32, 16, 0)
+    a_clone = grad_png(32, 16, 0)
+    a_bright = grad_png(32, 16, 3)       # same structure, brighter
+    b = _solid_png(32, 16, (200, 10, 10))  # structurally different
+    ha = multimodal.real_dhash(a)
+    assert ha == multimodal.real_dhash(a_clone)
+    hb = multimodal.real_dhash(a_bright)
+    ham = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+    assert ham <= 8, ham                   # gradient structure survives
+    hc = multimodal.real_dhash(b)
+    assert ha != hc
+    # pipeline: real-dhash clones group like fake-dhash clones
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(a), "image/png", 32, 16, None),
+            (1, "image", bytearray(a_clone), "image/png", 32, 16, None),
+            (2, "image", bytearray(b), "image/png", 32, 16, None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    sig = multimodal.image_dhash(media, hasher=multimodal.real_dhash)
+    got = {r.media_id: r.dhash for r in sig.collect()}
+    assert got[0] == got[1] != got[2]
 
 
 def test_multimodal_frame_sampling(spark):
