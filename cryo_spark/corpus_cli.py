@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="warc: good-neighbor smoothing on top of "
                         "--main-content (keeps headings adjacent to "
                         "core content)")
+    p.add_argument("--image-pairs", action="store_true",
+                   help="(--format warc) also write <output>/image_pairs: "
+                        "(doc_id, img_idx, image_ref, alt, caption, "
+                        "context, target_uri) rows from the raw HTML "
+                        "bodies — the multimodal pairing sidecar")
     p.add_argument("--drop-noindex", action="store_true",
                    help="warc: drop pages flagged noindex (default "
                         "keeps and flags)")
@@ -367,6 +372,28 @@ def run(args: argparse.Namespace) -> int:
             from cryo_spark.operators.web import canonical_host
 
             docs = docs.withColumn("source", canonical_host("url"))
+        if args.image_pairs:
+            # optional multimodal sidecar (round 13): (image_ref, alt,
+            # caption, context) rows from the RAW html bodies — rides
+            # its own ingestion scan projection, written before the
+            # text pipeline runs so a text-side failure never loses it
+            from pyspark.sql import functions as F
+
+            from cryo_spark.operators import html as html_mod
+            from cryo_spark.operators import imagetext
+
+            raw = docs_src.read_warc(spark, args.input)
+            pairs = imagetext.image_text_pairs(
+                raw.select(
+                    F.xxhash64("path", "record_idx").alias("doc_id"),
+                    "target_uri",
+                    html_mod.http_body_expr("payload").alias("_body"),
+                ),
+                html_col="_body",
+                carry_cols=("target_uri",),
+            )
+            pairs_dest = os.path.join(args.output, "image_pairs")
+            pairs.write.mode("overwrite").parquet(pairs_dest)
     elif args.format == "cdx":
         # selective re-extraction: the input is a CDX index; every
         # --cdx-* selection applies to the index before a single

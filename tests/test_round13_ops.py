@@ -301,3 +301,195 @@ def test_hard_negatives_no_extra_job_when_pinned(spark):
     fused_jobs = jobs() - j1
     assert auto_planes_jobs >= 1
     assert fused_jobs == auto_planes_jobs, (fused_jobs, auto_planes_jobs)
+
+
+# ------------------ image-text pair prep (round 13)
+
+
+_PAIR_DOCS = [
+    (
+        0,
+        "<html><body><p>Intro text about cats before the image.</p>"
+        '<img src="/cat.png" alt="A cat sitting">'
+        "<p>Follow-up prose after the cat picture.</p>"
+        '<figure><img SRC="/dog.jpg"><figcaption>A <b>good</b> dog'
+        "</figcaption></figure>"
+        "<p>Closing paragraph.</p></body></html>",
+    ),
+    (
+        1,
+        # no quoted src (ignored attr forms), empty alt, no figures
+        '<p>Before</p><img alt=""><img src=bare.png>'
+        '<img src="x.png" alt="third">tail words',
+    ),
+    (2, "<p>No images at all here.</p>"),
+    (
+        3,
+        # two figures, only one matching; img outside any figure too
+        '<figure><img src="a.png"><figcaption>cap A</figcaption></figure>'
+        '<img src="b.png">'
+        '<figure><img src="c.png"><figcaption></figcaption></figure>'
+        '<img src="a.png" alt="again">',
+    ),
+]
+
+
+def test_image_text_pairs_planted(spark):
+    """Planted semantics: alt/caption/context extraction, NULL rules,
+    figure association by src equality, document order."""
+    from cryo_spark.operators import imagetext
+
+    docs = spark.createDataFrame(_PAIR_DOCS, "doc_id long, payload string")
+    rows = {
+        (r.doc_id, r.img_idx): r
+        for r in imagetext.image_text_pairs(docs, context_chars=40).collect()
+    }
+    cat = rows[(0, 0)]
+    assert cat.image_ref == "/cat.png" and cat.alt == "A cat sitting"
+    assert cat.caption is None
+    assert "before the image" in cat.context
+    assert "Follow-up prose" in cat.context
+    dog = rows[(0, 1)]
+    assert dog.image_ref == "/dog.jpg" and dog.alt is None
+    assert dog.caption == "A good dog"
+    # doc 1: unquoted src + empty alt -> NULLs; tags in document order
+    assert rows[(1, 0)].image_ref is None and rows[(1, 0)].alt is None
+    assert rows[(1, 1)].image_ref is None  # unquoted src not recognized
+    assert rows[(1, 2)].image_ref == "x.png"
+    assert "tail words" in rows[(1, 2)].context
+    # doc 2 contributes nothing
+    assert not any(d == 2 for d, _ in rows)
+    # doc 3: figure association by src equality, both copies pair
+    assert rows[(3, 0)].caption == "cap A"
+    assert rows[(3, 1)].caption is None      # b.png in no figure
+    assert rows[(3, 2)].caption is None      # empty figcaption -> NULL
+    assert rows[(3, 3)].caption == "cap A"   # same src matches again
+
+
+def test_image_text_pairs_matches_duckdb(spark):
+    """Differential: the DuckDB twin produces the identical row set
+    on the planted docs AND on the documents table (html-less prose:
+    must yield zero rows on both engines, not errors)."""
+    import duckdb
+
+    from cryo_spark.operators import imagetext
+
+    docs = spark.createDataFrame(_PAIR_DOCS, "doc_id long, payload string")
+    got = sorted(
+        (r.doc_id, r.img_idx, r.image_ref, r.alt, r.caption, r.context)
+        for r in imagetext.image_text_pairs(docs, context_chars=40).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs(doc_id BIGINT, payload VARCHAR)"
+    )
+    con.executemany("INSERT INTO docs VALUES (?, ?)", _PAIR_DOCS)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            imagetext.image_text_pairs_sql("docs", context_chars=40)
+        ).fetchall()
+    )
+    assert got == want
+    # plain-prose table: zero rows, both engines
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert imagetext.image_text_pairs(real, html_col="text").count() == 0
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    n = con.execute(
+        "SELECT count(*) FROM ("
+        + imagetext.image_text_pairs_sql("documents", html_col="text")
+        + ")"
+    ).fetchone()[0]
+    con.close()
+    assert n == 0
+
+
+def test_image_text_pairs_composes_with_warc(spark, tmp_path):
+    """End-to-end composition: read_warc members -> http body ->
+    image-text pairs carrying target_uri — the ingestion join key
+    rides the projection, no archive re-scan."""
+    import gzip
+
+    from cryo_spark.operators import html as html_mod
+    from cryo_spark.operators import imagetext
+    from cryo_spark.sources import documents as docs_src
+
+    body = (
+        b"<html><body><p>Lead paragraph words here.</p>"
+        b'<img src="https://img.test/1.png" alt="one">'
+        b"<p>After text.</p></body></html>"
+    )
+    payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://page.test/a\r\n"
+        b"WARC-Date: 2026-01-02T03:04:05Z\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(payload)
+        + payload + b"\r\n\r\n"
+    )
+    p = tmp_path / "one.warc.gz"
+    p.write_bytes(gzip.compress(rec))
+    warc = docs_src.read_warc(spark, str(tmp_path))
+    frame = warc.select(
+        "target_uri",
+        F.xxhash64("path", "record_idx").alias("doc_id"),
+        html_mod.http_body_expr("payload").alias("body"),
+    )
+    pairs = imagetext.image_text_pairs(
+        frame, html_col="body", carry_cols=("target_uri",)
+    ).collect()
+    assert len(pairs) == 1
+    r = pairs[0]
+    assert r.image_ref == "https://img.test/1.png" and r.alt == "one"
+    assert r.target_uri == "https://page.test/a"
+    assert "Lead paragraph" in r.context and "After text" in r.context
+
+
+def test_corpus_cli_image_pairs_sidecar(spark, tmp_path):
+    """corpus --format warc --image-pairs writes <output>/image_pairs
+    alongside the text pipeline output."""
+    import gzip
+    import json as json_mod
+
+    from cryo_spark.api import main
+
+    def rec(body, uri):
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        )
+        return gzip.compress(
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + b"WARC-Date: 2026-08-15T00:00:00Z\r\n"
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload + b"\r\n\r\n"
+        )
+
+    prose = (
+        b"<p>The quick brown fox jumps over the lazy dog and this page"
+        b" carries enough ordinary english prose to pass the quality"
+        b" and language filters used by the corpus pipeline.</p>"
+    )
+    raw = rec(
+        prose + b'<img src="https://cdn.test/a.png" alt="fox photo">',
+        "https://site.test/p1",
+    ) + rec(prose, "https://site.test/p2")
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "m.warc.gz").write_bytes(raw)
+    out = tmp_path / "out"
+    rc = main(["corpus", "--input", str(d), "--format", "warc",
+               "--output", str(out), "--image-pairs"])
+    assert rc == 0
+    pairs = spark.read.parquet(str(out / "image_pairs")).collect()
+    assert len(pairs) == 1
+    r = pairs[0]
+    assert r.image_ref == "https://cdn.test/a.png"
+    assert r.alt == "fox photo"
+    assert r.target_uri == "https://site.test/p1"
+    assert "brown fox jumps" in r.context  # last 160 chars of the lead
+    # the text pipeline output is still produced
+    assert (out / "funnel.json").exists() or any(out.iterdir())
