@@ -904,6 +904,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       so `lsh_topk_sql` reproduces the row set bit-for-bit (the same
       engine-neutral trick that flipped simhash to hash-exact in
       round 11, `dedup.simhash_near_dups_sql`).
+    - method='lsh_mp' (round 13): cost-ball multi-probe — probe every
+      bucket whose total flip cost (sum of flipped planes' exact
+      integer |margins|) <= the n_probes-th smallest flip-set cost;
+      margins, home signature AND threshold are integers the
+      self-contained DuckDB twin recomputes from the stored query
+      row, so this tier is hash-exact too
+      (`similarity.lsh_topk_costball(_sql)`).
     - IVF and IVF-PQ (k-means lists / ADC codes — genuinely
       SQL-inexpressible buckets) stay driver-visible as RECALL-GATE
       rows: each method contributes one sentinel row (vec_id -1/-2,
@@ -919,6 +926,16 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     lsh = similarity.lsh_topk(emb, query, k=10, n_planes=6).withColumn(
         "method", F.lit("lsh")
+    )
+    # round 13: cost-ball multi-probe tier (query-directed probing in
+    # its oracle-able form — margins, home signature and the probe
+    # threshold are all exact integers a self-contained DuckDB twin
+    # recomputes from the stored query row; see
+    # similarity.lsh_topk_costball)
+    mp = similarity.lsh_topk_costball(
+        emb, query, k=10, n_planes=6, n_probes=16
+    ).select(
+        "vec_id", F.col("cosine").alias("score"), F.lit("lsh_mp").alias("method")
     )
     # round 6: the coarse quantizer is shared — centroids train once
     # and the assignment frame feeds both IVF (raw-vector rescoring)
@@ -978,6 +995,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         exact_rows.unionByName(lsh)
+        .unionByName(mp)
         .unionByName(recall_gate(ivf, 0.5, -1, "ivf_recall_ge_floor"))
         .unionByName(recall_gate(ivfpq, 0.2, -2, "ivfpq_recall_ge_floor"))
     )
@@ -986,10 +1004,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_ann_topk() -> str:
     ex = oracle_cosine_topk()
     lsh = similarity.lsh_topk_sql("embeddings", k=10, dim=64)
+    mp = similarity.lsh_topk_costball_sql(
+        "embeddings", k=10, n_planes=6, n_probes=16, dim=64
+    )
     return f"""
 SELECT vec_id, cosine AS score, 'exact' AS method FROM ({ex})
 UNION ALL
 SELECT vec_id, cosine AS score, 'lsh' AS method FROM ({lsh})
+UNION ALL
+SELECT vec_id, cosine AS score, 'lsh_mp' AS method FROM ({mp})
 UNION ALL
 SELECT -1::BIGINT AS vec_id, 0.5::DOUBLE AS score,
        'ivf_recall_ge_floor' AS method

@@ -278,7 +278,7 @@ def llm_pack_frame(spark, sf_dir: str):
     return pack_bins(toks, budget=512, group_cols=["split"])
 
 
-def plan_fingerprint(df) -> tuple[str, str]:
+def plan_fingerprint(df, level: str = "physical") -> tuple[str, str]:
     """(md5-12, normalized text) of the query's initial physical plan.
 
     Hashes let rounds diff PLANS, not just times (the r1->r4 ngram
@@ -290,7 +290,47 @@ def plan_fingerprint(df) -> tuple[str, str]:
     import hashlib
     import re
 
-    s = df._jdf.queryExecution().executedPlan().toString()
+    if level == "logical":
+        # ANALYZED plan: physical strategies (and therefore AQE's
+        # cross-query stage reuse and cached-stats-dependent broadcast
+        # picks) never appear, and — unlike optimizedPlan, which runs
+        # AFTER withCachedData — whichever frames happen to be cached
+        # at capture time cannot swap subtrees for InMemoryRelation
+        # leaves. The one stable choice for a query whose CONSTRUCTION
+        # executes jobs (corpus_funnel) — physical pins are a race
+        # there by design (round 13).
+        s = df._jdf.queryExecution().analyzed().toString()
+        s = re.sub(r"#\d+", "#", s)
+        s = re.sub(r"\b([xy])_\d+#", r"\1_#", s)
+        s = re.sub(r"(plan_id|id)=\d+", r"\1=", s)
+        s = re.sub(r"\[file:[^\]]*\]", "[file:...]", s)
+        s = re.sub(r"InMemoryFileIndex\([^)]*\)", "InMemoryFileIndex(...)", s)
+        out, elide_at = [], None
+        for line in s.splitlines():
+            indent = re.match(r"^[ :+\-]*", line).end()
+            if elide_at is not None:
+                if indent > elide_at and line[:elide_at].strip(" :") == "":
+                    continue
+                elide_at = None
+            out.append(line)
+            if "InMemoryRelation" in line:
+                elide_at = indent
+        s = "\n".join(out)
+        return hashlib.md5(s.encode()).hexdigest()[:12], s
+    jplan = df._jdf.queryExecution().executedPlan()
+    try:
+        # AQE's toString renders RUNTIME state — once any part of the
+        # plan executes (corpus_funnel's construction runs
+        # connected-components), ResultQueryStage/TableCacheQueryStage
+        # wrappers and expanded == Final Plan == sections appear at
+        # session-history-dependent depths. initialPlan is the
+        # deterministic pre-execution physical plan — the thing a pin
+        # should actually compare.
+        if jplan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            jplan = jplan.initialPlan()
+    except Exception:  # noqa: BLE001 - non-AQE roots fingerprint as-is
+        pass
+    s = jplan.toString()
     s = re.sub(r"#\d+", "#", s)
     # higher-order-function lambda variables (x_1, y_3, ...) draw from
     # a session-GLOBAL counter — same plan, different history, new name
@@ -330,9 +370,18 @@ def plan_fingerprint(df) -> tuple[str, str]:
                 continue
             elide_at = None
         out.append(line)
-        if "InMemoryRelation" in line:
+        # nested AdaptiveSparkPlan bodies are elided for the same
+        # reason: whether a nested AQE root has executed by capture
+        # time is a RACE against the lazy-checkpoint materialization
+        # threads, and an executed root renders expanded
+        # QueryStage / == Final Plan == sections (caught round 13:
+        # corpus_funnel's pin flipped run-to-run on identical code)
+        if "InMemoryRelation" in line or re.match(
+            r"^[ :+\-]*AdaptiveSparkPlan\b", line
+        ):
             elide_at = indent
     s = "\n".join(out)
+    s = re.sub(r"isFinalPlan=\w+", "isFinalPlan=?", s)
     return hashlib.md5(s.encode()).hexdigest()[:12], s
 
 

@@ -266,6 +266,169 @@ def lsh_probe_masks(
     return qsig, masks
 
 
+def costball_threshold(margins: list[int], n_probes: int) -> int:
+    """The ``n_probes``-th smallest TOTAL FLIP COST over all flip
+    sets of the given per-plane |margins| (the empty set, cost 0, is
+    the first). Pure-cost order — ties share a cost, so the value is
+    order-independent and identical however either engine enumerates.
+    Uses the same extend/shift heap as :func:`lsh_probe_masks`
+    (O(n_probes log) — never enumerates 2^n), so it works at any
+    plane count."""
+    import heapq
+
+    n = len(margins)
+    if n_probes <= 1 or n == 0:
+        return 0
+    order = sorted(range(n), key=lambda p: (margins[p], p))
+    costs = [margins[p] for p in order]
+    heap: list[tuple[int, tuple[int, ...]]] = [(costs[0], (0,))]
+    seen = 1  # the empty set
+    last = 0
+    while heap and seen < n_probes:
+        c, s = heapq.heappop(heap)
+        seen += 1
+        last = c
+        j = s[-1]
+        if j + 1 < n:
+            heapq.heappush(heap, (c + costs[j + 1], s + (j + 1,)))
+            heapq.heappush(
+                heap, (c - costs[j] + costs[j + 1], s[:-1] + (j + 1,))
+            )
+    return last
+
+
+def lsh_topk_costball(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 42,
+    n_probes: int = 16,
+) -> DataFrame:
+    """COST-BALL multi-probe LSH top-k — the CONTRACT-ORACLE-ABLE
+    formulation of query-directed probing: probe every bucket whose
+    total flip cost (sum of the flipped planes' exact-BIGINT
+    |margins|) is <= T, where T is the ``n_probes``-th smallest flip
+    cost over all flip sets (:func:`costball_threshold`). Unlike the
+    mask-list form (:func:`lsh_topk_multiprobe`, whose masks need the
+    query VALUES at SQL-generation time), every ingredient here —
+    margins, home signature, T — is integer arithmetic a
+    SELF-CONTAINED oracle can recompute from the stored query row, so
+    :func:`lsh_topk_costball_sql` needs no data at generation time
+    and the driver hash-check is exact. Semantics: a superset of the
+    top-``n_probes`` mask probe only when several flip sets tie at
+    exactly T (both engines include the ties identically). Plan: one
+    narrow scan, signature + per-row flip cost (pure codegen),
+    TakeOrdered."""
+    planes = int_planes(n_planes, len(query), seed)
+    qq = [int(np.floor(float(x) * LSH_QUANT)) for x in query]
+    qsig = 0
+    margins: list[int] = []
+    for p, row in enumerate(planes):
+        d = sum(int(v) * q for v, q in zip(row, qq))
+        if d >= 0:
+            qsig |= 1 << p
+        margins.append(abs(d))
+    t = costball_threshold(margins, n_probes)
+    emb = spread(emb)
+    bucket = _int_sig(_quantized(F.col(vec_col)), planes)
+    flip_cost: Column = F.lit(0).cast("long")
+    for p in range(n_planes):
+        qbit = (qsig >> p) & 1
+        bit = F.shiftright(F.col("_bucket"), p).bitwiseAND(F.lit(1))
+        flip_cost = flip_cost + F.when(
+            bit != F.lit(qbit), F.lit(int(margins[p]))
+        ).otherwise(F.lit(0))
+    qnorm = _seq_norm(query)
+    cos = _dot_with_literal(F.col(vec_col), query) / (
+        _norm(F.col(vec_col)) * F.lit(qnorm)
+    )
+    return (
+        emb.withColumn("_bucket", bucket)
+        .filter(flip_cost <= F.lit(int(t)))
+        .select(F.col(id_col), F.round(cos, 8).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_topk_costball_sql(
+    table: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 42,
+    n_probes: int = 16,
+    dim: int = 64,
+    query_pred: str = "vec_id = 0",
+) -> str:
+    """DuckDB twin of :func:`lsh_topk_costball`, SELF-CONTAINED: the
+    query row's margins/signature come from the stored vector via the
+    same integer planes, and the threshold T enumerates all
+    2^``n_planes`` flip sets with ``generate_series`` (64 rows at the
+    contract's 6 planes; keep ``n_planes`` <= 16 on this side) and
+    takes the ``n_probes``-th smallest cost — the same value the
+    Python heap computes, because pure cost order is tie-stable."""
+    planes = int_planes(n_planes, dim, seed)
+    quant = (
+        f"list_transform({vec_col}, "
+        f"x -> CAST(floor(x::DOUBLE * {LSH_QUANT}) AS BIGINT))"
+    )
+
+    def dot(row) -> str:
+        lit = "[" + ",".join(str(int(v)) for v in row) + "]"
+        return (
+            f"list_sum(list_transform(list_zip(iq, {lit}::BIGINT[]), "
+            "x -> x[1] * x[2]))"
+        )
+
+    margin_cols = ", ".join(
+        f"abs({dot(planes[p])}) AS m{p}" for p in range(n_planes)
+    )
+    mask_cost = " + ".join(
+        f"(CASE WHEN (t.m >> {p}) & 1 = 1 THEN q.m{p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    row_cost = " + ".join(
+        f"(CASE WHEN ((s.bucket >> {p}) & 1) <> ((q.qbucket >> {p}) & 1)"
+        f" THEN q.m{p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    bucket = _sql_bucket(planes, "iq")
+    return f"""
+WITH rows_q AS (
+  SELECT {id_col}, {vec_col}, {quant} AS iq FROM {table}
+),
+sigs AS (
+  SELECT {id_col}, {vec_col}, ({bucket}) AS bucket FROM rows_q
+),
+qrow AS (
+  SELECT {vec_col} AS qe, {quant} AS iq FROM {table} WHERE {query_pred}
+),
+qm AS (
+  SELECT qe, ({bucket}) AS qbucket, {margin_cols} FROM qrow
+),
+thr AS (
+  SELECT ({mask_cost}) AS cost
+  FROM generate_series(0, {(1 << n_planes) - 1}) AS t(m), qm q
+  ORDER BY cost LIMIT 1 OFFSET {n_probes - 1}
+)
+SELECT s.{id_col} AS {id_col},
+  round(list_sum(list_transform(list_zip(s.{vec_col}, q.qe),
+        x -> x[1]::DOUBLE * x[2]::DOUBLE))
+    / (sqrt(list_sum(list_transform(s.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))), 8)
+    AS cosine
+FROM sigs s, qm q, thr
+WHERE ({row_cost}) <= thr.cost
+ORDER BY cosine DESC, {id_col}
+LIMIT {k}
+"""
+
+
 def lsh_topk_multiprobe(
     emb: DataFrame,
     query: list[float],

@@ -493,3 +493,50 @@ def test_corpus_cli_image_pairs_sidecar(spark, tmp_path):
     assert "brown fox jumps" in r.context  # last 160 chars of the lead
     # the text pipeline output is still produced
     assert (out / "funnel.json").exists() or any(out.iterdir())
+
+
+def test_lsh_costball_threshold_and_twin(spark):
+    """costball_threshold laws (heap == brute-force enumeration at
+    small plane counts; empty/one-probe edges) and the self-contained
+    DuckDB twin's bit-for-bit equality on the real table for a
+    NON-ZERO query row."""
+    import itertools
+
+    import duckdb
+
+    from cryo_spark.operators import similarity
+
+    margins = [5, 1, 9, 3, 7, 2]
+    all_costs = sorted(
+        sum(c) for r in range(7) for c in itertools.combinations(margins, r)
+    )
+    for n_probes in (1, 2, 5, 16, 64, 100):
+        want = all_costs[min(n_probes, len(all_costs)) - 1]
+        got = similarity.costball_threshold(margins, n_probes)
+        assert got == want, (n_probes, got, want)
+    assert similarity.costball_threshold([], 10) == 0
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    query = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 11).first()["embedding"]
+    ]
+    got = [
+        (r.vec_id, r.cosine)
+        for r in similarity.lsh_topk_costball(
+            emb, query, k=10, n_probes=16
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    )
+    want = con.sql(
+        similarity.lsh_topk_costball_sql(
+            "embeddings", k=10, n_probes=16, query_pred="vec_id = 11"
+        )
+    ).fetchall()
+    con.close()
+    assert len(got) == 10
+    assert got == [(a, b) for a, b in want]

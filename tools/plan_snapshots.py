@@ -147,6 +147,16 @@ def _freeze_frame(datatype: str):
     return build
 
 
+#: queries whose CONSTRUCTION executes Spark jobs (connected
+#: components, mix-quota collects): their PHYSICAL plan text is a
+#: race by design — AQE reuses broadcast stages across the session's
+#: queries and re-plans joins from cached-relation stats, so two
+#: captures of identical code legitimately differ (round 13). These
+#: pin the ANALYZED LOGICAL plan instead: structural regressions (a
+#: lost boundary, a changed stage chain, a dropped filter) still
+#: move the hash; physical strategy is AQE's runtime business there.
+LOGICAL_PINNED = {"corpus_funnel"}
+
 EXTRA_PINNED = {
     "warc_ingest": _warc_ingest_frame,  # binaryFile scan + Arrow split
     "llm_pack": _llm_pack_frame,        # one bin_id shuffle, JVM concat
@@ -173,7 +183,8 @@ def compute_fingerprints(spark, names=None) -> dict[str, dict[str, str]]:
             df = EXTRA_PINNED[name](spark)
         else:
             df = queries[name](spark, SF_DIR)
-        fp, text = bench.plan_fingerprint(df)
+        level = "logical" if name in LOGICAL_PINNED else "physical"
+        fp, text = bench.plan_fingerprint(df, level=level)
         out[name] = {"fp": fp, "text": text}
     return out
 
