@@ -78,7 +78,9 @@ HEADLINE = [
     "llm_embedding_sim",
     # round 12 scope change: hash-exact restructure added the exact
     # cosine tier + two recall-gate aggregates on top of the previous
-    # three ANN tiers
+    # three ANN tiers; round 13 added a FOURTH hash-exact tier
+    # (method='lsh_mp', cost-ball multi-probe) — the entry measures
+    # one more full corpus scan + signature pass, not a regression
     "llm_ann_topk",
     # llm_quality_score merged into llm_text_profile in round 8 — its
     # timing continues inside that entry
