@@ -755,20 +755,114 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("op", F.lit("video_pair"))
     )
+    # round 13 merge (50-entry window full): image-text pair prep as
+    # 'image_pair' rows. Deterministic HTML derives from documents
+    # (both engines build the IDENTICAL string: a text paragraph, an
+    # <img> whose src comes from source, alt present/empty/absent by
+    # doc_id%3, a <figure>+<figcaption> wrapper for doc_id%4==0, and
+    # a tail paragraph), and the whole extraction — image_ref, alt,
+    # caption, context — folds into ONE sha256 digest riding the
+    # entry's existing content_sha256 column (img_idx rides
+    # frame_index), so any field drift is a hash mismatch without
+    # widening the shared schema.
+    from cryo_spark.operators import imagetext
+
+    fig_open = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.lit("<figure><img src=\"https://cdn.test/"),
+            F.col("source"),
+            F.lit("/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".png\""),
+            _alt_attr_expr(),
+            F.lit("><figcaption>caption for "),
+            F.col("source"),
+            F.lit("</figcaption></figure>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<img src=\"https://cdn.test/"),
+            F.col("source"),
+            F.lit("/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".png\""),
+            _alt_attr_expr(),
+            F.lit(">"),
+        )
+    )
+    html_docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<p>"), F.col("text"), F.lit("</p>"),
+            fig_open,
+            F.lit("<p>end of page</p>"),
+        ).alias("html"),
+    )
+    ip = imagetext.image_text_pairs(
+        html_docs, html_col="html", context_chars=60
+    )
+    sep = F.lit("\x1f")
+    nul = F.lit("\x00")
+    image_pair_rows = ip.select(
+        F.col("doc_id").alias("media_id"),
+        F.sha2(
+            F.concat(
+                F.coalesce("image_ref", nul), sep,
+                F.coalesce("alt", nul), sep,
+                F.coalesce("caption", nul), sep,
+                F.coalesce("context", nul),
+            ),
+            256,
+        ).alias("content_sha256"),
+        F.col("img_idx").cast("int").alias("frame_index"),
+    ).withColumn("op", F.lit("image_pair"))
     return (
         feats.unionByName(frames, allowMissingColumns=True)
         .unionByName(dhash_rows, allowMissingColumns=True)
         .unionByName(pair_rows, allowMissingColumns=True)
         .unionByName(video_rows, allowMissingColumns=True)
+        .unionByName(image_pair_rows, allowMissingColumns=True)
+    )
+
+
+def _alt_attr_expr():
+    """The alt attribute of the synthetic <img>: present (doc_id%3=0),
+    present-but-empty (=1 — must surface as NULL), absent (=2)."""
+    return (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" alt=\"pic "), F.col("source"), F.lit("\"")),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit(" alt=\"\""))
+        .otherwise(F.lit(""))
     )
 
 
 def oracle_multimodal() -> str:
-    from cryo_spark.operators import multimodal
+    from cryo_spark.operators import imagetext, multimodal
 
     null_cols = (
         "NULL::BIGINT AS n_bytes, NULL::VARCHAR AS content_sha256, "
         "NULL::INTEGER AS frame_index, NULL::BIGINT AS ts_ms"
+    )
+    # the IDENTICAL synthetic html the Spark side builds
+    alt_attr = (
+        "CASE WHEN doc_id % 3 = 0 THEN ' alt=\"pic ' || source || '\"' "
+        "WHEN doc_id % 3 = 1 THEN ' alt=\"\"' ELSE '' END"
+    )
+    img_tag = (
+        "'<img src=\"https://cdn.test/' || source || '/' || "
+        f"(doc_id % 7)::VARCHAR || '.png\"' || {alt_attr} || '>'"
+    )
+    fig = (
+        f"CASE WHEN doc_id % 4 = 0 THEN '<figure>' || {img_tag} || "
+        "'<figcaption>caption for ' || source || '</figcaption></figure>' "
+        f"ELSE {img_tag} END"
+    )
+    html_expr = f"'<p>' || text || '</p>' || {fig} || '<p>end of page</p>'"
+    ip_sql = imagetext.image_text_pairs_sql(
+        "html_docs", html_col="html", context_chars=60
     )
     dsig = multimodal.fake_dhash_duckdb_expr("encode(text)")
     dpairs = multimodal.image_near_dups_sql(
@@ -862,6 +956,21 @@ video_pairs AS (
   JOIN vcnt ca ON ca.media_id = id_a
   JOIN vcnt cb ON cb.media_id = id_b
   WHERE round(greatest(ma::DOUBLE / ca.nf, mb::DOUBLE / cb.nf), 6) >= 0.5
+),
+html_docs AS (
+  SELECT doc_id, {html_expr} AS html FROM documents
+),
+image_pair_rows AS (
+  SELECT p.doc_id AS media_id, NULL::BIGINT AS n_bytes,
+         sha256(coalesce(p.image_ref, chr(0)) || chr(31) ||
+                coalesce(p.alt, chr(0)) || chr(31) ||
+                coalesce(p.caption, chr(0)) || chr(31) ||
+                coalesce(p.context, chr(0))) AS content_sha256,
+         'image_pair' AS op, p.img_idx::INTEGER AS frame_index,
+         NULL::BIGINT AS ts_ms, NULL::BIGINT AS dhash,
+         NULL::BIGINT AS pair_b, NULL::INTEGER AS hamming,
+         NULL::DOUBLE AS overlap
+  FROM ({ip_sql}) p
 )
 SELECT media_id, n_bytes, content_sha256, op, frame_index, ts_ms,
        dhash, pair_b, hamming, overlap
@@ -874,6 +983,8 @@ UNION ALL SELECT media_id, n_bytes, content_sha256, op, frame_index,
        ts_ms, dhash, pair_b, hamming, overlap FROM pair_rows
 UNION ALL SELECT media_id, n_bytes, content_sha256, op, frame_index,
        ts_ms, dhash, pair_b, hamming, overlap FROM video_pairs
+UNION ALL SELECT media_id, n_bytes, content_sha256, op, frame_index,
+       ts_ms, dhash, pair_b, hamming, overlap FROM image_pair_rows
 """
 
 
