@@ -883,14 +883,20 @@ def test_contract_ann_recall_gate_and_simhash_pin(spark):
 
     qs = E.queries()
     rows = qs["llm_ann_topk"](spark, "/root/testdata/sf0.01").collect()
-    assert len(rows) == 22
+    assert len(rows) == 32  # round 13: + the lsh_mp cost-ball tier
     by_method = {}
     for r in rows:
         by_method.setdefault(r.method, []).append(r)
     assert set(by_method) == {
-        "exact", "lsh", "ivf_recall_ge_floor", "ivfpq_recall_ge_floor"
+        "exact", "lsh", "lsh_mp",
+        "ivf_recall_ge_floor", "ivfpq_recall_ge_floor",
     }
-    assert len(by_method["exact"]) == len(by_method["lsh"]) == 10
+    assert (
+        len(by_method["exact"])
+        == len(by_method["lsh"])
+        == len(by_method["lsh_mp"])
+        == 10
+    )
     assert [(r.vec_id, r.score) for r in by_method["ivf_recall_ge_floor"]] \
         == [(-1, 0.5)]
     assert [(r.vec_id, r.score) for r in by_method["ivfpq_recall_ge_floor"]] \
