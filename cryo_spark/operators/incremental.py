@@ -353,3 +353,147 @@ def incremental_pairs_from_table(
     base_sigs = base_band.select(id_col, "sig").dropDuplicates([id_col])
     index = base_sigs.unionByName(new_index.select(id_col, "sig"))
     return _estimate(cand, index, id_col, min_est)
+
+
+# ------------------ embedding-side incremental index (round 13) ------
+#
+# The minhash index covers TEXT near-dups; embedding near-dups get the
+# same index+delta shape: a persisted (bucket, id, embedding) table
+# keyed by the engine-neutral integer-LSH signature
+# (similarity.int_planes — exact BIGINT bucket math), bucketed on the
+# signature so the corpus side never reshuffles. A day's batch is
+# signed, shuffled into the bucket layout (day-sized), joined
+# bucket-locally, and verified by EXACT round-8 cosine — the same
+# arithmetic every embedding contract entry uses, so thresholded pair
+# sets are deterministic, never estimate-fuzzy.
+
+
+def embedding_index(
+    emb: DataFrame,
+    n_planes: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket, embedding): the persistable unit for incremental
+    embedding dedup. ``n_planes=None`` auto-sizes from a corpus count
+    (:func:`similarity.default_n_planes`); the chosen value is
+    recorded by :func:`save_embedding_index` and mismatches fail fast
+    on probe. The embedding rides along (index size = corpus vector
+    bytes + one long/row): cosine verification needs the vectors, and
+    a join back onto the corpus to fetch them would reshuffle both
+    sides on the id — the same carry-through trade as the minhash
+    index's ``sig`` column."""
+    from cryo_spark.operators import similarity
+
+    if n_planes is None:
+        n, _ = similarity._emb_stats(
+            emb, vec_col, need_n=True, need_dim=False
+        )
+        n_planes = similarity.default_n_planes(n)
+    dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).filter(
+        F.col("d").isNotNull()
+    ).first()
+    if dim_row is None:
+        raise ValueError("cannot index an empty/all-null embedding frame")
+    planes = similarity.int_planes(n_planes, int(dim_row.d), seed)
+    return emb.select(
+        F.col(id_col),
+        similarity._int_sig(
+            similarity._quantized(F.col(vec_col)), planes
+        ).alias("bucket"),
+        F.col(vec_col).alias("embedding"),
+    ).withColumn("n_planes", F.lit(n_planes)).withColumn(
+        "seed", F.lit(seed)
+    )
+
+
+def save_embedding_index(
+    index: DataFrame, table: str, n_buckets: int = 32
+) -> None:
+    """Persist an :func:`embedding_index` frame BUCKETED on the LSH
+    bucket — the layout that keeps the corpus side of every future
+    delta join in place (no Exchange above the base scan; only the
+    day-sized delta shuffles into the bucket layout)."""
+    from cryo_spark.operators import skew
+
+    skew.write_bucketed(index, table, ["bucket"], n_buckets)
+
+
+def incremental_embedding_pairs_from_table(
+    spark,
+    table: str,
+    new_index: DataFrame,
+    min_cosine: float = 0.9,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id_a=new id, id_b=base id, cosine) — the new batch's
+    near-duplicates AGAINST a :func:`save_embedding_index` table,
+    plus new-within-new pairs (id_a < id_b), exactly the coverage the
+    batch run over (base ∪ new) adds for the new rows. Candidates are
+    bucket-equality local (never all-pairs); every candidate is
+    verified by exact round-8 cosine >= ``min_cosine``. Fails fast on
+    an (n_planes, seed) mismatch — differently-signed sides would
+    silently match nothing, the same guard discipline as the minhash
+    index's bands/k probes."""
+    base = spark.table(table)
+    stored = base.select("n_planes", "seed").first()
+    if stored is not None:
+        probe = new_index.select("n_planes", "seed").first()
+        if probe is not None and (
+            probe.n_planes != stored.n_planes or probe.seed != stored.seed
+        ):
+            raise ValueError(
+                f"embedding index {table!r} was signed with "
+                f"n_planes={stored.n_planes}, seed={stored.seed} — the new "
+                f"batch used n_planes={probe.n_planes}, seed={probe.seed}; "
+                "rebuild one side so the hyperplane families match"
+            )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_a_v"), F.col("_b_v"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    def _pairs(a: DataFrame, b: DataFrame, same_side: bool) -> DataFrame:
+        an = a.select(
+            F.col(id_col).alias("_a_id"),
+            F.col("bucket").alias("_a_bk"),
+            F.col("embedding").alias("_a_v"),
+        )
+        bn = b.select(
+            F.col(id_col).alias("_b_id"),
+            F.col("bucket").alias("_b_bk"),
+            F.col("embedding").alias("_b_v"),
+        )
+        cond = F.col("_a_bk") == F.col("_b_bk")
+        if same_side:
+            cond = cond & (F.col("_a_id") < F.col("_b_id"))
+        else:
+            cond = cond & (F.col("_a_id") != F.col("_b_id"))
+        cos = F.round(dot / (_norm(F.col("_a_v")) * _norm(F.col("_b_v"))), 8)
+        return (
+            an.join(bn, cond)
+            .select(
+                F.col("_a_id").alias("id_a"),
+                F.col("_b_id").alias("id_b"),
+                cos.alias("cosine"),
+            )
+            .filter(F.col("cosine") >= min_cosine)
+        )
+
+    cross = _pairs(new_index, base, same_side=False)
+    within = _pairs(new_index, new_index, same_side=True)
+    return cross.unionByName(within).distinct()

@@ -540,3 +540,89 @@ def test_lsh_costball_threshold_and_twin(spark):
     con.close()
     assert len(got) == 10
     assert got == [(a, b) for a, b in want]
+
+
+# ------------------ embedding incremental index (round 13)
+
+
+def test_embedding_incremental_index(spark, tmp_path):
+    """Index+delta for embedding near-dups: planted base/delta clones
+    pair across the index, the batch-equivalence law holds (the
+    incremental pairs ARE the batch pairs that touch a new id), the
+    base side reads straight from its buckets, and the mismatch
+    guards fail fast."""
+    from pyspark.sql import functions as F
+
+    from cryo_spark.operators import incremental
+
+    def vec(seed, eps=0.0):
+        return [float(((seed * 31 + i * 7) % 19) - 9) / 9.0 + (eps if i == 0 else 0.0)
+                for i in range(16)]
+
+    base_rows = [
+        (0, vec(1)), (1, vec(2)), (2, vec(3)), (3, vec(1, 0.001)),
+    ]
+    delta_rows = [
+        (10, vec(1, 0.0005)),   # near-clone of base 0/3
+        (11, vec(9)),           # novel
+        (12, vec(9, 0.0004)),   # near-clone of 11 (within-delta pair)
+    ]
+    base = spark.createDataFrame(base_rows, "vec_id long, embedding array<float>")
+    delta = spark.createDataFrame(delta_rows, "vec_id long, embedding array<float>")
+
+    table = "emb_idx_r13"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    bidx = incremental.embedding_index(base, n_planes=4)
+    incremental.save_embedding_index(bidx, table, n_buckets=4)
+    didx = incremental.embedding_index(delta, n_planes=4)
+    pairs = incremental.incremental_embedding_pairs_from_table(
+        spark, table, didx, min_cosine=0.999
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (10, 0) in got or (0, 10) in got
+    assert (11, 12) in got
+    assert all(10 in p or 11 in p or 12 in p for p in got)
+
+    # batch equivalence: full-index pairs restricted to pairs touching
+    # a delta id == the incremental result (same buckets, same cosine)
+    full = incremental.embedding_index(
+        base.unionByName(delta), n_planes=4
+    )
+    batch = incremental.incremental_embedding_pairs_from_table(
+        spark, table, full, min_cosine=0.999
+    )
+    batch_touching_delta = {
+        (a, b)
+        for a, b in ((r.id_a, r.id_b) for r in batch.collect())
+        if a >= 10 or b >= 10
+    }
+    norm = {tuple(sorted(p)) for p in got}
+    assert {tuple(sorted(p)) for p in batch_touching_delta} >= norm
+
+    # base side reads from its buckets: no Exchange above the scan
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+
+    # mismatch guards
+    import pytest as _pytest
+
+    bad = incremental.embedding_index(delta, n_planes=5)
+    with _pytest.raises(ValueError, match="n_planes"):
+        incremental.incremental_embedding_pairs_from_table(
+            spark, table, bad
+        )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_embedding_index_auto_planes_and_empty(spark):
+    from cryo_spark.operators import incremental
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    idx = incremental.embedding_index(emb)  # auto planes at 1012 rows
+    row = idx.select("n_planes").first()
+    assert row.n_planes == 6
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError):
+        incremental.embedding_index(empty, n_planes=4)
