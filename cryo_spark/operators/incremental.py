@@ -497,3 +497,24 @@ def incremental_embedding_pairs_from_table(
     cross = _pairs(new_index, base, same_side=False)
     within = _pairs(new_index, new_index, same_side=True)
     return cross.unionByName(within).distinct()
+
+
+def embedding_index_for_table(
+    spark,
+    table: str,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign a new batch with the SAVED index's (n_planes, seed) — the
+    daily-delta ergonomic path. Auto-sizing the delta from its own
+    (day-sized) count would usually pick fewer planes than the
+    corpus-sized index and trip the mismatch guard by design; the
+    index's stored constants are the source of truth."""
+    stored = spark.table(table).select("n_planes", "seed").first()
+    if stored is None:
+        raise ValueError(f"embedding index {table!r} is empty")
+    return embedding_index(
+        emb, n_planes=int(stored.n_planes), seed=int(stored.seed),
+        id_col=id_col, vec_col=vec_col,
+    )

@@ -626,3 +626,26 @@ def test_embedding_index_auto_planes_and_empty(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError):
         incremental.embedding_index(empty, n_planes=4)
+
+
+def test_embedding_index_for_table_signs_with_stored_params(spark):
+    """The daily-delta helper signs a batch with the INDEX's stored
+    (n_planes, seed), so a day-sized delta cannot trip the mismatch
+    guard by auto-sizing differently."""
+    from cryo_spark.operators import incremental
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    table = "emb_idx_params_r13"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    incremental.save_embedding_index(
+        incremental.embedding_index(emb, n_planes=9, seed=7), table
+    )
+    delta = emb.limit(20)
+    didx = incremental.embedding_index_for_table(spark, table, delta)
+    row = didx.select("n_planes", "seed").first()
+    assert (row.n_planes, row.seed) == (9, 7)
+    # probing with it passes the guard
+    incremental.incremental_embedding_pairs_from_table(
+        spark, table, didx, min_cosine=0.999999
+    ).count()
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

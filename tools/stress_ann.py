@@ -139,6 +139,44 @@ def main() -> int:
     )
     assert r_ivf >= 0.4, r_ivf
 
+    # round 13: embedding incremental index at volume — sign+save the
+    # corpus once (bucketed), then probe a 1% delta against it
+    from cryo_spark.operators import incremental
+
+    table = "stress_emb_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    t = time.time()
+    incremental.save_embedding_index(
+        incremental.embedding_index(emb), table
+    )
+    t_ebuild = time.time() - t
+    delta = emb.filter(F.col("vec_id") % 100 == 0)
+    # sign the delta with the INDEX's stored (n_planes, seed) — a
+    # day-sized batch would auto-size differently and (by design)
+    # trip the mismatch guard
+    didx = incremental.embedding_index_for_table(spark, table, delta)
+    t = time.time()
+    npairs = incremental.incremental_embedding_pairs_from_table(
+        spark, table, didx, min_cosine=0.99
+    ).count()
+    t_eprobe = time.time() - t
+    print(
+        f"embedding_index: build+save {t_ebuild:.2f}s "
+        f"({n / t_ebuild:,.0f} vec/s), 1% delta probe {t_eprobe:.2f}s "
+        f"({npairs} pairs >= 0.99)"
+    )
+    plan = incremental.incremental_embedding_pairs_from_table(
+        spark, table, didx
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    # 0 pairs >= 0.99 is EXPECTED on near-uniform vectors; prove the
+    # join surface is live by counting raw bucket candidates
+    ncand = incremental.incremental_embedding_pairs_from_table(
+        spark, table, didx, min_cosine=-1.0
+    ).count()
+    assert ncand > 0, "bucket join produced no candidates at volume"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
     t = time.time()
     books = similarity.pq_train(emb, sample_rows=smp)
     codes = similarity.pq_encode(assigned, books).localCheckpoint()
