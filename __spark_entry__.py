@@ -593,7 +593,24 @@ def q_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neg_id").alias("id_b"),
         "cosine",
     )
-    return nd.unionByName(tk).unionByName(hn)
+    # round 13: SEMANTIC decontamination (kind='decontam') — vectors
+    # with vec_id % 31 == 0 play the held-out eval set; every other
+    # vector is flagged when its cosine vs ANY eval vector clears
+    # 0.35 (near-uniform testdata: max pairwise ~0.51, so 0.35 keeps
+    # the check non-vacuous). One row per flagged vector with its
+    # best eval match (ties: max cosine, then min eval id — a total
+    # order both engines share via struct-max).
+    dc = decontam.embedding_decontaminate(
+        emb.filter(F.col("vec_id") % 31 != 0),
+        emb.filter(F.col("vec_id") % 31 == 0),
+        min_cosine=0.35,
+    ).select(
+        F.lit("decontam").alias("kind"),
+        F.col("vec_id").alias("id_a"),
+        F.col("eval_id").alias("id_b"),
+        "cosine",
+    )
+    return nd.unionByName(tk).unionByName(hn).unionByName(dc)
 
 
 def oracle_embedding_sim() -> str:
@@ -602,12 +619,18 @@ def oracle_embedding_sim() -> str:
     hn = similarity.hard_negatives_sql(
         "embeddings", k=2, group_col="label", dim=64
     )
+    dc = decontam.embedding_decontaminate_sql(
+        "embeddings", "vec_id % 31 = 0", "vec_id % 31 != 0",
+        min_cosine=0.35,
+    )
     return f"""
 SELECT 'near_dup' AS kind, id_a, id_b, cosine FROM ({nd})
 UNION ALL
 SELECT 'topk' AS kind, vec_id AS id_a, NULL::BIGINT AS id_b, cosine FROM ({tk})
 UNION ALL
 SELECT 'hard_neg' AS kind, vec_id AS id_a, neg_id AS id_b, cosine FROM ({hn})
+UNION ALL
+SELECT 'decontam' AS kind, vec_id AS id_a, eval_id AS id_b, cosine FROM ({dc})
 """
 
 

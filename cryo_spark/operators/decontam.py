@@ -207,3 +207,156 @@ def fuzzy_decontaminate(
             (F.col("max_est_jaccard").isNotNull()).alias("contaminated"),
         )
     )
+
+
+def embedding_decontaminate(
+    emb: DataFrame,
+    eval_emb: DataFrame,
+    min_cosine: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "fold",
+    eval_cap: int = 200_000,
+) -> DataFrame:
+    """SEMANTIC decontamination (round 13, completing the family:
+    exact n-gram -> fuzzy minhash -> embedding): flag corpus vectors
+    whose cosine against ANY eval vector clears ``min_cosine`` —
+    catching translated/heavily-paraphrased benchmark leakage both
+    text passes miss. Returns one row per FLAGGED corpus vector:
+    (id_col, eval_id, cosine) = its best-matching eval row
+    (ties: max cosine first, then min eval id — a total order, so the
+    row set is deterministic).
+
+    Scale design: eval sets are benchmark-sized, the corpus is not —
+    the eval side is BROADCAST and the corpus never shuffles
+    (``method='fold'``: broadcast nested-loop join + the exact JVM
+    zip_with cosine, the contract arithmetic the DuckDB twin
+    :func:`embedding_decontaminate_sql` reproduces bit-for-bit;
+    ``method='gemm'``: the eval matrix collects to the driver
+    (bounded by ``eval_cap`` — it must fit every executor anyway)
+    and ONE numpy GEMM per Arrow batch scores corpus rows against
+    all of eval, the 10^4-eval x 10^10-corpus path). The per-doc max
+    is a groupBy on the corpus id over MATCHED rows only
+    (leakage-sized, tiny)."""
+    import numpy as np
+    import pandas as pd
+
+    if method == "gemm":
+        rows = eval_emb.select(id_col, vec_col).limit(eval_cap + 1).collect()
+        if len(rows) > eval_cap:
+            raise ValueError(
+                f"eval side exceeds eval_cap={eval_cap} rows — an eval "
+                "set this large should go through the near-dup index "
+                "path, not a broadcast matrix"
+            )
+        if not rows:
+            return emb.sparkSession.createDataFrame(
+                [], f"{id_col} long, eval_id long, cosine double"
+            )
+        eids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        thr = float(min_cosine)
+
+        def score(batches):
+            for pdf in batches:
+                out_id, out_e, out_c = [], [], []
+                for i, v in zip(pdf[id_col], pdf[vec_col]):
+                    a = np.asarray(v, dtype=np.float64)
+                    an = np.sqrt((a * a).sum())
+                    if an == 0:
+                        continue
+                    cos = np.round(mat @ a / (nrm * an), 8)
+                    j = int(np.lexsort((eids, -cos))[0])
+                    if cos[j] >= thr:
+                        out_id.append(i)
+                        out_e.append(int(eids[j]))
+                        out_c.append(float(cos[j]))
+                yield pd.DataFrame(
+                    {id_col: out_id, "eval_id": out_e, "cosine": out_c}
+                )
+
+        return emb.select(id_col, vec_col).mapInPandas(
+            score, f"{id_col} long, eval_id long, cosine double"
+        )
+    if method != "fold":
+        raise ValueError(f"unknown method {method!r}: 'fold' or 'gemm'")
+    ev = F.broadcast(
+        eval_emb.select(
+            F.col(id_col).alias("eval_id"),
+            F.col(vec_col).alias("_e_v"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("_e_v"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    cos = F.round(dot / (_norm(F.col(vec_col)) * _norm(F.col("_e_v"))), 8)
+    hits = (
+        emb.select(id_col, vec_col)
+        .crossJoin(ev)
+        .select(F.col(id_col), F.col("eval_id"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(float(min_cosine)))
+    )
+    # deterministic best match: max (cosine, -eval_id) struct —
+    # identical lexicographic struct ordering in Spark and DuckDB
+    best = hits.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("cosine"), (-F.col("eval_id")).alias("_nei")
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        F.col(id_col),
+        (-F.col("_b._nei")).alias("eval_id"),
+        F.col("_b.cosine").alias("cosine"),
+    )
+
+
+def embedding_decontaminate_sql(
+    table: str,
+    eval_pred: str,
+    train_pred: str,
+    min_cosine: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`embedding_decontaminate` (fold method)
+    over one stored table split by predicates — same exact fold
+    arithmetic, same round-8, same (cosine desc, eval_id asc) struct
+    tie-break."""
+    cos = (
+        f"round(list_sum(list_transform(list_zip(t.{vec_col}, e.{vec_col}),"
+        " x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+        f" / (sqrt(list_sum(list_transform(t.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))"
+        f" * sqrt(list_sum(list_transform(e.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))), 8)"
+    )
+    return f"""
+WITH hits AS (
+  SELECT t.{id_col} AS {id_col}, e.{id_col} AS eval_id, {cos} AS cosine
+  FROM (SELECT * FROM {table} WHERE {train_pred}) t,
+       (SELECT * FROM {table} WHERE {eval_pred}) e
+  WHERE {cos} >= {min_cosine}
+),
+best AS (
+  SELECT {id_col},
+         max(struct_pack(c := cosine, nei := -eval_id)) AS b
+  FROM hits GROUP BY {id_col}
+)
+SELECT {id_col}, -b.nei AS eval_id, b.c AS cosine FROM best
+"""

@@ -649,3 +649,86 @@ def test_embedding_index_for_table_signs_with_stored_params(spark):
         spark, table, didx, min_cosine=0.999999
     ).count()
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# ------------------ embedding decontamination (round 13)
+
+
+def test_embedding_decontaminate_planted_and_gemm(spark):
+    """Planted semantics: an exact eval clone is flagged at cosine
+    1.0 with the right eval match; a near-clone clears a loose
+    threshold; orthogonal vectors never flag; ties break (max
+    cosine, min eval id); method='gemm' returns the identical rows;
+    the eval_cap guard raises."""
+    import pytest as _pytest
+
+    from cryo_spark.operators import decontam
+
+    e1 = [1.0] + [0.0] * 7
+    e2 = [0.0, 1.0] + [0.0] * 6
+    train = spark.createDataFrame(
+        [
+            (0, e1),                      # exact clone of eval 100
+            (1, [0.98, 0.199] + [0.0] * 6),  # near e1
+            (2, [0.0] * 7 + [1.0]),       # orthogonal to eval
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    ev = spark.createDataFrame(
+        [(100, e1), (101, e2), (102, e1)],  # 100 and 102 tie on clone
+        "vec_id long, embedding array<float>",
+    )
+    for m in ("fold", "gemm"):
+        got = {
+            r.vec_id: (r.eval_id, r.cosine)
+            for r in decontam.embedding_decontaminate(
+                train, ev, min_cosine=0.9, method=m
+            ).collect()
+        }
+        assert got[0] == (100, 1.0), m       # tie -> min eval id
+        assert got[1][0] == 100 and got[1][1] >= 0.9, m
+        assert 2 not in got, m
+    with _pytest.raises(ValueError, match="eval_cap"):
+        decontam.embedding_decontaminate(
+            train, ev, method="gemm", eval_cap=2
+        )
+    # empty eval set: no flags, schema intact (gemm short-circuits)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = decontam.embedding_decontaminate(train, empty, method="gemm")
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "eval_id", "cosine"]
+
+
+def test_embedding_decontaminate_twin_on_real_table(spark):
+    """fold == DuckDB twin bit-for-bit on the embeddings table at the
+    contract split/threshold."""
+    import duckdb
+
+    from cryo_spark.operators import decontam
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = sorted(
+        (r.vec_id, r.eval_id, r.cosine)
+        for r in decontam.embedding_decontaminate(
+            emb.filter(F.col("vec_id") % 31 != 0),
+            emb.filter(F.col("vec_id") % 31 == 0),
+            min_cosine=0.35,
+        ).collect()
+    )
+    assert len(got) > 0  # non-vacuous at the contract threshold
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            decontam.embedding_decontaminate_sql(
+                "embeddings", "vec_id % 31 = 0", "vec_id % 31 != 0",
+                min_cosine=0.35,
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
