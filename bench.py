@@ -74,7 +74,9 @@ HEADLINE = [
     # llm_embedding_sim in round 8; round 12 scope change: the entry
     # gained the hard-negative mining op (bucket-local pair join +
     # per-anchor top-k window over ~n^2/64 candidates), so its timing
-    # roughly doubled — it measures three ops now, not a regression
+    # roughly doubled — it measures three ops now, not a regression;
+    # round 13 added semantic decontamination (kind='decontam':
+    # broadcast eval side x corpus cosine + per-doc max) — four ops
     "llm_embedding_sim",
     # round 12 scope change: hash-exact restructure added the exact
     # cosine tier + two recall-gate aggregates on top of the previous
