@@ -732,3 +732,29 @@ def test_embedding_decontaminate_twin_on_real_table(spark):
     )
     con.close()
     assert got == want
+
+
+def test_round13_plan_shapes(spark, sf_dir):
+    """The scale claims as plan facts: image_text_pairs is a narrow
+    flat-map (NO Exchange anywhere); lsh_topk_costball is one narrow
+    scan + TakeOrdered (no shuffle beyond the k-row ordering)."""
+    from cryo_spark.operators import imagetext, similarity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = imagetext.image_text_pairs(docs, html_col="text")
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    import pyspark.sql.functions as SF
+
+    query = [
+        float(x)
+        for x in emb.filter(SF.col("vec_id") == 0).first()["embedding"]
+    ]
+    cb = similarity.lsh_topk_costball(emb, query, k=10, n_planes=6)
+    plan = cb._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    # the only exchange allowed is the spread() repartition of the
+    # one-file test scan; no aggregation/join exchanges
+    assert "hashpartitioning" not in plan, plan
