@@ -462,7 +462,7 @@ def test_contract_multimodal_video_pairs(spark):
     out = E.queries()["llm_multimodal"](spark, "/root/testdata/sf0.01")
     ops = {r.op for r in out.select("op").distinct().collect()}
     assert ops == {"features", "frames", "dhash", "dhash_pair",
-                   "video_pair"}
+                   "video_pair", "image_pair"}  # image_pair: round 13
     vp = out.filter(F.col("op") == "video_pair").collect()
     assert len(vp) > 100
     assert all(r.overlap == 1.0 for r in vp)
