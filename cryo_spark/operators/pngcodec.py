@@ -100,7 +100,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[bytes]]:
         raise ValueError("PNG: missing IHDR")
     ch = _CHANNELS[color]
     stride = width * ch
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG: corrupt IDAT stream ({exc})") from exc
     if len(raw) < (stride + 1) * height:
         raise ValueError("PNG: truncated pixel data")
     rows: list[bytes] = []

@@ -802,17 +802,24 @@ def test_pngcodec_roundtrip_property():
     @settings(max_examples=60, deadline=None)
     @given(junk=st.binary(min_size=0, max_size=200))
     def garbage(junk):
-        import zlib
-
+        # the codec's error contract: malformed input is ALWAYS a
+        # ValueError (zlib errors are wrapped) — never a crash, never
+        # silent junk
         try:
             pngcodec.decode_png(junk)
-        except (ValueError, zlib.error, KeyError, struct_error):
+        except ValueError:
             pass
 
-    import struct as _struct
-
-    struct_error = _struct.error
     garbage()
+    # a valid header with a corrupt IDAT wraps the zlib error
+    import pytest as _pytest
+
+    good = pngcodec.encode_png(2, 2, 1, [b"\x01\x02", b"\x03\x04"])
+    corrupt = good.replace(b"IDAT", b"IDAT", 1)
+    corrupt = bytearray(good)
+    corrupt[40] ^= 0xFF  # flip a byte inside the IDAT body
+    with _pytest.raises(ValueError):
+        pngcodec.decode_png(bytes(corrupt))
 
 
 def test_probe_mask_cost_order_property():
