@@ -1260,3 +1260,233 @@ def project_embeddings(
         return pd.Series(list(out))
 
     return df.withColumn(out_col, proj(F.col(vec_col)))
+
+
+def _costball_masks(margins: list[int], n_probes: int,
+                    cap: int = 65536) -> list[int]:
+    """ALL flip masks whose total cost <= the cost-ball threshold
+    (:func:`costball_threshold`) — ties at the threshold included, so
+    the set matches exactly what :func:`lsh_topk_costball`'s per-row
+    ``flip_cost <= T`` filter admits. Heap expansion in ascending cost
+    (never enumerates 2^n); ``cap`` guards the degenerate all-zero-
+    margin query (T=0 ties EVERY mask) with a loud error instead of a
+    silent blowup."""
+    import heapq
+
+    n = len(margins)
+    t = costball_threshold(margins, n_probes)
+    masks = [0]
+    if n == 0 or n_probes <= 1:
+        return masks
+    order = sorted(range(n), key=lambda p: (margins[p], p))
+    costs = [margins[p] for p in order]
+    heap: list[tuple[int, tuple[int, ...]]] = [(costs[0], (0,))]
+    while heap:
+        c, s = heapq.heappop(heap)
+        if c > t:
+            break
+        masks.append(sum(1 << order[i] for i in s))
+        if len(masks) > cap:
+            raise ValueError(
+                f"cost-ball probe set exceeds {cap} buckets — the query "
+                "is degenerate (near-zero margins on every plane); use "
+                "the single-query lsh_topk_costball scan instead"
+            )
+        j = s[-1]
+        if j + 1 < n:
+            heapq.heappush(heap, (c + costs[j + 1], s + (j + 1,)))
+            heapq.heappush(
+                heap, (c - costs[j] + costs[j + 1], s[:-1] + (j + 1,))
+            )
+    return masks
+
+
+def lsh_topk_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int | None = None,
+    seed: int = 42,
+    n_probes: int = 16,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """BATCHED multi-probe ANN — top-``k`` neighbors for EVERY query
+    row in ONE bucket equi-join: the serving shape. A million queries
+    against a billion-vector corpus is one join keyed on the integer
+    signature, never a million driver-side scans.
+
+    Per-query probe semantics are EXACTLY :func:`lsh_topk_costball`'s
+    (flip cost <= the n_probes-th smallest flip-set cost, ties
+    included) — pinned by an equivalence test — computed on the QUERY
+    side by an Arrow ``mapInPandas`` that explodes each query into its
+    probe-bucket rows (queries are the small side; the corpus stays
+    pure JVM: one signature projection + the join + exact round-8
+    rescoring + a per-query top-k window). ``exclude_self`` drops
+    neighbor rows whose corpus id equals the query id (the usual
+    corpus-is-also-the-query-set case).
+
+    Returns (query_id_col, id_col, cosine, rank) with rank 1..k per
+    query by (cosine desc, id asc).
+
+    Scale shape: ONE corpus shuffle on the bucket key (zero when the
+    corpus side comes pre-bucketed — see
+    :func:`lsh_topk_batch_from_index`), query side = |queries| x
+    ~n_probes tiny probe rows, per-query top-k is one window over
+    bucket-local candidates."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    n, d = _emb_stats(
+        emb, vec_col, need_n=n_planes is None, need_dim=True
+    )
+    if n_planes is None:
+        n_planes = default_n_planes(n)
+    planes = int_planes(n_planes, d, seed)
+    plist = [[int(v) for v in row] for row in planes]
+    npb = n_probes
+
+    def probe_rows(batches):
+        for pdf in batches:
+            out_q, out_b, out_v = [], [], []
+            for qid, v in zip(pdf[query_id_col], pdf["_qv"]):
+                qq = [int(np.floor(float(x) * LSH_QUANT)) for x in v]
+                qsig = 0
+                margins = []
+                for p, row in enumerate(plist):
+                    dd = sum(a * b for a, b in zip(row, qq))
+                    if dd >= 0:
+                        qsig |= 1 << p
+                    margins.append(abs(dd))
+                for m in _costball_masks(margins, npb):
+                    out_q.append(qid)
+                    out_b.append(qsig ^ m)
+                    out_v.append(list(v))
+            yield pd.DataFrame(
+                {query_id_col: out_q, "_bucket": out_b, "_qv": out_v}
+            )
+
+    q_in = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qv")
+    )
+    probes = q_in.mapInPandas(
+        probe_rows,
+        f"{query_id_col} long, _bucket long, _qv array<float>",
+    )
+    corpus = spread(emb).select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cv"),
+        _int_sig(_quantized(F.col(vec_col)), planes).alias("_bucket"),
+    ).withColumn("_cn", _norm(F.col("_cv")))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_cv"), F.col("_qv"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("_cn") * _norm(F.col("_qv"))), 8)
+    cand = probes.join(corpus, "_bucket")
+    if exclude_self:
+        cand = cand.filter(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        cand.select(
+            F.col(query_id_col), F.col(id_col), cos.alias("cosine")
+        )
+        .dropDuplicates([query_id_col, id_col])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk_batch_from_index(
+    spark,
+    table: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_probes: int = 16,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """:func:`lsh_topk_batch` against a PERSISTED
+    :func:`incremental.save_embedding_index` table — the corpus side
+    reads straight from its buckets (bucketed on the signature), so a
+    query batch costs one day-sized shuffle of probe rows and zero
+    corpus movement. The planes come from the table's stored
+    (n_planes, seed) constants."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    base = spark.table(table)
+    stored = base.select("n_planes", "seed").first()
+    if stored is None:
+        raise ValueError(f"embedding index {table!r} is empty")
+    d_row = base.select(F.size("embedding").alias("d")).first()
+    planes = int_planes(int(stored.n_planes), int(d_row.d), int(stored.seed))
+    plist = [[int(v) for v in row] for row in planes]
+    npb = n_probes
+
+    def probe_rows(batches):
+        for pdf in batches:
+            out_q, out_b, out_v = [], [], []
+            for qid, v in zip(pdf[query_id_col], pdf["_qv"]):
+                qq = [int(np.floor(float(x) * LSH_QUANT)) for x in v]
+                qsig = 0
+                margins = []
+                for p, row in enumerate(plist):
+                    dd = sum(a * b for a, b in zip(row, qq))
+                    if dd >= 0:
+                        qsig |= 1 << p
+                    margins.append(abs(dd))
+                for m in _costball_masks(margins, npb):
+                    out_q.append(qid)
+                    out_b.append(qsig ^ m)
+                    out_v.append(list(v))
+            yield pd.DataFrame(
+                {query_id_col: out_q, "bucket": out_b, "_qv": out_v}
+            )
+
+    probes = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qv")
+    ).mapInPandas(
+        probe_rows,
+        f"{query_id_col} long, bucket long, _qv array<float>",
+    )
+    corpus = base.select(
+        F.col("vec_id").alias(id_col),
+        F.col("embedding").alias("_cv"),
+        "bucket",
+    ).withColumn("_cn", _norm(F.col("_cv")))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_cv"), F.col("_qv"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("_cn") * _norm(F.col("_qv"))), 8)
+    cand = probes.join(corpus, "bucket")
+    if exclude_self:
+        cand = cand.filter(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        cand.select(
+            F.col(query_id_col), F.col(id_col), cos.alias("cosine")
+        )
+        .dropDuplicates([query_id_col, id_col])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

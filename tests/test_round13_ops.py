@@ -869,3 +869,93 @@ def test_probe_mask_cost_order_property():
         assert costs == sorted(costs)
 
     check()
+
+
+# ------------------ batched ANN serving (round 13)
+
+
+def test_lsh_topk_batch_equals_per_query_costball(spark):
+    """The batch join's per-query results are EXACTLY the single-query
+    cost-ball scan's — same probe set (flip cost <= the n_probes-th
+    smallest flip-set cost, ties included), same round-8 cosines, same
+    (cosine desc, id) order."""
+    from cryo_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = [0, 7, 23]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = similarity.lsh_topk_batch(
+        emb, queries, k=5, n_planes=6, n_probes=16, exclude_self=False
+    ).collect()
+    got = {}
+    for r in sorted(batch, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+    for qid in qids:
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        single = [
+            (r.vec_id, r.cosine)
+            for r in similarity.lsh_topk_costball(
+                emb, qv, k=5, n_planes=6, n_probes=16
+            ).collect()
+        ]
+        assert got[qid] == single, qid
+
+
+def test_lsh_topk_batch_from_index(spark):
+    """The persisted-index variant returns the in-memory variant's
+    rows and reads the corpus from its buckets."""
+    from cryo_spark.operators import incremental, similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    table = "ann_serve_idx_r13"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    incremental.save_embedding_index(
+        incremental.embedding_index(emb, n_planes=6), table
+    )
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    from_tab = similarity.lsh_topk_batch_from_index(
+        spark, table, queries, k=4, n_probes=8
+    )
+    in_mem = similarity.lsh_topk_batch(
+        emb, queries, k=4, n_planes=6, n_probes=8
+    )
+    a = sorted(
+        (r.query_id, r.rank, r.vec_id, r.cosine) for r in from_tab.collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.vec_id, r.cosine) for r in in_mem.collect()
+    )
+    assert a == b and len(a) > 0
+    plan = from_tab._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_costball_masks_match_filter_semantics(spark):
+    """_costball_masks enumerates exactly the masks the per-row
+    flip-cost filter admits (ties at the threshold included)."""
+    import itertools
+
+    from cryo_spark.operators import similarity
+
+    margins = [4, 4, 7, 0, 12]
+    t = similarity.costball_threshold(margins, 6)
+    want = sorted(
+        sum(1 << i for i in comb)
+        for r in range(len(margins) + 1)
+        for comb in itertools.combinations(range(len(margins)), r)
+        if sum(margins[i] for i in comb) <= t
+    )
+    got = sorted(similarity._costball_masks(margins, 6))
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="degenerate"):
+        similarity._costball_masks([0] * 20, 2, cap=100)
