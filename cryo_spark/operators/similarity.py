@@ -1352,6 +1352,7 @@ def lsh_topk_batch(
     def probe_rows(batches):
         for pdf in batches:
             out_q, out_b, out_v = [], [], []
+            out_n = []
             for qid, v in zip(pdf[query_id_col], pdf["_qv"]):
                 qq = [int(np.floor(float(x) * LSH_QUANT)) for x in v]
                 qsig = 0
@@ -1361,12 +1362,15 @@ def lsh_topk_batch(
                     if dd >= 0:
                         qsig |= 1 << p
                     margins.append(abs(dd))
+                qn = _seq_norm([float(x) for x in v])
                 for m in _costball_masks(margins, npb):
                     out_q.append(qid)
                     out_b.append(qsig ^ m)
                     out_v.append(list(v))
+                    out_n.append(qn)
             yield pd.DataFrame(
-                {query_id_col: out_q, "_bucket": out_b, "_qv": out_v}
+                {query_id_col: out_q, "_bucket": out_b, "_qv": out_v,
+                 "_qn": out_n}
             )
 
     q_in = queries.select(
@@ -1374,7 +1378,7 @@ def lsh_topk_batch(
     )
     probes = q_in.mapInPandas(
         probe_rows,
-        f"{query_id_col} long, _bucket long, _qv array<float>",
+        f"{query_id_col} long, _bucket long, _qv array<float>, _qn double",
     )
     corpus = spread(emb).select(
         F.col(id_col),
@@ -1389,7 +1393,12 @@ def lsh_topk_batch(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = F.round(dot / (F.col("_cn") * _norm(F.col("_qv"))), 8)
+    # _qn is the PYTHON sequential-fold norm (the same value the
+    # single-query scan embeds as a literal), computed once per query;
+    # _cn once per corpus row — the per-candidate work is one dot.
+    # No dropDuplicates: probe buckets are qsig^m for DISTINCT masks,
+    # so a corpus row joins each query at most once by construction.
+    cos = F.round(dot / (F.col("_cn") * F.col("_qn")), 8)
     cand = probes.join(corpus, "_bucket")
     if exclude_self:
         cand = cand.filter(F.col(query_id_col) != F.col(id_col))
@@ -1400,7 +1409,6 @@ def lsh_topk_batch(
         cand.select(
             F.col(query_id_col), F.col(id_col), cos.alias("cosine")
         )
-        .dropDuplicates([query_id_col, id_col])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -1439,6 +1447,7 @@ def lsh_topk_batch_from_index(
     def probe_rows(batches):
         for pdf in batches:
             out_q, out_b, out_v = [], [], []
+            out_n = []
             for qid, v in zip(pdf[query_id_col], pdf["_qv"]):
                 qq = [int(np.floor(float(x) * LSH_QUANT)) for x in v]
                 qsig = 0
@@ -1448,19 +1457,22 @@ def lsh_topk_batch_from_index(
                     if dd >= 0:
                         qsig |= 1 << p
                     margins.append(abs(dd))
+                qn = _seq_norm([float(x) for x in v])
                 for m in _costball_masks(margins, npb):
                     out_q.append(qid)
                     out_b.append(qsig ^ m)
                     out_v.append(list(v))
+                    out_n.append(qn)
             yield pd.DataFrame(
-                {query_id_col: out_q, "bucket": out_b, "_qv": out_v}
+                {query_id_col: out_q, "bucket": out_b, "_qv": out_v,
+                 "_qn": out_n}
             )
 
     probes = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv")
     ).mapInPandas(
         probe_rows,
-        f"{query_id_col} long, bucket long, _qv array<float>",
+        f"{query_id_col} long, bucket long, _qv array<float>, _qn double",
     )
     corpus = base.select(
         F.col("vec_id").alias(id_col),
@@ -1475,7 +1487,7 @@ def lsh_topk_batch_from_index(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = F.round(dot / (F.col("_cn") * _norm(F.col("_qv"))), 8)
+    cos = F.round(dot / (F.col("_cn") * F.col("_qn")), 8)
     cand = probes.join(corpus, "bucket")
     if exclude_self:
         cand = cand.filter(F.col(query_id_col) != F.col(id_col))
@@ -1486,7 +1498,6 @@ def lsh_topk_batch_from_index(
         cand.select(
             F.col(query_id_col), F.col(id_col), cos.alias("cosine")
         )
-        .dropDuplicates([query_id_col, id_col])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

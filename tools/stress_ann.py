@@ -175,6 +175,25 @@ def main() -> int:
         spark, table, didx, min_cosine=-1.0
     ).count()
     assert ncand > 0, "bucket join produced no candidates at volume"
+
+    # round 13: BATCHED serving against the same persisted index —
+    # 1,000 queries answered by ONE bucket join, zero corpus movement
+    queries = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nq = queries.count()
+    t = time.time()
+    served = similarity.lsh_topk_batch_from_index(
+        spark, table, queries, k=10, n_probes=16
+    )
+    nrows = served.count()
+    t_serve = time.time() - t
+    print(
+        f"batched_ann_serving: {t_serve:.2f}s for {nq} queries x top-10 "
+        f"({nq / t_serve:,.0f} queries/s, {nrows} result rows, one "
+        f"bucket join, corpus never moves)"
+    )
+    assert nrows > 0
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
     t = time.time()
