@@ -486,13 +486,23 @@ class _StderrToFile:
     stdout line."""
 
     def __enter__(self):
+        import atexit
         import tempfile
 
         self._fd, self._path = tempfile.mkstemp(prefix="bench_stderr_")
         self._saved = os.dup(2)
         sys.stderr.flush()
         os.dup2(self._fd, 2)
+        # a crash between here and finish() must not swallow its own
+        # traceback: on ANY process exit with the capture still live,
+        # restore fd 2 and replay the raw capture
+        atexit.register(self._salvage)
         return self
+
+    def _salvage(self):
+        if getattr(self, "_saved", None) is None:
+            return
+        self.__exit__(None, None, None)
 
     def finish(self) -> dict:
         sys.stderr.flush()
