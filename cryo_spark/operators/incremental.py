@@ -468,22 +468,26 @@ def incremental_embedding_pairs_from_table(
         )
 
     def _pairs(a: DataFrame, b: DataFrame, same_side: bool) -> DataFrame:
+        # norms computed ONCE per row on each side BEFORE the join —
+        # the per-pair spelling would redo the reduction |bucket| times
+        # per row (bit-identical values: same ops, same order; the
+        # same hoist hard_negatives/embedding_decontaminate document)
         an = a.select(
             F.col(id_col).alias("_a_id"),
             F.col("bucket").alias("_a_bk"),
             F.col("embedding").alias("_a_v"),
-        )
+        ).withColumn("_a_n", _norm(F.col("_a_v")))
         bn = b.select(
             F.col(id_col).alias("_b_id"),
             F.col("bucket").alias("_b_bk"),
             F.col("embedding").alias("_b_v"),
-        )
+        ).withColumn("_b_n", _norm(F.col("_b_v")))
         cond = F.col("_a_bk") == F.col("_b_bk")
         if same_side:
             cond = cond & (F.col("_a_id") < F.col("_b_id"))
         else:
             cond = cond & (F.col("_a_id") != F.col("_b_id"))
-        cos = F.round(dot / (_norm(F.col("_a_v")) * _norm(F.col("_b_v"))), 8)
+        cos = F.round(dot / (F.col("_a_n") * F.col("_b_n")), 8)
         return (
             an.join(bn, cond)
             .select(
