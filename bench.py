@@ -466,10 +466,12 @@ def _classify_stderr(text: str) -> dict:
         elif _re.match(r"^\s+(at |\.\.\. \d+ more)", line) or line.startswith(
             ("\t", "  ")
         ):
-            # continuation of the current stack — fold into it
+            # continuation of the current stack — fold into it (a
+            # continuation arriving before any class line still needs
+            # the bucket to exist)
             if current is None:
                 current = "other"
-            classes[current]["count"] += 0  # touch only below
+            classes.setdefault(current, {"count": 0, "first": line[:300]})
             continue
         elif current is None:
             current = "other"
