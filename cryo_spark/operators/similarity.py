@@ -1376,9 +1376,11 @@ def lsh_topk_batch(
     q_in = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv")
     )
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
     probes = q_in.mapInPandas(
         probe_rows,
-        f"{query_id_col} long, _bucket long, _qv array<float>, _qn double",
+        f"{query_id_col} {qid_type}, _bucket long, "
+        "_qv array<float>, _qn double",
     )
     corpus = spread(emb).select(
         F.col(id_col),
@@ -1468,11 +1470,13 @@ def lsh_topk_batch_from_index(
                  "_qn": out_n}
             )
 
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
     probes = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv")
     ).mapInPandas(
         probe_rows,
-        f"{query_id_col} long, bucket long, _qv array<float>, _qn double",
+        f"{query_id_col} {qid_type}, bucket long, "
+        "_qv array<float>, _qn double",
     )
     corpus = base.select(
         F.col("vec_id").alias(id_col),
