@@ -1505,3 +1505,33 @@ def lsh_topk_batch_from_index(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    seed: int = 42,
+    n_probes: int = 16,
+) -> DataFrame:
+    """Approximate k-NN GRAPH of the whole corpus — every row's top-k
+    neighbors, the input shape for graph-based dedup/clustering
+    (SemDeDup-style pipelines, label propagation): exactly
+    :func:`lsh_topk_batch` with the corpus as its own query set and
+    self-edges excluded. Returns (id_col as ``src``, id_col as
+    ``dst``, cosine, rank). One bucket join at any corpus size."""
+    out = lsh_topk_batch(
+        emb,
+        emb.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        k=k, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, seed=seed, n_probes=n_probes,
+        exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").alias("src"),
+        F.col(id_col).alias("dst"),
+        "cosine",
+        "rank",
+    )

@@ -959,3 +959,27 @@ def test_costball_masks_match_filter_semantics(spark):
 
     with _pytest.raises(ValueError, match="degenerate"):
         similarity._costball_masks([0] * 20, 2, cap=100)
+
+
+def test_knn_graph(spark):
+    """knn_graph = corpus-as-queries batch ANN: no self-edges, <= k
+    neighbors per node ranked by (cosine desc, id), src coverage
+    matches nodes with non-empty probe candidates."""
+    from cryo_spark.operators import similarity
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).limit(200)
+    g = similarity.knn_graph(emb, k=3, n_planes=4, n_probes=8)
+    rows = g.collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        assert r.src != r.dst
+        by_src.setdefault(r.src, []).append((r.rank, r.dst, r.cosine))
+    for src, lst in by_src.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= 3
+        cosines = [x[2] for x in lst]
+        assert cosines == sorted(cosines, reverse=True)
