@@ -1071,6 +1071,24 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", F.col("cosine").alias("score"), F.lit("lsh_mp").alias("method")
     )
+    # round 13: the BATCHED serving path, driver-checked — three query
+    # rows answered by ONE bucket join; each query's rows carry a
+    # method label 'batch_<qid>' and the oracle is the union of the
+    # per-query cost-ball twins (the batch join's per-query semantics
+    # are exactly lsh_topk_costball's, pinned by test AND here by hash)
+    bqids = [1, 5, 9]
+    bqueries = emb.filter(F.col("vec_id").isin(bqids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = similarity.lsh_topk_batch(
+        emb, bqueries, k=5, n_planes=6, n_probes=8, exclude_self=False
+    ).select(
+        "vec_id",
+        F.col("cosine").alias("score"),
+        F.concat(F.lit("batch_"), F.col("query_id").cast("string")).alias(
+            "method"
+        ),
+    )
     # round 6: the coarse quantizer is shared — centroids train once
     # and the assignment frame feeds both IVF (raw-vector rescoring)
     # and IVF-PQ (code encoding), the production one-index-many-tiers
@@ -1130,6 +1148,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exact_rows.unionByName(lsh)
         .unionByName(mp)
+        .unionByName(batch)
         .unionByName(recall_gate(ivf, 0.5, -1, "ivf_recall_ge_floor"))
         .unionByName(recall_gate(ivfpq, 0.2, -2, "ivfpq_recall_ge_floor"))
     )
@@ -1141,12 +1160,23 @@ def oracle_ann_topk() -> str:
     mp = similarity.lsh_topk_costball_sql(
         "embeddings", k=10, n_planes=6, n_probes=16, dim=64
     )
+    batch_parts = "\nUNION ALL\n".join(
+        f"SELECT vec_id, cosine AS score, 'batch_{qid}' AS method FROM ("
+        + similarity.lsh_topk_costball_sql(
+            "embeddings", k=5, n_planes=6, n_probes=8, dim=64,
+            query_pred=f"vec_id = {qid}",
+        )
+        + ")"
+        for qid in (1, 5, 9)
+    )
     return f"""
 SELECT vec_id, cosine AS score, 'exact' AS method FROM ({ex})
 UNION ALL
 SELECT vec_id, cosine AS score, 'lsh' AS method FROM ({lsh})
 UNION ALL
 SELECT vec_id, cosine AS score, 'lsh_mp' AS method FROM ({mp})
+UNION ALL
+{batch_parts}
 UNION ALL
 SELECT -1::BIGINT AS vec_id, 0.5::DOUBLE AS score,
        'ivf_recall_ge_floor' AS method

@@ -883,12 +883,12 @@ def test_contract_ann_recall_gate_and_simhash_pin(spark):
 
     qs = E.queries()
     rows = qs["llm_ann_topk"](spark, "/root/testdata/sf0.01").collect()
-    assert len(rows) == 32  # round 13: + the lsh_mp cost-ball tier
+    assert len(rows) == 47  # r13: + lsh_mp (10) + batch_{1,5,9} (15)
     by_method = {}
     for r in rows:
         by_method.setdefault(r.method, []).append(r)
     assert set(by_method) == {
-        "exact", "lsh", "lsh_mp",
+        "exact", "lsh", "lsh_mp", "batch_1", "batch_5", "batch_9",
         "ivf_recall_ge_floor", "ivfpq_recall_ge_floor",
     }
     assert (
@@ -897,6 +897,7 @@ def test_contract_ann_recall_gate_and_simhash_pin(spark):
         == len(by_method["lsh_mp"])
         == 10
     )
+    assert all(len(by_method[f"batch_{q}"]) == 5 for q in (1, 5, 9))
     assert [(r.vec_id, r.score) for r in by_method["ivf_recall_ge_floor"]] \
         == [(-1, 0.5)]
     assert [(r.vec_id, r.score) for r in by_method["ivfpq_recall_ge_floor"]] \
