@@ -81,8 +81,10 @@ HEADLINE = [
     # round 12 scope change: hash-exact restructure added the exact
     # cosine tier + two recall-gate aggregates on top of the previous
     # three ANN tiers; round 13 added a FOURTH hash-exact tier
-    # (method='lsh_mp', cost-ball multi-probe) — the entry measures
-    # one more full corpus scan + signature pass, not a regression
+    # (method='lsh_mp', cost-ball multi-probe) AND the batched
+    # serving path (three queries through one bucket join,
+    # method='batch_<qid>') — each is one more corpus scan/signature
+    # pass, not a regression
     "llm_ann_topk",
     # llm_quality_score merged into llm_text_profile in round 8 — its
     # timing continues inside that entry
