@@ -1081,7 +1081,8 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     batch = similarity.lsh_topk_batch(
-        emb, bqueries, k=5, n_planes=6, n_probes=8, exclude_self=False
+        emb, bqueries, k=5, n_planes=6, n_probes=8, exclude_self=False,
+        dim=64,
     ).select(
         "vec_id",
         F.col("cosine").alias("score"),

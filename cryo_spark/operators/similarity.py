@@ -1312,6 +1312,7 @@ def lsh_topk_batch(
     seed: int = 42,
     n_probes: int = 16,
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """BATCHED multi-probe ANN — top-``k`` neighbors for EVERY query
     row in ONE bucket equi-join: the serving shape. A million queries
@@ -1341,11 +1342,13 @@ def lsh_topk_batch(
     from pyspark.sql import Window
 
     n, d = _emb_stats(
-        emb, vec_col, need_n=n_planes is None, need_dim=True
+        emb, vec_col, need_n=n_planes is None, need_dim=dim is None
     )
+    if dim is None:
+        dim = d
     if n_planes is None:
         n_planes = default_n_planes(n)
-    planes = int_planes(n_planes, d, seed)
+    planes = int_planes(n_planes, dim, seed)
     plist = [[int(v) for v in row] for row in planes]
     npb = n_probes
 
