@@ -1524,13 +1524,46 @@ def knn_graph(
     (SemDeDup-style pipelines, label propagation): exactly
     :func:`lsh_topk_batch` with the corpus as its own query set and
     self-edges excluded. Returns (id_col as ``src``, id_col as
-    ``dst``, cosine, rank). One bucket join at any corpus size."""
+    ``dst``, cosine, rank). One bucket join at any corpus size.
+
+    Cost model: ~``n_probes`` x expected-bucket-size exact dots per
+    row (auto planes hold buckets near 1k rows, so the default is
+    ~16k dots/row — row-count-independent per-row work, embarrassingly
+    parallel). Tighten ``n_probes`` (or pass more planes) when graph
+    recall matters less than throughput."""
     out = lsh_topk_batch(
         emb,
         emb.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
         k=k, id_col=id_col, vec_col=vec_col,
         n_planes=n_planes, seed=seed, n_probes=n_probes,
         exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").alias("src"),
+        F.col(id_col).alias("dst"),
+        "cosine",
+        "rank",
+    )
+
+
+def knn_graph_from_index(
+    spark,
+    table: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_probes: int = 16,
+) -> DataFrame:
+    """:func:`knn_graph` served from a persisted
+    :func:`incremental.save_embedding_index` table — corpus read once
+    as queries, joined against its own buckets with zero corpus-side
+    shuffle (the query/probe side is the only thing that moves)."""
+    base = spark.table(table)
+    queries = base.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk_batch_from_index(
+        spark, table, queries, k=k, id_col=id_col,
+        n_probes=n_probes, exclude_self=True,
     )
     return out.select(
         F.col("query_id").alias("src"),

@@ -983,3 +983,26 @@ def test_knn_graph(spark):
         assert len(lst) <= 3
         cosines = [x[2] for x in lst]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_knn_graph_from_index(spark):
+    """The persisted-index kNN graph equals the in-memory graph and
+    never moves the corpus (bucketed read)."""
+    from cryo_spark.operators import incremental, similarity
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).limit(150)
+    table = "knn_idx_r13"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    incremental.save_embedding_index(
+        incremental.embedding_index(emb, n_planes=4), table
+    )
+    g1 = similarity.knn_graph_from_index(spark, table, k=3, n_probes=8)
+    g2 = similarity.knn_graph(emb, k=3, n_planes=4, n_probes=8)
+    a = sorted((r.src, r.rank, r.dst, r.cosine) for r in g1.collect())
+    b = sorted((r.src, r.rank, r.dst, r.cosine) for r in g2.collect())
+    assert a == b and a
+    plan = g1._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
