@@ -1,6 +1,10 @@
-"""Round-13 regression tests: the spread() plan probe, the
-connected-components single-job driver probe, the logs_decoded
-scope-delta substance, and the plan-fingerprint cache-body elision."""
+"""Round-13 tests: the spread() analyzed-plan probe, the CC driver
+probe, the logs_decoded scope-delta substance, plan-fingerprint
+stability, multi-probe/cost-ball LSH and its DuckDB twins, auto-sized
+hyperplanes + the fused stats job, image-text pair prep (+ CLI
+sidecar), the embedding incremental index and delta signing, semantic
+(embedding) decontamination, batched ANN serving and the corpus kNN
+graph, pngcodec properties, and the no-shuffle plan-shape claims."""
 
 from __future__ import annotations
 
