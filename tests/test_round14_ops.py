@@ -1,0 +1,309 @@
+"""Round-14 operator tests: vectorized batch-ANN probe signing
+(bit-equality vs the r13 per-row fold), the costball-SQL OFFSET
+clamp, batched decontam GEMM with schema-derived id types, PNG codec
+hardening (decompression-bomb guard + ValueError contract), and the
+hash-exact text->embedding operator."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ------------------ vectorized batch probe signing (verdict #1)
+
+
+def _r13_probe_reference(v, plist, n_probes):
+    """The r13 per-row interpreted fold (similarity.py:1355-1377 at
+    f61788d), kept verbatim as the bit-equality reference for the
+    vectorized GEMM path."""
+    from cryo_spark.operators import similarity
+
+    qq = [int(np.floor(float(x) * similarity.LSH_QUANT)) for x in v]
+    qsig = 0
+    margins = []
+    for p, row in enumerate(plist):
+        dd = sum(a * b for a, b in zip(row, qq))
+        if dd >= 0:
+            qsig |= 1 << p
+        margins.append(abs(dd))
+    qn = similarity._seq_norm([float(x) for x in v])
+    masks = similarity._costball_masks(margins, n_probes)
+    return qsig, margins, qn, sorted(qsig ^ m for m in masks)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+@pytest.mark.parametrize("dim,n_planes", [(7, 4), (64, 6), (128, 17)])
+def test_batch_probe_gemm_bit_equal_to_r13_fold(dtype, dim, n_planes):
+    """The int64-GEMM probe signing is BIT-identical to the r13
+    per-row Python fold: same signature, same margins, same cost-ball
+    bucket set, and the cumsum norm matches the sequential fold to the
+    last bit (struct.pack comparison, not approx)."""
+    import pandas as pd
+
+    from cryo_spark.operators import similarity
+
+    rng = np.random.default_rng(7 * dim + n_planes)
+    planes = similarity.int_planes(n_planes, dim, seed=5)
+    plist = [[int(x) for x in row] for row in planes]
+    vecs = [rng.normal(size=dim).astype(dtype) for _ in range(40)]
+    # adversarial rows: constant and huge-magnitude values; the
+    # all-zero vector (T=0 ties EVERY mask) only where its 2^n_planes
+    # probe set stays under the documented degenerate-query cap — both
+    # paths share _costball_masks, which raises loudly past it
+    vecs += [np.full(dim, 3.25, dtype=dtype),
+             (rng.normal(size=dim) * 1e3).astype(dtype)]
+    if (1 << n_planes) <= 65536:
+        vecs.append(np.zeros(dim, dtype=dtype))
+
+    fn = similarity._batch_probe_fn(planes, 8, "query_id", "_bucket")
+    pdf = pd.DataFrame({"query_id": list(range(len(vecs))), "_qv": vecs})
+    out = pd.concat(list(fn(iter([pdf]))), ignore_index=True)
+
+    for qid, v in enumerate(vecs):
+        qsig, margins, qn, want_buckets = _r13_probe_reference(
+            v, plist, 8
+        )
+        rows = out[out["query_id"] == qid]
+        assert sorted(rows["_bucket"].tolist()) == want_buckets
+        for got_n in rows["_qn"]:
+            assert struct.pack("<d", got_n) == struct.pack("<d", qn)
+        for got_v in rows["_qv"]:
+            assert np.array_equal(np.asarray(got_v), np.asarray(v))
+
+
+def test_batch_probe_norm_cumsum_is_sequential():
+    """The cumsum norm equals math.sqrt of the LEFT-TO-RIGHT running
+    sum on values chosen to expose pairwise-summation reordering
+    (mixed magnitudes where (a+b)+c != a+(b+c))."""
+    from cryo_spark.operators import similarity
+
+    v = np.array([1e8, 1.0, -1e8, 1e-8, 3.0, 1e16, 7.0, -1.0],
+                 dtype=np.float64)
+    seq = similarity._seq_norm([float(x) for x in v])
+    got = float(
+        np.sqrt(np.square(v.reshape(1, -1)).cumsum(axis=1)[:, -1])[0]
+    )
+    assert struct.pack("<d", got) == struct.pack("<d", seq)
+
+
+def test_lsh_topk_batch_double_queries_keep_precision(spark):
+    """ADVICE r13: array<double> query frames keep full precision
+    through the probe exchange — per-query batch rows equal the
+    single-query costball scan on a double-typed corpus/query pair."""
+    from cryo_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = {
+        (r.vec_id, r.cosine)
+        for r in similarity.lsh_topk_batch(
+            emb, queries, k=5, n_planes=4, n_probes=8,
+            exclude_self=False, dim=16,
+        ).collect()
+    }
+    single = {
+        (r.vec_id, r.cosine)
+        for r in similarity.lsh_topk_costball(
+            emb, rows[7][1], k=5, n_planes=4, n_probes=8,
+        ).collect()
+    }
+    assert batch == single
+
+
+def test_costball_sql_offset_clamped(spark):
+    """ADVICE r13: n_probes > 2^n_planes probes EVERY bucket on both
+    engines — the Python heap exhausts to the max cost and the SQL
+    OFFSET is clamped to the flip-set population instead of returning
+    an empty thr CTE (which silently yielded zero rows)."""
+    from cryo_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    query = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    # n_planes=3 -> 8 flip sets < n_probes=16: threshold = max cost,
+    # i.e. every bucket probed -> identical to exact top-k
+    got = [
+        (r.vec_id, r.cosine)
+        for r in similarity.lsh_topk_costball(
+            emb, query, k=10, n_planes=3, n_probes=16
+        ).collect()
+    ]
+    exact = [
+        (r.vec_id, r.cosine)
+        for r in similarity.cosine_topk(emb, query, k=10).collect()
+    ]
+    assert got == exact
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    )
+    sql_rows = con.execute(
+        similarity.lsh_topk_costball_sql(
+            "embeddings", k=10, n_planes=3, n_probes=16
+        )
+    ).fetchall()
+    con.close()
+    assert [(a, b) for a, b in sql_rows] == got
+
+
+# ------------------ batched decontam GEMM (verdict #6 + ADVICE #3)
+
+
+def test_embedding_decontaminate_gemm_string_ids(spark):
+    """ADVICE r13: gemm derives its output id types from the input
+    schemas — string corpus AND eval ids flow through and the rows
+    equal the fold path's."""
+    from cryo_spark.operators import decontam
+
+    e1 = [1.0] + [0.0] * 7
+    train = spark.createDataFrame(
+        [
+            ("docA", e1),
+            ("docB", [0.75, 0.0, 0.0, 1.0] + [0.0] * 4),
+            ("docC", [0.0] * 7 + [1.0]),
+        ],
+        "vec_id string, embedding array<float>",
+    )
+    evals = spark.createDataFrame(
+        [("evalX", e1), ("evalY", e1)],
+        "vec_id string, embedding array<float>",
+    )
+    got = {
+        (r.vec_id, r.eval_id, r.cosine)
+        for r in decontam.embedding_decontaminate(
+            train, evals, min_cosine=0.5, method="gemm"
+        ).collect()
+    }
+    # ties (evalX == evalY) break to the MIN eval id; docB's cosine is
+    # 0.75/1.25 = 0.6 exactly (all components float32-representable)
+    assert got == {("docA", "evalX", 1.0), ("docB", "evalX", 0.6)}
+    fold = {
+        (r.vec_id, r.eval_id, r.cosine)
+        for r in decontam.embedding_decontaminate(
+            train, evals, min_cosine=0.5, method="fold"
+        ).collect()
+    }
+    assert fold == got
+
+
+def test_embedding_decontaminate_gemm_zero_and_empty_batches(spark):
+    """Zero-norm corpus rows are skipped (not NaN-flagged) and an
+    empty eval side returns an empty typed frame."""
+    from cryo_spark.operators import decontam
+
+    train = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    evals = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = decontam.embedding_decontaminate(
+        train, evals, min_cosine=0.5, method="gemm"
+    ).collect()
+    assert [(r.vec_id, r.eval_id, r.cosine) for r in got] == [(1, 100, 1.0)]
+    empty = decontam.embedding_decontaminate(
+        train, evals.limit(0), min_cosine=0.5, method="gemm"
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "vec_id", "eval_id", "cosine",
+    ]
+
+
+# ------------------ PNG codec hardening (ADVICE r13 #1/#2)
+
+
+def _chunk(typ: bytes, body: bytes) -> bytes:
+    import struct as _s
+    import zlib as _z
+
+    return (
+        _s.pack(">I", len(body)) + typ + body
+        + _s.pack(">I", _z.crc32(typ + body) & 0xFFFFFFFF)
+    )
+
+
+def _png(width, height, color, idat_raw=None, palette=None, idat=None):
+    import struct as _s
+    import zlib as _z
+
+    from cryo_spark.operators import pngcodec
+
+    ihdr = _s.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    body = pngcodec._SIG + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += _chunk(b"PLTE", palette)
+    if idat is None:
+        idat = _z.compress(idat_raw or b"", 6)
+    return body + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def test_png_bomb_rejected_before_allocation():
+    """A tiny crafted PNG claiming huge dimensions fails fast on the
+    IHDR budget check — no decompression, no allocation."""
+    import time
+
+    from cryo_spark.operators import pngcodec
+
+    bomb = _png(60000, 60000, 6, idat_raw=b"\x00" * 10)
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="decode budget"):
+        pngcodec.decode_png(bomb)
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_png_long_idat_stream_rejected_bounded():
+    """An IDAT that inflates PAST the pixel data (1000:1 zlib bomb
+    behind a small IHDR) is rejected, and the decode never inflates
+    more than the image's own budget."""
+    import zlib as _z
+
+    from cryo_spark.operators import pngcodec
+
+    # 4x4 grayscale needs (4+1)*4 = 20 raw bytes; hand it 10 MB of
+    # zeros behind the same small header
+    long_raw = b"\x00" * (10 * 1024 * 1024)
+    data = _png(4, 4, 0, idat=_z.compress(long_raw, 9))
+    with pytest.raises(ValueError, match="past the pixel data"):
+        pngcodec.decode_png(data)
+
+
+def test_png_zero_dims_and_palette_range_are_valueerror():
+    from cryo_spark.operators import pngcodec
+
+    with pytest.raises(ValueError, match="zero width or height"):
+        pngcodec.decode_png(_png(0, 4, 0, idat_raw=b""))
+    with pytest.raises(ValueError, match="zero width or height"):
+        pngcodec.decode_png(_png(4, 0, 0, idat_raw=b""))
+    # palette image whose pixel index exceeds PLTE: 1 entry, index 5
+    raw = b"\x00" + bytes([5, 0])  # filter 0, two pixels
+    data = _png(2, 1, 3, idat_raw=raw, palette=b"\x10\x20\x30")
+    with pytest.raises(ValueError, match="palette index"):
+        pngcodec.decode_png(data)
+
+
+def test_png_roundtrip_still_green_after_hardening():
+    """The encoder's own output still decodes bit-exactly."""
+    from cryo_spark.operators import pngcodec
+
+    rows = [bytes((x * 7 + y) % 256 for x in range(9)) for y in range(5)]
+    data = pngcodec.encode_png(9, 5, 1, rows)
+    w, h, ch, got = pngcodec.decode_png(data)
+    assert (w, h, ch) == (9, 5, 1)
+    assert got == rows
