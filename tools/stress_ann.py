@@ -196,6 +196,52 @@ def main() -> int:
     assert nrows > 0
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
+    # round 14: whole-corpus kNN GRAPH — corpus-as-queries through the
+    # same one-bucket-join path, the SemDeDup input shape that was the
+    # r13 scale flag (per-row Python probe fold; now one int64 GEMM
+    # per Arrow batch). Recall is measured on PLANTED CLONE FAMILIES
+    # (50 families x 5 jittered members at cosine ~0.9999 — the
+    # "duplicate cluster" shape the graph exists to find; near-uniform
+    # corpus rows are the usual information-theoretic worst case):
+    # recall = fraction of intra-family edges recovered in each
+    # member's top-10. Plane count is raised to 13 (8192 buckets) so
+    # per-query candidate work stays ~n_probes x E[bucket] ~ 400 dots
+    # — row-count-independent; probe rows scale as n x n_probes.
+    fam, per = 50, 5
+    fam_base = (F.floor(F.col("id") / per) * (n // fam)).cast("long")
+    clone = F.array(*[
+        (
+            (F.xxhash64(fam_base, F.lit(i)) % 100_000).cast("double")
+            / 100_000.0
+            + ((F.xxhash64(F.col("id") + n, F.lit(1000 + i)) % 100)
+               .cast("double") - 50.0) / 5000.0
+        ).cast("float")
+        for i in range(dim)
+    ])
+    planted2 = spark.range(0, fam * per, 1, 8).select(
+        (F.col("id") + n).alias("vec_id"), clone.alias("embedding")
+    )
+    graph_corpus = emb.unionByName(planted2).localCheckpoint()
+    t = time.time()
+    g = similarity.knn_graph(
+        graph_corpus, k=10, n_planes=13, n_probes=16
+    ).localCheckpoint()
+    n_edges = g.count()
+    t_graph = time.time() - t
+    intra = g.filter(
+        (F.col("src") >= n) & (F.col("dst") >= n)
+        & (F.floor((F.col("src") - n) / per)
+           == F.floor((F.col("dst") - n) / per))
+    ).count()
+    r_graph = intra / (fam * per * (per - 1))
+    print(
+        f"knn_graph: {t_graph:.2f}s for the full {n + fam * per}-row "
+        f"graph ({(n + fam * per) / t_graph:,.0f} rows/s, {n_edges} "
+        f"edges, 13 planes x 16 probes), planted-family recall@10 "
+        f"{r_graph:.2f}"
+    )
+    assert r_graph >= 0.9, r_graph
+
     t = time.time()
     books = similarity.pq_train(emb, sample_rows=smp)
     codes = similarity.pq_encode(assigned, books).localCheckpoint()
