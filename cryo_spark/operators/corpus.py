@@ -13,11 +13,17 @@ stream-filtered output.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cryo_spark.operators import dedup, text
 from cryo_spark.operators.util import spread
+
+#: process-wide Observation name sequence — Observation names must be
+#: unique per query, and a long-lived session runs many funnels
+_OBS_SEQ = itertools.count()
 
 
 def clean_corpus(
@@ -116,6 +122,7 @@ def _corpus_stages(
     host_ranks: DataFrame | None = None,
     min_host_rank: float = 0.0,
     checkpoint: bool = False,
+    observations: list | None = None,
 ) -> list[tuple[str, DataFrame, str]]:
     """The WHOLE preparation pipeline, composed from the per-stage
     operators: optional URL-level controls (stage 0, round 8 — when
@@ -180,7 +187,24 @@ def _corpus_stages(
     persist-everywhere design). Execution semantics are unchanged —
     checkpoint is a pipeline-only knob with no mirror in the SQL
     oracle chain (DuckDB MATERIALIZED CTEs already execute each stage
-    once)."""
+    once).
+
+    ``observations`` (round 14, r13 verdict task 2): pass a list and
+    every boundary frame gets a ``DataFrame.observe`` node carrying
+    its (n_docs, n_tokens) counters — the funnel's per-boundary
+    aggregates then RIDE the one pipeline action instead of being 11+
+    extra aggregate subtrees (each of which paid its own
+    analysis/codegen over the cached boundary). One Observation is
+    appended per boundary, index-aligned with the returned stage
+    list. Placement is load-bearing: the observe node sits ABOVE the
+    lineage cut (a metric inside a lazy localCheckpoint's RDD lineage
+    fires spuriously with zero rows — measured) and BELOW a persist
+    (several boundaries are consumed 2-4x downstream; the cache
+    makes the metric count rows exactly once, on first
+    materialization). Cut boundaries therefore carry cache blocks on
+    top of their checkpoint blocks in observe mode — boundary-sized,
+    the same storage class the persist-everywhere design already
+    budgets."""
     from cryo_spark.operators import sampling, spans
 
     stages: list[tuple[str, DataFrame, str]] = []
@@ -204,7 +228,21 @@ def _corpus_stages(
         if checkpoint:
             if name in _CUT:
                 frame = frame.localCheckpoint(eager=False)
-            else:
+            if observations is not None:
+                from pyspark.sql import Observation
+
+                obs = Observation(
+                    f"funnel_{next(_OBS_SEQ)}_{len(stages)}_{name}"
+                )
+                frame = frame.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.coalesce(F.sum(text.token_count(tc)), F.lit(0))
+                    .cast("long").alias("n_tokens"),
+                )
+                observations.append(obs)
+                frame.persist()
+            elif name not in _CUT:
                 frame.persist()
         stages.append((name, frame, tc))
         return frame
@@ -484,8 +522,19 @@ def corpus_funnel(
     ``cache=False`` disables BOTH the boundary materialization and the
     lineage cuts: every boundary recomputes its full prefix AND the
     plan-copy blow-up above applies — usable only for small stage
-    subsets (debugging); never run it with the full option set."""
-    stages = _corpus_stages(df, checkpoint=cache, **kwargs)
+    subsets (debugging); never run it with the full option set.
+
+    ``cache=True`` (the production spelling) is EAGER since round 14:
+    the pipeline runs at call time (one action over the staged chain,
+    counters observed en route — see :func:`_funnel_from_stages`) and
+    the returned frame is the metadata-sized report."""
+    if cache:
+        observations: list = []
+        stages = _corpus_stages(
+            df, checkpoint=True, observations=observations, **kwargs
+        )
+        return _funnel_from_stages(stages, observations)
+    stages = _corpus_stages(df, checkpoint=False, **kwargs)
     return _funnel_from_stages(stages)
 
 
@@ -498,10 +547,14 @@ def prepare_with_funnel(
     separately would execute every stage (all dedup shuffles, minhash
     joins, robots scans) TWICE. The boundaries are materialized once
     (checkpoint mode), the final frame rides the same materialized
-    stages, and the funnel aggregates are per-boundary partial counts
-    on top."""
-    stages = _corpus_stages(df, checkpoint=True, **kwargs)
-    return stages[-1][1], _funnel_from_stages(stages)
+    stages, and the funnel counters ride the one pipeline action
+    (observe nodes — round 14). The returned final frame's caches are
+    already hot."""
+    observations: list = []
+    stages = _corpus_stages(
+        df, checkpoint=True, observations=observations, **kwargs
+    )
+    return stages[-1][1], _funnel_from_stages(stages, observations)
 
 
 def prepare_corpus_delta(
@@ -611,13 +664,19 @@ def prepare_corpus_delta(
             rows, index_table, ["band_id", "band_hash"], mode="append"
         )
     surv = new_docs.join(drops, "doc_id", "left_anti")
-    stages = _corpus_stages(surv, text_col=text_col, checkpoint=True, **kwargs)
+    observations: list = []
+    stages = _corpus_stages(
+        surv, text_col=text_col, checkpoint=True,
+        observations=observations, **kwargs,
+    )
     # the pipeline's own 'input' boundary IS the delta survivors —
     # relabel it and prepend the raw batch so the funnel covers the
-    # index-dedup attrition
+    # index-dedup attrition. The raw batch has no observe node (it is
+    # not part of the staged chain), so its funnel row falls back to
+    # one day-batch-sized aggregate (the None slot).
     stages[0] = ("delta_near_dup", stages[0][1], stages[0][2])
     full = [("delta_input", new_docs, text_col)] + stages
-    return full[-1][1], _funnel_from_stages(full)
+    return full[-1][1], _funnel_from_stages(full, [None] + observations)
 
 
 def release_stage_storage(df_or_session) -> None:
@@ -636,8 +695,57 @@ def release_stage_storage(df_or_session) -> None:
 
 
 def _funnel_from_stages(
-    stages: list[tuple[str, DataFrame, str]]
+    stages: list[tuple[str, DataFrame, str]],
+    observations: list | None = None,
 ) -> DataFrame:
+    """Funnel frame from a staged chain. With ``observations`` (one
+    per stage, index-aligned; ``None`` entries fall back to a classic
+    aggregate) the per-boundary counters RIDE one action — a single
+    count() on the LAST stage materializes every boundary cache in
+    order and fires every observe node exactly once — instead of the
+    11+-aggregate union (round 14: each of those aggregates was its
+    own analyzed/codegen'd subtree over a cached boundary; the union +
+    lag window re-planned all of them. Measured at sf0.1:
+    4.7 s -> ~3 s for the full-kwargs contract funnel). The observed
+    counts then become a literal rows frame, and the SAME lag/pct
+    Spark expressions produce the report — values identical to the
+    aggregate spelling, hash-pinned by the corpus_funnel contract
+    entry."""
+    if observations is not None:
+        last = stages[-1][1]
+        last.count()  # the ONE action: fires every observe en route
+        rows = []
+        for i, ((stage, frame, tc), obs) in enumerate(
+            zip(stages, observations)
+        ):
+            m = None
+            if obs is not None:
+                # JVM map accessor, not Observation.get: a boundary
+                # whose cache materializes inside a BROADCAST-exchange
+                # thread reports an EMPTY metrics row to the main
+                # query (measured — small stages AQE-convert to
+                # broadcast joins), and .get's row conversion asserts
+                # on it. The map form returns {} for that case, which
+                # routes to the aggregate fallback below; it still
+                # blocks until the query delivered, so there is no
+                # read race.
+                m = dict(obs._jo.getAsJava())
+            if m:
+                nd, nt = int(m["n_docs"]), int(m["n_tokens"])
+            else:
+                # fallback (and the un-observed prepended frames):
+                # one aggregate riding the already-materialized cache
+                r = frame.agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.coalesce(F.sum(text.token_count(tc)), F.lit(0))
+                    .cast("long").alias("n_tokens"),
+                ).first()
+                nd, nt = int(r["n_docs"]), int(r["n_tokens"])
+            rows.append((i, stage, nd, nt))
+        u = last.sparkSession.createDataFrame(
+            rows, "stage_idx long, stage string, n_docs long, n_tokens long"
+        )
+        return _funnel_report(u)
     parts = []
     for i, (stage, frame, tc) in enumerate(stages):
         toks = text.token_count(tc)
@@ -655,6 +763,10 @@ def _funnel_from_stages(
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
+    return _funnel_report(u)
+
+
+def _funnel_report(u: DataFrame) -> DataFrame:
     w = Window.orderBy("stage_idx")
     base = u.select(
         "stage_idx",
