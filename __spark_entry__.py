@@ -610,7 +610,34 @@ def q_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("eval_id").alias("id_b"),
         "cosine",
     )
-    return nd.unionByName(tk).unionByName(hn).unionByName(dc)
+    # round 14: SELF-CONTAINED semantic tier (kind='text_embed') — the
+    # whole text -> embedding -> decontam chain on the RAW documents
+    # table, no external embedding model: signed feature-hashing
+    # embeddings (textembed.text_embeddings — engine-neutral
+    # md5_number_lower buckets/signs, small exact-integer components)
+    # feed the same fold decontam. Docs with doc_id % 31 == 0 play the
+    # eval set; 0.9 keeps the flag leakage-sized (bag-of-words cosines
+    # of unrelated synthetic docs sit ~0.65 median, 0.99 quantile
+    # ~0.86 at sf0.01).
+    from cryo_spark.operators import textembed
+
+    docs = _read(spark, sf_dir, "documents")
+    temb = textembed.text_embeddings(docs, dim=64)
+    tdc = decontam.embedding_decontaminate(
+        temb.filter(F.col("doc_id") % 31 != 0),
+        temb.filter(F.col("doc_id") % 31 == 0),
+        min_cosine=0.9,
+        id_col="doc_id",
+    ).select(
+        F.lit("text_embed").alias("kind"),
+        F.col("doc_id").alias("id_a"),
+        F.col("eval_id").alias("id_b"),
+        "cosine",
+    )
+    return (
+        nd.unionByName(tk).unionByName(hn).unionByName(dc)
+        .unionByName(tdc)
+    )
 
 
 def oracle_embedding_sim() -> str:
@@ -623,6 +650,14 @@ def oracle_embedding_sim() -> str:
         "embeddings", "vec_id % 31 = 0", "vec_id % 31 != 0",
         min_cosine=0.35,
     )
+    from cryo_spark.operators import textembed
+
+    te = textembed.text_embeddings_sql("documents", dim=64)
+    tdc = decontam.embedding_decontaminate_sql(
+        "__te", "doc_id % 31 = 0", "doc_id % 31 != 0",
+        min_cosine=0.9, id_col="doc_id",
+        prelude=f"__te AS ({te}),",
+    )
     return f"""
 SELECT 'near_dup' AS kind, id_a, id_b, cosine FROM ({nd})
 UNION ALL
@@ -631,6 +666,9 @@ UNION ALL
 SELECT 'hard_neg' AS kind, vec_id AS id_a, neg_id AS id_b, cosine FROM ({hn})
 UNION ALL
 SELECT 'decontam' AS kind, vec_id AS id_a, eval_id AS id_b, cosine FROM ({dc})
+UNION ALL
+SELECT 'text_embed' AS kind, doc_id AS id_a, eval_id AS id_b, cosine
+FROM ({tdc})
 """
 
 

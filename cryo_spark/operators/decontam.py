@@ -376,11 +376,15 @@ def embedding_decontaminate_sql(
     min_cosine: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prelude: str = "",
 ) -> str:
     """DuckDB twin of :func:`embedding_decontaminate` (fold method)
     over one stored table split by predicates — same exact fold
     arithmetic, same round-8, same (cosine desc, eval_id asc) struct
-    tie-break."""
+    tie-break. ``prelude`` injects extra leading CTEs (ending in a
+    comma) so ``table`` can itself be a derived frame — e.g. the
+    ``textembed.text_embeddings_sql`` twin for the self-contained
+    text->embedding->decontam chain (round 14)."""
     cos = (
         f"round(list_sum(list_transform(list_zip(t.{vec_col}, e.{vec_col}),"
         " x -> x[1]::DOUBLE * x[2]::DOUBLE))"
@@ -388,7 +392,8 @@ def embedding_decontaminate_sql(
         f" * sqrt(list_sum(list_transform(e.{vec_col}, x -> x::DOUBLE * x::DOUBLE)))), 8)"
     )
     return f"""
-WITH hits AS (
+WITH {prelude}
+hits AS (
   SELECT t.{id_col} AS {id_col}, e.{id_col} AS eval_id, {cos} AS cosine
   FROM (SELECT * FROM {table} WHERE {train_pred}) t,
        (SELECT * FROM {table} WHERE {eval_pred}) e

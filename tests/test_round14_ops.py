@@ -307,3 +307,95 @@ def test_png_roundtrip_still_green_after_hardening():
     w, h, ch, got = pngcodec.decode_png(data)
     assert (w, h, ch) == (9, 5, 1)
     assert got == rows
+
+
+# ------------------ text -> embedding featurization (verdict #4)
+
+
+def test_text_embeddings_deterministic_and_twin(spark):
+    """Same text -> same vector on repeat runs, bit-identical to the
+    DuckDB twin (small exact-integer components), and NULL/empty text
+    maps to the zero vector on both engines."""
+    import duckdb
+
+    from cryo_spark.operators import textembed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r.doc_id: list(r.embedding)
+         for r in textembed.text_embeddings(docs, dim=16).collect()}
+    b = {r.doc_id: list(r.embedding)
+         for r in textembed.text_embeddings(docs, dim=16).collect()}
+    assert a == b
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = {
+        r[0]: list(r[1])
+        for r in con.execute(
+            textembed.text_embeddings_sql("documents", dim=16)
+        ).fetchall()
+    }
+    con.close()
+    assert a == want
+    nulls = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "  ")], "doc_id long, text string"
+    )
+    for r in textembed.text_embeddings(nulls, dim=8).collect():
+        assert list(r.embedding) == [0.0] * 8, r
+
+
+def test_text_embeddings_zero_shuffle_plan(spark):
+    """Featurization is ONE narrow projection — no Exchange, no
+    Python, anywhere in the plan (the 100 TB map-only claim)."""
+    from cryo_spark.operators import textembed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        textembed.text_embeddings(docs, dim=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_text_embeddings_dim_validation(spark):
+    import pytest as _pytest
+
+    from cryo_spark.operators import textembed
+
+    for bad in (0, 1, 3, 12, 257, 512):
+        with _pytest.raises(ValueError, match="power of two"):
+            textembed.text_embedding_expr("text", dim=bad)
+        with _pytest.raises(ValueError, match="power of two"):
+            textembed.text_embeddings_sql("t", dim=bad)
+
+
+def test_text_embed_decontam_composition_flags_paraphrase(spark):
+    """E2E self-contained semantic decontamination on a RAW text
+    corpus: a word-shuffled paraphrase of an eval doc (bag-of-words
+    invariant) is flagged at cosine 1.0 with the right eval match; an
+    unrelated doc is not flagged."""
+    from cryo_spark.operators import decontam, textembed
+
+    eval_text = "the quick brown fox jumps over the lazy dog tonight"
+    paraphrase = "tonight the lazy dog jumps over the quick brown fox"
+    rows = [
+        (0, paraphrase),                     # planted: same multiset
+        (1, "completely different words about spark and parquet io"),
+    ]
+    evals = [(100, eval_text), (101, "another held out benchmark doc")]
+    corpus_emb = textembed.text_embeddings(
+        spark.createDataFrame(rows, "doc_id long, text string"), dim=32
+    )
+    eval_emb = textembed.text_embeddings(
+        spark.createDataFrame(evals, "doc_id long, text string"), dim=32
+    )
+    got = {
+        (r.doc_id, r.eval_id, r.cosine)
+        for r in decontam.embedding_decontaminate(
+            corpus_emb, eval_emb, min_cosine=0.95, id_col="doc_id"
+        ).collect()
+    }
+    assert got == {(0, 100, 1.0)}
