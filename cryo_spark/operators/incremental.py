@@ -374,6 +374,7 @@ def embedding_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, bucket, embedding): the persistable unit for incremental
     embedding dedup. ``n_planes=None`` auto-sizes from a corpus count
@@ -388,18 +389,22 @@ def embedding_index(
 
     # ONE fused count+dim job (round 14; the separate .first() dim
     # probe was its own driver job whenever auto-planes already ran a
-    # count — same fusion _emb_stats gave the similarity callers)
+    # count — same fusion _emb_stats gave the similarity callers);
+    # ZERO jobs when both n_planes and dim are pinned (the
+    # embedding_index_for_table path pins them from the saved index)
     try:
         n, d = similarity._emb_stats(
-            emb, vec_col, need_n=n_planes is None, need_dim=True
+            emb, vec_col, need_n=n_planes is None, need_dim=dim is None
         )
     except ValueError as exc:
         raise ValueError(
             "cannot index an empty/all-null embedding frame"
         ) from exc
+    if dim is None:
+        dim = int(d)
     if n_planes is None:
         n_planes = similarity.default_n_planes(n)
-    planes = similarity.int_planes(n_planes, int(d), seed)
+    planes = similarity.int_planes(n_planes, dim, seed)
     return emb.select(
         F.col(id_col),
         similarity._int_sig(
@@ -526,11 +531,17 @@ def embedding_index_for_table(
     daily-delta ergonomic path. Auto-sizing the delta from its own
     (day-sized) count would usually pick fewer planes than the
     corpus-sized index and trip the mismatch guard by design; the
-    index's stored constants are the source of truth."""
-    stored = spark.table(table).select("n_planes", "seed").first()
-    if stored is None:
+    index's stored constants are the source of truth. ONE metadata
+    probe total (round 14): (n_planes, seed, dim) come from a single
+    stored-row read — the dim pin ALSO makes the signing itself
+    zero-job, and using the index's dim (not the delta's) is the
+    correct family semantics: planes are built for the index width."""
+    meta = spark.table(table).select(
+        "n_planes", "seed", F.size("embedding").alias("_d")
+    ).filter(F.col("_d").isNotNull()).first()
+    if meta is None:
         raise ValueError(f"embedding index {table!r} is empty")
     return embedding_index(
-        emb, n_planes=int(stored.n_planes), seed=int(stored.seed),
-        id_col=id_col, vec_col=vec_col,
+        emb, n_planes=int(meta["n_planes"]), seed=int(meta["seed"]),
+        id_col=id_col, vec_col=vec_col, dim=int(meta["_d"]),
     )

@@ -399,3 +399,39 @@ def test_text_embed_decontam_composition_flags_paraphrase(spark):
         ).collect()
     }
     assert got == {(0, 100, 1.0)}
+
+
+# ------------------ fused metadata probes (verdict #5)
+
+
+def test_from_index_readers_one_metadata_job(spark):
+    """The persisted-index readers run ONE metadata probe: signing a
+    delta via embedding_index_for_table costs exactly one job (the
+    fused (n_planes, seed, dim) row read — the signing itself is
+    zero-job once pinned), and lsh_topk_batch_from_index's
+    construction also probes once."""
+    from cryo_spark.operators import incremental, similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    table = "emb_idx_meta_r14"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    incremental.save_embedding_index(
+        incremental.embedding_index(emb, n_planes=6), table
+    )
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs():
+        return len(tracker.getJobIdsForGroup(None) or [])
+
+    j0 = jobs()
+    incremental.embedding_index_for_table(spark, table, emb.limit(10))
+    assert jobs() == j0 + 1, "delta signing probed more than once"
+
+    j1 = jobs()
+    similarity.lsh_topk_batch_from_index(
+        spark, table,
+        emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=3,
+    )
+    assert jobs() == j1 + 1, "from_index construction probed more than once"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
