@@ -59,24 +59,32 @@ def fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
 def _gray_grid(payload: bytes, out_w: int, out_h: int) -> np.ndarray:
     """Shared real-media pixel path: PNG payloads decode through the
     VENDORED pure-Python codec (:mod:`cryo_spark.operators.pngcodec` —
-    round 13; byte-identical on every environment, so perceptual
-    hashes never drift with a PIL version), other formats through PIL
-    where importable. NotImplementedError only remains for non-PNG
-    payloads in a PIL-less container."""
-    from cryo_spark.operators import pngcodec
+    round 13) and JPEG payloads through its baseline-JPEG sibling
+    (:mod:`cryo_spark.operators.jpegcodec` — round 14, clean-room from
+    ITU-T T.81/JFIF); both run unconditionally and byte-identically on
+    every environment, so perceptual hashes never drift with a PIL
+    version. Other formats go through PIL where importable;
+    NotImplementedError only remains for non-PNG/JPEG payloads in a
+    PIL-less container."""
+    from cryo_spark.operators import jpegcodec, pngcodec
 
     if pngcodec.is_png(payload):
         return np.asarray(
             pngcodec.decode_gray_resized(bytes(payload), out_w, out_h),
             dtype=np.float64,
         )
+    if jpegcodec.is_jpeg(payload):
+        return np.asarray(
+            jpegcodec.decode_gray_resized(bytes(payload), out_w, out_h),
+            dtype=np.float64,
+        )
     try:
         from PIL import Image
     except ImportError as exc:  # pragma: no cover - env-dependent
         raise NotImplementedError(
-            "decoding non-PNG media requires PIL — not available in "
-            "this container; PNG payloads decode via the vendored "
-            "codec, or use fake_decode for pipeline testing"
+            "decoding non-PNG/JPEG media requires PIL — not available "
+            "in this container; PNG/JPEG payloads decode via the "
+            "vendored codecs, or use fake_decode for pipeline testing"
         ) from exc
     import io
 
@@ -154,16 +162,19 @@ def fake_resize(payload: bytes, width: int, height: int) -> bytes:
 
 
 def real_resize(payload: bytes, width: int, height: int) -> bytes:
-    """Real image resize -> PNG bytes. PNG payloads resize through
-    the vendored codec (box resample per channel, re-encoded as PNG —
-    runs unconditionally, round 13); other formats go through PIL
-    where importable, NotImplementedError otherwise."""
-    from cryo_spark.operators import pngcodec
+    """Real image resize -> PNG bytes. PNG and (round 14) baseline
+    JPEG payloads resize through the vendored codecs (box resample per
+    channel, re-encoded as PNG — runs unconditionally); other formats
+    go through PIL where importable, NotImplementedError otherwise."""
+    from cryo_spark.operators import jpegcodec, pngcodec
 
     if payload is None:
         return None
-    if pngcodec.is_png(payload):
-        w, h, ch, rows = pngcodec.decode_png(bytes(payload))
+    if pngcodec.is_png(payload) or jpegcodec.is_jpeg(payload):
+        if pngcodec.is_png(payload):
+            w, h, ch, rows = pngcodec.decode_png(bytes(payload))
+        else:
+            w, h, ch, rows = jpegcodec.decode_jpeg(bytes(payload))
         # per-channel box resample, rounded back to bytes
         out_rows = []
         chans = [
@@ -190,9 +201,9 @@ def real_resize(payload: bytes, width: int, height: int) -> bytes:
         from PIL import Image
     except ImportError as exc:  # pragma: no cover - env-dependent
         raise NotImplementedError(
-            "resizing non-PNG media requires PIL — not available in "
-            "this container; PNG payloads resize via the vendored "
-            "codec, or use fake_resize for pipeline testing"
+            "resizing non-PNG/JPEG media requires PIL — not available "
+            "in this container; PNG/JPEG payloads resize via the "
+            "vendored codecs, or use fake_resize for pipeline testing"
         ) from exc
     import io
 

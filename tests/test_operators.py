@@ -242,21 +242,26 @@ def test_multimodal_resize(spark):
 
 
 def test_multimodal_non_png_requires_pil():
-    """Where PIL is absent, NON-PNG payloads must fail loudly with
-    the documented NotImplementedError, never silently fall back;
-    corrupt PNG-signature bytes fail the vendored codec's parse."""
+    """Where PIL is absent, payloads outside the vendored codecs
+    (PNG round 13, baseline JPEG round 14) must fail loudly with the
+    documented NotImplementedError, never silently fall back; corrupt
+    PNG/JPEG-signature bytes fail the vendored codecs' parse with
+    ValueError."""
     try:
         import PIL  # noqa: F401
         pytest.skip("PIL present — non-PNG decode is covered there")
     except ImportError:
         pass
-    jpegish = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    gifish = b"GIF89a" + b"\x00" * 16
     with pytest.raises(NotImplementedError, match="PIL"):
-        multimodal.real_decode(jpegish)
+        multimodal.real_decode(gifish)
     with pytest.raises(NotImplementedError, match="PIL"):
-        multimodal.real_resize(jpegish, 8, 8)
+        multimodal.real_resize(gifish, 8, 8)
     with pytest.raises(ValueError):
         multimodal.real_decode(b"\x89PNG\r\n\x1a\n" + b"junk")
+    # JPEG signature now routes to the vendored baseline codec
+    with pytest.raises(ValueError):
+        multimodal.real_decode(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
 def _solid_png(w, h, rgb):

@@ -435,3 +435,115 @@ def test_from_index_readers_one_metadata_job(spark):
     )
     assert jobs() == j1 + 1, "from_index construction probed more than once"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# ------------------ vendored baseline JPEG codec (verdict #8)
+
+
+def _jpeg_mod():
+    from cryo_spark.operators import jpegcodec
+
+    return jpegcodec
+
+
+def test_jpegcodec_gray_roundtrip_exact():
+    """Grayscale 4:4:4 at quantizer 1 roundtrips EXACTLY (orthonormal
+    DCT/IDCT + unit quantizer: the only error source is float
+    rounding, which stays under half a gray level here)."""
+    J = _jpeg_mod()
+    w, h = 19, 13
+    rows = [bytes(((x * 7 + y * 11) % 256) for x in range(w))
+            for y in range(h)]
+    data = J.encode_jpeg(w, h, 1, rows)
+    w2, h2, ch, out = J.decode_jpeg(data)
+    assert (w2, h2, ch) == (w, h, 1)
+    assert out == rows
+
+
+def test_jpegcodec_rgb_and_sampling_roundtrips():
+    """RGB 4:4:4 roundtrips within +-2 levels (color-transform
+    rounding); 4:2:0 keeps smooth gradients close (chroma is
+    subsampled, so noise images only pin the luma channel); restart
+    intervals decode identically."""
+    J = _jpeg_mod()
+    w, h = 37, 29
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    rows = [img[y].tobytes() for y in range(h)]
+    _, _, _, out = J.decode_jpeg(J.encode_jpeg(w, h, 3, rows))
+    b = np.frombuffer(b"".join(out), np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(img.astype(int) - b).max() <= 2
+
+    smooth = np.stack(
+        [
+            np.tile(np.linspace(0, 255, w), (h, 1)),
+            np.tile(np.linspace(255, 0, h)[:, None], (1, w)),
+            np.full((h, w), 128.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    srows = [smooth[y].tobytes() for y in range(h)]
+    _, _, _, out420 = J.decode_jpeg(
+        J.encode_jpeg(w, h, 3, srows, sampling="420")
+    )
+    b420 = np.frombuffer(b"".join(out420), np.uint8).reshape(h, w, 3)
+    assert np.abs(smooth.astype(int) - b420.astype(int)).max() <= 16
+
+    gray = img[..., 0]
+    grows = [gray[y].tobytes() for y in range(h)]
+    for ri in (1, 3):
+        _, _, _, o = J.decode_jpeg(
+            J.encode_jpeg(w, h, 1, grows, restart_interval=ri)
+        )
+        g = np.frombuffer(b"".join(o), np.uint8).reshape(h, w)
+        assert np.abs(gray.astype(int) - g.astype(int)).max() <= 1
+
+
+def test_jpegcodec_error_contract_and_bomb():
+    """Everything outside the subset is ValueError, and a crafted
+    dimension bomb is rejected before any allocation."""
+    import time
+
+    J = _jpeg_mod()
+    good = J.encode_jpeg(
+        8, 8, 1, [bytes(range(8 * i, 8 * i + 8)) for i in range(8)]
+    )
+    with pytest.raises(ValueError, match="baseline"):
+        J.decode_jpeg(b"\xff\xd8\xff\xc2" + good[4:])  # progressive
+    with pytest.raises(ValueError):
+        J.decode_jpeg(good[: len(good) // 2])  # truncated
+    with pytest.raises(ValueError, match="signature"):
+        J.decode_jpeg(b"nonsense")
+    bomb = bytearray(good)
+    sof = good.find(b"\xff\xc0")
+    bomb[sof + 5:sof + 7] = (60000).to_bytes(2, "big")
+    bomb[sof + 7:sof + 9] = (60000).to_bytes(2, "big")
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="decode budget"):
+        J.decode_jpeg(bytes(bomb))
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_real_media_paths_accept_jpeg(spark):
+    """real_decode / real_dhash / real_resize run unconditionally on
+    baseline-JPEG payloads (the r13 PIL guards are gone for JPEG):
+    dhash of a JPEG of an image matches dhash of the PNG of the SAME
+    pixels (both route through identical gray/box-resize plumbing and
+    quantizer-1 luma roundtrips near-exactly), and resize returns a
+    decodable PNG at the target size."""
+    from cryo_spark.operators import multimodal, pngcodec
+
+    J = _jpeg_mod()
+    w, h = 24, 16
+    grid = np.add.outer(
+        np.linspace(0, 200, h), np.linspace(0, 55, w)
+    ).astype(np.uint8)
+    rows = [grid[y].tobytes() for y in range(h)]
+    jpg = J.encode_jpeg(w, h, 1, rows)
+    png = pngcodec.encode_png(w, h, 1, rows)
+    assert multimodal.real_dhash(jpg) == multimodal.real_dhash(png)
+    v = multimodal.real_decode(jpg, dim=16)
+    assert v is not None and v.shape == (16,)
+    out = multimodal.real_resize(jpg, 6, 5)
+    w2, h2, ch2, rows2 = pngcodec.decode_png(out)
+    assert (w2, h2, ch2) == (6, 5, 1)
