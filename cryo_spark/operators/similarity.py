@@ -160,21 +160,32 @@ def _quantized(vec_col: Column, quant: int = LSH_QUANT) -> Column:
     )
 
 
-def default_n_planes(n_rows: int) -> int:
-    """Auto-sized hyperplane count: ~log2(corpus / 1000) planes keeps
-    the EXPECTED bucket population near 1k rows, so a bucket-local
-    pairing (``hard_negatives``) stays ~B^2 = 10^6 products per bucket
-    and a probe scan (``lsh_topk``) filters to ~0.1% of the corpus —
-    independent of corpus size. Floor 6 (the historical default: 64
-    buckets, right for the test tables), cap 24 (16.7M buckets — past
-    that the per-bucket constant costs dominate). A misconfigured call
-    on a 10^8-row corpus therefore gets ~17 planes instead of 6's
-    B^2-quadratic blowup (ADVICE r12 task 4)."""
+def default_n_planes(n_rows: int, target_bucket: int = 1000) -> int:
+    """Auto-sized hyperplane count: ~log2(corpus / target_bucket)
+    planes keeps the EXPECTED bucket population near ``target_bucket``
+    rows. The default (1000) is sized for bucket-local PAIRING
+    (``hard_negatives``: ~B^2 = 10^6 products per bucket) and probe
+    scans (``lsh_topk``: ~0.1% of the corpus). Floor 6 (the historical
+    default: 64 buckets, right for the test tables), cap 24 (16.7M
+    buckets — past that the per-bucket constant costs dominate). A
+    misconfigured call on a 10^8-row corpus therefore gets ~17 planes
+    instead of 6's B^2-quadratic blowup (ADVICE r12 task 4).
+
+    SERVING indexes want much smaller buckets (round 14, measured):
+    batch-ANN cost is the bucket join's candidate dots —
+    ~n_probes x E[bucket] per query — so an index meant for
+    :func:`lsh_topk_batch_from_index` / :func:`knn_graph` should pass
+    ``target_bucket`` ~ 24-64: the same 1,000-query batch measured
+    2.5 s on a 13-plane (E[bucket] ~ 24) 200k index vs 28 s on the
+    pairing-sized default (~780/bucket) — 11x, identical result rows
+    (cost-ball probing is exact rescoring either way; only recall of
+    TRUE neighbors outside the probed buckets is affected, and the
+    planted-family stress holds recall 1.00 at 13 planes)."""
     import math
 
-    if n_rows <= 1000:
+    if n_rows <= target_bucket:
         return 6
-    return max(6, min(24, math.ceil(math.log2(n_rows / 1000.0))))
+    return max(6, min(24, math.ceil(math.log2(n_rows / target_bucket))))
 
 
 def _emb_stats(

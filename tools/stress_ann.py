@@ -194,6 +194,30 @@ def main() -> int:
         f"bucket join, corpus never moves)"
     )
     assert nrows > 0
+
+    # round 14: the SAME 1,000 queries against a SERVING-SIZED index
+    # (13 planes -> 8,192 buckets, E[bucket] ~ 24 at 200k, vs the
+    # dedup-sized auto default of ~780/bucket). Serving cost is the
+    # bucket join's candidate dots (n_probes x E[bucket] per query) —
+    # the plane count, not the probe emitter, is the knob.
+    table13 = "stress_emb_idx13"
+    spark.sql(f"DROP TABLE IF EXISTS {table13}")
+    incremental.save_embedding_index(
+        incremental.embedding_index(emb, n_planes=13), table13,
+        n_buckets=64,
+    )
+    t = time.time()
+    served13 = similarity.lsh_topk_batch_from_index(
+        spark, table13, queries, k=10, n_probes=16
+    )
+    nrows13 = served13.count()
+    t_serve13 = time.time() - t
+    print(
+        f"batched_ann_serving_13planes: {t_serve13:.2f}s for {nq} "
+        f"queries ({nq / t_serve13:,.0f} queries/s, {nrows13} rows) — "
+        f"vs {t_serve:.2f}s on the auto-planes index"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table13}")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
     # round 14: whole-corpus kNN GRAPH — corpus-as-queries through the
