@@ -190,21 +190,28 @@ def _corpus_stages(
     once).
 
     ``observations`` (round 14, r13 verdict task 2): pass a list and
-    every boundary frame gets a ``DataFrame.observe`` node carrying
-    its (n_docs, n_tokens) counters — the funnel's per-boundary
-    aggregates then RIDE the one pipeline action instead of being 11+
-    extra aggregate subtrees (each of which paid its own
-    analysis/codegen over the cached boundary). One Observation is
-    appended per boundary, index-aligned with the returned stage
-    list. Placement is load-bearing: the observe node sits ABOVE the
-    lineage cut (a metric inside a lazy localCheckpoint's RDD lineage
-    fires spuriously with zero rows — measured) and BELOW a persist
-    (several boundaries are consumed 2-4x downstream; the cache
-    makes the metric count rows exactly once, on first
-    materialization). Cut boundaries therefore carry cache blocks on
-    top of their checkpoint blocks in observe mode — boundary-sized,
-    the same storage class the persist-everywhere design already
-    budgets."""
+    every boundary frame gets a STRING-NAMED ``DataFrame.observe``
+    node carrying its (n_docs, n_tokens) counters — the funnel's
+    per-boundary aggregates then RIDE the one pipeline action instead
+    of being 11+ extra aggregate subtrees (each of which paid its own
+    analysis/codegen over the cached boundary). One
+    ``{"name", "reader"}`` entry is appended per boundary,
+    index-aligned with the returned stage list; values are read back
+    from QueryExecution accumulators after the action, per segment
+    (a lineage cut replaces everything below it with an RDD leaf, so
+    each segment's metrics are read from the pre-cut plan that
+    embeds its cached boundaries). Placement is load-bearing: the
+    observe node sits ABOVE the lineage cut and BELOW a persist
+    (several boundaries are consumed 2-4x downstream; the cache makes
+    the metric count rows exactly once, on first materialization).
+    The pyspark ``Observation`` helper is deliberately NOT used:
+    instantiating it materializes the session's lazy, non-serializable
+    ObservationManager field, after which ANY task closure capturing
+    the SparkSession (MLlib training summaries do) fails
+    Task-not-serializable SESSION-WIDE — measured, see _mark. Cut
+    boundaries carry cache blocks on top of their checkpoint blocks
+    in observe mode — boundary-sized, the same storage class the
+    persist-everywhere design already budgets."""
     from cryo_spark.operators import sampling, spans
 
     stages: list[tuple[str, DataFrame, str]] = []
@@ -227,20 +234,38 @@ def _corpus_stages(
         # applies to every downstream consumer
         if checkpoint:
             if name in _CUT:
+                if observations is not None:
+                    # segment boundary: the cut replaces everything
+                    # below with an RDD leaf, so the metrics of the
+                    # boundaries below must be read from THIS pre-cut
+                    # QueryExecution — it embeds their cached plans
+                    # (and with them the executed CollectMetrics
+                    # accumulators); the post-cut plan does not
+                    pre_qe = frame._jdf.queryExecution()
+                    for ent in observations:
+                        if ent is not None and ent["reader"] is None:
+                            ent["reader"] = pre_qe
                 frame = frame.localCheckpoint(eager=False)
             if observations is not None:
-                from pyspark.sql import Observation
-
-                obs = Observation(
-                    f"funnel_{next(_OBS_SEQ)}_{len(stages)}_{name}"
-                )
+                # STRING-NAMED observe, deliberately NOT the
+                # pyspark Observation helper: instantiating
+                # Observation materializes the session's lazy
+                # ObservationManager field, which is not serializable
+                # — from then on ANY task closure that captures the
+                # SparkSession (MLlib training summaries do) fails
+                # with Task-not-serializable, SESSION-WIDE (measured:
+                # one observe+persist+count permanently broke
+                # classifier.score_quality). Named metrics live only
+                # in the plan; values are read back from the
+                # QueryExecution's accumulators after the action.
+                mname = f"funnel_{next(_OBS_SEQ)}_{len(stages)}_{name}"
                 frame = frame.observe(
-                    obs,
+                    mname,
                     F.count(F.lit(1)).alias("n_docs"),
                     F.coalesce(F.sum(text.token_count(tc)), F.lit(0))
                     .cast("long").alias("n_tokens"),
                 )
-                observations.append(obs)
+                observations.append({"name": mname, "reader": None})
                 frame.persist()
             elif name not in _CUT:
                 frame.persist()
@@ -694,6 +719,22 @@ def release_stage_storage(df_or_session) -> None:
     spark._jvm.System.gc()
 
 
+def _read_metric(qe, name: str) -> tuple[int, int] | None:
+    """(n_docs, n_tokens) of one named observe node, read from a JVM
+    QueryExecution's accumulators (``observedMetrics`` walks the
+    executed plan INCLUDING embedded cached plans — validated by
+    test); None when the metric is absent/undefined, routing the
+    caller to the aggregate fallback."""
+    opt = qe.observedMetrics().get(name)
+    if not opt.isDefined():
+        return None
+    row = opt.get()
+    return (
+        int(row.getLong(row.fieldIndex("n_docs"))),
+        int(row.getLong(row.fieldIndex("n_tokens"))),
+    )
+
+
 def _funnel_from_stages(
     stages: list[tuple[str, DataFrame, str]],
     observations: list | None = None,
@@ -713,25 +754,23 @@ def _funnel_from_stages(
     entry."""
     if observations is not None:
         last = stages[-1][1]
-        last.count()  # the ONE action: fires every observe en route
+        # the ONE action, run through the LAST frame's own
+        # QueryExecution so the same handle that executed the chain
+        # also serves the tail segment's metric reads
+        fqe = last._jdf.queryExecution()
+        fqe.executedPlan().execute().count()
         rows = []
-        for i, ((stage, frame, tc), obs) in enumerate(
+        for i, ((stage, frame, tc), ent) in enumerate(
             zip(stages, observations)
         ):
-            m = None
-            if obs is not None:
-                # JVM map accessor, not Observation.get: a boundary
-                # whose cache materializes inside a BROADCAST-exchange
-                # thread reports an EMPTY metrics row to the main
-                # query (measured — small stages AQE-convert to
-                # broadcast joins), and .get's row conversion asserts
-                # on it. The map form returns {} for that case, which
-                # routes to the aggregate fallback below; it still
-                # blocks until the query delivered, so there is no
-                # read race.
-                m = dict(obs._jo.getAsJava())
-            if m:
-                nd, nt = int(m["n_docs"]), int(m["n_tokens"])
+            vals = None
+            if ent is not None:
+                vals = _read_metric(
+                    ent["reader"] if ent["reader"] is not None else fqe,
+                    ent["name"],
+                )
+            if vals is not None:
+                nd, nt = vals
             else:
                 # fallback (and the un-observed prepended frames):
                 # one aggregate riding the already-materialized cache

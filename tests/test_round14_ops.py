@@ -6,7 +6,6 @@ hash-exact text->embedding operator."""
 
 from __future__ import annotations
 
-import math
 import struct
 
 import numpy as np
@@ -547,3 +546,33 @@ def test_real_media_paths_accept_jpeg(spark):
     out = multimodal.real_resize(jpg, 6, 5)
     w2, h2, ch2, rows2 = pngcodec.decode_png(out)
     assert (w2, h2, ch2) == (6, 5, 1)
+
+
+# ------------------ funnel must not poison session serialization
+
+
+def test_funnel_does_not_poison_mllib_serialization(spark):
+    """Regression: the funnel's metrics use STRING-NAMED observe, not
+    the pyspark Observation helper — instantiating Observation
+    materializes the session's lazy, non-serializable
+    ObservationManager field, after which ANY task closure capturing
+    the SparkSession (MLlib training summaries do) fails
+    Task-not-serializable SESSION-WIDE. A funnel followed by
+    classifier training+scoring must work."""
+    from cryo_spark.operators import classifier, corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fun = {r.stage: r for r in corpus.corpus_funnel(
+        docs, line_dedup=True, budget=60
+    ).collect()}
+    assert fun["input"].docs_out == 500
+    assert fun["split"].docs_out == 60
+
+    labeled = spark.createDataFrame(
+        [(i, f"good clean text number {i}", 1) for i in range(8)]
+        + [(100 + i, f"spam junk {i} !!!", 0) for i in range(8)],
+        "doc_id long, text string, label int",
+    )
+    m = classifier.train_quality_classifier(labeled, n_features=1024)
+    got = classifier.score_quality(labeled, m).collect()
+    assert len(got) == 16
