@@ -616,17 +616,27 @@ def q_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embeddings (textembed.text_embeddings — engine-neutral
     # md5_number_lower buckets/signs, small exact-integer components)
     # feed the same fold decontam. Docs with doc_id % 31 == 0 play the
-    # eval set; 0.9 keeps the flag leakage-sized (bag-of-words cosines
-    # of unrelated synthetic docs sit ~0.65 median, 0.99 quantile
-    # ~0.86 at sf0.01).
+    # eval set (1/97 of docs — eval sets are benchmark-sized, and the
+    # broadcast-nested-loop pair count is |corpus| x |eval|); 0.85
+    # keeps the flag leakage-sized (bag-of-words cosines of unrelated
+    # synthetic docs sit ~0.65 median, 0.99 quantile ~0.86 at
+    # sf0.01).
     from cryo_spark.operators import textembed
 
     docs = _read(spark, sf_dir, "documents")
-    temb = textembed.text_embeddings(docs, dim=64)
+    # persist: the corpus side feeds a broadcast-nested-loop join
+    # whose condition references the embedding column — a
+    # materialization barrier guarantees the featurization runs once
+    # per ROW, never per pair, whatever the optimizer inlines. The
+    # cached frame is embedding-table-sized (the thing a production
+    # run persists as an index anyway). The featurization itself is
+    # one aggregate per row (see text_embedding_expr's re-evaluation
+    # note — the per-dimension spelling measured 17x slower).
+    temb = textembed.text_embeddings(docs, dim=64).persist()
     tdc = decontam.embedding_decontaminate(
-        temb.filter(F.col("doc_id") % 31 != 0),
-        temb.filter(F.col("doc_id") % 31 == 0),
-        min_cosine=0.9,
+        temb.filter(F.col("doc_id") % 97 != 0),
+        temb.filter(F.col("doc_id") % 97 == 0),
+        min_cosine=0.85,
         id_col="doc_id",
     ).select(
         F.lit("text_embed").alias("kind"),
@@ -654,8 +664,8 @@ def oracle_embedding_sim() -> str:
 
     te = textembed.text_embeddings_sql("documents", dim=64)
     tdc = decontam.embedding_decontaminate_sql(
-        "__te", "doc_id % 31 = 0", "doc_id % 31 != 0",
-        min_cosine=0.9, id_col="doc_id",
+        "__te", "doc_id % 97 = 0", "doc_id % 97 != 0",
+        min_cosine=0.85, id_col="doc_id",
         prelude=f"__te AS ({te}),",
     )
     return f"""

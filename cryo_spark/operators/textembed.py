@@ -71,15 +71,24 @@ def text_embedding_expr(text_col: str = "text", dim: int = 64) -> Column:
             ).alias("s"),
         ),
     )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.aggregate(
-            pairs,
-            F.lit(0),
-            lambda acc, p: acc
-            + F.when(p["b"] == j, p["s"]).otherwise(F.lit(0)),
-        ).cast("float"),
+    # ONE aggregate over the token pairs with a dim-wide array
+    # accumulator — NOT transform(sequence(dim), j -> aggregate(...)):
+    # a lambda body referencing `pairs` re-evaluates the whole
+    # tokenize+md5 subtree PER OUTPUT DIMENSION (no common-
+    # subexpression elimination inside higher-order functions —
+    # measured 64x: 27s -> 1.6s for 5k sf0.1 docs). Per token this
+    # spelling costs one dim-array update; the md5s run once per
+    # token per row.
+    sums = F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(0), dim),
+        lambda acc, p: F.transform(
+            acc,
+            lambda x, i: x
+            + F.when(p["b"] == i, p["s"]).otherwise(F.lit(0)),
+        ),
     )
+    return F.transform(sums, lambda x: x.cast("float"))
 
 
 def text_embeddings(
