@@ -1418,7 +1418,12 @@ def lsh_topk_batch(
     if dim is None:
         dim = d
     if n_planes is None:
-        n_planes = default_n_planes(n)
+        # SERVING-sized buckets (round 14, measured 11x on the 200k
+        # 1,000-query stress): batch cost is the bucket join's
+        # candidate dots — n_probes x E[bucket] per query — so the
+        # auto default targets ~64 rows/bucket, not the B^2
+        # pairing shape's ~1000 (see default_n_planes)
+        n_planes = default_n_planes(n, target_bucket=64)
     planes = int_planes(n_planes, dim, seed)
 
     q_in = queries.select(

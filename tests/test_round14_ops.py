@@ -576,3 +576,38 @@ def test_funnel_does_not_poison_mllib_serialization(spark):
     m = classifier.train_quality_classifier(labeled, n_features=1024)
     got = classifier.score_quality(labeled, m).collect()
     assert len(got) == 16
+
+
+def test_extract_features_and_resize_mixed_png_jpeg(spark):
+    """Spark-level real-media pipeline over a MIXED PNG/JPEG payload
+    table: extract_features(decoder=real_decode) returns unit-norm
+    vectors for both formats, and resize_images(resizer=real_resize)
+    emits parseable PNGs at the target size from either input."""
+    from cryo_spark.operators import jpegcodec, multimodal, pngcodec
+
+    w, h = 16, 12
+    grid = np.add.outer(
+        np.linspace(10, 240, h), np.linspace(0, 15, w)
+    ).astype(np.uint8)
+    rows = [grid[y].tobytes() for y in range(h)]
+    png = pngcodec.encode_png(w, h, 1, rows)
+    jpg = jpegcodec.encode_jpeg(w, h, 1, rows)
+    media = spark.createDataFrame(
+        [(0, "image", png), (1, "image", jpg)],
+        "media_id long, kind string, payload binary",
+    )
+    feats = {
+        r.media_id: r.features
+        for r in multimodal.extract_features(
+            media, decoder=multimodal.real_decode
+        ).collect()
+    }
+    assert set(feats) == {0, 1}
+    for v in feats.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-5
+    out = multimodal.resize_images(
+        media, 5, 4, resizer=multimodal.real_resize
+    ).collect()
+    for r in out:
+        w2, h2, ch2, _ = pngcodec.decode_png(bytes(r.payload))
+        assert (w2, h2, ch2) == (5, 4, 1), r.media_id
