@@ -457,6 +457,34 @@ def incremental_embedding_pairs_from_table(
                 f"batch used n_planes={probe.n_planes}, seed={probe.seed}; "
                 "rebuild one side so the hyperplane families match"
             )
+    cross = _embedding_bucket_pairs(
+        new_index, base, False, min_cosine, id_col
+    )
+    within = _embedding_bucket_pairs(
+        new_index, new_index, True, min_cosine, id_col
+    )
+    # the distinct IS load-bearing (r13 verdict finding #4 adjudicated
+    # round 14): an id can legitimately appear on BOTH sides — a
+    # re-ingested doc already in the index, and the batch-equivalence
+    # law itself feeds the full (base ∪ new) index back through this
+    # path — in which case the cross and within branches emit the SAME
+    # (id_a, id_b, cosine) row. The dedup shuffle rides the PAIR
+    # stream after the cosine filter (near-dup-sized, never
+    # corpus-sized), so exactly-once rows cost one leakage-sized
+    # exchange, not a corpus pass.
+    return cross.unionByName(within).distinct()
+
+
+def _embedding_bucket_pairs(
+    a: DataFrame, b: DataFrame, same_side: bool,
+    min_cosine: float, id_col: str,
+) -> DataFrame:
+    """Bucket-equality candidate pairs between two
+    :func:`embedding_index` frames, verified by exact round-8 cosine.
+    Norms are computed ONCE per row on each side BEFORE the join —
+    the per-pair spelling would redo the reduction |bucket| times per
+    row (bit-identical values: same ops, same order; the same hoist
+    hard_negatives/embedding_decontaminate document)."""
     dot = F.aggregate(
         F.zip_with(
             F.col("_a_v"), F.col("_b_v"),
@@ -475,49 +503,44 @@ def incremental_embedding_pairs_from_table(
             )
         )
 
-    def _pairs(a: DataFrame, b: DataFrame, same_side: bool) -> DataFrame:
-        # norms computed ONCE per row on each side BEFORE the join —
-        # the per-pair spelling would redo the reduction |bucket| times
-        # per row (bit-identical values: same ops, same order; the
-        # same hoist hard_negatives/embedding_decontaminate document)
-        an = a.select(
-            F.col(id_col).alias("_a_id"),
-            F.col("bucket").alias("_a_bk"),
-            F.col("embedding").alias("_a_v"),
-        ).withColumn("_a_n", _norm(F.col("_a_v")))
-        bn = b.select(
-            F.col(id_col).alias("_b_id"),
-            F.col("bucket").alias("_b_bk"),
-            F.col("embedding").alias("_b_v"),
-        ).withColumn("_b_n", _norm(F.col("_b_v")))
-        cond = F.col("_a_bk") == F.col("_b_bk")
-        if same_side:
-            cond = cond & (F.col("_a_id") < F.col("_b_id"))
-        else:
-            cond = cond & (F.col("_a_id") != F.col("_b_id"))
-        cos = F.round(dot / (F.col("_a_n") * F.col("_b_n")), 8)
-        return (
-            an.join(bn, cond)
-            .select(
-                F.col("_a_id").alias("id_a"),
-                F.col("_b_id").alias("id_b"),
-                cos.alias("cosine"),
-            )
-            .filter(F.col("cosine") >= min_cosine)
+    an = a.select(
+        F.col(id_col).alias("_a_id"),
+        F.col("bucket").alias("_a_bk"),
+        F.col("embedding").alias("_a_v"),
+    ).withColumn("_a_n", _norm(F.col("_a_v")))
+    bn = b.select(
+        F.col(id_col).alias("_b_id"),
+        F.col("bucket").alias("_b_bk"),
+        F.col("embedding").alias("_b_v"),
+    ).withColumn("_b_n", _norm(F.col("_b_v")))
+    cond = F.col("_a_bk") == F.col("_b_bk")
+    if same_side:
+        cond = cond & (F.col("_a_id") < F.col("_b_id"))
+    else:
+        cond = cond & (F.col("_a_id") != F.col("_b_id"))
+    cos = F.round(dot / (F.col("_a_n") * F.col("_b_n")), 8)
+    return (
+        an.join(bn, cond)
+        .select(
+            F.col("_a_id").alias("id_a"),
+            F.col("_b_id").alias("id_b"),
+            cos.alias("cosine"),
         )
+        .filter(F.col("cosine") >= min_cosine)
+    )
 
-    cross = _pairs(new_index, base, same_side=False)
-    within = _pairs(new_index, new_index, same_side=True)
-    # the distinct IS load-bearing (r13 verdict finding #4 adjudicated
-    # round 14): an id can legitimately appear on BOTH sides — a
-    # re-ingested doc already in the index, and the batch-equivalence
-    # law itself feeds the full (base ∪ new) index back through this
-    # path — in which case the cross and within branches emit the SAME
-    # (id_a, id_b, cosine) row. The dedup shuffle rides the PAIR
-    # stream after the cosine filter (near-dup-sized, never
-    # corpus-sized), so exactly-once rows cost one leakage-sized
-    # exchange, not a corpus pass.
-    return cross.unionByName(within).distinct()
+
+def embedding_signature_pairs(
+    index: DataFrame,
+    min_cosine: float = 0.9,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All within-frame bucket-local verified pairs (id_a < id_b) of
+    one :func:`embedding_index` frame — the one-shot batch twin of
+    :func:`incremental_embedding_pairs_from_table` (mirror of the
+    minhash side's ``signature_pairs``), the reference side of the
+    stream/batch equivalence law."""
+    return _embedding_bucket_pairs(index, index, True, min_cosine, id_col)
 
 
 def embedding_index_for_table(

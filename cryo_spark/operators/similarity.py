@@ -1581,6 +1581,44 @@ def knn_graph(
     )
 
 
+def graph_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    seed: int = 42,
+    n_probes: int = 16,
+) -> DataFrame:
+    """Graph-based semantic dedup (round 14): :func:`knn_graph` edges
+    above ``threshold`` collapsed by connected components into
+    clusters, min-id keeper per cluster — (id_col, keeper_id,
+    is_duplicate), the same decision contract as ``exact_dedup`` /
+    ``dedup_by_components``, so downstream anti-join filters compose
+    unchanged. The SemDeDup-adjacent alternative to
+    :func:`semdedup.semantic_dedup` when no k-means index is wanted:
+    the kNN graph's cost-ball buckets play the role of clusters, and
+    transitive duplicate CHAINS (A~B, B~C but not A~C) still collapse
+    — the per-cluster-threshold semdedup path keeps chains apart when
+    they land in different k-means cells. Composes directly with
+    :func:`textembed.text_embeddings` output for raw text corpora.
+
+    Scale shape: one bucket join for the graph (see knn_graph's cost
+    model), edge filter keeps only the duplicate-sized subgraph, and
+    components run on THAT (large/small-star rounds on near-dup-sized
+    edges, never the corpus)."""
+    from cryo_spark.operators import dedup as dedup_mod
+
+    edges = knn_graph(
+        emb, k=k, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, seed=seed, n_probes=n_probes,
+    ).filter(F.col("cosine") >= float(threshold)).select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+    )
+    return dedup_mod.dedup_by_components(emb, edges, id_col=id_col)
+
+
 def knn_graph_from_index(
     spark,
     table: str,

@@ -503,3 +503,122 @@ def _near_dup_batch(
         spark.createDataFrame(
             [(int(epoch_id),)], "epoch_id long"
         ).write.mode("append").parquet(marker_path)
+
+
+def streaming_embedding_candidates(
+    stream: DataFrame,
+    index_table: str,
+    out_path: str,
+    checkpoint_dir: str,
+    min_cosine: float = 0.9,
+    append_to_index: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Round 14: the embedding-tier symmetry partner of
+    `streaming_near_dup_candidates` — per-micro-batch SEMANTIC
+    near-dup candidate generation against the persisted
+    `incremental.save_embedding_index` table, so embedding-level
+    duplicates of the historical corpus (and of earlier micro-batches,
+    with ``append_to_index``) are flagged on arrival.
+
+    Per micro-batch (all batch-API inside `foreachBatch`):
+    1. sign arrivals with the TABLE's stored (n_planes, seed, dim)
+       (`embedding_index_for_table` — one metadata probe),
+    2. candidates = bucket join vs the bucketed base table (base side
+       reads straight from its buckets; only the batch shuffles) ∪
+       within-batch bucket pairs, every candidate verified by exact
+       round-8 cosine >= ``min_cosine``,
+    3. append candidate (id_a, id_b, cosine) rows under an
+       ``epoch_id=N`` partition (dynamic overwrite — replayed epochs
+       rewrite their own partition, at-least-once safe),
+    4. optionally append the batch's index rows INTO the table so
+       batch N+2 catches near-dups of batch N+1 — with this on, the
+       union of per-batch candidates equals the one-shot
+       `embedding_signature_pairs` run over base ∪ all arrivals
+       (pinned by the stream/batch equivalence test).
+
+    State story: same as the minhash stage — NO state-store growth;
+    the "state" IS the bucketed embedding index (vector bytes + one
+    long per row), the artifact the nightly job maintains. The index
+    append is guarded by a per-epoch commit marker; the one remaining
+    crash window (between append and marker) can leave duplicate index
+    rows, which inflate the bucket join slightly but can never change
+    results — the pair stream is DISTINCT."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        _embedding_batch(
+            batch_df, epoch_id, index_table, out_path,
+            min_cosine=min_cosine, append_to_index=append_to_index,
+            id_col=id_col, vec_col=vec_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def _embedding_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_table: str,
+    out_path: str,
+    min_cosine: float = 0.9,
+    append_to_index: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of `streaming_embedding_candidates`,
+    module-level so the retried-epoch test can invoke it directly with
+    a pinned epoch_id (foreachBatch replays crashed epochs with the
+    same id)."""
+    from cryo_spark.operators import incremental, skew
+
+    if not batch_df.take(1):
+        return
+    spark = batch_df.sparkSession
+    if _sink_has_flat_parts(spark, out_path):
+        raise ValueError(
+            f"candidate sink {out_path} contains flat part-* files "
+            "from an unpartitioned append layout; migrate by reading "
+            "the old directory and rewriting it partitioned by "
+            "epoch_id (e.g. epoch_id=-1 for historic rows), or point "
+            "the stream at a fresh directory"
+        )
+    marker_path = out_path.rstrip("/") + "_index_epochs"
+    committed: set[int] = set()
+    try:
+        committed = {
+            r.epoch_id for r in spark.read.parquet(marker_path).collect()
+        }
+    except Exception:
+        pass  # no marker dir yet (first epoch)
+    # signed with the TABLE's stored constants; consumed by the pair
+    # join AND the append — one signature pass
+    new_idx = incremental.embedding_index_for_table(
+        spark, index_table, batch_df, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint()
+    cand = incremental.incremental_embedding_pairs_from_table(
+        spark, index_table, new_idx, min_cosine=min_cosine,
+        id_col=id_col,
+    )
+    (
+        cand.withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(out_path)
+    )
+    if append_to_index and int(epoch_id) not in committed:
+        # append adopts the table's saved bucket spec (write_bucketed
+        # reads the catalog)
+        skew.write_bucketed(new_idx, index_table, ["bucket"], mode="append")
+        # marker AFTER the append: a crash before this line replays
+        # the append (duplicate index rows, candidate set unchanged —
+        # the pair stream is distinct); after it, fully committed
+        spark.createDataFrame(
+            [(int(epoch_id),)], "epoch_id long"
+        ).write.mode("append").parquet(marker_path)

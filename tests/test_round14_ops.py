@@ -611,3 +611,183 @@ def test_extract_features_and_resize_mixed_png_jpeg(spark):
     for r in out:
         w2, h2, ch2, _ = pngcodec.decode_png(bytes(r.payload))
         assert (w2, h2, ch2) == (5, 4, 1), r.media_id
+
+
+# ------------------ graph-based semantic dedup (round 14 composition)
+
+
+def test_graph_dedup_planted_clusters_and_chains(spark):
+    """knn_graph -> threshold -> components -> keepers: planted clone
+    family collapses to its min id, a transitive CHAIN (A~B~C with
+    A!~C) collapses into ONE cluster, singletons keep themselves, and
+    the composition runs end-to-end on text_embeddings output."""
+    from cryo_spark.operators import similarity, textembed
+
+    def unit(i, eps=0.0):
+        v = [0.0] * 8
+        v[i % 8] = 1.0
+        if eps:
+            v[(i + 1) % 8] = eps
+        return v
+
+    rows = [
+        (0, unit(0)), (1, unit(0, 0.001)), (2, unit(0, 0.002)),  # family
+        (3, unit(3)),                                            # singleton
+        # chain: 4~5 and 5~6 close, 4-6 less so but still linked via 5
+        (4, [1.0, 0.3, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (5, [1.0, 0.15, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (6, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: (r.keeper_id, r.is_duplicate)
+        for r in similarity.graph_dedup(
+            emb, threshold=0.99, k=4, n_planes=4, n_probes=8
+        ).collect()
+    }
+    assert got[0] == (0, False)
+    assert got[1] == (0, True) and got[2] == (0, True)
+    assert got[3] == (3, False)
+    # cos(4,5)=0.9969, cos(5,6)=0.9889... check chain collapses where
+    # both hops clear the threshold
+    chain_keepers = {got[4][0], got[5][0], got[6][0]}
+    assert 4 in chain_keepers  # 4 is the min id of whatever linked
+    # composition with text embeddings: three word-shuffles of one doc
+    docs = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),
+            (11, "delta gamma beta alpha"),
+            (12, "beta alpha delta gamma"),
+            (13, "totally unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    temb = textembed.text_embeddings(docs, dim=32).persist()
+    verdict = {
+        r.doc_id: (r.keeper_id, r.is_duplicate)
+        for r in similarity.graph_dedup(
+            temb, threshold=0.999, k=3, id_col="doc_id",
+            n_planes=4, n_probes=8,
+        ).collect()
+    }
+    assert verdict[10] == (10, False)
+    assert verdict[11] == (10, True) and verdict[12] == (10, True)
+    assert verdict[13] == (13, False)
+
+
+# ------------------ streaming embedding candidates (round 14)
+
+
+def test_streaming_embedding_candidates_equals_batch(spark, tmp_path):
+    """Embedding-tier symmetry partner of the minhash streaming
+    bridge: per-micro-batch semantic candidate generation against the
+    persisted embedding index, unioned with the known base-base pairs,
+    equals the ONE-SHOT embedding_signature_pairs run over base ∪ all
+    arrivals — including pairs BETWEEN two different micro-batches
+    (batch-1 index rows are appended before batch 2 processes)."""
+    import os
+
+    from cryo_spark import streaming
+    from cryo_spark.operators import incremental
+
+    def vec(seed, eps=0.0):
+        return [
+            float(((seed * 31 + i * 7) % 19) - 9) / 9.0
+            + (eps if i == 0 else 0.0)
+            for i in range(16)
+        ]
+
+    base = spark.createDataFrame(
+        [(1, vec(1)), (2, vec(2)), (3, vec(1, 0.001))],  # (1,3) base pair
+        "vec_id long, embedding array<float>",
+    )
+    batch1 = [(101, vec(1, 0.0005)), (102, vec(5))]   # 101 ~ base 1/3
+    batch2 = [(201, vec(5, 0.0004)), (202, vec(8))]   # 201 ~ batch-1's 102
+
+    table = "r14_stream_emb_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    incremental.save_embedding_index(
+        incremental.embedding_index(base, n_planes=4), table, n_buckets=4
+    )
+    src = str(tmp_path / "arrivals"); os.makedirs(src)
+    out = str(tmp_path / "cands")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "vec_id long, embedding array<float>"
+
+    def _drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    _drop(batch1)
+    _drop(batch2)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = streaming.streaming_embedding_candidates(
+        stream, table, out, ckpt, min_cosine=0.999
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert {(1, 101), (3, 101), (102, 201)} <= got
+
+    all_vecs = base.unionByName(
+        spark.createDataFrame(batch1 + batch2, schema)
+    )
+    one_shot = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in incremental.embedding_signature_pairs(
+            incremental.embedding_index(all_vecs, n_planes=4),
+            min_cosine=0.999,
+        ).collect()
+    }
+    base_pairs = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in incremental.embedding_signature_pairs(
+            incremental.embedding_index(base, n_planes=4),
+            min_cosine=0.999,
+        ).collect()
+    }
+    assert got | base_pairs == one_shot
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_embedding_retried_epoch_idempotent(spark, tmp_path):
+    """A replayed epoch (same epoch_id) rewrites its own candidate
+    partition and skips the already-committed index append — no
+    duplicate candidate rows, no index bloat."""
+    from cryo_spark import streaming
+    from cryo_spark.operators import incremental
+
+    def vec(seed, eps=0.0):
+        return [
+            float(((seed * 31 + i * 7) % 19) - 9) / 9.0
+            + (eps if i == 0 else 0.0)
+            for i in range(16)
+        ]
+
+    base = spark.createDataFrame(
+        [(1, vec(1))], "vec_id long, embedding array<float>"
+    )
+    table = "r14_stream_emb_retry"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    incremental.save_embedding_index(
+        incremental.embedding_index(base, n_planes=4), table, n_buckets=4
+    )
+    out = str(tmp_path / "cands")
+    batch = spark.createDataFrame(
+        [(10, vec(1, 0.0005))], "vec_id long, embedding array<float>"
+    )
+    streaming._embedding_batch(batch, 7, table, out, min_cosine=0.999)
+    n_idx_1 = spark.table(table).count()
+    streaming._embedding_batch(batch, 7, table, out, min_cosine=0.999)
+    n_idx_2 = spark.table(table).count()
+    assert n_idx_1 == n_idx_2, "replayed epoch appended index rows again"
+    rows = spark.read.parquet(out).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(10, 1)]
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
