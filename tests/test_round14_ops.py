@@ -593,11 +593,14 @@ def test_extract_features_and_resize_mixed_png_jpeg(spark):
     png = pngcodec.encode_png(w, h, 1, rows)
     jpg = jpegcodec.encode_jpeg(w, h, 1, rows)
     media = spark.createDataFrame(
-        [(0, "image", png), (1, "image", jpg)],
-        "media_id long, kind string, payload binary",
+        [
+            (0, "image", png, "image/png", w, h, None),
+            (1, "image", jpg, "image/jpeg", w, h, None),
+        ],
+        multimodal.MEDIA_SCHEMA,
     )
     feats = {
-        r.media_id: r.features
+        r.media_id: r.feature
         for r in multimodal.extract_features(
             media, decoder=multimodal.real_decode
         ).collect()
