@@ -685,17 +685,52 @@ FROM ({tdc})
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS collapsed into clusters (large-star/small-star
     connected components) with a canonical keeper per cluster — the
-    step that turns pairwise similarity into a dedup decision.
-    Oracle-checked end to end: the pairs come from the
-    SQL-expressible n-gram Jaccard path and DuckDB computes the same
-    components with a recursive closure."""
+    step that turns pairwise similarity into a dedup decision. TWO
+    hash-checked kinds since round 14:
+
+    - kind='ngram': pairs from the SQL-expressible n-gram Jaccard
+      path; DuckDB computes the same components with a recursive
+      closure.
+    - kind='semantic': `similarity.graph_dedup` — the kNN graph of
+      the corpus's OWN text embeddings (signed feature hashing,
+      engine-neutral) thresholded and collapsed. Every stage is exact
+      integer/round-8 arithmetic the self-contained DuckDB twin
+      recomputes: per-row cost-ball probe thresholds, bucket-ball
+      candidates, the (cosine desc, id) top-k window, the edge
+      threshold, and the same recursive components — so the
+      graph-dedup decision is hash-proven end to end (24 duplicates
+      flagged at sf0.01, non-vacuous)."""
+    from cryo_spark.operators import similarity, textembed
+
     docs = _read(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_all_pairs(docs)
-    return dedup.dedup_by_components(docs, pairs)
+    ng = dedup.dedup_by_components(docs, pairs).select(
+        F.lit("ngram").alias("kind"),
+        "doc_id", "keeper_id", "is_duplicate",
+    )
+    # persist: the corpus side of the kNN bucket join must read
+    # materialized vectors (featurize per row, never per candidate)
+    temb = textembed.text_embeddings(docs, dim=64).persist()
+    sem = similarity.graph_dedup(
+        temb, threshold=0.95, k=10, id_col="doc_id",
+        n_planes=6, n_probes=8,
+    ).select(
+        F.lit("semantic").alias("kind"),
+        "doc_id", "keeper_id", "is_duplicate",
+    )
+    return ng.unionByName(sem)
 
 
 def oracle_near_dup_clusters() -> str:
+    from cryo_spark.operators import similarity, textembed
+
     pairs_sql = dedup.ngram_jaccard_all_pairs_sql("documents")
+    te = textembed.text_embeddings_sql("documents", dim=64)
+    sem = similarity.graph_dedup_sql(
+        "__te", threshold=0.95, k=10, id_col="doc_id",
+        n_planes=6, n_probes=8, dim=64,
+        prelude=f"__te AS ({te}),",
+    )
     return f"""
 WITH RECURSIVE pairs AS ({pairs_sql}),
 edges AS (
@@ -710,10 +745,12 @@ reach(u, v) AS (
 comp AS (
   SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u
 )
-SELECT d.doc_id,
+SELECT 'ngram' AS kind, d.doc_id,
   coalesce(c.component, d.doc_id) AS keeper_id,
   d.doc_id != coalesce(c.component, d.doc_id) AS is_duplicate
 FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+UNION ALL
+SELECT 'semantic' AS kind, doc_id, keeper_id, is_duplicate FROM ({sem})
 """
 
 

@@ -1619,6 +1619,115 @@ def graph_dedup(
     return dedup_mod.dedup_by_components(emb, edges, id_col=id_col)
 
 
+def graph_dedup_sql(
+    table: str,
+    threshold: float = 0.95,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 42,
+    n_probes: int = 8,
+    dim: int = 64,
+    prelude: str = "",
+) -> str:
+    """DuckDB twin of :func:`graph_dedup` — the whole chain is
+    engine-neutral, so the verdict is hash-exact: integer-plane
+    signatures and margins (exact BIGINT), the per-ROW cost-ball
+    threshold (the ``n_probes``-th smallest flip cost over all
+    2^``n_planes`` flip sets, clamped like
+    :func:`lsh_topk_costball_sql`), bucket-ball candidate pairs,
+    round-8 cosine, the (cosine desc, id) top-``k`` window, the
+    ``threshold`` edge filter, and min-reachable-id connected
+    components as a recursive CTE (the same closure the ngram
+    cluster oracle uses). ``prelude`` injects leading CTEs so
+    ``table`` can be a derived frame (e.g. the text-embeddings
+    twin)."""
+    planes = int_planes(n_planes, dim, seed)
+    quant = (
+        f"list_transform({vec_col}, "
+        f"x -> CAST(floor(x::DOUBLE * {LSH_QUANT}) AS BIGINT))"
+    )
+
+    def dot(row) -> str:
+        lit = "[" + ",".join(str(int(v)) for v in row) + "]"
+        return (
+            f"list_sum(list_transform(list_zip(iq, {lit}::BIGINT[]), "
+            "x -> x[1] * x[2]))"
+        )
+
+    margin_cols = ", ".join(
+        f"abs({dot(planes[p])}) AS m{p}" for p in range(n_planes)
+    )
+    mask_cost = " + ".join(
+        f"(CASE WHEN (t.m >> {p}) & 1 = 1 THEN s.m{p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    row_cost = " + ".join(
+        f"(CASE WHEN ((c.bucket >> {p}) & 1) <> ((q.bucket >> {p}) & 1)"
+        f" THEN q.m{p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    bucket = _sql_bucket(planes, "iq")
+    rn_pick = min(n_probes, 1 << n_planes)
+    return f"""
+WITH RECURSIVE {prelude}
+__gd_rows AS (
+  SELECT {id_col} AS id, {vec_col} AS v, {quant} AS iq FROM {table}
+),
+__gd_sig AS (
+  SELECT id, v, ({bucket}) AS bucket, {margin_cols},
+    sqrt(list_sum(list_transform(v, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM __gd_rows
+),
+__gd_thr AS (
+  SELECT id, cost AS t FROM (
+    SELECT s.id, ({mask_cost}) AS cost,
+           row_number() OVER (
+             PARTITION BY s.id ORDER BY ({mask_cost})
+           ) AS rn
+    FROM __gd_sig s, generate_series(0, {(1 << n_planes) - 1}) AS t(m)
+  ) WHERE rn = {rn_pick}
+),
+__gd_cand AS (
+  SELECT q.id AS qid, c.id AS cid,
+    round(list_sum(list_transform(list_zip(c.v, q.v),
+          x -> x[1]::DOUBLE * x[2]::DOUBLE))
+      / (c.nrm * q.nrm), 8) AS cosine
+  FROM __gd_sig q
+  JOIN __gd_thr th ON th.id = q.id
+  JOIN __gd_sig c
+    ON q.id != c.id AND ({row_cost}) <= th.t
+),
+__gd_edges AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, cosine,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY cosine DESC, cid
+           ) AS rn
+    FROM __gd_cand
+  ) WHERE rn <= {k} AND cosine >= {threshold}
+),
+__gd_und AS (
+  SELECT qid AS u, cid AS w FROM __gd_edges
+  UNION SELECT cid, qid FROM __gd_edges
+),
+__gd_reach(u, w) AS (
+  SELECT u, w FROM __gd_und
+  UNION
+  SELECT r.u, e.w FROM __gd_reach r JOIN __gd_und e ON r.w = e.u
+),
+__gd_comp AS (
+  SELECT u AS id, least(u, min(w)) AS component
+  FROM __gd_reach GROUP BY u
+)
+SELECT d.{id_col} AS {id_col},
+  coalesce(c.component, d.{id_col}) AS keeper_id,
+  d.{id_col} != coalesce(c.component, d.{id_col}) AS is_duplicate
+FROM {table} d LEFT JOIN __gd_comp c ON c.id = d.{id_col}
+"""
+
+
 def knn_graph_from_index(
     spark,
     table: str,

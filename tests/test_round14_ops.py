@@ -794,3 +794,39 @@ def test_streaming_embedding_retried_epoch_idempotent(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert [(r.id_a, r.id_b) for r in rows] == [(10, 1)]
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_graph_dedup_sql_twin_bit_exact(spark):
+    """graph_dedup's DuckDB twin reproduces the full verdict frame
+    bit-for-bit on the sf0.001 documents' own text embeddings —
+    per-row cost-ball thresholds, bucket-ball candidates, the top-k
+    window, the edge threshold and the recursive components."""
+    import duckdb
+
+    from cryo_spark.operators import similarity, textembed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    temb = textembed.text_embeddings(docs, dim=64).persist()
+    got = sorted(
+        (r.doc_id, r.keeper_id, r.is_duplicate)
+        for r in similarity.graph_dedup(
+            temb, threshold=0.95, k=10, id_col="doc_id",
+            n_planes=6, n_probes=8,
+        ).collect()
+    )
+    te = textembed.text_embeddings_sql("documents", dim=64)
+    sql = similarity.graph_dedup_sql(
+        "__te", threshold=0.95, k=10, id_col="doc_id",
+        n_planes=6, n_probes=8, dim=64,
+        prelude=f"__te AS ({te}),",
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = sorted((a, b, c) for a, b, c in con.execute(sql).fetchall())
+    con.close()
+    temb.unpersist()
+    assert got == want
+    assert len(got) == 500
