@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--line-dedup", action="store_true")
     p.add_argument("--near-dup", action="store_true")
     p.add_argument("--min-jaccard", type=float, default=0.5)
+    p.add_argument("--semantic-dedup", action="store_true",
+                   help="stage 2c: collapse paraphrase/reorder "
+                        "near-dups via the corpus's own signed-hash "
+                        "text embeddings + kNN-graph components "
+                        "(oracle-exact; see similarity.graph_dedup)")
+    p.add_argument("--semantic-threshold", type=float, default=0.95)
     p.add_argument("--budget", type=int, default=None,
                    help="temperature-mix token budget (docs)")
     p.add_argument("--alpha", type=float, default=0.5)
@@ -184,6 +190,8 @@ def run(args: argparse.Namespace) -> int:
         line_dedup=args.line_dedup,
         near_dup=args.near_dup,
         min_jaccard=args.min_jaccard,
+        semantic_dedup=args.semantic_dedup,
+        semantic_threshold=args.semantic_threshold,
         budget=args.budget,
         alpha=args.alpha,
         max_epochs=args.max_epochs,

@@ -121,6 +121,12 @@ def _corpus_stages(
     robots_rules: DataFrame | None = None,
     host_ranks: DataFrame | None = None,
     min_host_rank: float = 0.0,
+    semantic_dedup: bool = False,
+    semantic_threshold: float = 0.95,
+    semantic_dim: int = 64,
+    semantic_k: int = 10,
+    semantic_planes: int = 6,
+    semantic_probes: int = 8,
     checkpoint: bool = False,
     observations: list | None = None,
 ) -> list[tuple[str, DataFrame, str]]:
@@ -453,6 +459,36 @@ def _corpus_stages(
             "near_dup",
             sd.join(
                 verdict.filter(~F.col("is_duplicate")).select("doc_id"),
+                "doc_id",
+            ),
+            "text",
+        )
+    if semantic_dedup:
+        # stage 2c (optional, round 14): SEMANTIC near-dup collapse on
+        # the span-deduped text — the corpus's own signed-feature-hash
+        # embeddings (textembed, engine-neutral) through graph_dedup
+        # (kNN graph -> threshold -> components -> min-id keepers).
+        # Catches paraphrase/reorder duplicates the n-gram Jaccard
+        # stage misses. Oracle-exact end to end (graph_dedup_sql), so
+        # funnel comparisons with the option ON still hash-match. The
+        # embedding frame is persisted: featurize per row, never per
+        # kNN candidate.
+        from cryo_spark.operators import similarity as sim_mod
+        from cryo_spark.operators import textembed as te_mod
+
+        temb = te_mod.text_embeddings(
+            sd, text_col="text", id_col="doc_id", dim=semantic_dim
+        )
+        temb.persist()
+        sem_verdict = sim_mod.graph_dedup(
+            temb, threshold=semantic_threshold, k=semantic_k,
+            id_col="doc_id", n_planes=semantic_planes,
+            n_probes=semantic_probes,
+        )
+        sd = _mark(
+            "semantic_dedup",
+            sd.join(
+                sem_verdict.filter(~F.col("is_duplicate")).select("doc_id"),
                 "doc_id",
             ),
             "text",
@@ -848,6 +884,12 @@ def prepare_training_corpus_sql(
     domain_cap_n: int | None = None,
     url_blocklist=None,
     url_allowlist=None,
+    semantic_dedup: bool = False,
+    semantic_threshold: float = 0.95,
+    semantic_dim: int = 64,
+    semantic_k: int = 10,
+    semantic_planes: int = 6,
+    semantic_probes: int = 8,
 ) -> str:
     """DuckDB oracle: the identical stage chain as CTEs over the
     per-stage oracle builders (WITH RECURSIVE when the near-dup
@@ -857,6 +899,11 @@ def prepare_training_corpus_sql(
         seed, near_dup, min_jaccard, dsir_target_table, dsir_k,
         line_dedup, line_min_docs, url_col, domain_cap_n,
         url_blocklist, url_allowlist, max_epochs=max_epochs,
+        semantic_dedup=semantic_dedup,
+        semantic_threshold=semantic_threshold,
+        semantic_dim=semantic_dim, semantic_k=semantic_k,
+        semantic_planes=semantic_planes,
+        semantic_probes=semantic_probes,
     )
     return f"\n{with_kw}{ctes}\n{split}\n"
 
@@ -881,6 +928,12 @@ def _corpus_sql_chain(
     url_blocklist=None,
     url_allowlist=None,
     max_epochs: int | None = None,
+    semantic_dedup: bool = False,
+    semantic_threshold: float = 0.95,
+    semantic_dim: int = 64,
+    semantic_k: int = 10,
+    semantic_planes: int = 6,
+    semantic_probes: int = 8,
 ) -> tuple[str, str, list[tuple[str, str, str]], str]:
     """The shared CTE chain: (with_keyword, ctes_sql, boundaries,
     final_split_select). ``boundaries`` mirrors :func:`_corpus_stages`
@@ -974,10 +1027,35 @@ edges AS (
     boundaries.append(("span_dedup", sd_inner, "text"))
     if near_dup:
         boundaries.append(("near_dup", "sd", "text"))
+    post_sd = "sd"
+    sem_ctes = ""
+    if semantic_dedup:
+        # stage 2c mirror: the corpus's own text embeddings through
+        # the graph-dedup twin — self-contained WITH RECURSIVE
+        # subquery (graph_dedup_sql), survivors joined back
+        from cryo_spark.operators import similarity as sim_mod
+        from cryo_spark.operators import textembed as te_mod
+
+        te = te_mod.text_embeddings_sql(
+            "sd", "text", "doc_id", semantic_dim
+        )
+        gd = sim_mod.graph_dedup_sql(
+            "__semte", threshold=semantic_threshold, k=semantic_k,
+            id_col="doc_id", n_planes=semantic_planes, seed=42,
+            n_probes=semantic_probes, dim=semantic_dim,
+            prelude=f"__semte AS ({te}),",
+        )
+        sem_ctes = f""", semdd AS MATERIALIZED (
+  SELECT s.* FROM sd s JOIN (
+    SELECT doc_id FROM ({gd}) WHERE NOT is_duplicate
+  ) __sem USING (doc_id)
+)"""
+        post_sd = "semdd"
+        boundaries.append(("semantic_dedup", "semdd", "text"))
     # downstream of dedup_spans_sql the rewritten column is ALWAYS
     # named 'text' (its fixed output schema) — passing the caller's
     # text_col here would emit unexecutable SQL for non-default names
-    red = text.redact_pii_sql("sd", "text")
+    red = text.redact_pii_sql(post_sd, "text")
     boundaries.append(("redact", "merged", "text"))
     mix_src = "merged"
     dsir_ctes = ""
@@ -1023,11 +1101,11 @@ edges AS (
 {sd_inner} AS MATERIALIZED (
   SELECT s.doc_id, s.text, s.n_spans, s.n_kept, k.source
   FROM sd0 s JOIN filtered k USING (doc_id) WHERE s.text != ''
-){nd_ctes}, red AS MATERIALIZED ({red}),
+){nd_ctes}{sem_ctes}, red AS MATERIALIZED ({red}),
 merged AS MATERIALIZED (
-  SELECT sd.doc_id, red.redacted_text AS text, sd.source,
-         sd.n_spans, sd.n_kept
-  FROM sd JOIN red USING (doc_id)
+  SELECT {post_sd}.doc_id, red.redacted_text AS text, {post_sd}.source,
+         {post_sd}.n_spans, {post_sd}.n_kept
+  FROM {post_sd} JOIN red USING (doc_id)
 ){dsir_ctes}, mixed AS MATERIALIZED ({mixed})"""
     return with_kw, ctes, boundaries, split
 

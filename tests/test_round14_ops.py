@@ -830,3 +830,86 @@ def test_graph_dedup_sql_twin_bit_exact(spark):
     temb.unpersist()
     assert got == want
     assert len(got) == 500
+
+
+# ------------------ semantic dedup as a pipeline stage (round 14)
+
+
+def test_pipeline_semantic_dedup_stage_matches_duckdb(spark):
+    """The optional semantic_dedup stage (stage 2c: signed-hash text
+    embeddings -> graph_dedup on the span-deduped text) mirrors into
+    the SQL chain exactly: funnel rows AND the final frame match
+    DuckDB bit-for-bit with the option ON, and the boundary appears
+    between near_dup and redact."""
+    import duckdb
+
+    from cryo_spark.operators import corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(line_dedup=True, near_dup=True, budget=60,
+              semantic_dedup=True, semantic_threshold=0.95)
+    fun = sorted(tuple(r) for r in corpus.corpus_funnel(docs, **kw).collect())
+    stages = [r[1] for r in sorted(fun)]
+    i_nd, i_sem, i_red = (
+        stages.index("near_dup"), stages.index("semantic_dedup"),
+        stages.index("redact"),
+    )
+    assert i_nd < i_sem < i_red
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            corpus.corpus_funnel_sql("documents", **kw)
+        ).fetchall()
+    )
+    assert fun == want
+    got_rows = sorted(
+        (r.doc_id, r.text, r.source, r.split)
+        for r in corpus.prepare_training_corpus(docs, **kw)
+        .select("doc_id", "text", "source", "split").collect()
+    )
+    want_rows = sorted(
+        (a, b, c, d)
+        for a, b, c, d in con.execute(
+            "SELECT doc_id, text, source, split FROM ("
+            + corpus.prepare_training_corpus_sql("documents", **kw)
+            + ")"
+        ).fetchall()
+    )
+    con.close()
+    assert got_rows == want_rows
+
+
+def test_pipeline_semantic_dedup_drops_paraphrase(spark):
+    """A word-shuffled paraphrase that survives n-gram Jaccard (no
+    shared 3-grams) is dropped by the semantic stage (bag-of-words
+    cosine 1.0), and the survivors equal pipeline() minus the flagged
+    doc."""
+    from cryo_spark.operators import corpus
+
+    rows = [
+        (1, "the quick brown fox jumps over that lazy dog tonight", "s0"),
+        # same token multiset, reversed: no shared 3-grams
+        (2, "tonight dog lazy that over jumps fox brown quick the", "s0"),
+        (3, "completely different text about parquet and the shuffles", "s0"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    base = {
+        r.doc_id
+        for r in corpus.prepare_training_corpus(
+            docs, min_quality=0.0, near_dup=True, min_jaccard=0.3
+        ).collect()
+    }
+    assert base == {1, 2, 3}  # jaccard misses the reorder
+    sem = {
+        r.doc_id
+        for r in corpus.prepare_training_corpus(
+            docs, min_quality=0.0, near_dup=True, min_jaccard=0.3,
+            semantic_dedup=True, semantic_threshold=0.999,
+        ).collect()
+    }
+    assert sem == {1, 3}  # the min-id copy survives
