@@ -615,7 +615,7 @@ def q_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table, no external embedding model: signed feature-hashing
     # embeddings (textembed.text_embeddings — engine-neutral
     # md5_number_lower buckets/signs, small exact-integer components)
-    # feed the same fold decontam. Docs with doc_id % 31 == 0 play the
+    # feed the same fold decontam. Docs with doc_id % 97 == 0 play the
     # eval set (1/97 of docs — eval sets are benchmark-sized, and the
     # broadcast-nested-loop pair count is |corpus| x |eval|); 0.85
     # keeps the flag leakage-sized (bag-of-words cosines of unrelated

@@ -782,12 +782,14 @@ def _funnel_from_stages(
     order and fires every observe node exactly once — instead of the
     11+-aggregate union (round 14: each of those aggregates was its
     own analyzed/codegen'd subtree over a cached boundary; the union +
-    lag window re-planned all of them. Measured at sf0.1:
-    4.7 s -> ~3 s for the full-kwargs contract funnel). The observed
-    counts then become a literal rows frame, and the SAME lag/pct
-    Spark expressions produce the report — values identical to the
-    aggregate spelling, hash-pinned by the corpus_funnel contract
-    entry."""
+    lag window re-planned all of them. Measured at sf0.1: ACTION time
+    3.4 s -> 1.4 s warm for the full-kwargs contract funnel — the
+    min-of-3 bench number stays construction-dominated, since the
+    lineage cuts execute their segments at plan time by design). The
+    observed counts then become a literal rows frame, and the SAME
+    lag/pct Spark expressions produce the report — values identical
+    to the aggregate spelling, hash-pinned by the corpus_funnel
+    contract entry."""
     if observations is not None:
         last = stages[-1][1]
         # the ONE action, run through the LAST frame's own
