@@ -913,3 +913,65 @@ def test_pipeline_semantic_dedup_drops_paraphrase(spark):
         ).collect()
     }
     assert sem == {1, 3}  # the min-id copy survives
+
+
+# ------------------ robustness sweeps
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (1, 7), (7, 1), (8, 8),
+                                 (9, 3), (16, 16), (17, 19)])
+def test_jpegcodec_size_sweep(w, h):
+    """Gray and RGB roundtrips hold at awkward sizes: 1-pixel rows and
+    columns, exact multiples of 8, and primes (edge-replication
+    padding on both axes)."""
+    J = _jpeg_mod()
+    rng = np.random.default_rng(w * 31 + h)
+    gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    rows = [gray[y].tobytes() for y in range(h)]
+    w2, h2, ch, out = J.decode_jpeg(J.encode_jpeg(w, h, 1, rows))
+    assert (w2, h2, ch) == (w, h, 1)
+    g = np.frombuffer(b"".join(out), np.uint8).reshape(h, w)
+    assert np.abs(gray.astype(int) - g.astype(int)).max() <= 1
+
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    rows3 = [rgb[y].tobytes() for y in range(h)]
+    for sampling in ("444", "420"):
+        w2, h2, ch, out = J.decode_jpeg(
+            J.encode_jpeg(w, h, 3, rows3, sampling=sampling)
+        )
+        assert (w2, h2, ch) == (w, h, 3)
+        if sampling == "444":
+            b = np.frombuffer(b"".join(out), np.uint8).reshape(h, w, 3)
+            assert np.abs(rgb.astype(int) - b.astype(int)).max() <= 2
+
+
+def test_text_embeddings_unicode_and_whitespace_twin(spark):
+    """The tokenizer agrees across engines on the awkward inputs:
+    unicode text (UTF-8 md5 on both sides), tabs/newlines/multiple
+    spaces, leading/trailing whitespace, punctuation-glued tokens."""
+    import duckdb
+
+    from cryo_spark.operators import textembed
+
+    rows = [
+        (0, "héllo wörld ünïcode"),
+        (1, "\ttabs\tand\nnewlines\r\nmixed   spaces  "),
+        (2, "  leading and trailing  "),
+        (3, "punct,glued.tokens!stay?one token,"),
+        (4, "日本語 テキスト と emoji 🚀 tokens"),
+        (5, "a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: list(r.embedding)
+           for r in textembed.text_embeddings(docs, dim=16).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {
+        r[0]: list(r[1])
+        for r in con.execute(
+            textembed.text_embeddings_sql("documents", dim=16)
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
