@@ -198,3 +198,114 @@ def join_is_shuffle_free(joined: DataFrame) -> bool:
     small build side and is not a shuffle of the fact table)."""
     plan = joined._jdf.queryExecution().executedPlan().toString()
     return "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+
+
+def _zorder_numeric(df: DataFrame, c: str) -> Column:
+    """Numeric view of a clustering column: timestamps/dates map to
+    epoch micros/days (TIMESTAMP_NTZ cannot cast to double directly),
+    everything else casts to double."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[c].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+    if isinstance(dt, T.DateType):
+        return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+    return F.col(c).cast("double")
+
+
+def zorder_value(
+    cols: Sequence[str],
+    ranges: dict[str, tuple[float, float]],
+    bits: int = 12,
+    numeric: dict[str, Column] | None = None,
+) -> Column:
+    """Z-order (Morton) curve value over ``cols`` — each column is
+    linearly scaled into ``bits``-wide integers using the supplied
+    (min, max) ``ranges`` and the bit planes are interleaved, so rows
+    close on the curve are close on EVERY participating column. NULLs
+    scale to 0 (the curve's origin). ``numeric`` optionally overrides
+    a column's numeric view (:func:`zorder_write` passes epoch-micro
+    views for timestamp columns). Pure JVM expression: bits x
+    len(cols) shift/or terms inside whole-stage codegen."""
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_value needs at least one column")
+    if bits * n > 63:
+        raise ValueError(
+            f"bits*len(cols) = {bits * n} exceeds the 63-bit z-value "
+            "budget — lower bits or cluster on fewer columns"
+        )
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        lo, hi = ranges[c]
+        span = (hi - lo) or 1.0
+        base = (numeric or {}).get(c, F.col(c).cast("double"))
+        v = (
+            (F.coalesce(base, F.lit(float(lo))) - F.lit(float(lo)))
+            / F.lit(float(span)) * F.lit(float(top))
+        ).cast("long")
+        scaled.append(F.greatest(F.lit(0), F.least(F.lit(top), v)))
+    z: Column | None = None
+    for b in range(bits):
+        for i, v in enumerate(scaled):
+            term = F.shiftleft(
+                F.shiftright(v, b).bitwiseAND(F.lit(1)), b * n + i
+            )
+            z = term if z is None else z.bitwiseOR(term)
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 12,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> dict[str, tuple[float, float]]:
+    """Write ``df`` as parquet CLUSTERED along the z-order curve of
+    ``cols`` — the multi-column data-skipping layout: after
+    range-partitioning + sorting by the interleaved value, every
+    output file covers a small hyper-rectangle of the key space, so
+    parquet min/max stats prune point/range scans on ANY of the
+    participating columns (a plain sort only skips on its leading
+    column). The lakehouse OPTIMIZE ZORDER analog, composed from
+    public Spark primitives: one min/max aggregate over ``cols``
+    (returned, so incremental writers can reuse it), one range
+    exchange on the z-value, a within-partition sort, and the write —
+    no extra pass over the data.
+
+    At 100 TB this is the layout knob for the second-and-later query
+    columns: bucketing co-locates the JOIN key; z-order localizes the
+    FILTER columns. Locality is asserted quantitatively in tests
+    (per-file min/max spans shrink vs an unclustered write)."""
+    numeric = {c: _zorder_numeric(df, c) for c in cols}
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(numeric[c]).alias(f"__lo_{c}"),
+            F.max(numeric[c]).alias(f"__hi_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    ranges = {
+        c: (
+            float(row[f"__lo_{c}"] if row[f"__lo_{c}"] is not None else 0.0),
+            float(row[f"__hi_{c}"] if row[f"__hi_{c}"] is not None else 0.0),
+        )
+        for c in cols
+    }
+    z = zorder_value(cols, ranges, bits, numeric=numeric).alias("__z")
+    clustered = df.withColumn("__z", z)
+    if n_files:
+        clustered = clustered.repartitionByRange(n_files, "__z")
+    else:
+        clustered = clustered.repartitionByRange("__z")
+    (
+        clustered.sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+    return ranges
