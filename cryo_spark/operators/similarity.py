@@ -1642,7 +1642,10 @@ def graph_dedup_sql(
     components as a recursive CTE (the same closure the ngram
     cluster oracle uses). ``prelude`` injects leading CTEs so
     ``table`` can be a derived frame (e.g. the text-embeddings
-    twin)."""
+    twin). Like :func:`lsh_topk_costball_sql`, the per-row threshold
+    enumerates all 2^``n_planes`` flip sets (rows x 2^n intermediate
+    rows) — keep ``n_planes`` <= 16 on this side; the Spark side has
+    no such bound (its per-row heap never enumerates 2^n)."""
     planes = int_planes(n_planes, dim, seed)
     quant = (
         f"list_transform({vec_col}, "
