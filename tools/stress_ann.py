@@ -266,6 +266,26 @@ def main() -> int:
     )
     assert r_graph >= 0.9, r_graph
 
+    # round 14: graph_dedup on the same planted corpus — the end-to-end
+    # dedup DECISION at volume (edges >= threshold -> components ->
+    # min-id keepers). Every planted family should collapse onto its
+    # min id; near-uniform corpus rows stay keepers.
+    t = time.time()
+    verdict = similarity.graph_dedup(
+        graph_corpus, threshold=0.999, k=10, n_planes=13, n_probes=16
+    ).localCheckpoint()
+    n_dups = verdict.filter(F.col("is_duplicate")).count()
+    t_gd = time.time() - t
+    collapsed = verdict.filter(
+        (F.col("vec_id") >= n) & F.col("is_duplicate")
+    ).count()
+    print(
+        f"graph_dedup: {t_gd:.2f}s for {n + fam * per} rows, {n_dups} "
+        f"duplicates flagged ({collapsed}/{fam * (per - 1)} planted "
+        f"family members collapsed)"
+    )
+    assert collapsed >= int(0.9 * fam * (per - 1)), collapsed
+
     t = time.time()
     books = similarity.pq_train(emb, sample_rows=smp)
     codes = similarity.pq_encode(assigned, books).localCheckpoint()
