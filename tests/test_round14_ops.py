@@ -1066,3 +1066,18 @@ def test_zorder_write_localizes_both_columns(spark, tmp_path):
     assert zt <= 0.7, f"z-order ts coverage {zt}"
     assert su >= 0.85, f"baseline should not localize user_id: {su}"
     assert zu < su - 0.2, f"z-order should beat the baseline: {zu} vs {su}"
+
+
+def test_jpegcodec_fill_bytes_before_markers():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker — real
+    encoders emit them; the decoder must skip them."""
+    J = _jpeg_mod()
+    rows = [bytes(range(8 * i, 8 * i + 8)) for i in range(8)]
+    good = J.encode_jpeg(8, 8, 1, rows)
+    # inject fill bytes before the SOF and SOS markers
+    padded = good.replace(b"\xff\xc0", b"\xff\xff\xff\xc0").replace(
+        b"\xff\xda", b"\xff\xff\xff\xff\xda"
+    )
+    w, h, ch, out = J.decode_jpeg(padded)
+    assert (w, h, ch) == (8, 8, 1)
+    assert out == rows
