@@ -56,7 +56,7 @@ DEFAULT_TEMPLATE = {
 
 #: the token pattern shared with the text suite's token counting —
 #: words / numbers / single non-space symbols (BPE-ish pretokenizer)
-TOKEN_RE = r"\w+|[^\w\s]"
+TOKEN_RE = r"\w+|[^\w \t\n\x0b\f\r]"
 
 
 def _rendered_parts(role: Column, content: Column, template: dict):

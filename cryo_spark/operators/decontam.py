@@ -73,7 +73,7 @@ def ngram_decontaminate_sql(
 ) -> str:
     """DuckDB equivalent: ``eval_pred`` / ``train_pred`` are WHERE
     predicates over ``table`` selecting the two corpora."""
-    norm = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
+    norm = f"regexp_replace(trim(lower({text_col})), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')"
     return f"""
 WITH toks AS (
   SELECT doc_id, {eval_pred} AS is_eval, string_split({norm}, ' ') AS t

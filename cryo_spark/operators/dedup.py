@@ -39,7 +39,7 @@ from cryo_spark.operators.util import spread as _spread
 
 
 def _norm_text(text_col: str = "text") -> Column:
-    return F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0b\f\r]+", " ")
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -61,7 +61,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def exact_dedup_sql(table: str, text_col: str = "text") -> str:
-    norm = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
+    norm = f"regexp_replace(trim(lower({text_col})), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')"
     return f"""
 SELECT doc_id,
   min(doc_id) OVER (PARTITION BY md5({norm})) AS keeper_id,
@@ -348,7 +348,7 @@ def ngram_jaccard_all_pairs_sql(
     min_shared: int = 5,
 ) -> str:
     """DuckDB equivalent of ngram_jaccard_all_pairs (n=3)."""
-    norm = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
+    norm = f"regexp_replace(trim(lower({text_col})), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')"
     return f"""
 WITH toks AS (
   SELECT doc_id, string_split({norm}, ' ') AS t FROM {table}
@@ -408,7 +408,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     toks = df.select(
         F.col(id_col),
         F.explode_outer(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0b\f\r]+")
         ).alias("tok"),
     )
     hashed = toks.select(id_col, "tok", F.md5("tok").alias("h"))
@@ -553,7 +553,7 @@ def simhash_near_dups_sql(
     return f"""
 WITH toks AS (
   SELECT {id_col}, unnest(string_split(
-           regexp_replace({norm}, '\\s+', ' ', 'g'), ' ')) AS tok
+           regexp_replace({norm}, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')) AS tok
   FROM {table}
 ), votes AS (
   SELECT {id_col},

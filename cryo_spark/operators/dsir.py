@@ -242,7 +242,7 @@ def dsir_select(
 def _grams_cte(table: str, text_col: str, n: int, n_buckets: int) -> str:
     """DuckDB CTE body producing (doc_id, bucket) gram rows,
     mirroring shingle_rows + _bucket_col semantics exactly."""
-    norm = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
+    norm = f"regexp_replace(trim(lower({text_col})), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')"
     gram = (
         f"CASE WHEN len(t) >= {n} THEN array_to_string(t[i:i+{n - 1}], ' ')"
         f" ELSE array_to_string(t, ' ') END"

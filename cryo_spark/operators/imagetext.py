@@ -56,7 +56,7 @@ def _clean(col: Column) -> Column:
     these are small inter-tag segments, not whole documents)."""
     return F.trim(
         F.regexp_replace(
-            F.regexp_replace(col, _TAG_RE, " "), r"\s+", " "
+            F.regexp_replace(col, _TAG_RE, " "), r"[ \t\n\x0b\f\r]+", " "
         )
     )
 
@@ -65,7 +65,7 @@ def _clean_sql(expr: str) -> str:
     tag = _TAG_RE.replace("'", "''")
     return (
         f"trim(regexp_replace(regexp_replace({expr}, '{tag}', ' ', 'g'),"
-        f" '\\s+', ' ', 'g'))"
+        f" '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
     )
 
 

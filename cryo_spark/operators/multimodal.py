@@ -56,18 +56,72 @@ def fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
     return v.astype(np.float32)
 
 
-def _gray_grid(payload: bytes, out_w: int, out_h: int) -> np.ndarray:
-    """Shared real-media pixel path: PNG payloads decode through the
-    VENDORED pure-Python codec (:mod:`cryo_spark.operators.pngcodec` —
-    round 13) and JPEG payloads through its baseline-JPEG sibling
+def _resolve_decoder(decoder: str) -> str:
+    """Resolve the real-media ``decoder`` knob to 'vendored' or 'pil'.
+
+    - 'vendored' (default): PNG/JPEG decode through the pure-Python
+      codecs — byte-identical on every environment, so perceptual
+      hashes NEVER drift with a PIL version. The throughput trade is
+      explicit: the vendored JPEG path is pure Python (~0.2 s worst
+      case for an entropy-dense 256x256, ~20 ms for natural images
+      after the round-15 LUT/batched-IDCT rewrite) vs ~1-5 ms for a C
+      decoder.
+    - 'pil': C-speed decode through PIL for EVERY format. Opt-in
+      ONLY — resized luma differs from the vendored box filter (PIL
+      default resampling), so dHash/feature values CAN drift from the
+      vendored path and across PIL versions; use when throughput on a
+      real image corpus matters more than cross-environment hash
+      stability. Raises ValueError if PIL is not importable (an
+      explicit opt-in must not silently fall back).
+    - 'auto': 'pil' when PIL is importable, else 'vendored'.
+    """
+    if decoder == "auto":
+        try:
+            import PIL  # noqa: F401
+
+            return "pil"
+        except ImportError:
+            return "vendored"
+    if decoder not in ("vendored", "pil"):
+        raise ValueError(
+            f"decoder must be 'vendored', 'pil' or 'auto', got {decoder!r}"
+        )
+    return decoder
+
+
+def _pil_image(payload: bytes):
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ValueError(
+            "decoder='pil' requires PIL, which is not importable in "
+            "this environment — use decoder='vendored' (PNG/JPEG) or "
+            "decoder='auto'"
+        ) from exc
+    import io
+
+    return Image.open(io.BytesIO(payload))
+
+
+def _gray_grid(
+    payload: bytes, out_w: int, out_h: int, decoder: str = "vendored"
+) -> np.ndarray:
+    """Shared real-media pixel path. Under ``decoder='vendored'``
+    (default) PNG payloads decode through the VENDORED pure-Python
+    codec (:mod:`cryo_spark.operators.pngcodec` — round 13) and JPEG
+    payloads through its baseline-JPEG sibling
     (:mod:`cryo_spark.operators.jpegcodec` — round 14, clean-room from
-    ITU-T T.81/JFIF); both run unconditionally and byte-identically on
-    every environment, so perceptual hashes never drift with a PIL
-    version. Other formats go through PIL where importable;
-    NotImplementedError only remains for non-PNG/JPEG payloads in a
-    PIL-less container."""
+    ITU-T T.81/JFIF); both run byte-identically on every environment,
+    so perceptual hashes never drift with a PIL version. Other formats
+    go through PIL where importable; NotImplementedError only remains
+    for non-PNG/JPEG payloads in a PIL-less container.
+    ``decoder='pil'``/'auto' is the round-15 throughput escape hatch —
+    see :func:`_resolve_decoder` for the hash-stability caveat."""
     from cryo_spark.operators import jpegcodec, pngcodec
 
+    if _resolve_decoder(decoder) == "pil":
+        img = _pil_image(payload).convert("L")
+        return np.asarray(img.resize((out_w, out_h)), dtype=np.float64)
     if pngcodec.is_png(payload):
         return np.asarray(
             pngcodec.decode_gray_resized(bytes(payload), out_w, out_h),
@@ -92,18 +146,22 @@ def _gray_grid(payload: bytes, out_w: int, out_h: int) -> np.ndarray:
     return np.asarray(img.resize((out_w, out_h)), dtype=np.float64)
 
 
-def real_decode(payload: bytes, dim: int = 16) -> np.ndarray:
+def real_decode(
+    payload: bytes, dim: int = 16, decoder: str = "vendored"
+) -> np.ndarray:
     """Real image feature extraction: decode, grayscale, downsample
     to a sqrt(dim) grid, L2-normalized mean luminance — a
     deterministic classical feature proving the decode path end-to-end
     (swap in a learned encoder at deployment). PNG decodes via the
     vendored pure-Python codec so this path runs UNCONDITIONALLY
     (round 13 — previously NotImplementedError without PIL); non-PNG
-    formats still require PIL."""
+    formats still require PIL. ``decoder='pil'``/'auto' opts into
+    C-speed decode at the cost of cross-environment hash stability
+    (:func:`_resolve_decoder`)."""
     if payload is None:
         return None
     side = max(int(dim ** 0.5), 1)
-    v = _gray_grid(payload, side, side).reshape(-1)[:dim]
+    v = _gray_grid(payload, side, side, decoder).reshape(-1)[:dim]
     if v.size < dim:
         v = np.pad(v, (0, dim - v.size))
     n = np.linalg.norm(v)
@@ -161,15 +219,27 @@ def fake_resize(payload: bytes, width: int, height: int) -> bytes:
     return (h * (size // len(h) + 1))[:size]
 
 
-def real_resize(payload: bytes, width: int, height: int) -> bytes:
+def real_resize(
+    payload: bytes, width: int, height: int, decoder: str = "vendored"
+) -> bytes:
     """Real image resize -> PNG bytes. PNG and (round 14) baseline
     JPEG payloads resize through the vendored codecs (box resample per
     channel, re-encoded as PNG — runs unconditionally); other formats
-    go through PIL where importable, NotImplementedError otherwise."""
+    go through PIL where importable, NotImplementedError otherwise.
+    ``decoder='pil'``/'auto' resizes every format through PIL (C-speed,
+    PIL's resampling — output pixels can differ from the vendored box
+    filter; see :func:`_resolve_decoder`)."""
     from cryo_spark.operators import jpegcodec, pngcodec
 
     if payload is None:
         return None
+    if _resolve_decoder(decoder) == "pil":
+        import io
+
+        img = _pil_image(payload).resize((width, height))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
     if pngcodec.is_png(payload) or jpegcodec.is_jpeg(payload):
         if pngcodec.is_png(payload):
             w, h, ch, rows = pngcodec.decode_png(bytes(payload))
@@ -404,16 +474,21 @@ def fake_dhash_duckdb_parts(hex_sql: str) -> tuple[str, str]:
     return chains, "(" + "\n + ".join(terms) + ")"
 
 
-def real_dhash(payload: bytes) -> int | None:
+def real_dhash(payload: bytes, decoder: str = "vendored") -> int | None:
     """Real dHash: grayscale, box-resize to 9x8, bit r*8+c set when
     pixel[r][c] < pixel[r][c+1]. Returns a signed 64-bit int (two's
     complement). PNG payloads run unconditionally through the
     vendored codec (round 13 — previously PIL-gated); non-PNG formats
     require PIL. The fake-grid JVM expression (`fake_dhash_expr`)
-    remains the zero-Python pipeline default."""
+    remains the zero-Python pipeline default. ``decoder='pil'``/'auto'
+    is the throughput escape hatch for real image corpora — C-speed
+    decode, but hashes can drift from the vendored path and across PIL
+    versions (:func:`_resolve_decoder`); pass e.g.
+    ``hasher=lambda p: real_dhash(p, decoder='auto')`` to
+    :func:`image_dhash` to use it in the pipeline."""
     if payload is None:
         return None
-    px = _gray_grid(payload, 9, 8)
+    px = _gray_grid(payload, 9, 8, decoder)
     sig = 0
     for r in range(8):
         for c in range(8):

@@ -51,7 +51,7 @@ def token_windows(
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
     df = spread(df)
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0b\f\r]+", " ")
     toks = df.select(F.col(id_col), F.split(norm, " ").alias("t"))
     t = F.col("t")
     last = F.greatest(F.size(t) - window, F.lit(0))
@@ -75,7 +75,7 @@ def token_windows_sql(
     text_col: str = "text",
     id_expr: str = "doc_id",
 ) -> str:
-    norm = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
+    norm = f"regexp_replace(trim(lower({text_col})), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')"
     return f"""
 WITH toks AS (
   SELECT {id_expr} AS doc_id, string_split({norm}, ' ') AS t FROM {table}

@@ -49,7 +49,7 @@ def span_rows(
     toks = df.select(
         F.col(id_col),
         F.split(
-            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "
+            F.regexp_replace(F.trim(F.col(text_col)), r"[ \t\n\x0b\f\r]+", " "), " "
         ).alias("toks"),
     )
     t = F.col("toks")
@@ -86,7 +86,7 @@ def dedup_spans(
     toks = df.select(
         F.col(id_col),
         F.split(
-            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "
+            F.regexp_replace(F.trim(F.col(text_col)), r"[ \t\n\x0b\f\r]+", " "), " "
         ).alias("toks"),
     )
     t = F.col("toks")
@@ -148,7 +148,7 @@ def dedup_spans_sql(
 ) -> str:
     """DuckDB equivalent of :func:`dedup_spans` (the oracle)."""
     k = span_words
-    norm = f"regexp_replace(trim({text_col}), '\\s+', ' ', 'g')"
+    norm = f"regexp_replace(trim({text_col}), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')"
     return f"""
 WITH toks AS (
   SELECT doc_id, string_split({norm}, ' ') AS t FROM {table}
@@ -427,7 +427,7 @@ def repeated_regions(
     toks = df.select(
         F.col(id_col),
         F.split(
-            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "
+            F.regexp_replace(F.trim(F.col(text_col)), r"[ \t\n\x0b\f\r]+", " "), " "
         ).alias("toks"),
     )
     t = F.col("toks")
@@ -486,7 +486,7 @@ def repeated_regions_sql(
     table: str, text_col: str = "text", k: int = 8, min_count: int = 2
 ) -> str:
     """DuckDB equivalent of :func:`repeated_regions`."""
-    norm = f"regexp_replace(trim({text_col}), '\\s+', ' ', 'g')"
+    norm = f"regexp_replace(trim({text_col}), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')"
     return f"""
 WITH toks AS (
   SELECT doc_id, string_split({norm}, ' ') AS t FROM {table}
@@ -550,7 +550,7 @@ def dedup_repeated_regions(
     toks = df.select(
         F.col(id_col),
         F.split(
-            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "
+            F.regexp_replace(F.trim(F.col(text_col)), r"[ \t\n\x0b\f\r]+", " "), " "
         ).alias("toks"),
     )
     regions = repeated_regions(df, text_col, k, min_count, id_col)
@@ -611,7 +611,7 @@ def dedup_repeated_regions_sql(
 ) -> str:
     """DuckDB equivalent of :func:`dedup_repeated_regions`."""
     regions = repeated_regions_sql(table, text_col, k, min_count)
-    norm = f"regexp_replace(trim({text_col}), '\\s+', ' ', 'g')"
+    norm = f"regexp_replace(trim({text_col}), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')"
     return f"""
 WITH toks AS (
   SELECT doc_id, string_split({norm}, ' ') AS t FROM {table}

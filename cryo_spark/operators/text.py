@@ -27,14 +27,14 @@ def token_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     trimmed = F.trim(c)
     return F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+        F.size(F.split(trimmed, r"[ \t\n\x0b\f\r]+"))
     ).cast("long")
 
 
 def token_count_sql(expr: str) -> str:
     return (
         f"CASE WHEN trim({expr}) = '' THEN 0 ELSE "
-        f"len(regexp_split_to_array(trim({expr}), '\\s+')) END::BIGINT"
+        f"len(regexp_split_to_array(trim({expr}), '[ \\t\\n\\x0b\\f\\r]+')) END::BIGINT"
     )
 
 
@@ -47,10 +47,10 @@ def word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(c)
     n_tokens = token_count(c)
     lower = F.lower(c)
-    non_alnum = F.length(F.regexp_replace(lower, r"[a-z0-9\s]", ""))
+    non_alnum = F.length(F.regexp_replace(lower, r"[a-z0-9 \t\n\x0b\f\r]", ""))
     digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
     uppers = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
-    spaces = F.length(F.regexp_replace(c, r"[^\s]", ""))
+    spaces = F.length(F.regexp_replace(c, r"[^ \t\n\x0b\f\r]", ""))
     stop_hits = None
     for w in STOPWORDS["en"]:
         hit = F.size(F.split(F.concat(F.lit(" "), lower, F.lit(" ")), f" {w} ")) - 1
@@ -70,10 +70,10 @@ def word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def word_stats_sql(table: str, text_col: str = "text") -> str:
     c = text_col
     n_tokens = token_count_sql(c)
-    non_alnum = f"length(regexp_replace(lower({c}), '[a-z0-9\\s]', '', 'g'))"
+    non_alnum = f"length(regexp_replace(lower({c}), '[a-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g'))"
     digits = f"length(regexp_replace({c}, '[^0-9]', '', 'g'))"
     uppers = f"length(regexp_replace({c}, '[^A-Z]', '', 'g'))"
-    spaces = f"length(regexp_replace({c}, '[^\\s]', '', 'g'))"
+    spaces = f"length(regexp_replace({c}, '[^ \\t\\n\\x0b\\f\\r]', '', 'g'))"
     stop_hits = " + ".join(
         f"(len(string_split(concat(' ', lower({c}), ' '), ' {w} ')) - 1)"
         for w in STOPWORDS["en"]
@@ -143,7 +143,7 @@ FROM ({union}) GROUP BY doc_id
 # GPT-2-style pretokenizer shape (public BPE regex family), without
 # lookaheads so Spark (java.util.regex) and DuckDB (RE2) agree:
 # contractions | space?letters | space?digits | space?punct-run | spaces
-BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\x0b\f\rA-Za-z0-9]+|[ \t\n\x0b\f\r]+"
 
 
 def bpe_pieces_expr(text_col: str = "text") -> Column:
@@ -184,7 +184,7 @@ def quality_score_expr(text_col: str = "text") -> Column:
     n_chars = F.length(c)
     n_tokens = token_count(c)
     lower = F.lower(c)
-    non_alnum = F.length(F.regexp_replace(lower, r"[a-z0-9\s]", ""))
+    non_alnum = F.length(F.regexp_replace(lower, r"[a-z0-9 \t\n\x0b\f\r]", ""))
     stop_hits = None
     for w in STOPWORDS["en"]:
         hit = F.size(F.split(F.concat(F.lit(" "), lower, F.lit(" ")), f" {w} ")) - 1
@@ -218,7 +218,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_score_sql(table: str, text_col: str = "text") -> str:
     c = text_col
     n_tokens = token_count_sql(c)
-    non_alnum = f"length(regexp_replace(lower({c}), '[a-z0-9\\s]', '', 'g'))"
+    non_alnum = f"length(regexp_replace(lower({c}), '[a-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g'))"
     stop_hits = " + ".join(
         f"(len(string_split(concat(' ', lower({c}), ' '), ' {w} ')) - 1)"
         for w in STOPWORDS["en"]
@@ -250,7 +250,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     O(L log L) per row, whole-stage-codegen JVM expressions, so the
     operator composes into any scan without an exchange."""
     df = spread(df)
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0b\f\r]+", " ")
     toks = df.select("doc_id", F.split(norm, " ").alias("t"))
     t = F.col("t")
     idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(1)))
@@ -304,7 +304,7 @@ def quality_with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     # lambda: expressions inside transform() re-inline per element
     # access, so an unbound split would re-run regexp+split for every
     # gram (the hazard documented in dedup.shingle_rows)
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0b\f\r]+", " ")
     bound = df.select("doc_id", text_col, F.split(norm, " ").alias("t"))
     t = F.col("t")
     idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(1)))
@@ -333,7 +333,7 @@ JOIN ({repetition_stats_sql(table, text_col)}) r ON r.doc_id = q.doc_id
 def repetition_stats_sql(table: str, text_col: str = "text") -> str:
     """DuckDB oracle: same metrics via unnest + group-by (the oracle
     need not be shuffle-free)."""
-    norm = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
+    norm = f"regexp_replace(trim(lower({text_col})), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')"
     return f"""
 WITH toks AS (
   SELECT doc_id, string_split({norm}, ' ') AS t FROM {table}
@@ -359,7 +359,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: xxhash64 of the whitespace-normalized,
     lowercased text (rolling-hash analog, JVM-side)."""
     df = spread(df)
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0b\f\r]+", " ")
     return df.select(
         "doc_id",
         F.xxhash64(norm).alias("fingerprint"),
@@ -369,7 +369,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint_sql(table: str, text_col: str = "text") -> str:
     # DuckDB has no xxhash64 — oracle covers the md5 fingerprint only
-    norm = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
+    norm = f"regexp_replace(trim(lower({text_col})), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')"
     return f"SELECT doc_id, md5({norm}) AS content_md5 FROM {table}"
 
 
@@ -468,7 +468,7 @@ def top_ngrams_sql(
     """DuckDB equivalent of :func:`top_ngrams` (mirrors the
     shingle_rows gram grid: docs shorter than n words emit one
     whole-doc gram)."""
-    norm = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
+    norm = f"regexp_replace(trim(lower({text_col})), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')"
     return f"""
 WITH toks AS (
   SELECT string_split({norm}, ' ') AS t FROM {table}
@@ -511,7 +511,7 @@ def keyword_extract(
         F.col(id_col),
         F.explode(
             F.split(
-                F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
+                F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0b\f\r]+", " "),
                 " ",
             )
         ).alias("term"),
@@ -544,7 +544,7 @@ def keyword_extract(
 def keyword_extract_sql(
     table: str, text_col: str = "text", k: int = 5
 ) -> str:
-    norm = f"regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"
+    norm = f"regexp_replace(trim(lower({text_col})), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')"
     return f"""
 WITH terms AS (
   SELECT doc_id, u.term

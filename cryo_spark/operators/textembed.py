@@ -40,11 +40,14 @@ from pyspark.sql import functions as F
 def _tok_array(text_col: str) -> Column:
     # the simhash tokenizer (dedup.simhash), minus empty tokens; NULL
     # text behaves like empty text (zero vector), matching the twin's
-    # LEFT JOIN + coalesce
+    # LEFT JOIN + coalesce. The whitespace class is EXPLICIT rather
+    # than \s: Java's \s includes vertical tab \x0B, DuckDB's RE2 \s
+    # does not, so a \s spelling silently breaks the bit-identical-
+    # twin contract on \x0B-bearing documents (pinned in tests).
     return F.filter(
         F.split(
             F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
-            r"\s+",
+            r"[ \t\n\x0b\f\r]+",
         ),
         lambda t: t != F.lit(""),
     )
@@ -53,7 +56,11 @@ def _tok_array(text_col: str) -> Column:
 def text_embedding_expr(text_col: str = "text", dim: int = 64) -> Column:
     """array<float> signed-feature-hash embedding of ``text_col``.
     ``dim`` must be a power of two in [2, 256] (one little-endian md5
-    byte addresses the bucket)."""
+    byte addresses the bucket). The dim ceiling is also a COST
+    ceiling: each token updates a dim-wide array accumulator, so
+    per-token work grows linearly with dim — wide vectors should come
+    from the learned-encoder adapter (`operators.encode.encode_documents`),
+    not from a bigger hash table."""
     if dim < 2 or dim > 256 or dim & (dim - 1):
         raise ValueError(
             f"dim must be a power of two in [2, 256], got {dim}"
@@ -136,7 +143,7 @@ def text_embeddings_sql(
     return f"""
 WITH __te_toks AS (
   SELECT {id_col}, unnest(string_split(
-           regexp_replace({norm}, '\\s+', ' ', 'g'), ' ')) AS tok
+           regexp_replace({norm}, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')) AS tok
   FROM {table}
 ), __te_contrib AS (
   SELECT {id_col},

@@ -492,10 +492,10 @@ def changed_documents_sql(
     canon_n = canonical_url_sql(f"n.{url_col}")
     canon_p = canonical_url_sql(f"p.{url_col}")
     norm = (
-        "md5(regexp_replace(trim(lower(p.{t})), '\\s+', ' ', 'g'))"
+        "md5(regexp_replace(trim(lower(p.{t})), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
     ).format(t=text_col)
     norm_n = (
-        "md5(regexp_replace(trim(lower(n.{t})), '\\s+', ' ', 'g'))"
+        "md5(regexp_replace(trim(lower(n.{t})), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
     ).format(t=text_col)
     return f"""
 WITH prior_keys AS (

@@ -214,7 +214,7 @@ def streaming_exact_dedup(
     pins: same distinct key set as the batch `exact_dedup` keeper
     rows."""
     key = F.md5(
-        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0b\f\r]+", " ")
     )
     out = stream.withColumn("content_key", key)
     if event_time_col is not None:
