@@ -728,6 +728,19 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    calib_after = calibrate()
+    # calibrated view (round 15): each query expressed in units of its
+    # OWN adjacent quarter-size probe — a dimensionless cost that
+    # cancels uniform host slowness, so cross-round comparisons stop
+    # depending on host luck (the r13->r14 driver totals drifted a
+    # uniform ~1.45x purely from contention; these ratios would have
+    # been flat). Compare queries_calibrated across rounds FIRST; read
+    # raw seconds only when the ratio moved too.
+    queries_calibrated = {
+        q: round(t / probes[q], 2)
+        for q, t in times.items()
+        if probes.get(q)
+    }
     # full record (rows, plan hashes, calibration, untruncated errors)
     # to the sidecar — the judge and later rounds read it from the
     # tree; the stdout line stays contract-minimal
@@ -739,11 +752,12 @@ def main() -> None:
         "rows": rows,
         "plans": plans,
         "probes": probes,
+        "queries_calibrated": queries_calibrated,
         "sf": sf_val,
         # host-noise guard: identical CPU-bound probe before/after the
         # suite; compare across rounds before reading total drift as
         # a code regression
-        "calibration_sec": {"before": calib_before, "after": calibrate()},
+        "calibration_sec": {"before": calib_before, "after": calib_after},
         # classified fd-2 capture: {class: {count, first}} — a Spark
         # WARN trace is a counted record here, never tail noise
         "warnings": stderr_cap.finish(),
@@ -764,6 +778,10 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
+        # surfaced on the contract line too, so a driver-recorded
+        # BENCH_r{N}.json carries its own host-noise witness even when
+        # the sidecar is unavailable
+        "calibration_sec": {"before": calib_before, "after": calib_after},
     }
     if errs:
         out["errors"] = {k: v[:60] for k, v in errs.items()}

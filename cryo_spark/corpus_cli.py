@@ -120,6 +120,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard-tokens", type=int, default=None,
                    help="tokens per training shard (omit: one plain "
                         "parquet table)")
+    p.add_argument("--zorder", default=None,
+                   help="with --shard-tokens: cluster rows inside "
+                        "each split/shard directory along the z-order "
+                        "curve of these comma-separated columns (e.g. "
+                        "doc_id,n_tokens) so parquet min/max stats "
+                        "prune per-column reads of the shards")
     p.add_argument("--shard-format", default="parquet",
                    choices=["parquet", "jsonl"])
     p.add_argument("--warc-root", default="",
@@ -154,6 +160,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "index (incremental.save_banded_index layout) "
                         "BEFORE the pipeline; the funnel gains "
                         "delta_input/delta_near_dup rows")
+    p.add_argument("--semantic-index", default=None,
+                   help="with --delta-index: ALSO dedup the batch "
+                        "semantically against this persisted embedding "
+                        "index (incremental.save_embedding_index "
+                        "layout) — paraphrase twins of already-shipped "
+                        "docs are dropped without re-signing the base; "
+                        "the funnel gains a delta_semantic row. "
+                        "--update-index appends/bootstraps it too")
     p.add_argument("--delta-bands", type=int, default=4,
                    help="banding of the persisted index (must match "
                         "how it was saved)")
@@ -203,6 +217,10 @@ def run(args: argparse.Namespace) -> int:
     )
     if args.update_index and not args.delta_index:
         raise ValueError("--update-index requires --delta-index")
+    if args.semantic_index and not args.delta_index:
+        raise ValueError("--semantic-index requires --delta-index")
+    if args.zorder and not args.shard_tokens:
+        raise ValueError("--zorder requires --shard-tokens")
     if args.bpe_merges and not args.pack_budget:
         raise ValueError("--bpe-merges requires --pack-budget")
     if args.token_ids and not args.pack_budget:
@@ -275,6 +293,7 @@ def run(args: argparse.Namespace) -> int:
             "--shard-tokens": args.shard_tokens,
             "--pack-budget": args.pack_budget,
             "--delta-index": args.delta_index,
+            "--semantic-index": args.semantic_index,
             "--token-ids": args.token_ids,
         }.items() if v]
         if bad:
@@ -502,6 +521,32 @@ def run(args: argparse.Namespace) -> int:
     if args.delta_index:
         from cryo_spark.operators import incremental
 
+        sem_table = args.semantic_index
+        if sem_table and not spark.catalog.tableExists(sem_table):
+            if not args.update_index:
+                raise ValueError(
+                    f"embedding index {sem_table!r} does not exist — "
+                    "bootstrap a day-1 run with --update-index, or "
+                    "point --semantic-index at an existing table"
+                )
+            # day-1 bootstrap: seed the semantic index from this
+            # batch's embeddings (stage-2c dim/threshold knobs) so
+            # day 2 can dedup paraphrases against it; nothing to
+            # dedup against TODAY, so the delta call below runs
+            # without the semantic tier
+            from cryo_spark.operators import textembed
+
+            incremental.save_embedding_index(
+                incremental.embedding_index(
+                    textembed.text_embeddings(
+                        docs, text_col=args.text_col, id_col="doc_id",
+                        dim=kw.get("semantic_dim", 64),
+                    ),
+                    id_col="doc_id",
+                ),
+                sem_table,
+            )
+            sem_table = None
         if not spark.catalog.tableExists(args.delta_index):
             if not args.update_index:
                 raise ValueError(
@@ -533,6 +578,7 @@ def run(args: argparse.Namespace) -> int:
                 bands=args.delta_bands,
                 k=args.delta_k,
                 update_index=args.update_index,
+                semantic_index_table=sem_table,
                 **kw,
             )
             if args.no_funnel:
@@ -633,6 +679,10 @@ def run(args: argparse.Namespace) -> int:
             shard_tokens=args.shard_tokens, fmt=args.shard_format,
             seed=f"{args.seed}-shard",
             id_col=shard_id,
+            zorder=(
+                [c.strip() for c in args.zorder.split(",") if c.strip()]
+                if args.zorder else None
+            ),
         )
         summary = {"shards": shards}
         written = os.path.join(args.output, "shards")

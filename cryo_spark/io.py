@@ -360,6 +360,8 @@ def write_lake(
     bucket_size: int = 1_000_000,
     max_records_per_file: int = 5_000_000,
     mode: str = "append",
+    zorder: list[str] | None = None,
+    zorder_bits: int = 12,
 ) -> str:
     """100 TB lake layout: one dataset directory partitioned by
     (chain_id, block_bucket) — SURVEY §7.1 step 9.
@@ -367,14 +369,55 @@ def write_lake(
     Directory-level partition pruning then serves the dominant
     predicates (chain + block range) before any file is opened;
     maxRecordsPerFile bounds file sizes without a repartition.
-    Returns the dataset root path."""
+    Returns the dataset root path.
+
+    ``zorder=[col, ...]`` (round 15) additionally CLUSTERS the rows
+    inside each partition directory along the z-order curve of those
+    columns (:func:`cryo_spark.operators.skew.zorder_value`), so
+    parquet min/max stats prune point/range scans on the SECONDARY
+    query columns too — directory pruning serves chain+block, z-order
+    serves everything else (tx hash, address, value band). Costs the
+    layout's one extra range exchange + in-partition sort; the plain
+    path stays shuffle-free."""
     path = os.path.join(root, datatype)
-    (
-        df.withColumn(
-            BUCKET_COL,
-            (F.col("block_number") / F.lit(bucket_size)).cast("long") * bucket_size,
+    out = df.withColumn(
+        BUCKET_COL,
+        (F.col("block_number") / F.lit(bucket_size)).cast("long") * bucket_size,
+    )
+    if zorder:
+        from cryo_spark.operators import skew
+
+        numeric = {c: skew._zorder_numeric(out, c) for c in zorder}
+        aggs = []
+        for c in zorder:
+            aggs += [
+                F.min(numeric[c]).alias(f"__lo_{c}"),
+                F.max(numeric[c]).alias(f"__hi_{c}"),
+            ]
+        row = out.agg(*aggs).first()
+        ranges = {
+            c: (
+                float(row[f"__lo_{c}"]) if row[f"__lo_{c}"] is not None else 0.0,
+                float(row[f"__hi_{c}"]) if row[f"__hi_{c}"] is not None else 0.0,
+            )
+            for c in zorder
+        }
+        out = (
+            out.withColumn(
+                "__z",
+                skew.zorder_value(
+                    zorder, ranges, zorder_bits, numeric=numeric
+                ),
+            )
+            # range-partition and sort WITH the directory keys leading
+            # so each task (and therefore each output file) covers one
+            # partition dir x one contiguous z range
+            .repartitionByRange("chain_id", BUCKET_COL, "__z")
+            .sortWithinPartitions("chain_id", BUCKET_COL, "__z")
+            .drop("__z")
         )
-        .write.mode(mode)
+    (
+        out.write.mode(mode)
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("chain_id", BUCKET_COL)
         .parquet(path)

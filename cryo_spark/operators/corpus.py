@@ -25,6 +25,11 @@ from cryo_spark.operators.util import spread
 #: unique per query, and a long-lived session runs many funnels
 _OBS_SEQ = itertools.count()
 
+#: experiment hook: when not None, replaces the priced default cut
+#: set inside `_corpus_stages` (see the _CUT comment there). Used by
+#: tools/ab_funnel_cuts.py; leave None in production.
+CUT_OVERRIDE: set | None = None
+
 
 def clean_corpus(
     df: DataFrame,
@@ -127,6 +132,7 @@ def _corpus_stages(
     semantic_k: int = 10,
     semantic_planes: int = 6,
     semantic_probes: int = 8,
+    semantic_dedup_index: str | None = None,
     checkpoint: bool = False,
     observations: list | None = None,
 ) -> list[tuple[str, DataFrame, str]]:
@@ -233,6 +239,14 @@ def _corpus_stages(
     _CUT = {"quality_lang_exact", "line_dedup", "span_dedup"}
     if dsir_target is not None and dsir_k:
         _CUT.add("redact")
+    if CUT_OVERRIDE is not None:
+        # experiment hook (round 15): tools/ab_funnel_cuts.py prices
+        # every cut subset against the persist-only spelling (the
+        # boundary stays persisted + observed either way; the override
+        # only toggles the lazy-localCheckpoint lineage cut, whose
+        # cost is plan-time execution of its segment and whose benefit
+        # is O(stages) driver planning)
+        _CUT = set(CUT_OVERRIDE)
 
     def _mark(name: str, frame: DataFrame, tc: str) -> DataFrame:
         # boundary hook: later stages and the funnel's aggregates both
@@ -463,7 +477,7 @@ def _corpus_stages(
             ),
             "text",
         )
-    if semantic_dedup:
+    if semantic_dedup or semantic_dedup_index is not None:
         # stage 2c (optional, round 14): SEMANTIC near-dup collapse on
         # the span-deduped text — the corpus's own signed-feature-hash
         # embeddings (textembed, engine-neutral) through graph_dedup
@@ -476,23 +490,54 @@ def _corpus_stages(
         from cryo_spark.operators import similarity as sim_mod
         from cryo_spark.operators import textembed as te_mod
 
-        temb = te_mod.text_embeddings(
-            sd, text_col="text", id_col="doc_id", dim=semantic_dim
-        )
-        temb.persist()
-        sem_verdict = sim_mod.graph_dedup(
-            temb, threshold=semantic_threshold, k=semantic_k,
-            id_col="doc_id", n_planes=semantic_planes,
-            n_probes=semantic_probes,
-        )
-        sd = _mark(
-            "semantic_dedup",
-            sd.join(
-                sem_verdict.filter(~F.col("is_duplicate")).select("doc_id"),
-                "doc_id",
-            ),
-            "text",
-        )
+        if semantic_dedup_index is not None:
+            # round 15: serve stage 2c from a persisted
+            # save_embedding_index table instead of re-featurizing/
+            # re-signing the corpus in memory — graph_dedup_from_index
+            # reads the bucketed base in place. CONTRACT: the index
+            # must cover this stage's input (built from a previous
+            # identical run, or maintained by the delta path); ids the
+            # index has that the stage input lacks only ever WIDEN
+            # clusters (their keepers are already-shipped docs), ids
+            # the index lacks keep themselves (anti-join below), and
+            # when index == stage input the verdict is EQUAL to the
+            # in-memory spelling (pinned in tests). No SQL twin — the
+            # oracle cannot read Spark tables; contract entries use
+            # the in-memory path.
+            sem_verdict = sim_mod.graph_dedup_from_index(
+                df.sparkSession, semantic_dedup_index,
+                threshold=semantic_threshold, k=semantic_k,
+                id_col="doc_id", n_probes=semantic_probes,
+            )
+            sd = _mark(
+                "semantic_dedup",
+                sd.join(
+                    sem_verdict.filter(F.col("is_duplicate"))
+                    .select("doc_id"),
+                    "doc_id",
+                    "left_anti",
+                ),
+                "text",
+            )
+        else:
+            temb = te_mod.text_embeddings(
+                sd, text_col="text", id_col="doc_id", dim=semantic_dim
+            )
+            temb.persist()
+            sem_verdict = sim_mod.graph_dedup(
+                temb, threshold=semantic_threshold, k=semantic_k,
+                id_col="doc_id", n_planes=semantic_planes,
+                n_probes=semantic_probes,
+            )
+            sd = _mark(
+                "semantic_dedup",
+                sd.join(
+                    sem_verdict.filter(~F.col("is_duplicate"))
+                    .select("doc_id"),
+                    "doc_id",
+                ),
+                "text",
+            )
     # redaction applied IN the same projection (redact_text_expr), not
     # as a joined redact_pii frame — a join would make Catalyst
     # evaluate the whole span-dedup subtree twice
@@ -626,6 +671,7 @@ def prepare_corpus_delta(
     update_index: bool = False,
     text_col: str = "text",
     retry_probe: bool = True,
+    semantic_index_table: str | None = None,
     **kwargs,
 ) -> tuple[DataFrame, DataFrame]:
     """Daily-delta ingest as ONE call (round 11; previously the
@@ -644,6 +690,18 @@ def prepare_corpus_delta(
     extra leading funnel rows — ``delta_input`` (the raw batch) and
     ``delta_near_dup`` (survivors of the index dedup) — so the delta
     stages are steerable from the same attrition report.
+
+    ``semantic_index_table`` (round 15) adds a SEMANTIC delta tier:
+    after the minhash dedup, survivors are featurized
+    (:func:`textembed.text_embeddings` at the index's dim), signed
+    with the index's stored (n_planes, seed), and near-duplicates of
+    already-shipped docs (cosine >= the ``semantic_threshold``
+    pipeline kwarg, default 0.95 — ONE knob for this tier and stage
+    2c) are dropped via the same arrival-priority keeper rule —
+    paraphrase/word-reorder twins the shingle minhash misses, caught
+    WITHOUT re-signing the base. Adds a ``delta_semantic`` funnel
+    row; ``update_index=True`` then retry-idempotently appends the
+    survivors' embeddings to the semantic index too.
 
     ``update_index=True`` appends the new batch's band rows to
     ``index_table`` for the NEXT day's run. The drop list is
@@ -725,19 +783,99 @@ def prepare_corpus_delta(
             rows, index_table, ["band_id", "band_hash"], mode="append"
         )
     surv = new_docs.join(drops, "doc_id", "left_anti")
+    pre: list[tuple] = [("delta_input", new_docs, text_col)]
+    first_label = "delta_near_dup"
+    if semantic_index_table is not None:
+        # semantic delta (round 15): the minhash survivors are
+        # additionally deduplicated against a persisted
+        # `incremental.save_embedding_index` table — paraphrase/
+        # reorder duplicates of ALREADY-SHIPPED docs are dropped
+        # WITHOUT re-signing the base (the bucketed index is the
+        # base's standing signature; only the day-sized batch
+        # embeds + shuffles). The batch is featurized with the
+        # repo's self-contained text embeddings at the INDEX's dim
+        # and signed with its stored (n_planes, seed) — the
+        # hyperplane family must match or nothing would pair.
+        from cryo_spark.operators import textembed
+
+        meta = (
+            spark.table(semantic_index_table)
+            .select("n_planes", "seed", F.size("embedding").alias("_d"))
+            .filter(F.col("_d").isNotNull())
+            .first()
+        )
+        if meta is None:
+            raise ValueError(
+                f"embedding index {semantic_index_table!r} is empty"
+            )
+        temb = textembed.text_embeddings(
+            surv, text_col=text_col, id_col="doc_id",
+            dim=int(meta["_d"]),
+        )
+        new_eidx = incremental.embedding_index(
+            temb, n_planes=int(meta["n_planes"]),
+            seed=int(meta["seed"]), id_col="doc_id",
+            dim=int(meta["_d"]),
+        ).localCheckpoint(eager=False)
+        epairs = incremental.incremental_embedding_pairs_from_table(
+            spark, semantic_index_table, new_eidx,
+            min_cosine=kwargs.get("semantic_threshold", 0.95),
+            id_col="doc_id",
+        )
+        # eager for the same reason as the minhash drop list: the
+        # dedup must be pinned BEFORE any index append
+        edrops = incremental.delta_duplicates(
+            epairs, new_eidx, id_col="doc_id"
+        ).localCheckpoint(eager=True)
+        if update_index:
+            # same retry-idempotent append as the minhash index.
+            # SCOPE note: the semantic index records the MINHASH
+            # SURVIVORS (their embeddings are the ones computed), not
+            # the raw batch — a minhash-dropped doc is a near-verbatim
+            # twin of something already indexed, so its embedding adds
+            # no new semantic mass; embedding it anyway would double
+            # the featurize cost for no recall.
+            erows = new_eidx
+            if retry_probe:
+                ealready = (
+                    spark.table(semantic_index_table)
+                    .join(
+                        F.broadcast(
+                            new_eidx.select("doc_id").distinct()
+                        ),
+                        "doc_id",
+                        "left_semi",
+                    )
+                    .select("doc_id")
+                    .distinct()
+                )
+                erows = erows.join(
+                    F.broadcast(ealready), "doc_id", "left_anti"
+                )
+            erows = erows.localCheckpoint(eager=True)
+            skew.write_bucketed(
+                erows, semantic_index_table, ["bucket"], mode="append"
+            )
+        pre.append(("delta_near_dup", surv, text_col))
+        surv = surv.join(edrops, "doc_id", "left_anti")
+        first_label = "delta_semantic"
     observations: list = []
     stages = _corpus_stages(
         surv, text_col=text_col, checkpoint=True,
         observations=observations, **kwargs,
     )
     # the pipeline's own 'input' boundary IS the delta survivors —
-    # relabel it and prepend the raw batch so the funnel covers the
-    # index-dedup attrition. The raw batch has no observe node (it is
-    # not part of the staged chain), so its funnel row falls back to
-    # one day-batch-sized aggregate (the None slot).
-    stages[0] = ("delta_near_dup", stages[0][1], stages[0][2])
-    full = [("delta_input", new_docs, text_col)] + stages
-    return full[-1][1], _funnel_from_stages(full, [None] + observations)
+    # relabel it and prepend the raw batch (and, with a semantic
+    # index, the minhash survivors) so the funnel covers the
+    # index-dedup attrition. The prepended frames have no observe
+    # node (they are not part of the staged chain), so their funnel
+    # rows fall back to one day-batch-sized aggregate each (the None
+    # slots).
+    stages[0] = (first_label, stages[0][1], stages[0][2])
+    full = pre + stages
+    return full[-1][1], _funnel_from_stages(
+        full, [None] * len(pre) + observations
+    )
 
 
 def release_stage_storage(df_or_session) -> None:
@@ -796,7 +934,28 @@ def _funnel_from_stages(
         # QueryExecution so the same handle that executed the chain
         # also serves the tail segment's metric reads
         fqe = last._jdf.queryExecution()
-        fqe.executedPlan().execute().count()
+        n_final = int(fqe.executedPlan().execute().count())
+        # eviction guard (round 15, ADVICE r14): the observe nodes sit
+        # below the persists, so if a cached boundary partition is
+        # evicted under memory pressure (or lost with an executor) and
+        # RECOMPUTED during the action, its CollectMetrics accumulator
+        # receives duplicate updates and the funnel would silently
+        # over-count. The final boundary's observed n_docs has an
+        # independent witness — the action's own row count. On
+        # mismatch, distrust EVERY observed counter for this run and
+        # fall back to per-boundary aggregates over the
+        # already-materialized caches (values exact, one extra
+        # metadata-sized job per boundary).
+        last_ent = observations[-1] if observations else None
+        if last_ent is not None:
+            v = _read_metric(
+                last_ent["reader"]
+                if last_ent["reader"] is not None
+                else fqe,
+                last_ent["name"],
+            )
+            if v is not None and v[0] != n_final:
+                observations = [None] * len(observations)
         rows = []
         for i, ((stage, frame, tc), ent) in enumerate(
             zip(stages, observations)

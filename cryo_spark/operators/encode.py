@@ -1,0 +1,144 @@
+"""Learned-embedding adapter: batched model inference from raw text
+to the (id, embedding) shape every semantic operator consumes.
+
+This is the SYNONYMY tier of the semantic stack (round 15, verdict
+task 4). The self-contained signed-feature-hash embeddings
+(:mod:`cryo_spark.operators.textembed`) cover word-reorder and
+near-verbatim duplicates and are hash-provable against a DuckDB twin;
+they cannot see synonymy ("car" vs "automobile" hash to unrelated
+buckets). A LEARNED encoder can — and everything downstream
+(:func:`incremental.embedding_index`, :func:`similarity.graph_dedup`,
+:func:`similarity.knn_graph`, :func:`semdedup.semantic_dedup`,
+:func:`decontam.embedding_decontaminate`) only needs the
+``(id_col, embedding array<float>)`` frame this adapter produces, so
+swapping tiers is a one-line change at the featurization step.
+
+The encoder itself is a plain Python callable
+``encoder_fn(list[str]) -> (n, dim) float array`` — a
+sentence-transformers ``model.encode``, an ONNX session, or the
+deterministic test stub below. It is CLOSURE-SHIPPED to executors
+(pickled with the task). For real model weights prefer either (a)
+loading the model lazily INSIDE ``encoder_fn`` from a path that
+exists on every executor (the callable then pickles as a few bytes
+and each executor pays one load), or (b) a
+``spark.sparkContext.broadcast(weights)`` captured by the closure so
+the weights ship once per executor, not once per task.
+
+Scale shape: ONE narrow mapInPandas pass — no shuffle, partitioning
+preserved; 100 TB featurizes embarrassingly parallel, exactly like
+``textembed``/``classifier.featurize``. The knobs that matter at
+scale:
+
+- ``batch_size`` bounds the model's per-call memory/latency inside
+  one Arrow batch (GPU/BLAS encoders want the biggest batch that
+  fits; the default 256 suits CPU sentence encoders).
+- Partition sizing: each task holds one Arrow batch of documents
+  plus the model's activation memory. Size upstream partitions so
+  (docs/partition x mean doc bytes) stays near
+  ``spark.sql.files.maxPartitionBytes`` and let
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (default 10k)
+  bound the per-batch row count; with a per-executor model of M
+  bytes, executor memory needs M + one batch of text + one batch of
+  (batch_size x dim) float32 activations — independent of corpus
+  size.
+- Throughput is model-bound, not Spark-bound: the adapter adds one
+  Arrow serialization boundary per batch and nothing else.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def encode_documents(
+    df: DataFrame,
+    encoder_fn: Callable[[list[str]], "np.ndarray"],
+    batch_size: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id_col, out_col): run ``encoder_fn`` over ``text_col`` in
+    Arrow-batched, ``batch_size``-bounded calls and return dense
+    float32 embeddings — the exact input shape of
+    ``embedding_index`` / ``graph_dedup`` / ``semantic_dedup`` /
+    ``embedding_decontaminate``.
+
+    ``dim`` pins the output width; when omitted it is probed ONCE on
+    the driver with ``encoder_fn([""])`` (cheap for any real encoder —
+    one forward pass on one empty string). Every executor batch is
+    validated against it: a ragged or transposed encoder output fails
+    loudly instead of writing corrupt vectors. NULL text encodes as
+    the empty string (the convention the hash-embedding tier uses:
+    deterministic, never dropped)."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    if dim is None:
+        probe = np.asarray(encoder_fn([""]))
+        if probe.ndim != 2 or probe.shape[0] != 1:
+            raise ValueError(
+                "encoder_fn must return a (n_texts, dim) array; the "
+                f"probe call returned shape {probe.shape}"
+            )
+        dim = int(probe.shape[1])
+    want_dim = int(dim)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[lo:lo + batch_size]
+                texts = [
+                    "" if t is None else str(t) for t in chunk[text_col]
+                ]
+                embs = np.asarray(encoder_fn(texts), dtype=np.float32)
+                if embs.shape != (len(texts), want_dim):
+                    raise ValueError(
+                        f"encoder_fn returned shape {embs.shape} for "
+                        f"{len(texts)} texts, expected "
+                        f"({len(texts)}, {want_dim})"
+                    )
+                yield pd.DataFrame(
+                    {
+                        id_col: chunk[id_col].values,
+                        out_col: list(embs),
+                    }
+                )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} {id_type}, {out_col} array<float>"
+    )
+
+
+def stub_synonym_encoder(
+    dim: int = 32, synonyms: dict[str, str] | None = None
+) -> Callable[[list[str]], "np.ndarray"]:
+    """Deterministic test encoder with a SYNONYM table: tokens are
+    lowercased, mapped through ``synonyms`` (surface form ->
+    canonical form), then signed-hash bagged exactly like
+    ``textembed`` — so two texts that differ only by listed synonyms
+    encode IDENTICALLY, which the hash-embedding tier provably cannot
+    do. Stands in for a learned model in tests; pickles as a few
+    bytes (the closure carries only the dict)."""
+    import hashlib
+
+    syn = dict(synonyms or {})
+
+    def encode(texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            for tok in (t or "").lower().split():
+                tok = syn.get(tok, tok)
+                h = hashlib.md5(tok.encode()).digest()
+                b = h[0] % dim
+                s = 1.0 if (h[4] & 1) else -1.0
+                out[i, b] += s
+        return out
+
+    return encode

@@ -96,14 +96,54 @@ def write_training_shards(
     id_col: str | list[str] = "doc_id",
     seed: str = "shard0",
     fmt: str = "parquet",
+    zorder: list[str] | None = None,
+    zorder_bits: int = 12,
 ) -> dict:
     """Write ``path/split=<s>/shard=<n>/*.parquet`` in one job and
     return {split: n_shards}. Directory partitioning means a trainer
     (or a resumed export) prunes to its split/shard at the DIRECTORY
     level. ``fmt='jsonl'`` writes line-delimited JSON instead (same
     layout, same single partitioned job) for loaders that stream
-    text rather than read columnar."""
+    text rather than read columnar.
+
+    ``zorder=[col, ...]`` (round 15) clusters rows inside each
+    split/shard directory along the z-order curve of those columns
+    (:func:`cryo_spark.operators.skew.zorder_value`) so parquet
+    min/max stats prune per-column point/range reads of the shards
+    (e.g. a doc_id lookup or an n_tokens band scan) — one extra range
+    exchange + in-partition sort; the plain path is unchanged."""
     out = assign_shards(df, shard_tokens, token_col, split_col, id_col, seed)
+    if zorder:
+        from pyspark.sql import functions as _F
+
+        from cryo_spark.operators import skew
+
+        numeric = {c: skew._zorder_numeric(out, c) for c in zorder}
+        aggs = []
+        for c in zorder:
+            aggs += [
+                _F.min(numeric[c]).alias(f"__lo_{c}"),
+                _F.max(numeric[c]).alias(f"__hi_{c}"),
+            ]
+        row = out.agg(*aggs).first()
+        ranges = {
+            c: (
+                float(row[f"__lo_{c}"]) if row[f"__lo_{c}"] is not None else 0.0,
+                float(row[f"__hi_{c}"]) if row[f"__hi_{c}"] is not None else 0.0,
+            )
+            for c in zorder
+        }
+        out = (
+            out.withColumn(
+                "__z",
+                skew.zorder_value(
+                    zorder, ranges, zorder_bits, numeric=numeric
+                ),
+            )
+            .repartitionByRange(split_col, "shard", "__z")
+            .sortWithinPartitions(split_col, "shard", "__z")
+            .drop("__z")
+        )
     writer = out.write.partitionBy(split_col, "shard").mode("overwrite")
     if fmt == "parquet":
         writer.parquet(path)

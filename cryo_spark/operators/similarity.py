@@ -1516,8 +1516,13 @@ def lsh_topk_batch_from_index(
         f"{query_id_col} {qid_type}, bucket long, "
         f"_qv {vec_type}, _qn double",
     )
+    # the stored id column carries whatever name the index was built
+    # with (embedding_index keeps its id_col) — resolve it rather than
+    # assuming the 'vec_id' default (round 15: doc_id-keyed corpus
+    # indexes go through here too)
+    id_src = id_col if id_col in base.columns else "vec_id"
     corpus = base.select(
-        F.col("vec_id").alias(id_col),
+        F.col(id_src).alias(id_col),
         F.col("embedding").alias("_cv"),
         "bucket",
     ).withColumn("_cn", _norm(F.col("_cv")))
@@ -1731,6 +1736,41 @@ FROM {table} d LEFT JOIN __gd_comp c ON c.id = d.{id_col}
 """
 
 
+def graph_dedup_from_index(
+    spark,
+    table: str,
+    threshold: float = 0.95,
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_probes: int = 16,
+) -> DataFrame:
+    """:func:`graph_dedup` served from a persisted
+    :func:`incremental.save_embedding_index` table (round 15): the kNN
+    edges come from :func:`knn_graph_from_index` — the corpus was
+    signed ONCE at index time, so there is no re-featurize/re-sign
+    pass over the base, and the bucketed layout keeps the corpus side
+    of the bucket join in place (``Bucketed: true``, no Exchange above
+    the base scan — plan-pinned). Edge filter + components + min-id
+    keepers are exactly the in-memory spelling; output equality with
+    :func:`graph_dedup` on the same embeddings/planes is pinned in
+    tests. Same (id_col, keeper_id, is_duplicate) contract.
+
+    Scale shape: this is the one-shot full-corpus dedup off a standing
+    index; DAILY deltas should not call this (it rescans the whole
+    graph) — use `corpus.prepare_corpus_delta(semantic_index_table=)`,
+    which probes only the day-sized batch against the same index."""
+    from cryo_spark.operators import dedup as dedup_mod
+
+    edges = knn_graph_from_index(
+        spark, table, k=k, id_col=id_col, n_probes=n_probes,
+    ).filter(F.col("cosine") >= float(threshold)).select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+    )
+    return dedup_mod.dedup_by_components(
+        spark.table(table), edges, id_col=id_col
+    )
+
+
 def knn_graph_from_index(
     spark,
     table: str,
@@ -1744,7 +1784,7 @@ def knn_graph_from_index(
     shuffle (the query/probe side is the only thing that moves)."""
     base = spark.table(table)
     queries = base.select(
-        F.col("vec_id").alias("query_id"), "embedding"
+        F.col(id_col).alias("query_id"), "embedding"
     )
     out = lsh_topk_batch_from_index(
         spark, table, queries, k=k, id_col=id_col,
