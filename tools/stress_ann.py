@@ -34,8 +34,86 @@ from cryo_spark import get_spark
 from cryo_spark.operators import similarity
 
 
+def graph_stress(spark, emb, n: int, dim: int) -> None:
+    """Round 14: whole-corpus kNN GRAPH — corpus-as-queries through
+    the same one-bucket-join path, the SemDeDup input shape that was
+    the r13 scale flag (per-row Python probe fold; now one int64 GEMM
+    per Arrow batch). Recall is measured on PLANTED CLONE FAMILIES
+    (50 families x 5 jittered members at cosine ~0.9999 — the
+    "duplicate cluster" shape the graph exists to find; near-uniform
+    corpus rows are the usual information-theoretic worst case):
+    recall = fraction of intra-family edges recovered in each member's
+    top-10.
+
+    Plane count follows the SCALING LAW the 1M run exists to confirm
+    (round 15): planes = round(log2(n / 24)) keeps E[bucket] ~ flat
+    (24-30 rows), so per-query candidate work stays ~n_probes x
+    E[bucket] ~ 400-500 dots — ROW-COUNT-INDEPENDENT; total work then
+    grows linearly in n, not quadratically. 200k -> 13 planes,
+    1M -> 15 planes (+log2(5) ~ +2.3)."""
+    import math
+
+    g_planes = max(13, int(round(math.log2(max(n, 48) / 24))))
+    fam, per = 50, 5
+    fam_base = (F.floor(F.col("id") / per) * (n // fam)).cast("long")
+    clone = F.array(*[
+        (
+            (F.xxhash64(fam_base, F.lit(i)) % 100_000).cast("double")
+            / 100_000.0
+            + ((F.xxhash64(F.col("id") + n, F.lit(1000 + i)) % 100)
+               .cast("double") - 50.0) / 5000.0
+        ).cast("float")
+        for i in range(dim)
+    ])
+    planted2 = spark.range(0, fam * per, 1, 8).select(
+        (F.col("id") + n).alias("vec_id"), clone.alias("embedding")
+    )
+    graph_corpus = emb.unionByName(planted2).localCheckpoint()
+    t = time.time()
+    g = similarity.knn_graph(
+        graph_corpus, k=10, n_planes=g_planes, n_probes=16
+    ).localCheckpoint()
+    n_edges = g.count()
+    t_graph = time.time() - t
+    intra = g.filter(
+        (F.col("src") >= n) & (F.col("dst") >= n)
+        & (F.floor((F.col("src") - n) / per)
+           == F.floor((F.col("dst") - n) / per))
+    ).count()
+    r_graph = intra / (fam * per * (per - 1))
+    print(
+        f"knn_graph: {t_graph:.2f}s for the full {n + fam * per}-row "
+        f"graph ({(n + fam * per) / t_graph:,.0f} rows/s, {n_edges} "
+        f"edges, {g_planes} planes x 16 probes), planted-family "
+        f"recall@10 {r_graph:.2f}"
+    )
+    assert r_graph >= 0.9, r_graph
+
+    # round 14: graph_dedup on the same planted corpus — the end-to-end
+    # dedup DECISION at volume (edges >= threshold -> components ->
+    # min-id keepers). Every planted family should collapse onto its
+    # min id; near-uniform corpus rows stay keepers.
+    t = time.time()
+    verdict = similarity.graph_dedup(
+        graph_corpus, threshold=0.999, k=10, n_planes=g_planes,
+        n_probes=16,
+    ).localCheckpoint()
+    n_dups = verdict.filter(F.col("is_duplicate")).count()
+    t_gd = time.time() - t
+    collapsed = verdict.filter(
+        (F.col("vec_id") >= n) & F.col("is_duplicate")
+    ).count()
+    print(
+        f"graph_dedup: {t_gd:.2f}s for {n + fam * per} rows, {n_dups} "
+        f"duplicates flagged ({collapsed}/{fam * (per - 1)} planted "
+        f"family members collapsed)"
+    )
+    assert collapsed >= int(0.9 * fam * (per - 1)), collapsed
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    only_graph = len(sys.argv) > 2 and sys.argv[2] == "graph"
     spark = get_spark(app_name="stress_ann")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -56,6 +134,14 @@ def main() -> int:
     emb.count()
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     print(f"corpus: {n} x {dim} float32 vectors")
+
+    if only_graph:
+        # `stress_ann.py 1000000 graph`: just the kNN-graph/graph_dedup
+        # tier (the round-15 1M plane-scaling-law confirmation) without
+        # paying the exact/LSH/IVF/PQ tiers at that volume
+        graph_stress(spark, emb, n, dim)
+        spark.stop()
+        return 0
 
     t = time.time()
     exact = similarity.cosine_topk(emb, query, k=10).collect()
@@ -220,71 +306,7 @@ def main() -> int:
     spark.sql(f"DROP TABLE IF EXISTS {table13}")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
-    # round 14: whole-corpus kNN GRAPH — corpus-as-queries through the
-    # same one-bucket-join path, the SemDeDup input shape that was the
-    # r13 scale flag (per-row Python probe fold; now one int64 GEMM
-    # per Arrow batch). Recall is measured on PLANTED CLONE FAMILIES
-    # (50 families x 5 jittered members at cosine ~0.9999 — the
-    # "duplicate cluster" shape the graph exists to find; near-uniform
-    # corpus rows are the usual information-theoretic worst case):
-    # recall = fraction of intra-family edges recovered in each
-    # member's top-10. Plane count is raised to 13 (8192 buckets) so
-    # per-query candidate work stays ~n_probes x E[bucket] ~ 400 dots
-    # — row-count-independent; probe rows scale as n x n_probes.
-    fam, per = 50, 5
-    fam_base = (F.floor(F.col("id") / per) * (n // fam)).cast("long")
-    clone = F.array(*[
-        (
-            (F.xxhash64(fam_base, F.lit(i)) % 100_000).cast("double")
-            / 100_000.0
-            + ((F.xxhash64(F.col("id") + n, F.lit(1000 + i)) % 100)
-               .cast("double") - 50.0) / 5000.0
-        ).cast("float")
-        for i in range(dim)
-    ])
-    planted2 = spark.range(0, fam * per, 1, 8).select(
-        (F.col("id") + n).alias("vec_id"), clone.alias("embedding")
-    )
-    graph_corpus = emb.unionByName(planted2).localCheckpoint()
-    t = time.time()
-    g = similarity.knn_graph(
-        graph_corpus, k=10, n_planes=13, n_probes=16
-    ).localCheckpoint()
-    n_edges = g.count()
-    t_graph = time.time() - t
-    intra = g.filter(
-        (F.col("src") >= n) & (F.col("dst") >= n)
-        & (F.floor((F.col("src") - n) / per)
-           == F.floor((F.col("dst") - n) / per))
-    ).count()
-    r_graph = intra / (fam * per * (per - 1))
-    print(
-        f"knn_graph: {t_graph:.2f}s for the full {n + fam * per}-row "
-        f"graph ({(n + fam * per) / t_graph:,.0f} rows/s, {n_edges} "
-        f"edges, 13 planes x 16 probes), planted-family recall@10 "
-        f"{r_graph:.2f}"
-    )
-    assert r_graph >= 0.9, r_graph
-
-    # round 14: graph_dedup on the same planted corpus — the end-to-end
-    # dedup DECISION at volume (edges >= threshold -> components ->
-    # min-id keepers). Every planted family should collapse onto its
-    # min id; near-uniform corpus rows stay keepers.
-    t = time.time()
-    verdict = similarity.graph_dedup(
-        graph_corpus, threshold=0.999, k=10, n_planes=13, n_probes=16
-    ).localCheckpoint()
-    n_dups = verdict.filter(F.col("is_duplicate")).count()
-    t_gd = time.time() - t
-    collapsed = verdict.filter(
-        (F.col("vec_id") >= n) & F.col("is_duplicate")
-    ).count()
-    print(
-        f"graph_dedup: {t_gd:.2f}s for {n + fam * per} rows, {n_dups} "
-        f"duplicates flagged ({collapsed}/{fam * (per - 1)} planted "
-        f"family members collapsed)"
-    )
-    assert collapsed >= int(0.9 * fam * (per - 1)), collapsed
+    graph_stress(spark, emb, n, dim)
 
     t = time.time()
     books = similarity.pq_train(emb, sample_rows=smp)
