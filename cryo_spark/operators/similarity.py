@@ -1571,8 +1571,17 @@ def knn_graph(
     ~16k dots/row — row-count-independent per-row work, embarrassingly
     parallel). Tighten ``n_probes`` (or pass more planes) when graph
     recall matters less than throughput."""
+    # corpus-as-queries: BOTH join sides are corpus-sized by
+    # construction, so the bucket join must never be planned as a
+    # broadcast — a stats misestimate (observed at 1M rows behind a
+    # lineage-cut LogicalRDD: the planner saw a "small" corpus side
+    # and OOM'd the driver building the broadcast table) would ship
+    # the whole corpus to every task. The hint pins a shuffle hash
+    # join; day-sized query batches that WANT a broadcastable corpus
+    # keep it by calling lsh_topk_batch directly.
+    hinted = emb.hint("shuffle_hash")
     out = lsh_topk_batch(
-        emb,
+        hinted,
         emb.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
         k=k, id_col=id_col, vec_col=vec_col,
         n_planes=n_planes, seed=seed, n_probes=n_probes,
