@@ -754,6 +754,51 @@ SELECT 'semantic' AS kind, doc_id, keeper_id, is_duplicate FROM ({sem})
 """
 
 
+#: the synonym table the adapter contract entry maps through —
+#: high-frequency corpus words (~900 docs each at sf0.01 carry them),
+#: so the mapping demonstrably reshapes the embeddings the oracle must
+#: reproduce, not just the no-op CASE arm
+_SYN_TABLE = {"merge": "join", "row": "line"}
+
+
+def q_synonym_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-encoder ADAPTER path, hash-proven end to end (round
+    15): documents -> `encode.encode_documents` (the Arrow-batched
+    mapInPandas model-inference hook, exercised with the deterministic
+    synonym stub encoder — CASE-mapped synonym table + the repo's
+    engine-neutral md5 bucket/sign bits) -> `similarity.graph_dedup`
+    (kNN graph -> threshold -> components -> min-id keepers). Proves
+    the adapter's batching/schema/NULL plumbing produces exactly the
+    embeddings the oracle recomputes, and that any (id, embedding)
+    producer drops into the semantic stack unchanged — the synonymy
+    tier's contract, with a stub standing in for the model."""
+    from cryo_spark.operators import encode, similarity
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = encode.encode_documents(
+        docs, encode.stub_synonym_encoder(dim=64, synonyms=_SYN_TABLE),
+        batch_size=256, dim=64,
+    ).persist()  # corpus side of the kNN bucket join reads
+    # materialized vectors: encode per row, never per candidate
+    return similarity.graph_dedup(
+        emb, threshold=0.95, k=10, id_col="doc_id",
+        n_planes=6, n_probes=8,
+    )
+
+
+def oracle_synonym_dedup() -> str:
+    from cryo_spark.operators import encode, similarity
+
+    enc = encode.stub_synonym_encoder_sql(
+        "documents", dim=64, synonyms=_SYN_TABLE
+    )
+    return similarity.graph_dedup_sql(
+        "__enc", threshold=0.95, k=10, id_col="doc_id",
+        n_planes=6, n_probes=8, dim=64,
+        prelude=f"__enc AS ({enc}),",
+    )
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline, one contract entry (the reference's
     MultiDatatype pattern applied to our extension ops): binary media
@@ -2028,6 +2073,12 @@ GENERIC = {
     # driver-visible as unconditional oracle sentinel rows that the
     # Spark side emits only while recall@10 clears each floor
     "llm_ann_topk": (q_ann_topk, oracle_ann_topk),
+    # round 15: the learned-encoder ADAPTER path hash-proven end to
+    # end — raw docs -> encode_documents (Arrow-batched mapInPandas
+    # model hook, here the deterministic synonym stub) -> graph_dedup;
+    # DuckDB recomputes the identical embeddings (CASE-mapped synonym
+    # table + md5 bucket/sign bits) and the identical graph verdict
+    "llm_synonym_dedup": (q_synonym_dedup, oracle_synonym_dedup),
 }
 
 # llm_simhash (raw signature dump) gave up its contract slot to the

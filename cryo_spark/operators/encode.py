@@ -120,25 +120,99 @@ def stub_synonym_encoder(
     dim: int = 32, synonyms: dict[str, str] | None = None
 ) -> Callable[[list[str]], "np.ndarray"]:
     """Deterministic test encoder with a SYNONYM table: tokens are
-    lowercased, mapped through ``synonyms`` (surface form ->
-    canonical form), then signed-hash bagged exactly like
-    ``textembed`` — so two texts that differ only by listed synonyms
-    encode IDENTICALLY, which the hash-embedding tier provably cannot
-    do. Stands in for a learned model in tests; pickles as a few
-    bytes (the closure carries only the dict)."""
+    lowercased, split on the explicit engine-neutral whitespace class,
+    mapped through ``synonyms`` (surface form -> canonical form), then
+    signed-hash bagged with the repo's established md5 bucket/sign
+    bytes (digest bytes 8 and 12 — the same md5_number_lower bits the
+    textembed/simhash twins pin) — so two texts that differ only by
+    listed synonyms encode IDENTICALLY, which the hash-embedding tier
+    provably cannot do, and the whole adapter path is hash-provable
+    against :func:`stub_synonym_encoder_sql`. Stands in for a learned
+    model in tests AND in the ``llm_synonym_dedup`` contract entry;
+    pickles as a few bytes (the closure carries only the dict).
+    ``dim`` must be a power of two in [2, 256] (one digest byte
+    addresses the bucket)."""
     import hashlib
+    import re
 
+    if dim < 2 or dim > 256 or dim & (dim - 1):
+        raise ValueError(
+            f"dim must be a power of two in [2, 256], got {dim}"
+        )
     syn = dict(synonyms or {})
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def encode(texts: list[str]) -> np.ndarray:
         out = np.zeros((len(texts), dim), dtype=np.float32)
+        # no .strip(): Python's no-arg strip removes UNICODE
+        # whitespace, which neither DuckDB's trim nor the explicit
+        # ASCII class does — empty tokens from leading/trailing ASCII
+        # whitespace are filtered below instead
         for i, t in enumerate(texts):
-            for tok in (t or "").lower().split():
+            for tok in ws.split((t or "").lower()):
+                if not tok:
+                    continue
                 tok = syn.get(tok, tok)
                 h = hashlib.md5(tok.encode()).digest()
-                b = h[0] % dim
-                s = 1.0 if (h[4] & 1) else -1.0
+                b = h[8] & (dim - 1)
+                s = 1.0 if (h[12] & 1) else -1.0
                 out[i, b] += s
         return out
 
     return encode
+
+
+def stub_synonym_encoder_sql(
+    table: str,
+    dim: int = 32,
+    synonyms: dict[str, str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "embedding",
+) -> str:
+    """DuckDB twin of documents -> :func:`encode_documents` with
+    :func:`stub_synonym_encoder`: same tokenizer (explicit whitespace
+    class — RE2's \\s lacks \\x0B), same CASE-mapped synonym table,
+    same md5_number_lower bucket/sign bits, same per-bucket +-1 sums
+    as a FLOAT list — bit-identical values (small exact integers), so
+    the adapter's Arrow-batched mapInPandas path is hash-provable end
+    to end. NULL/empty text zero-fills via the LEFT JOIN, matching the
+    Python side's zero vector."""
+    if dim < 2 or dim > 256 or dim & (dim - 1):
+        raise ValueError(
+            f"dim must be a power of two in [2, 256], got {dim}"
+        )
+    syn = dict(synonyms or {})
+    if syn:
+        arms = " ".join(
+            f"WHEN tok = '{k}' THEN '{v}'" for k, v in sorted(syn.items())
+        )
+        mapped = f"(CASE {arms} ELSE tok END)"
+    else:
+        mapped = "tok"
+    norm = f"trim(lower(coalesce({text_col}, '')))"
+    vsums = ",\n    ".join(
+        f"sum(CASE WHEN b = {j} THEN s ELSE 0 END) AS v{j}"
+        for j in range(dim)
+    )
+    vlist = ", ".join(f"coalesce(v{j}, 0)::FLOAT" for j in range(dim))
+    return f"""
+WITH __se_toks AS (
+  SELECT {id_col}, unnest(string_split(
+           regexp_replace({norm}, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'),
+           ' ')) AS tok
+  FROM {table}
+), __se_contrib AS (
+  SELECT {id_col},
+         CAST(md5_number_lower({mapped}) & {dim - 1} AS INT) AS b,
+         (2 * CAST((md5_number_lower({mapped}) >> 32) & 1 AS INT) - 1)
+           AS s
+  FROM __se_toks WHERE tok <> ''
+), __se_agg AS (
+  SELECT {id_col},
+    {vsums}
+  FROM __se_contrib GROUP BY {id_col}
+)
+SELECT d.{id_col} AS {id_col}, [{vlist}] AS {out_col}
+FROM {table} d LEFT JOIN __se_agg USING ({id_col})
+"""

@@ -833,3 +833,53 @@ def test_funnel_eviction_guard_falls_back_to_aggregates(spark, monkeypatch):
     ]
     assert calls["n"] >= 1          # the guard actually probed
     assert guarded == honest        # fallback restored exact values
+
+
+def test_stub_synonym_encoder_sql_twin(spark):
+    """The adapter contract entry's oracle: Python stub encoder
+    (through the real encode_documents mapInPandas path) and the
+    DuckDB SQL twin produce bit-identical embeddings on awkward
+    inputs — synonyms mapped, \\x0B whitespace, NULL text, unicode
+    tokens."""
+    import duckdb
+
+    from cryo_spark.operators import encode
+
+    syn = {"car": "auto", "rapid": "fast"}
+    rows = [
+        (0, "the car is rapid and the auto is fast"),
+        (1, "tab\tand\x0bvertical separators"),
+        (2, None),
+        (3, "unicode tökens stay pinned"),
+        (4, "  leading and trailing  "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.embedding)
+        for r in encode.encode_documents(
+            docs, encode.stub_synonym_encoder(dim=16, synonyms=syn),
+            batch_size=2, dim=16,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {
+        r[0]: list(r[1])
+        for r in con.execute(
+            encode.stub_synonym_encoder_sql(
+                "documents", dim=16, synonyms=syn
+            )
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+    # the synonym mapping is live: doc 0's 'car'/'auto' and
+    # 'rapid'/'fast' tokens each collapse onto one bucket stream
+    single = {
+        r.doc_id: list(r.embedding)
+        for r in encode.encode_documents(
+            docs, encode.stub_synonym_encoder(dim=16), dim=16
+        ).collect()
+    }
+    assert single[0] != got[0]
