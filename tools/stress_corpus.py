@@ -118,6 +118,60 @@ def main() -> int:
     # the composed path shows up here as a wrong survivor count
     assert dn.docs_out < dn.docs_in * 0.2, (dn.docs_in, dn.docs_out)
 
+    # round 15: the SEMANTIC delta tier at volume — a persisted
+    # embedding index over the shipped corpus, probed by a batch of
+    # WORD-REVERSED paraphrases (disjoint bigram shingles, so the
+    # minhash tier passes them; identical bags of words, so the
+    # semantic tier must catch them)
+    from cryo_spark.operators import textembed
+
+    sem_table = "stress_delta_sem"
+    spark.sql(f"DROP TABLE IF EXISTS {sem_table}")
+    t = time.time()
+    incremental.save_embedding_index(
+        incremental.embedding_index(
+            textembed.text_embeddings(base_docs, id_col="doc_id", dim=64),
+            id_col="doc_id",
+        ),
+        sem_table,
+    )
+    nb = n - n // clone_factor
+    dt = time.time() - t
+    print(
+        f"save_embedding_index: {dt:.2f}s ({nb} docs, "
+        f"{nb / dt:,.0f} docs/s featurize+sign+bucketed-write)"
+    )
+    para = base_docs.limit(n // clone_factor).select(
+        (F.col("doc_id") + n * 10).alias("doc_id"),
+        F.array_join(
+            F.reverse(F.split(F.col("text"), " ")), " "
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    ).localCheckpoint()
+    np_ = para.count()
+    t = time.time()
+    final2, funnel2 = corpus.prepare_corpus_delta(
+        para, table, semantic_index_table=sem_table, min_quality=0.0,
+    )
+    rows2 = {r.stage: r for r in funnel2.collect()}
+    dt = time.time() - t
+    mh2, se2 = rows2["delta_near_dup"], rows2["delta_semantic"]
+    print(
+        f"semantic_delta: {dt:.2f}s — {np_} word-reversed paraphrases: "
+        f"minhash tier passed {mh2.docs_out}/{mh2.docs_in} (bigram "
+        f"shingles of the SOURCE doc are disjoint by construction; "
+        f"banded collisions with other corpus docs still drop some), "
+        f"semantic tier dropped "
+        f"{se2.docs_in - se2.docs_out}/{se2.docs_in} "
+        f"({np_ / dt:,.0f} docs/s end to end)"
+    )
+    # the semantic tier must catch (nearly) every paraphrase the
+    # minhash tier passed — this IS the tier's reason to exist
+    assert se2.docs_out < se2.docs_in * 0.1, (se2.docs_in, se2.docs_out)
+    spark.sql(f"DROP TABLE IF EXISTS {sem_table}")
+
     # round 12: the index after its delta append has base+append
     # files per bucket — compact to one file per bucket and prove the
     # delta join still runs on the compacted layout
