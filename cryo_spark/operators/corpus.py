@@ -247,6 +247,11 @@ def _corpus_stages(
         # cost is plan-time execution of its segment and whose benefit
         # is O(stages) driver planning)
         _CUT = set(CUT_OVERRIDE)
+    # every frame THIS run persists, so release_stage_storage can
+    # unpersist surgically instead of clearing the whole session cache
+    # (round 15, ADVICE-adjacent); attached to the last stage frame
+    # on return
+    _persisted: list[DataFrame] = []
 
     def _mark(name: str, frame: DataFrame, tc: str) -> DataFrame:
         # boundary hook: later stages and the funnel's aggregates both
@@ -287,8 +292,10 @@ def _corpus_stages(
                 )
                 observations.append({"name": mname, "reader": None})
                 frame.persist()
+                _persisted.append(frame)
             elif name not in _CUT:
                 frame.persist()
+                _persisted.append(frame)
         stages.append((name, frame, tc))
         return frame
 
@@ -433,6 +440,7 @@ def _corpus_stages(
         # two consumers (quantile + filter): persist dedups the bigram
         # shuffles; released with the other boundary storage
         scored.persist()
+        _persisted.append(scored)
         thr = scored.agg(
             F.percentile_approx(
                 "avg_logp", F.lit(1.0 - lm_keep_frac), F.lit(10000)
@@ -524,6 +532,7 @@ def _corpus_stages(
                 sd, text_col="text", id_col="doc_id", dim=semantic_dim
             )
             temb.persist()
+            _persisted.append(temb)
             sem_verdict = sim_mod.graph_dedup(
                 temb, threshold=semantic_threshold, k=semantic_k,
                 id_col="doc_id", n_planes=semantic_planes,
@@ -587,6 +596,11 @@ def _corpus_stages(
                 "text",
             )
     _mark("split", sampling.split_assign(out, seed=f"{seed}-split"), "text")
+    if stages:
+        # ride the tracked-persist list on the final frame so
+        # release_stage_storage(final) can unpersist exactly this
+        # run's boundaries (plain Python attribute; harmless baggage)
+        stages[-1][1]._cryo_persisted = _persisted
     return stages
 
 
@@ -880,16 +894,30 @@ def prepare_corpus_delta(
 
 def release_stage_storage(df_or_session) -> None:
     """Free the boundary storage a funnel/prepare_with_funnel run left
-    behind in a LONG-LIVED session (notebook, service): persisted
-    boundary frames un-cache via ``spark.catalog.clearCache()`` (safe:
-    Spark re-materializes any still-referenced cache on next use), and
-    lazy-localCheckpoint RDD blocks are freed by the ContextCleaner
-    once the Python frames are garbage-collected — drop references and
-    this call's ``System.gc()`` nudge completes the release. One-shot
-    jobs (the CLI, the driver harness) don't need this; their storage
-    dies with the session."""
+    behind in a LONG-LIVED session (notebook, service).
+
+    Handed the FINAL FRAME a round-15+ pipeline returned, this is
+    SURGICAL: `_corpus_stages` rides the list of frames it persisted
+    on that frame (``_cryo_persisted``), and only those are
+    unpersisted — other caches in a shared session are untouched.
+    Handed a session (or an untracked frame), it falls back to
+    session-wide ``spark.catalog.clearCache()`` (safe: Spark
+    re-materializes any still-referenced cache on next use). Either
+    way, lazy-localCheckpoint RDD blocks are freed by the
+    ContextCleaner once the Python frames are garbage-collected —
+    drop references and this call's ``System.gc()`` nudge completes
+    the release. One-shot jobs (the CLI, the driver harness) don't
+    need this; their storage dies with the session."""
     spark = getattr(df_or_session, "sparkSession", df_or_session)
-    spark.catalog.clearCache()
+    frames = getattr(df_or_session, "_cryo_persisted", None)
+    if frames is not None:
+        for f in frames:
+            try:
+                f.unpersist()
+            except Exception:  # noqa: BLE001 - already released
+                pass
+    else:
+        spark.catalog.clearCache()
     spark._jvm.System.gc()
 
 
@@ -898,15 +926,25 @@ def _read_metric(qe, name: str) -> tuple[int, int] | None:
     QueryExecution's accumulators (``observedMetrics`` walks the
     executed plan INCLUDING embedded cached plans — validated by
     test); None when the metric is absent/undefined, routing the
-    caller to the aggregate fallback."""
-    opt = qe.observedMetrics().get(name)
-    if not opt.isDefined():
+    caller to the aggregate fallback.
+
+    VERSION GUARD (round 15): ``QueryExecution.observedMetrics`` and
+    the Row accessor shapes are INTERNAL Spark surfaces (stable across
+    3.x/4.x, but not API-contracted). If a future Spark moves them,
+    the except arm turns the whole funnel into the aggregate-fallback
+    path — values stay exact (one metadata-sized job per boundary),
+    only the single-action optimization is lost."""
+    try:
+        opt = qe.observedMetrics().get(name)
+        if not opt.isDefined():
+            return None
+        row = opt.get()
+        return (
+            int(row.getLong(row.fieldIndex("n_docs"))),
+            int(row.getLong(row.fieldIndex("n_tokens"))),
+        )
+    except Exception:  # noqa: BLE001 - py4j surface drift -> fallback
         return None
-    row = opt.get()
-    return (
-        int(row.getLong(row.fieldIndex("n_docs"))),
-        int(row.getLong(row.fieldIndex("n_tokens"))),
-    )
 
 
 def _funnel_from_stages(
@@ -934,7 +972,15 @@ def _funnel_from_stages(
         # QueryExecution so the same handle that executed the chain
         # also serves the tail segment's metric reads
         fqe = last._jdf.queryExecution()
-        n_final = int(fqe.executedPlan().execute().count())
+        try:
+            n_final = int(fqe.executedPlan().execute().count())
+        except Exception:  # noqa: BLE001
+            # version guard (round 15): executedPlan().execute() is an
+            # internal surface; if a future Spark moves it, run the
+            # public action instead — the observe metrics then never
+            # fire on fqe, _read_metric returns None for every
+            # boundary, and the aggregate fallback keeps values exact
+            n_final = int(last.count())
         # eviction guard (round 15, ADVICE r14): the observe nodes sit
         # below the persists, so if a cached boundary partition is
         # evicted under memory pressure (or lost with an executor) and

@@ -883,3 +883,32 @@ def test_stub_synonym_encoder_sql_twin(spark):
         ).collect()
     }
     assert single[0] != got[0]
+
+
+def test_release_stage_storage_surgical(spark):
+    """Handed the pipeline's final frame, release_stage_storage
+    unpersists ONLY that run's boundary frames — an unrelated cache in
+    the shared session survives (the session-wide clearCache fallback
+    remains for untracked inputs)."""
+    from pyspark.sql import functions as F
+
+    from cryo_spark.operators import corpus
+
+    other = spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).persist()
+    other.count()
+    docs = spark.createDataFrame(
+        [(i, f"plain english document number {i} about the usual "
+             f"topics and the same words", "s") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    final, funnel = corpus.prepare_with_funnel(docs, min_quality=0.0)
+    tracked = getattr(final, "_cryo_persisted", None)
+    assert tracked, "final frame must carry the persisted list"
+    assert any(f.storageLevel.useMemory for f in tracked)
+    corpus.release_stage_storage(final)
+    assert all(not f.storageLevel.useMemory for f in tracked)
+    # the unrelated cache is untouched
+    assert other.storageLevel.useMemory
+    other.unpersist()
