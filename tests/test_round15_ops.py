@@ -1025,3 +1025,54 @@ def test_jpeg_rewrite_differential_mutated_streams():
     # the fuzz must actually exercise both regimes
     assert agree_both_raise >= 50, agree_both_raise
     assert agree_both_ok >= 5, agree_both_ok
+
+
+def test_streaming_adapter_synonym_candidates(spark, tmp_path):
+    """The synonymy tier works on a STREAM: raw text arrivals ->
+    encode_documents (mapInPandas composes with streaming frames) ->
+    streaming_embedding_candidates vs an index built with the same
+    stub encoder — a synonym paraphrase of a shipped doc is flagged on
+    arrival (cosine 1.0), fresh text is not."""
+    import os
+
+    from cryo_spark import streaming
+    from cryo_spark.operators import encode, incremental
+
+    syn = {"automobile": "car"}
+    enc = encode.stub_synonym_encoder(dim=32, synonyms=syn)
+    base = spark.createDataFrame(
+        [(1, "the car drives down the road at night"),
+         (2, "a completely different document about parquet files")],
+        "doc_id long, text string",
+    )
+    table = "r15_stream_syn_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    incremental.save_embedding_index(
+        incremental.embedding_index(
+            encode.encode_documents(base, enc, dim=32),
+            n_planes=4, id_col="doc_id",
+        ),
+        table, n_buckets=4,
+    )
+    src = str(tmp_path / "arrivals"); os.makedirs(src)
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(101, "the automobile drives down the road at night"),
+         (102, "entirely new prose about shuffle partitions")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    emb_stream = encode.encode_documents(stream, enc, dim=32)
+    q = streaming.streaming_embedding_candidates(
+        emb_stream, table, str(tmp_path / "cands"),
+        str(tmp_path / "ckpt"), min_cosine=0.999, id_col="doc_id",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        tuple(sorted((r.id_a, r.id_b))): r.cosine
+        for r in spark.read.parquet(str(tmp_path / "cands")).collect()
+    }
+    assert (1, 101) in got and got[(1, 101)] == 1.0
+    assert not any(102 in p for p in got)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
