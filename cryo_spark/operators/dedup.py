@@ -155,6 +155,12 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
+    # corpus-sized SELF-join: both sides are the whole corpus by
+    # construction, so the band/bucket join must never be planned as a
+    # broadcast — a stats misestimate behind a lineage-cut LogicalRDD
+    # can look "small" and OOM the driver building the table (the
+    # knn_graph 1M incident, round 15); the hint pins shuffle-hash
+    banded = banded.hint("shuffle_hash")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -500,6 +506,12 @@ def banded_hamming_pairs(
             )
         ).alias("band"),
     ).select(id_col, sig_col, "band.band_id", "band.band_val")
+    # corpus-sized SELF-join: both sides are the whole corpus by
+    # construction, so the band/bucket join must never be planned as a
+    # broadcast — a stats misestimate behind a lineage-cut LogicalRDD
+    # can look "small" and OOM the driver building the table (the
+    # knn_graph 1M incident, round 15); the hint pins shuffle-hash
+    banded = banded.hint("shuffle_hash")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -705,6 +717,12 @@ def embedding_near_dups(
     keyed = emb.select(
         F.col(id_col), F.col(vec_col), sig.alias("bucket"), norm.alias("nrm")
     )
+    # corpus-sized SELF-join: both sides are the whole corpus by
+    # construction, so the band/bucket join must never be planned as a
+    # broadcast — a stats misestimate behind a lineage-cut LogicalRDD
+    # can look "small" and OOM the driver building the table (the
+    # knn_graph 1M incident, round 15); the hint pins shuffle-hash
+    keyed = keyed.hint("shuffle_hash")
     a, b = keyed.alias("a"), keyed.alias("b")
     dot_ab = F.aggregate(
         F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),

@@ -131,6 +131,10 @@ def signature_pairs(
     join cannot be pruned by Catalyst, so opting out must be
     explicit)."""
     b = _band_rows(index, bands, id_col)
+    # corpus-sized SELF-join — pin shuffle-hash for the same reason
+    # the dedup.py band joins do (stats misestimates behind lineage
+    # cuts must never broadcast a corpus side)
+    b = b.hint("shuffle_hash")
     a, bb = b.alias("a"), b.alias("b")
     cand = (
         a.join(
@@ -516,6 +520,11 @@ def _embedding_bucket_pairs(
     cond = F.col("_a_bk") == F.col("_b_bk")
     if same_side:
         cond = cond & (F.col("_a_id") < F.col("_b_id"))
+        # within-frame pairs = corpus-sized self-join: never
+        # broadcast (see the dedup.py band-join note); the CROSS case
+        # stays un-hinted — its base side carries real file stats and
+        # broadcasting the day-sized new side is the desired plan
+        an = an.hint("shuffle_hash")
     else:
         cond = cond & (F.col("_a_id") != F.col("_b_id"))
     cos = F.round(dot / (F.col("_a_n") * F.col("_b_n")), 8)
