@@ -22,8 +22,11 @@ def _analyzed_plan(df) -> str:
 def test_video_near_dups_no_forced_counts_broadcast(spark):
     """The per-item frame-count frame is corpus-cardinality (one row
     per media item): a forced broadcast of it OOMs at 10^8+ items.
-    The pair join must carry NO broadcast hint anywhere — strategy is
-    left to AQE, which sees runtime sizes."""
+    The pair join must carry NO BROADCAST hint anywhere. (Round 15:
+    the banded SELF-join underneath carries a shuffle_hash pin — the
+    opposite protection, keeping a stats misestimate from ever
+    broadcasting a corpus side — so the assertion forbids broadcast
+    hints specifically rather than hints in general.)"""
     from cryo_spark.operators import multimodal as mm
 
     vids = [
@@ -34,10 +37,12 @@ def test_video_near_dups_no_forced_counts_broadcast(spark):
     media = spark.createDataFrame(vids, mm.MEDIA_SCHEMA)
     pairs = mm.video_near_dups(media, min_overlap=0.9)
     plan = _analyzed_plan(pairs)
-    assert "ResolvedHint" not in plan, (
-        "video_near_dups must not force a join build side; found a "
-        "hint in the analyzed plan"
-    )
+    assert "BROADCAST" not in plan.upper().replace(
+        "RESOLVEDHINT (STRATEGY=SHUFFLE_HASH)", ""
+    ), "video_near_dups must not force a broadcast"
+    assert plan.count("ResolvedHint") == plan.count(
+        "ResolvedHint (strategy=shuffle_hash)"
+    ), "only the self-join shuffle_hash pin is allowed"
     # and the results are unchanged by the strategy being AQE's pick
     got = {(r.id_a, r.id_b, r.overlap) for r in pairs.collect()}
     assert got == {(1, 2, 1.0)}
@@ -52,7 +57,10 @@ def test_audio_near_dups_no_forced_counts_broadcast(spark):
     ]
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     pairs = mm.audio_near_dups(media, min_overlap=0.9)
-    assert "ResolvedHint" not in _analyzed_plan(pairs)
+    plan = _analyzed_plan(pairs)
+    assert plan.count("ResolvedHint") == plan.count(
+        "ResolvedHint (strategy=shuffle_hash)"
+    )
     assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(1, 2)}
 
 
