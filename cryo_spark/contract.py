@@ -111,6 +111,11 @@ def canon_sql(sql: str, types: dict[str, str]) -> str:
 # binary -> hex, decimal/int -> decimal string, string -> itself).
 
 MERGED: dict[str, dict[str, object]] = {
+    # parity (trace_replay) AND geth (prestate+diff tracer) state-diff
+    # families share one logical schema, so both MultiDatatype groups
+    # fold into ONE contract entry (round 16: keeps queries() at <= 50
+    # entries — the driver's scoring window — with every component
+    # still hash-checked; the `datatype` column distinguishes parts)
     "state_diffs": {
         "cols": [
             ("block_number", "long"), ("transaction_index", "long"),
@@ -122,6 +127,10 @@ MERGED: dict[str, dict[str, object]] = {
             "code_diffs": {},
             "nonce_diffs": {},
             "storage_diffs": {},
+            "geth_balance_diffs": {},
+            "geth_code_diffs": {},
+            "geth_nonce_diffs": {},
+            "geth_storage_diffs": {},
         },
     },
     "state_reads": {
@@ -135,19 +144,6 @@ MERGED: dict[str, dict[str, object]] = {
             "code_reads": {},
             "nonce_reads": {},
             "storage_reads": {},
-        },
-    },
-    "geth_state_diffs": {
-        "cols": [
-            ("block_number", "long"), ("transaction_index", "long"),
-            ("transaction_hash", "str"), ("address", "str"), ("slot", "str"),
-            ("from_value", "str"), ("to_value", "str"), ("chain_id", "long"),
-        ],
-        "parts": {
-            "geth_balance_diffs": {},
-            "geth_code_diffs": {},
-            "geth_nonce_diffs": {},
-            "geth_storage_diffs": {},
         },
     },
     "state_snapshots": {

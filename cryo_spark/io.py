@@ -376,52 +376,35 @@ def write_lake(
     columns (:func:`cryo_spark.operators.skew.zorder_value`), so
     parquet min/max stats prune point/range scans on the SECONDARY
     query columns too — directory pruning serves chain+block, z-order
-    serves everything else (tx hash, address, value band). Costs the
-    layout's one extra range exchange + in-partition sort; the plain
-    path stays shuffle-free."""
+    serves everything else (tx hash, address, value band; string and
+    binary columns cluster on their leading-8-byte numeric view, which
+    is lexicographic-order-preserving so raw-column file stats stay
+    tight). Costs the layout's one extra range exchange +
+    in-partition sort, with the frame persisted (MEMORY_AND_DISK)
+    around the min/max range probe so the upstream lineage executes
+    once, not twice; the plain path stays shuffle-free."""
     path = os.path.join(root, datatype)
     out = df.withColumn(
         BUCKET_COL,
         (F.col("block_number") / F.lit(bucket_size)).cast("long") * bucket_size,
     )
+    cached = None
     if zorder:
         from cryo_spark.operators import skew
 
-        numeric = {c: skew._zorder_numeric(out, c) for c in zorder}
-        aggs = []
-        for c in zorder:
-            aggs += [
-                F.min(numeric[c]).alias(f"__lo_{c}"),
-                F.max(numeric[c]).alias(f"__hi_{c}"),
-            ]
-        row = out.agg(*aggs).first()
-        ranges = {
-            c: (
-                float(row[f"__lo_{c}"]) if row[f"__lo_{c}"] is not None else 0.0,
-                float(row[f"__hi_{c}"]) if row[f"__hi_{c}"] is not None else 0.0,
-            )
-            for c in zorder
-        }
-        out = (
-            out.withColumn(
-                "__z",
-                skew.zorder_value(
-                    zorder, ranges, zorder_bits, numeric=numeric
-                ),
-            )
-            # range-partition and sort WITH the directory keys leading
-            # so each task (and therefore each output file) covers one
-            # partition dir x one contiguous z range
-            .repartitionByRange("chain_id", BUCKET_COL, "__z")
-            .sortWithinPartitions("chain_id", BUCKET_COL, "__z")
-            .drop("__z")
+        out, cached = skew.zorder_cluster(
+            out, zorder, zorder_bits, ["chain_id", BUCKET_COL]
         )
-    (
-        out.write.mode(mode)
-        .option("maxRecordsPerFile", max_records_per_file)
-        .partitionBy("chain_id", BUCKET_COL)
-        .parquet(path)
-    )
+    try:
+        (
+            out.write.mode(mode)
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy("chain_id", BUCKET_COL)
+            .parquet(path)
+        )
+    finally:
+        if cached is not None:
+            cached.unpersist()
     return path
 
 

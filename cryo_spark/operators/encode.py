@@ -184,8 +184,13 @@ def stub_synonym_encoder_sql(
         )
     syn = dict(synonyms or {})
     if syn:
+        # SQL-escape single quotes — synonym tokens like "don't" must
+        # produce a valid (and non-injectable) string literal
+        def q(s: str) -> str:
+            return "'" + s.replace("'", "''") + "'"
+
         arms = " ".join(
-            f"WHEN tok = '{k}' THEN '{v}'" for k, v in sorted(syn.items())
+            f"WHEN tok = {q(k)} THEN {q(v)}" for k, v in sorted(syn.items())
         )
         mapped = f"(CASE {arms} ELSE tok END)"
     else:

@@ -73,7 +73,13 @@ def _resolve_decoder(decoder: str) -> str:
       real image corpus matters more than cross-environment hash
       stability. Raises ValueError if PIL is not importable (an
       explicit opt-in must not silently fall back).
-    - 'auto': 'pil' when PIL is importable, else 'vendored'.
+    - 'auto': 'pil' when PIL is importable, else 'vendored' — resolved
+      WHERE THIS RUNS. Inside a UDF closure that means per executor:
+      on a cluster where PIL is importable on only some executors one
+      job would mix PIL and vendored decodes (silently inconsistent
+      hashes within one output). Resolve 'auto' ONCE on the driver via
+      :func:`resolve_decoder` and ship the concrete 'pil'/'vendored'
+      string in the closure instead of the literal 'auto'.
     """
     if decoder == "auto":
         try:
@@ -87,6 +93,17 @@ def _resolve_decoder(decoder: str) -> str:
             f"decoder must be 'vendored', 'pil' or 'auto', got {decoder!r}"
         )
     return decoder
+
+
+def resolve_decoder(decoder: str) -> str:
+    """Driver-side resolution of the ``decoder`` knob: call this ONCE
+    where the knob is passed (the driver) and ship the returned
+    concrete 'pil'/'vendored' string into UDF closures — e.g.
+    ``d = resolve_decoder('auto'); hasher=lambda p: real_dhash(p,
+    decoder=d)``. Passing the literal 'auto' into a closure defers
+    the PIL-importable probe to each executor, which mixes decode
+    paths on a heterogeneous cluster (see :func:`_resolve_decoder`)."""
+    return _resolve_decoder(decoder)
 
 
 def _pil_image(payload: bytes):
@@ -484,7 +501,9 @@ def real_dhash(payload: bytes, decoder: str = "vendored") -> int | None:
     is the throughput escape hatch for real image corpora — C-speed
     decode, but hashes can drift from the vendored path and across PIL
     versions (:func:`_resolve_decoder`); pass e.g.
-    ``hasher=lambda p: real_dhash(p, decoder='auto')`` to
+    ``d = resolve_decoder('auto')`` (driver-side — see
+    :func:`resolve_decoder`) then ``hasher=lambda p: real_dhash(p,
+    decoder=d)`` to
     :func:`image_dhash` to use it in the pipeline."""
     if payload is None:
         return None

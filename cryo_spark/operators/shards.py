@@ -111,48 +111,30 @@ def write_training_shards(
     (:func:`cryo_spark.operators.skew.zorder_value`) so parquet
     min/max stats prune per-column point/range reads of the shards
     (e.g. a doc_id lookup or an n_tokens band scan) — one extra range
-    exchange + in-partition sort; the plain path is unchanged."""
+    exchange + in-partition sort, with the sharded frame persisted
+    around the min/max range probe so the upstream plan runs once;
+    the plain path is unchanged."""
     out = assign_shards(df, shard_tokens, token_col, split_col, id_col, seed)
+    cached = None
     if zorder:
-        from pyspark.sql import functions as _F
-
         from cryo_spark.operators import skew
 
-        numeric = {c: skew._zorder_numeric(out, c) for c in zorder}
-        aggs = []
-        for c in zorder:
-            aggs += [
-                _F.min(numeric[c]).alias(f"__lo_{c}"),
-                _F.max(numeric[c]).alias(f"__hi_{c}"),
-            ]
-        row = out.agg(*aggs).first()
-        ranges = {
-            c: (
-                float(row[f"__lo_{c}"]) if row[f"__lo_{c}"] is not None else 0.0,
-                float(row[f"__hi_{c}"]) if row[f"__hi_{c}"] is not None else 0.0,
-            )
-            for c in zorder
-        }
-        out = (
-            out.withColumn(
-                "__z",
-                skew.zorder_value(
-                    zorder, ranges, zorder_bits, numeric=numeric
-                ),
-            )
-            .repartitionByRange(split_col, "shard", "__z")
-            .sortWithinPartitions(split_col, "shard", "__z")
-            .drop("__z")
+        out, cached = skew.zorder_cluster(
+            out, zorder, zorder_bits, [split_col, "shard"]
         )
-    writer = out.write.partitionBy(split_col, "shard").mode("overwrite")
-    if fmt == "parquet":
-        writer.parquet(path)
-    elif fmt == "jsonl":
-        # trainers that stream text want line-delimited JSON; Spark's
-        # json sink IS jsonl (one object per line, .json extension)
-        writer.json(path)
-    else:
-        raise ValueError(f"unsupported shard format: {fmt!r}")
+    try:
+        writer = out.write.partitionBy(split_col, "shard").mode("overwrite")
+        if fmt == "parquet":
+            writer.parquet(path)
+        elif fmt == "jsonl":
+            # trainers that stream text want line-delimited JSON; Spark's
+            # json sink IS jsonl (one object per line, .json extension)
+            writer.json(path)
+        else:
+            raise ValueError(f"unsupported shard format: {fmt!r}")
+    finally:
+        if cached is not None:
+            cached.unpersist()
     # shard counts come from the JUST-WRITTEN directory layout via a
     # Hadoop FS listing — counting on `out` would re-execute the
     # entire upstream plan a second time, and a read-back DataFrame

@@ -202,8 +202,15 @@ def join_is_shuffle_free(joined: DataFrame) -> bool:
 
 def _zorder_numeric(df: DataFrame, c: str) -> Column:
     """Numeric view of a clustering column: timestamps/dates map to
-    epoch micros/days (TIMESTAMP_NTZ cannot cast to double directly),
-    everything else casts to double."""
+    epoch micros/days (TIMESTAMP_NTZ cannot cast to double directly);
+    string/binary map to their leading 8 bytes read as a big-endian
+    unsigned integer — that view is monotone in lexicographic order,
+    so clustering on it keeps each output file's RAW-column min/max
+    range tight and parquet stats can prune point/range probes on the
+    original string (a hash view would co-locate equal values but
+    scatter the raw-column stats); numeric types cast to double.
+    Unsupported types (array/map/struct) raise rather than silently
+    producing a constant z-value."""
     from pyspark.sql import types as T
 
     dt = df.schema[c].dataType
@@ -211,6 +218,18 @@ def _zorder_numeric(df: DataFrame, c: str) -> Column:
         return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
     if isinstance(dt, T.DateType):
         return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+    if isinstance(dt, T.StringType):
+        lead = F.substring(F.encode(F.col(c), "UTF-8"), 1, 8)
+        return F.conv(F.hex(lead), 16, 10).cast("double")
+    if isinstance(dt, T.BinaryType):
+        return F.conv(F.hex(F.substring(F.col(c), 1, 8)), 16, 10).cast(
+            "double"
+        )
+    if not isinstance(dt, (T.NumericType, T.BooleanType)):
+        raise ValueError(
+            f"z-order column {c!r} has unsupported type {dt.simpleString()}"
+            " — only numeric/string/binary/timestamp/date columns cluster"
+        )
     return F.col(c).cast("double")
 
 
@@ -255,6 +274,56 @@ def zorder_value(
             )
             z = term if z is None else z.bitwiseOR(term)
     return z
+
+
+def zorder_cluster(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int,
+    leading: Sequence[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Shared z-order clustering step for the partitioned writers
+    (:func:`cryo_spark.io.write_lake`,
+    :func:`cryo_spark.operators.shards.write_training_shards`):
+    persist ``df`` (MEMORY_AND_DISK), run the one min/max range probe
+    over ``cols`` against the cache, and return ``(clustered,
+    cached)`` where ``clustered`` is range-partitioned + sorted on
+    ``(*leading, z)`` and ``cached`` is the persisted frame the
+    caller must ``unpersist()`` after the write. The persist is what
+    keeps this at ONE pass over the upstream lineage — without it the
+    range probe executes the full plan once and the write executes it
+    again, a real second scan for a 100 TB lake write with an
+    expensive upstream."""
+    from pyspark.storagelevel import StorageLevel
+
+    numeric = {c: _zorder_numeric(df, c) for c in cols}
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(numeric[c]).alias(f"__lo_{c}"),
+            F.max(numeric[c]).alias(f"__hi_{c}"),
+        ]
+    row = cached.agg(*aggs).first()
+    ranges = {
+        c: (
+            float(row[f"__lo_{c}"]) if row[f"__lo_{c}"] is not None else 0.0,
+            float(row[f"__hi_{c}"]) if row[f"__hi_{c}"] is not None else 0.0,
+        )
+        for c in cols
+    }
+    clustered = (
+        cached.withColumn(
+            "__z", zorder_value(cols, ranges, bits, numeric=numeric)
+        )
+        # range-partition and sort WITH the directory keys leading so
+        # each task (and therefore each output file) covers one
+        # partition dir x one contiguous z range
+        .repartitionByRange(*leading, "__z")
+        .sortWithinPartitions(*leading, "__z")
+        .drop("__z")
+    )
+    return clustered, cached
 
 
 def zorder_write(

@@ -49,23 +49,28 @@ def main() -> None:
 
     results = []
     baseline_rows = None
-    for r in range(len(POINTS) + 1):
-        for cut in itertools.combinations(POINTS, r):
-            corpus.CUT_OVERRIDE = set(cut)
-            best, rows = None, None
-            for _ in range(reps):
-                dt, got = run_once()
-                best = dt if best is None else min(best, dt)
-                rows = got
-            label = "+".join(c.split("_")[0] for c in cut) or "none"
-            results.append((label, round(best, 2), len(cut)))
-            if baseline_rows is None:
-                baseline_rows = rows
-            assert rows == baseline_rows, (
-                f"funnel rows diverged under cut set {cut}"
-            )
-            print(f"cuts={label:<25} best_of_{reps}={best:.2f}s")
-    corpus.CUT_OVERRIDE = None
+    # CUT_OVERRIDE is a process-global knob on cryo_spark.corpus —
+    # restore it even when a rep raises or the rows-diverged assert
+    # fires, so nothing else in the session runs under a stale cut set
+    try:
+        for r in range(len(POINTS) + 1):
+            for cut in itertools.combinations(POINTS, r):
+                corpus.CUT_OVERRIDE = set(cut)
+                best, rows = None, None
+                for _ in range(reps):
+                    dt, got = run_once()
+                    best = dt if best is None else min(best, dt)
+                    rows = got
+                label = "+".join(c.split("_")[0] for c in cut) or "none"
+                results.append((label, round(best, 2), len(cut)))
+                if baseline_rows is None:
+                    baseline_rows = rows
+                assert rows == baseline_rows, (
+                    f"funnel rows diverged under cut set {cut}"
+                )
+                print(f"cuts={label:<25} best_of_{reps}={best:.2f}s")
+    finally:
+        corpus.CUT_OVERRIDE = None
     print("\nall cut subsets produce IDENTICAL funnel rows")
     results.sort(key=lambda x: x[1])
     print("fastest:", results[0], " slowest:", results[-1])
