@@ -82,6 +82,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "fraction of docs by self-trained bigram-LM "
                         "score (stage 1d); omit to disable")
     p.add_argument("--lang", default="en")
+    p.add_argument("--langid-model", default=None,
+                   help="directory of a saved langid.LangIdModel "
+                        "(train_langid(...).save(path)): the learned "
+                        "char-n-gram language classifier replaces the "
+                        "4-language stopword vote as the stage-1 "
+                        "verdict — required when --lang is outside "
+                        "{en,de,fr,es}")
     p.add_argument("--span-words", type=int, default=10)
     p.add_argument("--line-dedup", action="store_true")
     p.add_argument("--near-dup", action="store_true")
@@ -215,6 +222,10 @@ def run(args: argparse.Namespace) -> int:
         url_allowlist=args.allowlist,
         domain_cap_n=args.domain_cap,
     )
+    if args.langid_model:
+        from cryo_spark.operators.langid import LangIdModel
+
+        kw["langid_model"] = LangIdModel.load(args.langid_model)
     if args.update_index and not args.delta_index:
         raise ValueError("--update-index requires --delta-index")
     if args.semantic_index and not args.delta_index:

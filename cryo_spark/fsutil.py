@@ -1,4 +1,4 @@
-"""Shared pyarrow filesystem resolution.
+"""Shared filesystem resolution (pyarrow + an HTTP(S) range arm).
 
 One policy, three consumers (WARC member streaming, CDX ranged
 fetches, maintenance file sizing) — previously three drifting copies:
@@ -6,6 +6,13 @@ fetches, maintenance file sizing) — previously three drifting copies:
 - ``file:`` URIs normalize to local paths (``file:///x`` and
   ``file:/x`` forms),
 - Hadoop's ``s3a``/``s3n`` spellings map to pyarrow's ``s3`` driver,
+- ``http``/``https`` URLs resolve to :class:`HttpFileSystem` (round
+  16) — stdlib ``http.client`` Range GETs with one keep-alive
+  connection per handle, so the canonical CommonCrawl use (CDX
+  re-extraction straight off ``https://data.commoncrawl.org``) works
+  WITHOUT first mirroring the archive to an object store. The
+  interface is the pyarrow-FileSystem subset the three consumers use
+  (``open_input_file`` / ``open_input_stream`` / ``get_file_info``),
 - any other remote scheme resolves via ``FileSystem.from_uri`` and a
   resolution failure PROPAGATES — a silent LocalFileSystem fallback
   on ``s3a://...`` would fail later with a misleading
@@ -16,8 +23,221 @@ fetches, maintenance file sizing) — previously three drifting copies:
 from __future__ import annotations
 
 
+class _FileInfo:
+    def __init__(self, size: int):
+        self.size = size
+
+
+class HttpRangeFile:
+    """Seekable read-only file over HTTP(S) Range requests.
+
+    Shape matches how the CDX fetch loop drives a handle: a run of
+    ``seek(offset); read(length)`` pairs against ONE url — each pair
+    becomes exactly one ``Range: bytes=off-(off+len-1)`` GET on a
+    kept-alive connection (http.client reuses the socket between
+    requests to the same host, so a task's sorted per-file run pays
+    one TCP/TLS handshake). A server that answers 200 instead of 206
+    ignored the Range header; that RAISES rather than silently
+    downloading a crawl-sized archive per record. One transparent
+    reconnect covers keep-alive timeouts on long gaps between reads.
+    """
+
+    def __init__(self, url: str, max_retries: int = 1):
+        from urllib.parse import urlsplit
+
+        self._url = url
+        parts = urlsplit(url)
+        self._scheme = parts.scheme
+        self._host = parts.hostname or ""
+        self._port = parts.port
+        self._path = parts.path or "/"
+        if parts.query:
+            self._path += "?" + parts.query
+        self._pos = 0
+        self._conn = None
+        self._max_retries = max_retries
+
+    def _connect(self):
+        import http.client
+
+        cls = (
+            http.client.HTTPSConnection
+            if self._scheme == "https"
+            else http.client.HTTPConnection
+        )
+        return cls(self._host, self._port)
+
+    def _range_get(self, headers: dict) -> bytes:
+        import http.client
+
+        last_exc: Exception | None = None
+        for attempt in range(self._max_retries + 1):
+            try:
+                if self._conn is None:
+                    self._conn = self._connect()
+                self._conn.request("GET", self._path, headers=headers)
+                resp = self._conn.getresponse()
+                if resp.status == 206:
+                    return resp.read()
+                if resp.status == 200 and "Range" in headers:
+                    resp.close()
+                    raise OSError(
+                        f"{self._url}: server ignored the Range header "
+                        "(HTTP 200 for a ranged GET) — refusing to "
+                        "download the whole archive per record"
+                    )
+                if resp.status == 200:
+                    return resp.read()
+                body = resp.read(200)
+                raise OSError(
+                    f"{self._url}: HTTP {resp.status} {resp.reason} "
+                    f"{body[:200]!r}"
+                )
+            except (
+                http.client.RemoteDisconnected,
+                ConnectionResetError,
+                BrokenPipeError,
+            ) as exc:
+                # keep-alive socket died between requests — reconnect
+                last_exc = exc
+                self._close_conn()
+        raise OSError(
+            f"{self._url}: connection lost after "
+            f"{self._max_retries + 1} attempts"
+        ) from last_exc
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence != 0:
+            raise ValueError("HttpRangeFile supports absolute seek only")
+        self._pos = int(offset)
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n == 0:
+            return b""
+        if n is None or n < 0:
+            headers = {"Range": f"bytes={self._pos}-"}
+        else:
+            headers = {"Range": f"bytes={self._pos}-{self._pos + n - 1}"}
+        data = self._range_get(headers)
+        self._pos += len(data)
+        return data
+
+    def size(self) -> int:
+        """Content length via one HEAD request."""
+        import http.client
+
+        if self._conn is None:
+            self._conn = self._connect()
+        try:
+            self._conn.request("HEAD", self._path)
+            resp = self._conn.getresponse()
+            resp.read()
+            if resp.status != 200:
+                raise OSError(
+                    f"{self._url}: HEAD -> HTTP {resp.status} {resp.reason}"
+                )
+            cl = resp.getheader("Content-Length")
+        except (http.client.RemoteDisconnected, ConnectionResetError):
+            self._close_conn()
+            self._conn = self._connect()
+            self._conn.request("HEAD", self._path)
+            resp = self._conn.getresponse()
+            resp.read()
+            cl = resp.getheader("Content-Length")
+        if cl is None:
+            raise OSError(f"{self._url}: no Content-Length on HEAD")
+        return int(cl)
+
+    def _close_conn(self) -> None:
+        if self._conn is not None:
+            try:
+                self._conn.close()
+            finally:
+                self._conn = None
+
+    def close(self) -> None:
+        self._close_conn()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class _HttpStream:
+    """Sequential-read adapter over one open-ended ranged GET — the
+    ``open_input_stream`` shape the WARC member streamer drives
+    (chunked ``read(n)`` to EOF). Streaming the response body avoids
+    buffering a crawl archive in memory."""
+
+    def __init__(self, url: str):
+        self._f = HttpRangeFile(url)
+        # one open-ended request; read the body incrementally
+        import http.client
+
+        try:
+            self._f._conn = self._f._connect()
+            self._f._conn.request(
+                "GET", self._f._path, headers={"Range": "bytes=0-"}
+            )
+            self._resp = self._f._conn.getresponse()
+        except (http.client.RemoteDisconnected, ConnectionResetError):
+            self._f._close_conn()
+            self._f._conn = self._f._connect()
+            self._f._conn.request(
+                "GET", self._f._path, headers={"Range": "bytes=0-"}
+            )
+            self._resp = self._f._conn.getresponse()
+        if self._resp.status not in (200, 206):
+            body = self._resp.read(200)
+            raise OSError(
+                f"{url}: HTTP {self._resp.status} {self._resp.reason} "
+                f"{body[:200]!r}"
+            )
+
+    def read(self, n: int = -1) -> bytes:
+        return self._resp.read(n)
+
+    def close(self) -> None:
+        try:
+            self._resp.close()
+        finally:
+            self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class HttpFileSystem:
+    """The pyarrow-FileSystem subset our consumers use, over HTTP(S).
+    Paths passed to the methods are FULL urls (resolve_fs returns the
+    url unchanged as the 'local' path, so per-call strings keep their
+    scheme — one adapter serves any host)."""
+
+    def open_input_file(self, url: str) -> HttpRangeFile:
+        return HttpRangeFile(url)
+
+    def open_input_stream(self, url: str, compression=None) -> _HttpStream:
+        # compression is accepted for signature parity and must be
+        # None/'detect'-equivalent: HTTP bodies arrive as wire bytes
+        return _HttpStream(url)
+
+    def get_file_info(self, url: str) -> _FileInfo:
+        with HttpRangeFile(url) as f:
+            return _FileInfo(f.size())
+
+
 def resolve_fs(path: str):
-    """(pyarrow FileSystem, filesystem-local path) for ``path``."""
+    """(pyarrow FileSystem or HttpFileSystem, filesystem-local path)
+    for ``path``."""
     import pyarrow.fs as pafs
 
     if path.startswith("file:"):
@@ -27,6 +247,8 @@ def resolve_fs(path: str):
         return pafs.LocalFileSystem(), local
     if "://" in path:
         scheme, rest = path.split("://", 1)
+        if scheme in ("http", "https"):
+            return HttpFileSystem(), path
         if scheme in ("s3a", "s3n"):
             path = f"s3://{rest}"
         return pafs.FileSystem.from_uri(path)

@@ -117,6 +117,7 @@ def _corpus_stages(
     line_min_docs: int = 2,
     quality_model=None,
     quality_threshold: float | None = None,
+    langid_model=None,
     lm_keep_frac: float | None = None,
     lm_add_k: float = 0.5,
     url_col: str | None = None,
@@ -376,13 +377,40 @@ def _corpus_stages(
                 text_col,
             )
 
-    best = text.lang_best_expr(text_col)
+    if langid_model is not None:
+        # LEARNED language ID (round 16): the char-n-gram multinomial
+        # model REPLACES the 4-language stopword vote as the stage-1
+        # language verdict — the production path for a target lang the
+        # vote doesn't know (e.g. 'ja'). with_language appends the
+        # prediction in the SAME narrow projection (broadcast
+        # coefficients, no shuffle), so the stage shape is unchanged.
+        # MLlib scoring is not SQL-expressible: a run with this knob
+        # has no DuckDB oracle (same contract carve-out as
+        # quality_model); the anchor is langid's held-out accuracy
+        # gate + the composition-equivalence test.
+        from cryo_spark.operators import langid as _langid
+
+        df = _langid.with_language(
+            df, langid_model, text_col, lang_out="_lid_lang",
+            prob_out="_lid_prob",
+        )
+        lang_guess = F.col("_lid_lang")
+    else:
+        if lang not in text.STOPWORDS:
+            raise ValueError(
+                f"lang={lang!r} is outside the stopword vote's "
+                f"languages {sorted(text.STOPWORDS)} — the filter "
+                "would silently drop EVERY document; pass "
+                "langid_model= (a trained cryo_spark.operators."
+                "langid model) for other languages"
+            )
+        lang_guess = text.lang_best_expr(text_col)["lang"]
     feats = spread(df).select(
         "doc_id",
         F.col(text_col),
         "source",
         F.round(text.quality_score_expr(text_col), 6).alias("_q"),
-        best["lang"].alias("_lang"),
+        lang_guess.alias("_lang"),
         F.md5(dedup._norm_text(text_col)).alias("_ck"),
     )
     w = Window.partitionBy("_ck")

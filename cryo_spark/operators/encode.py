@@ -221,3 +221,65 @@ WITH __se_toks AS (
 SELECT d.{id_col} AS {id_col}, [{vlist}] AS {out_col}
 FROM {table} d LEFT JOIN __se_agg USING ({id_col})
 """
+
+
+def hashed_mlp_encoder(
+    weights: dict,
+    n_features: int = 256,
+) -> Callable[[list[str]], "np.ndarray"]:
+    """A NONTRIVIAL numpy encoder for at-volume adapter receipts and
+    as the shape-reference for wiring real weight matrices: hashed
+    token TF features -> tanh MLP -> L2-normalized embeddings.
+
+    ``weights`` maps ``w1 (n_features, hidden)``, ``b1 (hidden,)``,
+    ``w2 (hidden, dim)``, ``b2 (dim,)`` to EITHER plain numpy arrays
+    (closure-shipped: pickled with every task) OR
+    ``spark.sparkContext.broadcast(...)`` handles (shipped once per
+    executor — the right spelling for real model weights; see module
+    docstring). Each batch resolves handles via ``.value``, so the
+    two spellings are output-identical (pinned in tests).
+
+    Feature hashing uses zlib.crc32 — deterministic across executors
+    (Python's builtin ``hash`` is salted per process) and cheap enough
+    that the GEMM dominates. The batch path is one (batch, n_features)
+    @ (n_features, hidden) @ (hidden, dim) chain — BLAS-bound, which
+    is exactly the "throughput is model-bound, not Spark-bound" claim
+    the stress receipt (tools/stress_encode.py, SCALE.md) measures."""
+    import re
+    import zlib
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def encode(texts: list[str]) -> np.ndarray:
+        w1 = getattr(weights["w1"], "value", weights["w1"])
+        b1 = getattr(weights["b1"], "value", weights["b1"])
+        w2 = getattr(weights["w2"], "value", weights["w2"])
+        b2 = getattr(weights["b2"], "value", weights["b2"])
+        feats = np.zeros((len(texts), n_features), dtype=np.float32)
+        for i, t in enumerate(texts):
+            for tok in ws.split((t or "").lower()):
+                if tok:
+                    feats[i, zlib.crc32(tok.encode()) % n_features] += 1.0
+        h = np.tanh(feats @ w1 + b1)
+        out = h @ w2 + b2
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return (out / norms).astype(np.float32)
+
+    return encode
+
+
+def make_mlp_weights(
+    n_features: int = 256, hidden: int = 256, dim: int = 256, seed: int = 16
+) -> dict:
+    """Deterministic random MLP weights (numpy Generator) for tests
+    and the stress receipt."""
+    rng = np.random.default_rng(seed)
+    return {
+        "w1": rng.standard_normal((n_features, hidden)).astype(np.float32)
+        / np.sqrt(n_features),
+        "b1": rng.standard_normal(hidden).astype(np.float32) * 0.01,
+        "w2": rng.standard_normal((hidden, dim)).astype(np.float32)
+        / np.sqrt(hidden),
+        "b2": rng.standard_normal(dim).astype(np.float32) * 0.01,
+    }

@@ -1,0 +1,352 @@
+"""Learned multi-class language identification (CCNet / fastText
+lid.176 shape): char 3-5-gram hashed-TF features -> multinomial
+logistic regression, scored over the corpus as a narrow
+broadcast-coefficient pass.
+
+The reference (paradigmxyz/cryo) is blockchain ETL and has no text
+operators — this is §2.12 extension tier, closing the r15 gap "lang-ID
+is a 4-language stopword vote" (`text.py` STOPWORDS). The stopword
+vote remains the zero-dependency fallback and the hash-provable funnel
+default; this module is the production path for 20+ languages.
+
+Design (Spark-first):
+- **features**: character 3/4/5-grams of the normalized text
+  (lowercase, whitespace collapsed, space-padded — the fastText
+  convention so word boundaries become gram context), built with pure
+  JVM expressions (``transform`` over ``sequence`` + ``substring``),
+  then MLlib HashingTF into one sparse vector. No Python, no shuffle.
+- **training**: ``LogisticRegression(family='multinomial')`` over a
+  labeled frame. Training data for lang-ID is small by construction
+  (thousands of docs per language); the corpus-sized pass is scoring.
+- **scoring**: ``model.transform`` ships the (n_langs x n_features)
+  coefficient matrix to executors once (a few MB at the default
+  width) and appends prediction columns in the SAME narrow projection
+  — the 100 TB side never shuffles (plan-pinned: no Exchange), the
+  same broadcast-coefficient law as `classifier.score_quality` and
+  the DSIR ratio table.
+
+Scale at 100 TB: featurize+score is embarrassingly parallel
+(map-only); the only driver-side state is the label list (tens of
+strings) and the model (one dense matrix). Wider models (e.g. 176
+languages at 2^18 features = ~180 MB) should drop HashingTF's closure
+ride for an explicit ``spark.sparkContext.broadcast`` — at the default
+(28 langs x 2^15) the closure copy is ~7 MB and fine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_FEATURES = 1 << 15
+DEFAULT_NS = (3, 4, 5)
+
+#: Common function words per language — PUBLIC knowledge (frequency
+#: lists), used ONLY to generate the planted training fixture for
+#: tests/demos. A production deployment trains on real labeled text
+#: (e.g. Wikipedia/Tatoeba dumps) through the same train_langid().
+LANG_SAMPLES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with",
+           "was", "on", "as", "are", "this", "be", "at", "from", "by",
+           "not", "have"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein",
+           "auf", "von", "zu", "den", "sich", "des", "im", "eine",
+           "als", "auch", "nach", "wird"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "que", "pour",
+           "une", "du", "pas", "sur", "avec", "se", "au", "plus", "par",
+           "sont", "mais"],
+    "es": ["el", "los", "de", "que", "en", "es", "por", "con", "para",
+           "las", "del", "se", "una", "su", "al", "lo", "como", "pero",
+           "sus", "fue"],
+    "it": ["il", "di", "che", "e", "un", "per", "con", "non", "una",
+           "del", "le", "si", "da", "come", "nel", "alla", "sono",
+           "anche", "della", "questo"],
+    "pt": ["o", "que", "de", "do", "da", "em", "um", "para", "com",
+           "uma", "os", "no", "se", "na", "por", "mais", "as", "dos",
+           "como", "mas"],
+    "nl": ["de", "het", "een", "en", "van", "in", "dat", "op", "te",
+           "niet", "met", "voor", "zijn", "er", "maar", "ook", "als",
+           "aan", "bij", "naar"],
+    "sv": ["och", "att", "det", "som", "en", "på", "är", "av", "för",
+           "med", "den", "till", "inte", "om", "har", "ett", "han",
+           "men", "var", "från"],
+    "da": ["og", "i", "det", "at", "en", "den", "til", "er", "som",
+           "på", "de", "med", "han", "af", "for", "ikke", "der", "var",
+           "men", "sig"],
+    "fi": ["ja", "on", "ei", "se", "että", "hän", "oli", "mutta",
+           "joka", "ovat", "kun", "niin", "kuin", "myös", "sen",
+           "olla", "tämä", "vain", "mitä", "jos"],
+    "pl": ["i", "w", "nie", "na", "się", "że", "z", "do", "to", "jest",
+           "jak", "po", "co", "tak", "za", "od", "ale", "przez",
+           "jego", "była"],
+    "cs": ["a", "se", "na", "je", "že", "v", "z", "do", "to", "jako",
+           "by", "ale", "i", "o", "k", "za", "po", "s", "pro", "tak"],
+    "ro": ["și", "de", "în", "la", "cu", "o", "pe", "este", "care",
+           "nu", "se", "din", "mai", "sau", "dar", "fost", "au",
+           "pentru", "că", "sunt"],
+    "hu": ["a", "az", "és", "hogy", "nem", "is", "egy", "meg", "van",
+           "de", "már", "csak", "el", "volt", "mint", "ha", "ki", "mi",
+           "ez", "még"],
+    "tr": ["bir", "ve", "bu", "da", "ne", "için", "gibi", "çok", "ama",
+           "daha", "sonra", "kadar", "ile", "en", "olarak", "değil",
+           "ben", "onun", "her", "şey"],
+    "id": ["yang", "dan", "di", "dengan", "untuk", "tidak", "dari",
+           "ini", "itu", "ke", "pada", "akan", "ada", "juga", "bisa",
+           "saya", "dia", "mereka", "kita", "sudah"],
+    "vi": ["của", "và", "là", "có", "không", "được", "cho", "một",
+           "người", "này", "trong", "những", "với", "để", "đã", "khi",
+           "tôi", "anh", "em", "về"],
+    "ca": ["el", "la", "els", "les", "i", "de", "que", "en", "un",
+           "per", "amb", "no", "una", "al", "és", "més", "com", "si",
+           "ho", "són"],
+    "sw": ["ya", "na", "wa", "kwa", "ni", "za", "katika", "la", "kama",
+           "hii", "kuwa", "yake", "watu", "ambao", "pia", "sana",
+           "hivyo", "lakini", "wake", "yao"],
+    "ru": ["и", "в", "не", "на", "я", "что", "он", "как", "это", "с",
+           "по", "но", "они", "к", "у", "же", "из", "за", "о", "мы"],
+    "el": ["και", "το", "να", "της", "του", "με", "την", "που", "από",
+           "για", "στο", "είναι", "δεν", "τα", "μια", "αυτό", "ως",
+           "θα", "αλλά", "οι"],
+    "ar": ["في", "من", "على", "أن", "إلى", "عن", "مع", "هذا", "التي",
+           "كان", "لم", "ما", "لا", "هو", "كل", "بعد", "عند", "قد",
+           "بين", "هذه"],
+    "he": ["של", "את", "על", "לא", "זה", "הוא", "עם", "כל", "אם", "גם",
+           "היא", "אני", "יש", "כי", "מה", "אבל", "או", "רק", "עוד",
+           "הם"],
+    "hi": ["के", "है", "में", "की", "और", "से", "का", "को", "पर", "यह",
+           "कि", "नहीं", "हो", "तो", "भी", "था", "कर", "इस", "एक",
+           "वह"],
+    "th": ["ที่", "การ", "ใน", "ของ", "และ", "เป็น", "ได้", "มี",
+           "ไม่", "ให้", "ว่า", "จะ", "มา", "กับ", "แต่", "นี้", "คน",
+           "ก็", "อยู่", "ไป"],
+    "ja": ["の", "に", "は", "を", "た", "が", "で", "て", "と", "し",
+           "れ", "さ", "です", "ます", "こと", "その", "これ", "する",
+           "ある", "いる"],
+    "ko": ["이", "그", "저", "것", "수", "들", "는", "에", "의", "가",
+           "을", "를", "하다", "있다", "없다", "되다", "같다", "보다",
+           "주다", "받다"],
+    "zh": ["的", "一", "是", "在", "不", "了", "有", "和", "人", "这",
+           "中", "大", "为", "上", "个", "国", "我", "以", "要", "他"],
+}
+
+
+def char_grams(
+    text_col: Column | str, ns: tuple[int, ...] = DEFAULT_NS
+) -> Column:
+    """array<string> of character n-grams over the normalized text
+    (lowercase, runs of whitespace collapsed to one space, space-
+    padded). Pure JVM: ``transform(sequence(...), i -> substring)``
+    per n, concatenated — a narrow projection inside whole-stage
+    codegen, no tokenizer UDF."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))),
+                         r"[ \t\n\x0b\f\r]+", " "),
+        F.lit(" "),
+    )
+    # bind n via a factory, NOT a `lambda i, n=n:` default arg —
+    # F.transform dispatches on the lambda's ARITY, so a two-parameter
+    # lambda receives (element, 0-based index) and the default is
+    # silently overwritten by the index (observed: every gram k came
+    # out k-1 chars long)
+    def gram_at(n: int):
+        return lambda i: norm.substr(i, F.lit(n))
+
+    parts = []
+    for n in ns:
+        last = F.length(norm) - F.lit(n) + 1
+        # guard the short-text case explicitly: Spark's sequence(1, 0)
+        # is DESCENDING ([1, 0]), not empty
+        idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+            F.array().cast("array<int>")
+        )
+        parts.append(F.transform(idx, gram_at(n)))
+    return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+
+def featurize_chars(
+    df: DataFrame,
+    text_col: str = "text",
+    n_features: int = DEFAULT_FEATURES,
+    ns: tuple[int, ...] = DEFAULT_NS,
+    out_col: str = "features",
+) -> DataFrame:
+    """Append the hashed char-n-gram RELATIVE-frequency vector —
+    JVM-side narrow transformations (HashingTF murmur3 over the gram
+    array, then L1 normalization). The normalization is load-bearing:
+    raw TF counts scale with document length, so an unnormalized
+    linear model's decision values drift with length (measured: LONG
+    fixture docs scored WORSE than short ones); relative frequencies
+    are the fastText convention and make the features
+    length-invariant."""
+    from pyspark.ml.feature import HashingTF, Normalizer
+
+    grams = df.withColumn("__cg", char_grams(text_col, ns))
+    tf = HashingTF(
+        inputCol="__cg", outputCol="__tf", numFeatures=n_features
+    ).transform(grams)
+    out = Normalizer(
+        inputCol="__tf", outputCol=out_col, p=1.0
+    ).transform(tf)
+    return out.drop("__cg", "__tf")
+
+
+class LangIdModel:
+    """A fitted multinomial model + its ordered label list. ``labels``
+    index k is the language MLlib prediction k maps to."""
+
+    def __init__(self, model, labels: list[str], ns: tuple[int, ...]):
+        self.model = model
+        self.labels = list(labels)
+        self.ns = tuple(ns)
+
+    @property
+    def n_features(self) -> int:
+        return self.model.numFeatures
+
+    def save(self, path: str) -> None:
+        """Persist model + label/ngram metadata (directory)."""
+        import json
+        import os
+
+        self.model.write().overwrite().save(os.path.join(path, "lr"))
+        meta = {"labels": self.labels, "ns": list(self.ns)}
+        with open(os.path.join(path, "langid.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, path: str) -> "LangIdModel":
+        import json
+        import os
+
+        from pyspark.ml.classification import LogisticRegressionModel
+
+        with open(os.path.join(path, "langid.json")) as f:
+            meta = json.load(f)
+        model = LogisticRegressionModel.load(os.path.join(path, "lr"))
+        return cls(model, meta["labels"], tuple(meta["ns"]))
+
+
+def train_langid(
+    labeled: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_features: int = DEFAULT_FEATURES,
+    ns: tuple[int, ...] = DEFAULT_NS,
+    reg_param: float = 1e-4,
+    max_iter: int = 60,
+) -> LangIdModel:
+    """Fit the multinomial classifier on a labeled (text, lang) frame.
+
+    Labels are the SORTED distinct languages (collected — tens of
+    rows, the label space is small by construction); sorting makes
+    the label->index mapping deterministic across runs/clusters.
+    LBFGS runs over treeAggregate (driver never sees rows)."""
+    from pyspark.ml.classification import LogisticRegression
+
+    labels = sorted(
+        r[0] for r in labeled.select(lang_col).distinct().collect()
+    )
+    if len(labels) < 2:
+        raise ValueError(
+            f"need >=2 languages to train, got {labels}"
+        )
+    lab_arr = F.array(*[F.lit(l) for l in labels])
+    indexed = labeled.withColumn(
+        "__label",
+        (F.array_position(lab_arr, F.col(lang_col)) - 1).cast("double"),
+    )
+    feats = featurize_chars(indexed, text_col, n_features, ns)
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol="__label",
+        family="multinomial",
+        regParam=reg_param,
+        maxIter=max_iter,
+        standardization=False,
+    )
+    return LangIdModel(lr.fit(feats), labels, ns)
+
+
+def with_language(
+    df: DataFrame,
+    lm: LangIdModel,
+    text_col: str = "text",
+    lang_out: str = "lang_pred",
+    prob_out: str = "lang_prob",
+) -> DataFrame:
+    """Append (``lang_out``, ``prob_out``) to ``df`` — the predicted
+    language string and its softmax probability. ONE narrow
+    projection end to end (featurize -> broadcast-coefficient score ->
+    argmax): the corpus never shuffles; plan-pinned no-Exchange in
+    tests. Composes inside pipeline stages without a re-join."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = featurize_chars(df, text_col, lm.n_features, lm.ns)
+    scored = lm.model.transform(feats)
+    lab_arr = F.array(*[F.lit(l) for l in lm.labels])
+    pred_i = F.col(lm.model.getPredictionCol()).cast("int")
+    prob = F.element_at(
+        vector_to_array(F.col(lm.model.getProbabilityCol())), pred_i + 1
+    )
+    return scored.withColumn(
+        lang_out, F.element_at(lab_arr, pred_i + 1)
+    ).withColumn(prob_out, prob).drop(
+        "features",
+        lm.model.getPredictionCol(),
+        lm.model.getProbabilityCol(),
+        lm.model.getRawPredictionCol(),
+    )
+
+
+def detect_language_learned(
+    df: DataFrame,
+    lm: LangIdModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, lang_pred, lang_prob) per document — the standalone
+    scoring entry point; :func:`with_language` is the in-pipeline
+    composition that keeps the caller's columns."""
+    return with_language(df, lm, text_col).select(
+        id_col, "lang_pred", "lang_prob"
+    )
+
+
+def accuracy(
+    pred: DataFrame, truth_col: str = "lang", pred_col: str = "lang_pred"
+) -> float:
+    """Fraction of rows where prediction == truth (the held-out gate;
+    one partial-agg pass)."""
+    row = pred.agg(
+        F.avg(
+            F.when(F.col(truth_col) == F.col(pred_col), 1.0).otherwise(0.0)
+        ).alias("acc")
+    ).first()
+    return float(row.acc) if row.acc is not None else float("nan")
+
+
+def multilingual_fixture(
+    spark,
+    langs: list[str] | None = None,
+    docs_per_lang: int = 80,
+    min_words: int = 4,
+    max_words: int = 40,
+    seed: int = 16,
+) -> DataFrame:
+    """Deterministic planted fixture: (doc_id, text, lang) sampled
+    from :data:`LANG_SAMPLES`. Driver-built (labeled lang-ID data is
+    small by construction) — NOT for corpus-scale inputs."""
+    import random
+
+    langs = list(langs or LANG_SAMPLES)
+    rng = random.Random(seed)
+    rows = []
+    for lang in langs:
+        vocab = LANG_SAMPLES[lang]
+        for i in range(docs_per_lang):
+            n = rng.randint(min_words, max_words)
+            words = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+            rows.append((f"{lang}-{i:04d}", " ".join(words), lang))
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])

@@ -173,7 +173,13 @@ def fetch_cdx_records(
 
     ``warc_root`` prefixes the index's relative ``filename`` values
     (CommonCrawl publishes paths relative to the bucket root; '' when
-    the index already holds absolute paths/URIs). Rows missing any of
+    the index already holds absolute paths/URIs). Since round 16 the
+    root may be an ``http(s)://`` url (e.g.
+    ``https://data.commoncrawl.org/``): ranges fetch as HTTP Range
+    GETs on one keep-alive connection per filename run
+    (:class:`cryo_spark.fsutil.HttpRangeFile`) — no object-store
+    mirror needed, and the byte bill is still exactly the selected
+    ranges (served-bytes-accounting test). Rows missing any of
     filename/offset/length are dropped up front — they cannot be
     fetched.
 

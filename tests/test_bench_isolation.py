@@ -80,3 +80,33 @@ def test_bench_one_good_query_times(spark):
     t, n, err, (fp, fp_text) = bench.bench_one(spark, ok, "/root/testdata/sf0.001", reps=1)
     assert err is None and t is not None and n == 5
     assert fp and "FileScan" in fp_text  # plan fingerprint rides along
+
+
+def test_compact_line_calibrated_map_trims_cheapest_first():
+    """Round 16: the contract line carries queries_calibrated. When
+    the tail budget is tight the CHEAPEST queries' ratios fall off
+    first (with a _dropped count); the expensive queries — where a
+    regression question lands — keep theirs. A small record carries
+    the full map untouched."""
+    import json
+
+    qs = {f"llm_operator_with_long_name_{i:02d}": round(0.2 + i * 0.3, 3)
+          for i in range(40)}
+    qc = {k: 1.1 for k in qs}
+    out = {"metric": "m", "value": 100.0, "unit": "sec",
+           "queries": qs, "queries_calibrated": qc, "sf": 0.1}
+    line = bench.compact_line(out)
+    assert len(line) <= bench.MAX_LINE_BYTES
+    parsed = json.loads(line)
+    kept = parsed["queries_calibrated"]
+    dropped = kept.pop("_dropped")
+    assert dropped == len(qs) - len(kept) > 0
+    # survivors are exactly the most expensive queries
+    expensive = sorted(qs, key=qs.get, reverse=True)[: len(kept)]
+    assert set(kept) == set(expensive)
+
+    small = {"metric": "m", "value": 1.0, "unit": "sec",
+             "queries": {"a": 1.0}, "queries_calibrated": {"a": 1.2},
+             "sf": 0.1}
+    parsed = json.loads(bench.compact_line(small))
+    assert parsed["queries_calibrated"] == {"a": 1.2}

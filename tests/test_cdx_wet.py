@@ -416,3 +416,176 @@ def test_wet_and_warc_document_shapes_interchange(spark, tmp_path):
     (warc_dir / "p.warc.gz").write_bytes(_member(payload, "https://swap.test/b"))
     warc_docs = read_warc_documents(spark, str(warc_dir))
     assert core <= set(warc_docs.columns)
+
+
+# ------------------ HTTP(S) range transport (round 16)
+
+
+class _RangeHandler:
+    """Factory for a Range-supporting handler over a directory that
+    also counts body bytes served (the byte-bill witness) — stdlib
+    http.server does NOT honor Range, so the test brings its own."""
+
+    @staticmethod
+    def make(root, served, honor_range=True):
+        import http.server
+        import os
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _path(self):
+                return os.path.join(root, self.path.lstrip("/"))
+
+            def do_HEAD(self):
+                p = self._path()
+                if not os.path.isfile(p):
+                    self.send_error(404)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Length", str(os.path.getsize(p)))
+                self.end_headers()
+
+            def do_GET(self):
+                p = self._path()
+                if not os.path.isfile(p):
+                    self.send_error(404)
+                    return
+                data = open(p, "rb").read()
+                rng = self.headers.get("Range")
+                if rng and honor_range:
+                    spec = rng.split("=", 1)[1]
+                    lo_s, hi_s = spec.split("-", 1)
+                    lo = int(lo_s)
+                    hi = int(hi_s) if hi_s else len(data) - 1
+                    body = data[lo:hi + 1]
+                    self.send_response(206)
+                    self.send_header(
+                        "Content-Range", f"bytes {lo}-{hi}/{len(data)}"
+                    )
+                else:
+                    body = data
+                    self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                served.append(len(body))
+
+        return H
+
+
+@pytest.fixture()
+def http_root(tmp_path):
+    """(base_url, served_byte_list, root_path) over a Range server."""
+    import http.server
+    import threading
+
+    served: list[int] = []
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), _RangeHandler.make(str(tmp_path), served)
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/", served, tmp_path
+    srv.shutdown()
+
+
+def test_fetch_cdx_records_over_http(spark, http_root):
+    """The canonical CommonCrawl shape: CDX re-extraction straight off
+    an HTTP archive host by byte range — same records as the local
+    path, and the byte bill equals EXACTLY the selected ranges (the
+    corrupt-outside-ranges proof's HTTP twin, by served-bytes
+    accounting)."""
+    base, served, root = http_root
+    warc, idx = _build_archive(root, n=5)
+    cdx = read_cdx(spark, str(idx))
+    picked = cdx.filter(F.col("urlkey").isin("test,site1)/page",
+                                             "test,site3)/page"))
+    want = {
+        (r.target_uri, r.payload)
+        for r in fetch_cdx_records(
+            spark, picked, warc_root=str(root) + "/"
+        ).collect()
+    }
+    served.clear()
+    got_rows = fetch_cdx_records(spark, picked, warc_root=base).collect()
+    got = {(r.target_uri, r.payload) for r in got_rows}
+    assert got == want and len(got) == 2
+    sel = {(r.offset, r.length) for r in picked.collect()}
+    assert sorted(served) == sorted(ln for _, ln in sel), (
+        "HTTP byte bill must be exactly the selected ranges"
+    )
+
+
+def test_fetch_http_corrupt_outside_ranges(spark, http_root):
+    """Corrupt every byte OUTSIDE the selected records' ranges on the
+    served file: ranged fetches still decode the selected records
+    bit-identically — nothing outside the ranges is ever read."""
+    base, served, root = http_root
+    warc, idx = _build_archive(root, n=5)
+    cdx = read_cdx(spark, str(idx))
+    picked = cdx.filter(F.col("urlkey").isin("test,site2)/page",
+                                             "test,site4)/page"))
+    keep = {(r.offset, r.length) for r in picked.collect()}
+    raw = bytearray(warc.read_bytes())
+    keep_mask = bytearray(len(raw))
+    for off, ln in keep:
+        for i in range(off, off + ln):
+            keep_mask[i] = 1
+    for i in range(len(raw)):
+        if not keep_mask[i]:
+            raw[i] = 0xAA
+    warc.write_bytes(bytes(raw))
+    recs = fetch_cdx_records(spark, picked, warc_root=base).collect()
+    assert sorted(r.target_uri for r in recs) == [
+        "https://site2.test/page", "https://site4.test/page"
+    ]
+    assert all("body text" in r.payload for r in recs)
+
+
+def test_http_range_ignored_raises(spark, tmp_path):
+    """A server answering 200 to a ranged GET would make every record
+    fetch download the whole archive — refuse loudly."""
+    import http.server
+    import threading
+
+    from cryo_spark.fsutil import HttpRangeFile
+
+    (tmp_path / "f.bin").write_bytes(b"0123456789" * 100)
+    served: list[int] = []
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        _RangeHandler.make(str(tmp_path), served, honor_range=False),
+    )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/f.bin"
+        f = HttpRangeFile(url)
+        f.seek(10)
+        with pytest.raises(OSError, match="ignored the Range header"):
+            f.read(5)
+    finally:
+        srv.shutdown()
+
+
+def test_http_filesystem_stream_and_info(http_root):
+    """open_input_stream drains the exact file bytes (WARC member
+    streaming path); get_file_info sizes via HEAD (maintenance
+    path)."""
+    from cryo_spark.fsutil import resolve_fs
+
+    base, served, root = http_root
+    data = bytes(range(256)) * 40
+    (root / "blob.bin").write_bytes(data)
+    fs, url = resolve_fs(base + "blob.bin")
+    assert url == base + "blob.bin"
+    with fs.open_input_stream(url, compression=None) as s:
+        got = b""
+        while True:
+            chunk = s.read(1000)
+            if not chunk:
+                break
+            got += chunk
+    assert got == data
+    assert fs.get_file_info(url).size == len(data)
