@@ -175,6 +175,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "docs are dropped without re-signing the base; "
                         "the funnel gains a delta_semantic row. "
                         "--update-index appends/bootstraps it too")
+    p.add_argument("--compact-every", type=int, default=None,
+                   help="with --delta-index: after the day's outputs "
+                        "land, rewrite any bucketed index (--delta-"
+                        "index / --semantic-index) holding more than "
+                        "this many files per bucket back to one file "
+                        "per bucket (skew.compact_bucketed_table — "
+                        "layout and every bucketed-read plan "
+                        "unchanged); keeps a year of daily appends "
+                        "from costing 365 file-opens per bucket")
     p.add_argument("--delta-bands", type=int, default=4,
                    help="banding of the persisted index (must match "
                         "how it was saved)")
@@ -228,6 +237,8 @@ def run(args: argparse.Namespace) -> int:
         kw["langid_model"] = LangIdModel.load(args.langid_model)
     if args.update_index and not args.delta_index:
         raise ValueError("--update-index requires --delta-index")
+    if args.compact_every and not args.delta_index:
+        raise ValueError("--compact-every requires --delta-index")
     if args.semantic_index and not args.delta_index:
         raise ValueError("--semantic-index requires --delta-index")
     if args.zorder and not args.shard_tokens:
@@ -743,6 +754,21 @@ def run(args: argparse.Namespace) -> int:
         ledger_dest = os.path.join(args.output, "captures")
         cdx_ledger.write.mode("overwrite").parquet(ledger_dest)
         summary["captures"] = ledger_dest
+    if args.compact_every:
+        # maintenance runs LAST — the day's outputs above are already
+        # certified on disk, so a compaction failure loses nothing
+        # (the verified-tmp swap in compact_bucketed_table protects
+        # the index itself)
+        from cryo_spark.operators.skew import compact_index_if_needed
+
+        compacted = {}
+        for t in (args.delta_index, args.semantic_index):
+            if t and spark.catalog.tableExists(t):
+                rep = compact_index_if_needed(spark, t, args.compact_every)
+                if rep is not None:
+                    compacted[t] = rep
+        if compacted:
+            summary["compacted"] = compacted
     print(json.dumps(summary))
     return 0
 

@@ -507,7 +507,13 @@ def real_dhash(payload: bytes, decoder: str = "vendored") -> int | None:
     :func:`image_dhash` to use it in the pipeline."""
     if payload is None:
         return None
-    px = _gray_grid(payload, 9, 8, decoder)
+    return _dhash_bits(_gray_grid(payload, 9, 8, decoder))
+
+
+def _dhash_bits(px) -> int:
+    """9x8 gray grid -> signed 64-bit dHash (bit r*8+c set when
+    pixel[r][c] < pixel[r][c+1]) — shared by the image and Y4M video
+    paths so a video frame and the identical still hash EQUAL."""
     sig = 0
     for r in range(8):
         for c in range(8):
@@ -809,6 +815,102 @@ def video_near_dups(
             "id_a", "id_b", "matched_a", "matched_b",
             "n_frames_a", "n_frames_b", "overlap",
         )
+    )
+
+
+# --------------------------------------------------------------------
+# Real video via the vendored Y4M container (round 16)
+#
+# YUV4MPEG2 completes the real-decode triple the way the vendored
+# PNG/JPEG codecs did for images and the stdlib WAV parse did for
+# audio: raw planar frames behind one ASCII header, parsed clean-room
+# (operators/y4mcodec.py), byte-identical on every environment. The
+# sampler emits a tiny self-describing frame container
+# (``Y4MF`` + u32 w + u32 h + luma) so the hasher needs no side
+# channel for dimensions, and the dHash math is the SAME box-resize +
+# bit rule the image path uses — a Y4M frame and the identical still
+# image hash EQUAL (pinned in tests).
+
+_Y4MF_MAGIC = b"Y4MF"
+
+
+def y4m_sampler(interval_ms: int = 1000) -> Callable[[bytes, int], bytes]:
+    """Frame sampler for :func:`sample_frames` over Y4M payloads:
+    sample ordinal i maps to the frame at timestamp i*interval_ms via
+    the container's own F<num>:<den> rate. Returns the packed
+    ``Y4MF`` luma frame, or None for non-Y4M payloads and timestamps
+    past the last frame. MUST be constructed with the SAME
+    ``interval_ms`` passed to sample_frames/video_near_dups (use
+    :func:`y4m_video_near_dups`, which wires both) — a mismatch
+    silently samples wrong timestamps."""
+    import struct
+
+    from cryo_spark.operators import y4mcodec
+
+    def sample(payload: bytes, index: int) -> bytes | None:
+        if payload is None or not y4mcodec.is_y4m(payload):
+            return None
+        hdr = y4mcodec.parse_header(payload)
+        frame_no = (
+            index * interval_ms * hdr["fps_num"]
+        ) // (1000 * hdr["fps_den"])
+        y = y4mcodec.frame_luma(payload, frame_no)
+        if y is None:
+            return None
+        return (
+            _Y4MF_MAGIC
+            + struct.pack(">II", hdr["width"], hdr["height"])
+            + y
+        )
+
+    return sample
+
+
+def y4m_frame_dhash(frame: bytes | None) -> int | None:
+    """dHash of a packed ``Y4MF`` luma frame — the hasher
+    :func:`y4m_sampler` pairs with: box-resize the luma to 9x8 (the
+    shared pngcodec kernel) and apply the shared bit rule."""
+    import struct
+
+    from cryo_spark.operators.pngcodec import box_resize
+
+    if frame is None:
+        return None
+    frame = bytes(frame)
+    if frame[:4] != _Y4MF_MAGIC:
+        raise ValueError("not a Y4MF packed frame (use y4m_sampler)")
+    w, h = struct.unpack(">II", frame[4:12])
+    y = frame[12:]
+    if len(y) != w * h:
+        raise ValueError(
+            f"Y4MF frame carries {len(y)} luma bytes for {w}x{h}"
+        )
+    grid = [list(y[r * w:(r + 1) * w]) for r in range(h)]
+    return _dhash_bits(box_resize(grid, 9, 8))
+
+
+def y4m_video_near_dups(
+    media: DataFrame,
+    min_overlap: float = 0.5,
+    max_hamming: int = 7,
+    interval_ms: int = 1000,
+    max_frames: int = 32,
+) -> DataFrame:
+    """:func:`video_near_dups` over REAL Y4M video payloads — the
+    convenience wiring that keeps the sampler's time base and the
+    fan-out interval in lockstep. A clip trimmed out of a longer
+    recording still matches it (containment overlap, inherited from
+    video_near_dups); planted-clone E2E pinned in tests with zero
+    external decode stack."""
+    return video_near_dups(
+        media,
+        min_overlap=min_overlap,
+        max_hamming=max_hamming,
+        sampler=y4m_sampler(interval_ms),
+        interval_ms=interval_ms,
+        max_frames=max_frames,
+        hasher=y4m_frame_dhash,
+        kind="video",
     )
 
 

@@ -176,6 +176,34 @@ def compact_bucketed_table(
     return {"files_in": files_in, "files_out": files_out, "rows": rows_in}
 
 
+def compact_index_if_needed(
+    spark, table: str, max_files_per_bucket: int
+) -> dict | None:
+    """Compact a bucketed index table when its file count crosses
+    ``max_files_per_bucket`` files per bucket — the daily-delta
+    maintenance hook (CLI ``--compact-every N``): every
+    ``prepare_corpus_delta(update_index=True)`` day appends one file
+    per bucket, so unmaintained indexes pay one file-open per day per
+    bucket on every candidate join. Returns the
+    :func:`compact_bucketed_table` report when compaction ran, None
+    when the table is under threshold (a metadata-only check: one
+    catalog lookup + one file listing, no data pass)."""
+    if max_files_per_bucket < 1:
+        raise ValueError(
+            f"max_files_per_bucket must be >= 1, got {max_files_per_bucket}"
+        )
+    spec = table_bucket_spec(spark, table)
+    if spec is None:
+        raise ValueError(
+            f"{table!r} does not exist or is not bucketed"
+        )
+    n_buckets, _ = spec
+    files = len(spark.table(table).inputFiles())
+    if files <= max_files_per_bucket * n_buckets:
+        return None
+    return compact_bucketed_table(spark, table)
+
+
 def _clean_orphan_location(spark, table: str) -> None:
     """Remove a leftover warehouse directory for ``table`` that no
     catalog entry points at (stale ./spark-warehouse from a previous

@@ -324,3 +324,206 @@ def test_mlp_encoder_broadcast_equals_closure(spark):
 
     for v in a.values():
         assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-3)
+
+
+# ------------------ delta CLI compaction (round 16)
+
+
+def test_corpus_cli_delta_compaction_bounded(spark, tmp_path, capsys):
+    """Day-1..day-4 daily-delta CLI with --compact-every 1: the
+    bucketed minhash index's file count stays bounded at one file per
+    bucket after every day (an uncompacted twin grows one file per
+    bucket per day), `Bucketed: true` is still pinned on the
+    candidate-join plan, and dedup verdicts against the compacted
+    index equal the twin's."""
+    import json as _json
+
+    from cryo_spark.api import main
+    from cryo_spark.operators import incremental
+    from cryo_spark.operators.skew import table_bucket_spec
+
+    def day_docs(d):
+        rows = [
+            (d * 10 + j,
+             f"unique day {d} doc {j} text about topic{d}{j} with "
+             f"plenty of distinct words alpha{d} beta{j} gamma{d}{j}",
+             "src")
+            for j in range(3)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+
+    table, twin = "r16_compact_idx", "r16_compact_twin"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {twin}")
+    for d in (1, 2, 3, 4):
+        p = tmp_path / f"day{d}.parquet"
+        day_docs(d).write.parquet(str(p))
+        rc = main([
+            "corpus", "--input", str(p),
+            "--output", str(tmp_path / f"o{d}"),
+            "--delta-index", table, "--update-index",
+            "--compact-every", "1", "--min-quality", "0",
+        ])
+        assert rc == 0
+        rc = main([
+            "corpus", "--input", str(p),
+            "--output", str(tmp_path / f"t{d}"),
+            "--delta-index", twin, "--update-index",
+            "--min-quality", "0",
+        ])
+        assert rc == 0
+        n_buckets, _keys = table_bucket_spec(spark, table)
+        files = len(spark.table(table).inputFiles())
+        assert files <= n_buckets, (
+            f"day {d}: {files} files for {n_buckets} buckets — "
+            "compaction did not bound the index"
+        )
+    twin_files = len(spark.table(twin).inputFiles())
+    assert twin_files > len(spark.table(table).inputFiles()), (
+        "uncompacted twin should have accumulated more files"
+    )
+    # day-1..4 rows all present in both indexes
+    assert (
+        spark.table(table).select("doc_id").distinct().count()
+        == spark.table(twin).select("doc_id").distinct().count()
+    )
+    # verdict equality: a day-5 batch (one clone of a day-2 doc + one
+    # novel doc) dedups IDENTICALLY against compacted and twin
+    day5 = spark.createDataFrame(
+        [
+            (900, "unique day 2 doc 1 text about topic21 with plenty "
+                  "of distinct words alpha2 beta1 gamma21", "src"),
+            (901, "genuinely novel day five doc with words nowhere "
+                  "else seen delta epsilon zeta", "src"),
+        ],
+        "doc_id long, text string, source string",
+    )
+
+    def kept(idx):
+        from cryo_spark.operators import corpus
+
+        out, _ = corpus.prepare_corpus_delta(
+            day5, idx, min_quality=0.0
+        )
+        return {r.doc_id for r in out.select("doc_id").collect()}
+
+    assert kept(table) == kept(twin) == {901}
+    # bucketed-read law survives compaction
+    pairs = incremental.incremental_pairs_from_table(
+        spark, table, incremental.minhash_index(day5), bands=4,
+        with_est=False,
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    # summary line of the LAST compacting run reported the rewrite
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {twin}")
+    capsys.readouterr()
+
+
+def test_compact_index_if_needed_thresholds(spark):
+    """Under-threshold indexes are untouched (None); bad args raise."""
+    from cryo_spark.operators import incremental
+    from cryo_spark.operators.skew import compact_index_if_needed
+
+    docs = spark.createDataFrame(
+        [(1, "some text here", "s")],
+        "doc_id long, text string, source string",
+    )
+    t = "r16_compact_small"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    incremental.save_banded_index(
+        incremental.minhash_index(docs), t, bands=4
+    )
+    assert compact_index_if_needed(spark, t, 1000) is None
+    with pytest.raises(ValueError, match="must be >= 1"):
+        compact_index_if_needed(spark, t, 0)
+    with pytest.raises(ValueError, match="not bucketed"):
+        compact_index_if_needed(spark, "r16_no_such_table", 1)
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# ------------------ Y4M: real video decode path (round 16)
+
+
+def _luma_frame(w, h, k):
+    """Per-frame binary md5 blocks (3x2 px, block grid aligned with
+    the 9x8 dHash cells): different frames land >=15 hamming apart,
+    identical frames at 0 — clean separation either side of the
+    near-dup threshold."""
+    import hashlib
+
+    def v(x, y):
+        return 255 * (
+            hashlib.md5(f"{k}:{x // 3}:{y // 2}".encode()).digest()[0] & 1
+        )
+
+    return bytes(v(x, y) for y in range(h) for x in range(w))
+
+
+def test_y4m_codec_roundtrip():
+    from cryo_spark.operators import y4mcodec as y
+
+    w, h = 27, 16
+    frames = [_luma_frame(w, h, k) for k in range(5)]
+    for cs in ("mono", "420jpeg"):
+        data = y.encode_y4m(w, h, frames, fps=(1, 1), colorspace=cs)
+        assert y.is_y4m(data)
+        hdr = y.parse_header(data)
+        assert (hdr["width"], hdr["height"]) == (w, h)
+        assert (hdr["fps_num"], hdr["fps_den"]) == (1, 1)
+        assert y.n_frames(data) == 5
+        for k in range(5):
+            assert y.frame_luma(data, k) == frames[k]
+        assert y.frame_luma(data, 5) is None
+    with pytest.raises(ValueError, match="magic"):
+        y.parse_header(b"RIFFxxxx")
+    with pytest.raises(ValueError, match="colorspace"):
+        y.parse_header(b"YUV4MPEG2 W2 H2 F1:1 C411\nFRAME\n\0\0\0\0")
+
+
+def test_y4m_frame_dhash_equals_still_image():
+    """A Y4M frame and the identical still (PNG) must produce the
+    SAME dHash — shared box-resize kernel + shared bit rule."""
+    import struct
+
+    from cryo_spark.operators import multimodal as mm
+    from cryo_spark.operators import pngcodec
+
+    w, h = 27, 16
+    luma = _luma_frame(w, h, 0)
+    rows = [luma[r * w:(r + 1) * w] for r in range(h)]
+    png = pngcodec.encode_png(w, h, 1, rows)
+    packed = mm._Y4MF_MAGIC + struct.pack(">II", w, h) + luma
+    assert mm.y4m_frame_dhash(packed) == mm.real_dhash(png)
+
+
+def test_y4m_video_near_dups_trimmed_clone(spark):
+    """Planted trimmed-clone E2E with ZERO external decode stack: clip
+    B is frames 3..9 of recording A — containment overlap flags the
+    pair; an unrelated recording pairs with neither."""
+    from cryo_spark.operators import multimodal as mm
+    from cryo_spark.operators import y4mcodec as y
+
+    w, h = 27, 16
+    a_frames = [_luma_frame(w, h, k) for k in range(12)]
+    b_frames = a_frames[3:10]  # trimmed clone
+    c_frames = [_luma_frame(w, h, 100 + k) for k in range(8)]
+    rows = [
+        (1, "video", y.encode_y4m(w, h, a_frames, fps=(1, 1)),
+         "video/x-y4m", w, h, 11999),
+        (2, "video", y.encode_y4m(w, h, b_frames, fps=(1, 1)),
+         "video/x-y4m", w, h, 6999),
+        (3, "video", y.encode_y4m(w, h, c_frames, fps=(1, 1)),
+         "video/x-y4m", w, h, 7999),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    pairs = mm.y4m_video_near_dups(
+        media, min_overlap=0.9, max_hamming=3, interval_ms=1000
+    ).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    p = pairs[0]
+    assert p.n_frames_a == 12 and p.n_frames_b == 7
+    assert p.matched_b == 7 and p.overlap == 1.0
