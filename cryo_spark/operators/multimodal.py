@@ -914,6 +914,93 @@ def y4m_video_near_dups(
     )
 
 
+# --------------------------------------------------------------------
+# Real video via raw MJPEG streams (round 16, companion to Y4M)
+#
+# An MJPEG stream is concatenated baseline JPEGs (the webcam /
+# multipart-x-mixed-replace / AVI-MJPG payload shape). Frames decode
+# through the VENDORED JPEG codec, so this is the COMPRESSED real
+# video route with zero external decode stack (Y4M covers the raw
+# route). Marker scanning is sound for baseline JPEG: inside entropy-
+# coded segments every 0xFF is stuffed (0xFF00) or an RSTn marker, so
+# a literal 0xFFD9 can only BE the EOI marker.
+
+
+def mjpeg_frame_offsets(data: bytes) -> list[tuple[int, int]]:
+    """(offset, length) of each JPEG frame in a raw MJPEG stream —
+    SOI..EOI spans; inter-frame padding is skipped."""
+    offs: list[tuple[int, int]] = []
+    pos = 0
+    data = bytes(data)
+    while True:
+        soi = data.find(b"\xff\xd8\xff", pos)
+        if soi < 0:
+            break
+        eoi = data.find(b"\xff\xd9", soi + 3)
+        if eoi < 0:
+            break
+        offs.append((soi, eoi + 2 - soi))
+        pos = eoi + 2
+    return offs
+
+
+def mjpeg_sampler(
+    fps: float, interval_ms: int = 1000
+) -> Callable[[bytes, int], bytes]:
+    """Frame sampler for :func:`sample_frames` over raw MJPEG
+    payloads: sample ordinal i maps to the frame at i*interval_ms via
+    the CALLER-SUPPLIED fps (unlike Y4M, a raw MJPEG stream carries
+    no timing metadata). Returns the frame's own JPEG bytes — the
+    hasher is just :func:`real_dhash` (vendored decode), no packing
+    needed. Construct with the SAME interval_ms passed to
+    sample_frames/video_near_dups (use :func:`mjpeg_video_near_dups`,
+    which wires both)."""
+    if fps <= 0:
+        raise ValueError(f"fps must be > 0, got {fps}")
+
+    def sample(payload: bytes, index: int) -> bytes | None:
+        if payload is None:
+            return None
+        payload = bytes(payload)
+        if payload[:3] != b"\xff\xd8\xff":
+            return None
+        frame_no = int(index * interval_ms * fps) // 1000
+        offs = mjpeg_frame_offsets(payload)
+        if frame_no >= len(offs):
+            return None
+        off, ln = offs[frame_no]
+        return payload[off:off + ln]
+
+    return sample
+
+
+def mjpeg_video_near_dups(
+    media: DataFrame,
+    fps: float,
+    min_overlap: float = 0.5,
+    max_hamming: int = 7,
+    interval_ms: int = 1000,
+    max_frames: int = 32,
+    decoder: str = "vendored",
+) -> DataFrame:
+    """:func:`video_near_dups` over raw MJPEG payloads: sampled frames
+    ARE baseline JPEGs, hashed by :func:`real_dhash` through the
+    vendored codec (or PIL via ``decoder`` — resolved ONCE here on the
+    driver, so a heterogeneous cluster never mixes decode paths within
+    one job)."""
+    d = resolve_decoder(decoder)
+    return video_near_dups(
+        media,
+        min_overlap=min_overlap,
+        max_hamming=max_hamming,
+        sampler=mjpeg_sampler(fps, interval_ms),
+        interval_ms=interval_ms,
+        max_frames=max_frames,
+        hasher=lambda p: real_dhash(p, decoder=d),
+        kind="video",
+    )
+
+
 @functools.lru_cache(maxsize=2)
 def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """(mono float64 samples, sample rate) from WAV bytes — stdlib

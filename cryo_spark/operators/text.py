@@ -13,7 +13,12 @@ from pyspark.sql import functions as F
 
 from cryo_spark.operators.util import spread
 
-# small public stopword sets for the n-gram language heuristic
+# small public stopword sets for the n-gram language heuristic — the
+# zero-dependency, hash-provable fallback. The PRODUCTION lang-ID for
+# 20+ languages is the learned char-n-gram classifier in
+# cryo_spark.operators.langid (round 16), which plugs into the
+# pipeline via prepare_training_corpus(langid_model=) / CLI
+# --langid-model and replaces this vote as the stage-1 verdict.
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
     "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "auf", "von"],

@@ -527,3 +527,61 @@ def test_y4m_video_near_dups_trimmed_clone(spark):
     p = pairs[0]
     assert p.n_frames_a == 12 and p.n_frames_b == 7
     assert p.matched_b == 7 and p.overlap == 1.0
+
+
+# ------------------ MJPEG: compressed real video path (round 16)
+
+
+def _mjpeg_stream(w, h, ks):
+    """Concatenated baseline JPEGs (vendored encoder, q=1 gray) for
+    frame indices ks."""
+    from cryo_spark.operators import jpegcodec
+
+    frames = []
+    for k in ks:
+        luma = _luma_frame(w, h, k)
+        rows = [luma[r * w:(r + 1) * w] for r in range(h)]
+        frames.append(jpegcodec.encode_jpeg(w, h, 1, rows, quant=1))
+    return b"".join(frames), frames
+
+
+def test_mjpeg_frame_offsets_and_sampler():
+    from cryo_spark.operators import multimodal as mm
+
+    w, h = 27, 16
+    data, frames = _mjpeg_stream(w, h, range(4))
+    offs = mm.mjpeg_frame_offsets(data)
+    assert len(offs) == 4
+    for (off, ln), f in zip(offs, frames):
+        assert data[off:off + ln] == f
+    s = mm.mjpeg_sampler(fps=1.0, interval_ms=1000)
+    assert s(data, 0) == frames[0]
+    assert s(data, 3) == frames[3]
+    assert s(data, 4) is None
+    assert s(b"not a jpeg", 0) is None
+    with pytest.raises(ValueError, match="fps"):
+        mm.mjpeg_sampler(fps=0)
+
+
+def test_mjpeg_video_near_dups_trimmed_clone(spark):
+    """Compressed-route twin of the Y4M E2E: clip B is frames 3..9 of
+    MJPEG recording A, decoded per frame through the VENDORED JPEG
+    codec — containment flags the pair; unrelated stream pairs with
+    neither."""
+    from cryo_spark.operators import multimodal as mm
+
+    w, h = 27, 16
+    a, _ = _mjpeg_stream(w, h, range(12))
+    b, _ = _mjpeg_stream(w, h, range(3, 10))
+    c, _ = _mjpeg_stream(w, h, range(100, 108))
+    rows = [
+        (1, "video", a, "video/x-motion-jpeg", w, h, 11999),
+        (2, "video", b, "video/x-motion-jpeg", w, h, 6999),
+        (3, "video", c, "video/x-motion-jpeg", w, h, 7999),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    pairs = mm.mjpeg_video_near_dups(
+        media, fps=1.0, min_overlap=0.9, max_hamming=3, interval_ms=1000
+    ).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].matched_b == 7 and pairs[0].overlap == 1.0
