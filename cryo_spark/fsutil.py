@@ -40,9 +40,23 @@ class HttpRangeFile:
     ignored the Range header; that RAISES rather than silently
     downloading a crawl-sized archive per record. One transparent
     reconnect covers keep-alive timeouts on long gaps between reads.
+
+    Throttling (the CommonCrawl reality — ``data.commoncrawl.org``
+    sheds load with 503s): 429/5xx responses retry up to
+    ``status_retries`` times with exponential backoff
+    (``backoff * 2^attempt`` seconds) before raising with the last
+    status. Other 4xx raise immediately (a 404 will not heal).
     """
 
-    def __init__(self, url: str, max_retries: int = 1):
+    RETRY_STATUSES = (429, 500, 502, 503, 504)
+
+    def __init__(
+        self,
+        url: str,
+        max_retries: int = 1,
+        status_retries: int = 3,
+        backoff: float = 0.5,
+    ):
         from urllib.parse import urlsplit
 
         self._url = url
@@ -56,6 +70,8 @@ class HttpRangeFile:
         self._pos = 0
         self._conn = None
         self._max_retries = max_retries
+        self._status_retries = status_retries
+        self._backoff = backoff
 
     def _connect(self):
         import http.client
@@ -69,9 +85,12 @@ class HttpRangeFile:
 
     def _range_get(self, headers: dict) -> bytes:
         import http.client
+        import time
 
         last_exc: Exception | None = None
-        for attempt in range(self._max_retries + 1):
+        conn_attempts = 0
+        status_attempts = 0
+        while True:
             try:
                 if self._conn is None:
                     self._conn = self._connect()
@@ -89,9 +108,23 @@ class HttpRangeFile:
                 if resp.status == 200:
                     return resp.read()
                 body = resp.read(200)
+                if (
+                    resp.status in self.RETRY_STATUSES
+                    and status_attempts < self._status_retries
+                ):
+                    # throttled/transient — back off and retry the
+                    # SAME ranged request (idempotent by construction)
+                    time.sleep(self._backoff * (2 ** status_attempts))
+                    status_attempts += 1
+                    continue
                 raise OSError(
                     f"{self._url}: HTTP {resp.status} {resp.reason} "
                     f"{body[:200]!r}"
+                    + (
+                        f" (after {status_attempts + 1} attempts)"
+                        if status_attempts
+                        else ""
+                    )
                 )
             except (
                 http.client.RemoteDisconnected,
@@ -101,10 +134,12 @@ class HttpRangeFile:
                 # keep-alive socket died between requests — reconnect
                 last_exc = exc
                 self._close_conn()
-        raise OSError(
-            f"{self._url}: connection lost after "
-            f"{self._max_retries + 1} attempts"
-        ) from last_exc
+                conn_attempts += 1
+                if conn_attempts > self._max_retries:
+                    raise OSError(
+                        f"{self._url}: connection lost after "
+                        f"{conn_attempts} attempts"
+                    ) from last_exc
 
     def seek(self, offset: int, whence: int = 0) -> int:
         if whence != 0:

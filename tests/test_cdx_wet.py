@@ -589,3 +589,58 @@ def test_http_filesystem_stream_and_info(http_root):
             got += chunk
     assert got == data
     assert fs.get_file_info(url).size == len(data)
+
+
+def test_http_503_throttle_retries_then_succeeds(tmp_path):
+    """The CommonCrawl reality: data.commoncrawl.org sheds load with
+    503s. The ranged GET retries with backoff and the SAME idempotent
+    request; a permanently-broken resource raises after the bounded
+    retries with the status in the message."""
+    import http.server
+    import os
+    import threading
+
+    from cryo_spark.fsutil import HttpRangeFile
+
+    (tmp_path / "f.bin").write_bytes(bytes(range(256)))
+    fails = {"n": 2}
+    requests: list[str] = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            requests.append(self.headers.get("Range") or "")
+            if fails["n"] > 0:
+                fails["n"] -= 1
+                self.send_error(503)
+                return
+            data = open(os.path.join(tmp_path, self.path.lstrip("/")), "rb").read()
+            spec = self.headers["Range"].split("=", 1)[1]
+            lo_s, hi_s = spec.split("-", 1)
+            lo, hi = int(lo_s), int(hi_s)
+            body = data[lo:hi + 1]
+            self.send_response(206)
+            self.send_header("Content-Range", f"bytes {lo}-{hi}/{len(data)}")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/f.bin"
+        f = HttpRangeFile(url, backoff=0.01)
+        f.seek(10)
+        assert f.read(5) == bytes(range(10, 15))
+        # all three attempts carried the SAME Range header
+        assert requests == ["bytes=10-14"] * 3
+        # permanent 503: bounded retries then a loud OSError
+        fails["n"] = 10 ** 6
+        g = HttpRangeFile(url, status_retries=2, backoff=0.01)
+        g.seek(0)
+        with pytest.raises(OSError, match="HTTP 503 .*3 attempts"):
+            g.read(4)
+    finally:
+        srv.shutdown()

@@ -585,3 +585,29 @@ def test_mjpeg_video_near_dups_trimmed_clone(spark):
     ).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
     assert pairs[0].matched_b == 7 and pairs[0].overlap == 1.0
+
+
+def test_langid_noise_robustness(langid_parts, spark):
+    """Real corpus text is not clean fixture text: with 10% of
+    characters deleted and random case flips, held-out accuracy must
+    stay >= 0.9 — char n-gram features degrade gracefully where a
+    word-lookup vote would fall off a cliff."""
+    import random
+
+    from cryo_spark.operators import langid
+
+    _, test, lm = langid_parts
+    rng = random.Random(7)
+
+    def perturb(t):
+        out = []
+        for ch in t:
+            if rng.random() < 0.10:
+                continue  # deletion
+            out.append(ch.upper() if rng.random() < 0.2 else ch)
+        return "".join(out)
+
+    rows = [(r.doc_id, perturb(r.text), r.lang) for r in test.collect()]
+    noisy = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    acc = langid.accuracy(langid.with_language(noisy, lm))
+    assert acc >= 0.9, f"noisy-text accuracy {acc}"
