@@ -151,6 +151,7 @@ def fetch_cdx_records(
     id_col: str = "doc_id",
     max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
     dropped=None,
+    coalesce_bytes: int = 8 << 20,
 ) -> DataFrame:
     """Fetch exactly the WARC records a (filtered) CDX frame points
     at, by byte range — the selective-re-extraction path: pruning
@@ -186,7 +187,13 @@ def fetch_cdx_records(
     Scale shape: repartition on ``filename`` hash so one file's
     fetches co-locate, sort each task's slice by (filename, offset)
     for sequential-ish range reads, reuse one open handle per
-    filename run. Each fetched record is an independent gzip member
+    filename run, and COALESCE exactly-adjacent selected records into
+    one ranged read of at most ``coalesce_bytes`` (8 MiB default; 0
+    disables) — CommonCrawl writes a site's captures consecutively,
+    so host/time selections often pick neighbors, and the round-trip
+    count (the dominant cost of small-record fetches over HTTP or an
+    object store) drops to one per run while the byte bill stays
+    exactly the selected ranges (strict adjacency, no gap reads). Each fetched record is an independent gzip member
     (the ``.warc.gz`` contract that CDX offsets rely on), parsed with
     the shared in-memory parser under the same per-record size guard
     as streaming ingestion. Output is the ``read_warc`` frame shape —
@@ -232,7 +239,10 @@ def fetch_cdx_records(
                 # sortWithinPartitions below — sorting per pandas
                 # batch here would NOT order across batch boundaries,
                 # and the handle-reuse run depends on global task order
-                for fn, off, ln in pdf.itertuples(index=False):
+                rows = list(pdf.itertuples(index=False))
+                i = 0
+                while i < len(rows):
+                    fn, off, ln = rows[i]
                     p = warc_root + fn if warc_root else fn
                     if ln > max_member_bytes:
                         raise ValueError(
@@ -240,47 +250,79 @@ def fetch_cdx_records(
                             f"{ln} (max_member_bytes={max_member_bytes})"
                             " — repair the index entry or raise the cap"
                         )
+                    # coalesce EXACTLY-adjacent selected records into
+                    # one ranged read (round 16): CommonCrawl writes a
+                    # site's captures consecutively, so a host/time
+                    # selection often picks neighbors — one round trip
+                    # fetches the run instead of one per record, on
+                    # HTTP and object stores alike. Adjacency is
+                    # strict (off2 == off + len so far), so the byte
+                    # bill stays EXACTLY the selected ranges; the run
+                    # buffer is capped at coalesce_bytes.
+                    run = [(int(off), int(ln))]
+                    total = int(ln)
+                    j = i + 1
+                    while j < len(rows):
+                        fn2, off2, ln2 = rows[j]
+                        if (
+                            fn2 != fn
+                            or int(off2) != run[0][0] + total
+                            or total + int(ln2) > coalesce_bytes
+                        ):
+                            break
+                        if ln2 > max_member_bytes:
+                            break  # its own iteration raises above
+                        run.append((int(off2), int(ln2)))
+                        total += int(ln2)
+                        j += 1
                     if p != handle_path:
                         if handle is not None:
                             handle.close()
                         handle = open_file(p)
                         handle_path = p
-                    handle.seek(off)
-                    raw = handle.read(ln)
-                    # a stale/corrupt index entry (wrong offset, bit
-                    # rot, truncated archive) yields bytes that are
-                    # not a gzip member or not WARC-framed — DROP that
-                    # record instead of failing the task: one bad
-                    # pointer must not kill a crawl-sized fetch (the
-                    # same malformed-input policy as read_cdx's NULL
-                    # rows; the capture is unusable either way). The
-                    # catch is NARROW: only framing/decompress
-                    # corruption drops. The deliberate size guard
-                    # (MemberTooLargeError — e.g. a gzip bomb whose
-                    # record decompresses past the cap) and anything
-                    # unexpected still fail loudly with the documented
-                    # max_member_bytes guidance.
-                    try:
-                        recs = list(
-                            _parse_warc_bytes(bytes(raw), p, max_member_bytes)
-                        )
-                    except MemberTooLargeError:
-                        raise
-                    except (
-                        ValueError,      # WARC framing / header parse
-                        zlib.error,      # corrupt deflate stream
-                        gzip.BadGzipFile,  # not a gzip member
-                        EOFError,        # truncated member
-                        UnicodeDecodeError,
-                    ):
-                        if dropped is not None:
-                            dropped.add(1)
-                        continue
-                    for rec in recs:
-                        # record_idx is meaningless for a ranged fetch
-                        # (the index entry identifies ONE record); the
-                        # byte offset is the stable identity
-                        out_rows.append((p, int(off), *rec[2:]))
+                    handle.seek(run[0][0])
+                    buf = bytes(handle.read(total))
+                    pos = 0
+                    for off_k, ln_k in run:
+                        raw = buf[pos:pos + ln_k]
+                        pos += ln_k
+                        # a stale/corrupt index entry (wrong offset,
+                        # bit rot, truncated archive) yields bytes
+                        # that are not a gzip member or not
+                        # WARC-framed — DROP that record instead of
+                        # failing the task: one bad pointer must not
+                        # kill a crawl-sized fetch (the same
+                        # malformed-input policy as read_cdx's NULL
+                        # rows; the capture is unusable either way).
+                        # The catch is NARROW: only framing/decompress
+                        # corruption drops. The deliberate size guard
+                        # (MemberTooLargeError — e.g. a gzip bomb
+                        # whose record decompresses past the cap) and
+                        # anything unexpected still fail loudly with
+                        # the documented max_member_bytes guidance.
+                        try:
+                            recs = list(
+                                _parse_warc_bytes(raw, p, max_member_bytes)
+                            )
+                        except MemberTooLargeError:
+                            raise
+                        except (
+                            ValueError,      # WARC framing / header parse
+                            zlib.error,      # corrupt deflate stream
+                            gzip.BadGzipFile,  # not a gzip member
+                            EOFError,        # truncated member
+                            UnicodeDecodeError,
+                        ):
+                            if dropped is not None:
+                                dropped.add(1)
+                            continue
+                        for rec in recs:
+                            # record_idx is meaningless for a ranged
+                            # fetch (the index entry identifies ONE
+                            # record); the byte offset is the stable
+                            # identity
+                            out_rows.append((p, off_k, *rec[2:]))
+                    i = j
                     if len(out_rows) >= 2048:
                         yield pd.DataFrame(out_rows, columns=cols)
                         out_rows = []

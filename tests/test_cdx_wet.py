@@ -644,3 +644,40 @@ def test_http_503_throttle_retries_then_succeeds(tmp_path):
             g.read(4)
     finally:
         srv.shutdown()
+
+
+def test_fetch_coalesces_adjacent_ranges(spark, http_root):
+    """Selecting CONSECUTIVE records (the common host/time-slice
+    shape) must fetch them in ONE ranged GET per run — request count
+    drops, byte bill unchanged, records identical. coalesce_bytes=0
+    disables (one GET per record)."""
+    base, served, root = http_root
+    warc, idx = _build_archive(root, n=5)
+    cdx = read_cdx(spark, str(idx))
+    picked = cdx.filter(F.col("urlkey").isin(
+        "test,site1)/page", "test,site2)/page", "test,site3)/page"
+    ))
+    sel = {(r.offset, r.length) for r in picked.collect()}
+    total = sum(ln for _, ln in sel)
+
+    served.clear()
+    recs = fetch_cdx_records(spark, picked, warc_root=base).collect()
+    assert sorted(r.target_uri for r in recs) == [
+        f"https://site{i}.test/page" for i in (1, 2, 3)
+    ]
+    assert served == [total], (
+        f"3 adjacent records must coalesce into ONE GET of {total} "
+        f"bytes, served={served}"
+    )
+
+    served.clear()
+    recs2 = fetch_cdx_records(
+        spark, picked, warc_root=base, coalesce_bytes=0
+    ).collect()
+    assert sorted(r.target_uri for r in recs2) == sorted(
+        r.target_uri for r in recs
+    )
+    assert sorted(served) == sorted(ln for _, ln in sel)
+    # per-record identity (id hashes the record's OWN offset) is
+    # unchanged by coalescing
+    assert {r.doc_id for r in recs} == {r.doc_id for r in recs2}

@@ -611,3 +611,43 @@ def test_langid_noise_robustness(langid_parts, spark):
     noisy = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
     acc = langid.accuracy(langid.with_language(noisy, lm))
     assert acc >= 0.9, f"noisy-text accuracy {acc}"
+
+
+def test_y4m_roundtrip_property():
+    """Property: any (w, h, frames, fps, colorspace) round-trips
+    exactly through encode_y4m -> parse/n_frames/frame_luma."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cryo_spark.operators import y4mcodec as y
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 24),
+        n=st.integers(0, 6),
+        fps=st.tuples(st.integers(1, 60), st.integers(1, 2)),
+        cs=st.sampled_from(["mono", "420jpeg", "422", "444"]),
+        seed=st.integers(0, 2**31),
+    )
+    def check(w, h, n, fps, cs, seed):
+        import random
+
+        rng = random.Random(seed)
+        frames = [
+            bytes(rng.randrange(256) for _ in range(w * h))
+            for _ in range(n)
+        ]
+        data = y.encode_y4m(w, h, frames, fps=fps, colorspace=cs)
+        hdr = y.parse_header(data)
+        assert (hdr["width"], hdr["height"]) == (w, h)
+        assert (hdr["fps_num"], hdr["fps_den"]) == fps
+        assert y.n_frames(data) == n
+        for k, f in enumerate(frames):
+            assert y.frame_luma(data, k) == f
+        assert y.frame_luma(data, n) is None
+        # truncating the tail frame's bytes drops exactly that frame
+        if n:
+            assert y.n_frames(data[:-1]) == n - 1
+
+    check()
