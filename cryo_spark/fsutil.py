@@ -210,29 +210,44 @@ class _HttpStream:
     (chunked ``read(n)`` to EOF). Streaming the response body avoids
     buffering a crawl archive in memory."""
 
-    def __init__(self, url: str):
-        self._f = HttpRangeFile(url)
-        # one open-ended request; read the body incrementally
+    def __init__(self, url: str, status_retries: int = 3, backoff: float = 0.5):
         import http.client
+        import time
 
-        try:
-            self._f._conn = self._f._connect()
-            self._f._conn.request(
-                "GET", self._f._path, headers={"Range": "bytes=0-"}
-            )
-            self._resp = self._f._conn.getresponse()
-        except (http.client.RemoteDisconnected, ConnectionResetError):
-            self._f._close_conn()
-            self._f._conn = self._f._connect()
-            self._f._conn.request(
-                "GET", self._f._path, headers={"Range": "bytes=0-"}
-            )
-            self._resp = self._f._conn.getresponse()
-        if self._resp.status not in (200, 206):
+        self._f = HttpRangeFile(url)
+        # one open-ended request; read the body incrementally. Same
+        # 429/5xx retry policy as the ranged reads — whole-member WARC
+        # streaming hits the archive host's load shedding too.
+        attempts = 0
+        while True:
+            try:
+                if self._f._conn is None:
+                    self._f._conn = self._f._connect()
+                self._f._conn.request(
+                    "GET", self._f._path, headers={"Range": "bytes=0-"}
+                )
+                self._resp = self._f._conn.getresponse()
+            except (http.client.RemoteDisconnected, ConnectionResetError):
+                self._f._close_conn()
+                self._f._conn = self._f._connect()
+                self._f._conn.request(
+                    "GET", self._f._path, headers={"Range": "bytes=0-"}
+                )
+                self._resp = self._f._conn.getresponse()
+            if self._resp.status in (200, 206):
+                return
             body = self._resp.read(200)
+            if (
+                self._resp.status in HttpRangeFile.RETRY_STATUSES
+                and attempts < status_retries
+            ):
+                time.sleep(backoff * (2 ** attempts))
+                attempts += 1
+                continue
             raise OSError(
                 f"{url}: HTTP {self._resp.status} {self._resp.reason} "
                 f"{body[:200]!r}"
+                + (f" (after {attempts + 1} attempts)" if attempts else "")
             )
 
     def read(self, n: int = -1) -> bytes:
