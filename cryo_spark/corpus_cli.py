@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "4-language stopword vote as the stage-1 "
                         "verdict — required when --lang is outside "
                         "{en,de,fr,es}")
+    p.add_argument("--langid-min-prob", type=float, default=0.0,
+                   help="with --langid-model: drop docs whose "
+                        "predicted-language probability is below this "
+                        "floor (low-confidence = not the target "
+                        "language, the CCNet convention)")
     p.add_argument("--span-words", type=int, default=10)
     p.add_argument("--line-dedup", action="store_true")
     p.add_argument("--near-dup", action="store_true")
@@ -235,6 +240,9 @@ def run(args: argparse.Namespace) -> int:
         from cryo_spark.operators.langid import LangIdModel
 
         kw["langid_model"] = LangIdModel.load(args.langid_model)
+        kw["langid_min_prob"] = args.langid_min_prob
+    elif args.langid_min_prob:
+        raise ValueError("--langid-min-prob requires --langid-model")
     if args.update_index and not args.delta_index:
         raise ValueError("--update-index requires --delta-index")
     if args.compact_every and not args.delta_index:

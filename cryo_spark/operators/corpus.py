@@ -118,6 +118,7 @@ def _corpus_stages(
     quality_model=None,
     quality_threshold: float | None = None,
     langid_model=None,
+    langid_min_prob: float = 0.0,
     lm_keep_frac: float | None = None,
     lm_add_k: float = 0.5,
     url_col: str | None = None,
@@ -395,7 +396,20 @@ def _corpus_stages(
             prob_out="_lid_prob",
         )
         lang_guess = F.col("_lid_lang")
+        if langid_min_prob:
+            # confidence floor: docs the classifier is unsure about
+            # (code-switching, boilerplate soup, too-short text) are
+            # treated as not-the-target-language rather than kept on
+            # a coin-flip argmax — the CCNet operating convention
+            lang_guess = F.when(
+                F.col("_lid_prob") >= langid_min_prob, lang_guess
+            ).otherwise(F.lit("__low_confidence__"))
     else:
+        if langid_min_prob:
+            raise ValueError(
+                "langid_min_prob requires langid_model — the stopword "
+                "vote emits no probability"
+            )
         if lang not in text.STOPWORDS:
             raise ValueError(
                 f"lang={lang!r} is outside the stopword vote's "

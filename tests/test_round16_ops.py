@@ -651,3 +651,45 @@ def test_y4m_roundtrip_property():
             assert y.n_frames(data[:-1]) == n - 1
 
     check()
+
+
+def test_langid_min_prob_confidence_floor(langid_parts, spark):
+    """langid_min_prob drops low-confidence docs (a 50/50 ru+en mash)
+    that plain argmax would keep; clean docs survive the floor; the
+    floor without a model raises."""
+    from cryo_spark.operators import corpus, langid
+
+    _, _, lm = langid_parts
+    ru = " ".join(langid.LANG_SAMPLES["ru"])
+    en = " ".join(langid.LANG_SAMPLES["en"][:6])
+    docs = spark.createDataFrame(
+        [("clean", ru + " " + ru, "s"), ("mash", ru + " " + en, "s")],
+        ["doc_id", "text", "source"],
+    )
+    # the ru-leaning mash is still PREDICTED ru, but at visibly lower
+    # confidence than the clean doc — that margin is what the floor
+    # operates on
+    probs = {
+        r.doc_id: (r.lang_pred, r.lang_prob)
+        for r in langid.detect_language_learned(docs, lm).collect()
+    }
+    assert probs["clean"][0] == "ru" and probs["clean"][1] > 0.8
+    assert probs["mash"][0] == "ru"
+    assert probs["mash"][1] < probs["clean"][1] - 0.1
+    floor = (probs["mash"][1] + probs["clean"][1]) / 2
+
+    def kept(**kw):
+        out = corpus.prepare_training_corpus(
+            docs, min_quality=0.0, lang="ru", langid_model=lm, **kw
+        )
+        return {r.doc_id for r in out.select("doc_id").collect()}
+
+    no_floor = kept()
+    with_floor = kept(langid_min_prob=floor)
+    assert no_floor == {"clean", "mash"}  # argmax alone keeps the mash
+    assert with_floor == {"clean"}
+
+    with pytest.raises(ValueError, match="requires langid_model"):
+        corpus.prepare_training_corpus(
+            docs, min_quality=0.0, lang="en", langid_min_prob=0.5
+        )
