@@ -108,6 +108,12 @@ class HttpRangeFile:
                 if resp.status == 200:
                     return resp.read()
                 body = resp.read(200)
+                # the error body may be longer than the 200-byte peek;
+                # an unread remainder leaves the keep-alive connection
+                # mid-response and the NEXT request raises
+                # ResponseNotReady — drop the connection and let the
+                # retry (or the caller's next read) open a fresh one
+                self._close_conn()
                 if (
                     resp.status in self.RETRY_STATUSES
                     and status_attempts < self._status_retries
@@ -237,6 +243,7 @@ class _HttpStream:
             if self._resp.status in (200, 206):
                 return
             body = self._resp.read(200)
+            self._f._close_conn()  # same mid-response hazard as above
             if (
                 self._resp.status in HttpRangeFile.RETRY_STATUSES
                 and attempts < status_retries

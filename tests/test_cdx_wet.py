@@ -681,3 +681,54 @@ def test_fetch_coalesces_adjacent_ranges(spark, http_root):
     # per-record identity (id hashes the record's OWN offset) is
     # unchanged by coalescing
     assert {r.doc_id for r in recs} == {r.doc_id for r in recs2}
+
+
+def test_http_503_large_body_keepalive_retry(tmp_path):
+    """A 503 whose body outsizes the 200-byte error peek must not
+    poison the keep-alive connection (unread remainder -> the next
+    request raised ResponseNotReady before the fix): the error path
+    drops the connection and the retry succeeds on a fresh one."""
+    import http.server
+    import os
+    import threading
+
+    from cryo_spark.fsutil import HttpRangeFile
+
+    (tmp_path / "f.bin").write_bytes(bytes(range(256)))
+    fails = {"n": 2}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # keep-alive, no implicit close
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if fails["n"] > 0:
+                fails["n"] -= 1
+                body = b"x" * 5000
+                self.send_response(503)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            data = open(os.path.join(tmp_path, self.path.lstrip("/")), "rb").read()
+            spec = self.headers["Range"].split("=", 1)[1]
+            lo_s, hi_s = spec.split("-", 1)
+            lo, hi = int(lo_s), int(hi_s)
+            body = data[lo:hi + 1]
+            self.send_response(206)
+            self.send_header("Content-Range", f"bytes {lo}-{hi}/{len(data)}")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/f.bin"
+        f = HttpRangeFile(url, backoff=0.01)
+        f.seek(10)
+        assert f.read(5) == bytes(range(10, 15))
+    finally:
+        srv.shutdown()
