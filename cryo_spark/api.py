@@ -788,6 +788,10 @@ def main(argv: list[str] | None = None) -> int:
         from cryo_spark import corpus_cli
 
         return corpus_cli.main(argv[1:])
+    if argv and argv[0] == "langid-train":
+        from cryo_spark import corpus_cli
+
+        return corpus_cli.langid_train_main(argv[1:])
 
     args = p.parse_args(argv)
 

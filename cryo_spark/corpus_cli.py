@@ -788,3 +788,85 @@ def main(argv: list[str] | None = None) -> int:
     except (ValueError, FileNotFoundError) as exc:
         print(f"error: {exc}", file=sys.stderr)
         return 2
+
+
+def langid_train_main(argv: list[str] | None = None) -> int:
+    """`cryo_spark langid-train`: fit + save a learned language-ID
+    model from a labeled parquet (text, lang columns), report held-out
+    accuracy, and fail the run when it misses the gate — the CLI
+    counterpart of `--langid-model`, so a pipeline owner never writes
+    Python to stand the lang stratum up. With no --input, trains on
+    the built-in 28-language planted fixture (a smoke/demo model —
+    real deployments should train on real labeled text)."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="cryo_spark langid-train",
+        description="train + save a char-n-gram language-ID model",
+    )
+    p.add_argument("--input", default=None,
+                   help="labeled parquet with text/lang columns "
+                        "(default: the built-in 28-language fixture)")
+    p.add_argument("--output", required=True,
+                   help="model directory (load with --langid-model)")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--lang-col", default="lang")
+    p.add_argument("--n-features", type=int, default=1 << 15)
+    p.add_argument("--holdout-frac", type=float, default=0.25)
+    p.add_argument("--min-accuracy", type=float, default=0.95,
+                   help="fail (rc 2) when held-out accuracy misses "
+                        "this gate — a bad model must not ship")
+    p.add_argument("--id-col", default=None,
+                   help="id column for the deterministic train/holdout "
+                        "hash split (default: a row hash of the text)")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from cryo_spark import get_spark
+    from cryo_spark.operators import langid
+    from cryo_spark.operators.sampling import _bucket, _threshold
+
+    try:
+        spark = get_spark(app_name="langid_train")
+        if args.input:
+            labeled = spark.read.parquet(args.input).select(
+                F.col(args.text_col).alias("text"),
+                F.col(args.lang_col).alias("lang"),
+                *( [F.col(args.id_col).alias("__sid")]
+                   if args.id_col else [] ),
+            )
+            if not args.id_col:
+                labeled = labeled.withColumn("__sid", F.md5(F.col("text")))
+        else:
+            labeled = langid.multilingual_fixture(spark).withColumnRenamed(
+                "doc_id", "__sid"
+            )
+        hold = _bucket("__sid", "lidcli") < F.lit(
+            _threshold(args.holdout_frac)
+        )
+        train, test = labeled.filter(~hold), labeled.filter(hold)
+        lm = langid.train_langid(train, n_features=args.n_features)
+        acc = langid.accuracy(langid.with_language(test, lm))
+        report = {
+            "languages": lm.labels,
+            "n_languages": len(lm.labels),
+            "holdout_accuracy": round(acc, 4),
+            "n_features": lm.n_features,
+        }
+        if not acc >= args.min_accuracy:  # NaN-safe: NaN fails too
+            print(json.dumps(report))
+            print(
+                f"error: held-out accuracy {acc:.4f} misses the "
+                f"--min-accuracy {args.min_accuracy} gate — model NOT "
+                "saved",
+                file=sys.stderr,
+            )
+            return 2
+        lm.save(args.output)
+        report["model"] = args.output
+        print(json.dumps(report))
+        return 0
+    except (ValueError, FileNotFoundError) as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2

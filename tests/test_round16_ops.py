@@ -693,3 +693,35 @@ def test_langid_min_prob_confidence_floor(langid_parts, spark):
         corpus.prepare_training_corpus(
             docs, min_quality=0.0, lang="en", langid_min_prob=0.5
         )
+
+
+def test_langid_train_cli(spark, tmp_path, capsys):
+    """`cryo_spark langid-train`: fixture-trained model saves with an
+    accuracy report; the saved model loads and predicts; a too-strict
+    gate fails with rc 2 and saves nothing."""
+    import json as _json
+
+    from cryo_spark.api import main
+    from cryo_spark.operators import langid
+
+    out = tmp_path / "model"
+    rc = main(["langid-train", "--output", str(out)])
+    captured = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    rep = _json.loads(captured)
+    assert rep["n_languages"] == 28 and rep["holdout_accuracy"] >= 0.95
+    lm = langid.LangIdModel.load(str(out))
+    pred = langid.detect_language_learned(
+        spark.createDataFrame(
+            [("x", " ".join(langid.LANG_SAMPLES["el"][:12]))],
+            ["doc_id", "text"],
+        ),
+        lm,
+    ).first()
+    assert pred.lang_pred == "el"
+
+    rc = main(["langid-train", "--output", str(tmp_path / "nope"),
+               "--min-accuracy", "1.01"])
+    assert rc == 2
+    assert not (tmp_path / "nope").exists()
+    capsys.readouterr()
