@@ -61,6 +61,40 @@ def main() -> None:
     lm = langid.train_langid(langid.multilingual_fixture(spark))
     print(f"train (28 langs, 2240 docs): {time.time() - t0:.1f}s")
 
+    # ---- REAL-TEXT receipt (round 17): the production-default model
+    # (real train sentences + fixture augmentation) evaluated on real
+    # held-out sentences the training never saw — per-language
+    # accuracy + every confusion pair, for SCALE.md
+    t0 = time.time()
+    rt_train = langid.real_text_corpus(spark, "train").select(
+        "text", "lang"
+    ).unionByName(
+        langid.multilingual_fixture(spark).select("text", "lang")
+    )
+    lm_rt = langid.train_langid(rt_train)
+    held = langid.real_text_corpus(spark, "heldout")
+    pred = langid.with_language(held, lm_rt)
+    rt_acc = langid.accuracy(pred)
+    print(
+        f"REAL-TEXT heldout (28 langs x 8 sentences, incl. UDHR "
+        f"anchor): accuracy {rt_acc:.4f}  "
+        f"(train+eval {time.time() - t0:.1f}s)"
+    )
+    per = langid.per_language_accuracy(pred).collect()
+    low = [(r.lang, round(r.accuracy, 3)) for r in per if r.accuracy < 1.0]
+    print(f"  languages below 1.00: {low or 'none'}")
+    conf = langid.confusion_matrix(pred).filter(
+        "lang != lang_pred"
+    ).collect()
+    print(
+        "  confusions:",
+        [(r.lang, r.lang_pred, r.n) for r in conf] or "none",
+    )
+    # real-only (no augmentation) — the harder receipt
+    lm_ro = langid.train_langid(langid.real_text_corpus(spark, "train"))
+    ro_acc = langid.accuracy(langid.with_language(held, lm_ro))
+    print(f"  real-only training (16 sentences/lang): accuracy {ro_acc:.4f}")
+
     docs = synth_multilingual(spark, n).repartition(32).persist()
     docs.count()
     t0 = time.time()
@@ -71,6 +105,34 @@ def main() -> None:
         f"score {n:,} docs: {dt:.1f}s  {n / dt:,.0f} docs/s  "
         f"accuracy vs planted labels {acc:.4f}"
     )
+    # ---- max_chars receipt (round 17): long-doc outliers pay
+    # unbounded gram fan-out without the cap. Repeat each doc's text
+    # ~100x (≈10-20 KB docs) and score capped vs uncapped.
+    from pyspark.sql import functions as F
+
+    n_long = max(n // 10, 1000)
+    long_docs = (
+        synth_multilingual(spark, n_long)
+        .withColumn(
+            "text",
+            F.concat_ws(" ", F.array_repeat(F.col("text"), 100)),
+        )
+        .repartition(32)
+        .persist()
+    )
+    long_docs.count()
+    for cap in (None, 1000):
+        t0 = time.time()
+        acc_l = langid.accuracy(
+            langid.with_language(long_docs, lm, max_chars=cap)
+        )
+        dt = time.time() - t0
+        print(
+            f"score {n_long:,} LONG docs (~15KB) max_chars={cap}: "
+            f"{dt:.1f}s  {n_long / dt:,.0f} docs/s  accuracy {acc_l:.4f}"
+        )
+    long_docs.unpersist()
+
     # plan check on a frame WITHOUT this tool's own repartition —
     # the scorer itself must add no Exchange (unit-test pin mirrored)
     plain = synth_multilingual(spark, 1000)
