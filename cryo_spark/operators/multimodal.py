@@ -842,25 +842,39 @@ def y4m_sampler(interval_ms: int = 1000) -> Callable[[bytes, int], bytes]:
     past the last frame. MUST be constructed with the SAME
     ``interval_ms`` passed to sample_frames/video_near_dups (use
     :func:`y4m_video_near_dups`, which wires both) — a mismatch
-    silently samples wrong timestamps."""
+    silently samples wrong timestamps.
+
+    The header parse + frame-offset index is computed ONCE per payload
+    and reused across sample ordinals (identity-keyed closure cache —
+    sample_frames materializes each record's payload once and calls
+    the sampler with that same object): per-record work drops from
+    O(frames x samples) stream rescans to one walk + per-sample
+    slices (r16 advisor finding)."""
     import struct
 
     from cryo_spark.operators import y4mcodec
 
+    state: dict = {"pl": None, "hdr": None, "offs": None}
+
     def sample(payload: bytes, index: int) -> bytes | None:
         if payload is None or not y4mcodec.is_y4m(payload):
             return None
-        hdr = y4mcodec.parse_header(payload)
+        if state["pl"] is not payload:
+            state["pl"] = payload
+            state["hdr"] = y4mcodec.parse_header(payload)
+            state["offs"] = y4mcodec.frame_offsets(payload)
+        hdr, offs = state["hdr"], state["offs"]
         frame_no = (
             index * interval_ms * hdr["fps_num"]
         ) // (1000 * hdr["fps_den"])
-        y = y4mcodec.frame_luma(payload, frame_no)
-        if y is None:
+        if frame_no < 0 or frame_no >= len(offs):
             return None
+        luma = hdr["width"] * hdr["height"]
+        start = offs[frame_no]
         return (
             _Y4MF_MAGIC
             + struct.pack(">II", hdr["width"], hdr["height"])
-            + y
+            + bytes(payload[start:start + luma])
         )
 
     return sample
@@ -921,26 +935,72 @@ def y4m_video_near_dups(
 # multipart-x-mixed-replace / AVI-MJPG payload shape). Frames decode
 # through the VENDORED JPEG codec, so this is the COMPRESSED real
 # video route with zero external decode stack (Y4M covers the raw
-# route). Marker scanning is sound for baseline JPEG: inside entropy-
-# coded segments every 0xFF is stuffed (0xFF00) or an RSTn marker, so
-# a literal 0xFFD9 can only BE the EOI marker.
+# route). Frame spans come from a real SEGMENT WALK, not a naive
+# find(FFD9): inside entropy-coded data every 0xFF is stuffed (0xFF00)
+# or an RSTn marker, but APPn/COM segments carry arbitrary bytes — an
+# embedded EXIF/JFIF thumbnail has its OWN EOI, which a naive scan
+# would take for the frame's end and misalign every later frame index
+# (r16 advisor finding). The walk skips every length-delimited segment
+# wholesale, so payload bytes are never mistaken for markers.
 
 
 def mjpeg_frame_offsets(data: bytes) -> list[tuple[int, int]]:
     """(offset, length) of each JPEG frame in a raw MJPEG stream —
-    SOI..EOI spans; inter-frame padding is skipped."""
+    SOI..EOI spans found by walking the JPEG marker structure;
+    inter-frame padding is skipped. Robust to EXIF/JFIF thumbnails
+    (an EOI inside an APPn segment is payload, not a frame end)."""
     offs: list[tuple[int, int]] = []
-    pos = 0
     data = bytes(data)
+    n = len(data)
+    pos = 0
     while True:
         soi = data.find(b"\xff\xd8\xff", pos)
         if soi < 0:
             break
-        eoi = data.find(b"\xff\xd9", soi + 3)
-        if eoi < 0:
+        p = soi + 2
+        end = None
+        while p + 1 < n:
+            if data[p] != 0xFF:
+                break  # lost sync — malformed stream, stop this frame
+            m = data[p + 1]
+            if m == 0xFF:  # fill byte before a marker
+                p += 1
+                continue
+            if m == 0xD9:  # EOI at TOP level — the real frame end
+                end = p + 2
+                break
+            if m == 0xD8 or m == 0x01 or 0xD0 <= m <= 0xD7:
+                # standalone markers (TEM/RSTn; a nested SOI would be
+                # malformed but is standalone too) — no length field
+                p += 2
+                continue
+            if p + 3 >= n:
+                break
+            seglen = (data[p + 2] << 8) | data[p + 3]
+            if seglen < 2:
+                break
+            if m == 0xDA:
+                # SOS: skip its header, then scan the entropy-coded
+                # data where 0xFF is always stuffed (FF00) or RSTn
+                q = p + 2 + seglen
+                while q + 1 < n:
+                    if data[q] == 0xFF:
+                        b = data[q + 1]
+                        if b == 0x00 or b == 0xFF or 0xD0 <= b <= 0xD7:
+                            q += 2 if b != 0xFF else 1
+                            continue
+                        break  # a real marker (EOI, next SOS, ...)
+                    q += 1
+                p = q
+                continue
+            # every other segment (APPn, COM, DQT, DHT, SOFn, DRI,
+            # ...) is length-delimited — skip its payload wholesale,
+            # so an embedded thumbnail's EOI is never seen
+            p += 2 + seglen
+        if end is None:
             break
-        offs.append((soi, eoi + 2 - soi))
-        pos = eoi + 2
+        offs.append((soi, end - soi))
+        pos = end
     return offs
 
 
@@ -958,18 +1018,25 @@ def mjpeg_sampler(
     if fps <= 0:
         raise ValueError(f"fps must be > 0, got {fps}")
 
+    state: dict = {"pl": None, "offs": None}
+
     def sample(payload: bytes, index: int) -> bytes | None:
         if payload is None:
             return None
-        payload = bytes(payload)
-        if payload[:3] != b"\xff\xd8\xff":
+        if bytes(payload[:3]) != b"\xff\xd8\xff":
             return None
+        # offsets indexed ONCE per payload, reused across ordinals
+        # (identity-keyed — sample_frames passes the same object for
+        # every ordinal of a record); was O(frames x samples)
+        if state["pl"] is not payload:
+            state["pl"] = payload
+            state["offs"] = mjpeg_frame_offsets(payload)
+        offs = state["offs"]
         frame_no = int(index * interval_ms * fps) // 1000
-        offs = mjpeg_frame_offsets(payload)
         if frame_no >= len(offs):
             return None
         off, ln = offs[frame_no]
-        return payload[off:off + ln]
+        return bytes(payload[off:off + ln])
 
     return sample
 
@@ -997,6 +1064,88 @@ def mjpeg_video_near_dups(
         interval_ms=interval_ms,
         max_frames=max_frames,
         hasher=lambda p: real_dhash(p, decoder=d),
+        kind="video",
+    )
+
+
+def probe_video_container(payload: bytes | None) -> str | None:
+    """'y4m' | 'mjpeg' | None by magic bytes (YUV4MPEG2 signature /
+    JPEG SOI) — the dispatch a mixed-container corpus needs."""
+    from cryo_spark.operators import y4mcodec
+
+    if payload is None:
+        return None
+    if y4mcodec.is_y4m(payload):
+        return "y4m"
+    if bytes(payload[:3]) == b"\xff\xd8\xff":
+        return "mjpeg"
+    return None
+
+
+def auto_video_sampler(
+    mjpeg_fps: float, interval_ms: int = 1000
+) -> Callable[[bytes, int], bytes]:
+    """Container-probing frame sampler: Y4M payloads route to
+    :func:`y4m_sampler` (time base from the container's own F rate),
+    raw MJPEG to :func:`mjpeg_sampler` (caller-supplied fps — MJPEG
+    carries no timing), anything else samples nothing."""
+    y = y4m_sampler(interval_ms)
+    m = mjpeg_sampler(mjpeg_fps, interval_ms)
+
+    def sample(payload: bytes, index: int) -> bytes | None:
+        c = probe_video_container(payload)
+        if c == "y4m":
+            return y(payload, index)
+        if c == "mjpeg":
+            return m(payload, index)
+        return None
+
+    return sample
+
+
+def auto_frame_hasher(decoder: str = "vendored") -> Callable:
+    """Frame hasher matching :func:`auto_video_sampler`'s output:
+    packed ``Y4MF`` luma frames hash via :func:`y4m_frame_dhash`,
+    JPEG frames via :func:`real_dhash` — the SAME 9x8 box-resize +
+    bit rule either way, so both containers land in one comparable
+    dHash space. ``decoder`` is resolved once here on the driver."""
+    d = resolve_decoder(decoder)
+
+    def hasher(frame: bytes | None) -> int | None:
+        if frame is None:
+            return None
+        fb = bytes(frame)
+        if fb[:4] == _Y4MF_MAGIC:
+            return y4m_frame_dhash(fb)
+        return real_dhash(fb, decoder=d)
+
+    return hasher
+
+
+def video_near_dups_auto(
+    media: DataFrame,
+    mjpeg_fps: float,
+    min_overlap: float = 0.5,
+    max_hamming: int = 7,
+    interval_ms: int = 1000,
+    max_frames: int = 32,
+    decoder: str = "vendored",
+) -> DataFrame:
+    """:func:`video_near_dups` over a MIXED Y4M + raw-MJPEG corpus —
+    one call, per-payload container probe (r16 judge task: the two
+    vendored routes were separate entry points, so a heterogeneous
+    video column forced a pre-partition by container). Trimmed clones
+    pair within each container family; because both hashers share the
+    dHash kernel, an uncompressed Y4M re-render of an MJPEG clip can
+    also pair cross-container when the pixels survive compression."""
+    return video_near_dups(
+        media,
+        min_overlap=min_overlap,
+        max_hamming=max_hamming,
+        sampler=auto_video_sampler(mjpeg_fps, interval_ms),
+        interval_ms=interval_ms,
+        max_frames=max_frames,
+        hasher=auto_frame_hasher(decoder),
         kind="video",
     )
 

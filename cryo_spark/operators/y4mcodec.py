@@ -99,6 +99,29 @@ def n_frames(data: bytes) -> int:
     return n
 
 
+def frame_offsets(data: bytes) -> list[int]:
+    """Absolute offset of each frame's LUMA plane (the byte after the
+    FRAME header's newline) — ONE sequential walk. For samplers that
+    index many ordinals into the same payload: per-ordinal
+    :func:`frame_luma` walks from the start each time (O(frames) per
+    call), so a 32-sample pass over one clip would scan the stream 32
+    times; an offsets index makes every later lookup a slice."""
+    hdr = parse_header(data)
+    fb = _frame_bytes(hdr)
+    pos = hdr["offset"]
+    ln = len(data)
+    out: list[int] = []
+    while pos < ln:
+        nl = data.find(b"\n", pos)
+        if nl < 0 or bytes(data[pos:pos + 5]) != b"FRAME":
+            break
+        if nl + 1 + fb > ln:
+            break  # truncated tail frame
+        out.append(nl + 1)
+        pos = nl + 1 + fb
+    return out
+
+
 def frame_luma(data: bytes, frame_no: int) -> bytes | None:
     """The luma plane of frame ``frame_no`` (raster order, one byte
     per pixel), or None past the end. Sequential marker walk — frame
