@@ -770,6 +770,13 @@ def main() -> None:
         "metric": "cryo_spark headline suite wall-clock",
         "value": total,
         "unit": "sec",
+        # every per-query figure is a MIN over repeated back-to-back
+        # executions (3x headline via bench_one, 2x for the
+        # write/ingest paths), never single-shot — stated on the
+        # record so a reader of the driver snapshot knows a 5 s
+        # freeze_3_datasets was the best of its window, not one
+        # unlucky draw (r16 judge task #3)
+        "timing": "min-of-3 headline / min-of-2 write+ingest",
         "queries": times,
         "rows": rows,
         "plans": plans,
@@ -798,6 +805,7 @@ def main() -> None:
         "metric": full["metric"],
         "value": total,
         "unit": "sec",
+        "timing": full["timing"],
         "queries": times,
         # per-query probe-unit ratios ON the contract line (round 16):
         # a judge clears a false regression (host noise) from the
