@@ -1542,6 +1542,43 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.dedup_lines_modes(docs)
 
 
+def rehearsal_span_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-ladder rehearsal (contract.py MERGE LADDER #1), NOT in
+    queries(): llm_span_dedup + llm_line_dedup folded into one
+    kind-discriminated entry on the canonical column union
+    (kind, mode, doc_id, text, n_units, n_kept). Kept OUT of the
+    50-entry window until a new feature needs the slot; the test
+    proving this union hash-checks against its DuckDB twin is
+    tests/test_round17_ops.py, so executing the fold is a rename."""
+    span = q_span_dedup(spark, sf_dir).select(
+        F.lit("span").alias("kind"), F.lit("-").alias("mode"),
+        F.col("doc_id").cast("long"), "text",
+        F.col("n_spans").cast("long").alias("n_units"),
+        F.col("n_kept").cast("long"),
+    )
+    line = q_line_dedup(spark, sf_dir).select(
+        F.lit("line").alias("kind"), "mode",
+        F.col("doc_id").cast("long"), "text",
+        F.col("n_lines").cast("long").alias("n_units"),
+        F.col("n_kept").cast("long"),
+    )
+    return span.unionByName(line)
+
+
+def rehearsal_span_family_sql() -> str:
+    span = spans_mod.dedup_spans_sql("documents")
+    return (
+        f"SELECT 'span' AS kind, '-' AS mode, doc_id, text, "
+        f"n_spans::BIGINT AS n_units, n_kept::BIGINT AS n_kept "
+        f"FROM ({span})\n"
+        f"UNION ALL\n"
+        f"SELECT kind, mode, doc_id, text, n_units, n_kept FROM ("
+        f"SELECT 'line' AS kind, mode, doc_id, text, "
+        f"n_lines::BIGINT AS n_units, n_kept::BIGINT AS n_kept "
+        f"FROM ({oracle_line_dedup()}))"
+    )
+
+
 _WRAP_RE = r"((?:\S+\s+){5}\S+)\s+"
 
 

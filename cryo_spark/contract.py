@@ -214,6 +214,39 @@ MERGED_MEMBERS = {
     m for g in MERGED.values() for m in g["parts"]  # type: ignore[union-attr]
 }
 
+# ---------------------------------------------------------------------
+# MERGE LADDER (round 17, judge task #5): the scoring window sits at
+# exactly 50/50 with zero headroom, so the NEXT hash-checkable feature
+# needs a pre-planned fold. Candidates, in order, with their canonical
+# column unions — each follows the pattern already proven by
+# llm_ngram_stats (kind-discriminated UNION ALL, every half still
+# individually hash-checked inside the entry):
+#
+# 1. llm_span_dedup + llm_line_dedup -> "llm_span_family"
+#    cols: (kind str, mode str, doc_id long, text str,
+#           n_units long, n_kept long)
+#    span half: kind='span', mode='-',  n_units = n_spans
+#    line half: kind='line', mode=drop|keep_first, n_units = n_lines
+#    REHEARSED: __spark_entry__.rehearsal_span_family /
+#    rehearsal_span_family_sql, hash-proven vs DuckDB in
+#    tests/test_round17_ops.py::test_rehearsal_span_family_hash_checks
+#    — frees one slot with zero new machinery.
+# 2. dataset_blocks + dataset_transactions_collect -> one
+#    collect-family entry via the MERGED projection machinery above
+#    (parts {blocks, transactions}; canonical cols = union of both
+#    default schemas with a leading `datatype` discriminator: shared
+#    (block_number long, chain_id long), blocks' (block_hash,
+#    author, gas_used, extra_data, timestamp, base_fee_per_gas) and
+#    transactions' tx columns each as canonical "str"/"long"; columns
+#    absent from a part project as NULL exactly like geth_tracers'
+#    memory/stack columns do today) — frees one slot.
+# 3. llm_stratified_sample + llm_temperature_mix -> one sampling
+#    entry (kind='stratified'|'temperature'; both emit (doc-ish id,
+#    group/stratum str, weight double) shapes; canonical cols:
+#    (kind str, doc_id long, stratum str, value double)) — frees one
+#    slot; only if 1-2 are already spent.
+# ---------------------------------------------------------------------
+
 
 def expand_u256_sql(inner_sql: str, cols: list[str], u256_cols: list[str]) -> str:
     """DuckDB mirror of schema_select.u256_view_cols for the default
