@@ -300,55 +300,126 @@ class _HttpStream:
     """Sequential-read adapter over one open-ended ranged GET — the
     ``open_input_stream`` shape the WARC member streamer drives
     (chunked ``read(n)`` to EOF). Streaming the response body avoids
-    buffering a crawl archive in memory."""
+    buffering a crawl archive in memory.
+
+    A socket that dies MID-STREAM resumes transparently (round 17):
+    the adapter tracks bytes delivered and re-opens with
+    ``Range: bytes=<delivered>-``, salvaging any partial chunk — on a
+    multi-GB archive stream, hour-scale transfers losing the whole
+    task to one keep-alive drop is the difference between a flaky
+    ingest and a reliable one. Resume requires the server to honor
+    Range (a 200 answer to the resume request raises rather than
+    silently restarting the body). Zero-progress resumes are bounded;
+    any forward progress resets the allowance."""
 
     def __init__(self, url: str, status_retries: int = 3, backoff: float = 0.5):
+        self._url = url
+        self._status_retries = status_retries
+        self._backoff = backoff
+        self._f = HttpRangeFile(url)
+        self._read_total = 0
+        self._stalls = 0
+        self._resp = self._open(0)
+
+    def _open(self, offset: int):
+        """One open-ended ranged GET from ``offset``, under the same
+        429/5xx + transport-fault retry policy as the ranged reads —
+        whole-member WARC streaming hits load shedding too."""
         import http.client
         import time
 
-        self._f = HttpRangeFile(url)
-        # one open-ended request; read the body incrementally. Same
-        # 429/5xx retry policy as the ranged reads — whole-member WARC
-        # streaming hits the archive host's load shedding too.
         attempts = 0
+        conn_attempts = 0
+        headers = {"Range": f"bytes={offset}-"}
         while True:
             try:
                 if self._f._conn is None:
                     self._f._conn = self._f._connect()
-                self._f._conn.request(
-                    "GET", self._f._path, headers={"Range": "bytes=0-"}
-                )
-                self._resp = self._f._conn.getresponse()
+                self._f._conn.request("GET", self._f._path, headers=headers)
+                resp = self._f._conn.getresponse()
             except (
                 http.client.HTTPException,
                 ConnectionResetError,
                 BrokenPipeError,
             ):
                 self._f._close_conn()
-                self._f._conn = self._f._connect()
-                self._f._conn.request(
-                    "GET", self._f._path, headers={"Range": "bytes=0-"}
+                conn_attempts += 1
+                if conn_attempts > 2:
+                    raise
+                continue
+            if resp.status == 206 or (resp.status == 200 and offset == 0):
+                return resp
+            if resp.status == 200:
+                # resume needs Range honored — restarting the body
+                # from 0 would silently corrupt the caller's stream
+                resp.close()
+                raise OSError(
+                    f"{self._url}: server ignored the resume Range "
+                    f"(HTTP 200 for bytes={offset}-) — cannot resume "
+                    "a mid-stream drop without Range support"
                 )
-                self._resp = self._f._conn.getresponse()
-            if self._resp.status in (200, 206):
-                return
-            body = self._resp.read(200)
+            body = resp.read(200)
             self._f._close_conn()  # same mid-response hazard as above
             if (
-                self._resp.status in HttpRangeFile.RETRY_STATUSES
-                and attempts < status_retries
+                resp.status in HttpRangeFile.RETRY_STATUSES
+                and attempts < self._status_retries
             ):
-                time.sleep(backoff * (2 ** attempts))
+                time.sleep(self._backoff * (2 ** attempts))
                 attempts += 1
                 continue
             raise OSError(
-                f"{url}: HTTP {self._resp.status} {self._resp.reason} "
+                f"{self._url}: HTTP {resp.status} {resp.reason} "
                 f"{body[:200]!r}"
                 + (f" (after {attempts + 1} attempts)" if attempts else "")
             )
 
     def read(self, n: int = -1) -> bytes:
-        return self._resp.read(n)
+        import http.client
+
+        while True:
+            try:
+                data = self._resp.read(n)
+                if not data:
+                    # http.client's BOUNDED read returns b'' on a
+                    # premature close instead of raising — tell true
+                    # EOF from a mid-stream drop by the response's own
+                    # remaining-length accounting (None = chunked/EOF
+                    # framing, where IncompleteRead fires instead)
+                    remaining = getattr(self._resp, "length", None)
+                    if remaining not in (None, 0):
+                        self._stalls += 1
+                        if self._stalls > 3:
+                            raise OSError(
+                                f"{self._url}: stream died at byte "
+                                f"{self._read_total} with no progress "
+                                "across 4 resume attempts"
+                            )
+                        self._f._close_conn()
+                        self._resp = self._open(self._read_total)
+                        continue
+                    return b""
+                self._read_total += len(data)
+                self._stalls = 0
+                return data
+            except (
+                http.client.IncompleteRead,
+                ConnectionResetError,
+            ) as exc:
+                partial = getattr(exc, "partial", b"") or b""
+                self._read_total += len(partial)
+                self._stalls = 0 if partial else self._stalls + 1
+                if self._stalls > 3:
+                    raise OSError(
+                        f"{self._url}: stream died at byte "
+                        f"{self._read_total} with no progress across "
+                        "4 resume attempts"
+                    ) from exc
+                self._f._close_conn()
+                self._resp = self._open(self._read_total)
+                if partial:
+                    # hand the salvaged bytes up now; the next read
+                    # continues seamlessly from the resumed response
+                    return partial
 
     def close(self) -> None:
         try:

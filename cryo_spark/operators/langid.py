@@ -150,10 +150,22 @@ def char_grams(
     ``max_chars`` caps the text BEFORE gram extraction (the CCNet
     convention scores roughly the first 1,000 chars): per-doc gram
     fan-out is otherwise unbounded, so a 100 KB outlier doc pays
-    ~300k grams for a prediction the first kilobyte already
+    ~500k grams for a prediction the first kilobyte already
     determines. Language is stationary within a doc for the common
     case, so predictions on docs shorter than the cap are IDENTICAL
-    (pinned in tests) and long-doc throughput improves."""
+    (pinned in tests) and long-doc throughput improves.
+
+    Linearity (round 17): the grams come from the doc's CHAR ARRAY
+    bound as a higher-order-function lambda VARIABLE — the array()
+    wrapper + outer transform() exists so ``split(norm, '')``
+    evaluates ONCE per row and every slice references the bound
+    variable. The obvious spelling (``norm.substr(i, n)`` inside the
+    transform lambda) re-evaluates the WHOLE normalization chain per
+    element — codegen does not common-subexpression-eliminate across
+    a lambda boundary — and UTF8String.substr walks bytes to the char
+    index, so one 33 KB doc measured 224 s; the bound-array spelling
+    is linear in doc length (same doc ~0.1 s, gram lists bit-equal
+    across Latin/CJK/RTL/emoji, pinned in tests)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     if max_chars is not None:
         if max_chars < 1:
@@ -165,24 +177,29 @@ def char_grams(
                          r"[ \t\n\x0b\f\r]+", " "),
         F.lit(" "),
     )
-    # bind n via a factory, NOT a `lambda i, n=n:` default arg —
-    # F.transform dispatches on the lambda's ARITY, so a two-parameter
-    # lambda receives (element, 0-based index) and the default is
-    # silently overwritten by the index (observed: every gram k came
-    # out k-1 chars long)
-    def gram_at(n: int):
-        return lambda i: norm.substr(i, F.lit(n))
+    chars = F.split(norm, "")
 
-    parts = []
-    for n in ns:
-        last = F.length(norm) - F.lit(n) + 1
-        # guard the short-text case explicitly: Spark's sequence(1, 0)
-        # is DESCENDING ([1, 0]), not empty
-        idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
-            F.array().cast("array<int>")
-        )
-        parts.append(F.transform(idx, gram_at(n)))
-    return F.concat(*parts) if len(parts) > 1 else parts[0]
+    def grams_over(ch):
+        # bind n via a factory, NOT a `lambda i, n=n:` default arg —
+        # F.transform dispatches on the lambda's ARITY, so a
+        # two-parameter lambda receives (element, 0-based index) and
+        # the default is silently overwritten by the index (observed:
+        # every gram k came out k-1 chars long)
+        def gram_at(n: int):
+            return lambda i: F.array_join(F.slice(ch, i, n), "")
+
+        parts = []
+        for n in ns:
+            last = F.size(ch) - F.lit(n) + 1
+            # guard the short-text case explicitly: Spark's
+            # sequence(1, 0) is DESCENDING ([1, 0]), not empty
+            idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+                F.array().cast("array<int>")
+            )
+            parts.append(F.transform(idx, gram_at(n)))
+        return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+    return F.flatten(F.transform(F.array(chars), grams_over))
 
 
 def featurize_chars(

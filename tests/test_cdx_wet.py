@@ -944,3 +944,81 @@ def test_http_incomplete_read_mid_body_retries(tmp_path):
         assert f.read(10) == bytes(range(20, 30))
     finally:
         srv.shutdown()
+
+
+def test_http_stream_resumes_mid_body_drop(tmp_path):
+    """A multi-GB archive stream must survive a keep-alive drop
+    MID-BODY: the adapter resumes with Range from the delivered byte
+    count, salvaging the partial chunk — the drained bytes are
+    identical to the file. A server that answers 200 to the resume
+    request (no Range support) raises instead of silently restarting
+    the body."""
+    import http.server
+    import os
+    import threading
+
+    from cryo_spark.fsutil import _HttpStream
+
+    data = bytes(range(256)) * 200  # 51,200 bytes
+    (tmp_path / "big.bin").write_bytes(data)
+    state = {"drops": 1, "honor_range": True}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            p = os.path.join(tmp_path, self.path.lstrip("/"))
+            full = open(p, "rb").read()
+            rng = self.headers.get("Range")
+            if rng and state["honor_range"]:
+                lo = int(rng.split("=", 1)[1].split("-", 1)[0])
+                body = full[lo:]
+                self.send_response(206)
+                self.send_header(
+                    "Content-Range",
+                    f"bytes {lo}-{len(full) - 1}/{len(full)}",
+                )
+            else:
+                body = full
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if state["drops"] > 0:
+                state["drops"] -= 1
+                # deliver 1/3 then kill the socket mid-body (shutdown
+                # actually sends the FIN; close() alone leaves the fd
+                # open through the handler's rfile/wfile references)
+                import socket as _socket
+
+                self.wfile.write(body[: len(body) // 3])
+                self.wfile.flush()
+                self.connection.shutdown(_socket.SHUT_RDWR)
+                self.close_connection = True
+                return
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/big.bin"
+        with _HttpStream(url) as s:
+            got = b""
+            while True:
+                chunk = s.read(4096)
+                if not chunk:
+                    break
+                got += chunk
+        assert got == data  # byte-identical across the resume
+
+        # resume refused when the server ignores Range
+        state["drops"] = 1
+        state["honor_range"] = False
+        s2 = _HttpStream(url)
+        with pytest.raises(OSError, match="cannot resume"):
+            while s2.read(4096):
+                pass
+    finally:
+        srv.shutdown()

@@ -40,9 +40,9 @@ def build_archive(root: str, files: int, records: int) -> str:
         for r in range(records):
             i = fidx * records + r
             host = f"host{i % 8}.stress"
-            # 30..300 paragraphs of ~190 raw bytes -> ~5..50 KB gzip
+            # 60..600 paragraphs of ~190 raw bytes -> ~5..50 KB gzip
             # (prose with per-paragraph entropy so gzip can't collapse)
-            n_par = rng.randint(30, 300)
+            n_par = rng.randint(60, 600)
             body = "<html><body>" + "".join(
                 f"<p>Capture {i} paragraph {k} token "
                 + " ".join(
@@ -100,6 +100,10 @@ class Counter:
 def make_handler(root: str, counter: Counter):
     class H(http.server.BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # without this the loopback wall measures Nagle+delayed-ACK
+        # stalls (~40 ms/GET), not the transport; real archive hosts
+        # are RTT-bound, which the per-GET count already captures
+        disable_nagle_algorithm = True
 
         def log_message(self, *a):
             pass
@@ -175,9 +179,9 @@ def main() -> None:
     slice_ids = [f"p{i}" for i in range(100, 260)]
     adjacent = cdx.filter(
         (F.col("filename") == "s00.warc.gz")
-        & F.element_at(F.split(F.col("target_uri"), "/"), -1).isin(slice_ids)
+        & F.element_at(F.split(F.col("url"), "/"), -1).isin(slice_ids)
     )
-    scattered = cdx.filter(F.col("target_uri").contains("host3."))
+    scattered = cdx.filter(F.col("url").contains("host3."))
     mixed = adjacent.unionByName(scattered).dropDuplicates(
         ["filename", "offset"]
     )

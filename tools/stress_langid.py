@@ -105,17 +105,19 @@ def main() -> None:
         f"score {n:,} docs: {dt:.1f}s  {n / dt:,.0f} docs/s  "
         f"accuracy vs planted labels {acc:.4f}"
     )
-    # ---- max_chars receipt (round 17): long-doc outliers pay
-    # unbounded gram fan-out without the cap. Repeat each doc's text
-    # ~100x (≈10-20 KB docs) and score capped vs uncapped.
+    # ---- max_chars receipt (round 17): long-doc outliers pay the
+    # full gram fan-out without the cap (linear after the bound-array
+    # spelling — the substr spelling was QUADRATIC and measured 224 s
+    # for ONE 33 KB doc). Repeat each doc's text 40x (~8-15 KB) and
+    # score capped vs uncapped.
     from pyspark.sql import functions as F
 
-    n_long = max(n // 10, 1000)
+    n_long = max(n // 20, 1000)
     long_docs = (
         synth_multilingual(spark, n_long)
         .withColumn(
             "text",
-            F.concat_ws(" ", F.array_repeat(F.col("text"), 100)),
+            F.concat_ws(" ", F.array_repeat(F.col("text"), 40)),
         )
         .repartition(32)
         .persist()
@@ -128,7 +130,7 @@ def main() -> None:
         )
         dt = time.time() - t0
         print(
-            f"score {n_long:,} LONG docs (~15KB) max_chars={cap}: "
+            f"score {n_long:,} LONG docs (~10KB) max_chars={cap}: "
             f"{dt:.1f}s  {n_long / dt:,.0f} docs/s  accuracy {acc_l:.4f}"
         )
     long_docs.unpersist()
