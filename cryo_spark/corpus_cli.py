@@ -94,6 +94,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "predicted-language probability is below this "
                         "floor (low-confidence = not the target "
                         "language, the CCNet convention)")
+    p.add_argument("--langid-max-chars", type=int, default=1000,
+                   help="with --langid-model: score only the first N "
+                        "chars per doc (CCNet convention; language is "
+                        "stationary in-doc, so predictions for docs "
+                        "under the cap are identical and long outlier "
+                        "docs stop paying full gram fan-out). 0 = "
+                        "score everything")
     p.add_argument("--span-words", type=int, default=10)
     p.add_argument("--line-dedup", action="store_true")
     p.add_argument("--near-dup", action="store_true")
@@ -241,6 +248,7 @@ def run(args: argparse.Namespace) -> int:
 
         kw["langid_model"] = LangIdModel.load(args.langid_model)
         kw["langid_min_prob"] = args.langid_min_prob
+        kw["langid_max_chars"] = args.langid_max_chars or None
     elif args.langid_min_prob:
         raise ValueError("--langid-min-prob requires --langid-model")
     if args.update_index and not args.delta_index:

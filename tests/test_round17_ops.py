@@ -356,3 +356,39 @@ def test_rehearsal_span_family_hash_checks(spark):
     assert set(s[s.kind == "line"]["mode"].unique()) == {
         "drop", "keep_first"
     }
+
+
+def test_pipeline_langid_max_chars_knob(spark, realtext_parts):
+    """langid_max_chars plumbs through the pipeline: the default cap
+    (1000, CCNet convention) keeps the SAME docs as uncapped scoring
+    on short-doc corpora, and a long doc whose prefix decides the
+    language still lands in its stratum under the cap."""
+    from cryo_spark.operators import corpus
+
+    _, held, lm = realtext_parts
+    docs = (
+        held.filter(F.col("lang").isin("ru", "en"))
+        .withColumn("source", F.lit("fx"))
+    )
+
+    def kept(**kw):
+        out = corpus.prepare_training_corpus(
+            docs.drop("lang"), min_quality=0.0, lang="ru",
+            langid_model=lm, **kw,
+        )
+        return {r.doc_id for r in out.select("doc_id").collect()}
+
+    assert kept() == kept(langid_max_chars=None)  # short docs: equal
+
+    long_ru = spark.createDataFrame(
+        [(
+            "ru-long",
+            " ".join(["Дождь шел весь день и мы остались дома."] * 300),
+            "fx",
+        )],
+        ["doc_id", "text", "source"],
+    )
+    out = corpus.prepare_training_corpus(
+        long_ru, min_quality=0.0, lang="ru", langid_model=lm,
+    )
+    assert [r.doc_id for r in out.select("doc_id").collect()] == ["ru-long"]
