@@ -1069,9 +1069,13 @@ def mjpeg_video_near_dups(
 
 
 def probe_video_container(payload: bytes | None) -> str | None:
-    """'y4m' | 'mjpeg' | None by magic bytes (YUV4MPEG2 signature /
-    JPEG SOI) — the dispatch a mixed-container corpus needs."""
-    from cryo_spark.operators import y4mcodec
+    """'y4m' | 'mjpeg' | 'avi' | 'mp4' | None by magic bytes
+    (YUV4MPEG2 signature / JPEG SOI / RIFF-AVI / ftyp) — the dispatch
+    a mixed-container corpus needs. 'mp4' identifies but does not
+    decode (see :func:`cryo_spark.operators.containers.mp4_metadata`
+    for the triage probe); AVI decodes when its video stream is MJPG.
+    """
+    from cryo_spark.operators import containers, y4mcodec
 
     if payload is None:
         return None
@@ -1079,18 +1083,81 @@ def probe_video_container(payload: bytes | None) -> str | None:
         return "y4m"
     if bytes(payload[:3]) == b"\xff\xd8\xff":
         return "mjpeg"
+    if containers.is_avi(payload):
+        return "avi"
+    if containers.is_mp4(payload):
+        return "mp4"
     return None
+
+
+def avi_sampler(interval_ms: int = 1000) -> Callable[[bytes, int], bytes]:
+    """Frame sampler for :func:`sample_frames` over AVI-MJPG payloads:
+    sample ordinal i maps to the frame at i*interval_ms via the
+    CONTAINER'S OWN frame rate (``avih`` — unlike raw MJPEG, AVI
+    carries timing). Emits the frame's JPEG bytes (hash with
+    :func:`real_dhash`); non-AVI or non-MJPG-video payloads sample
+    nothing. Frame offsets are indexed once per payload."""
+    from cryo_spark.operators import containers
+
+    state: dict = {"pl": None, "offs": None, "fps": 0.0}
+
+    def sample(payload: bytes, index: int) -> bytes | None:
+        if payload is None or not containers.is_avi(payload):
+            return None
+        if state["pl"] is not payload:
+            state["pl"] = payload
+            state["offs"] = containers.avi_mjpeg_offsets(payload)
+            try:
+                state["fps"] = containers.avi_header(payload)["fps"]
+            except ValueError:
+                state["fps"] = 0.0
+        offs, fps = state["offs"], state["fps"]
+        if not offs or fps <= 0:
+            return None
+        frame_no = int(index * interval_ms * fps) // 1000
+        if frame_no >= len(offs):
+            return None
+        off, ln = offs[frame_no]
+        return bytes(payload[off:off + ln])
+
+    return sample
+
+
+def avi_video_near_dups(
+    media: DataFrame,
+    min_overlap: float = 0.5,
+    max_hamming: int = 7,
+    interval_ms: int = 1000,
+    max_frames: int = 32,
+    decoder: str = "vendored",
+) -> DataFrame:
+    """:func:`video_near_dups` over AVI-MJPG payloads — the third
+    vendored decode route (Y4M = raw frames, MJPEG = bare JPEG
+    stream, AVI = indexed JPEG stream WITH container timing)."""
+    d = resolve_decoder(decoder)
+    return video_near_dups(
+        media,
+        min_overlap=min_overlap,
+        max_hamming=max_hamming,
+        sampler=avi_sampler(interval_ms),
+        interval_ms=interval_ms,
+        max_frames=max_frames,
+        hasher=lambda p: real_dhash(p, decoder=d),
+        kind="video",
+    )
 
 
 def auto_video_sampler(
     mjpeg_fps: float, interval_ms: int = 1000
 ) -> Callable[[bytes, int], bytes]:
-    """Container-probing frame sampler: Y4M payloads route to
-    :func:`y4m_sampler` (time base from the container's own F rate),
-    raw MJPEG to :func:`mjpeg_sampler` (caller-supplied fps — MJPEG
-    carries no timing), anything else samples nothing."""
+    """Container-probing frame sampler: Y4M and AVI route by their
+    containers' own time bases, raw MJPEG by the caller-supplied fps
+    (a bare JPEG stream carries no timing), MP4 and unknowns sample
+    nothing (MP4 is metadata-probe-only without an external decoder).
+    """
     y = y4m_sampler(interval_ms)
     m = mjpeg_sampler(mjpeg_fps, interval_ms)
+    a = avi_sampler(interval_ms)
 
     def sample(payload: bytes, index: int) -> bytes | None:
         c = probe_video_container(payload)
@@ -1098,6 +1165,8 @@ def auto_video_sampler(
             return y(payload, index)
         if c == "mjpeg":
             return m(payload, index)
+        if c == "avi":
+            return a(payload, index)
         return None
 
     return sample
@@ -1131,13 +1200,15 @@ def video_near_dups_auto(
     max_frames: int = 32,
     decoder: str = "vendored",
 ) -> DataFrame:
-    """:func:`video_near_dups` over a MIXED Y4M + raw-MJPEG corpus —
-    one call, per-payload container probe (r16 judge task: the two
-    vendored routes were separate entry points, so a heterogeneous
+    """:func:`video_near_dups` over a MIXED Y4M / raw-MJPEG / AVI-MJPG
+    corpus — one call, per-payload container probe (r16 judge task:
+    the vendored routes were separate entry points, so a heterogeneous
     video column forced a pre-partition by container). Trimmed clones
-    pair within each container family; because both hashers share the
+    pair within each container family; because all hashers share the
     dHash kernel, an uncompressed Y4M re-render of an MJPEG clip can
-    also pair cross-container when the pixels survive compression."""
+    also pair cross-container when the pixels survive compression.
+    MP4 payloads sample nothing here — probe them with
+    :func:`containers.mp4_metadata` and pre-extract externally."""
     return video_near_dups(
         media,
         min_overlap=min_overlap,

@@ -392,3 +392,145 @@ def test_pipeline_langid_max_chars_knob(spark, realtext_parts):
         long_ru, min_quality=0.0, lang="ru", langid_model=lm,
     )
     assert [r.doc_id for r in out.select("doc_id").collect()] == ["ru-long"]
+
+
+# ------------------ AVI-MJPG decode route + MP4 metadata probe
+
+
+def _avi17(w, h, ks, fps=1.0):
+    from cryo_spark.operators import containers
+
+    return containers.encode_avi_mjpeg(
+        w, h, [_jpeg17(w, h, k) for k in ks], fps=fps
+    )
+
+
+def test_avi_header_and_offsets_roundtrip():
+    """encode_avi_mjpeg -> avi_header/avi_mjpeg_offsets: header fields
+    and every frame's exact JPEG bytes round-trip (odd-sized JPEG
+    chunks exercise RIFF word padding)."""
+    from cryo_spark.operators import containers, multimodal as mm
+
+    w, h = 27, 16
+    frames = [_jpeg17(w, h, k) for k in range(5)]
+    assert any(len(f) & 1 for f in frames)  # padding actually hit
+    data = containers.encode_avi_mjpeg(w, h, frames, fps=25.0)
+    assert containers.is_avi(data)
+    hdr = containers.avi_header(data)
+    assert (hdr["width"], hdr["height"]) == (w, h)
+    assert hdr["total_frames"] == 5 and abs(hdr["fps"] - 25.0) < 0.01
+    offs = containers.avi_mjpeg_offsets(data)
+    assert len(offs) == 5
+    for (off, ln), f in zip(offs, frames):
+        assert data[off:off + ln] == f
+    # frames decode through the vendored codec
+    assert mm.real_dhash(data[offs[2][0]:offs[2][0] + offs[2][1]]) \
+        == mm.real_dhash(frames[2])
+    with pytest.raises(ValueError, match="AVI"):
+        containers.avi_header(b"RIFFxxxxWAVE")
+    assert containers.avi_mjpeg_offsets(b"not avi") == []
+
+
+def test_avi_sampler_uses_container_fps():
+    """avi_sampler maps ordinals through the avih frame rate — no
+    caller-supplied fps (the raw-MJPEG gap AVI closes)."""
+    from cryo_spark.operators import multimodal as mm
+
+    w, h = 27, 16
+    data = _avi17(w, h, range(6), fps=2.0)  # 2 fps, 1000ms interval
+    s = mm.avi_sampler(interval_ms=1000)
+    # sample i at t=i s -> frame 2i
+    assert s(data, 0) == _jpeg17(w, h, 0)
+    assert s(data, 1) == _jpeg17(w, h, 2)
+    assert s(data, 2) == _jpeg17(w, h, 4)
+    assert s(data, 3) is None  # t=3s is past frame 6
+    assert s(b"\x00not avi", 0) is None
+
+
+def test_avi_video_near_dups_trimmed_clone(spark):
+    """Third decode route E2E: clip B is frames 3..9 of AVI recording
+    A — containment flags the pair; unrelated stream pairs with
+    neither."""
+    from cryo_spark.operators import multimodal as mm
+
+    w, h = 27, 16
+    rows = [
+        (1, "video", _avi17(w, h, range(12)), "video/x-msvideo", w, h, 11999),
+        (2, "video", _avi17(w, h, range(3, 10)), "video/x-msvideo", w, h, 6999),
+        (3, "video", _avi17(w, h, range(100, 108)), "video/x-msvideo", w, h, 7999),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    pairs = mm.avi_video_near_dups(
+        media, min_overlap=0.9, max_hamming=3, interval_ms=1000
+    ).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].matched_b == 7 and pairs[0].overlap == 1.0
+
+
+def test_video_near_dups_auto_includes_avi(spark):
+    """The mixed-container call now spans all three decode routes:
+    one Y4M pair, one AVI pair, unrelated MJPEG — one invocation."""
+    from cryo_spark.operators import multimodal as mm
+    from cryo_spark.operators import y4mcodec as y
+
+    w, h = 27, 16
+    ya = y.encode_y4m(w, h, [_luma17(w, h, k) for k in range(12)], fps=(1, 1))
+    yb = y.encode_y4m(w, h, [_luma17(w, h, k) for k in range(3, 10)], fps=(1, 1))
+    rows = [
+        (1, "video", ya, "video/x-y4m", w, h, 11999),
+        (2, "video", yb, "video/x-y4m", w, h, 6999),
+        (3, "video", _avi17(w, h, range(200, 212)), "video/x-msvideo", w, h, 11999),
+        (4, "video", _avi17(w, h, range(203, 210)), "video/x-msvideo", w, h, 6999),
+        (5, "video", b"".join(_jpeg17(w, h, 400 + k) for k in range(8)),
+         "video/x-motion-jpeg", w, h, 7999),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    pairs = mm.video_near_dups_auto(
+        media, mjpeg_fps=1.0, min_overlap=0.9, max_hamming=3,
+        interval_ms=1000,
+    ).collect()
+    assert sorted((p.id_a, p.id_b) for p in pairs) == [(1, 2), (3, 4)]
+    assert mm.probe_video_container(rows[2][2]) == "avi"
+
+
+def test_mp4_metadata_probe():
+    """mp4_metadata reads dimensions/codec/duration/sample count from
+    a hand-built moov tree without decoding a frame; is_mp4/ftyp
+    probe; non-MP4 raises."""
+    import struct
+
+    from cryo_spark.operators import containers, multimodal as mm
+
+    def box(fourcc, payload):
+        return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+    # mvhd v0: flags(4) created(4) modified(4) timescale(4) duration(4)
+    mvhd = box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1000, 7500))
+    # video sample entry 'avc1': size+fourcc, 6 reserved + 2 dataref,
+    # 16 predefined, width/height, then minimal tail padding
+    entry = struct.pack(">I", 8 + 8 + 24 + 50) + b"avc1" \
+        + b"\x00" * 24 + struct.pack(">HH", 640, 360) + b"\x00" * 46
+    stsd = box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+    stsz = box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, 180))
+    stbl = box(b"stbl", stsd + stsz)
+    minf = box(b"minf", stbl)
+    mdhd = box(b"mdhd", b"\x00" * 12 + struct.pack(">II", 600, 4500))
+    mdia = box(b"mdia", mdhd + minf)
+    trak = box(b"trak", mdia)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mp4 = ftyp + moov
+
+    assert containers.is_mp4(mp4)
+    assert mm.probe_video_container(mp4) == "mp4"
+    meta = containers.mp4_metadata(mp4)
+    assert meta["duration_ms"] == 7500  # 7500/1000 ts
+    assert len(meta["tracks"]) == 1
+    t = meta["tracks"][0]
+    assert t["codec"] == "avc1" and (t["width"], t["height"]) == (640, 360)
+    assert t["n_samples"] == 180
+    assert t["duration_ms"] == 7500  # 4500/600 ts
+    with pytest.raises(ValueError, match="ftyp"):
+        containers.mp4_metadata(b"\x00\x00\x00\x08free")
+    # MP4 samples nothing in the auto route (metadata-probe only)
+    assert mm.auto_video_sampler(1.0)(mp4, 0) is None
