@@ -254,3 +254,127 @@ def mp4_metadata(data: bytes) -> dict:
             if "width" in track:
                 out["tracks"].append(track)
     return out
+
+
+# --------------------------------------------------------------------
+# WebM / Matroska (EBML) — typed-metadata probe (no decode)
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+
+
+def is_webm(data: bytes | None) -> bool:
+    return data is not None and bytes(data[:4]) == _EBML_MAGIC
+
+
+def _read_vint(data: bytes, pos: int, keep_marker: bool):
+    """(value, next_pos) for an EBML variable-length integer; element
+    IDs keep the length-marker bit (that's how IDs are quoted in the
+    spec), sizes strip it. Returns (None, pos) on truncation."""
+    if pos >= len(data):
+        return None, pos
+    first = data[pos]
+    if first == 0:
+        return None, pos
+    length = 1
+    mask = 0x80
+    while not (first & mask):
+        mask >>= 1
+        length += 1
+    if pos + length > len(data):
+        return None, pos
+    if keep_marker:
+        value = 0
+        for i in range(length):
+            value = (value << 8) | data[pos + i]
+    else:
+        value = first & (mask - 1)
+        for i in range(1, length):
+            value = (value << 8) | data[pos + i]
+        if value == (1 << (7 * length)) - 1:
+            value = -1  # "unknown size" (streamed segments)
+    return value, pos + length
+
+
+def _walk_ebml(data: bytes, start: int, end: int):
+    """Yield (element_id, payload_start, payload_end). Unknown-size
+    elements (live-streamed Segment) extend to the parent's end."""
+    pos = start
+    while pos < end:
+        eid, p = _read_vint(data, pos, keep_marker=True)
+        if eid is None:
+            break
+        size, p = _read_vint(data, p, keep_marker=False)
+        if size is None:
+            break
+        pe = end if size == -1 else p + size
+        if pe > end:
+            break
+        yield eid, p, pe
+        pos = pe
+
+
+_SEGMENT = 0x18538067
+_INFO = 0x1549A966
+_TIMECODE_SCALE = 0x2AD7B1
+_DURATION = 0x4489
+_TRACKS = 0x1654AE6B
+_TRACK_ENTRY = 0xAE
+_TRACK_TYPE = 0x83
+_CODEC_ID = 0x86
+_VIDEO = 0xE0
+_PIXEL_W = 0xB0
+_PIXEL_H = 0xBA
+
+
+def webm_metadata(data: bytes) -> dict:
+    """Container metadata from the Matroska/WebM EBML tree, no frame
+    decode: ``{'duration_ms', 'tracks': [{'codec', 'width',
+    'height'}, ...]}`` for video tracks (codec like ``V_VP9`` /
+    ``V_AV1``). Raises on a non-EBML payload."""
+    if not is_webm(data):
+        raise ValueError("not an EBML/Matroska payload")
+    data = bytes(data)
+    out: dict = {"duration_ms": None, "tracks": []}
+    for eid, b, e in _walk_ebml(data, 0, len(data)):
+        if eid != _SEGMENT:
+            continue
+        for eid2, b2, e2 in _walk_ebml(data, b, e):
+            if eid2 == _INFO:
+                scale = 1_000_000  # spec default: ns per timecode unit
+                duration = None
+                for eid3, b3, e3 in _walk_ebml(data, b2, e2):
+                    if eid3 == _TIMECODE_SCALE:
+                        scale = int.from_bytes(data[b3:e3], "big")
+                    elif eid3 == _DURATION:
+                        raw = data[b3:e3]
+                        duration = struct.unpack(
+                            ">f" if len(raw) == 4 else ">d", raw
+                        )[0]
+                if duration is not None and scale:
+                    out["duration_ms"] = int(duration * scale / 1e6)
+            elif eid2 == _TRACKS:
+                for eid3, b3, e3 in _walk_ebml(data, b2, e2):
+                    if eid3 != _TRACK_ENTRY:
+                        continue
+                    track: dict = {}
+                    ttype = None
+                    for eid4, b4, e4 in _walk_ebml(data, b3, e3):
+                        if eid4 == _TRACK_TYPE:
+                            ttype = int.from_bytes(data[b4:e4], "big")
+                        elif eid4 == _CODEC_ID:
+                            track["codec"] = (
+                                data[b4:e4].decode("ascii", "replace")
+                            )
+                        elif eid4 == _VIDEO:
+                            for eid5, b5, e5 in _walk_ebml(data, b4, e4):
+                                if eid5 == _PIXEL_W:
+                                    track["width"] = int.from_bytes(
+                                        data[b5:e5], "big"
+                                    )
+                                elif eid5 == _PIXEL_H:
+                                    track["height"] = int.from_bytes(
+                                        data[b5:e5], "big"
+                                    )
+                    if ttype == 1 and "width" in track:  # 1 = video
+                        out["tracks"].append(track)
+    return out

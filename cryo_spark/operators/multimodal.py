@@ -1087,7 +1087,86 @@ def probe_video_container(payload: bytes | None) -> str | None:
         return "avi"
     if containers.is_mp4(payload):
         return "mp4"
+    if containers.is_webm(payload):
+        return "webm"
     return None
+
+
+VIDEO_META_SCHEMA = (
+    "media_id long, container string, codec string, width int, "
+    "height int, duration_ms long, n_frames long, decodable boolean"
+)
+
+
+def video_metadata(media: DataFrame, kind: str = "video") -> DataFrame:
+    """Distributed container-metadata probe over a mixed video column
+    — the TRIAGE pass a crawl corpus runs before any per-frame work:
+    one row per ``kind`` input row with (container, codec, width,
+    height, duration_ms, n_frames, decodable). ``decodable`` marks
+    the payloads this engine's vendored routes can hash end-to-end
+    (Y4M, raw MJPEG, AVI-MJPG); MP4/WebM rows carry their moov/EBML
+    metadata so the corpus can be grouped by codec/resolution and the
+    H.264-class remainder routed to external pre-extraction. Narrow
+    mapInPandas, per-payload structural walks only — no decode."""
+    from cryo_spark.operators import containers, y4mcodec
+
+    def probe_one(payload):
+        if payload is None:
+            return (None, None, None, None, None, None, False)
+        payload = bytes(payload)
+        c = probe_video_container(payload)
+        if c == "y4m":
+            hdr = y4mcodec.parse_header(payload)
+            n = y4mcodec.n_frames(payload)
+            num, den = hdr["fps_num"], hdr["fps_den"]
+            dur = int(n * 1000 * den / num) if num else None
+            return (c, "y4m-" + hdr["colorspace"], hdr["width"],
+                    hdr["height"], dur, n, True)
+        if c == "mjpeg":
+            offs = mjpeg_frame_offsets(payload)
+            # bare stream: no timing, no declared dims
+            return (c, "mjpeg", None, None, None, len(offs), True)
+        if c == "avi":
+            try:
+                hdr = containers.avi_header(payload)
+            except ValueError:
+                return (c, None, None, None, None, None, False)
+            offs = containers.avi_mjpeg_offsets(payload)
+            fps = hdr["fps"]
+            dur = int(len(offs) * 1000 / fps) if fps and offs else None
+            return (c, "mjpeg" if offs else None, hdr["width"],
+                    hdr["height"], dur, len(offs), bool(offs))
+        if c == "mp4":
+            meta = containers.mp4_metadata(payload)
+            t = meta["tracks"][0] if meta["tracks"] else {}
+            return (c, t.get("codec"), t.get("width"), t.get("height"),
+                    meta["duration_ms"], t.get("n_samples"), False)
+        if c == "webm":
+            meta = containers.webm_metadata(payload)
+            t = meta["tracks"][0] if meta["tracks"] else {}
+            return (c, t.get("codec"), t.get("width"), t.get("height"),
+                    meta["duration_ms"], None, False)
+        return (None, None, None, None, None, None, False)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in (
+                    "media_id", "container", "codec", "width", "height",
+                    "duration_ms", "n_frames", "decodable",
+                )
+            }
+            for _, row in pdf[pdf["kind"] == kind].iterrows():
+                vals = probe_one(row["payload"])
+                out["media_id"].append(row["media_id"])
+                for k, v in zip(
+                    ("container", "codec", "width", "height",
+                     "duration_ms", "n_frames", "decodable"), vals,
+                ):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, VIDEO_META_SCHEMA)
 
 
 def avi_sampler(interval_ms: int = 1000) -> Callable[[bytes, int], bytes]:

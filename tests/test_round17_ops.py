@@ -534,3 +534,108 @@ def test_mp4_metadata_probe():
         containers.mp4_metadata(b"\x00\x00\x00\x08free")
     # MP4 samples nothing in the auto route (metadata-probe only)
     assert mm.auto_video_sampler(1.0)(mp4, 0) is None
+
+
+def _webm17(codec=b"V_VP9", w=1280, h=720, dur=2.5, scale=1_000_000):
+    """Hand-built minimal Matroska: EBML header + Segment(Info,
+    Tracks(video TrackEntry))."""
+    import struct as _s
+
+    def vint_size(n):
+        # encode size n in the shortest VINT
+        for length in range(1, 9):
+            if n < (1 << (7 * length)) - 1:
+                marker = 1 << (7 * length)
+                raw = (marker | n).to_bytes(length, "big")
+                return raw
+        raise ValueError(n)
+
+    def elem(eid_bytes, payload):
+        return eid_bytes + vint_size(len(payload)) + payload
+
+    video = elem(b"\xe0",
+                 elem(b"\xb0", w.to_bytes(2, "big"))
+                 + elem(b"\xba", h.to_bytes(2, "big")))
+    entry = elem(b"\xae",
+                 elem(b"\x83", b"\x01")  # TrackType video
+                 + elem(b"\x86", codec)
+                 + video)
+    tracks = elem(b"\x16\x54\xae\x6b", entry)
+    info = elem(b"\x15\x49\xa9\x66",
+                elem(b"\x2a\xd7\xb1", scale.to_bytes(3, "big"))
+                + elem(b"\x44\x89", _s.pack(">d", dur * 1e9 / scale)))
+    segment = elem(b"\x18\x53\x80\x67", info + tracks)
+    header = elem(b"\x1a\x45\xdf\xa3", b"")
+    return header + segment
+
+
+def test_webm_metadata_probe():
+    from cryo_spark.operators import containers, multimodal as mm
+
+    data = _webm17()
+    assert containers.is_webm(data)
+    assert mm.probe_video_container(data) == "webm"
+    meta = containers.webm_metadata(data)
+    assert meta["duration_ms"] == 2500
+    assert meta["tracks"] == [
+        {"codec": "V_VP9", "width": 1280, "height": 720}
+    ]
+    with pytest.raises(ValueError, match="EBML"):
+        containers.webm_metadata(b"not ebml")
+    # a webm payload samples nothing in the decode dispatch
+    assert mm.auto_video_sampler(1.0)(data, 0) is None
+
+
+def test_video_metadata_distributed_triage(spark):
+    """video_metadata: one mixed corpus in, one typed triage frame
+    out — decodable marks the vendored routes; MP4/WebM carry their
+    structural metadata for codec/resolution grouping."""
+    import struct as _s
+
+    from cryo_spark.operators import multimodal as mm
+    from cryo_spark.operators import y4mcodec as y
+
+    w, h = 27, 16
+
+    def box(fourcc, payload):
+        return _s.pack(">I", 8 + len(payload)) + fourcc + payload
+
+    entry = _s.pack(">I", 8 + 8 + 24 + 50) + b"vp09" \
+        + b"\x00" * 24 + _s.pack(">HH", 320, 240) + b"\x00" * 46
+    stsd = box(b"stsd", b"\x00" * 4 + _s.pack(">I", 1) + entry)
+    stsz = box(b"stsz", b"\x00" * 4 + _s.pack(">II", 0, 99))
+    mp4 = (
+        box(b"ftyp", b"isom\x00\x00\x02\x00")
+        + box(b"moov",
+              box(b"mvhd", b"\x00" * 12 + _s.pack(">II", 1000, 4000))
+              + box(b"trak", box(b"mdia", box(b"minf", box(b"stbl",
+                                                           stsd + stsz)))))
+    )
+    rows = [
+        (1, "video", y.encode_y4m(w, h, [_luma17(w, h, k) for k in range(4)],
+                                  fps=(2, 1)), "video/x-y4m", w, h, 1999),
+        (2, "video", b"".join(_jpeg17(w, h, k) for k in range(3)),
+         "video/x-motion-jpeg", w, h, 2999),
+        (3, "video", _avi17(w, h, range(5), fps=5.0), "video/x-msvideo",
+         w, h, 999),
+        (4, "video", mp4, "video/mp4", 320, 240, 4000),
+        (5, "video", _webm17(), "video/webm", 1280, 720, 2500),
+        (6, "video", b"garbage bytes", "application/octet-stream",
+         None, None, 100),
+        (7, "audio", b"\x00", "audio/wav", None, None, 100),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in mm.video_metadata(media).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}  # audio row excluded
+    assert got[1].container == "y4m" and got[1].decodable
+    assert got[1].n_frames == 4 and got[1].duration_ms == 2000
+    assert got[2].container == "mjpeg" and got[2].n_frames == 3
+    assert got[3].container == "avi" and got[3].decodable
+    assert (got[3].width, got[3].height) == (w, h)
+    assert got[3].n_frames == 5 and got[3].duration_ms == 1000
+    assert got[4].container == "mp4" and not got[4].decodable
+    assert got[4].codec == "vp09" and got[4].n_frames == 99
+    assert got[4].duration_ms == 4000
+    assert got[5].container == "webm" and got[5].codec == "V_VP9"
+    assert (got[5].width, got[5].height) == (1280, 720)
+    assert got[6].container is None and not got[6].decodable
