@@ -928,10 +928,17 @@ def test_http_incomplete_read_mid_body_retries(tmp_path):
             self.end_headers()
             if fails["n"] > 0:
                 # promise the full body, deliver half, kill the socket
+                # (shutdown sends the FIN immediately; close() alone
+                # leaves the fd open through rfile/wfile references
+                # and deadlocks client-awaiting-body against
+                # server-awaiting-next-request)
+                import socket as _socket
+
                 fails["n"] -= 1
                 self.wfile.write(body[: len(body) // 2])
                 self.wfile.flush()
-                self.connection.close()
+                self.connection.shutdown(_socket.SHUT_RDWR)
+                self.close_connection = True
                 return
             self.wfile.write(body)
 
