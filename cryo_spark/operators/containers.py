@@ -378,3 +378,155 @@ def webm_metadata(data: bytes) -> dict:
                     if ttype == 1 and "width" in track:  # 1 = video
                         out["tracks"].append(track)
     return out
+
+
+# --------------------------------------------------------------------
+# MJPG-in-MP4 — the DECODABLE MP4 subset (photo-JPEG tracks)
+
+#: sample-entry fourccs whose samples are standalone JPEG images
+_JPEG_SAMPLE_FORMATS = {b"jpeg", b"mjpa", b"mjpb", b"JPEG"}
+
+
+def _stbl_spans(data: bytes):
+    """(stbl_start, stbl_end) spans of every track, in file order."""
+    spans = []
+    for mb, me in _find_boxes(data, 0, len(data), [b"moov"]):
+        for tb, te in _find_boxes(data, mb, me, [b"trak"]):
+            for sb, se in _find_boxes(
+                data, tb, te, [b"mdia", b"minf", b"stbl"]
+            ):
+                spans.append((sb, se))
+    return spans
+
+
+def mp4_sample_offsets(data: bytes, jpeg_only: bool = True) -> list[tuple[int, int]]:
+    """(absolute_offset, length) of every sample of the FIRST track
+    whose sample format is a JPEG family (``jpeg``/``mjpa``; the
+    photo-JPEG MP4/MOV shape), resolved through the real sample
+    tables: stsz sizes x stsc sample-to-chunk runs x stco/co64 chunk
+    offsets. Empty when no such track exists (an H.264-class MP4 —
+    structurally identifiable, not clean-room decodable).
+
+    The walk is O(samples) ints; nothing proportional to media bytes
+    is materialized."""
+    if not is_mp4(data):
+        return []
+    data = bytes(data)
+    for sb, se in _stbl_spans(data):
+        fmt = None
+        sizes: list[int] = []
+        stsc: list[tuple[int, int]] = []
+        chunk_offs: list[int] = []
+        for cc, b, be in _walk_boxes(data, sb, se):
+            if cc == b"stsd" and be - b >= 16:
+                fmt = bytes(data[b + 12:b + 16])
+            elif cc == b"stsz" and be - b >= 12:
+                # every table read is bounds-guarded: a truncated or
+                # lying count (malformed crawl files) yields "no
+                # table" rather than a struct error
+                fixed = struct.unpack_from(">I", data, b + 4)[0]
+                count = struct.unpack_from(">I", data, b + 8)[0]
+                if fixed:
+                    sizes = [fixed] * count
+                elif b + 12 + 4 * count <= be:
+                    sizes = list(
+                        struct.unpack_from(f">{count}I", data, b + 12)
+                    )
+            elif cc == b"stsc" and be - b >= 8:
+                n = struct.unpack_from(">I", data, b + 4)[0]
+                if b + 8 + 12 * n <= be:
+                    for i in range(n):
+                        first, per, _desc = struct.unpack_from(
+                            ">III", data, b + 8 + 12 * i
+                        )
+                        stsc.append((first, per))
+            elif cc == b"stco" and be - b >= 8:
+                n = struct.unpack_from(">I", data, b + 4)[0]
+                if b + 8 + 4 * n <= be:
+                    chunk_offs = list(
+                        struct.unpack_from(f">{n}I", data, b + 8)
+                    )
+            elif cc == b"co64" and be - b >= 8:
+                n = struct.unpack_from(">I", data, b + 4)[0]
+                if b + 8 + 8 * n <= be:
+                    chunk_offs = list(
+                        struct.unpack_from(f">{n}Q", data, b + 8)
+                    )
+        if jpeg_only and fmt not in _JPEG_SAMPLE_FORMATS:
+            continue
+        if not (sizes and stsc and chunk_offs):
+            continue
+        # expand stsc runs: entry i applies to chunks
+        # [first_i, first_{i+1}) — the spec's run-length encoding
+        out: list[tuple[int, int]] = []
+        si = 0
+        for i, (first, per) in enumerate(stsc):
+            last = (
+                stsc[i + 1][0] - 1 if i + 1 < len(stsc)
+                else len(chunk_offs)
+            )
+            for chunk in range(first, last + 1):
+                if chunk - 1 >= len(chunk_offs) or si >= len(sizes):
+                    break
+                pos = chunk_offs[chunk - 1]
+                for _ in range(per):
+                    if si >= len(sizes):
+                        break
+                    out.append((pos, sizes[si]))
+                    pos += sizes[si]
+                    si += 1
+        return out
+    return []
+
+
+def encode_mp4_mjpeg(
+    width: int, height: int, jpeg_frames: list[bytes], fps: float = 25.0
+) -> bytes:
+    """Minimal spec-shaped photo-JPEG MP4 writer (test/fixture twin of
+    the sample-table walk): ftyp + mdat(samples) + moov(mvhd,
+    trak(mdia(mdhd, minf(stbl(stsd 'jpeg', stts, stsc, stsz,
+    stco))))). Two chunks when >=2 frames, so stsc/stco see a real
+    multi-chunk layout."""
+    if fps <= 0:
+        raise ValueError(f"fps must be > 0, got {fps}")
+
+    def box(fourcc: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    n = len(jpeg_frames)
+    split = max(1, n - n // 2)  # chunk 1 gets ceil(n/2) samples
+    c1, c2 = jpeg_frames[:split], jpeg_frames[split:]
+    mdat_payload = b"".join(jpeg_frames)
+    # absolute chunk offsets: mdat payload starts after ftyp + header
+    base = len(ftyp) + 8
+    offs = [base] + ([base + sum(len(f) for f in c1)] if c2 else [])
+
+    timescale = 1000
+    dur = int(n * timescale / fps)
+    mvhd = box(b"mvhd", b"\x00" * 12 + struct.pack(">II", timescale, dur)
+               + b"\x00" * 80)
+    mdhd = box(b"mdhd", b"\x00" * 12 + struct.pack(">II", timescale, dur)
+               + b"\x00" * 4)
+    entry = (
+        struct.pack(">I", 8 + 8 + 24 + 50) + b"jpeg"
+        + b"\x00" * 24 + struct.pack(">HH", width, height) + b"\x00" * 46
+    )
+    stsd = box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+    stts = box(b"stts", b"\x00" * 4 + struct.pack(
+        ">III", 1, n, int(timescale / fps)
+    ))
+    stsc_entries = [(1, len(c1))] + ([(2, len(c2))] if c2 else [])
+    stsc = box(b"stsc", b"\x00" * 4 + struct.pack(">I", len(stsc_entries))
+               + b"".join(struct.pack(">III", f, p, 1)
+                          for f, p in stsc_entries))
+    stsz = box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, n)
+               + b"".join(struct.pack(">I", len(f)) for f in jpeg_frames))
+    stco = box(b"stco", b"\x00" * 4 + struct.pack(">I", len(offs))
+               + b"".join(struct.pack(">I", o) for o in offs))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + minf)
+    trak = box(b"trak", mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + box(b"mdat", mdat_payload) + moov

@@ -1139,8 +1139,10 @@ def video_metadata(media: DataFrame, kind: str = "video") -> DataFrame:
         if c == "mp4":
             meta = containers.mp4_metadata(payload)
             t = meta["tracks"][0] if meta["tracks"] else {}
+            # photo-JPEG tracks ARE decodable through the sample walk
+            dec = bool(containers.mp4_sample_offsets(payload))
             return (c, t.get("codec"), t.get("width"), t.get("height"),
-                    meta["duration_ms"], t.get("n_samples"), False)
+                    meta["duration_ms"], t.get("n_samples"), dec)
         if c == "webm":
             meta = containers.webm_metadata(payload)
             t = meta["tracks"][0] if meta["tracks"] else {}
@@ -1226,17 +1228,80 @@ def avi_video_near_dups(
     )
 
 
+def mp4_mjpeg_sampler(interval_ms: int = 1000) -> Callable[[bytes, int], bytes]:
+    """Frame sampler for :func:`sample_frames` over photo-JPEG MP4s
+    (sample format ``jpeg``/``mjpa``): ordinals map to samples via
+    the track's OWN timing (mdhd duration over the sample count).
+    H.264-class MP4s sample nothing — their samples are not
+    standalone images; route them through :func:`video_metadata` to
+    external pre-extraction. Sample offsets + timing are indexed once
+    per payload."""
+    from cryo_spark.operators import containers
+
+    state: dict = {"pl": None, "offs": None, "rate": 0.0}
+
+    def sample(payload: bytes, index: int) -> bytes | None:
+        if payload is None or not containers.is_mp4(payload):
+            return None
+        if state["pl"] is not payload:
+            state["pl"] = payload
+            state["offs"] = containers.mp4_sample_offsets(payload)
+            rate = 0.0
+            if state["offs"]:
+                meta = containers.mp4_metadata(payload)
+                t = meta["tracks"][0] if meta["tracks"] else {}
+                dur, n = t.get("duration_ms"), t.get("n_samples")
+                if dur and n:
+                    rate = n / dur  # samples per ms
+            state["rate"] = rate
+        offs, rate = state["offs"], state["rate"]
+        if not offs or rate <= 0:
+            return None
+        frame_no = int(index * interval_ms * rate)
+        if frame_no >= len(offs):
+            return None
+        off, ln = offs[frame_no]
+        return bytes(payload[off:off + ln])
+
+    return sample
+
+
+def mp4_video_near_dups(
+    media: DataFrame,
+    min_overlap: float = 0.5,
+    max_hamming: int = 7,
+    interval_ms: int = 1000,
+    max_frames: int = 32,
+    decoder: str = "vendored",
+) -> DataFrame:
+    """:func:`video_near_dups` over photo-JPEG MP4 payloads — the
+    fourth vendored decode route (sample tables -> JPEG samples ->
+    vendored codec)."""
+    d = resolve_decoder(decoder)
+    return video_near_dups(
+        media,
+        min_overlap=min_overlap,
+        max_hamming=max_hamming,
+        sampler=mp4_mjpeg_sampler(interval_ms),
+        interval_ms=interval_ms,
+        max_frames=max_frames,
+        hasher=lambda p: real_dhash(p, decoder=d),
+        kind="video",
+    )
+
+
 def auto_video_sampler(
     mjpeg_fps: float, interval_ms: int = 1000
 ) -> Callable[[bytes, int], bytes]:
-    """Container-probing frame sampler: Y4M and AVI route by their
-    containers' own time bases, raw MJPEG by the caller-supplied fps
-    (a bare JPEG stream carries no timing), MP4 and unknowns sample
-    nothing (MP4 is metadata-probe-only without an external decoder).
-    """
+    """Container-probing frame sampler: Y4M, AVI, and photo-JPEG MP4
+    route by their containers' own time bases, raw MJPEG by the
+    caller-supplied fps (a bare JPEG stream carries no timing);
+    H.264-class MP4s, WebM, and unknowns sample nothing (metadata
+    probes only, without an external decoder)."""
     y = y4m_sampler(interval_ms)
     m = mjpeg_sampler(mjpeg_fps, interval_ms)
     a = avi_sampler(interval_ms)
+    q = mp4_mjpeg_sampler(interval_ms)
 
     def sample(payload: bytes, index: int) -> bytes | None:
         c = probe_video_container(payload)
@@ -1246,6 +1311,8 @@ def auto_video_sampler(
             return m(payload, index)
         if c == "avi":
             return a(payload, index)
+        if c == "mp4":
+            return q(payload, index)
         return None
 
     return sample

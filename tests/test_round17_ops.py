@@ -639,3 +639,78 @@ def test_video_metadata_distributed_triage(spark):
     assert got[5].container == "webm" and got[5].codec == "V_VP9"
     assert (got[5].width, got[5].height) == (1280, 720)
     assert got[6].container is None and not got[6].decodable
+
+
+def test_mp4_mjpeg_sample_walk_roundtrip():
+    """encode_mp4_mjpeg -> mp4_sample_offsets: every JPEG sample's
+    exact bytes resolve through the real stsz x stsc x stco tables
+    (two chunks, variable sizes); an H.264-class stsd yields []."""
+    from cryo_spark.operators import containers, multimodal as mm
+
+    w, h = 27, 16
+    frames = [_jpeg17(w, h, k) for k in range(5)]
+    mp4 = containers.encode_mp4_mjpeg(w, h, frames, fps=25.0)
+    assert containers.is_mp4(mp4)
+    offs = containers.mp4_sample_offsets(mp4)
+    assert len(offs) == 5
+    for (off, ln), f in zip(offs, frames):
+        assert mp4[off:off + ln] == f
+    assert mm.real_dhash(mp4[offs[3][0]:offs[3][0] + offs[3][1]]) \
+        == mm.real_dhash(frames[3])
+    meta = containers.mp4_metadata(mp4)
+    assert meta["tracks"][0]["codec"] == "jpeg"
+    assert meta["tracks"][0]["n_samples"] == 5
+    assert meta["duration_ms"] == 200  # 5 frames at 25 fps
+
+
+def test_mp4_mjpeg_sampler_and_near_dups(spark):
+    """Fourth decode route: photo-JPEG MP4 ordinals map through the
+    track's own timing; trimmed-clone near-dups pair; the auto route
+    now samples MP4-MJPEG while H.264-class MP4 still samples
+    nothing; video_metadata marks MP4-MJPEG decodable."""
+    import struct as _s
+
+    from cryo_spark.operators import containers, multimodal as mm
+
+    w, h = 27, 16
+
+    def clip(ks, fps=1.0):
+        return containers.encode_mp4_mjpeg(
+            w, h, [_jpeg17(w, h, k) for k in ks], fps=fps
+        )
+
+    # fps 2 + 1000ms interval: ordinal i -> sample 2i
+    s = mm.mp4_mjpeg_sampler(interval_ms=1000)
+    two = clip(range(6), fps=2.0)
+    assert s(two, 0) == _jpeg17(w, h, 0)
+    assert s(two, 1) == _jpeg17(w, h, 2)
+    assert s(two, 3) is None
+
+    rows = [
+        (1, "video", clip(range(12)), "video/mp4", w, h, 11999),
+        (2, "video", clip(range(3, 10)), "video/mp4", w, h, 6999),
+        (3, "video", clip(range(100, 108)), "video/mp4", w, h, 7999),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    pairs = mm.mp4_video_near_dups(
+        media, min_overlap=0.9, max_hamming=3, interval_ms=1000
+    ).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].matched_b == 7 and pairs[0].overlap == 1.0
+
+    meta = {r.media_id: r for r in mm.video_metadata(media).collect()}
+    assert meta[1].decodable and meta[1].codec == "jpeg"
+
+    # an avc1-style MP4 (no jpeg track) still samples nothing
+    def box(fourcc, payload):
+        return _s.pack(">I", 8 + len(payload)) + fourcc + payload
+
+    entry = _s.pack(">I", 8 + 8 + 24 + 50) + b"avc1" \
+        + b"\x00" * 24 + _s.pack(">HH", 640, 360) + b"\x00" * 46
+    stsd = box(b"stsd", b"\x00" * 4 + _s.pack(">I", 1) + entry)
+    avc = box(b"ftyp", b"isom\x00\x00\x02\x00") + box(
+        b"moov", box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", stsd))))
+    )
+    assert containers.mp4_sample_offsets(avc) == []
+    assert mm.auto_video_sampler(1.0)(avc, 0) is None
+    assert mm.auto_video_sampler(1.0)(two, 0) == _jpeg17(w, h, 0)
