@@ -530,3 +530,182 @@ def encode_mp4_mjpeg(
     trak = box(b"trak", mdia)
     moov = box(b"moov", mvhd + trak)
     return ftyp + box(b"mdat", mdat_payload) + moov
+
+
+# --------------------------------------------------------------------
+# Audio containers — typed-metadata probes (WAV already DECODES via
+# the stdlib parse in multimodal._decode_wav; these cover the rest of
+# a crawl's audio column for triage)
+
+
+def is_flac(data: bytes | None) -> bool:
+    return data is not None and bytes(data[:4]) == b"fLaC"
+
+
+def flac_streaminfo(data: bytes) -> dict:
+    """STREAMINFO (mandatory first metadata block): sample rate,
+    channels, bits per sample, total samples, duration. Raises on a
+    non-FLAC payload or a missing/short STREAMINFO."""
+    if not is_flac(data):
+        raise ValueError("not a FLAC payload")
+    data = bytes(data)
+    pos = 4
+    while pos + 4 <= len(data):
+        hdr = data[pos]
+        btype = hdr & 0x7F
+        size = int.from_bytes(data[pos + 1:pos + 4], "big")
+        body = pos + 4
+        if btype == 0:  # STREAMINFO
+            if size < 34 or body + 34 > len(data):
+                break
+            packed = int.from_bytes(data[body + 10:body + 18], "big")
+            sample_rate = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            bits = ((packed >> 36) & 0x1F) + 1
+            n_samples = packed & ((1 << 36) - 1)
+            return {
+                "sample_rate": sample_rate,
+                "channels": channels,
+                "bits_per_sample": bits,
+                "n_samples": n_samples,
+                "duration_ms": (
+                    int(n_samples * 1000 / sample_rate)
+                    if sample_rate else None
+                ),
+            }
+        if hdr & 0x80:  # last-block flag and it wasn't STREAMINFO
+            break
+        pos = body + size
+    raise ValueError("FLAC payload has no readable STREAMINFO")
+
+
+_MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                      192, 224, 256, 320, 0)
+_MP3_BITRATES_V2L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+                      128, 144, 160, 0)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def is_mp3(data: bytes | None) -> bool:
+    if data is None or len(data) < 4:
+        return False
+    data = bytes(data)
+    if data[:3] == b"ID3":
+        return True
+    return data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+
+
+def mp3_info(data: bytes) -> dict:
+    """First valid Layer-III frame header (after an optional ID3v2
+    tag): sample rate, channels, bitrate, and a CBR duration estimate
+    from the payload size — the triage numbers; VBR files carry an
+    estimate, not ground truth (documented field). Raises when no
+    frame header parses."""
+    if data is None:
+        raise ValueError("not an MP3 payload")
+    data = bytes(data)
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        # synchsafe 28-bit size after the 10-byte tag header
+        size = 0
+        for b in data[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    end = min(len(data) - 4, pos + 64 * 1024)
+    while pos <= end:
+        if data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0:
+            version = (data[pos + 1] >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=2.5
+            layer = (data[pos + 1] >> 1) & 0x3    # 1 = Layer III
+            br_i = (data[pos + 2] >> 4) & 0xF
+            sr_i = (data[pos + 2] >> 2) & 0x3
+            mode = (data[pos + 3] >> 6) & 0x3
+            if layer == 1 and version in _MP3_RATES and sr_i < 3:
+                table = (_MP3_BITRATES_V1L3 if version == 3
+                         else _MP3_BITRATES_V2L3)
+                kbps = table[br_i]
+                rate = _MP3_RATES[version][sr_i]
+                if kbps:
+                    return {
+                        "sample_rate": rate,
+                        "channels": 1 if mode == 3 else 2,
+                        "bitrate_kbps": kbps,
+                        "duration_ms_est": int(
+                            (len(data) - pos) * 8 / kbps
+                        ),
+                    }
+        pos += 1
+    raise ValueError("no MP3 Layer-III frame header found")
+
+
+def is_ogg(data: bytes | None) -> bool:
+    return data is not None and bytes(data[:4]) == b"OggS"
+
+
+def ogg_info(data: bytes) -> dict:
+    """Codec + sample rate from the first OGG page's identification
+    header (Vorbis or Opus — the two crawl-relevant codecs). Raises
+    on a non-OGG payload; unknown codecs report codec=None."""
+    if not is_ogg(data):
+        raise ValueError("not an OGG payload")
+    data = bytes(data)
+    if len(data) < 28:
+        raise ValueError("OGG payload shorter than a page header")
+    n_segs = data[26]
+    body = 27 + n_segs
+    page = data[body:body + 64]
+    if page[:7] == b"\x01vorbis" and len(page) >= 16:
+        return {
+            "codec": "vorbis",
+            "channels": page[11],
+            "sample_rate": int.from_bytes(page[12:16], "little"),
+        }
+    if page[:8] == b"OpusHead" and len(page) >= 16:
+        return {
+            "codec": "opus",
+            "channels": page[9],
+            # OpusHead carries the ORIGINAL input rate; Opus itself
+            # decodes at 48 kHz
+            "sample_rate": int.from_bytes(page[12:16], "little"),
+        }
+    return {"codec": None, "channels": None, "sample_rate": None}
+
+
+def is_wav(data: bytes | None) -> bool:
+    return (
+        data is not None
+        and len(data) >= 12
+        and bytes(data[:4]) == b"RIFF"
+        and bytes(data[8:12]) == b"WAVE"
+    )
+
+
+def wav_info(data: bytes) -> dict:
+    """Header-only WAV probe (fmt + data chunk sizes — no sample
+    decode; the stdlib path in multimodal._decode_wav does the actual
+    decoding): sample rate, channels, bits, duration. Raises on a
+    non-WAV payload or a missing fmt chunk."""
+    if not is_wav(data):
+        raise ValueError("not a RIFF/WAVE payload")
+    data = bytes(data)
+    fmt = None
+    data_size = None
+    for fourcc, body, size in _walk_chunks(data, 12, len(data)):
+        if fourcc == b"fmt " and size >= 16:
+            _tag, channels, rate = struct.unpack_from("<HHI", data, body)
+            bits = struct.unpack_from("<H", data, body + 14)[0]
+            fmt = (channels, rate, bits)
+        elif fourcc == b"data":
+            data_size = size
+    if fmt is None:
+        raise ValueError("WAV payload has no fmt chunk")
+    channels, rate, bits = fmt
+    dur = None
+    if data_size is not None and rate and channels and bits:
+        dur = int(data_size * 1000 / (rate * channels * (bits // 8 or 1)))
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "duration_ms": dur,
+    }

@@ -1171,6 +1171,72 @@ def video_metadata(media: DataFrame, kind: str = "video") -> DataFrame:
     return media.mapInPandas(run, VIDEO_META_SCHEMA)
 
 
+AUDIO_META_SCHEMA = (
+    "media_id long, container string, codec string, sample_rate int, "
+    "channels int, bits_per_sample int, duration_ms long, "
+    "decodable boolean"
+)
+
+
+def audio_metadata(media: DataFrame, kind: str = "audio") -> DataFrame:
+    """Distributed container-metadata probe over an audio column —
+    the triage twin of :func:`video_metadata`: one row per ``kind``
+    input row with (container, codec, sample_rate, channels,
+    bits_per_sample, duration_ms, decodable). ``decodable`` marks PCM
+    WAV (the stdlib decode route behind the fingerprint/near-dup
+    operators); FLAC/MP3/OGG rows carry their header metadata so a
+    corpus groups by codec/rate and routes compressed audio to
+    external pre-extraction. MP3 duration is a CBR estimate."""
+    from cryo_spark.operators import containers
+
+    def probe_one(payload):
+        none = (None,) * 6 + (False,)
+        if payload is None:
+            return none
+        payload = bytes(payload)
+        try:
+            if containers.is_wav(payload):
+                w = containers.wav_info(payload)
+                return ("wav", "pcm", w["sample_rate"], w["channels"],
+                        w["bits_per_sample"], w["duration_ms"], True)
+            if containers.is_flac(payload):
+                f = containers.flac_streaminfo(payload)
+                return ("flac", "flac", f["sample_rate"], f["channels"],
+                        f["bits_per_sample"], f["duration_ms"], False)
+            if containers.is_ogg(payload):
+                o = containers.ogg_info(payload)
+                return ("ogg", o["codec"], o["sample_rate"],
+                        o["channels"], None, None, False)
+            if containers.is_mp3(payload):
+                m = containers.mp3_info(payload)
+                return ("mp3", "mp3", m["sample_rate"], m["channels"],
+                        None, m["duration_ms_est"], False)
+        except ValueError:
+            # recognized magic but unreadable structure — report the
+            # container, nothing else (malformed crawl bytes)
+            for name, probe in (("wav", containers.is_wav),
+                                ("flac", containers.is_flac),
+                                ("ogg", containers.is_ogg),
+                                ("mp3", containers.is_mp3)):
+                if probe(payload):
+                    return (name, None, None, None, None, None, False)
+        return none
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("container", "codec", "sample_rate", "channels",
+                "bits_per_sample", "duration_ms", "decodable")
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in ("media_id", *cols)}
+            for _, row in pdf[pdf["kind"] == kind].iterrows():
+                vals = probe_one(row["payload"])
+                out["media_id"].append(row["media_id"])
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, AUDIO_META_SCHEMA)
+
+
 def avi_sampler(interval_ms: int = 1000) -> Callable[[bytes, int], bytes]:
     """Frame sampler for :func:`sample_frames` over AVI-MJPG payloads:
     sample ordinal i maps to the frame at i*interval_ms via the

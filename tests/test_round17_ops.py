@@ -714,3 +714,99 @@ def test_mp4_mjpeg_sampler_and_near_dups(spark):
     assert containers.mp4_sample_offsets(avc) == []
     assert mm.auto_video_sampler(1.0)(avc, 0) is None
     assert mm.auto_video_sampler(1.0)(two, 0) == _jpeg17(w, h, 0)
+
+
+# ------------------ audio triage probes
+
+
+def _wav17(rate=8000, channels=1, n=4000):
+    import io
+    import math
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(channels)
+    w.setsampwidth(2)
+    w.setframerate(rate)
+    w.writeframes(b"".join(
+        int(12000 * math.sin(i / 9)).to_bytes(2, "little", signed=True)
+        * channels
+        for i in range(n)
+    ))
+    w.close()
+    return buf.getvalue()
+
+
+def test_audio_container_probes():
+    """wav_info / flac_streaminfo / mp3_info / ogg_info parse their
+    hand-built (or stdlib-built) headers exactly."""
+    import struct as _s
+
+    from cryo_spark.operators import containers
+
+    wav = _wav17(rate=8000, channels=2, n=4000)
+    w = containers.wav_info(wav)
+    assert w == {"sample_rate": 8000, "channels": 2,
+                 "bits_per_sample": 16, "duration_ms": 500}
+
+    # FLAC STREAMINFO: pack 20-bit rate / 3-bit ch-1 / 5-bit bits-1 /
+    # 36-bit samples into the 8-byte field at offset 10
+    packed = (44100 << 44) | ((2 - 1) << 41) | ((16 - 1) << 36) | 441000
+    si = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+    flac = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+    f = containers.flac_streaminfo(flac)
+    assert f["sample_rate"] == 44100 and f["channels"] == 2
+    assert f["bits_per_sample"] == 16 and f["n_samples"] == 441000
+    assert f["duration_ms"] == 10000
+
+    # MPEG1 Layer III 128 kbps 44100 Hz joint-stereo frame header,
+    # behind an ID3v2 tag with a synchsafe size
+    frame = bytes([0xFF, 0xFB, 0x90, 0x40]) + b"\x00" * 414
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+    m = containers.mp3_info(id3 + frame * 10)
+    assert m["sample_rate"] == 44100 and m["bitrate_kbps"] == 128
+    assert m["channels"] == 2
+    assert abs(m["duration_ms_est"] - int(4180 * 8 / 128)) <= 1
+
+    # OGG first page: 'OggS' header, 1 segment, vorbis id header
+    vorb = b"\x01vorbis" + b"\x00" * 4 + bytes([2]) \
+        + (22050).to_bytes(4, "little") + b"\x00" * 16
+    ogg = b"OggS" + b"\x00" * 22 + bytes([1, len(vorb)]) + vorb
+    o = containers.ogg_info(ogg)
+    assert o == {"codec": "vorbis", "channels": 2, "sample_rate": 22050}
+
+    for fn, bad in ((containers.wav_info, b"RIFFxxxxAVI "),
+                    (containers.flac_streaminfo, b"nope"),
+                    (containers.mp3_info, b"\x00" * 64),
+                    (containers.ogg_info, b"not ogg")):
+        with pytest.raises(ValueError):
+            fn(bad)
+
+
+def test_audio_metadata_distributed_triage(spark):
+    """audio_metadata: mixed audio corpus in, typed triage frame out
+    — WAV decodable, FLAC/MP3/OGG carry header metadata, garbage and
+    video rows handled."""
+    from cryo_spark.operators import containers, multimodal as mm
+
+    packed = (16000 << 44) | (0 << 41) | (15 << 36) | 160000
+    si = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+    flac = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+    frame = bytes([0xFF, 0xFB, 0x90, 0x40]) + b"\x00" * 414
+    rows = [
+        (1, "audio", _wav17(), "audio/wav", None, None, 500),
+        (2, "audio", flac, "audio/flac", None, None, 10000),
+        (3, "audio", frame * 20, "audio/mpeg", None, None, None),
+        (4, "audio", b"garbage", "application/octet-stream", None, None, 1),
+        (5, "video", b"\x00", "video/mp4", 1, 1, 1),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in mm.audio_metadata(media).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1].container == "wav" and got[1].decodable
+    assert got[1].sample_rate == 8000 and got[1].duration_ms == 500
+    assert got[2].container == "flac" and not got[2].decodable
+    assert got[2].sample_rate == 16000 and got[2].duration_ms == 10000
+    assert got[3].container == "mp3" and got[3].sample_rate == 44100
+    assert got[4].container is None and not got[4].decodable
