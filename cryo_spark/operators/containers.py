@@ -709,3 +709,88 @@ def wav_info(data: bytes) -> dict:
         "bits_per_sample": bits,
         "duration_ms": dur,
     }
+
+
+# --------------------------------------------------------------------
+# Image formats — header-only dimension probes (PNG/JPEG additionally
+# DECODE through the vendored codecs; GIF/BMP/WebP are triage-only)
+
+
+def image_probe(data: bytes | None) -> dict | None:
+    """{'format', 'width', 'height', 'decodable'} from the image
+    header alone, or None for unrecognized bytes. ``decodable`` marks
+    the vendored full-decode routes (PNG, baseline JPEG); GIF/BMP/
+    WebP report dimensions for triage only. Never raises — malformed
+    headers of a recognized magic return the format with None dims
+    (crawl bytes lie)."""
+    if data is None or len(data) < 10:
+        return None
+    data = bytes(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        out = {"format": "png", "width": None, "height": None,
+               "decodable": True}
+        if len(data) >= 24 and data[12:16] == b"IHDR":
+            out["width"], out["height"] = struct.unpack_from(
+                ">II", data, 16
+            )
+        return out
+    if data[:3] == b"\xff\xd8\xff":
+        out = {"format": "jpeg", "width": None, "height": None,
+               "decodable": True}
+        # walk segments to the first SOFn (the same marker discipline
+        # as the MJPEG scanner: skip length-delimited segments whole)
+        p = 2
+        n = len(data)
+        while p + 3 < n:
+            if data[p] != 0xFF:
+                break
+            m = data[p + 1]
+            if m == 0xFF:
+                p += 1
+                continue
+            if m in (0xD8, 0xD9, 0x01) or 0xD0 <= m <= 0xD7:
+                p += 2
+                continue
+            seglen = (data[p + 2] << 8) | data[p + 3]
+            if seglen < 2:
+                break
+            if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                if p + 9 < n:
+                    out["height"], out["width"] = struct.unpack_from(
+                        ">HH", data, p + 5
+                    )
+                    # only baseline/extended-sequential decode through
+                    # the vendored codec; progressive etc. are
+                    # dimension-probe only
+                    out["decodable"] = m in (0xC0, 0xC1)
+                break
+            p += 2 + seglen
+        return out
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", data, 6)
+        return {"format": "gif", "width": w, "height": h,
+                "decodable": False}
+    if data[:2] == b"BM" and len(data) >= 26:
+        w, h = struct.unpack_from("<ii", data, 18)
+        return {"format": "bmp", "width": abs(w), "height": abs(h),
+                "decodable": False}
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        out = {"format": "webp", "width": None, "height": None,
+               "decodable": False}
+        kind = data[12:16]
+        if kind == b"VP8X" and len(data) >= 30:
+            out["width"] = 1 + int.from_bytes(data[24:27], "little")
+            out["height"] = 1 + int.from_bytes(data[27:30], "little")
+        elif kind == b"VP8 " and len(data) >= 30:
+            out["width"] = (
+                int.from_bytes(data[26:28], "little") & 0x3FFF
+            )
+            out["height"] = (
+                int.from_bytes(data[28:30], "little") & 0x3FFF
+            )
+        elif kind == b"VP8L" and len(data) >= 25:
+            bits = int.from_bytes(data[21:25], "little")
+            out["width"] = (bits & 0x3FFF) + 1
+            out["height"] = ((bits >> 14) & 0x3FFF) + 1
+        return out
+    return None

@@ -1237,6 +1237,40 @@ def audio_metadata(media: DataFrame, kind: str = "audio") -> DataFrame:
     return media.mapInPandas(run, AUDIO_META_SCHEMA)
 
 
+IMAGE_META_SCHEMA = (
+    "media_id long, format string, width int, height int, "
+    "decodable boolean"
+)
+
+
+def image_metadata(media: DataFrame, kind: str = "image") -> DataFrame:
+    """Distributed header-only image probe — the triage twin for the
+    image column: (format, width, height, decodable) per ``kind``
+    row. ``decodable`` marks the vendored full-decode routes (PNG,
+    baseline JPEG); GIF/BMP/WebP report dimensions for grouping/
+    filtering (drop sub-resolution, split by format) before any
+    decode; progressive JPEG is dimension-probed but not vendored-
+    decodable."""
+    from cryo_spark.operators import containers
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("format", "width", "height", "decodable")
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in ("media_id", *cols)}
+            for _, row in pdf[pdf["kind"] == kind].iterrows():
+                p = containers.image_probe(row["payload"])
+                out["media_id"].append(row["media_id"])
+                if p is None:
+                    for k in cols:
+                        out[k].append(None if k != "decodable" else False)
+                else:
+                    for k in cols:
+                        out[k].append(p[k])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, IMAGE_META_SCHEMA)
+
+
 def avi_sampler(interval_ms: int = 1000) -> Callable[[bytes, int], bytes]:
     """Frame sampler for :func:`sample_frames` over AVI-MJPG payloads:
     sample ordinal i maps to the frame at i*interval_ms via the

@@ -810,3 +810,72 @@ def test_audio_metadata_distributed_triage(spark):
     assert got[2].sample_rate == 16000 and got[2].duration_ms == 10000
     assert got[3].container == "mp3" and got[3].sample_rate == 44100
     assert got[4].container is None and not got[4].decodable
+
+
+def test_image_probe_formats():
+    """image_probe: vendored-built PNG/JPEG report exact dims and
+    decodable; hand-built GIF/BMP/WebP (all three WebP flavors)
+    report dims triage-only; garbage returns None."""
+    import struct as _s
+
+    from cryo_spark.operators import containers, jpegcodec, pngcodec
+
+    w, h = 27, 16
+    luma = _luma17(w, h, 0)
+    rows = [luma[r * w:(r + 1) * w] for r in range(h)]
+    png = pngcodec.encode_png(w, h, 1, rows)
+    jpg = jpegcodec.encode_jpeg(w, h, 1, rows, quant=1)
+    assert containers.image_probe(png) == {
+        "format": "png", "width": w, "height": h, "decodable": True}
+    assert containers.image_probe(jpg) == {
+        "format": "jpeg", "width": w, "height": h, "decodable": True}
+    assert containers.image_probe(_with_thumbnail(jpg))["width"] == w
+
+    gif = b"GIF89a" + _s.pack("<HH", 320, 200) + b"\x00" * 8
+    assert containers.image_probe(gif) == {
+        "format": "gif", "width": 320, "height": 200, "decodable": False}
+    bmp = b"BM" + b"\x00" * 16 + _s.pack("<ii", 640, -480) + b"\x00" * 8
+    assert containers.image_probe(bmp) == {
+        "format": "bmp", "width": 640, "height": 480, "decodable": False}
+
+    vp8x = b"RIFF" + b"\x00" * 4 + b"WEBPVP8X" + b"\x00" * 4 \
+        + b"\x00" * 4 + (99).to_bytes(3, "little") + (49).to_bytes(3, "little")
+    p = containers.image_probe(vp8x)
+    assert (p["format"], p["width"], p["height"]) == ("webp", 100, 50)
+    vp8 = b"RIFF" + b"\x00" * 4 + b"WEBPVP8 " + b"\x00" * 4 \
+        + b"\x00" * 6 + _s.pack("<HH", 123, 77)
+    p = containers.image_probe(vp8)
+    assert (p["width"], p["height"]) == (123, 77)
+    bits = (199) | (99 << 14)
+    vp8l = b"RIFF" + b"\x00" * 4 + b"WEBPVP8L" + b"\x00" * 4 + b"\x2f" \
+        + bits.to_bytes(4, "little")
+    p = containers.image_probe(vp8l)
+    assert (p["width"], p["height"]) == (200, 100)
+
+    assert containers.image_probe(b"random garbage bytes") is None
+    assert containers.image_probe(None) is None
+
+
+def test_image_metadata_distributed_triage(spark):
+    import struct as _s
+
+    from cryo_spark.operators import multimodal as mm, pngcodec
+
+    w, h = 27, 16
+    luma = _luma17(w, h, 0)
+    rows_px = [luma[r * w:(r + 1) * w] for r in range(h)]
+    png = pngcodec.encode_png(w, h, 1, rows_px)
+    gif = b"GIF87a" + _s.pack("<HH", 11, 7) + b"\x00" * 8
+    rows = [
+        (1, "image", png, "image/png", w, h, None),
+        (2, "image", gif, "image/gif", 11, 7, None),
+        (3, "image", b"junk", "application/octet-stream", None, None, None),
+        (4, "video", b"\x00", "video/mp4", 1, 1, 1),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in mm.image_metadata(media).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].format == "png" and got[1].decodable
+    assert (got[1].width, got[1].height) == (w, h)
+    assert got[2].format == "gif" and not got[2].decodable
+    assert got[3].format is None and not got[3].decodable
