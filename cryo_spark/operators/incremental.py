@@ -411,9 +411,7 @@ def embedding_index(
     planes = similarity.int_planes(n_planes, dim, seed)
     return emb.select(
         F.col(id_col),
-        similarity._int_sig(
-            similarity._quantized(F.col(vec_col)), planes
-        ).alias("bucket"),
+        similarity._sig_col(vec_col, planes).alias("bucket"),
         F.col(vec_col).alias("embedding"),
     ).withColumn("n_planes", F.lit(n_planes)).withColumn(
         "seed", F.lit(seed)
