@@ -585,8 +585,15 @@ def q_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH signature, so the rows are hash-exact vs the DuckDB twin
     # dim=64 matches the twin's hardcoded width and skips the
     # infer-dimension first() job at entry construction
+    # r17 optimization: method='gemm' — one numpy cosine submatrix
+    # per LSH bucket instead of the bucket self-join's per-pair
+    # interpreted zip_with fold (branch measured 1.39s -> 0.68s at
+    # sf0.1). Bit-identical since r17: dimension-major accumulation +
+    # BigDecimal-equivalent rounding on the per-anchor top set (see
+    # _hard_negatives_gemm) — hash-checked against the same unchanged
+    # DuckDB twin at sf0.001/0.01/0.1.
     hn = similarity.hard_negatives(
-        emb, k=2, group_col="label", n_planes=6, dim=64
+        emb, k=2, group_col="label", n_planes=6, dim=64, method="gemm"
     ).select(
         F.lit("hard_neg").alias("kind"),
         F.col("vec_id").alias("id_a"),
@@ -600,10 +607,20 @@ def q_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the check non-vacuous). One row per flagged vector with its
     # best eval match (ties: max cosine, then min eval id — a total
     # order both engines share via struct-max).
+    # r17 optimization: method='gemm' — the eval side (1/31 of the
+    # table, benchmark-sized by construction) collects once and the
+    # corpus side is scored in ONE narrow Arrow pass instead of a
+    # broadcast-nested-loop crossJoin whose per-pair interpreted
+    # zip_with fold dominated this entry (branch measured 1.5s ->
+    # ~0.4s at sf0.1). Bit-identical: the scorer accumulates
+    # dimension-major (the fold's exact add order) and rounds via
+    # BigDecimal-equivalent HALF_UP — hash-checked against the same
+    # unchanged DuckDB twin at sf0.001/0.01/0.1.
     dc = decontam.embedding_decontaminate(
         emb.filter(F.col("vec_id") % 31 != 0),
         emb.filter(F.col("vec_id") % 31 == 0),
         min_cosine=0.35,
+        method="gemm",
     ).select(
         F.lit("decontam").alias("kind"),
         F.col("vec_id").alias("id_a"),
@@ -621,23 +638,27 @@ def q_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps the flag leakage-sized (bag-of-words cosines of unrelated
     # synthetic docs sit ~0.65 median, 0.99 quantile ~0.86 at
     # sf0.01).
-    from cryo_spark.operators import textembed
-
     docs = _read(spark, sf_dir, "documents")
-    # persist: the corpus side feeds a broadcast-nested-loop join
-    # whose condition references the embedding column — a
-    # materialization barrier guarantees the featurization runs once
-    # per ROW, never per pair, whatever the optimizer inlines. The
-    # cached frame is embedding-table-sized (the thing a production
-    # run persists as an index anyway). The featurization itself is
-    # one aggregate per row (see text_embedding_expr's re-evaluation
-    # note — the per-dimension spelling measured 17x slower).
-    temb = textembed.text_embeddings(docs, dim=64).persist()
-    tdc = decontam.embedding_decontaminate(
-        temb.filter(F.col("doc_id") % 97 != 0),
-        temb.filter(F.col("doc_id") % 97 == 0),
+    # r17 optimization: the fused text_embedding_decontaminate
+    # replaces the round-14 persist + broadcast-nested-loop shape.
+    # The eval slice (1/97 of docs) collects as (id, text) and
+    # featurizes driver-side; the corpus side runs text -> embedding
+    # -> score as ONE narrow Arrow pass (tokenize/md5/bucket-sum
+    # vectorized in the scorer with a per-task token cache — §4.2
+    # shape; each row featurizes exactly once by construction, so the
+    # persist barrier and its cache-lock convoy between concurrent
+    # broadcast-build jobs are gone; branch measured 4.4s -> ~0.8s at
+    # sf0.1). Bit-identical: embed_texts is pinned equal to the JVM
+    # expression, embeddings are small exact integers (every dot/norm
+    # exact in float64), and the scorer rounds via
+    # BigDecimal-equivalent HALF_UP — hash-checked against the same
+    # unchanged DuckDB twin at sf0.001/0.01/0.1.
+    tdc = decontam.text_embedding_decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
         min_cosine=0.85,
         id_col="doc_id",
+        dim=64,
     ).select(
         F.lit("text_embed").alias("kind"),
         F.col("doc_id").alias("id_a"),

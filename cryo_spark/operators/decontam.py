@@ -263,40 +263,18 @@ def embedding_decontaminate(
         rows.sort(key=lambda r: r[0])
         eids = [r[0] for r in rows]
         mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-        nrm = np.sqrt((mat * mat).sum(axis=1))
-        thr = float(min_cosine)
 
-        def score(batches):
-            # ONE (batch x eval) GEMM per Arrow batch (r13 verdict
-            # finding #3 — the per-row GEMV+lexsort loop re-entered
-            # numpy once per corpus row; measured 5x single-thread at
-            # 200k corpus x 1k eval x dim 64: 169s -> 32s, and the
-            # argmax tie-break replaces a full per-row lexsort)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                ids = pdf[id_col].tolist()
-                A = np.array(
+        def to_matrix(pdf):
+            return (
+                pdf[id_col].tolist(),
+                np.array(
                     [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-                )
-                an = np.sqrt((A * A).sum(axis=1))
-                live = np.flatnonzero(an > 0)
-                if live.size == 0:
-                    continue
-                cos = np.round(
-                    (A[live] @ mat.T) / (an[live, None] * nrm[None, :]), 8
-                )
-                j = cos.argmax(axis=1)
-                best = cos[np.arange(live.size), j]
-                keep = np.flatnonzero(best >= thr)
-                yield pd.DataFrame(
-                    {
-                        id_col: [ids[live[i]] for i in keep],
-                        "eval_id": [eids[j[i]] for i in keep],
-                        "cosine": [float(best[i]) for i in keep],
-                    }
-                )
+                ),
+            )
 
+        score = _exact_gemm_score(
+            mat, eids, float(min_cosine), id_col, to_matrix
+        )
         return emb.select(id_col, vec_col).mapInPandas(score, out_schema)
     if method != "fold":
         raise ValueError(f"unknown method {method!r}: 'fold' or 'gemm'")
@@ -369,6 +347,151 @@ def embedding_decontaminate(
         (-F.col("_b._nei")).alias("eval_id"),
         F.col("_b.cosine").alias("cosine"),
     )
+
+
+def _exact_gemm_score(mat, eids, thr: float, id_col: str, to_matrix):
+    """mapInPandas scorer for the batched-GEMM decontam paths,
+    BIT-IDENTICAL to the fold path (r17 optimization round — not just
+    equal-in-practice, so the contract entries can use it). Three
+    ingredients:
+
+    (1) dots and norms accumulate DIMENSION-MAJOR — vectorized across
+        pairs, sequential across dims — which is exactly the JVM
+        fold's left-to-right ``acc + x_k*y_k`` order, so every
+        unrounded double matches the zip_with/aggregate spelling bit
+        for bit (a plain GEMM's pairwise/SIMD summation can differ by
+        1 ULP);
+    (2) per-pair cosine = dot / (t_n * e_n), the fold's exact
+        operation order;
+    (3) rounding reproduces Spark's round(d, 8) — BigDecimal on the
+        shortest round-trip decimal, HALF_UP — via Python's decimal
+        module on repr(d) (np.round's scaled-rint can disagree at
+        representation-error tie crossings). Only the per-row max and
+        its rounding-tie window pay the Decimal cost: rounding is
+        monotone, so the row's best ROUNDED cosine is round8(max
+        unrounded) and the eval tie-set (min eval id wins, ``eids``
+        sorted ascending) lives within 2e-8 of the max.
+
+    ``to_matrix(pdf) -> (ids, float64 matrix)`` adapts the Arrow batch
+    — a column of vectors, or raw text featurized in-scorer."""
+    import numpy as np
+    import pandas as pd
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q8 = Decimal("1e-8")
+
+    def _round8(v: float) -> float:
+        return float(
+            Decimal(repr(float(v))).quantize(q8, rounding=ROUND_HALF_UP)
+        )
+
+    en = np.zeros(len(mat))
+    for _k in range(mat.shape[1]):
+        en = en + mat[:, _k] * mat[:, _k]
+    en = np.sqrt(en)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, A = to_matrix(pdf)
+            an = np.zeros(len(A))
+            for k in range(A.shape[1]):
+                an = an + A[:, k] * A[:, k]
+            an = np.sqrt(an)
+            live = np.flatnonzero(an > 0)
+            if live.size == 0:
+                continue
+            dots = np.zeros((live.size, len(mat)))
+            Al = A[live]
+            for k in range(A.shape[1]):
+                dots = dots + np.outer(Al[:, k], mat[:, k])
+            cos = dots / np.outer(an[live], en)
+            out_i, out_e, out_c = [], [], []
+            for i in range(live.size):
+                row = cos[i]
+                m = row.max()
+                if np.isnan(m):
+                    # zero-norm eval vector: Spark treats NaN as
+                    # greater than every double (NaN >= thr is TRUE
+                    # and NaN wins the max struct) — mirror it: best
+                    # match = min eval id among NaNs
+                    j = int(np.flatnonzero(np.isnan(row))[0])
+                    out_i.append(ids[live[i]])
+                    out_e.append(eids[j])
+                    out_c.append(float("nan"))
+                    continue
+                r = _round8(m)
+                if not r >= thr:
+                    continue
+                for j in np.flatnonzero(row >= m - 2e-8):
+                    if _round8(row[j]) == r:
+                        break
+                out_i.append(ids[live[i]])
+                out_e.append(eids[int(j)])
+                out_c.append(r)
+            yield pd.DataFrame(
+                {id_col: out_i, "eval_id": out_e, "cosine": out_c}
+            )
+
+    return score
+
+
+def text_embedding_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    min_cosine: float = 0.85,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    eval_cap: int = 200_000,
+) -> DataFrame:
+    """Fused text -> signed-hash embedding -> semantic decontam: the
+    r17-optimized spelling of ``embedding_decontaminate(
+    text_embeddings(docs), text_embeddings(eval_docs))`` for the
+    self-contained tier. Row-for-row identical output (pinned by
+    test + the driver hash), but the corpus side is ONE narrow Arrow
+    pass — tokenize/md5/bucket-sum run vectorized in the scorer
+    (`textembed.embed_texts`, a per-task token cache amortizes the
+    md5s over the corpus's repeated vocabulary) instead of the JVM
+    aggregate that rebuilt a dim-wide array per token (measured 2.6x
+    on the tdc branch at sf0.1). The eval slice (benchmark-sized by
+    construction) collects as (id, text) and featurizes driver-side
+    with the same helper; embeddings are small exact integers, so
+    every dot/norm is exact in float64 and the DuckDB twin
+    (`embedding_decontaminate_sql` over `text_embeddings_sql`) is
+    unchanged."""
+    from cryo_spark.operators import textembed
+
+    cid_t = docs.schema[id_col].dataType.simpleString()
+    eid_t = eval_docs.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {cid_t}, eval_id {eid_t}, cosine double"
+    rows = (
+        eval_docs.select(id_col, text_col).limit(eval_cap + 1).collect()
+    )
+    if len(rows) > eval_cap:
+        raise ValueError(
+            f"eval side exceeds eval_cap={eval_cap} rows — an eval set "
+            "this large should go through the near-dup index path, not "
+            "a broadcast matrix"
+        )
+    if not rows:
+        return docs.sparkSession.createDataFrame([], out_schema)
+    rows.sort(key=lambda r: r[0])
+    eids = [r[0] for r in rows]
+    mat = textembed.embed_texts([r[1] for r in rows], dim=dim)
+
+    def to_matrix(pdf):
+        return (
+            pdf[id_col].tolist(),
+            textembed.embed_texts(pdf[text_col].tolist(), dim=dim),
+        )
+
+    score = _exact_gemm_score(
+        mat, eids, float(min_cosine), id_col, to_matrix
+    )
+    return docs.select(id_col, text_col).mapInPandas(score, out_schema)
 
 
 def embedding_decontaminate_sql(

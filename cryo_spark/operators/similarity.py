@@ -862,6 +862,20 @@ def _hard_negatives_gemm(
     # columns the fold path supports (ADVICE r12)
     id_type = emb.schema[id_col].dataType.simpleString()
 
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q8 = Decimal("1e-8")
+
+    def _round8(v: float) -> float:
+        # Spark's round(d, 8): BigDecimal on the shortest round-trip
+        # decimal, HALF_UP — np.round's scaled-rint can disagree at
+        # representation-error tie crossings (r17 optimization round:
+        # this path is now BIT-IDENTICAL to the fold, so the contract
+        # entry can use it)
+        return float(
+            Decimal(repr(float(v))).quantize(q8, rounding=ROUND_HALF_UP)
+        )
+
     def compute(key, pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
             return pd.DataFrame(
@@ -870,8 +884,18 @@ def _hard_negatives_gemm(
                  "cosine": pd.Series(dtype="float64")}
             )
         m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        nrm = np.sqrt((m * m).sum(axis=1))
-        cos = np.round((m @ m.T) / np.outer(nrm, nrm), 8)
+        # dots and norms accumulate DIMENSION-MAJOR — vectorized
+        # across pairs, sequential across dims: exactly the JVM
+        # fold's left-to-right `acc + x_k*y_k` order, so every
+        # unrounded double matches the zip_with spelling bit for bit
+        # (a plain GEMM's pairwise summation can differ by 1 ULP)
+        nrm = np.zeros(len(m))
+        dots = np.zeros((len(m), len(m)))
+        for _k in range(m.shape[1]):
+            nrm = nrm + m[:, _k] * m[:, _k]
+            dots = dots + np.outer(m[:, _k], m[:, _k])
+        nrm = np.sqrt(nrm)
+        cos = dots / np.outer(nrm, nrm)
         ids = pdf[id_col].to_numpy()
         allowed = ~np.eye(len(ids), dtype=bool)
         if has_group:
@@ -887,11 +911,25 @@ def _hard_negatives_gemm(
             cand = np.nonzero(allowed[i])[0]
             if not len(cand):
                 continue
-            # (cosine desc, neg_id asc): lexsort's last key is primary
-            order = cand[np.lexsort((ids[cand], -cos[i, cand]))][:kk]
-            out_a.extend([ids[i]] * len(order))
-            out_b.extend(ids[order])
-            out_c.extend(cos[i, order])
+            c = cos[i, cand]
+            # top-k must order by the ROUNDED cosine (ties broken by
+            # id), and rounding only reorders values within 1e-8 of
+            # each other — so exact-round just the candidates at or
+            # above (k-th largest unrounded - 2e-8), a k-plus-ties
+            # sized set, never the whole bucket (keeps the per-bucket
+            # cost O(B) Decimal calls at any scale)
+            if len(c) > kk:
+                kth = np.partition(c, len(c) - kk)[len(c) - kk]
+            else:
+                kth = c.min()
+            sel = np.flatnonzero(c >= kth - 2e-8)
+            ranked = sorted(
+                ((_round8(c[j]), ids[cand[j]]) for j in sel),
+                key=lambda t: (-t[0], t[1]),
+            )[:kk]
+            out_a.extend([ids[i]] * len(ranked))
+            out_b.extend(r[1] for r in ranked)
+            out_c.extend(r[0] for r in ranked)
         return pd.DataFrame({id_col: out_a, "neg_id": out_b, "cosine": out_c})
 
     return sigs.groupBy("_hn_b").applyInPandas(

@@ -1,0 +1,216 @@
+"""Round-17 OPTIMIZATION equivalence pins: every restructured hot
+path must produce bit-identical rows to the spelling it replaced
+(the driver hash-checks the same unchanged DuckDB twins)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+# ------------------ expr-built LSH signature / literal dot
+
+
+def test_sig_col_equals_column_spelling(spark, emb):
+    """_sig_col (one F.expr SQL string) == the per-plane Column
+    spelling it replaced, bucket for bucket."""
+    from cryo_spark.operators import similarity
+
+    planes = similarity.int_planes(6, 64)
+    old = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id",
+            similarity._int_sig(
+                similarity._quantized(F.col("embedding")), planes
+            ).alias("b"),
+        ).collect()
+    }
+    new = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", similarity._sig_col("embedding", planes).alias("b")
+        ).collect()
+    }
+    assert old == new and len(old) > 0
+
+
+def test_dot_with_literal_str_equals_column(spark, emb):
+    """String-name (F.expr) path of _dot_with_literal == the Column
+    path, bit for bit — same fold order, same double literals."""
+    from cryo_spark.operators import similarity
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # adversarial literal: a value whose repr round-trip must be exact
+    q[0] = 0.1 + 0.2
+    old = {
+        r["vec_id"]: r["d"]
+        for r in emb.select(
+            "vec_id",
+            similarity._dot_with_literal(F.col("embedding"), q).alias("d"),
+        ).collect()
+    }
+    new = {
+        r["vec_id"]: r["d"]
+        for r in emb.select(
+            "vec_id", similarity._dot_with_literal("embedding", q).alias("d")
+        ).collect()
+    }
+    assert old == new and len(old) > 0
+
+
+# ------------------ exact batched-GEMM decontam
+
+
+def test_decontam_gemm_equals_fold_on_fixture(spark, emb):
+    """method='gemm' == method='fold' row-for-row on the real
+    float-valued embeddings fixture (the r17 scorer accumulates
+    dimension-major and rounds HALF_UP, so equality is structural,
+    not data luck)."""
+    from cryo_spark.operators import decontam
+
+    corpus = emb.filter(F.col("vec_id") % 31 != 0)
+    evals = emb.filter(F.col("vec_id") % 31 == 0)
+    fold = {
+        (r[0], r[1], r[2])
+        for r in decontam.embedding_decontaminate(
+            corpus, evals, min_cosine=0.35, method="fold"
+        ).collect()
+    }
+    gemm = {
+        (r[0], r[1], r[2])
+        for r in decontam.embedding_decontaminate(
+            corpus, evals, min_cosine=0.35, method="gemm"
+        ).collect()
+    }
+    assert fold == gemm and len(fold) > 0
+
+
+def test_hard_negatives_gemm_equals_fold_on_fixture(spark, emb):
+    """hard_negatives method='gemm' == 'fold' on the real fixture:
+    per-anchor top-k by ROUNDED cosine with id tie-break."""
+    from cryo_spark.operators import similarity
+
+    fold = {
+        (r[0], r[1], r[2])
+        for r in similarity.hard_negatives(
+            emb, k=2, group_col="label", n_planes=6, dim=64
+        ).collect()
+    }
+    gemm = {
+        (r[0], r[1], r[2])
+        for r in similarity.hard_negatives(
+            emb, k=2, group_col="label", n_planes=6, dim=64, method="gemm"
+        ).collect()
+    }
+    assert fold == gemm and len(fold) > 0
+
+
+# ------------------ fused text -> embedding -> decontam
+
+
+def test_embed_texts_equals_jvm_expr(spark, docs):
+    """textembed.embed_texts (hashlib+numpy, in-scorer featurizer) ==
+    the JVM text_embedding_expr, element for element — fixture docs
+    plus the tokenizer edge cases (empty, NULL, \\x0b separators,
+    case folding, repeated whitespace)."""
+    from cryo_spark.operators import textembed
+
+    texts = [r["text"] for r in docs.select("text").collect()]
+    texts += ["", None, "  \x0b\t MiXeD CaSe\r\n x", "a  b", "\x0b"]
+    frame = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    jvm = {
+        r["i"]: [float(x) for x in r["e"]]
+        for r in frame.select(
+            "i", textembed.text_embedding_expr("text", 64).alias("e")
+        ).collect()
+    }
+    py = textembed.embed_texts(texts, dim=64)
+    assert all(
+        jvm[i] == [float(x) for x in py[i]] for i in range(len(texts))
+    )
+    with pytest.raises(ValueError, match="power of two"):
+        textembed.embed_texts(["x"], dim=63)
+
+
+def test_text_embedding_decontaminate_equals_staged(spark, docs):
+    """The fused text_embedding_decontaminate == the staged
+    text_embeddings -> embedding_decontaminate(fold) spelling it
+    replaced in llm_embedding_sim's text_embed tier."""
+    from cryo_spark.operators import decontam, textembed
+
+    temb = textembed.text_embeddings(docs, dim=64)
+    fold = {
+        (r[0], r[1], r[2])
+        for r in decontam.embedding_decontaminate(
+            temb.filter(F.col("doc_id") % 97 != 0),
+            temb.filter(F.col("doc_id") % 97 == 0),
+            min_cosine=0.85,
+            id_col="doc_id",
+        ).collect()
+    }
+    fused = {
+        (r[0], r[1], r[2])
+        for r in decontam.text_embedding_decontaminate(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            min_cosine=0.85,
+            id_col="doc_id",
+            dim=64,
+        ).collect()
+    }
+    assert fold == fused and len(fold) > 0
+
+
+def test_text_embedding_decontaminate_empty_eval(spark, docs):
+    from cryo_spark.operators import decontam
+
+    out = decontam.text_embedding_decontaminate(
+        docs, docs.limit(0), min_cosine=0.5, id_col="doc_id"
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "eval_id", "cosine",
+    ]
+
+
+def test_exact_round8_matches_spark_round(spark):
+    """The scorer's HALF_UP Decimal rounding == Spark's round(d, 8)
+    on adversarial doubles (representation-error tie neighborhoods
+    where np.round's scaled-rint disagrees)."""
+    from cryo_spark.operators.decontam import _exact_gemm_score  # noqa: F401
+    from decimal import ROUND_HALF_UP, Decimal
+
+    vals = [
+        0.123456785,
+        0.123456775,
+        0.999999995,
+        1.0000000049999999,
+        0.35000000499999997,
+        2.5e-9,
+        -0.123456785,
+        0.1 + 0.2,
+    ]
+    q8 = Decimal("1e-8")
+    py = [
+        float(Decimal(repr(v)).quantize(q8, rounding=ROUND_HALF_UP))
+        for v in vals
+    ]
+    frame = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    jvm = {
+        r["i"]: r["r"]
+        for r in frame.select("i", F.round("v", 8).alias("r")).collect()
+    }
+    assert [jvm[i] for i in range(len(vals))] == py
