@@ -69,6 +69,20 @@ def get_spark(
         # Arrow for pandas UDF / toPandas boundaries (the only Python
         # hot paths we allow: keccak, u256 decimal strings, ABI decode).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4's DataFrame-debugging origin capture wraps EVERY
+        # DataFrame/Column API call with a Python stack walk plus 3
+        # extra py4j round trips (conf read + PySparkCurrentOrigin
+        # set/clear). Construction-heavy plans pay seconds of pure
+        # driver latency for call-site strings in error messages:
+        # measured on the round-17 funnel build, 10,765 -> 6,153 py4j
+        # round trips (-43%) with the capture off. Driver-side cost at
+        # ANY cluster scale (plans are built on one machine), so off
+        # by default; re-enable for interactive debugging via
+        # SPARK_GRAFT_DF_DEBUG=true.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
