@@ -43,32 +43,68 @@ def token_count_sql(expr: str) -> str:
     )
 
 
+# --- Spark-SQL fragment builders (round 17) -------------------------
+# The stopword/quality builders below used to assemble their
+# expression trees one F.* call at a time: 10 stopword terms (x4
+# languages in lang_best_expr) at ~6 py4j round trips per term put
+# hundreds of driver round trips on EVERY construction of the
+# text-profile/quality projections (optimization guide §1/§5 — pure
+# driver latency). Each builder now emits ONE F.expr SQL string that
+# parses to the IDENTICAL Catalyst tree: double literals carry the D
+# suffix (a bare 0.4 parses as DECIMAL and would change arithmetic),
+# whitespace regex classes embed the control characters verbatim in
+# the literal, and term order/associativity matches the old
+# left-to-right loop, so results are bit-identical and the physical
+# plans unchanged (pinned in tests).
+
+_WS = " \t\n\x0b\f\r"
+
+
+def _spark_token_count_sql(c: str) -> str:
+    """Spark-SQL spelling of :func:`token_count` (same tree)."""
+    return (
+        f"CAST(CASE WHEN trim({c}) = '' THEN 0 ELSE "
+        f"size(split(trim({c}), '[{_WS}]+')) END AS BIGINT)"
+    )
+
+
+def _stop_hits_sql(c: str, words: list[str]) -> str:
+    """Spark-SQL spelling of the per-language stopword hit sum."""
+    return " + ".join(
+        f"(size(split(concat(' ', lower({c}), ' '), ' {w} ')) - 1)"
+        for w in words
+    )
+
+
 def word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality metrics: length, tokens, mean token
     length, punctuation / digit / uppercase / whitespace ratios,
     stopword hit count. Pure narrow projection — no shuffle."""
     df = spread(df)
-    c = F.col(text_col)
-    n_chars = F.length(c)
-    n_tokens = token_count(c)
-    lower = F.lower(c)
-    non_alnum = F.length(F.regexp_replace(lower, r"[a-z0-9 \t\n\x0b\f\r]", ""))
-    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
-    uppers = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
-    spaces = F.length(F.regexp_replace(c, r"[^ \t\n\x0b\f\r]", ""))
-    stop_hits = None
-    for w in STOPWORDS["en"]:
-        hit = F.size(F.split(F.concat(F.lit(" "), lower, F.lit(" ")), f" {w} ")) - 1
-        stop_hits = hit if stop_hits is None else stop_hits + hit
+    c = f"`{text_col}`"
+    tc = _spark_token_count_sql(c)
+    non_alnum = f"length(regexp_replace(lower({c}), '[a-z0-9{_WS}]', ''))"
+    digits = f"length(regexp_replace({c}, '[^0-9]', ''))"
+    uppers = f"length(regexp_replace({c}, '[^A-Z]', ''))"
+    spaces = f"length(regexp_replace({c}, '[^{_WS}]', ''))"
+    stop_hits = _stop_hits_sql(c, STOPWORDS["en"])
     return df.select(
         "doc_id",
-        n_chars.cast("long").alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        F.when(n_tokens > 0, ((n_chars - spaces) / n_tokens)).alias("mean_token_len"),
-        F.round(non_alnum / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
-        F.round(digits / F.greatest(n_chars, F.lit(1)), 6).alias("digit_ratio"),
-        F.round(uppers / F.greatest(n_chars, F.lit(1)), 6).alias("upper_ratio"),
-        stop_hits.cast("long").alias("en_stopword_hits"),
+        F.expr(f"CAST(length({c}) AS BIGINT)").alias("n_chars"),
+        F.expr(tc).alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN {tc} > 0 THEN (length({c}) - {spaces}) / {tc} END"
+        ).alias("mean_token_len"),
+        F.expr(f"round({non_alnum} / greatest(length({c}), 1), 6)").alias(
+            "punct_ratio"
+        ),
+        F.expr(f"round({digits} / greatest(length({c}), 1), 6)").alias(
+            "digit_ratio"
+        ),
+        F.expr(f"round({uppers} / greatest(length({c}), 1), 6)").alias(
+            "upper_ratio"
+        ),
+        F.expr(f"CAST({stop_hits} AS BIGINT)").alias("en_stopword_hits"),
     )
 
 
@@ -100,16 +136,13 @@ def lang_best_expr(text_col: str = "text") -> Column:
     """struct(score, lang) of the winning stopword-vote language —
     deterministic argmax: highest score, ties broken by lang desc
     (array_max on the struct ordering)."""
-    lower = F.lower(F.col(text_col))
-    padded = F.concat(F.lit(" "), lower, F.lit(" "))
-    scores = []
-    for lang, words in STOPWORDS.items():
-        s = None
-        for w in words:
-            hit = F.size(F.split(padded, f" {w} ")) - 1
-            s = hit if s is None else s + hit
-        scores.append(F.struct(s.cast("long").alias("score"), F.lit(lang).alias("lang")))
-    return F.array_max(F.array(*scores))
+    c = f"`{text_col}`"
+    scores = ", ".join(
+        f"named_struct('score', CAST({_stop_hits_sql(c, words)} AS BIGINT), "
+        f"'lang', '{lang}')"
+        for lang, words in STOPWORDS.items()
+    )
+    return F.expr(f"array_max(array({scores}))")
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -185,23 +218,22 @@ FROM {table}
 def quality_score_expr(text_col: str = "text") -> Column:
     """The composite quality score expression in [0,1]:
     0.4*length_ok + 0.3*stopword_ok + 0.3*(1 - punct_noise)."""
-    c = F.col(text_col)
-    n_chars = F.length(c)
-    n_tokens = token_count(c)
-    lower = F.lower(c)
-    non_alnum = F.length(F.regexp_replace(lower, r"[a-z0-9 \t\n\x0b\f\r]", ""))
-    stop_hits = None
-    for w in STOPWORDS["en"]:
-        hit = F.size(F.split(F.concat(F.lit(" "), lower, F.lit(" ")), f" {w} ")) - 1
-        stop_hits = hit if stop_hits is None else stop_hits + hit
-    length_ok = F.least(n_chars / F.lit(500.0), F.lit(1.0))
-    stopword_ok = F.least(
-        stop_hits / F.greatest(n_tokens.cast("double") * 0.06, F.lit(1.0)), F.lit(1.0)
+    c = f"`{text_col}`"
+    tc = _spark_token_count_sql(c)
+    stop_hits = _stop_hits_sql(c, STOPWORDS["en"])
+    non_alnum = f"length(regexp_replace(lower({c}), '[a-z0-9{_WS}]', ''))"
+    length_ok = f"least(length({c}) / 500.0D, 1.0D)"
+    stopword_ok = (
+        f"least(({stop_hits}) / greatest(CAST({tc} AS DOUBLE) * 0.06D, 1.0D),"
+        " 1.0D)"
     )
-    punct_noise = F.least(
-        non_alnum / F.greatest(n_chars.cast("double") * 0.25, F.lit(1.0)), F.lit(1.0)
+    punct_noise = (
+        f"least({non_alnum} / greatest(CAST(length({c}) AS DOUBLE) * 0.25D,"
+        " 1.0D), 1.0D)"
     )
-    return 0.4 * length_ok + 0.3 * stopword_ok + 0.3 * (1 - punct_noise)
+    return F.expr(
+        f"0.4D * {length_ok} + 0.3D * {stopword_ok} + 0.3D * (1 - {punct_noise})"
+    )
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -214,3 +214,138 @@ def test_exact_round8_matches_spark_round(spark):
         for r in frame.select("i", F.round("v", 8).alias("r")).collect()
     }
     assert [jvm[i] for i in range(len(vals))] == py
+
+
+# ------------------ expr-built text quality / language builders
+
+
+def _old_token_count(c):
+    trimmed = F.trim(c)
+    return (
+        F.when(trimmed == "", F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"[ \t\n\x0b\f\r]+")))
+        .cast("long")
+    )
+
+
+def test_quality_score_expr_equals_column_spelling(spark, docs):
+    """quality_score_expr (one F.expr SQL string, round 17) == the
+    per-term Column loop it replaced. Multiplication operands were
+    commuted by the rewrite (0.4 * x vs x * 0.4) — IEEE multiplication
+    is commutative at the bit level, so values must be EXACTLY equal,
+    not approximately."""
+    from cryo_spark.operators import text as T
+
+    c = F.col("text")
+    n_chars = F.length(c)
+    n_tokens = _old_token_count(c)
+    lower = F.lower(c)
+    non_alnum = F.length(
+        F.regexp_replace(lower, r"[a-z0-9 \t\n\x0b\f\r]", "")
+    )
+    stop_hits = None
+    for w in T.STOPWORDS["en"]:
+        hit = (
+            F.size(F.split(F.concat(F.lit(" "), lower, F.lit(" ")), f" {w} "))
+            - 1
+        )
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    length_ok = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    stopword_ok = F.least(
+        stop_hits / F.greatest(n_tokens.cast("double") * 0.06, F.lit(1.0)),
+        F.lit(1.0),
+    )
+    punct_noise = F.least(
+        non_alnum / F.greatest(n_chars.cast("double") * 0.25, F.lit(1.0)),
+        F.lit(1.0),
+    )
+    old_expr = 0.4 * length_ok + 0.3 * stopword_ok + 0.3 * (1 - punct_noise)
+
+    old = {
+        r["doc_id"]: r["v"]
+        for r in docs.select("doc_id", old_expr.alias("v")).collect()
+    }
+    new = {
+        r["doc_id"]: r["v"]
+        for r in docs.select(
+            "doc_id", T.quality_score_expr().alias("v")
+        ).collect()
+    }
+    assert old == new
+
+
+def test_lang_best_expr_equals_column_spelling(spark, docs):
+    """lang_best_expr (one F.expr named_struct array, round 17) == the
+    4x10-term Column loop it replaced: same winning lang AND score."""
+    from cryo_spark.operators import text as T
+
+    lower = F.lower(F.col("text"))
+    padded = F.concat(F.lit(" "), lower, F.lit(" "))
+    scores = []
+    for lang, words in T.STOPWORDS.items():
+        s = None
+        for w in words:
+            hit = F.size(F.split(padded, f" {w} ")) - 1
+            s = hit if s is None else s + hit
+        scores.append(
+            F.struct(s.cast("long").alias("score"), F.lit(lang).alias("lang"))
+        )
+    old_expr = F.array_max(F.array(*scores))
+
+    old = {
+        r["doc_id"]: (r["v"]["score"], r["v"]["lang"])
+        for r in docs.select("doc_id", old_expr.alias("v")).collect()
+    }
+    new = {
+        r["doc_id"]: (r["v"]["score"], r["v"]["lang"])
+        for r in docs.select(
+            "doc_id", T.lang_best_expr().alias("v")
+        ).collect()
+    }
+    assert old == new
+
+
+def test_word_stats_equals_column_spelling(spark, docs):
+    """word_stats (expr-built projection, round 17) == the Column
+    spelling it replaced, every output column."""
+    from cryo_spark.operators import text as T
+
+    c = F.col("text")
+    n_chars = F.length(c)
+    n_tokens = _old_token_count(c)
+    lower = F.lower(c)
+    non_alnum = F.length(
+        F.regexp_replace(lower, r"[a-z0-9 \t\n\x0b\f\r]", "")
+    )
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    uppers = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    spaces = F.length(F.regexp_replace(c, r"[^ \t\n\x0b\f\r]", ""))
+    stop_hits = None
+    for w in T.STOPWORDS["en"]:
+        hit = (
+            F.size(F.split(F.concat(F.lit(" "), lower, F.lit(" ")), f" {w} "))
+            - 1
+        )
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    old = docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.when(n_tokens > 0, ((n_chars - spaces) / n_tokens)).alias(
+            "mean_token_len"
+        ),
+        F.round(non_alnum / F.greatest(n_chars, F.lit(1)), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(digits / F.greatest(n_chars, F.lit(1)), 6).alias(
+            "digit_ratio"
+        ),
+        F.round(uppers / F.greatest(n_chars, F.lit(1)), 6).alias(
+            "upper_ratio"
+        ),
+        stop_hits.cast("long").alias("en_stopword_hits"),
+    )
+    new = T.word_stats(docs)
+    o = {r["doc_id"]: tuple(r)[1:] for r in old.collect()}
+    n = {r["doc_id"]: tuple(r)[1:] for r in new.collect()}
+    assert o == n
