@@ -117,7 +117,12 @@ def minhash_signatures(
     # passes over every shingle occurrence (the dominant CPU cost of
     # the signature stage at corpus scale)
     hashed = rows.select(F.col(id_col), F.xxhash64("shingle").alias("hs"))
-    aggs = [F.min(F.xxhash64("hs", F.lit(i))).alias(f"mh{i}") for i in range(k)]
+    # one F.expr per aggregate instead of the F.min/F.xxhash64/F.lit
+    # chain (~5 py4j round trips each, k times per construction);
+    # min(xxhash64(hs, i)) parses to the identical Min(XxHash64) tree
+    aggs = [
+        F.expr(f"min(xxhash64(hs, {i}))").alias(f"mh{i}") for i in range(k)
+    ]
     return hashed.groupBy(id_col).agg(*aggs)
 
 

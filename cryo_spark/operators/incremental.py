@@ -75,28 +75,30 @@ def _band_rows(
     behavior is what a caller wants, so this path raises; the guard
     rides inside the band_hash expression so column pruning cannot
     drop it)."""
-    r = F.size("sig") / bands
-    ok = F.size("sig") % bands == 0
+    # the whole per-band struct array as ONE F.expr SQL string: the
+    # F.* spelling paid ~20 py4j round trips per band on every
+    # construction (r17 optimization round); same slice arithmetic,
+    # same in-expression divisibility guard, identical Catalyst tree
+    r = f"(size(sig) / {bands})"
+    err = (
+        f"CAST(raise_error('bands={bands} must divide the signature "
+        "length') AS BIGINT)"
+    )
 
-    def _hash(b: int):
-        h = F.xxhash64(
-            F.slice("sig", (F.lit(b) * r + 1).cast("int"), r.cast("int")),
-            F.lit(b),
+    def _hash(b: int) -> str:
+        h = (
+            f"xxhash64(slice(sig, CAST({b} * {r} + 1 AS INT), "
+            f"CAST({r} AS INT)), {b})"
         )
-        return F.when(ok, h).otherwise(
-            F.raise_error(
-                F.lit(f"bands={bands} must divide the signature length")
-            ).cast("bigint")
-        )
+        return f"CASE WHEN size(sig) % {bands} = 0 THEN {h} ELSE {err} END"
 
-    bandstructs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                _hash(b).alias("band_hash"),
-            )
+    bandstructs = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band_id', {b}, 'band_hash', {_hash(b)})"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     carry = [c for c in (carry_cols or ()) if c != id_col]
     return index.select(

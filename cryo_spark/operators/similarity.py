@@ -1246,9 +1246,19 @@ def pq_topk(
         ]
         for j in range(m)
     ]
-    tab = F.array(*[
-        F.array(*[F.lit(v) for v in row]) for row in table
-    ])
+    # ONE F.expr for the (m x n_codes) literal table: the per-lit
+    # F.array/F.lit spelling paid ~2 py4j round trips per entry (128
+    # entries at the default geometry) on every construction; _d_lit
+    # round-trips each double exactly, so the parsed CreateArray tree
+    # is bit-identical (r17 optimization round)
+    tab = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_d_lit(v) for v in row) + ")"
+            for row in table
+        )
+        + ")"
+    )
     dist = F.aggregate(
         F.zip_with(
             F.col("codes"),
