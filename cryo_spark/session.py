@@ -87,6 +87,28 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Python workers: stamp-checked zipimporter.invalidate_caches (see
+    # cryo_spark/workerdaemon.py). pyspark calls
+    # importlib.invalidate_caches() at the START OF EVERY TASK, and on
+    # CPython 3.11 each of the worker's ~16 zip-prefix importers eagerly
+    # re-parses its archive's central directory: measured 0.3-0.8 s of
+    # run time per Python task with near-zero CPU, on every
+    # pandas-UDF/mapInArrow stage. The shim re-reads only when the
+    # archive's (mtime_ns, size) moved — same freshness contract,
+    # stat() cost. Worker-side and per-task, so it matters MORE on a
+    # large cluster (millions of Python tasks), not less; the package
+    # just needs to be importable where workers fork (true here and in
+    # any --py-files/image deployment). SPARK_GRAFT_WORKER_DAEMON=0
+    # restores the stock daemon.
+    if os.environ.get("SPARK_GRAFT_WORKER_DAEMON", "1") != "0":
+        pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        worker_pp = os.pathsep.join(
+            p for p in (pkg_parent, os.environ.get("PYTHONPATH", "")) if p
+        )
+        builder = (
+            builder.config("spark.python.daemon.module", "cryo_spark.workerdaemon")
+            .config("spark.executorEnv.PYTHONPATH", worker_pp)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

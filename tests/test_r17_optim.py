@@ -349,3 +349,72 @@ def test_word_stats_equals_column_spelling(spark, docs):
     o = {r["doc_id"]: tuple(r)[1:] for r in old.collect()}
     n = {r["doc_id"]: tuple(r)[1:] for r in new.collect()}
     assert o == n
+
+
+# ------------------ worker daemon: stamp-checked zip invalidation
+
+
+def test_stamped_invalidate_rereads_only_on_change(tmp_path):
+    """The workerdaemon shim must skip the eager central-directory
+    re-read while the archive stamp is unchanged, and re-read (picking
+    up new members) as soon as the file changes — the exact freshness
+    contract sc.addPyFile relies on."""
+    import zipfile
+    import zipimport
+
+    from cryo_spark import workerdaemon
+
+    zp = tmp_path / "mod.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("m_one.py", "X = 1\n")
+    zi = zipimport.zipimporter(str(zp))
+    assert zi.find_spec("m_one") is not None
+
+    calls = []
+    orig = workerdaemon._orig_invalidate
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    workerdaemon._orig_invalidate = counting
+    try:
+        workerdaemon._stamped_invalidate(zi)   # first: must re-read
+        workerdaemon._stamped_invalidate(zi)   # unchanged: must skip
+        workerdaemon._stamped_invalidate(zi)
+        assert len(calls) == 1
+        # grow the archive: stamp moves, next invalidate re-reads
+        with zipfile.ZipFile(zp, "a") as z:
+            z.writestr("m_two.py", "Y = 2\n")
+        workerdaemon._stamped_invalidate(zi)
+        assert len(calls) == 2
+        assert zi.find_spec("m_two") is not None
+    finally:
+        workerdaemon._orig_invalidate = orig
+
+
+def test_worker_daemon_conf_and_udf_roundtrip(spark):
+    """get_spark wires the shim daemon in by default and pandas UDFs
+    execute through it (workers fork from cryo_spark.workerdaemon)."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    if os.environ.get("SPARK_GRAFT_WORKER_DAEMON", "1") != "0":
+        assert (
+            spark.conf.get("spark.python.daemon.module")
+            == "cryo_spark.workerdaemon"
+        )
+
+    @F.pandas_udf("long")
+    def plus_one(v: pd.Series) -> pd.Series:
+        return v + 1
+
+    got = (
+        spark.range(100)
+        .repartition(4)
+        .select(F.sum(plus_one("id")).alias("s"))
+        .first()["s"]
+    )
+    assert got == sum(range(100)) + 100
