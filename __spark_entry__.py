@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1214,7 +1215,22 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       case (measured ~0.3-0.5 recall@10), so its 0.2 floor only
       detects broken encode/ADC plumbing."""
     emb = _read(spark, sf_dir, "embeddings")
-    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # round 17: the entry's TWO eager driver steps (query-row first()
+    # and the shared 4096-row training sample collect) are independent
+    # Spark jobs that used to run back-to-back; submit them from a
+    # 2-thread pool so the second job's tasks back-fill the first's
+    # tail (guide §2.6). Same jobs, same results — only the driver-side
+    # serialization between them is removed (~0.2-0.3 s at sf0.1).
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fq = _pool.submit(
+            lambda: [
+                float(x)
+                for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+            ]
+        )
+        _fs = _pool.submit(similarity.sample_matrix, emb)
+        query = _fq.result()
+        smp = _fs.result()
     lsh = similarity.lsh_topk(emb, query, k=10, n_planes=6).withColumn(
         "method", F.lit("lsh")
     )
@@ -1253,8 +1269,8 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shape (previously each method retrained its own k-means).
     # Round 8: the 4096-row training sample is also collected ONCE and
     # fed to both trainers (they defined the identical TakeOrdered
-    # sample and each collected it — one redundant driver job)
-    smp = similarity.sample_matrix(emb)
+    # sample and each collected it — one redundant driver job); round
+    # 17 moved the collect into the thread pool above.
     cents = similarity.train_centroids(emb, n_centroids=16, sample_rows=smp)
     # spread() as the inline ivf_topk path did — a one-file parquet
     # would otherwise run the pandas-UDF GEMM single-threaded
