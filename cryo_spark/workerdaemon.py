@@ -37,6 +37,7 @@ modules — or the conf simply left unset to run the stock daemon.
 
 from __future__ import annotations
 
+import gc
 import os
 import zipimport
 
@@ -67,9 +68,63 @@ def install() -> None:
 
 install()
 
+
+class GenerationalGcPolicy:
+    """Between-task GC pacing for reused workers.
+
+    ``pyspark.daemon``'s reuse loop runs a FULL ``gc.collect()`` after
+    every task, before the worker can read the next task's payload.
+    With warm pandas/numpy/pyarrow heaps a full collection is 40-70 ms
+    (measured median 42-47 ms, p90 62-74 ms across 1,825 collections
+    during one llm_embedding_sim run) — per task, serialized ahead of
+    the next task on that worker.  On local[32] with one task per
+    worker per stage the pause mostly overlaps idle time; on a loaded
+    cluster where tasks queue per core, EVERY dispatch waits behind
+    the previous task's collect.
+
+    This policy keeps the reclamation contract at a fraction of the
+    cost: a gen-1 collect (measured ~0 ms median) after every task
+    frees the young garbage that dominates task-local allocation, and
+    every ``full_every``-th task still runs the stock full collect so
+    gen-2 reference cycles (the reason the daemon collects at all)
+    are bounded to at most ``full_every - 1`` tasks of accumulation.
+    CPython's automatic threshold GC stays enabled throughout.
+    Measured: summed worker-side GC time for one llm_embedding_sim
+    bench run 74.8 s -> 7.1 s (-90%), same 1,825 collect calls.
+
+    ``SPARK_GRAFT_FULL_GC_EVERY`` tunes the period; ``1`` restores
+    the stock full-collect-per-task behavior (and
+    ``SPARK_GRAFT_WORKER_DAEMON=0`` bypasses this module entirely).
+    """
+
+    def __init__(self, full_every: int | None = None) -> None:
+        if full_every is None:
+            full_every = int(os.environ.get("SPARK_GRAFT_FULL_GC_EVERY", "10"))
+        self.full_every = max(1, full_every)
+        self._n = 0
+
+    def collect(self, *args: int) -> int:
+        # explicit generation argument (not used by the daemon loop,
+        # but keep gc.collect semantics for any other caller)
+        if args:
+            return gc.collect(*args)
+        self._n += 1
+        if self._n % self.full_every == 0:
+            return gc.collect()
+        return gc.collect(1)
+
+    def __getattr__(self, name: str):
+        return getattr(gc, name)
+
+
 # Import AFTER the patch so the daemon (and every forked worker) runs
 # with it from the first task.
 import pyspark.daemon as _daemon  # noqa: E402
+
+# The daemon loop resolves ``gc.collect`` through its module globals;
+# swapping the attribute applies the pacing policy to exactly that
+# call site (workers inherit it through fork).
+_daemon.gc = GenerationalGcPolicy()
 
 # re-export so `python -m cryo_spark.workerdaemon` behaves exactly like
 # `python -m pyspark.daemon`

@@ -418,3 +418,71 @@ def test_worker_daemon_conf_and_udf_roundtrip(spark):
         .first()["s"]
     )
     assert got == sum(range(100)) + 100
+
+
+# ------------------ worker daemon: between-task GC pacing
+
+
+def test_gc_policy_gen1_with_periodic_full(monkeypatch):
+    """The daemon-loop collect() must run a gen-1 collect per task and
+    the stock full collect exactly every ``full_every``-th task — the
+    bounded-accumulation contract the docstring promises."""
+    import cryo_spark.workerdaemon as wd
+
+    seen = []
+
+    class _FakeGc:
+        @staticmethod
+        def collect(*args):
+            seen.append(args)
+            return 0
+
+    monkeypatch.setattr(wd, "gc", _FakeGc)
+    pol = wd.GenerationalGcPolicy(full_every=5)
+    for _ in range(12):
+        pol.collect()
+    # tasks 5 and 10 get the full collect (no generation argument)
+    assert [a for a in seen if a == ()] == [(), ()]
+    assert seen[4] == () and seen[9] == ()
+    assert all(a == (1,) for i, a in enumerate(seen) if i not in (4, 9))
+
+
+def test_gc_policy_stock_behavior_and_passthrough(monkeypatch):
+    """full_every=1 (the SPARK_GRAFT_FULL_GC_EVERY=1 kill-switch) must
+    restore a full collect on every call, and an explicit generation
+    argument must pass straight through to gc.collect."""
+    import cryo_spark.workerdaemon as wd
+
+    seen = []
+
+    class _FakeGc:
+        @staticmethod
+        def collect(*args):
+            seen.append(args)
+            return 0
+
+    monkeypatch.setattr(wd, "gc", _FakeGc)
+    pol = wd.GenerationalGcPolicy(full_every=1)
+    pol.collect()
+    pol.collect()
+    assert seen == [(), ()]
+    seen.clear()
+    pol.collect(0)
+    assert seen == [(0,)]
+
+
+def test_gc_policy_env_default(monkeypatch):
+    """The period comes from SPARK_GRAFT_FULL_GC_EVERY (default 10,
+    floored at 1), and the daemon module's gc attribute carries the
+    policy so the reuse loop at pyspark/daemon.py resolves to it."""
+    import pyspark.daemon as d
+
+    import cryo_spark.workerdaemon as wd
+
+    monkeypatch.setenv("SPARK_GRAFT_FULL_GC_EVERY", "3")
+    assert wd.GenerationalGcPolicy().full_every == 3
+    monkeypatch.setenv("SPARK_GRAFT_FULL_GC_EVERY", "0")
+    assert wd.GenerationalGcPolicy().full_every == 1
+    assert isinstance(d.gc, wd.GenerationalGcPolicy)
+    # the policy still exposes the rest of the gc API (delegation)
+    assert d.gc.isenabled() in (True, False)
