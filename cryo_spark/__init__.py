@@ -17,7 +17,14 @@ operators (dedup, similarity search, text analysis, multimodal
 plumbing) under :mod:`cryo_spark.operators`.
 """
 
+from cryo_spark import py4jopt
 from cryo_spark.session import get_spark
+
+# Driver-side py4j reflection memo (see py4jopt docstring): installed
+# at import so sessions created by an external harness (the bench
+# driver owns its SparkSession) benefit too. Transport-only — no plan
+# or result change; SPARK_GRAFT_PY4J_MEMO=0 restores stock py4j.
+py4jopt.install()
 
 __version__ = "0.1.0"
 
