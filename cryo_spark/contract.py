@@ -277,23 +277,44 @@ def _str_col(col: Column, dtype: T.DataType) -> Column:
     return col.cast("string")
 
 
+def _bt(name: str) -> str:
+    """Backtick-quote an identifier for a Spark SQL expression."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def merged_part_df(df: DataFrame, part: str, mapping: dict[str, str],
                    cols: list[tuple[str, str]]) -> DataFrame:
     """Project one sub-dataset frame onto the group's canonical
-    columns (missing columns become typed NULLs)."""
+    columns (missing columns become typed NULLs).
+
+    Emitted as ONE ``selectExpr`` string list (single py4j round trip)
+    rather than a per-column ``F.*`` loop: the old spelling paid 3-6
+    driver round trips per canonical column x ~20 columns x up to 8
+    parts per merged entry (~500-1,000 round trips per construction,
+    the top chatter site of dataset_state_diffs / token_transfers —
+    round-17 guide §1.2 step 2). The SQL strings parse to the exact
+    Catalyst trees the Column spelling built (equality pinned in
+    tests/test_r17_optim.py)."""
     by_name = {f.name: f.dataType for f in df.schema.fields}
-    exprs = [F.lit(part).alias("datatype")]
+    exprs = ["'" + part.replace("'", "''") + "' AS datatype"]
     for name, kind in cols:
         src = mapping.get(name, name)
         if src not in by_name:
-            exprs.append(
-                F.lit(None).cast("string" if kind == "str" else "long").alias(name)
-            )
+            null_t = "STRING" if kind == "str" else "BIGINT"
+            exprs.append(f"CAST(NULL AS {null_t}) AS {_bt(name)}")
         elif kind == "long":
-            exprs.append(F.col(src).cast("long").alias(name))
+            exprs.append(f"CAST({_bt(src)} AS BIGINT) AS {_bt(name)}")
         else:
-            exprs.append(_str_col(F.col(src), by_name[src]).alias(name))
-    return df.select(*exprs)
+            dtype = by_name[src]
+            if isinstance(dtype, T.BinaryType):
+                exprs.append(
+                    f"concat('0x', lower(hex({_bt(src)}))) AS {_bt(name)}"
+                )
+            elif isinstance(dtype, T.StringType):
+                exprs.append(f"{_bt(src)} AS {_bt(name)}")
+            else:
+                exprs.append(f"CAST({_bt(src)} AS STRING) AS {_bt(name)}")
+    return df.selectExpr(*exprs)
 
 
 def _str_sql(col: str, duck_type: str) -> str:

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cryo_spark.functions import be_uint
+from cryo_spark.functions import be_uint, be_uint_expr
 from cryo_spark.oracle import be_uint_sql, fixture_rel
 from cryo_spark.schemas import get_spec
 from cryo_spark.sources import raw
@@ -100,6 +100,12 @@ def _convert(colname: str, how: str):
     return c
 
 
+def _convert_expr(colname: str, how: str) -> str:
+    if how == "u64":
+        return f"CAST({be_uint_expr(f'`{colname}`')} AS BIGINT)"
+    return f"`{colname}`"
+
+
 def _convert_sql(expr: str, how: str) -> str:
     if how == "u64":
         return f"CAST({be_uint_sql(expr)} AS BIGINT)"
@@ -111,13 +117,16 @@ def make_geth_diff_transform(kind: str):
 
     def transform(spark: SparkSession, fixtures_dir: str | None = None) -> DataFrame:
         df = raw(spark, "state_diffs", fixtures_dir).filter(F.col("kind") == kind)
+        # selectExpr strings: see datasets/state.py (same ~70-round-
+        # trip-per-part fold, round 17)
         exprs = {
-            "transaction_index": F.col("transaction_index").cast("long").alias("transaction_index"),
-            "from_value": _convert("from_value", how).alias("from_value"),
-            "to_value": _convert("to_value", how).alias("to_value"),
+            "transaction_index":
+                "CAST(`transaction_index` AS BIGINT) AS transaction_index",
+            "from_value": f"{_convert_expr('from_value', how)} AS from_value",
+            "to_value": f"{_convert_expr('to_value', how)} AS to_value",
         }
         cols = get_spec(f"geth_{kind}_diffs").column_names()
-        return df.select(*[exprs.get(c, F.col(c)) for c in cols])
+        return df.selectExpr(*[exprs.get(c, f"`{c}`") for c in cols])
 
     return transform
 

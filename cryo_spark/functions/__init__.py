@@ -55,6 +55,34 @@ def be_uint(col: Column | str, max_bytes: int = 16) -> Column:
     return total.cast(T.DecimalType(38, 0))
 
 
+def be_uint_expr(expr: str, max_bytes: int = 16) -> str:
+    """Spark-SQL text of :func:`be_uint` over column/expression text
+    ``expr`` — the same limb tree (right-padded hex, per-8-byte
+    conv limbs, try_* decimal arithmetic), emitted as ONE string so
+    hot dataset projections (state/geth diff transforms build it 4x
+    per 8-part merged entry) parse it in a single py4j round trip
+    instead of ~18 Column calls. Identical Catalyst tree by
+    construction; value equality pinned in tests/test_r17_optim.py."""
+    h = f"right(concat('{'0' * (2 * max_bytes)}', hex({expr})), {2 * max_bytes})"
+    n_limbs = (max_bytes + 7) // 8
+    total: str | None = None
+    for limb in range(n_limbs):
+        start = 1 + limb * 16
+        limb_val = (
+            f"CAST(conv(substring({h}, {start}, 16), 16, 10) "
+            "AS DECIMAL(38,0))"
+        )
+        shift = n_limbs - 1 - limb
+        term = (
+            f"try_multiply({limb_val}, "
+            f"CAST('{TWO_64 ** shift}' AS DECIMAL(38,0)))"
+            if shift
+            else limb_val
+        )
+        total = term if total is None else f"try_add({total}, {term})"
+    return f"CAST({total} AS DECIMAL(38,0))"
+
+
 @F.pandas_udf(T.StringType())
 def u256_string_udf(s):  # type: ignore[no-untyped-def]
     """Exact decimal string of a big-endian binary word of any width

@@ -287,11 +287,18 @@ def _corpus_stages(
                 # in the plan; values are read back from the
                 # QueryExecution's accumulators after the action.
                 mname = f"funnel_{next(_OBS_SEQ)}_{len(stages)}_{name}"
+                # both metric aggregates as parsed strings: the
+                # F.count/F.coalesce/F.sum/token_count chain paid ~18
+                # py4j round trips per boundary x 11 boundaries per
+                # funnel construction (round-17 chatter profile)
                 frame = frame.observe(
                     mname,
-                    F.count(F.lit(1)).alias("n_docs"),
-                    F.coalesce(F.sum(text.token_count(tc)), F.lit(0))
-                    .cast("long").alias("n_tokens"),
+                    F.expr("count(1) AS n_docs"),
+                    F.expr(
+                        "CAST(coalesce(sum("
+                        + text.token_count_expr(tc)
+                        + "), 0) AS BIGINT) AS n_tokens"
+                    ),
                 )
                 observations.append({"name": mname, "reader": None})
                 frame.persist()
@@ -1067,9 +1074,12 @@ def _funnel_from_stages(
                 # fallback (and the un-observed prepended frames):
                 # one aggregate riding the already-materialized cache
                 r = frame.agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    F.coalesce(F.sum(text.token_count(tc)), F.lit(0))
-                    .cast("long").alias("n_tokens"),
+                    F.expr("count(1) AS n_docs"),
+                    F.expr(
+                        "CAST(coalesce(sum("
+                        + text.token_count_expr(tc)
+                        + "), 0) AS BIGINT) AS n_tokens"
+                    ),
                 ).first()
                 nd, nt = int(r["n_docs"]), int(r["n_tokens"])
             rows.append((i, stage, nd, nt))

@@ -42,6 +42,12 @@ def _norm_text(text_col: str = "text") -> Column:
     return F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0b\f\r]+", " ")
 
 
+def _norm_text_sql(text_col: str = "text") -> str:
+    """SQL text of :func:`_norm_text` (same regex, control characters
+    embedded verbatim so the pattern literal is byte-identical)."""
+    return f"regexp_replace(trim(lower(`{text_col}`)), '[ \t\n\x0b\f\r]+', ' ')"
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups on normalized text. Returns
     (doc_id, keeper_id, is_duplicate): keeper = min doc_id per group.
@@ -88,13 +94,25 @@ def shingle_rows(
     df = _spread(df)
     # bind tokens to a concrete column first: expressions inside the
     # higher-order lambda otherwise re-inline (and re-evaluate) the
-    # whole regexp+split per element access — measured 25x slower
-    toks = df.select(F.col(id_col), F.split(_norm_text(text_col), " ").alias("toks"))
-    t = F.col("toks")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, n), " "))
-    grams = F.when(F.size(t) >= n, grams).otherwise(F.array(F.array_join(t, " ")))
-    return toks.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    # whole regexp+split per element access — measured 25x slower.
+    # Both projections are emitted as single SQL strings (2 py4j round
+    # trips instead of ~150 — shingle_rows is rebuilt per consumer:
+    # minhash, jaccard, dsir all pay it on every construction); the
+    # strings parse to the same trees the F.* chain built (whitespace
+    # class characters embedded verbatim, term order unchanged).
+    toks = df.select(
+        F.col(id_col),
+        F.expr(f"split({_norm_text_sql(text_col)}, ' ') AS toks"),
+    )
+    grams = (
+        f"CASE WHEN (size(toks) >= {n}) THEN "
+        f"transform(sequence(0, greatest((size(toks) - {n}), 0)), "
+        f"i -> array_join(slice(toks, (i + 1), {n}), ' ')) "
+        "ELSE array(array_join(toks, ' ')) END"
+    )
+    return toks.select(
+        F.col(id_col), F.expr(f"explode({grams}) AS shingle")
+    )
 
 
 def minhash_signatures(
@@ -116,12 +134,14 @@ def minhash_signatures(
     # literal — k fixed-width hashes instead of k string concat+hash
     # passes over every shingle occurrence (the dominant CPU cost of
     # the signature stage at corpus scale)
-    hashed = rows.select(F.col(id_col), F.xxhash64("shingle").alias("hs"))
+    hashed = rows.select(F.col(id_col), F.expr("xxhash64(shingle) AS hs"))
     # one F.expr per aggregate instead of the F.min/F.xxhash64/F.lit
     # chain (~5 py4j round trips each, k times per construction);
     # min(xxhash64(hs, i)) parses to the identical Min(XxHash64) tree
+    # and the alias rides INSIDE the parsed string (1 round trip per
+    # aggregate instead of 2)
     aggs = [
-        F.expr(f"min(xxhash64(hs, {i}))").alias(f"mh{i}") for i in range(k)
+        F.expr(f"min(xxhash64(hs, {i})) AS mh{i}") for i in range(k)
     ]
     return hashed.groupBy(id_col).agg(*aggs)
 
@@ -142,23 +162,18 @@ def minhash_lsh_candidates(
     all-pairs. Returns distinct (id_a, id_b), id_a < id_b."""
     r = k // bands
     sigs = minhash_signatures(df, text_col, k, id_col=id_col, shingles=shingles)
+    # ONE parsed expression for the band struct array (the F.struct/
+    # F.xxhash64 loop paid ~5 round trips per band per construction);
+    # multi-column xxhash64 over the band's longs — no string
+    # materialization per band
+    bandstructs = ", ".join(
+        f"struct({b} AS band_id, "
+        f"xxhash64({', '.join(f'mh{b * r + j}' for j in range(r))})"
+        " AS band_hash)"
+        for b in range(bands)
+    )
     banded = sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        # multi-column xxhash64 over the band's longs —
-                        # no string materialization per band
-                        F.xxhash64(
-                            *[F.col(f"mh{b * r + j}") for j in range(r)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
+        id_col, F.expr(f"explode(array({bandstructs})) AS band")
     ).select(id_col, "band.band_id", "band.band_hash")
     # corpus-sized SELF-join: both sides are the whole corpus by
     # construction, so the band/bucket join must never be planned as a

@@ -54,9 +54,8 @@ def minhash_index(
     once, k members derived), packed to one array column so the index
     schema is stable under k."""
     sigs = minhash_signatures(df, text_col, k, n, id_col, shingles=shingles)
-    return sigs.select(
-        id_col, F.array(*[f"mh{i}" for i in range(k)]).alias("sig")
-    )
+    packed = ", ".join(f"mh{i}" for i in range(k))
+    return sigs.select(id_col, F.expr(f"array({packed}) AS sig"))
 
 
 def _band_rows(

@@ -34,12 +34,7 @@ def _dot_with_literal(vec_col: Column | str, query: list[float]) -> Column:
     for 64-dim queries; the analyzed expression and every runtime
     value are identical, ops and order unchanged)."""
     if isinstance(vec_col, str):
-        arr = "array(" + ",".join(_d_lit(x) for x in query) + ")"
-        return F.expr(
-            f"aggregate(zip_with(`{vec_col}`, {arr}, "
-            "(x, y) -> CAST(x AS DOUBLE) * y), "
-            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
+        return F.expr(_dot_sql(vec_col, query))
     return F.aggregate(
         F.zip_with(
             vec_col,
@@ -56,6 +51,42 @@ def _d_lit(x: float) -> str:
     shortest round-trip decimal, so the parsed literal is the SAME
     double bit pattern ``F.lit(float(x))`` would carry."""
     return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _dot_sql(vec_col: str, query: list[float]) -> str:
+    """SQL text of :func:`_dot_with_literal`'s string path — exposed
+    so composite expressions (cosine) can fold into ONE ``F.expr``."""
+    arr = "array(" + ",".join(_d_lit(x) for x in query) + ")"
+    return (
+        f"aggregate(zip_with(`{vec_col}`, {arr}, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(vec_col: str) -> str:
+    """SQL text of :func:`_norm` over a named column — same
+    sequential left-to-right aggregate fold, same ops and order."""
+    return (
+        f"sqrt(aggregate(transform(`{vec_col}`, "
+        "x -> CAST(x AS DOUBLE) * x), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+
+
+def _cos_sql(vec_col: str, query: list[float]) -> str:
+    """SQL text of the shared cosine spelling
+    ``dot(vec, query) / (norm(vec) * qnorm)`` as ONE string.
+
+    The Column spelling paid ~125 py4j round trips per construction
+    (measured round 17: the top two chatter sites of llm_ann_topk);
+    this is a single ``F.expr``. Arithmetic ops and order are
+    identical — values bit-equal (pinned in tests/test_r17_optim.py).
+    """
+    return (
+        f"{_dot_sql(vec_col, query)} / "
+        f"(({_norm_sql(vec_col)}) * {_d_lit(_seq_norm(query))})"
+    )
 
 
 def _seq_norm(query: list[float]) -> float:
@@ -89,8 +120,7 @@ def cosine_topk(
     """Exact top-k by cosine similarity to ``query``. Deterministic
     tie-break on id."""
     emb = spread(emb)
-    qnorm = _seq_norm(query)
-    cos = _dot_with_literal(vec_col, query) / (_norm(F.col(vec_col)) * F.lit(qnorm))
+    cos = F.expr(_cos_sql(vec_col, query))
     return (
         emb.select(F.col(id_col), F.round(cos, 8).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
@@ -145,8 +175,7 @@ def bucketed_ann(
         dot = _dot_with_literal(vec_col, [float(x) for x in planes[p]])
         bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
-    qnorm = _seq_norm(query)
-    cos = _dot_with_literal(vec_col, query) / (_norm(F.col(vec_col)) * F.lit(qnorm))
+    cos = F.expr(_cos_sql(vec_col, query))
     return (
         emb.withColumn("_bucket", sig)
         .filter(F.col("_bucket").isin(probes))
@@ -375,10 +404,7 @@ def lsh_topk_costball(
         flip_cost = flip_cost + F.when(
             bit != F.lit(qbit), F.lit(int(margins[p]))
         ).otherwise(F.lit(0))
-    qnorm = _seq_norm(query)
-    cos = _dot_with_literal(vec_col, query) / (
-        _norm(F.col(vec_col)) * F.lit(qnorm)
-    )
+    cos = F.expr(_cos_sql(vec_col, query))
     return (
         emb.withColumn("_bucket", bucket)
         .filter(flip_cost <= F.lit(int(t)))
@@ -499,10 +525,7 @@ def lsh_topk_multiprobe(
     planes = int_planes(n_planes, len(query), seed)
     qsig, masks = lsh_probe_masks(query, n_planes, seed, n_probes, max_flips)
     emb = spread(emb)
-    qnorm = _seq_norm(query)
-    cos = _dot_with_literal(vec_col, query) / (
-        _norm(F.col(vec_col)) * F.lit(qnorm)
-    )
+    cos = F.expr(_cos_sql(vec_col, query))
     return (
         emb.withColumn("_bucket", _sig_col(vec_col, planes))
         .filter(F.col("_bucket").isin([qsig ^ m for m in masks]))
@@ -624,10 +647,7 @@ def lsh_topk(
         if sum(int(v) * q for v, q in zip(row, qq)) >= 0:
             qsig |= 1 << p
     emb = spread(emb)
-    qnorm = _seq_norm(query)
-    cos = _dot_with_literal(vec_col, query) / (
-        _norm(F.col(vec_col)) * F.lit(qnorm)
-    )
+    cos = F.expr(_cos_sql(vec_col, query))
     return (
         emb.withColumn("_bucket", _sig_col(vec_col, planes))
         .filter(
@@ -775,7 +795,7 @@ def hard_negatives(
     sigs = (
         emb.select(*keep)
         .withColumn("_hn_b", sig)
-        .withColumn("_hn_n", _norm(F.col(vec_col)))
+        .withColumn("_hn_n", F.expr(_norm_sql(vec_col)))
     )
     a = sigs.select(
         F.col(id_col).alias("_a_id"),
@@ -1141,8 +1161,7 @@ def ivf_topk(
     q /= np.linalg.norm(q)
     cent = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     probes = [int(i) for i in np.argsort(-(cent @ q))[:n_probe]]
-    qnorm = _seq_norm(query)
-    cos = _dot_with_literal(vec_col, query) / (_norm(F.col(vec_col)) * F.lit(qnorm))
+    cos = F.expr(_cos_sql(vec_col, query))
     return (
         assigned.filter(F.col("list_id").isin(probes))
         .select(F.col(id_col), F.round(cos, 8).alias("cosine"))
@@ -1538,7 +1557,7 @@ def lsh_topk_batch(
         F.col(id_col),
         F.col(vec_col).alias("_cv"),
         _sig_col(vec_col, planes).alias("_bucket"),
-    ).withColumn("_cn", _norm(F.col("_cv")))
+    ).withColumn("_cn", F.expr(_norm_sql("_cv")))
     dot = F.aggregate(
         F.zip_with(
             F.col("_cv"), F.col("_qv"),
@@ -1618,7 +1637,7 @@ def lsh_topk_batch_from_index(
         F.col(id_src).alias(id_col),
         F.col("embedding").alias("_cv"),
         "bucket",
-    ).withColumn("_cn", _norm(F.col("_cv")))
+    ).withColumn("_cn", F.expr(_norm_sql("_cv")))
     dot = F.aggregate(
         F.zip_with(
             F.col("_cv"), F.col("_qv"),

@@ -36,6 +36,17 @@ def token_count(text: Column | str) -> Column:
     ).cast("long")
 
 
+def token_count_expr(col: str) -> str:
+    """Spark-SQL text of :func:`token_count` over a named column —
+    same CASE/trim/split tree, whitespace class characters embedded
+    verbatim. Lets aggregate consumers (the funnel's per-boundary
+    observe metrics) fold the whole metric into ONE parsed string."""
+    return (
+        f"CAST(CASE WHEN (trim(`{col}`) = '') THEN 0 ELSE "
+        f"size(split(trim(`{col}`), '[ \t\n\x0b\f\r]+')) END AS BIGINT)"
+    )
+
+
 def token_count_sql(expr: str) -> str:
     return (
         f"CASE WHEN trim({expr}) = '' THEN 0 ELSE "

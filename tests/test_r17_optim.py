@@ -486,3 +486,220 @@ def test_gc_policy_env_default(monkeypatch):
     assert isinstance(d.gc, wd.GenerationalGcPolicy)
     # the policy still exposes the rest of the gc API (delegation)
     assert d.gc.isenabled() in (True, False)
+
+
+# ------------------ py4j reflection memo (cryo_spark/py4jopt.py)
+
+
+def test_py4j_memo_caches_statics_and_skips_field_values(spark):
+    """The installed memo must (a) return the SAME JavaClass/JavaMember
+    on repeated lookups without another reflection round trip, and
+    (b) leave static-FIELD reads uncached (their value is mutable)."""
+    from py4j.java_gateway import JavaClass, JavaMember, JVMView
+
+    import cryo_spark.py4jopt as p
+
+    assert p._installed, "install() should have run at package import"
+    assert hasattr(JVMView.__getattr__, "_cryo_orig")
+
+    jvm = spark.sparkContext._jvm
+    calls = []
+    orig = JVMView.__getattr__._cryo_orig
+
+    def counting(self, name):
+        calls.append(name)
+        return orig(self, name)
+
+    # count only the slow path: the memo consults the instance cache
+    # before delegating to _cryo_orig, so a second lookup of the same
+    # name must not reach `counting`
+    try:
+        JVMView.__getattr__ = p._memoizing(counting, (JavaClass, type(jvm.org)))
+        jvm.__dict__.pop(p._CACHE_ATTR, None)
+        c1 = jvm.PythonUtils
+        c2 = jvm.PythonUtils
+        assert isinstance(c1, JavaClass) and c1 is c2
+        assert calls.count("PythonUtils") == 1
+    finally:
+        JVMView.__getattr__ = p._memoizing(orig, (JavaClass, type(jvm.org)))
+
+    # static members memoized on the class instance
+    m1 = c1.toSeq
+    m2 = c1.toSeq
+    assert isinstance(m1, JavaMember) and m1 is m2
+    # a static FIELD read must NOT be cached (value could change);
+    # java.util.Locale has a mutable default via setDefault
+    loc_cls = jvm.java.util.Calendar
+    f1 = loc_cls.SUNDAY  # int field -> plain value, uncached
+    assert f1 == 1
+    assert "SUNDAY" not in loc_cls.__dict__.get(p._CACHE_ATTR, {})
+
+
+def test_py4j_memo_kill_switch(monkeypatch):
+    """SPARK_GRAFT_PY4J_MEMO=0 must make install() a no-op."""
+    import cryo_spark.py4jopt as p
+
+    monkeypatch.setenv("SPARK_GRAFT_PY4J_MEMO", "0")
+    monkeypatch.setattr(p, "_installed", False)
+    before = p.JVMView.__getattr__
+    p.install()
+    assert p.JVMView.__getattr__ is before
+    assert not p._installed
+
+
+# ------------------ selectExpr-built merged_part_df (contract.py)
+
+
+def test_merged_part_df_equals_column_spelling(spark):
+    """The single-selectExpr spelling must produce the same analyzed
+    plan and the same rows as the per-column F.* loop it replaced."""
+    from pyspark.sql import types as T
+
+    from cryo_spark import contract
+
+    df = spark.createDataFrame(
+        [(1, b"\xab\xcd", "s1", 2.5), (2, None, None, None)],
+        T.StructType(
+            [
+                T.StructField("block_number", T.LongType()),
+                T.StructField("addr", T.BinaryType()),
+                T.StructField("label", T.StringType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        ),
+    )
+    cols = [
+        ("block_number", "long"),
+        ("address", "str"),       # mapped binary -> hex string
+        ("label", "str"),         # string passthrough
+        ("score", "str"),         # non-string cast
+        ("missing_l", "long"),    # absent -> NULL BIGINT
+        ("missing_s", "str"),     # absent -> NULL STRING
+    ]
+    mapping = {"address": "addr"}
+
+    def old_spelling():
+        by_name = {f.name: f.dataType for f in df.schema.fields}
+        exprs = [F.lit("partx").alias("datatype")]
+        for name, kind in cols:
+            src = mapping.get(name, name)
+            if src not in by_name:
+                exprs.append(
+                    F.lit(None)
+                    .cast("string" if kind == "str" else "long")
+                    .alias(name)
+                )
+            elif kind == "long":
+                exprs.append(F.col(src).cast("long").alias(name))
+            else:
+                exprs.append(
+                    contract._str_col(F.col(src), by_name[src]).alias(name)
+                )
+        return df.select(*exprs)
+
+    new = contract.merged_part_df(df, "partx", mapping, cols)
+    old = old_spelling()
+    assert new.schema == old.schema
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+    # identical analyzed trees (ignoring auto-assigned expression ids)
+    import re
+
+    def canon_plan(frame):
+        txt = frame._jdf.queryExecution().analyzed().toString()
+        return re.sub(r"#\d+", "#", txt)
+
+    assert canon_plan(new) == canon_plan(old)
+
+
+# ------------------ round-17 session-2 expression folds
+
+
+def test_norm_and_cos_sql_equal_column_spelling(spark, emb):
+    """_norm_sql/_cos_sql must be bit-identical to the F.* chain they
+    replaced (same sequential fold, same op order)."""
+    from cryo_spark.operators import similarity as s
+
+    vec_col = "embedding"
+    row = emb.select("embedding").first()
+    query = [float(x) for x in row["embedding"]]
+    qnorm = s._seq_norm(query)
+    old_cos = s._dot_with_literal(vec_col, query) / (
+        s._norm(F.col(vec_col)) * F.lit(qnorm)
+    )
+    old = emb.select("vec_id", old_cos.alias("c"), s._norm(F.col(vec_col)).alias("n"))
+    new = emb.select(
+        "vec_id",
+        F.expr(s._cos_sql(vec_col, query)).alias("c"),
+        F.expr(s._norm_sql(vec_col)).alias("n"),
+    )
+    o = {r["vec_id"]: (r["c"], r["n"]) for r in old.collect()}
+    nw = {r["vec_id"]: (r["c"], r["n"]) for r in new.collect()}
+    assert o == nw  # exact float equality, not approx
+
+
+def test_shingle_rows_equals_old_spelling(spark, docs):
+    """The single-SQL-string shingle projection must reproduce the
+    old F.* chain row-for-row (short docs below n included)."""
+    from cryo_spark.operators.dedup import _norm_text, shingle_rows
+
+    n = 3
+    toks = docs.select(
+        F.col("doc_id"), F.split(_norm_text("text"), " ").alias("toks")
+    )
+    t = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, n), " "))
+    grams = F.when(F.size(t) >= n, grams).otherwise(
+        F.array(F.array_join(t, " "))
+    )
+    old = toks.select(F.col("doc_id"), F.explode(grams).alias("shingle"))
+    new = shingle_rows(docs, "text", n, "doc_id")
+    assert new.schema == old.schema
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+
+
+def test_be_uint_expr_equals_be_uint(spark):
+    """be_uint_expr must match be_uint exactly: sub-limb values,
+    two-limb values >= 2^64, max_bytes widths used by callers, and
+    the >1e38 NULL (try_* overflow) contract."""
+    from cryo_spark.functions import be_uint, be_uint_expr
+
+    vals = [
+        bytes.fromhex("00"),
+        bytes.fromhex("ff"),
+        bytes.fromhex("0102030405060708"),
+        bytes.fromhex("ffffffffffffffff"),
+        bytes.fromhex("0de0b6b3a7640000"),                # 1e18
+        bytes.fromhex("01" + "00" * 8),                   # 2^64
+        bytes.fromhex("ff" * 16),                          # > 1e38 -> NULL
+        bytes.fromhex("4b3b4ca85a86c47a098a223fffffffff"),  # ~1e38 - 1
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "b binary")
+    for mb in (1, 8, 16):
+        old = [r[0] for r in df.select(be_uint(F.col("b"), mb)).collect()]
+        new = [
+            r[0]
+            for r in df.select(F.expr(be_uint_expr("`b`", mb))).collect()
+        ]
+        assert old == new, f"max_bytes={mb}"
+    # spot-check magnitude semantics at 16 bytes
+    out = [r[0] for r in df.select(F.expr(be_uint_expr("`b`"))).collect()]
+    assert out[0] == 0 and out[1] == 255 and out[5] == 2**64
+    assert out[6] is None  # overflow -> NULL via try_*
+
+
+def test_token_count_expr_equals_token_count(spark, docs):
+    from cryo_spark.operators import text
+
+    extra = spark.createDataFrame(
+        [(1000001, ""), (1000002, "  "), (1000003, "one"),
+         (1000004, "a\tb\nc\x0bd\fe\rf  g")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    old = both.select("doc_id", text.token_count("text").alias("t"))
+    new = both.select(
+        "doc_id", F.expr(text.token_count_expr("text") + " AS t")
+    )
+    assert new.schema == old.schema
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
