@@ -59,6 +59,25 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MIN_PARTITION", "65536"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Shuffle writer selection (round 17, guide §2.1): the
+        # bypass-merge writer fires only when a shuffle has <=
+        # bypassMergeThreshold partitions (stock 200) and no map-side
+        # combine, and it writes R per-reducer files per map task then
+        # CONCATENATES them — O(M x R) file creates + a copy pass.
+        # Thread dumps of the run>>cpu stages showed exactly that
+        # (DiskBlockObjectWriter.initialize / copyFileStreamNIO);
+        # forcing the sort writer (ONE file per map task) cut the
+        # shuffle-heavy bench queries 20-25% in interleaved A/B
+        # (minhash 2.17->1.76s, ngram_stats 1.54->0.89s, full 5-query
+        # sum 7.03->5.26s; wins every adjacent pair). Scale-safe by
+        # construction: large shuffles exceed 200 partitions and never
+        # used the bypass path — this only changes the small-shuffle
+        # regime, where O(M) file ops strictly beat O(M x R) on any
+        # storage. SPARK_GRAFT_BYPASS_MERGE=200 restores stock.
+        .config(
+            "spark.shuffle.sort.bypassMergeThreshold",
+            os.environ.get("SPARK_GRAFT_BYPASS_MERGE", "1"),
+        )
         # split small test files across cores (scans of row-grouped
         # files parallelize; no-op for many-file production layouts)
         .config("spark.sql.files.minPartitionNum", n_cpus)

@@ -703,3 +703,16 @@ def test_token_count_expr_equals_token_count(spark, docs):
     )
     assert new.schema == old.schema
     assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+
+
+def test_sort_shuffle_writer_default(spark):
+    """Engine sessions must default the bypass-merge threshold to 1
+    (sort-path shuffle writer: ONE file per map task instead of R
+    per-reducer files + a concat pass — round-17 thread dumps showed
+    the bypass writer's file churn as the dominant non-CPU run time
+    of every small-shuffle stage). SPARK_GRAFT_BYPASS_MERGE restores
+    stock behavior for A/B."""
+    import os
+
+    assert spark.conf.get("spark.shuffle.sort.bypassMergeThreshold") == \
+        os.environ.get("SPARK_GRAFT_BYPASS_MERGE", "1")
