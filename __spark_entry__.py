@@ -496,7 +496,24 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cryo_spark.operators import html as html_ops
 
     payload = _synth_payload_expr()
-    shaped = _read(spark, sf_dir, "documents").select(
+    # r18 (guide §2 / §1.2 step 1): spread BEFORE the extraction, not
+    # after. The main-content extraction is the entry's dominant CPU
+    # (profiled: ~0.8 s cpu in a 10-task stage at sf0.1 — the 594 KB
+    # single-file scan splits at the 64 KB open-cost floor into ~10
+    # effective tasks) and used to sit BELOW clean_corpus's spread
+    # exchange, i.e. fused into the row-group-bound scan. Hoisting the
+    # round-robin repartition under the extraction runs it at full
+    # parallelism; clean_corpus's own spread() then sees the
+    # Repartition ancestor and no-ops, so the exchange COUNT is
+    # unchanged (plan diff: Exchange moved below the extraction
+    # Project). At real scale spread() is a no-op either way (inputs
+    # have >= parallelism splits). Results identical: same rows, row
+    # order never part of the contract.
+    from cryo_spark.operators.util import spread as _spread_util
+
+    shaped = _spread_util(
+        _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select(
         "doc_id",
         html_ops.http_content_type_expr(payload).alias("content_type"),
         html_ops.noindex_expr(payload).alias("noindex"),
@@ -574,18 +591,37 @@ def q_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
       training mining shape.
 
     All parts remain individually hash-proven — the union is a
-    column-aligned UNION ALL on both engines."""
+    column-aligned UNION ALL on both engines.
+
+    r18 (guide §2.6): the entry's three EAGER construction steps —
+    the topk query-row first(), the decontam tier's eval-side collect
+    and the text_embed tier's eval collect + driver featurize — are
+    data-independent of each other (different slices of different
+    tables), so the five sub-frames build in a small thread pool and
+    the eager jobs overlap instead of running back-to-back (the same
+    restructure ann_topk got in r17 #7). Same frames, same plans,
+    same union order — only the driver-side serialization changes.
+    Profiled serial cost at sf0.1: 0.46 s construction, ~3/4 of it in
+    those three steps."""
     emb = _read(spark, sf_dir, "embeddings")
-    nd = dedup.embedding_near_dups_exact(emb, threshold=0.45).select(
-        F.lit("near_dup").alias("kind"), "id_a", "id_b", "cosine"
-    )
-    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    tk = similarity.cosine_topk(emb, query, k=10).select(
-        F.lit("topk").alias("kind"),
-        F.col("vec_id").alias("id_a"),
-        F.lit(None).cast("long").alias("id_b"),
-        "cosine",
-    )
+
+    def _nd() -> DataFrame:
+        return dedup.embedding_near_dups_exact(emb, threshold=0.45).select(
+            F.lit("near_dup").alias("kind"), "id_a", "id_b", "cosine"
+        )
+
+    def _tk() -> DataFrame:
+        query = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        return similarity.cosine_topk(emb, query, k=10).select(
+            F.lit("topk").alias("kind"),
+            F.col("vec_id").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            "cosine",
+        )
+
     # round 12: hard-negative mining (contrastive training prep) —
     # per-anchor top-2 most-similar rows OUTSIDE the anchor's label
     # class, candidates bucket-local via the engine-neutral integer
@@ -599,14 +635,15 @@ def q_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BigDecimal-equivalent rounding on the per-anchor top set (see
     # _hard_negatives_gemm) — hash-checked against the same unchanged
     # DuckDB twin at sf0.001/0.01/0.1.
-    hn = similarity.hard_negatives(
-        emb, k=2, group_col="label", n_planes=6, dim=64, method="gemm"
-    ).select(
-        F.lit("hard_neg").alias("kind"),
-        F.col("vec_id").alias("id_a"),
-        F.col("neg_id").alias("id_b"),
-        "cosine",
-    )
+    def _hn() -> DataFrame:
+        return similarity.hard_negatives(
+            emb, k=2, group_col="label", n_planes=6, dim=64, method="gemm"
+        ).select(
+            F.lit("hard_neg").alias("kind"),
+            F.col("vec_id").alias("id_a"),
+            F.col("neg_id").alias("id_b"),
+            "cosine",
+        )
     # round 13: SEMANTIC decontamination (kind='decontam') — vectors
     # with vec_id % 31 == 0 play the held-out eval set; every other
     # vector is flagged when its cosine vs ANY eval vector clears
@@ -623,17 +660,18 @@ def q_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dimension-major (the fold's exact add order) and rounds via
     # BigDecimal-equivalent HALF_UP — hash-checked against the same
     # unchanged DuckDB twin at sf0.001/0.01/0.1.
-    dc = decontam.embedding_decontaminate(
-        emb.filter(F.col("vec_id") % 31 != 0),
-        emb.filter(F.col("vec_id") % 31 == 0),
-        min_cosine=0.35,
-        method="gemm",
-    ).select(
-        F.lit("decontam").alias("kind"),
-        F.col("vec_id").alias("id_a"),
-        F.col("eval_id").alias("id_b"),
-        "cosine",
-    )
+    def _dc() -> DataFrame:
+        return decontam.embedding_decontaminate(
+            emb.filter(F.col("vec_id") % 31 != 0),
+            emb.filter(F.col("vec_id") % 31 == 0),
+            min_cosine=0.35,
+            method="gemm",
+        ).select(
+            F.lit("decontam").alias("kind"),
+            F.col("vec_id").alias("id_a"),
+            F.col("eval_id").alias("id_b"),
+            "cosine",
+        )
     # round 14: SELF-CONTAINED semantic tier (kind='text_embed') — the
     # whole text -> embedding -> decontam chain on the RAW documents
     # table, no external embedding model: signed feature-hashing
@@ -646,6 +684,7 @@ def q_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic docs sit ~0.65 median, 0.99 quantile ~0.86 at
     # sf0.01).
     docs = _read(spark, sf_dir, "documents")
+
     # r17 optimization: the fused text_embedding_decontaminate
     # replaces the round-14 persist + broadcast-nested-loop shape.
     # The eval slice (1/97 of docs) collects as (id, text) and
@@ -660,18 +699,25 @@ def q_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact in float64), and the scorer rounds via
     # BigDecimal-equivalent HALF_UP — hash-checked against the same
     # unchanged DuckDB twin at sf0.001/0.01/0.1.
-    tdc = decontam.text_embedding_decontaminate(
-        docs.filter(F.col("doc_id") % 97 != 0),
-        docs.filter(F.col("doc_id") % 97 == 0),
-        min_cosine=0.85,
-        id_col="doc_id",
-        dim=64,
-    ).select(
-        F.lit("text_embed").alias("kind"),
-        F.col("doc_id").alias("id_a"),
-        F.col("eval_id").alias("id_b"),
-        "cosine",
-    )
+    def _tdc() -> DataFrame:
+        return decontam.text_embedding_decontaminate(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            min_cosine=0.85,
+            id_col="doc_id",
+            dim=64,
+        ).select(
+            F.lit("text_embed").alias("kind"),
+            F.col("doc_id").alias("id_a"),
+            F.col("eval_id").alias("id_b"),
+            "cosine",
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(f) for f in (_nd, _tk, _hn, _dc, _tdc)]
+        nd, tk, hn, dc, tdc = [f.result() for f in futs]
     return (
         nd.unionByName(tk).unionByName(hn).unionByName(dc)
         .unionByName(tdc)

@@ -256,6 +256,34 @@ def _corpus_stages(
     # on return
     _persisted: list[DataFrame] = []
 
+    # r18 (guide §2.6 — overlap independent work): a lazy
+    # localCheckpoint cut executes its segment's SHUFFLE-MAP stages
+    # synchronously (AQE finalization), but the segment's RESULT
+    # stage — the one that fills the cut's RDD blocks, the boundary
+    # persist and the observe accumulators — used to run serially
+    # inside the NEXT cut's finalization. Submitting one background
+    # action per cut materializes that result stage while the main
+    # thread builds the next segment's plan (pure driver work,
+    # ~0.3-0.5 s per segment), so cluster execution and driver
+    # planning overlap instead of strictly alternating. Correctness
+    # is unchanged: cache-once semantics (BlockManager KeyLock) mean
+    # the boundary still computes exactly once, the observe
+    # accumulators live in the cached physical plan that every reader
+    # embeds, and any background failure is swallowed here and
+    # resurfaces on the main thread's own action. One worker: the
+    # segments are data-dependent, so deeper pools cannot help.
+    _bg = None
+    if checkpoint:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _bg = ThreadPoolExecutor(max_workers=1)
+
+    def _bg_materialize(frame: DataFrame) -> None:
+        try:
+            frame.count()
+        except Exception:  # noqa: BLE001 - main-thread action re-raises
+            pass
+
     def _mark(name: str, frame: DataFrame, tc: str) -> DataFrame:
         # boundary hook: later stages and the funnel's aggregates both
         # build on the RETURNED frame, so the lineage cut (when on)
@@ -306,6 +334,10 @@ def _corpus_stages(
             elif name not in _CUT:
                 frame.persist()
                 _persisted.append(frame)
+            if name in _CUT and _bg is not None:
+                # overlap: fill this cut's RDD blocks / boundary cache
+                # while the main thread plans the next segment (§2.6)
+                _bg.submit(_bg_materialize, frame)
         stages.append((name, frame, tc))
         return frame
 
@@ -1083,8 +1115,14 @@ def _funnel_from_stages(
                 ).first()
                 nd, nt = int(r["n_docs"]), int(r["n_tokens"])
             rows.append((i, stage, nd, nt))
-        u = last.sparkSession.createDataFrame(
-            rows, "stage_idx long, stage string, n_docs long, n_tokens long"
+        # local_rows (r18): <= 13 single-row partials — one slice, not
+        # a defaultParallelism-wide near-empty wave under the report's
+        # lag() window
+        from cryo_spark.operators.util import local_rows
+
+        u = local_rows(
+            last.sparkSession,
+            rows, "stage_idx long, stage string, n_docs long, n_tokens long",
         )
         return _funnel_report(u)
     parts = []

@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cryo_spark.operators.util import local_rows as _local_rows
 from cryo_spark.operators.util import spread as _spread
 
 
@@ -640,7 +641,11 @@ def embedding_near_dups_exact(
             rows.append((b, b * nb + j, 0))
         for i in range(b + 1):
             rows.append((b, i * nb + b, 1))
-    membership = spark.createDataFrame(rows, "blk int, pid int, role int")
+    # local_rows (r18): one slice for the nb^2-row membership map — the
+    # stock createDataFrame spread it over defaultParallelism slices,
+    # so its broadcast build ran a 32-task near-empty wave (profiled
+    # 1.6 s summed run / 48 ms cpu at sf0.1)
+    membership = _local_rows(spark, rows, "blk int, pid int, role int")
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int")
     tagged = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), blk.alias("blk"))
@@ -961,7 +966,11 @@ def _driver_components(edge_rows, utype, spark) -> DataFrame:
         T.StructField("id", utype), T.StructField("component", utype),
     ])
     rows = [(x, find(x)) for x in parent]
-    return spark.createDataFrame(rows, out_schema)
+    # local_rows (r18): the component map is usually far smaller than
+    # defaultParallelism x rows_per_slice — size the slices to the
+    # data instead of running full-width near-empty task waves on
+    # every downstream join
+    return _local_rows(spark, rows, out_schema)
 
 
 def dedup_by_components(

@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cryo_spark.operators.dedup import shingle_rows
+from cryo_spark.operators.util import local_rows
 
 DEFAULT_BUCKETS = 4096
 
@@ -83,6 +84,7 @@ def dsir_ratios(
     id_col: str = "doc_id",
     n: int = 2,
     n_buckets: int = DEFAULT_BUCKETS,
+    raw_grams: DataFrame | None = None,
 ) -> DataFrame:
     """The trained artifact of DSIR: a FULL B-row (bucket, log_ratio)
     table — add-one-smoothed ln p_target − ln p_raw per hash bucket.
@@ -102,7 +104,8 @@ def dsir_ratios(
     the round-to-6 guard applied at the weight stage)."""
     import math
 
-    raw_grams = gram_buckets(raw, text_col, id_col, n, n_buckets)
+    if raw_grams is None:
+        raw_grams = gram_buckets(raw, text_col, id_col, n, n_buckets)
     tgt_grams = gram_buckets(target, text_col, id_col, n, n_buckets)
     both = tgt_grams.select(F.lit(0).alias("side"), "bucket").unionByName(
         raw_grams.select(F.lit(1).alias("side"), "bucket")
@@ -114,7 +117,12 @@ def dsir_ratios(
         (ct if r.side == 0 else cr)[r.bucket] = r.c
     tt, tr = sum(ct.values()), sum(cr.values())
     off = math.log(tr + n_buckets) - math.log(tt + n_buckets)
-    return raw.sparkSession.createDataFrame(
+    # local_rows (r18): size-appropriate slicing — the stock
+    # createDataFrame spread these B rows over defaultParallelism
+    # slices, so the broadcast build downstream ran a full-width wave
+    # of near-empty tasks (profiled: 4.9 s summed run / 0.13 s cpu)
+    return local_rows(
+        raw.sparkSession,
         [
             (b, math.log(ct.get(b, 0) + 1) - math.log(cr.get(b, 0) + 1) + off)
             for b in range(n_buckets)
@@ -130,6 +138,7 @@ def dsir_apply(
     id_col: str = "doc_id",
     n: int = 2,
     n_buckets: int = DEFAULT_BUCKETS,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Score a batch against a (possibly persisted) ratio table:
     (id, n_grams, logw), logw rounded to 6 decimals (the cross-engine
@@ -146,9 +155,9 @@ def dsir_apply(
     DROP a doc whose buckets are all absent)."""
     # null-text docs shingle to a null bucket row; the old inner join
     # dropped them implicitly, the left join must not resurrect them
-    grams = gram_buckets(df, text_col, id_col, n, n_buckets).filter(
-        F.col("bucket").isNotNull()
-    )
+    if grams is None:
+        grams = gram_buckets(df, text_col, id_col, n, n_buckets)
+    grams = grams.filter(F.col("bucket").isNotNull())
     joined = grams.join(F.broadcast(ratios), "bucket", "left").select(
         id_col, F.coalesce("log_ratio", F.lit(0.0)).alias("lr")
     )
@@ -167,9 +176,28 @@ def dsir_weights(
     n_buckets: int = DEFAULT_BUCKETS,
 ) -> DataFrame:
     """Train-and-apply in one call (ratios from ``df`` itself as the
-    raw distribution): (id, n_grams, logw) for every raw doc."""
-    ratios = dsir_ratios(df, target, text_col, id_col, n, n_buckets)
-    return dsir_apply(df, ratios, text_col, id_col, n, n_buckets)
+    raw distribution): (id, n_grams, logw) for every raw doc.
+
+    r18 (guide §2.4 — don't compute things twice): train-and-apply
+    used to tokenize+bucket the raw corpus TWICE — once into the
+    training counts, once into the scoring join. The gram stream is
+    shared through a lazy localCheckpoint: the training collect (the
+    first action) materializes the (id, bucket) blocks — 16 B/row,
+    the narrowest possible form of the corpus — and the scoring pass
+    reads them back instead of re-running the explode/md5 chain.
+    Values unchanged (identical gram rows feed both consumers); the
+    plan's scan+tokenize leaf becomes an RDD scan in the scoring
+    plan. The checkpoint is free to create (narrow plan — no AQE
+    shuffle stages execute at cut time)."""
+    grams = gram_buckets(df, text_col, id_col, n, n_buckets).localCheckpoint(
+        eager=False
+    )
+    ratios = dsir_ratios(
+        df, target, text_col, id_col, n, n_buckets, raw_grams=grams
+    )
+    return dsir_apply(
+        df, ratios, text_col, id_col, n, n_buckets, grams=grams
+    )
 
 
 def _gumbel(id_col: str, seed: str) -> Column:

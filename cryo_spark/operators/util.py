@@ -17,6 +17,31 @@ _WIDE_ANCESTOR = re.compile(
 )
 
 
+def local_rows(spark, rows, schema, rows_per_slice: int = 8192) -> DataFrame:
+    """Driver-local rows -> DataFrame with SIZE-APPROPRIATE partitioning.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes into
+    ``defaultParallelism`` slices regardless of size, so every job that
+    touches a small driver-built table (a broadcast build, a join, the
+    funnel report window) runs a full-width wave of near-empty tasks
+    paying only fixed per-task cost — measured at sf0.1/local[32]:
+    a 4096-row ratio table cost 0.25 s warm (32 tasks, ~0 bytes) vs
+    0.10 s at one slice, and one such stage showed 4.9 s summed run
+    time against 0.13 s of CPU under concurrency (round-18 profile).
+    One slice per ``rows_per_slice`` rows keeps a genuinely large
+    driver list parallel (the CC fast-path edge list can be 100k rows)
+    while metadata-sized tables get one task.
+
+    Identical semantics to ``createDataFrame(list, schema)``: PySpark
+    applies the same row verifier/converter on the RDD path, and both
+    spellings plan as a LogicalRDD leaf (plan text unchanged)."""
+    rows = rows if isinstance(rows, (list, tuple)) else list(rows)
+    n = max(1, -(-len(rows) // rows_per_slice))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n), schema
+    )
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Ensure per-row CPU work is spread across all cores.
 

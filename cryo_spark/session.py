@@ -31,6 +31,14 @@ def get_spark(
     Any already-active session is reused (tests and the driver harness
     own the session lifecycle).
     """
+    # py4j reflection memo (py4jopt): installed here — the engine's
+    # own session entry point — instead of at package import (r18,
+    # ADVICE r17: importing a library must not patch py4j for the
+    # whole process). Idempotent; kill-switch SPARK_GRAFT_PY4J_MEMO=0.
+    from cryo_spark import py4jopt
+
+    py4jopt.install()
+
     active = SparkSession.getActiveSession()
     if active is not None:
         return active
@@ -59,6 +67,27 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MIN_PARTITION", "65536"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE inside cached plans (round 18, guide §2.2/§1.2 step 3):
+        # Spark keeps AQE partition coalescing OFF under an
+        # InMemoryRelation unless this flag is set, to preserve the
+        # cache's output partitioning for reuse. This engine persists
+        # many byte-light intermediates (funnel stage boundaries,
+        # candidate-pair lists), and with the flag off every cached
+        # subtree materializes at the full spark.sql.shuffle.partitions
+        # width regardless of size — profiled at sf0.1 as 32-task
+        # near-empty waves, run >> cpu (e.g. 1.7 s summed run / 85 ms
+        # cpu). With the flag on those stages coalesce like any other
+        # AQE stage. No operator here relies on a cache's output
+        # partitioning (boundaries re-shuffle on their own keys
+        # downstream), and results are partitioning-independent.
+        # Interleaved fresh-process A/B (min-of-3 per arm, 5 queries):
+        # totals 11.82 -> 10.60 and 10.59 -> 10.02; minhash (persisted
+        # verify pairs) 1.85 -> 1.41 and 1.64 -> 1.22.
+        # SPARK_GRAFT_CACHED_AQE=false restores stock.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_CACHED_AQE", "true"),
+        )
         # Shuffle writer selection (round 17, guide §2.1): the
         # bypass-merge writer fires only when a shuffle has <=
         # bypassMergeThreshold partitions (stock 200) and no map-side
