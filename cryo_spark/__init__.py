@@ -17,15 +17,17 @@ operators (dedup, similarity search, text analysis, multimodal
 plumbing) under :mod:`cryo_spark.operators`.
 """
 
-from cryo_spark import py4jopt
 from cryo_spark.session import get_spark
 
-# Driver-side py4j reflection memo (see py4jopt docstring): installed
-# at import so sessions created by an external harness (the bench
-# driver owns its SparkSession) benefit too. Transport-only — no plan
-# or result change; SPARK_GRAFT_PY4J_MEMO=0 restores stock py4j.
-py4jopt.install()
+# Driver-side py4j reflection memo (see py4jopt docstring): as of r18
+# installed from get_spark() rather than as an import side effect
+# (ADVICE r17: merely importing the package must not mutate py4j for
+# the whole process). External harnesses that own their SparkSession
+# and want the memo can call ``cryo_spark.install_py4j_memo()``
+# explicitly. Transport-only — no plan or result change;
+# SPARK_GRAFT_PY4J_MEMO=0 disables.
+from cryo_spark.py4jopt import install as install_py4j_memo
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "__version__"]
+__all__ = ["get_spark", "install_py4j_memo", "__version__"]

@@ -22,14 +22,20 @@ that is 0.25-0.45 s of pure driver latency per construction.
 :func:`install` memoizes exactly the immutable results:
 
 - ``JVMView.__getattr__``/``JavaPackage.__getattr__``: successful
-  resolutions to ``JavaClass``/``JavaPackage`` (same instance reused;
-  both classes are stateless wrappers around (fqn, client)).
+  resolutions to ``JavaClass`` ONLY. ``JavaPackage`` answers are NOT
+  cached (r18, ADVICE r17): py4j answers 'package' *speculatively*
+  for any name it cannot yet resolve as a class, so a name touched
+  before its ``java_import`` (or before late classloading) would be
+  frozen as a stale JavaPackage forever where stock py4j re-resolves
+  it to a JavaClass on the next touch. Package lookups therefore
+  keep their stock round trip; class resolutions — the bulk of the
+  chatter (``_jvm.functions`` etc.) — stay memoized.
 - ``JavaClass.__getattr__``: static METHOD (``JavaMember``) and
   nested-CLASS results only. The third branch — a static FIELD read,
   which returns the field's *current value* — is deliberately NOT
   cached.
-- Failed lookups are never cached (a later ``java_import`` can make
-  an unqualified name resolvable).
+- Failed lookups (exceptions) are never cached (a later
+  ``java_import`` can make an unqualified name resolvable).
 
 Caches live in each instance's ``__dict__`` (``__getattr__`` only
 fires for names not found there), so a new gateway naturally starts
@@ -77,11 +83,13 @@ def install() -> None:
     global _installed
     if _installed or os.environ.get("SPARK_GRAFT_PY4J_MEMO", "1") == "0":
         return
-    JVMView.__getattr__ = _memoizing(
-        JVMView.__getattr__, (JavaClass, JavaPackage)
-    )
+    # JavaClass results only: a JavaPackage answer is py4j's
+    # speculative "not resolvable as a class YET" — caching it would
+    # freeze names touched before java_import as stale packages
+    # (ADVICE r17). See module docstring.
+    JVMView.__getattr__ = _memoizing(JVMView.__getattr__, (JavaClass,))
     JavaPackage.__getattr__ = _memoizing(
-        JavaPackage.__getattr__, (JavaClass, JavaPackage)
+        JavaPackage.__getattr__, (JavaClass,)
     )
     # JavaClass: cache members (static methods) and nested classes;
     # the field-value branch returns a plain value / JavaObject and

@@ -499,7 +499,7 @@ def test_py4j_memo_caches_statics_and_skips_field_values(spark):
 
     import cryo_spark.py4jopt as p
 
-    assert p._installed, "install() should have run at package import"
+    assert p._installed, "install() should have run via get_spark()"
     assert hasattr(JVMView.__getattr__, "_cryo_orig")
 
     jvm = spark.sparkContext._jvm
