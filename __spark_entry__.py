@@ -1568,17 +1568,14 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     would fuse into a single select over one scan (each part is
     narrow)."""
     docs = _read(spark, sf_dir, "documents")
-    out = text.word_stats(docs)
-    for part in (
-        text.lang_id(docs),
-        text.fingerprint(docs).drop("fingerprint"),
-        # n_chars duplicates the word_stats column (same expression)
-        text.bpe_token_count(docs).drop("n_chars"),
-        text.redact_pii(docs),
-        text.quality_with_repetition(docs),
-    ):
-        out = out.join(part, "doc_id")
-    return out
+    # r18 (guide §2.4): the six projections now FUSE into a single
+    # select over one scan (text.text_profile) — the five doc_id
+    # joins only re-attached columns of row-wise projections of the
+    # same unique-keyed table, i.e. they were a six-scan spelling of
+    # one projection. Result-identical (pinned old-vs-new in
+    # tests/test_r18_optim.py; oracle unchanged); plan: 6 scans + 5
+    # joins -> 1 scan, 0 joins.
+    return text.text_profile(docs)
 
 
 def oracle_text_profile() -> str:

@@ -318,24 +318,46 @@ def ngram_jaccard_all_pairs(
     enrichment joins (_verify_pairs) — the corpus-sized stream never
     re-shuffles and no unbounded frame is ever broadcast."""
     sh = shingles if shingles is not None else shingle_rows(df, text_col, n, id_col)
-    dfreq = (
-        sh.groupBy("shingle")
-        .agg(F.count_distinct(id_col).alias("df_"))
-        .filter((F.col("df_") <= max_df) & (F.col("df_") >= 2))
-        .select("shingle")
-    )
-    rare = sh.join(dfreq, "shingle")
-    # explicit hash repartition on the grouping key: the agg reuses it
-    # (no second exchange), and — unlike the implicit agg shuffle —
-    # AQE never COALESCES a user repartition. Without this, AQE sees
-    # the posting lists' few MB and folds the post-shuffle stage to
-    # ONE task, serializing the pair-gen explode below (up to
-    # max_df^2/2 structs per list — CPU-bound, byte-light, exactly
-    # the shape AQE's size heuristic mis-sizes). Measured 2.8s -> 1.0s
-    # for the candidate stage at sf0.1/local[32].
+    # r18 (guide §2.4 — share one exchange): the df-count and the
+    # posting lists used to run on SEPARATE scans of the shingle
+    # stream (count_distinct's two exchanges + a broadcast of the
+    # rare set back onto a third exchange). Everything they need is
+    # per-shingle, so ONE hash repartition on the shingle now feeds
+    # the whole candidate chain exchange-free:
+    #   - dropDuplicates(shingle, id) plans as an aggregate whose
+    #     clustering {shingle, id} is satisfied by the existing
+    #     hashpartitioning(shingle) — no exchange;
+    #   - df = count(*) over (partition by shingle) on the deduped
+    #     rows — same clustering, no exchange (WindowExec buffers one
+    #     shingle group at a time and spills, so a stop-phrase
+    #     shingle is disk pressure, never an OOM — the df cap still
+    #     prunes it before any posting list materializes);
+    #   - the <= max_df filter + collect_set ride the same
+    #     partitioning.
+    # Exactness: count(*) over deduped (shingle, id) rows IS
+    # count_distinct(id) per shingle; the isNotNull filter reproduces
+    # the old inner join's null-shingle drop; posting lists were
+    # already sets. Plan: 3 scans -> 2, and the candidate chain's
+    # exchanges (dedup + count + rare-broadcast + reparation) fold
+    # into the single user repartition below.
+    # The repartition stays EXPLICIT (not an implicit agg shuffle):
+    # AQE never coalesces a user repartition, and without it AQE sees
+    # the posting lists' few MB and folds the pair-gen explode to ONE
+    # task (up to max_df^2/2 structs per list — CPU-bound, byte-light,
+    # exactly the shape AQE's size heuristic mis-sizes; measured
+    # 2.8s -> 1.0s in r15).
     par = sh.sparkSession.sparkContext.defaultParallelism
+    uniq = sh.repartition(par, "shingle").dropDuplicates(
+        ["shingle", id_col]
+    )
+    wsh = Window.partitionBy("shingle")
     posts = (
-        rare.repartition(par, "shingle")
+        uniq.withColumn("df_", F.count(F.lit(1)).over(wsh))
+        .filter(
+            F.col("shingle").isNotNull()
+            & (F.col("df_") <= max_df)
+            & (F.col("df_") >= 2)
+        )
         .groupBy("shingle")
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .select("ids")

@@ -87,11 +87,10 @@ def _stop_hits_sql(c: str, words: list[str]) -> str:
     )
 
 
-def word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document quality metrics: length, tokens, mean token
-    length, punctuation / digit / uppercase / whitespace ratios,
-    stopword hit count. Pure narrow projection — no shuffle."""
-    df = spread(df)
+def word_stats_cols(text_col: str = "text") -> list:
+    """The word_stats output columns (r18: exposed so the fused
+    :func:`text_profile` can ride them in ONE projection — same
+    expressions, single source of truth)."""
     c = f"`{text_col}`"
     tc = _spark_token_count_sql(c)
     non_alnum = f"length(regexp_replace(lower({c}), '[a-z0-9{_WS}]', ''))"
@@ -99,8 +98,7 @@ def word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     uppers = f"length(regexp_replace({c}, '[^A-Z]', ''))"
     spaces = f"length(regexp_replace({c}, '[^{_WS}]', ''))"
     stop_hits = _stop_hits_sql(c, STOPWORDS["en"])
-    return df.select(
-        "doc_id",
+    return [
         F.expr(f"CAST(length({c}) AS BIGINT)").alias("n_chars"),
         F.expr(tc).alias("n_tokens"),
         F.expr(
@@ -116,7 +114,15 @@ def word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "upper_ratio"
         ),
         F.expr(f"CAST({stop_hits} AS BIGINT)").alias("en_stopword_hits"),
-    )
+    ]
+
+
+def word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: length, tokens, mean token
+    length, punctuation / digit / uppercase / whitespace ratios,
+    stopword hit count. Pure narrow projection — no shuffle."""
+    df = spread(df)
+    return df.select("doc_id", *word_stats_cols(text_col))
 
 
 def word_stats_sql(table: str, text_col: str = "text") -> str:
@@ -156,17 +162,21 @@ def lang_best_expr(text_col: str = "text") -> Column:
     return F.expr(f"array_max(array({scores}))")
 
 
+def lang_id_cols(text_col: str = "text") -> list:
+    """lang_id's output columns (for the fused :func:`text_profile`)."""
+    best = lang_best_expr(text_col)
+    return [
+        best["lang"].alias("lang_guess"),
+        best["score"].alias("lang_score"),
+    ]
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-vote language guess (deterministic heuristic,
     SURVEY-extension operator). Returns doc_id, lang_guess, lang_score
     (hits of the winning language)."""
     df = spread(df)
-    best = lang_best_expr(text_col)
-    return df.select(
-        "doc_id",
-        best["lang"].alias("lang_guess"),
-        best["score"].alias("lang_score"),
-    )
+    return df.select("doc_id", *lang_id_cols(text_col))
 
 
 def lang_id_sql(table: str, text_col: str = "text") -> str:
@@ -205,14 +215,19 @@ def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     dominant cost driver for LLM training budgets). JVM-side
     regexp_extract_all — no Python."""
     df = spread(df)
+    return df.select("doc_id", *bpe_token_count_cols(text_col))
+
+
+def bpe_token_count_cols(text_col: str = "text") -> list:
+    """bpe_token_count's output columns (for the fused
+    :func:`text_profile`)."""
     c = F.col(text_col)
     pieces = bpe_pieces_expr(text_col)
-    return df.select(
-        "doc_id",
+    return [
         F.size(pieces).cast("long").alias("n_bpe_tokens"),
         token_count(c).alias("n_ws_tokens"),
         F.length(c).cast("long").alias("n_chars"),
-    )
+    ]
 
 
 def bpe_token_count_sql(table: str, text_col: str = "text") -> str:
@@ -369,6 +384,56 @@ def quality_with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The fused six-part per-document profile (r18, guide §2.4 /
+    §1.2 step 1): word_stats + lang_id + content fingerprint (md5
+    column) + BPE token count + PII redaction + quality/repetition in
+    ONE projection chain over ONE scan.
+
+    The former spelling joined the six per-doc projections on doc_id
+    — six scans of the text column plus five joins whose only job was
+    to re-attach columns by the table's unique key. An inner join of
+    row-wise projections of the SAME frame on a unique key is exactly
+    a single projection (each part emits one row per input row), so
+    this fusion is result-identical by construction — pinned
+    old-vs-new in tests and by the unchanged DuckDB oracle. At scale
+    it is the difference between reading the corpus once and six
+    times. Column order matches the old join output.
+
+    The gram array is bound through the same two-step select chain
+    :func:`quality_with_repetition` uses (an unbound array would
+    re-inline the split per element access)."""
+    df = spread(df)
+    norm = F.regexp_replace(
+        F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0b\f\r]+", " "
+    )
+    bound = df.select("doc_id", text_col, F.split(norm, " ").alias("t"))
+    t = F.col("t")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(1)))
+    grams = F.when(F.size(t) >= 2, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1))
+    )).otherwise(F.array().cast("array<string>"))
+    binds = bound.select(
+        "doc_id", text_col, F.array_sort(grams).alias("grams")
+    )
+    score = quality_score_expr(text_col)
+    fp = fingerprint_cols(text_col)
+    bpe = bpe_token_count_cols(text_col)
+    return binds.select(
+        "doc_id",
+        *word_stats_cols(text_col),
+        *lang_id_cols(text_col),
+        fp[1],           # content_md5 (the xxhash fingerprint column
+                         # was dropped by the old join spelling too)
+        bpe[0],          # n_bpe_tokens
+        bpe[1],          # n_ws_tokens (n_chars deduped into word_stats')
+        *redact_pii_cols(text_col),
+        F.round(score, 6).alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+        *_rep_cols(F.col("grams")),
+    )
+
+
 def quality_with_repetition_sql(table: str, text_col: str = "text") -> str:
     return f"""
 SELECT q.doc_id, q.quality_score, q.keep,
@@ -403,16 +468,21 @@ FROM {table} d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """
 
 
+def fingerprint_cols(text_col: str = "text") -> list:
+    """fingerprint's output columns (for the fused
+    :func:`text_profile`)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0b\f\r]+", " ")
+    return [
+        F.xxhash64(norm).alias("fingerprint"),
+        F.md5(norm).alias("content_md5"),
+    ]
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: xxhash64 of the whitespace-normalized,
     lowercased text (rolling-hash analog, JVM-side)."""
     df = spread(df)
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0b\f\r]+", " ")
-    return df.select(
-        "doc_id",
-        F.xxhash64(norm).alias("fingerprint"),
-        F.md5(norm).alias("content_md5"),
-    )
+    return df.select("doc_id", *fingerprint_cols(text_col))
 
 
 def fingerprint_sql(table: str, text_col: str = "text") -> str:
@@ -452,6 +522,12 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     makes right before tokenization. Returns
     (doc_id, redacted_text, n_email, n_phone, n_ipv4)."""
     df = spread(df)
+    return df.select("doc_id", *redact_pii_cols(text_col))
+
+
+def redact_pii_cols(text_col: str = "text") -> list:
+    """redact_pii's output columns (for the fused
+    :func:`text_profile`)."""
     c = F.col(text_col)
     counts = {}
     out = c
@@ -460,11 +536,10 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         # matches; count occurrences by splitting on the pattern
         counts[name] = F.size(F.split(out, pat, -1)) - 1
         out = F.regexp_replace(out, pat, token)
-    return df.select(
-        "doc_id",
+    return [
         out.alias("redacted_text"),
         *[counts[n].cast("long").alias(f"n_{n}") for n in PII_PATTERNS],
-    )
+    ]
 
 
 def redact_pii_sql(table: str, text_col: str = "text") -> str:

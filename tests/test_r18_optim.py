@@ -132,6 +132,102 @@ def test_dsir_weights_shared_grams_equal_unshared(spark, docs):
     assert o == n
 
 
+# ------------------ jaccard: single-exchange candidate chain
+
+
+def test_jaccard_single_exchange_candidates_equal_old(spark, docs):
+    """The fused df-count/posting chain must produce exactly the old
+    two-scan pipeline's pairs (df semantics, null-shingle drop, pair
+    pruning and verify all byte-equal)."""
+    from cryo_spark.operators import dedup
+
+    sh = dedup.shingle_rows(docs)
+    # old spelling: separate count_distinct + inner join + repartition
+    dfreq = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("df_"))
+        .filter((F.col("df_") <= 50) & (F.col("df_") >= 2))
+        .select("shingle")
+    )
+    rare = sh.join(dfreq, "shingle")
+    par = spark.sparkContext.defaultParallelism
+    old_posts = (
+        rare.repartition(par, "shingle")
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .select("ids")
+    )
+    old_lists = sorted(tuple(r["ids"]) for r in old_posts.collect())
+    new = dedup.ngram_jaccard_all_pairs(docs)
+    # reach the new posting lists through the public result too
+    got = sorted(map(tuple, new.collect()))
+    # rebuild the old full pipeline result for comparison
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids) - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        old_posts.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+        .select("id_a", "id_b")
+    )
+    old_full = (
+        dedup._verify_pairs(sh, cand)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    assert got == sorted(map(tuple, old_full.collect()))
+    # and the posting lists themselves match the old ones
+    uniq = sh.repartition(par, "shingle").dropDuplicates(["shingle", "doc_id"])
+    from pyspark.sql import Window as W
+
+    new_posts = (
+        uniq.withColumn("df_", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+        .filter(
+            F.col("shingle").isNotNull()
+            & (F.col("df_") <= 50)
+            & (F.col("df_") >= 2)
+        )
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .select("ids")
+    )
+    assert sorted(tuple(r["ids"]) for r in new_posts.collect()) == old_lists
+
+
+# ------------------ fused text profile
+
+
+def test_text_profile_fused_equals_join_spelling(spark, docs):
+    """text.text_profile (one projection) must equal the old six-way
+    doc_id-join spelling exactly — columns, names, types, values."""
+    from cryo_spark.operators import text
+
+    old = text.word_stats(docs)
+    for part in (
+        text.lang_id(docs),
+        text.fingerprint(docs).drop("fingerprint"),
+        text.bpe_token_count(docs).drop("n_chars"),
+        text.redact_pii(docs),
+        text.quality_with_repetition(docs),
+    ):
+        old = old.join(part, "doc_id")
+    new = text.text_profile(docs)
+    assert new.schema == old.schema
+    o = sorted(map(tuple, old.collect()))
+    n = sorted(map(tuple, new.collect()))
+    assert o == n
+
+
 # ------------------ funnel background boundary materialization
 
 
