@@ -1267,16 +1267,20 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2-thread pool so the second job's tasks back-fill the first's
     # tail (guide §2.6). Same jobs, same results — only the driver-side
     # serialization between them is removed (~0.2-0.3 s at sf0.1).
-    with ThreadPoolExecutor(max_workers=2) as _pool:
-        _fq = _pool.submit(
-            lambda: [
-                float(x)
-                for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
-            ]
-        )
-        _fs = _pool.submit(similarity.sample_matrix, emb)
-        query = _fq.result()
-        smp = _fs.result()
+    # r18: the sample collect's result is not needed until the
+    # IVF/IVF-PQ trainers below, so the main thread no longer waits
+    # for it before building the LSH/costball/batch frames — the
+    # sample job now overlaps that construction chatter too; the
+    # .result() moved just above train_centroids.
+    _pool = ThreadPoolExecutor(max_workers=2)
+    _fq = _pool.submit(
+        lambda: [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+    )
+    _fs = _pool.submit(similarity.sample_matrix, emb)
+    query = _fq.result()
     lsh = similarity.lsh_topk(emb, query, k=10, n_planes=6).withColumn(
         "method", F.lit("lsh")
     )
@@ -1316,7 +1320,11 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round 8: the 4096-row training sample is also collected ONCE and
     # fed to both trainers (they defined the identical TakeOrdered
     # sample and each collected it — one redundant driver job); round
-    # 17 moved the collect into the thread pool above.
+    # 17 moved the collect into the thread pool above; round 18 defers
+    # the .result() to HERE so the sample job also overlaps the
+    # LSH/costball/batch frame construction above.
+    smp = _fs.result()
+    _pool.shutdown(wait=False)
     cents = similarity.train_centroids(emb, n_centroids=16, sample_rows=smp)
     # spread() as the inline ivf_topk path did — a one-file parquet
     # would otherwise run the pandas-UDF GEMM single-threaded

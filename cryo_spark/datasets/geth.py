@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cryo_spark.functions import be_uint, be_uint_expr
+from cryo_spark.operators.util import bt as _bt
 from cryo_spark.oracle import be_uint_sql, fixture_rel
 from cryo_spark.schemas import get_spec
 from cryo_spark.sources import raw
@@ -102,8 +103,8 @@ def _convert(colname: str, how: str):
 
 def _convert_expr(colname: str, how: str) -> str:
     if how == "u64":
-        return f"CAST({be_uint_expr(f'`{colname}`')} AS BIGINT)"
-    return f"`{colname}`"
+        return f"CAST({be_uint_expr(_bt(colname))} AS BIGINT)"
+    return _bt(colname)
 
 
 def _convert_sql(expr: str, how: str) -> str:
@@ -126,7 +127,7 @@ def make_geth_diff_transform(kind: str):
             "to_value": f"{_convert_expr('to_value', how)} AS to_value",
         }
         cols = get_spec(f"geth_{kind}_diffs").column_names()
-        return df.selectExpr(*[exprs.get(c, f"`{c}`") for c in cols])
+        return df.selectExpr(*[exprs.get(c, _bt(c)) for c in cols])
 
     return transform
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cryo_spark.functions import be_uint, be_uint_expr
+from cryo_spark.operators.util import bt as _bt
 from cryo_spark.oracle import be_uint_sql, fixture_rel
 from cryo_spark.schemas import get_spec
 from cryo_spark.sources import raw
@@ -34,8 +35,8 @@ def _convert(colname: str, how: str):
 
 def _convert_expr(colname: str, how: str) -> str:
     if how == "u64":
-        return f"CAST({be_uint_expr(f'`{colname}`')} AS BIGINT)"
-    return f"`{colname}`"
+        return f"CAST({be_uint_expr(_bt(colname))} AS BIGINT)"
+    return _bt(colname)
 
 
 def _convert_sql(expr: str, how: str) -> str:
@@ -57,7 +58,7 @@ def make_diff_transform(kind: str):
             "from_value": f"{_convert_expr('from_value', how)} AS from_value",
             "to_value": f"{_convert_expr('to_value', how)} AS to_value",
         }
-        return df.selectExpr(*[exprs.get(c, f"`{c}`") for c in cols])
+        return df.selectExpr(*[exprs.get(c, _bt(c)) for c in cols])
 
     return transform
 

@@ -61,8 +61,9 @@ def be_uint_expr(expr: str, max_bytes: int = 16) -> str:
     conv limbs, try_* decimal arithmetic), emitted as ONE string so
     hot dataset projections (state/geth diff transforms build it 4x
     per 8-part merged entry) parse it in a single py4j round trip
-    instead of ~18 Column calls. Identical Catalyst tree by
-    construction; value equality pinned in tests/test_r17_optim.py."""
+    instead of ~18 Column calls. Semantically identical to the Column
+    spelling (the rendered plan text can differ in literal escaping);
+    value equality pinned in tests/test_r17_optim.py."""
     h = f"right(concat('{'0' * (2 * max_bytes)}', hex({expr})), {2 * max_bytes})"
     n_limbs = (max_bytes + 7) // 8
     total: str | None = None

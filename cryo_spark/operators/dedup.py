@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cryo_spark.operators.util import bt as _bt
 from cryo_spark.operators.util import local_rows as _local_rows
 from cryo_spark.operators.util import spread as _spread
 
@@ -46,7 +47,7 @@ def _norm_text(text_col: str = "text") -> Column:
 def _norm_text_sql(text_col: str = "text") -> str:
     """SQL text of :func:`_norm_text` (same regex, control characters
     embedded verbatim so the pattern literal is byte-identical)."""
-    return f"regexp_replace(trim(lower(`{text_col}`)), '[ \t\n\x0b\f\r]+', ' ')"
+    return f"regexp_replace(trim(lower({_bt(text_col)})), '[ \t\n\x0b\f\r]+', ' ')"
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cryo_spark.operators.util import spread
+from cryo_spark.operators.util import bt, spread
 
 
 def _dot_with_literal(vec_col: Column | str, query: list[float]) -> Column:
@@ -58,7 +58,7 @@ def _dot_sql(vec_col: str, query: list[float]) -> str:
     so composite expressions (cosine) can fold into ONE ``F.expr``."""
     arr = "array(" + ",".join(_d_lit(x) for x in query) + ")"
     return (
-        f"aggregate(zip_with(`{vec_col}`, {arr}, "
+        f"aggregate(zip_with({bt(vec_col)}, {arr}, "
         "(x, y) -> CAST(x AS DOUBLE) * y), "
         "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
@@ -68,7 +68,7 @@ def _norm_sql(vec_col: str) -> str:
     """SQL text of :func:`_norm` over a named column — same
     sequential left-to-right aggregate fold, same ops and order."""
     return (
-        f"sqrt(aggregate(transform(`{vec_col}`, "
+        f"sqrt(aggregate(transform({bt(vec_col)}, "
         "x -> CAST(x AS DOUBLE) * x), "
         "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
     )
@@ -601,7 +601,7 @@ def _sig_col(vec_col: str, planes: np.ndarray) -> Column:
     BIGINT quantize/dot/threshold arithmetic, per plane, in the same
     order (equality with the Column spelling is test-pinned)."""
     quant = (
-        f"transform(`{vec_col}`, "
+        f"transform({bt(vec_col)}, "
         f"x -> CAST(floor(CAST(x AS DOUBLE) * {LSH_QUANT}) AS BIGINT))"
     )
     parts = []

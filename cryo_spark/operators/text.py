@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cryo_spark.operators.util import spread
+from cryo_spark.operators.util import bt, spread
 
 # small public stopword sets for the n-gram language heuristic — the
 # zero-dependency, hash-provable fallback. The PRODUCTION lang-ID for
@@ -42,8 +42,8 @@ def token_count_expr(col: str) -> str:
     verbatim. Lets aggregate consumers (the funnel's per-boundary
     observe metrics) fold the whole metric into ONE parsed string."""
     return (
-        f"CAST(CASE WHEN (trim(`{col}`) = '') THEN 0 ELSE "
-        f"size(split(trim(`{col}`), '[ \t\n\x0b\f\r]+')) END AS BIGINT)"
+        f"CAST(CASE WHEN (trim({bt(col)}) = '') THEN 0 ELSE "
+        f"size(split(trim({bt(col)}), '[ \t\n\x0b\f\r]+')) END AS BIGINT)"
     )
 
 
@@ -91,7 +91,7 @@ def word_stats_cols(text_col: str = "text") -> list:
     """The word_stats output columns (r18: exposed so the fused
     :func:`text_profile` can ride them in ONE projection — same
     expressions, single source of truth)."""
-    c = f"`{text_col}`"
+    c = bt(text_col)
     tc = _spark_token_count_sql(c)
     non_alnum = f"length(regexp_replace(lower({c}), '[a-z0-9{_WS}]', ''))"
     digits = f"length(regexp_replace({c}, '[^0-9]', ''))"
@@ -153,7 +153,7 @@ def lang_best_expr(text_col: str = "text") -> Column:
     """struct(score, lang) of the winning stopword-vote language —
     deterministic argmax: highest score, ties broken by lang desc
     (array_max on the struct ordering)."""
-    c = f"`{text_col}`"
+    c = bt(text_col)
     scores = ", ".join(
         f"named_struct('score', CAST({_stop_hits_sql(c, words)} AS BIGINT), "
         f"'lang', '{lang}')"
@@ -244,7 +244,7 @@ FROM {table}
 def quality_score_expr(text_col: str = "text") -> Column:
     """The composite quality score expression in [0,1]:
     0.4*length_ok + 0.3*stopword_ok + 0.3*(1 - punct_noise)."""
-    c = f"`{text_col}`"
+    c = bt(text_col)
     tc = _spark_token_count_sql(c)
     stop_hits = _stop_hits_sql(c, STOPWORDS["en"])
     non_alnum = f"length(regexp_replace(lower({c}), '[a-z0-9{_WS}]', ''))"

@@ -17,6 +17,14 @@ _WIDE_ANCESTOR = re.compile(
 )
 
 
+def bt(name: str) -> str:
+    """Backtick-quote an identifier for a Spark SQL expression text
+    (r18, ADVICE r17: the SQL-string builders interpolated identifiers
+    into backticks without escaping embedded backticks — same contract
+    as contract._bt, shared here for operator code)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def local_rows(spark, rows, schema, rows_per_slice: int = 8192) -> DataFrame:
     """Driver-local rows -> DataFrame with SIZE-APPROPRIATE partitioning.
 
