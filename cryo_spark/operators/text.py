@@ -608,6 +608,21 @@ ORDER BY occurrences DESC, ngram LIMIT {k}
 """
 
 
+_KW_CACHE: list[DataFrame] = []
+
+
+def release_keyword_cache(keep: int = 0) -> None:
+    """Unpersist tf frames cached by :func:`keyword_extract` (same
+    contract as ``dedup.release_verify_cache``: the PREVIOUS call's
+    frame stays cached because its lazy result may not have executed
+    yet; only older frames release)."""
+    while len(_KW_CACHE) > keep:
+        try:
+            _KW_CACHE.pop(0).unpersist()
+        except Exception:  # noqa: BLE001 - session already stopped
+            pass
+
+
 def keyword_extract(
     df: DataFrame, text_col: str = "text", k: int = 5,
     id_col: str = "doc_id",
@@ -640,6 +655,18 @@ def keyword_extract(
         ).alias("term"),
     )
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # r18 (guide §2.4): doc_freq is DERIVED from tf, but without a
+    # materialization the optimizer prunes the count column out of the
+    # df branch's copy of the subtree, the two exchanges stop being
+    # canonically equal, and the scan+explode+partial-agg chain runs
+    # TWICE per action (profiled: two map stages each reading the
+    # full spread output). One persisted tf table (distinct
+    # (doc, term) pairs — far smaller than the term stream) feeds
+    # both consumers; same keep-latest-two release discipline as the
+    # dedup verify cache.
+    release_keyword_cache(keep=1)
+    tf = tf.persist()
+    _KW_CACHE.append(tf)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

@@ -157,6 +157,22 @@ def get_spark(
             builder.config("spark.python.daemon.module", "cryo_spark.workerdaemon")
             .config("spark.executorEnv.PYTHONPATH", worker_pp)
         )
+        # GC pacing default is MASTER-GATED as of r18: the r17
+        # gen-1-between-tasks policy (full collect every 10th task)
+        # won its A/Bs on single-JVM local[N], but on a multi-executor
+        # master it LOST 3/3 interleaved min-of-3 pairs on
+        # local-cluster[2,4,2048] (gen1 vs stock totals: 8.81 vs
+        # 7.93, 7.31 vs 6.59, 7.22 vs 7.00 — OPTIMIZATION_r18.md) —
+        # with several python workers per executor the deferred full
+        # collects cost more in allocation pressure than the skipped
+        # pauses save. Stock cadence (=1) is therefore the default off
+        # local[*]; an explicit SPARK_GRAFT_FULL_GC_EVERY always wins.
+        if "SPARK_GRAFT_FULL_GC_EVERY" not in os.environ:
+            is_local = (master or f"local[{cpus}]").startswith("local[")
+            builder = builder.config(
+                "spark.executorEnv.SPARK_GRAFT_FULL_GC_EVERY",
+                "10" if is_local else "1",
+            )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
