@@ -1230,6 +1230,21 @@ LIMIT 10
 """
 
 
+#: frames persisted by q_ann_topk (the shared IVF assignment + the
+#: thrice-consumed exact tier); the PREVIOUS call's pair stays cached
+#: because its lazy result may not have executed yet — same contract
+#: as dedup._VERIFY_CACHE
+_ANN_CACHE: list[DataFrame] = []
+
+
+def _release_ann_cache(keep: int = 0) -> None:
+    while len(_ANN_CACHE) > keep:
+        try:
+            _ANN_CACHE.pop(0).unpersist()
+        except Exception:  # noqa: BLE001 - session already stopped
+            pass
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k, the three scale paths in one entry — now
     HASH-EXACT (round 12, the 50th contract row):
@@ -1327,8 +1342,16 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pool.shutdown(wait=False)
     cents = similarity.train_centroids(emb, n_centroids=16, sample_rows=smp)
     # spread() as the inline ivf_topk path did — a one-file parquet
-    # would otherwise run the pandas-UDF GEMM single-threaded
-    assigned = similarity.ivf_assign(similarity.spread(emb), cents)
+    # would otherwise run the pandas-UDF GEMM single-threaded.
+    # r18 (guide §2.4): `assigned` feeds BOTH the IVF tier (probe
+    # filter + rescoring) and pq_encode — unpersisted, the pandas-UDF
+    # assignment pass ran twice per action. In production this frame
+    # IS the persisted IVF index (save_ivf_index writes it once); the
+    # in-memory entry persists it for the same one-pass semantics.
+    # Keep-latest release discipline mirrors dedup's verify cache.
+    _release_ann_cache(keep=2)
+    assigned = similarity.ivf_assign(similarity.spread(emb), cents).persist()
+    _ANN_CACHE.append(assigned)
     ivf = similarity.ivf_topk(
         emb, query, k=10, n_centroids=16, n_probe=4,
         assigned=assigned, centroids=cents,
@@ -1351,7 +1374,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = lsh.select(
         "vec_id", F.col(lsh.columns[1]).alias("score"), "method"
     )
-    exact = similarity.cosine_topk(emb, query, k=10)
+    # r18 (guide §2.4): the exact tier is consumed THREE times (its
+    # own union rows + the two recall gates' broadcast id sets) —
+    # unpersisted, the full scan+cosine+TakeOrdered subtree ran three
+    # times per action for the same 10 rows. One persisted 10-row
+    # frame serves all three consumers.
+    exact = similarity.cosine_topk(emb, query, k=10).persist()
+    _ANN_CACHE.append(exact)
     exact_rows = exact.select(
         "vec_id", F.col("cosine").alias("score"), F.lit("exact").alias("method")
     )
