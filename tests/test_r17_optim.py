@@ -514,14 +514,19 @@ def test_py4j_memo_caches_statics_and_skips_field_values(spark):
     # before delegating to _cryo_orig, so a second lookup of the same
     # name must not reach `counting`
     try:
-        JVMView.__getattr__ = p._memoizing(counting, (JavaClass, type(jvm.org)))
+        JVMView.__getattr__ = p._memoizing(counting, (JavaClass,))
         jvm.__dict__.pop(p._CACHE_ATTR, None)
         c1 = jvm.PythonUtils
         c2 = jvm.PythonUtils
         assert isinstance(c1, JavaClass) and c1 is c2
         assert calls.count("PythonUtils") == 1
     finally:
-        JVMView.__getattr__ = p._memoizing(orig, (JavaClass, type(jvm.org)))
+        # restore with install()'s exact semantics — JavaClass-only
+        # caching (r18: a (JavaClass, JavaPackage) restore here would
+        # re-enable package caching process-wide and break the r18
+        # no-package-cache pin)
+        JVMView.__getattr__ = p._memoizing(orig, (JavaClass,))
+        jvm.__dict__.pop(p._CACHE_ATTR, None)
 
     # static members memoized on the class instance
     m1 = c1.toSeq
